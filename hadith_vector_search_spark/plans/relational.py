@@ -1,0 +1,159 @@
+"""Relational operator suite over the TPC-H-ish test tables.
+
+Each query is one operator family from SURVEY §2 expressed in its idiomatic
+Spark shape; every computed column is aliased so the DuckDB oracle
+(`hadith_vector_search_spark.oracles`) produces byte-identical column names.
+
+Scale notes (100 TB design point):
+- Aggregations are plain ``groupBy().agg()`` — Spark performs partial
+  (map-side) aggregation automatically, so the shuffle carries one row per
+  (partition, group), not per input row.
+- Dimension joins (`nation`, `region`, `customer` at small SF) are explicit
+  ``broadcast()`` hints; at real scale AQE would also auto-convert when the
+  build side is under the threshold.
+- Top-k is ``orderBy().limit(k)`` which Catalyst executes as
+  TakeOrderedAndProject: per-partition heap of k rows, no global sort.
+- Floating aggregates are rounded in BOTH engines so the value-hash compare
+  is robust to summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the per-book ingestion roll-up A4/A5 generalized
+    (SURVEY §2.4; ref /root/reference/mcp_server/apps/ingestion.py:129-158).
+
+    Single shuffle on a 6-value grouping key; partial aggregation makes the
+    shuffle payload O(groups), safe at any SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (SURVEY §2.5 T1-T3): TakeOrderedAndProject, deterministic
+    tie-break on the unique key (SURVEY §5 determinism guard)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way dimension join (SURVEY §2.3 J3/J4 broadcast lookups):
+    fact table joins small dims — every dim side is broadcast so the only
+    shuffle is the final 5-group aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (SURVEY §2.2 P2: doc_id IN (...) batch lookup).
+    Semi-join never widens rows — at scale the orders side is pre-filtered
+    before the shuffle, and no customer row is duplicated."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000.0).select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (SURVEY §2.2 P4: the checksum-skip incremental filter
+    /root/reference/mcp_server/apps/fts.py:141-145 is exactly this shape).
+    The price filter is applied to the right side BEFORE the join — pushed
+    below the shuffle, so at scale the anti-join probe side shrinks first."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000.0).select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregation (SURVEY §2.4 A2/A3: unique narrators per
+    book). countDistinct is exact here; at 100 TB the drop-in scale path is
+    approx_count_distinct (HLL sketch, no exact-distinct shuffle)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.countDistinct("c_nationkey").alias("nation_count"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window dedup (SURVEY §2.6 D1: keep best-ranked row per key).
+    row_number over (user) — single hash-partitioned window, deterministic
+    tie-break by (ts, event_id)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (tumbling-window batch analogue of the
+    streaming rollup in SURVEY §2.11): date_trunc keeps the expression
+    JVM-side and pushdown-friendly."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.to_date(F.col("ts")))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+    )

@@ -1,0 +1,37 @@
+"""Central registry mapping query names → Spark callables and DuckDB oracles.
+
+`__spark_entry__.py` re-exports these; tests iterate them. Keeping the
+mapping in one place guarantees `queries()` and `oracle_sql()` stay in sync
+(the driver's correctness gate needs both for every claimed operator).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .oracles import ORACLES
+from .plans import relational
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    "pricing_summary": relational.pricing_summary,
+    "top_orders": relational.top_orders,
+    "revenue_by_region": relational.revenue_by_region,
+    "big_spender_customers": relational.big_spender_customers,
+    "customers_without_orders": relational.customers_without_orders,
+    "segment_stats": relational.segment_stats,
+    "first_event_per_user": relational.first_event_per_user,
+    "daily_event_rollup": relational.daily_event_rollup,
+}
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    # Only oracles for registered queries; extras would confuse the driver.
+    return {name: sql for name, sql in ORACLES.items() if name in QUERIES}

@@ -1,0 +1,44 @@
+"""Parquet scans over the driver-generated test tables.
+
+Mirrors the reference's source surface (SURVEY §2.1 S1-S4): a scan is a
+``spark.read`` with pushdown-friendly shape — no schema inference at query
+time (parquet carries its schema), no collect, no RDDs.  Filters and
+projections applied by callers reach the parquet reader via Catalyst
+(PushedFilters / ReadSchema), which is the Spark-native analogue of the
+reference pushing MATCH/doc_id predicates into SQLite
+(/root/reference/mcp_server/apps/fts.py:95-116).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. Dimension tables stay small at every SF
+    (region=5, nation=25) — they are natural broadcast sides.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; we read nanos as long (runtime-settable legacy
+    conf) and convert to microsecond timestamps JVM-side (`ts div 1000` is
+    exact integer math — no double round-trip). DuckDB truncates NANOS→micros
+    the same way, so oracle comparisons stay exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
