@@ -1,0 +1,173 @@
+"""Scalar text functions (SURVEY §2.7) as pure Column expressions.
+
+Everything here compiles to JVM-side Catalyst expressions (regexp_replace /
+split / higher-order functions) — no Python UDFs — so these run inside
+whole-stage codegen and scale linearly with input partitions.
+
+The token character class is standardized across indexing, scoring, and the
+DuckDB oracles (SURVEY §4.2.4): lowercase latin letters, digits, underscore,
+plus the Arabic block U+0600–U+06FF. The reference used two slightly
+different tokenizers (FTS5 `unicode61` at
+/root/reference/mcp_server/apps/fts.py:288 vs the router regex `[\\w؀-ۿ]+`
+at /root/reference/mcp_server/apps/router.py:41-44); we deliberately unify
+them so tf/df statistics and coverage scoring agree.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word characters: ASCII word chars + Arabic block. Java regex \w is
+# ASCII-only (unlike Python's default), so spell the class out explicitly —
+# it then means the same thing in Java (Spark), RE2 (DuckDB), and Python
+# (driver-side query tokenization with re.ASCII semantics).
+TOKEN_CLASS = "a-z0-9_؀-ۿ"
+TOKEN_SPLIT_RE = f"[^{TOKEN_CLASS}]+"
+_PY_TOKEN_RE = re.compile(f"[{TOKEN_CLASS}]+")
+
+MIN_TOKEN_LEN = 2  # reference drops len<=1 tokens (router.py:41-44)
+
+
+def tokenize(col: Column | str, min_len: int = MIN_TOKEN_LEN) -> Column:
+    """F2: lowercase, split on non-word runs, drop short tokens.
+    Returns array<string>. split() can emit leading/trailing '' — the
+    length filter removes them."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(c), TOKEN_SPLIT_RE)
+    return F.filter(toks, lambda t: F.length(t) >= min_len)
+
+
+def py_tokenize(text: str, min_len: int = MIN_TOKEN_LEN) -> list[str]:
+    """Driver-side twin of `tokenize` for query strings — identical rules,
+    used when compiling a query into literal term lists (SURVEY F7)."""
+    return [t for t in _PY_TOKEN_RE.findall(text.lower()) if len(t) >= min_len]
+
+
+def normalize_whitespace(col: Column | str) -> Column:
+    """F23: collapse whitespace runs, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def normalize_narrator(col: Column | str) -> Column:
+    """F1: canonical narrator — strip honorific parentheticals (EN + AR),
+    leading reporting verbs, trailing punctuation, bidi marks, collapse
+    whitespace, lowercase.
+    Reference behavior: /root/reference/mcp_server/apps/normalization.py:8-26.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # parenthetical honorifics e.g. "(May Allah be pleased with him)"
+    c = F.regexp_replace(c, r"\([^)]*\)", " ")
+    # Arabic honorific phrase without parens
+    c = F.regexp_replace(c, "رضي الله عن(ه|ها|هم|هما)", " ")
+    # bidi / zero-width marks
+    c = F.regexp_replace(c, "[‎‏‪-‮⁦-⁩]", "")
+    # leading/trailing reporting verbs
+    c = F.regexp_replace(c, r"(?i)\b(reported|narrated|said)\s*:?\s*$", " ")
+    # trailing punctuation
+    c = F.regexp_replace(c, r"[\s:،,.;'\"-]+$", "")
+    return F.lower(normalize_whitespace(c))
+
+
+def strip_html(col: Column | str) -> Column:
+    """F8: remove tags, unescape the common entities, collapse whitespace.
+    Reference: /root/reference/quran_mcp/loader.py:13-21. The reference uses
+    html.unescape (full entity table); we unescape the entities that occur in
+    practice with JVM-side replaces — documented deviation, keeps the hot
+    path out of Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return normalize_whitespace(c)
+
+
+def extract_quoted_phrase(col: Column | str, min_len: int = 3) -> Column:
+    """F3: first double- or single-quoted phrase of length >= min_len,
+    else NULL. Reference: router.py:31-38."""
+    c = F.col(col) if isinstance(col, str) else col
+    dq = F.regexp_extract(c, f'"([^"]{{{min_len},}})"', 1)
+    sq = F.regexp_extract(c, f"'([^']{{{min_len},}})'", 1)
+    return F.when(dq != "", dq).when(sq != "", sq).otherwise(F.lit(None))
+
+
+def strip_quotes(col: Column | str) -> Column:
+    """F4: remove one pair of enclosing quotes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "^[\"'](.*)[\"']$", "$1")
+
+
+def extract_narrator_query(col: Column | str) -> Column:
+    """F5: narrator intent — EN 'narrated/reported/said by X' or AR 'عن X'.
+    Returns the narrator phrase or NULL. Reference: router.py:19-20,62-69."""
+    c = F.col(col) if isinstance(col, str) else col
+    en = F.regexp_extract(F.lower(c), r"\b(?:narrated by|reported by|said by)\s+(.+)$", 1)
+    ar = F.regexp_extract(c, "عن\\s+(.+)$", 1)
+    return F.when(en != "", en).when(ar != "", ar).otherwise(F.lit(None))
+
+
+def is_exact_reference(col: Column | str) -> Column:
+    """F6: reference-shaped query, e.g. 'book 1:12', 'bk 3', '680'.
+    Reference: router.py:21,71-72."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(F.lower(c), r"^\s*(?:book|kitab|bk)?\s*\d+(?:[:\-/]\d+)?\s*$", 0) != ""
+
+
+def arabic_ratio(col: Column | str) -> Column:
+    """F26: fraction of characters in the Arabic block."""
+    c = F.col(col) if isinstance(col, str) else col
+    arabic = F.length(F.regexp_replace(c, "[^؀-ۿ]", ""))
+    return F.when(F.length(c) > 0, arabic / F.length(c)).otherwise(F.lit(0.0))
+
+
+def checksum(*cols: Column | str) -> Column:
+    """F9: sha256 over unit-separator-joined fields.
+    Reference: /root/reference/sunnah_scraper/models.py:72-81."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.sha2(F.concat_ws("␟", *cs), 256)
+
+
+def contains_phrase(text: Column | str, phrase: Column | str) -> Column:
+    """F10: case-folded containment."""
+    t = F.col(text) if isinstance(text, str) else text
+    p = F.lit(phrase) if isinstance(phrase, str) else phrase
+    return F.instr(F.lower(t), F.lower(p)) > 0
+
+
+def term_coverage(tokens_col: Column, text_lower: Column) -> Column:
+    """F11: fraction of query tokens present in the (lowercased) text.
+    Higher-order filter keeps it JVM-side. Reference: scoring.py:57-70."""
+    matched = F.size(F.filter(tokens_col, lambda t: F.instr(text_lower, t) > 0))
+    n = F.size(tokens_col)
+    return F.when(n > 0, matched.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def bm25_signal(bm25: Column) -> Column:
+    """F13: map raw BM25 rank (lower=better in FTS5) to (0,1]."""
+    return 1.0 / (1.0 + F.greatest(F.lit(0.0), bm25))
+
+
+def dist_to_sim(dist: Column) -> Column:
+    """F14: distance -> similarity in (0,1]."""
+    return 1.0 / (1.0 + F.greatest(F.lit(0.0), dist))
+
+
+def clamp01(c: Column) -> Column:
+    """F15."""
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), c))
+
+
+def snippet(text: Column | str, first_term: Column | str, width: int = 120) -> Column:
+    """F25 (approximation): a window of `width` chars centred on the first
+    occurrence of the matched term; falls back to the head of the text.
+    The reference uses FTS5's positional snippet() — this is the documented
+    relational approximation (SURVEY §4.2.5) kept JVM-side."""
+    t = F.col(text) if isinstance(text, str) else text
+    term = F.lit(first_term) if isinstance(first_term, str) else first_term
+    pos = F.instr(F.lower(t), F.lower(term))
+    start = F.greatest(F.lit(1), pos - F.lit(width // 2))
+    return F.when(pos > 0, F.substring(t, start, width)).otherwise(F.substring(t, 1, width))

@@ -1,0 +1,52 @@
+"""Vector scalar functions (SURVEY §2.8) as JVM-side column expressions.
+
+The reference's numpy matmul (`np.dot(matrix, qvec)` at
+/root/reference/quran_mcp/search.py:158) becomes a higher-order-function
+fold over `array<float>` columns — whole-stage-codegen-friendly, no Python.
+Elements are cast to double before arithmetic so results are stable and
+DuckDB-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential left-to-right fold of elementwise products (exact
+    evaluation order, unlike a shuffled sum — deterministic)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(_c(a), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; safe on zero vectors (returns NULL)."""
+    d, na, nb = dot(a, b), norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(None))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    n = norm(a)
+    return F.when(n > 0, F.transform(_c(a), lambda x: x.cast("double") / n))
+
+
+def vector_lit(vec: list[float]) -> Column:
+    """A literal query vector (SURVEY V2's single-query embed becomes a
+    constant-folded array literal)."""
+    return F.array(*[F.lit(float(x)) for x in vec])

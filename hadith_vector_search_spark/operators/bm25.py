@@ -1,0 +1,134 @@
+"""BM25 lexical retrieval as plain DataFrame algebra (SURVEY §4.2.1).
+
+The reference delegates BM25 to SQLite FTS5 (`bm25()` at
+/root/reference/mcp_server/apps/fts.py:98-104 and
+/root/reference/quran_mcp/search.py:116-143). Spark has no inverted index, so
+we make the index an explicit set of derived tables — the Spark-native
+re-expression, not a translation:
+
+    postings(doc_id, term, tf)     one row per (doc, term)
+    doc_len(doc_id, dl)            kept-token count per doc
+    stats(n_docs, avgdl)           single-row corpus aggregate
+
+Scale design (100 TB):
+- postings/doc_len are ordinary DataFrames a caller persists as parquet
+  partitioned/bucketed by `term` (postings) and `doc_id` (doc_len); queries
+  then prune to the query's terms — the moral equivalent of an inverted
+  index lookup, driven by Catalyst partition pruning.
+- Query terms are tiny literal DataFrames → broadcast hash joins; the only
+  shuffle is the final per-doc score aggregation, which carries one row per
+  (doc × matched term).
+- Scoring is a single JVM column expression (whole-stage codegen); the
+  conjunctive filter is `count(matched terms) == n_terms`, i.e. AND
+  semantics without a cascade of self-joins.
+
+IDF uses the always-positive BM25+ style `ln(1 + (N - df + .5)/(df + .5))`
+(documented deviation from FTS5's unclamped Robertson idf; ranking order is
+identical for df < N/2 and the hybrid scorer normalizes scale anyway).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import MIN_TOKEN_LEN, py_tokenize, tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               min_len: int = MIN_TOKEN_LEN) -> DataFrame:
+    """Explode documents into (doc_id, term) — Spark's native UDTF-equivalent
+    (explode), no Python in the loop."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokenize(F.col(text_col), min_len)).alias("term"))
+    )
+
+
+@dataclass
+class LexicalIndex:
+    postings: DataFrame   # doc_id, term, tf
+    doc_len: DataFrame    # doc_id, dl
+    stats: DataFrame      # n_docs, avgdl (single row)
+
+    def cache(self) -> "LexicalIndex":
+        self.postings.cache()
+        self.doc_len.cache()
+        self.stats.cache()
+        return self
+
+
+def build_index(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> LexicalIndex:
+    """Build the derived lexical-index tables. Replaces FTS5 index build
+    (/root/reference/mcp_server/apps/fts.py:280-290) with two partial-agg
+    shuffles over the token stream."""
+    toks = doc_tokens(docs, text_col, id_col)
+    postings = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return LexicalIndex(postings=postings, doc_len=doc_len, stats=stats)
+
+
+def _bm25_term_score(tf: Column, dl: Column, avgdl: Column, df: Column, n: Column,
+                     k1: float = K1, b: float = B) -> Column:
+    idf = F.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def score_terms(spark: SparkSession, index: LexicalIndex, terms: list[str],
+                conjunctive: bool = True, k1: float = K1, b: float = B) -> DataFrame:
+    """Score every doc matching the term list. Returns
+    (doc_id, score double, matched int). Conjunctive = FTS5 implicit-AND
+    semantics (SURVEY F7); disjunctive keeps any match.
+
+    The terms DataFrame is a broadcast literal; `isin` would also work but a
+    join keeps df lookup and filtering in one pass."""
+    if not terms:
+        raise ValueError("empty term list")
+    terms = sorted(set(terms))
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    term_df = (
+        index.postings.join(F.broadcast(qterms), "term")
+        .groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    matched = (
+        index.postings.join(F.broadcast(term_df), "term")
+        .join(index.doc_len, "doc_id")
+        .crossJoin(F.broadcast(index.stats))
+    )
+    per_doc = (
+        matched.groupBy("doc_id")
+        .agg(
+            F.sum(_bm25_term_score(F.col("tf"), F.col("dl"), F.col("avgdl"),
+                                   F.col("df"), F.col("n_docs"), k1, b)).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("matched"),
+        )
+    )
+    if conjunctive:
+        per_doc = per_doc.filter(F.col("matched") == len(terms))
+    return per_doc
+
+
+def bm25_topk(spark: SparkSession, docs: DataFrame, query: str, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              conjunctive: bool = True) -> DataFrame:
+    """End-to-end lexical top-k (SURVEY T1): tokenize the query with the SAME
+    rules as the index, score, rank with deterministic doc_id tie-break.
+    Returns (doc_id, bm25, matched)."""
+    terms = py_tokenize(query)
+    index = build_index(docs, text_col, id_col)
+    scored = score_terms(spark, index, terms, conjunctive=conjunctive)
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"), "matched")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

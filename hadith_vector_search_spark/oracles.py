@@ -78,6 +78,60 @@ FROM customer
 GROUP BY c_mktsegment
 """)
 
+# --- lexical leg (documents table) ---------------------------------------
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+')) AS t(term)
+  WHERE length(t.term) >= 2
+)
+"""
+
+oracle("term_doc_frequency", f"""
+WITH {_TOKS_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS total_tf
+FROM postings
+GROUP BY term
+ORDER BY df DESC, total_tf DESC, term ASC
+LIMIT 20
+""")
+
+oracle("phrase_match", """
+SELECT doc_id,
+       strpos(lower(text), 'window data') AS pos,
+       substr(text, greatest(1, strpos(lower(text), 'window data') - 30), 60) AS snip
+FROM documents
+WHERE strpos(lower(text), 'window data') > 0
+""")
+
+_COV_TERMS = ("data", "query", "stream", "window", "batch")
+_COV_EXPR = " + ".join(
+    f"(CASE WHEN strpos(lower(text), '{t}') > 0 THEN 1 ELSE 0 END)" for t in _COV_TERMS
+)
+oracle("coverage_scores", f"""
+SELECT doc_id,
+       round(({_COV_EXPR})::DOUBLE / {len(_COV_TERMS)}, 6) AS coverage
+FROM documents
+WHERE round(({_COV_EXPR})::DOUBLE / {len(_COV_TERMS)}, 6) >= 0.6
+""")
+
+oracle("token_stats", """
+SELECT lang,
+       count(*) AS doc_count,
+       sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens
+FROM (
+  SELECT lang,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                         x -> length(x) >= 2)) AS n_tokens
+  FROM documents
+)
+GROUP BY lang
+""")
+
 oracle("first_event_per_user", """
 SELECT user_id, event_id, ts, event_type
 FROM (

@@ -1,0 +1,138 @@
+"""Lexical-leg queries over the `documents` test table (SURVEY §2 F2/F7/F10/
+F11/A7/T1/P6) — each with a DuckDB oracle in `..oracles`.
+
+Fixed query strings make the plans oracle-checkable; the engine tokenizes
+them with the same rules it indexes with (SURVEY §4.2.4 tokenizer unification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import py_tokenize, snippet, term_coverage, tokenize
+from ..operators import bm25
+from ..sources import load_table
+
+# Shared fixed parameters (the oracle SQL embeds the same constants).
+BM25_QUERY = "data stream window"
+BM25_OR_QUERY = "vector merge spark"
+PHRASE = "window data"
+COVERAGE_TERMS = ("data", "query", "stream", "window", "batch")
+
+
+def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: explicit tf/df statistics (what FTS5 keeps internally).
+    Top-20 terms by document frequency; deterministic term tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = bm25.build_index(docs)
+    return (
+        idx.postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.desc("df"), F.desc("total_tf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: conjunctive BM25 top-10 for a fixed query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25.bm25_topk(spark, docs, BM25_QUERY, k=10)
+
+
+def bm25_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 variant: OR semantics — any term matches, ranked by summed score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25.bm25_topk(spark, docs, BM25_OR_QUERY, k=10, conjunctive=False)
+
+
+def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 + P6/F25: case-folded phrase containment with position and a
+    term-centred snippet. Predicate stays JVM-side (instr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = F.instr(F.lower(F.col("text")), F.lit(PHRASE))
+    return (
+        docs.select("doc_id", pos.alias("pos"),
+                    snippet(F.col("text"), PHRASE, 60).alias("snip"))
+        .filter(F.col("pos") > 0)
+    )
+
+
+def coverage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: term-coverage ratio against a fixed token set; keep docs with
+    >= 60% coverage. Coverage is exact rational arithmetic — oracle-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array(*[F.lit(t) for t in COVERAGE_TERMS])
+    return (
+        docs.select(
+            "doc_id",
+            F.round(term_coverage(toks, F.lower(F.col("text"))), 6).alias("coverage"),
+        )
+        .filter(F.col("coverage") >= 0.6)
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 at scale: per-language token counts — tokenizer exercised via the
+    declarative split/filter/size path, aggregated per lang partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.size(tokenize(F.col("text"))).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def _sql_tokens_cte() -> str:
+    """Shared oracle CTE: tokenize documents with the engine's exact rules."""
+    return """
+toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+')) AS t(term)
+  WHERE length(t.term) >= 2
+),
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+doclen   AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats    AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM doclen)
+"""
+
+
+def bm25_oracle_sql(query: str, conjunctive: bool, k: int = 10) -> str:
+    """Generate the DuckDB oracle for a BM25 query — same tokenizer, same
+    IDF, same tie-break."""
+    terms = sorted(set(py_tokenize(query)))
+    values = ", ".join(f"('{t}')" for t in terms)
+    conj_filter = f"WHERE matched = {len(terms)}" if conjunctive else ""
+    return f"""
+WITH {_sql_tokens_cte()},
+qterms AS (SELECT * FROM (VALUES {values}) q(term)),
+tdf AS (
+  SELECT term, count(*)::DOUBLE AS df
+  FROM postings WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) ) AS score,
+         count(*)::INT AS matched
+  FROM postings p
+  JOIN tdf d USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25, matched
+FROM scored
+{conj_filter}
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}
+"""

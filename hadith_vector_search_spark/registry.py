@@ -11,8 +11,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .oracles import ORACLES
-from .plans import relational
+from .oracles import ORACLES, oracle
+from .plans import lexical, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -25,7 +25,19 @@ QUERIES: dict[str, QueryFn] = {
     "segment_stats": relational.segment_stats,
     "first_event_per_user": relational.first_event_per_user,
     "daily_event_rollup": relational.daily_event_rollup,
+    # lexical leg (SURVEY §2.7/§4.2)
+    "term_doc_frequency": lexical.term_doc_frequency,
+    "bm25_topk": lexical.bm25_topk,
+    "bm25_disjunctive": lexical.bm25_disjunctive,
+    "phrase_match": lexical.phrase_match,
+    "coverage_scores": lexical.coverage_scores,
+    "token_stats": lexical.token_stats,
 }
+
+# BM25 oracles are generated from the same fixed query strings the Spark
+# plans embed, guaranteeing the term lists can never drift apart.
+oracle("bm25_topk", lexical.bm25_oracle_sql(lexical.BM25_QUERY, conjunctive=True))
+oracle("bm25_disjunctive", lexical.bm25_oracle_sql(lexical.BM25_OR_QUERY, conjunctive=False))
 
 
 def get_queries() -> dict[str, QueryFn]:

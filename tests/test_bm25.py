@@ -1,0 +1,67 @@
+"""BM25 operator semantics on a tiny literal corpus (SURVEY §4.2.1)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hadith_vector_search_spark.operators import bm25
+
+CORPUS = [
+    (1, "data stream processing with window functions"),
+    (2, "window window window data"),
+    (3, "batch processing of big data tables"),
+    (4, "totally unrelated text about cats"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_index_tables(spark, docs):
+    idx = bm25.build_index(docs)
+    postings = {(r.doc_id, r.term): r.tf for r in idx.postings.collect()}
+    assert postings[(2, "window")] == 3.0
+    assert postings[(1, "data")] == 1.0
+    dl = {r.doc_id: r.dl for r in idx.doc_len.collect()}
+    assert dl[2] == 4.0
+    stats = idx.stats.collect()[0]
+    assert stats.n_docs == 4.0
+    assert abs(stats.avgdl - sum(dl.values()) / 4) < 1e-12
+
+
+def test_conjunctive_and_semantics(spark, docs):
+    out = bm25.bm25_topk(spark, docs, "data window", k=10)
+    ids = [r.doc_id for r in out.collect()]
+    assert set(ids) == {1, 2}  # only docs containing BOTH terms
+
+
+def test_disjunctive_or_semantics(spark, docs):
+    out = bm25.bm25_topk(spark, docs, "data window", k=10, conjunctive=False)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 2, 3}
+
+
+def test_tf_saturation_ranks_repeat_doc_higher(spark, docs):
+    out = bm25.bm25_topk(spark, docs, "window", k=10).collect()
+    assert out[0].doc_id == 2  # tf=3 beats tf=1
+    assert out[0].bm25 > out[1].bm25
+
+
+def test_score_formula_hand_computed(spark, docs):
+    # single term "cats": df=1, n=4, idf=ln(1+(4-1+.5)/(1+.5))
+    out = bm25.bm25_topk(spark, docs, "cats", k=10).collect()
+    assert len(out) == 1 and out[0].doc_id == 4
+    idf = math.log(1 + (4 - 1 + 0.5) / (1 + 0.5))
+    dl, avgdl = 5.0, (6 + 4 + 6 + 5) / 4  # tokens len>=2 per doc
+    tf = 1.0
+    expected = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert abs(out[0].bm25 - round(expected, 6)) < 1e-9
+
+
+def test_empty_query_raises(spark, docs):
+    with pytest.raises(ValueError):
+        bm25.bm25_topk(spark, docs, "!!", k=5)

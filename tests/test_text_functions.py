@@ -1,0 +1,100 @@
+"""Unit tests for the scalar text-function library (SURVEY §2.7) against
+literal DataFrames — behavior mirrored from the reference's documented
+semantics, not its code."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadith_vector_search_spark.functions import text as T
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_tokenize_basic(spark):
+    df = spark.createDataFrame([("Hello, World! a I data-stream",)], "s string")
+    out = df.select(T.tokenize("s").alias("t")).collect()[0].t
+    assert out == ["hello", "world", "data", "stream"]  # len<2 dropped
+
+
+def test_tokenize_arabic(spark):
+    df = spark.createDataFrame([("عن أبي هريرة said",)], "s string")
+    out = df.select(T.tokenize("s").alias("t")).collect()[0].t
+    assert "عن" in out and "said" in out
+
+
+def test_py_tokenize_matches_spark(spark):
+    s = "The Quick-Brown fox_2 جمل test! x"
+    df = spark.createDataFrame([(s,)], "s string")
+    assert df.select(T.tokenize("s").alias("t")).collect()[0].t == T.py_tokenize(s)
+
+
+def test_normalize_narrator(spark):
+    raw = "Ibn 'Umar (May Allah be pleased with them) reported:"
+    df = spark.createDataFrame([(raw,)], "s string")
+    out = df.select(T.normalize_narrator("s").alias("n")).collect()[0].n
+    assert out == "ibn 'umar"
+
+
+def test_strip_html(spark):
+    df = spark.createDataFrame([("<p>Hello &amp; <b>world</b>&nbsp;!</p>",)], "s string")
+    out = df.select(T.strip_html("s").alias("n")).collect()[0].n
+    assert out == "Hello & world !"
+
+
+def test_extract_quoted_phrase(spark):
+    df = spark.createDataFrame(
+        [('find "speak good or remain silent" now',), ("no phrase here",), ("'ab'",)],
+        "s string")
+    out = [r.p for r in df.select(T.extract_quoted_phrase("s").alias("p")).collect()]
+    assert out == ["speak good or remain silent", None, None]
+
+
+def test_narrator_query_extraction(spark):
+    df = spark.createDataFrame(
+        [("narrated by Abu Hurairah",), ("عن أبي هريرة",), ("controlling anger",)],
+        "s string")
+    out = [r.n for r in df.select(T.extract_narrator_query("s").alias("n")).collect()]
+    assert out[0] == "abu hurairah"
+    assert out[1] == "أبي هريرة"
+    assert out[2] is None
+
+
+def test_exact_reference(spark):
+    df = spark.createDataFrame(
+        [("book 1:12",), ("680",), ("bk 3-4",), ("hadith about anger",)], "s string")
+    out = [r.e for r in df.select(T.is_exact_reference("s").alias("e")).collect()]
+    assert out == [True, True, True, False]
+
+
+def test_checksum_is_sha256(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("a", "b")], "x string, y string")
+    out = df.select(T.checksum("x", "y").alias("c")).collect()[0].c
+    assert out == hashlib.sha256("a␟b".encode()).hexdigest()
+
+
+def test_term_coverage(spark):
+    df = spark.createDataFrame([("the data stream is big",)], "s string")
+    toks = F.array(F.lit("data"), F.lit("stream"), F.lit("missing"), F.lit("big"))
+    out = df.select(T.term_coverage(toks, F.lower(F.col("s"))).alias("c")).collect()[0].c
+    assert abs(out - 0.75) < 1e-9
+
+
+def test_arabic_ratio(spark):
+    df = spark.createDataFrame([("عن أبي",), ("abc",)], "s string")
+    out = [r.a for r in df.select(T.arabic_ratio("s").alias("a")).collect()]
+    assert out[0] > 0.7 and out[1] == 0.0
+
+
+def test_clamp_and_signals(spark):
+    df = spark.createDataFrame([(5.0,), (-3.0,)], "x double")
+    rows = df.select(
+        T.clamp01(F.col("x")).alias("c"),
+        T.bm25_signal(F.col("x")).alias("b"),
+    ).collect()
+    assert rows[0].c == 1.0 and rows[1].c == 0.0
+    assert abs(rows[0].b - 1 / 6) < 1e-12 and rows[1].b == 1.0
