@@ -1,0 +1,172 @@
+"""Semantic-leg queries over the `embeddings` test table (SURVEY §2.8) —
+exact cosine top-k, batch k-NN join, centroids, LSH-bucketed ANN, and
+all-pairs near-dup — each with a generated DuckDB oracle.
+
+Vectors in the test table are L2-normalized (verified: |v|=1), matching the
+reference's normalized quran embeddings, so dot == cosine
+(/root/reference/quran_mcp/search.py:158).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import norm
+from ..operators import similarity
+from ..sources import load_table
+
+# Fixed parameters shared by Spark plans and oracles.
+QUERY_VEC_ID = 0
+TOPK = 10
+KNN_QUERIES = 5      # vec_id < 5 are the query batch
+KNN_K = 3
+LSH_PLANES = 6
+PAIR_THRESHOLD = 0.4
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_by_query_id(emb, QUERY_VEC_ID, TOPK)
+
+
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < KNN_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return similarity.knn_join(emb, queries, KNN_K)
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb)
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6/Q8: corpus stats + dim probe + mean vector norm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.size("embedding").alias("dim"), norm("embedding").alias("nrm"),
+                   F.col("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            F.countDistinct("label").alias("n_labels"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.similar_pairs(emb, PAIR_THRESHOLD)
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh(emb, QUERY_VEC_ID, LSH_PLANES, 5)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generators (DuckDB). Dot products are computed by positional
+# parallel unnest with explicit DOUBLE casts — the same arithmetic the Spark
+# fold performs (summation order differs; both sides round to 6 decimals).
+# ---------------------------------------------------------------------------
+
+_PAIR_DOT = """
+pair_dot AS (
+  SELECT ia, ib, sum(av * bv) AS d
+  FROM (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           CAST(unnest(a.embedding) AS DOUBLE) AS av,
+           CAST(unnest(b.embedding) AS DOUBLE) AS bv
+    FROM embeddings a, embeddings b
+  )
+  GROUP BY ia, ib
+)
+"""
+
+
+def cosine_topk_oracle() -> str:
+    return f"""
+WITH {_PAIR_DOT}
+SELECT ib AS vec_id, round(d, 6) AS sim
+FROM pair_dot
+WHERE ia = {QUERY_VEC_ID}
+ORDER BY sim DESC, vec_id ASC
+LIMIT {TOPK}
+"""
+
+
+def knn_join_oracle() -> str:
+    return f"""
+WITH {_PAIR_DOT},
+ranked AS (
+  SELECT ia AS query_id, ib AS vec_id, round(d, 6) AS sim,
+         row_number() OVER (PARTITION BY ia ORDER BY round(d, 6) DESC, ib ASC) AS rank
+  FROM pair_dot
+  WHERE ia < {KNN_QUERIES} AND ia <> ib
+)
+SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, dim, round(avg(v), 6) AS centroid
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+GROUP BY label, dim
+"""
+
+EMBEDDING_STATS_SQL = """
+SELECT count(*)                  AS n_vectors,
+       min(dim)                  AS min_dim,
+       max(dim)                  AS max_dim,
+       count(DISTINCT label)     AS n_labels,
+       round(avg(nrm), 6)        AS avg_norm
+FROM (
+  SELECT label, len(embedding) AS dim,
+         sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm
+  FROM embeddings
+)
+"""
+
+
+def similar_pairs_oracle() -> str:
+    return f"""
+WITH {_PAIR_DOT}
+SELECT ia AS id_a, ib AS id_b, round(d, 6) AS sim
+FROM pair_dot
+WHERE ia < ib AND round(d, 6) > {PAIR_THRESHOLD}
+"""
+
+
+def ann_topk_lsh_oracle() -> str:
+    return f"""
+WITH {_PAIR_DOT},
+plane_dot AS (
+  SELECT ia AS vec_id, ib AS plane_id, d
+  FROM pair_dot WHERE ib < {LSH_PLANES}
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane_id) AS bucket
+  FROM plane_dot GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {QUERY_VEC_ID}),
+cands AS (SELECT b.vec_id FROM buckets b JOIN qb ON b.bucket = qb.bucket)
+SELECT p.ib AS vec_id, round(p.d, 6) AS sim
+FROM pair_dot p
+JOIN cands c ON p.ib = c.vec_id
+WHERE p.ia = {QUERY_VEC_ID}
+ORDER BY sim DESC, vec_id ASC
+LIMIT 5
+"""

@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .oracles import ORACLES, oracle
-from .plans import lexical, relational
+from .plans import lexical, relational, semantic
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -32,12 +32,25 @@ QUERIES: dict[str, QueryFn] = {
     "phrase_match": lexical.phrase_match,
     "coverage_scores": lexical.coverage_scores,
     "token_stats": lexical.token_stats,
+    # semantic leg (SURVEY §2.8)
+    "cosine_topk": semantic.cosine_topk,
+    "knn_join": semantic.knn_join,
+    "label_centroids": semantic.label_centroids,
+    "embedding_stats": semantic.embedding_stats,
+    "similar_pairs": semantic.similar_pairs,
+    "ann_topk_lsh": semantic.ann_topk_lsh,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
 # plans embed, guaranteeing the term lists can never drift apart.
 oracle("bm25_topk", lexical.bm25_oracle_sql(lexical.BM25_QUERY, conjunctive=True))
 oracle("bm25_disjunctive", lexical.bm25_oracle_sql(lexical.BM25_OR_QUERY, conjunctive=False))
+oracle("cosine_topk", semantic.cosine_topk_oracle())
+oracle("knn_join", semantic.knn_join_oracle())
+oracle("label_centroids", semantic.LABEL_CENTROIDS_SQL)
+oracle("embedding_stats", semantic.EMBEDDING_STATS_SQL)
+oracle("similar_pairs", semantic.similar_pairs_oracle())
+oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,78 @@
+"""Vector function + similarity operator semantics on literal DataFrames."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadith_vector_search_spark.functions import vector as V
+from hadith_vector_search_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0], 0),
+        (2, [0.6, 0.8, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+                               "a array<double>, b array<double>")
+    row = df.select(V.dot("a", "b").alias("d"), V.norm("a").alias("n")).collect()[0]
+    assert row.d == 32.0
+    assert abs(row.n - math.sqrt(14)) < 1e-12
+
+
+def test_cosine_null_on_zero_vector(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>")
+    assert df.select(V.cosine("a", "b").alias("c")).collect()[0].c is None
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], "a array<double>")
+    out = df.select(V.l2_normalize("a").alias("n")).collect()[0].n
+    assert out == [0.6, 0.8]
+
+
+def test_topk_by_query_id(emb):
+    out = similarity.topk_by_query_id(emb, 0, k=3).collect()
+    assert [r.vec_id for r in out] == [0, 2, 1]  # self=1.0, 0.6, 0.0
+    assert out[0].sim == 1.0 and out[1].sim == 0.6
+
+
+def test_knn_join_excludes_self(emb):
+    queries = emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("qvec"))
+    out = similarity.knn_join(emb, queries, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert all(q not in ids for q, ids in by_q.items())
+    assert by_q[0] == [2, 1]  # 0.6 then 0.0 (tie-break asc id over -1.0? no: 1 > 3)
+
+
+def test_label_centroids(emb):
+    out = {(r.label, r.dim): r.centroid for r in similarity.label_centroids(emb).collect()}
+    assert out[(0, 0)] == 0.5 and out[(0, 1)] == 0.5
+    assert out[(1, 0)] == -0.2 and out[(1, 1)] == 0.4
+
+
+def test_similar_pairs_threshold(emb):
+    out = similarity.similar_pairs(emb, 0.5).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 2), (1, 2)}  # 0.6 and 0.8
+
+
+def test_lsh_bucket_prunes_candidates(emb):
+    # planes = vectors 0,1; bucket of q=0 is sign pattern vs planes
+    out = similarity.ann_topk_lsh(emb, query_id=0, n_planes=2, k=4).collect()
+    ids = [r.vec_id for r in out]
+    # vec 3 has negative dot with plane 0 → different bucket → pruned
+    assert 3 not in ids
+    assert ids[0] == 0
