@@ -19,7 +19,7 @@ if _REPO_DIR not in sys.path:
 
 from hadith_vector_search_spark.registry import get_oracles, get_queries  # noqa: E402
 
-_FLAGSHIP = "pricing_summary"
+_FLAGSHIP = "hybrid_search"
 
 
 def entry(spark: SparkSession) -> DataFrame:

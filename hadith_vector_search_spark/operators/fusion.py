@@ -1,0 +1,119 @@
+"""Candidate fusion + weighted re-ranking (SURVEY §2.3 J1/J2, §2.7 F13-F17,
+§2.9 Q2/Q4/Q6).
+
+The reference merges its two retrieval legs with a dict keyed by doc_id
+(/root/reference/mcp_server/tools.py:95-127 and
+/root/reference/quran_mcp/search.py:217-252). The faithful relational shape
+is a FULL OUTER join on the candidate key, `coalesce` on the per-leg scores,
+then one scoring expression — a plain `union` would lose per-side scores
+(SURVEY D3).
+
+Scale: both legs arrive pre-limited (over-fetch max(50, 5n) per the
+reference, tools.py:87,93), so fusion always joins two small DataFrames —
+broadcastable by construction regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import clamp01
+
+
+@dataclass(frozen=True)
+class Weights:
+    """Fusion weights (SURVEY Q2). Defaults = the reference's balanced
+    preset (/root/reference/mcp_server/apps/scoring.py:21-34)."""
+    vector: float = 0.6
+    fts: float = 0.4
+    coverage: float = 0.2
+    phrase: float = 0.05
+    proximity: float = 0.10
+
+
+BALANCED = Weights()
+TERM_PRIORITY = Weights(vector=0.3, fts=0.3, coverage=0.6, phrase=0.20)
+# Quran-engine presets (search.py:194-200)
+SEMANTIC_ONLY = Weights(vector=1.0, fts=0.0, coverage=0.0, phrase=0.0, proximity=0.0)
+FTS_ONLY = Weights(vector=0.0, fts=1.0, coverage=0.0, phrase=0.0, proximity=0.0)
+
+MODES = {
+    "balanced": BALANCED,
+    "term-priority": TERM_PRIORITY,
+    "semantic": SEMANTIC_ONLY,
+    "fts": FTS_ONLY,
+}
+
+
+def resolve_weights(mode: str = "balanced", fts_available: bool = True,
+                    vector_available: bool = True) -> Weights:
+    """Q2 preset lookup + Q4/Q5 graceful degradation: a dead leg re-weights
+    to the surviving one (tools.py:85-89, search.py:203-215)."""
+    w = MODES[mode]
+    if not vector_available and not fts_available:
+        raise ValueError("both retrieval legs unavailable")
+    if not vector_available:
+        return Weights(vector=0.0, fts=1.0, coverage=w.coverage,
+                       phrase=w.phrase, proximity=w.proximity)
+    if not fts_available:
+        return Weights(vector=1.0, fts=0.0, coverage=w.coverage,
+                       phrase=w.phrase, proximity=w.proximity)
+    if w.vector == 0.0 and w.fts == 0.0:
+        return Weights(vector=1.0, fts=0.0, coverage=w.coverage,
+                       phrase=w.phrase, proximity=w.proximity)
+    return w
+
+
+def fts_signal(score: Column) -> Column:
+    """Map an unbounded higher-is-better BM25 score into [0,1):
+    s/(s+1) — monotone, no corpus-dependent normalizer. (The reference's
+    1/(1+bm25) assumed FTS5's lower-is-better rank; our relational BM25 is
+    higher-is-better, so the bounded transform flips accordingly.)"""
+    s = F.greatest(F.lit(0.0), score)
+    return s / (s + 1.0)
+
+
+def vec_signal(sim: Column) -> Column:
+    """Cosine similarity clamped into [0,1] (negative = unrelated)."""
+    return clamp01(sim)
+
+
+def fuse(fts_hits: DataFrame, vec_hits: DataFrame, key: str = "doc_id") -> DataFrame:
+    """J1/J2: full outer join of the two candidate lists, keeping both raw
+    scores (missing side -> 0.0). fts_hits: (key, bm25); vec_hits: (key, sim)."""
+    f = fts_hits.withColumnRenamed("bm25", "fts_score")
+    v = vec_hits.withColumnRenamed("sim", "vector_sim")
+    return (
+        f.join(v, key, "full_outer")
+        .select(
+            key,
+            F.coalesce("fts_score", F.lit(0.0)).alias("fts_score"),
+            F.coalesce("vector_sim", F.lit(0.0)).alias("vector_sim"),
+        )
+    )
+
+
+def score(fused: DataFrame, w: Weights,
+          coverage_col: Column | None = None,
+          phrase_hit_col: Column | None = None,
+          proximity_hit_col: Column | None = None) -> DataFrame:
+    """F17 weighted linear fusion with a per-hit breakdown (Q6). Emits flat
+    signal columns + `score`; callers sort/limit (T3)."""
+    cov = coverage_col if coverage_col is not None else F.lit(0.0)
+    phr = (F.when(phrase_hit_col, w.phrase).otherwise(0.0)
+           if phrase_hit_col is not None else F.lit(0.0))
+    prox = (F.when(proximity_hit_col, w.proximity).otherwise(0.0)
+            if proximity_hit_col is not None else F.lit(0.0))
+    fsig = fts_signal(F.col("fts_score"))
+    vsig = vec_signal(F.col("vector_sim"))
+    total = w.vector * vsig + w.fts * fsig + w.coverage * cov + phr + prox
+    return fused.select(
+        "*",
+        F.round(vsig, 6).alias("vec_signal"),
+        F.round(fsig, 6).alias("fts_sig"),
+        F.round(cov, 6).alias("coverage"),
+        F.round(total, 6).alias("score"),
+    )

@@ -1,0 +1,72 @@
+"""Intent-router query (SURVEY §2.9 Q1, §2.7 F3-F6) over a literal batch of
+query strings — the batch-of-queries unit SURVEY §3.1 calls for.
+
+The query corpus spans the reference's 10 golden categories
+(/root/reference/data/riyadussalihin/TEST_QUERIES.md:20-29): exact refs,
+narrator EN/AR, thematic, quoted phrase, mixed, edge cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.router import route
+
+# (query_id, query_text) — fixed corpus, embedded in the oracle too.
+QUERY_BATCH: list[tuple[int, str]] = [
+    (1, "book 1:12"),
+    (2, "680"),
+    (3, "bk 3-4"),
+    (4, "narrated by Abu Hurairah"),
+    (5, "reported by Aisha about prayer"),
+    (6, "عن أبي هريرة"),
+    (7, "hadith about controlling your anger"),
+    (8, 'find "speak good or remain silent" now'),
+    (9, "patience"),
+    (10, "anger control"),
+    (11, "the importance of sincerity in deeds"),
+    (12, "xyzzy"),
+]
+
+
+def intent_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = spark.createDataFrame(QUERY_BATCH, "query_id int, query_text string")
+    routed = route(queries)
+    return routed.select("query_id", "intent", "phrase", "narrator_query", "n_tokens")
+
+
+def intent_router_oracle_sql() -> str:
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    values = ", ".join(f"({i}, '{esc(q)}')" for i, q in QUERY_BATCH)
+    # Same regexes, same precedence, RE2 syntax. NULLIF turns DuckDB's
+    # empty-string no-match into NULL to match Spark's when/otherwise NULL.
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {values}),
+feat AS (
+  SELECT query_id, query_text,
+    regexp_matches(lower(query_text),
+      '^\\s*(book|kitab|bk)?\\s*\\d+([:\\-/]\\d+)?\\s*$') AS is_ref,
+    NULLIF(regexp_extract(query_text, '"([^"]{{3,}})"', 1), '') AS dq,
+    NULLIF(regexp_extract(query_text, '''([^'']{{3,}})''', 1), '') AS sq,
+    NULLIF(regexp_extract(lower(query_text),
+      '\\b(?:narrated by|reported by|said by)\\s+(.+)$', 1), '') AS nar_en,
+    NULLIF(regexp_extract(query_text, 'عن\\s+(.+)$', 1), '') AS nar_ar,
+    len(list_filter(string_split_regex(lower(query_text), '[^a-z0-9_؀-ۿ]+'),
+                    x -> length(x) >= 2)) AS n_tokens
+  FROM q
+)
+SELECT query_id,
+  CASE
+    WHEN is_ref THEN 'exact_reference'
+    WHEN coalesce(nar_en, nar_ar) IS NOT NULL THEN 'narrator'
+    WHEN coalesce(dq, sq) IS NOT NULL OR n_tokens >= 4 THEN 'thematic'
+    ELSE 'mixed'
+  END AS intent,
+  coalesce(dq, sq) AS phrase,
+  coalesce(nar_en, nar_ar) AS narrator_query,
+  CAST(n_tokens AS INT) AS n_tokens
+FROM feat
+"""

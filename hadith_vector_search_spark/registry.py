@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .oracles import ORACLES, oracle
-from .plans import lexical, relational, semantic
+from .plans import hybrid, lexical, relational, routing, semantic
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -39,6 +39,10 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_stats": semantic.embedding_stats,
     "similar_pairs": semantic.similar_pairs,
     "ann_topk_lsh": semantic.ann_topk_lsh,
+    # router + hybrid pipeline (SURVEY §2.9, §3.1)
+    "intent_router": routing.intent_router,
+    "hybrid_search": hybrid.hybrid_search,
+    "hybrid_search_term_priority": hybrid.hybrid_search_term_priority,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -51,6 +55,9 @@ oracle("label_centroids", semantic.LABEL_CENTROIDS_SQL)
 oracle("embedding_stats", semantic.EMBEDDING_STATS_SQL)
 oracle("similar_pairs", semantic.similar_pairs_oracle())
 oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
+oracle("intent_router", routing.intent_router_oracle_sql())
+oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
+oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,90 @@
+"""Router, fusion, and hybrid-pipeline semantics (SURVEY §2.9, §3.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadith_vector_search_spark.operators import fusion
+from hadith_vector_search_spark.operators.router import route
+from hadith_vector_search_spark.plans.routing import QUERY_BATCH
+
+EXPECTED_INTENTS = {
+    1: "exact_reference",
+    2: "exact_reference",
+    3: "exact_reference",
+    4: "narrator",
+    5: "narrator",
+    6: "narrator",
+    7: "thematic",      # 4 tokens
+    8: "thematic",      # quoted phrase
+    9: "mixed",         # 1 token
+    10: "mixed",        # 2 tokens
+    11: "thematic",
+    12: "mixed",
+}
+
+
+def test_router_intents(spark):
+    df = spark.createDataFrame(QUERY_BATCH, "query_id int, query_text string")
+    out = {r.query_id: r.intent for r in route(df).collect()}
+    assert out == EXPECTED_INTENTS
+
+
+def test_router_extractions(spark):
+    df = spark.createDataFrame(QUERY_BATCH, "query_id int, query_text string")
+    rows = {r.query_id: r for r in route(df).collect()}
+    assert rows[4].narrator_query == "abu hurairah"
+    assert rows[6].narrator_query == "أبي هريرة"
+    assert rows[8].phrase == "speak good or remain silent"
+    assert rows[7].tokens == ["hadith", "about", "controlling", "your", "anger"]
+
+
+def test_resolve_weights_presets():
+    w = fusion.resolve_weights("balanced")
+    assert (w.vector, w.fts, w.coverage) == (0.6, 0.4, 0.2)
+    w = fusion.resolve_weights("term-priority")
+    assert (w.vector, w.fts, w.coverage) == (0.3, 0.3, 0.6)
+
+
+def test_resolve_weights_degradation():
+    # dead vector leg -> all weight to fts (Q4)
+    w = fusion.resolve_weights("balanced", vector_available=False)
+    assert w.vector == 0.0 and w.fts == 1.0
+    # dead fts leg -> all weight to vector
+    w = fusion.resolve_weights("balanced", fts_available=False)
+    assert w.vector == 1.0 and w.fts == 0.0
+    with pytest.raises(ValueError):
+        fusion.resolve_weights("balanced", False, False)
+
+
+def test_fuse_full_outer_keeps_both_scores(spark):
+    fts = spark.createDataFrame([(1, 2.0), (2, 1.0)], "doc_id long, bm25 double")
+    vec = spark.createDataFrame([(2, 0.9), (3, 0.8)], "doc_id long, sim double")
+    out = {r.doc_id: (r.fts_score, r.vector_sim)
+           for r in fusion.fuse(fts, vec).collect()}
+    assert out == {1: (2.0, 0.0), 2: (1.0, 0.9), 3: (0.0, 0.8)}
+
+
+def test_score_breakdown_and_ordering(spark):
+    fused = spark.createDataFrame(
+        [(1, 3.0, 0.5), (2, 0.0, 1.0)],
+        "doc_id long, fts_score double, vector_sim double")
+    w = fusion.Weights(vector=0.6, fts=0.4, coverage=0.0)
+    out = {r.doc_id: r for r in fusion.score(fused, w).collect()}
+    # doc1: 0.6*0.5 + 0.4*(3/4) = 0.6 ; doc2: 0.6*1.0 = 0.6
+    assert abs(out[1].score - 0.6) < 1e-9
+    assert abs(out[2].score - 0.6) < 1e-9
+    assert out[1].fts_sig == 0.75 and out[2].vec_signal == 1.0
+
+
+def test_hybrid_end_to_end(spark, sf_dir):
+    from hadith_vector_search_spark.plans.hybrid import hybrid_search
+
+    rows = hybrid_search(spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the query vector's own doc ranks at/near the top via the vector leg
+    assert rows[0].vec_signal > 0 or rows[0].fts_sig > 0
+    assert all(r.preview for r in rows)
