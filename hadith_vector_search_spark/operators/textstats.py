@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines: language ID
+(stopword heuristic), quality scoring, token counting, and document
+fingerprinting — all pure column expressions (whole-stage codegen).
+
+These extend the reference's validation/stats surface (SURVEY §2.4 A2-A4,
+DATA_QUALITY_REPORT checks) into the text-quality operators a 100 TB corpus
+pipeline needs. No shuffles except the caller's aggregations; every metric
+is computed in one projection over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_whitespace, tokenize
+
+# Tiny per-language stopword profiles (top function words). Deterministic,
+# declarative; swap in real profiles (e.g. from fastText) at deployment.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "for", "with", "as"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"),
+    "fr": ("le", "la", "les", "de", "et", "est", "pour", "dans", "que", "une"),
+    "es": ("el", "la", "los", "de", "que", "es", "para", "con", "una", "por"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不", "这", "人"),
+}
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+
+def lang_scores(text_col: Column) -> list[tuple[str, Column]]:
+    toks = tokenize(text_col)
+    return [(lang, _stopword_hits(toks, words)) for lang, words in STOPWORDS.items()]
+
+
+def predict_lang(text_col: Column) -> Column:
+    """Argmax of stopword hit counts with deterministic tie order (the
+    STOPWORDS dict order); 'und' (undetermined) when no profile hits."""
+    scores = lang_scores(text_col)
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality signals: char/token counts, mean token length,
+    punctuation/digit/whitespace ratios, stopword ratio, and a composite
+    [0,1] quality score (each factor clamped, equally weighted)."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(t, r"[^\s]", ""))
+    sw = _stopword_hits(toks, STOPWORDS["en"])
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_toks = F.greatest(n_tokens, F.lit(1))
+    mean_tok_len = (n_chars - n_space) / safe_toks.cast("double")
+    punct_ratio = n_punct / safe_chars.cast("double")
+    digit_ratio = n_digit / safe_chars.cast("double")
+    stop_ratio = sw / safe_toks.cast("double")
+    # composite: long enough, not punct/digit heavy, some function words
+    len_factor = F.least(F.lit(1.0), n_tokens / F.lit(20.0))
+    quality = (len_factor
+               + (1.0 - F.least(F.lit(1.0), punct_ratio * 5.0))
+               + (1.0 - F.least(F.lit(1.0), digit_ratio * 5.0))
+               + F.least(F.lit(1.0), stop_ratio * 4.0)) / 4.0
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_computed"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Token-count estimators: whitespace tokens, regex word tokens, and a
+    BPE-ish subword estimate (non-space chars / 4, the common ~4 chars-per-
+    token heuristic), per doc."""
+    t = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    word_tokens = F.size(tokenize(t, min_len=1))
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    bpe_est = F.ceil(non_space / F.lit(4.0)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        ws_tokens.alias("ws_tokens"),
+        word_tokens.alias("word_tokens"),
+        bpe_est.alias("bpe_est_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: sha256 over the whitespace-normalized,
+    lowercased text — the exact-dedup / provenance key (SURVEY F9)."""
+    t = normalize_whitespace(F.lower(F.col(text_col)))
+    return docs.select(F.col(id_col), F.sha2(t, 256).alias("fingerprint"))

@@ -1,0 +1,159 @@
+"""Dedup-family queries over `documents` (LLM-pipeline operators) with
+generated DuckDB oracles: exact/window dedup, MinHash signatures,
+MinHash+LSH near-dup detection, SimHash fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..sources import load_table
+
+PREVIEW_LEN = 40
+N_HASHES = 8
+BAND_SIZE = 2
+JACCARD_THRESHOLD = 0.8
+SIG_HASHES = 4       # for the standalone signature query
+SIMHASH_BITS = 16
+
+
+def dedup_exact_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized key (40-char preview): collision groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, F.substring(F.col("text"), 1, PREVIEW_LEN))
+
+
+def dedup_window_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 window dedup: keep longest doc per preview key, count the dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.window_dedup(
+        docs, F.substring(F.col("text"), 1, PREVIEW_LEN),
+        [F.desc("n_chars"), F.asc("doc_id")])
+
+
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    return dedup.minhash_signatures(sh, SIG_HASHES)
+
+
+def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_minhash(docs, n_hashes=N_HASHES, band_size=BAND_SIZE,
+                                  threshold=JACCARD_THRESHOLD)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, n_bits=SIMHASH_BITS)
+
+
+# --------------------------------------------------------------------------
+# Oracles
+# --------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+)
+"""
+
+
+def dedup_exact_preview_oracle() -> str:
+    return f"""
+SELECT substr(text, 1, {PREVIEW_LEN}) AS dup_key,
+       min(doc_id) AS rep_id,
+       count(*)    AS dup_count
+FROM documents
+GROUP BY 1
+HAVING count(*) >= 2
+"""
+
+
+def dedup_window_preview_oracle() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY substr(text, 1, {PREVIEW_LEN})
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*)    OVER (PARTITION BY substr(text, 1, {PREVIEW_LEN})) AS grp_n
+  FROM documents
+)
+SELECT doc_id, grp_n - 1 AS duplicates_filtered
+FROM ranked WHERE rn = 1 AND grp_n >= 2
+"""
+
+
+def _sig_cols(n: int) -> str:
+    return ", ".join(
+        f"min(sha256('{j}|' || shingle)) AS h{j}" for j in range(n))
+
+
+def minhash_sigs_oracle() -> str:
+    return f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id, {_sig_cols(SIG_HASHES)}
+FROM sh GROUP BY doc_id
+"""
+
+
+def near_dup_minhash_oracle() -> str:
+    n_bands = N_HASHES // BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"h{b * BAND_SIZE} || '#' || h{b * BAND_SIZE + 1} AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {_sig_cols(N_HASHES)} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS cnt
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(c.cnt::DOUBLE / (sa.n + sb.n - c.cnt), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE round(c.cnt::DOUBLE / (sa.n + sb.n - c.cnt), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def simhash_oracle() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(sha256('{i}|' || tok), 1, 1) < '8' "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS))
+    bits = " || ".join(
+        f"(CASE WHEN b{i} >= 0 THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS))
+    return f"""
+WITH tok_rows AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+           x -> length(x) >= 2)) AS tok
+  FROM documents
+),
+sums AS (SELECT doc_id, {sums} FROM tok_rows GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM sums
+"""

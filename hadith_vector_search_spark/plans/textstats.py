@@ -1,0 +1,161 @@
+"""Text-analysis + multimodal-plumbing queries over `documents`, with
+generated DuckDB oracles (language-ID confusion, quality metrics, token
+counts, fingerprints, binary metadata)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textstats
+from ..operators.textstats import STOPWORDS
+from ..sources import load_table
+
+
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of labeled vs heuristic-predicted language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", textstats.predict_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_metrics(docs)
+
+
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = textstats.token_counts(docs)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("word_tokens").alias("word_tokens"),
+            F.sum("bpe_est_tokens").alias("bpe_est_tokens"),
+        )
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.fingerprint(docs)
+
+
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: treat content as an opaque binary column
+    with typed metadata (byte length + content hash). The decode/feature
+    path for real image/audio payloads is the mapInPandas stub in
+    `streaming`/`operators.multimodal`; this query proves the binary column
+    semantics end-to-end relationally."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("content_sha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracles
+# --------------------------------------------------------------------------
+
+_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'), "
+         "x -> length(x) >= 2)")
+
+
+def _hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(ts, x -> list_contains([{words}], x)))"
+
+
+def lang_id_counts_oracle() -> str:
+    score_cols = ", ".join(f"{_hits(lang)} AS s_{lang}" for lang in STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in STOPWORDS) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in STOPWORDS)
+    return f"""
+WITH feat AS (
+  SELECT lang, {score_cols}
+  FROM (SELECT lang, {_TOKS} AS ts FROM documents)
+),
+pred AS (
+  SELECT lang, CASE {cases} ELSE 'und' END AS predicted
+  FROM (SELECT *, {best} AS best FROM feat)
+)
+SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2
+"""
+
+
+def quality_scores_oracle() -> str:
+    en_hits = _hits("en")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(ts) AS n_tokens,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^\\s]', '', 'g')) AS n_space,
+         {en_hits} AS sw
+  FROM (SELECT doc_id, text, {_TOKS} AS ts FROM documents)
+),
+m AS (
+  SELECT doc_id, n_chars, n_tokens,
+         (n_chars - n_space) / greatest(n_tokens, 1)::DOUBLE AS mean_tok_len,
+         n_punct / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+         n_digit / greatest(n_chars, 1)::DOUBLE AS digit_ratio,
+         sw / greatest(n_tokens, 1)::DOUBLE AS stop_ratio,
+         least(1.0, n_tokens / 20.0) AS len_factor
+  FROM base
+)
+SELECT doc_id,
+       n_chars AS n_chars_computed,
+       n_tokens,
+       round(mean_tok_len, 6) AS mean_token_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round((len_factor
+              + (1.0 - least(1.0, punct_ratio * 5.0))
+              + (1.0 - least(1.0, digit_ratio * 5.0))
+              + least(1.0, stop_ratio * 4.0)) / 4.0, 6) AS quality
+FROM m
+"""
+
+
+def token_count_stats_oracle() -> str:
+    return """
+SELECT source,
+       count(*) AS docs,
+       sum(len(string_split_regex(trim(text), '\\s+'))) AS ws_tokens,
+       sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+               x -> length(x) >= 1))) AS word_tokens,
+       sum(CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT))
+         AS bpe_est_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+def doc_fingerprints_oracle() -> str:
+    return """
+SELECT doc_id,
+       sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def binary_metadata_oracle() -> str:
+    return """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+"""

@@ -12,7 +12,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .oracles import ORACLES, oracle
+from .plans import dedup as dedup_plans
 from .plans import hybrid, lexical, relational, routing, semantic
+from .plans import textstats as textstats_plans
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -43,6 +45,18 @@ QUERIES: dict[str, QueryFn] = {
     "intent_router": routing.intent_router,
     "hybrid_search": hybrid.hybrid_search,
     "hybrid_search_term_priority": hybrid.hybrid_search_term_priority,
+    # dedup family (LLM-pipeline operators)
+    "dedup_exact_preview": dedup_plans.dedup_exact_preview,
+    "dedup_window_preview": dedup_plans.dedup_window_preview,
+    "minhash_signatures": dedup_plans.minhash_sigs,
+    "near_dup_minhash": dedup_plans.near_dup_minhash,
+    "simhash_fingerprints": dedup_plans.simhash_fingerprints,
+    # text analysis + multimodal plumbing
+    "lang_id_counts": textstats_plans.lang_id_counts,
+    "quality_scores": textstats_plans.quality_scores,
+    "token_count_stats": textstats_plans.token_count_stats,
+    "doc_fingerprints": textstats_plans.doc_fingerprints,
+    "binary_metadata": textstats_plans.binary_metadata,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -58,6 +72,16 @@ oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))
+oracle("dedup_exact_preview", dedup_plans.dedup_exact_preview_oracle())
+oracle("dedup_window_preview", dedup_plans.dedup_window_preview_oracle())
+oracle("minhash_signatures", dedup_plans.minhash_sigs_oracle())
+oracle("near_dup_minhash", dedup_plans.near_dup_minhash_oracle())
+oracle("simhash_fingerprints", dedup_plans.simhash_oracle())
+oracle("lang_id_counts", textstats_plans.lang_id_counts_oracle())
+oracle("quality_scores", textstats_plans.quality_scores_oracle())
+oracle("token_count_stats", textstats_plans.token_count_stats_oracle())
+oracle("doc_fingerprints", textstats_plans.doc_fingerprints_oracle())
+oracle("binary_metadata", textstats_plans.binary_metadata_oracle())
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,93 @@
+"""Dedup family + text-analysis operators: oracle-compared at sf0.001 plus
+unit tests on literal DataFrames (known near-dups, language ID, hamming)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadith_vector_search_spark.operators import dedup, textstats
+from hadith_vector_search_spark.registry import get_oracles, get_queries
+from hadith_vector_search_spark.testing import compare_query
+
+ORACLE_CHECKED = [
+    "dedup_exact_preview",
+    "dedup_window_preview",
+    "minhash_signatures",
+    "near_dup_minhash",
+    "simhash_fingerprints",
+    "lang_id_counts",
+    "quality_scores",
+    "token_count_stats",
+    "doc_fingerprints",
+    "binary_metadata",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_matches_oracle(spark, duck, sf_dir, name):
+    queries, oracles = get_queries(), get_oracles()
+    assert name in queries and name in oracles
+    problems = compare_query(spark, duck, queries[name], oracles[name], sf_dir)
+    assert not problems, problems
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_near_dup_finds_known_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(spark, [
+        ("a", base),
+        ("b", base + " okay"),          # near-dup of a
+        ("c", "completely different content about spark query planning at scale"),
+    ])
+    pairs = dedup.near_dup_minhash(docs, n_hashes=8, band_size=2, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert ("a", "b") in got
+    assert all("c" not in p for p in got)
+
+
+def test_exact_and_window_dedup(spark):
+    docs = spark.createDataFrame(
+        [("d1", "same text", 9), ("d2", "same text", 12), ("d3", "unique", 6)],
+        "doc_id string, text string, n_chars int")
+    groups = dedup.exact_dedup_groups(docs, F.col("text")).collect()
+    assert len(groups) == 1 and groups[0].rep_id == "d1" and groups[0].dup_count == 2
+
+    kept = dedup.window_dedup(
+        docs, F.col("text"), [F.desc("n_chars"), F.asc("doc_id")]).collect()
+    # keeps the longest (d2), reports 1 filtered; singleton group d3 omitted
+    assert [(r.doc_id, r.duplicates_filtered) for r in kept] == [("d2", 1)]
+
+
+def test_simhash_near_dups_agree_on_most_bits(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [("a", base), ("b", base + " lambda"),
+                         ("c", "totally unrelated words about databases and joins")])
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs, n_bits=16).collect()}
+    df = spark.createDataFrame([(out["a"], out["b"]), (out["a"], out["c"])], "x string, y string")
+    d_ab, d_ac = [r[0] for r in df.select(dedup.hamming(F.col("x"), F.col("y"), 16)).collect()]
+    assert d_ab < d_ac
+
+
+def test_predict_lang(spark):
+    docs = _docs(spark, [
+        ("en", "the cat sat of the mat and the dog is in the house"),
+        ("es", "el perro es de la casa que los gatos para una familia"),
+        ("und", "zzz qqq xxx"),
+    ])
+    out = {r.doc_id: r.p for r in
+           docs.select("doc_id", textstats.predict_lang(F.col("text")).alias("p")).collect()}
+    assert out == {"en": "en", "es": "es", "und": "und"}
+
+
+def test_quality_monotone_on_garbage(spark):
+    docs = _docs(spark, [
+        ("good", "this is a reasonably long and clean sentence about the weather "
+                 "that has plenty of common function words in it for the scorer"),
+        ("bad", "!!! ??? ### 12345 67890 @@@@"),
+    ])
+    q = {r.doc_id: r.quality for r in textstats.quality_metrics(docs).collect()}
+    assert q["good"] > q["bad"]
