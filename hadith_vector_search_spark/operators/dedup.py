@@ -30,32 +30,67 @@ from ..functions.text import tokenize
 SHINGLE_W = 3
 
 
+def shingle_array(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  w: int = SHINGLE_W) -> DataFrame:
+    """Per-doc DISTINCT w-word shingle set as an array column:
+    (doc_id, shingles array<string>). Fully narrow — no explode, no shuffle.
+
+    Construction detail that matters: shingles are built by zipping the
+    token array with its own shifted slices, so every higher-order-function
+    lambda body touches ONLY lambda variables. Referencing an outer
+    expression (e.g. `element_at(tokens_expr, i)`) inside a lambda makes
+    interpreted HOF evaluation re-evaluate that expression per element —
+    Spark's runtime subexpression elimination skips lambda-containing trees
+    — which turns an O(tokens) projection into O(tokens * regex-split).
+    Measured 30x slowdown at sf0.1 before this formulation."""
+    toks_df = docs.select(F.col(id_col).alias("doc_id"),
+                          tokenize(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    # sh[i] accumulates "t[i] t[i+1] ... t[i+j]"; zip_with pads the shorter
+    # (shifted) side with null and concat_ws skips nulls, so tail entries
+    # hold partial shingles — the final slice drops them.
+    sh = t
+    for j in range(1, w):
+        shifted = F.slice(t, j + 1, F.size(t))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    n_full = F.greatest(F.size(t) - (w - 1), F.lit(0))
+    return toks_df.select(
+        "doc_id", F.array_distinct(F.slice(sh, 1, n_full)).alias("shingles"))
+
+
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              w: int = SHINGLE_W) -> DataFrame:
-    """Distinct w-word shingles per doc: (doc_id, shingle). Docs shorter
-    than w tokens produce no shingles."""
-    toks = tokenize(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(toks) - (w - 1))
-    sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + j) for j in range(w)]))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(F.when(F.size(toks) >= w, sh)
-                              .otherwise(F.array())).alias("shingle"))
-        .distinct()
-    )
+    """Distinct w-word shingles per doc, exploded: (doc_id, shingle).
+    Row-per-shingle view of `shingle_array` for operators that need the
+    postings shape; distinctness is guaranteed per-doc by the array form,
+    so no global distinct() shuffle is needed."""
+    return (shingle_array(docs, text_col, id_col, w)
+            .select("doc_id", F.explode("shingles").alias("shingle")))
 
 
 def _seeded_hash(seed: int, col: Column) -> Column:
     return F.sha2(F.concat_ws("|", F.lit(str(seed)), col), 256)
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
-    """One row per doc: h0..h{n-1} minhash columns (lexicographic min of
-    seeded sha256 hex). Single partial-agg shuffle regardless of n_hashes."""
-    aggs = [F.min(_seeded_hash(j, F.col("shingle"))).alias(f"h{j}")
-            for j in range(n_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
+def minhash_signatures(sharr: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """One row per doc with a non-empty shingle set: h0..h{n-1} minhash
+    columns (lexicographic min of seeded sha256 hex over the doc's shingle
+    array). Fully narrow — no shuffle: a single `aggregate` pass folds all
+    n mins at once (the shingle array is referenced exactly once), then an
+    explode-of-singleton Generate node acts as a projection barrier so
+    splitting the signature array into h0..h{n-1} columns reads a
+    materialized attribute instead of re-evaluating the fold per column."""
+    sentinel = F.array_repeat(F.lit("￿"), n_hashes)
+    sig = F.aggregate(
+        F.col("shingles"), sentinel,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[_seeded_hash(j, s) for j in range(n_hashes)]),
+            lambda a, b: F.least(a, b)))
+    burst = (sharr.filter(F.size("shingles") > 0)
+             .select("doc_id", F.explode(F.array(sig)).alias("_sig")))
+    return burst.select(
+        "doc_id", *[F.col("_sig")[j].alias(f"h{j}") for j in range(n_hashes)])
 
 
 def lsh_band_pairs(sigs: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
@@ -83,26 +118,21 @@ def lsh_band_pairs(sigs: DataFrame, n_hashes: int = 8, band_size: int = 2) -> Da
     )
 
 
-def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs only.
-    |A∩B| via a shingle-equijoin restricted to candidates; |A∪B| from
-    per-doc counts. Output: (id_a, id_b, jaccard) above threshold."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("shingle").alias("sb_shingle"))
-    common = (
-        pairs.join(sa, "id_a")
-        .join(sb, (F.col("id_b") == F.col("sb_id")) & (F.col("shingle") == F.col("sb_shingle")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+def jaccard_verify(pairs: DataFrame, sharr: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over per-doc shingle arrays for candidate pairs ONLY.
+    Two equi-joins pull both docs' (distinct) shingle arrays onto the pair
+    row, then `array_intersect` computes |A∩B| narrowly — no shingle
+    explode, no equijoin on wide shingle strings. Only candidate docs are
+    shuffled, so verification cost scales with the candidate count, not the
+    corpus. Output: (id_a, id_b, jaccard) above threshold."""
+    sa = sharr.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sharr.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        common.join(na, "id_a").join(nb, "id_b")
+        pairs.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b",
-                F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6)
-                .alias("jaccard"))
+                F.round(inter.cast("double") / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -110,12 +140,14 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFra
 def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      n_hashes: int = 8, band_size: int = 2,
                      threshold: float = 0.8) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline: shingle → signature → band
-    candidates → exact-Jaccard filter."""
-    sh = shingles(docs, text_col, id_col)
-    sigs = minhash_signatures(sh, n_hashes)
+    """Full MinHash→LSH→verify pipeline: shingle arrays (narrow) →
+    signatures (narrow) → band-bucket candidate pairs (the only corpus-wide
+    shuffle, on small band keys) → exact-Jaccard verification restricted to
+    candidates (array_intersect, no shingle explode)."""
+    sharr = shingle_array(docs, text_col, id_col)
+    sigs = minhash_signatures(sharr, n_hashes)
     cands = lsh_band_pairs(sigs, n_hashes, band_size)
-    return jaccard_verify(cands, sh, threshold)
+    return jaccard_verify(cands, sharr, threshold)
 
 
 def exact_dedup_groups(docs: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:

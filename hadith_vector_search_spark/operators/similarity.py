@@ -134,12 +134,12 @@ def ann_topk_lsh(emb: DataFrame, query_id: int, n_planes: int = 6, k: int = 5,
     )
 
 
-def similar_pairs(emb: DataFrame, threshold: float,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All-pairs similarity above a threshold (embedding-cosine near-dup
-    detection). Brute-force O(N^2) baseline kept honest for small N; the
-    scale path buckets by LSH first (see ann_topk_lsh) so only same-bucket
-    pairs are scored."""
+def similar_pairs_bruteforce(emb: DataFrame, threshold: float,
+                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All-pairs similarity via a nested-loop pair join + per-pair JVM fold.
+    O(N^2) pair rows each carrying both arrays — correct, but the pair
+    materialization dominates; kept as the reference implementation for
+    tests. Use `similar_pairs` (blocked matmul) for anything real."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
@@ -147,3 +147,68 @@ def similar_pairs(emb: DataFrame, threshold: float,
         .select("id_a", "id_b", F.round(dot(F.col("vec_a"), F.col("vec_b")), 6).alias("sim"))
         .filter(F.col("sim") > threshold)
     )
+
+
+def similar_pairs(emb: DataFrame, threshold: float,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n_blocks: int = 8) -> DataFrame:
+    """All-pairs cosine above a threshold (embedding near-dup detection) as
+    a BLOCKED MATMUL: vectors are hashed into `n_blocks` blocks by id; each
+    vector is replicated once per partner block and each unordered block
+    pair (ka<=kb) is scored in one Arrow-batched numpy matmul via
+    applyInPandas.
+
+    Scale story: shuffle volume is O(N * n_blocks) vectors instead of the
+    O(N^2) pair rows the nested-loop join materializes, and the N^2 dot
+    products run as B(B+1)/2 dense BLAS matmuls instead of per-row folds.
+    At 100 TB you'd LSH-prefilter (see ann_topk_lsh) so only candidate
+    buckets pay the matmul; the block harness is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    tagged = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).cast("int").alias("blk"))
+    rep = (
+        tagged.select(
+            "vid", "vec", "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"))
+        .select("vid", "vec", "blk",
+                F.least("blk", "other").alias("ka"),
+                F.greatest("blk", "other").alias("kb"))
+    )
+
+    def score_block_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ka, kb = key
+        empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                              "id_b": pd.array([], dtype="int64"),
+                              "sim": pd.array([], dtype="float64")})
+        x = pdf[pdf["blk"] == ka]
+        if x.empty:
+            return empty
+        mx = np.stack(x["vec"].to_numpy()).astype(np.float64)
+        ids_x = x["vid"].to_numpy()
+        if ka == kb:
+            g = mx @ mx.T
+            iu = np.triu_indices(len(ids_x), k=1)
+            a, b, sims = ids_x[iu[0]], ids_x[iu[1]], g[iu]
+        else:
+            y = pdf[pdf["blk"] == kb]
+            if y.empty:
+                return empty
+            my = np.stack(y["vec"].to_numpy()).astype(np.float64)
+            ids_y = y["vid"].to_numpy()
+            g = mx @ my.T
+            a = np.repeat(ids_x, len(ids_y))
+            b = np.tile(ids_y, len(ids_x))
+            sims = g.ravel()
+        sims = np.round(sims, 6)
+        keep = sims > threshold
+        a, b, sims = a[keep], b[keep], sims[keep]
+        return pd.DataFrame({"id_a": np.minimum(a, b),
+                             "id_b": np.maximum(a, b),
+                             "sim": sims})
+
+    return rep.groupBy("ka", "kb").applyInPandas(
+        score_block_pair, schema="id_a long, id_b long, sim double")

@@ -34,8 +34,7 @@ def dedup_window_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs)
-    return dedup.minhash_signatures(sh, SIG_HASHES)
+    return dedup.minhash_signatures(dedup.shingle_array(docs), SIG_HASHES)
 
 
 def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
