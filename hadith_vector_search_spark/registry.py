@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .oracles import ORACLES, oracle
 from .plans import dedup as dedup_plans
-from .plans import hybrid, lexical, relational, routing, semantic
+from .plans import embedding as embedding_plans
+from .plans import hybrid, lexical, lifecycle, relational, routing, semantic
 from .plans import textstats as textstats_plans
+from .streaming import streaming_event_rollup
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -57,6 +59,17 @@ QUERIES: dict[str, QueryFn] = {
     "token_count_stats": textstats_plans.token_count_stats,
     "doc_fingerprints": textstats_plans.doc_fingerprints,
     "binary_metadata": textstats_plans.binary_metadata,
+    # lifecycle: incremental ingest, point lookup, status (SURVEY §3.3, Q7/Q8)
+    "incremental_merge_stats": lifecycle.incremental_merge_stats,
+    "incremental_changed_docs": lifecycle.incremental_changed_docs,
+    "incremental_merge_preview": lifecycle.incremental_merge_preview,
+    "doc_lookup": lifecycle.doc_lookup,
+    "corpus_status": lifecycle.corpus_status,
+    # embedding pipeline (V1/V2/V3 via Arrow pandas UDF)
+    "embed_documents_preview": embedding_plans.embed_documents_preview,
+    "embed_and_search": embedding_plans.embed_and_search,
+    # structured streaming (§2.11 extension; result equals the batch oracle)
+    "streaming_event_rollup": streaming_event_rollup,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -82,6 +95,21 @@ oracle("quality_scores", textstats_plans.quality_scores_oracle())
 oracle("token_count_stats", textstats_plans.token_count_stats_oracle())
 oracle("doc_fingerprints", textstats_plans.doc_fingerprints_oracle())
 oracle("binary_metadata", textstats_plans.binary_metadata_oracle())
+oracle("incremental_merge_stats", lifecycle.incremental_merge_stats_oracle())
+oracle("incremental_changed_docs", lifecycle.incremental_changed_docs_oracle())
+oracle("incremental_merge_preview", lifecycle.incremental_merge_preview_oracle())
+oracle("doc_lookup", lifecycle.doc_lookup_oracle())
+oracle("corpus_status", lifecycle.CORPUS_STATUS_SQL)
+oracle("embed_documents_preview", embedding_plans.embed_documents_preview_oracle())
+oracle("embed_and_search", embedding_plans.embed_and_search_oracle())
+oracle("streaming_event_rollup", """
+SELECT CAST(ts AS DATE)     AS day,
+       event_type,
+       count(*)             AS event_count,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
 
 
 def get_queries() -> dict[str, QueryFn]:

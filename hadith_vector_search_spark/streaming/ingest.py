@@ -1,0 +1,91 @@
+"""Structured Streaming surface (SURVEY §2.11): the reference has no
+streaming operators — its closest analogues are checksum-incremental
+indexing and resumable scrapes. Both map naturally onto file-source streams
+with `Trigger.AvailableNow`:
+
+- `streaming_event_rollup`: event-time tumbling-window aggregation with a
+  watermark over the `events` table read AS A STREAM. AvailableNow drains
+  all available files in one checkpointed run, so the result equals the
+  batch rollup — which is exactly what the DuckDB oracle checks. At scale
+  the same query runs continuously against arriving files with state
+  bounded by the watermark.
+- `stream_merge_jsonl`: the incremental-ingest DAG (§3.3) as a streaming
+  pipe — new JSONL files arrive, each micro-batch MERGEs into the target
+  table via `foreachBatch` (checksum skip included). On a lake deployment
+  the `foreachBatch` body is a Delta/Iceberg `MERGE INTO`; here it is the
+  plain-parquet merge (read-merge-rewrite), which is the honest local
+  equivalent.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..sources.ingest import merge_upsert
+
+_MEMSINK_IDS = itertools.count()
+
+
+def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling-window event rollup computed BY THE STREAMING ENGINE
+    (file source -> watermark -> window agg -> memory sink, AvailableNow),
+    returned as the finished batch DataFrame.
+
+    Streaming constraints shape the plan: `countDistinct` is unsupported in
+    streaming aggs (use approx_count_distinct in production); the memory
+    sink with complete output mode holds the final state table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (stream
+           .withWatermark("ts", "1 day")
+           .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("event_count"),
+                F.round(F.sum("value"), 4).alias("sum_value")))
+    name = f"stream_rollup_{next(_MEMSINK_IDS)}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.to_date(F.col("w.start")).alias("day"),
+                    "event_type", "event_count", "sum_value"))
+
+
+def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
+                       target_dir: str, checkpoint_dir: str,
+                       key: str = "doc_id") -> None:
+    """Run one AvailableNow pass: stream JSONL files from `src_dir`, MERGE
+    each micro-batch into the parquet table at `target_dir` keyed on `key`.
+    Re-running after new files arrive processes ONLY the new files (the
+    checkpoint tracks consumed inputs) — the streaming twin of the
+    checksum-incremental batch path."""
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        incoming = batch.dropDuplicates([key])
+        if os.path.exists(target_dir):
+            existing = sess.read.parquet(target_dir)
+            merged = merge_upsert(existing, incoming, key=key)
+            tmp = target_dir.rstrip("/") + f"._staging_{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(target_dir)
+            os.rename(tmp, target_dir)
+        else:
+            incoming.write.mode("overwrite").parquet(target_dir)
+
+    stream = spark.readStream.schema(schema).json(src_dir)
+    q = (stream.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -1,0 +1,109 @@
+"""Lifecycle + embedding + streaming: oracle comparisons at the test SF plus
+behavioral unit tests (validated-scan error gate, merge semantics, streaming
+foreachBatch incremental merge, embedder singleton/parity)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from hadith_vector_search_spark.operators import embedder
+from hadith_vector_search_spark.registry import get_oracles, get_queries
+from hadith_vector_search_spark.sources import ingest
+from hadith_vector_search_spark.streaming import stream_merge_jsonl
+from hadith_vector_search_spark.testing import compare_query
+
+ORACLE_CHECKED = [
+    "incremental_merge_stats",
+    "incremental_changed_docs",
+    "incremental_merge_preview",
+    "doc_lookup",
+    "corpus_status",
+    "embed_documents_preview",
+    "embed_and_search",
+    "streaming_event_rollup",
+]
+
+DOC_SCHEMA = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_matches_oracle(spark, duck, sf_dir, name):
+    queries, oracles = get_queries(), get_oracles()
+    assert name in queries and name in oracles
+    problems = compare_query(spark, duck, queries[name], oracles[name], sf_dir)
+    assert not problems, problems
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+
+
+def test_validated_scan_gate(spark, tmp_path):
+    path = str(tmp_path / "src" / "book.jsonl")
+    good = [{"doc_id": i, "text": f"doc {i}"} for i in range(20)]
+    _write_jsonl(path, good + ["{not json"] * 3)
+    df = ingest.validated_scan(spark, path, DOC_SCHEMA, max_errors=10)
+    assert df.count() == 20
+
+    bad_path = str(tmp_path / "src" / "bad.jsonl")
+    _write_jsonl(bad_path, good + ["{not json"] * 10)
+    with pytest.raises(ingest.ValidationError):
+        ingest.validated_scan(spark, bad_path, DOC_SCHEMA, max_errors=10)
+
+
+def test_classify_and_merge(spark):
+    existing = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(2, "two"), (3, "three v2"), (4, "four")], "doc_id long, text string")
+    ck = ingest.row_checksum("doc_id", "text")
+    classified = ingest.classify_changes(
+        incoming.withColumn("checksum", ck), existing.withColumn("checksum", ck))
+    actions = {r.doc_id: r.action for r in classified.collect()}
+    assert actions == {2: "skip", 3: "update", 4: "insert"}
+
+    merged = ingest.merge_upsert(existing, incoming)
+    assert {(r.doc_id, r.text) for r in merged.collect()} == {
+        (1, "one"), (2, "two"), (3, "three v2"), (4, "four")}
+
+
+def test_stream_merge_incremental(spark, tmp_path):
+    src = str(tmp_path / "arrivals")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(os.path.join(src, "b1.jsonl"),
+                 [{"doc_id": 1, "text": "one"}, {"doc_id": 2, "text": "two"}])
+    stream_merge_jsonl(spark, src, DOC_SCHEMA, target, ckpt)
+    assert {(r.doc_id, r.text) for r in spark.read.parquet(target).collect()} == {
+        (1, "one"), (2, "two")}
+
+    # second arrival: an update and an insert; checkpoint skips b1.jsonl
+    _write_jsonl(os.path.join(src, "b2.jsonl"),
+                 [{"doc_id": 2, "text": "two v2"}, {"doc_id": 3, "text": "three"}])
+    stream_merge_jsonl(spark, src, DOC_SCHEMA, target, ckpt)
+    assert {(r.doc_id, r.text) for r in spark.read.parquet(target).collect()} == {
+        (1, "one"), (2, "two v2"), (3, "three")}
+
+
+def test_embedder_singleton_and_normalization(spark):
+    m1, m2 = embedder.get_model(8), embedder.get_model(8)
+    assert m1 is m2  # lazy per-process singleton
+
+    v = m1.encode("alpha beta gamma delta")
+    assert len(v) == 8
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-12  # L2-normalized
+    assert m1.encode("") == [0.0] * 8  # zero-token text -> zero vector
+
+    # executor UDF output equals driver-side encode (same model semantics)
+    df = spark.createDataFrame([("alpha beta gamma delta",)], "text string")
+    row = df.select(embedder.embed_column("text", 8).alias("e")).first()
+    assert row.e == pytest.approx(v)
