@@ -118,6 +118,55 @@ def score_terms(spark: SparkSession, index: LexicalIndex, terms: list[str],
     return per_doc
 
 
+def score_prefix(index: LexicalIndex, prefix: str,
+                 k1: float = K1, b: float = B) -> DataFrame:
+    """F7 prefix term (`tok*`): every index term starting with `prefix`
+    collapses into ONE pseudo-term — tf = summed member tfs per doc,
+    df = count of docs containing any member (FTS5 treats a prefix query
+    as one token set the same way). `startswith` compiles to a range
+    predicate on term-sorted postings storage, so the scan prunes.
+    Returns (doc_id, score)."""
+    members = index.postings.filter(F.col("term").startswith(prefix))
+    pseudo = members.groupBy("doc_id").agg(F.sum("tf").alias("tf"))
+    dfrow = pseudo.agg(F.count(F.lit(1)).cast("double").alias("df"))
+    return (
+        pseudo.join(index.doc_len, "doc_id")
+        .crossJoin(F.broadcast(dfrow))
+        .crossJoin(F.broadcast(index.stats))
+        .select("doc_id",
+                _bm25_term_score(F.col("tf"), F.col("dl"), F.col("avgdl"),
+                                 F.col("df"), F.col("n_docs"), k1, b).alias("score"))
+    )
+
+
+def compiled_match_topk(spark: SparkSession, docs: DataFrame, terms: list[str],
+                        prefix: str, field_col: str, field_value: str,
+                        k: int = 10, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """F7 compiled match expression: `term... pre* field:value` with AND
+    semantics — the relational compilation of the reference's FTS5 MATCH
+    builder (/root/reference/mcp_server/apps/router.py:93-107, field-scoped
+    syntax at /root/reference/mcp_server/apps/fts_cli.py:21-42).
+
+    - plain terms: conjunctive BM25 (`score_terms`),
+    - prefix term: pseudo-term BM25 (`score_prefix`), ANDed via inner join,
+    - field scope: semi-join against the restricted docs (the analogue of
+      `narrator:` matching a separate indexed field).
+    Returns (doc_id, bm25) ranked with deterministic tie-break."""
+    index = build_index(docs, text_col, id_col)
+    base = score_terms(spark, index, terms, conjunctive=True)
+    pre = score_prefix(index, prefix)
+    scope = docs.filter(F.col(field_col) == field_value).select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(pre.withColumnRenamed("score", "pscore"), "doc_id")
+        .join(scope, "doc_id", "left_semi")
+        .select("doc_id",
+                F.round(F.col("score") + F.col("pscore"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_topk(spark: SparkSession, docs: DataFrame, query: str, k: int = 10,
               text_col: str = "text", id_col: str = "doc_id",
               conjunctive: bool = True) -> DataFrame:

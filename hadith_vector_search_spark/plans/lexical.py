@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import py_tokenize, snippet, term_coverage, tokenize
-from ..operators import bm25
+from ..operators import bm25, proximity
 from ..sources import load_table
 
 # Shared fixed parameters (the oracle SQL embeds the same constants).
@@ -19,6 +19,12 @@ BM25_QUERY = "data stream window"
 BM25_OR_QUERY = "vector merge spark"
 PHRASE = "window data"
 COVERAGE_TERMS = ("data", "query", "stream", "window", "batch")
+PROX_GROUP_A = ("data", "table")
+PROX_GROUP_B = ("join", "merge")
+PROX_WINDOW = 5
+MATCH_TERMS = ["data"]
+MATCH_PREFIX = "sca"
+MATCH_FIELD, MATCH_FIELD_VALUE = "source", "src3"
 
 
 def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,6 +96,20 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: docs where the two fixed term groups co-occur within
+    PROX_WINDOW tokens, with the min distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity.proximity_hits(docs, PROX_GROUP_A, PROX_GROUP_B, PROX_WINDOW)
+
+
+def fts_match_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: the compiled match expression 'data sca* source:src3'."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25.compiled_match_topk(spark, docs, MATCH_TERMS, MATCH_PREFIX,
+                                    MATCH_FIELD, MATCH_FIELD_VALUE, k=10)
+
+
 def _sql_tokens_cte() -> str:
     """Shared oracle CTE: tokenize documents with the engine's exact rules."""
     return """
@@ -133,6 +153,84 @@ scored AS (
 SELECT doc_id, round(score, 6) AS bm25, matched
 FROM scored
 {conj_filter}
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def proximity_pairs_oracle() -> str:
+    ga = ", ".join(f"'{t}'" for t in PROX_GROUP_A)
+    gb = ", ".join(f"'{t}'" for t in PROX_GROUP_B)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                           x -> length(x) >= 2) AS ts
+        FROM documents)
+),
+hits AS (
+  SELECT doc_id, pos,
+         CASE WHEN term IN ({ga}) THEN 'a' ELSE 'b' END AS grp
+  FROM toks WHERE term IN ({ga}) OR term IN ({gb})
+),
+lagged AS (
+  SELECT doc_id, pos, grp,
+         lag(pos) OVER w AS prev_pos,
+         lag(grp) OVER w AS prev_grp
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, CAST(min(pos - prev_pos) AS INT) AS min_dist
+FROM lagged
+WHERE prev_grp IS NOT NULL AND grp <> prev_grp
+GROUP BY doc_id
+HAVING min(pos - prev_pos) <= {PROX_WINDOW}
+"""
+
+
+def fts_match_compiled_oracle(k: int = 10) -> str:
+    terms = sorted(set(MATCH_TERMS))
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {_sql_tokens_cte()},
+qterms AS (SELECT * FROM (VALUES {values}) q(term)),
+tdf AS (
+  SELECT term, count(*)::DOUBLE AS df
+  FROM postings WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+base AS (
+  SELECT p.doc_id,
+         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) ) AS score,
+         count(*) AS matched
+  FROM postings p
+  JOIN tdf d USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+  HAVING count(*) = {len(terms)}
+),
+pseudo AS (
+  SELECT doc_id, sum(tf) AS tf
+  FROM postings WHERE term LIKE '{MATCH_PREFIX}%' GROUP BY doc_id
+),
+pdf AS (SELECT count(*)::DOUBLE AS df FROM pseudo),
+pre AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.n_docs - pdf.df + 0.5) / (pdf.df + 0.5))
+           * (p.tf * (1.2 + 1.0))
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS pscore
+  FROM pseudo p
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN pdf CROSS JOIN stats s
+)
+SELECT b.doc_id, round(b.score + pre.pscore, 6) AS bm25
+FROM base b
+JOIN pre USING (doc_id)
+WHERE EXISTS (SELECT 1 FROM documents d
+              WHERE d.doc_id = b.doc_id AND d.{MATCH_FIELD} = '{MATCH_FIELD_VALUE}')
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {k}
 """

@@ -15,6 +15,7 @@ from .oracles import ORACLES, oracle
 from .plans import dedup as dedup_plans
 from .plans import embedding as embedding_plans
 from .plans import hybrid, lexical, lifecycle, relational, routing, semantic
+from .plans import multimodal as multimodal_plans
 from .plans import textstats as textstats_plans
 from .streaming import streaming_event_rollup
 
@@ -36,6 +37,8 @@ QUERIES: dict[str, QueryFn] = {
     "phrase_match": lexical.phrase_match,
     "coverage_scores": lexical.coverage_scores,
     "token_stats": lexical.token_stats,
+    "proximity_pairs": lexical.proximity_pairs,
+    "fts_match_compiled": lexical.fts_match_compiled,
     # semantic leg (SURVEY §2.8)
     "cosine_topk": semantic.cosine_topk,
     "knn_join": semantic.knn_join,
@@ -70,12 +73,21 @@ QUERIES: dict[str, QueryFn] = {
     "embed_and_search": embedding_plans.embed_and_search,
     # structured streaming (§2.11 extension; result equals the batch oracle)
     "streaming_event_rollup": streaming_event_rollup,
+    # multimodal columns: decode / frame-sample / feature-extract
+    "multimodal_metadata": multimodal_plans.multimodal_metadata,
+    "multimodal_frames": multimodal_plans.multimodal_frames,
+    "multimodal_frame_features": multimodal_plans.multimodal_frame_features,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
 # plans embed, guaranteeing the term lists can never drift apart.
 oracle("bm25_topk", lexical.bm25_oracle_sql(lexical.BM25_QUERY, conjunctive=True))
 oracle("bm25_disjunctive", lexical.bm25_oracle_sql(lexical.BM25_OR_QUERY, conjunctive=False))
+oracle("proximity_pairs", lexical.proximity_pairs_oracle())
+oracle("fts_match_compiled", lexical.fts_match_compiled_oracle())
+oracle("multimodal_metadata", multimodal_plans.multimodal_metadata_oracle())
+oracle("multimodal_frames", multimodal_plans.multimodal_frames_oracle())
+oracle("multimodal_frame_features", multimodal_plans.multimodal_frame_features_oracle())
 oracle("cosine_topk", semantic.cosine_topk_oracle())
 oracle("knn_join", semantic.knn_join_oracle())
 oracle("label_centroids", semantic.LABEL_CENTROIDS_SQL)
