@@ -199,6 +199,48 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select("doc_id", bits.alias("simhash"))
 
 
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", w: int = SHINGLE_W,
+                        threshold: float = 0.8) -> DataFrame:
+    """n-gram Jaccard similarity join via PREFIX FILTERING (PPJoin-style),
+    the third near-dup family next to MinHash-LSH and SimHash.
+
+    Exactness: unlike MinHash banding (probabilistic candidate recall),
+    prefix filtering is LOSSLESS — two sets with Jaccard >= t MUST share at
+    least one element among each set's (|S| - ceil(t*|S|) + 1) globally
+    rarest shingles, so the candidate set provably contains every
+    qualifying pair. Verification is then exact Jaccard on candidates only.
+
+    Scale story: the candidate self-join keys on *rare* shingles (prefix
+    entries are ordered by ascending global document frequency), so bucket
+    sizes are bounded by construction — the frequent-shingle skew that
+    makes a naive shingle-equijoin explode never enters the join. Cost:
+    one shuffle for global df, one window per doc (partitioned by doc_id),
+    one self-join on rare shingles, then candidate-only verification.
+    """
+    sharr = shingle_array(docs, text_col, id_col, w)
+    sh = sharr.select("doc_id", F.size("shingles").alias("set_size"),
+                      F.explode("shingles").alias("shingle"))
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix_len = (F.col("set_size")
+                  - F.ceil(F.lit(threshold) * F.col("set_size")) + 1)
+    prefix = (
+        sh.join(df_tbl, "shingle")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    cands = (
+        prefix.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cands, sharr, threshold)
+
+
 def hamming(a: Column, b: Column, n_bits: int) -> Column:
     """Hamming distance between equal-length bit strings — JVM-side."""
     return F.aggregate(

@@ -48,6 +48,12 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs, n_bits=SIMHASH_BITS)
 
 
+def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless near-dup pairs via prefix-filtered n-gram Jaccard join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
 # --------------------------------------------------------------------------
 # Oracles
 # --------------------------------------------------------------------------
@@ -136,6 +142,45 @@ FROM common c
 JOIN sizes sa ON c.id_a = sa.doc_id
 JOIN sizes sb ON c.id_b = sb.doc_id
 WHERE round(c.cnt::DOUBLE / (sa.n + sb.n - c.cnt), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def near_dup_ngram_jaccard_oracle() -> str:
+    t = JACCARD_THRESHOLD
+    return f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+ranked AS (
+  SELECT s.doc_id, s.shingle,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df ASC, s.shingle ASC) AS rn,
+         z.n
+  FROM sh s
+  JOIN dfreq d USING (shingle)
+  JOIN sizes z USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, shingle FROM ranked WHERE rn <= n - ceil({t} * n) + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a
+  JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS cnt
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(c.cnt::DOUBLE / (sa.n + sb.n - c.cnt), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE round(c.cnt::DOUBLE / (sa.n + sb.n - c.cnt), 6) >= {t}
 """
 
 

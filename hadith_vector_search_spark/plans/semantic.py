@@ -23,6 +23,8 @@ KNN_QUERIES = 5      # vec_id < 5 are the query batch
 KNN_K = 3
 LSH_PLANES = 6
 PAIR_THRESHOLD = 0.4
+IVF_CENTROIDS = 8
+IVF_PROBE = 2
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +70,11 @@ def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_topk_lsh(emb, QUERY_VEC_ID, LSH_PLANES, 5)
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, QUERY_VEC_ID, IVF_CENTROIDS, IVF_PROBE, 5)
 
 
 # ---------------------------------------------------------------------------
@@ -137,6 +144,40 @@ FROM (
          sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))) AS nrm
   FROM embeddings
 )
+"""
+
+
+def ann_topk_ivf_oracle() -> str:
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id
+  FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cent_id
+  FROM cent_dot WHERE vec_id = {QUERY_VEC_ID}
+  ORDER BY cd DESC, cent_id ASC
+  LIMIT {IVF_PROBE}
+),
+cands AS (
+  SELECT a.vec_id FROM assign a JOIN probes p ON a.cent_id = p.cent_id
+)
+SELECT p.ib AS vec_id, round(p.d, 6) AS sim
+FROM pair_dot p
+JOIN cands c ON p.ib = c.vec_id
+WHERE p.ia = {QUERY_VEC_ID}
+ORDER BY sim DESC, vec_id ASC
+LIMIT 5
 """
 
 

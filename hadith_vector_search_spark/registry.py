@@ -46,6 +46,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_stats": semantic.embedding_stats,
     "similar_pairs": semantic.similar_pairs,
     "ann_topk_lsh": semantic.ann_topk_lsh,
+    "ann_topk_ivf": semantic.ann_topk_ivf,
     # router + hybrid pipeline (SURVEY §2.9, §3.1)
     "intent_router": routing.intent_router,
     "hybrid_search": hybrid.hybrid_search,
@@ -56,6 +57,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": dedup_plans.minhash_sigs,
     "near_dup_minhash": dedup_plans.near_dup_minhash,
     "simhash_fingerprints": dedup_plans.simhash_fingerprints,
+    "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
     # text analysis + multimodal plumbing
     "lang_id_counts": textstats_plans.lang_id_counts,
     "quality_scores": textstats_plans.quality_scores,
@@ -94,6 +96,7 @@ oracle("label_centroids", semantic.LABEL_CENTROIDS_SQL)
 oracle("embedding_stats", semantic.EMBEDDING_STATS_SQL)
 oracle("similar_pairs", semantic.similar_pairs_oracle())
 oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
+oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))
@@ -102,6 +105,7 @@ oracle("dedup_window_preview", dedup_plans.dedup_window_preview_oracle())
 oracle("minhash_signatures", dedup_plans.minhash_sigs_oracle())
 oracle("near_dup_minhash", dedup_plans.near_dup_minhash_oracle())
 oracle("simhash_fingerprints", dedup_plans.simhash_oracle())
+oracle("near_dup_ngram_jaccard", dedup_plans.near_dup_ngram_jaccard_oracle())
 oracle("lang_id_counts", textstats_plans.lang_id_counts_oracle())
 oracle("quality_scores", textstats_plans.quality_scores_oracle())
 oracle("token_count_stats", textstats_plans.token_count_stats_oracle())

@@ -16,6 +16,7 @@ ORACLE_CHECKED = [
     "minhash_signatures",
     "near_dup_minhash",
     "simhash_fingerprints",
+    "near_dup_ngram_jaccard",
     "lang_id_counts",
     "quality_scores",
     "token_count_stats",
@@ -47,6 +48,41 @@ def test_near_dup_finds_known_pair(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert ("a", "b") in got
     assert all("c" not in p for p in got)
+
+
+def test_ngram_jaccard_prefix_filter_finds_known_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(spark, [
+        ("a", base),
+        ("b", base + " okay"),          # near-dup of a
+        ("c", "completely different content about spark query planning at scale"),
+    ])
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert ("a", "b") in got
+    # 13 tokens -> 11 shingles in a, 12 in b, 11 common -> J = 11/12
+    assert abs(got[("a", "b")] - 11 / 12) < 1e-4
+    assert all("c" not in p for p in got)
+
+
+def test_ngram_jaccard_is_lossless_vs_bruteforce(spark):
+    # prefix filtering must find EVERY pair >= t that a full all-pairs scan
+    # finds (MinHash banding can miss; this operator can't).
+    rows = [(f"d{i}", f"common words shared by many docs variant {i % 3} tail {i}")
+            for i in range(12)]
+    docs = _docs(spark, rows)
+    got = {(r.id_a, r.id_b) for r in
+           dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    sharr = dedup.shingle_array(docs)
+    a = sharr.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sharr.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    brute = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("j", inter.cast("double") / union)
+             .filter(F.col("j") >= 0.4))
+    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got == want and want  # non-empty and identical
 
 
 def test_exact_and_window_dedup(spark):

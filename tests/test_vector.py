@@ -69,6 +69,17 @@ def test_similar_pairs_threshold(emb):
     assert {(r.id_a, r.id_b) for r in out} == {(0, 2), (1, 2)}  # 0.6 and 0.8
 
 
+def test_ivf_probes_nearest_cells(emb):
+    # centroids = vectors 0,1. Assignments: 0->cell0, 1->cell1, 2->cell1
+    # (dot 0.8 > 0.6), 3->cell1 (0.0 > -1.0, tie-break n/a). Query 0 with
+    # n_probe=1 probes cell0 only -> candidate set {0}.
+    out = similarity.ivf_topk(emb, query_id=0, n_centroids=2, n_probe=1, k=4).collect()
+    assert [r.vec_id for r in out] == [0]
+    # n_probe=2 covers both cells -> full exact ranking.
+    out2 = similarity.ivf_topk(emb, query_id=0, n_centroids=2, n_probe=2, k=4).collect()
+    assert [r.vec_id for r in out2] == [0, 2, 1, 3]
+
+
 def test_lsh_bucket_prunes_candidates(emb):
     # planes = vectors 0,1; bucket of q=0 is sign pattern vs planes
     out = similarity.ann_topk_lsh(emb, query_id=0, n_planes=2, k=4).collect()
