@@ -17,7 +17,11 @@ from .plans import embedding as embedding_plans
 from .plans import hybrid, lexical, lifecycle, relational, routing, semantic
 from .plans import multimodal as multimodal_plans
 from .plans import textstats as textstats_plans
-from .streaming import streaming_event_rollup
+from .streaming import (
+    streaming_event_rollup,
+    streaming_user_sessions,
+    streaming_user_totals_stateful,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -75,6 +79,8 @@ QUERIES: dict[str, QueryFn] = {
     "embed_and_search": embedding_plans.embed_and_search,
     # structured streaming (§2.11 extension; result equals the batch oracle)
     "streaming_event_rollup": streaming_event_rollup,
+    "streaming_user_sessions": streaming_user_sessions,
+    "streaming_user_totals_stateful": streaming_user_totals_stateful,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -125,6 +131,37 @@ SELECT CAST(ts AS DATE)     AS day,
        round(sum(value), 4) AS sum_value
 FROM events
 GROUP BY 1, 2
+""")
+# Batch reconstruction of gap sessionization: an event >= 30 min after its
+# predecessor opens a new session (Spark session windows are half-open);
+# session_end = last event + gap.
+oracle("streaming_user_sessions", """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessed AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts)                            AS session_start,
+       max(ts) + INTERVAL 30 MINUTE       AS session_end,
+       count(*)                           AS n_events,
+       round(sum(value), 4)               AS sum_value
+FROM sessed
+GROUP BY user_id, sess_id
+""")
+oracle("streaming_user_totals_stateful", """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY user_id
 """)
 
 

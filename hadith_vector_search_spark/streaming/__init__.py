@@ -1,1 +1,6 @@
-from .ingest import stream_merge_jsonl, streaming_event_rollup  # noqa: F401
+from .ingest import (  # noqa: F401
+    stream_merge_jsonl,
+    streaming_event_rollup,
+    streaming_user_sessions,
+    streaming_user_totals_stateful,
+)

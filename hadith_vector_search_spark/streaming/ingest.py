@@ -62,6 +62,88 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "event_count", "sum_value"))
 
 
+SESSION_GAP = "30 minutes"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events table (shared reader: schema from
+    a batch probe, nanos-as-long conf, micros downcast)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with the native `session_window` operator:
+    per-user sessions close after 30 idle minutes. State is one open window
+    per user bounded by the watermark — the canonical streaming-only
+    operator the batch engine has no primitive for (the batch oracle needs
+    a lag + running-sum window reconstruction).
+
+    Session semantics (matched by the oracle): windows are half-open
+    [start, last_ts + gap); an event exactly `gap` after its predecessor
+    starts a NEW session."""
+    agg = (_events_stream(spark, sf_dir)
+           .withWatermark("ts", "1 day")
+           .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value")))
+    name = f"stream_sessions_{next(_MEMSINK_IDS)}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via `applyInPandasWithState`:
+    per-user running totals held in explicit GroupState, updated rows
+    emitted each micro-batch. The template for operators Spark's built-in
+    streaming aggs can't express (per-key model state, custom eviction);
+    state lives per key on the shuffle partition that owns it, so the
+    operator scales horizontally like any keyed agg.
+
+    AvailableNow drains the (single-file) source in one micro-batch, so the
+    emitted updates equal the batch per-user totals — what the oracle
+    checks."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        import pandas as pd
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [round(total, 4)]})
+
+    out = (_events_stream(spark, sf_dir)
+           .select("user_id", "value")
+           .groupBy("user_id")
+           .applyInPandasWithState(
+               update_totals,
+               outputStructType="user_id long, n_events long, sum_value double",
+               stateStructType="n long, total double",
+               outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    name = f"stream_totals_{next(_MEMSINK_IDS)}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
                        target_dir: str, checkpoint_dir: str,
                        key: str = "doc_id") -> None:

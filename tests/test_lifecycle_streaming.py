@@ -26,6 +26,8 @@ ORACLE_CHECKED = [
     "embed_documents_preview",
     "embed_and_search",
     "streaming_event_rollup",
+    "streaming_user_sessions",
+    "streaming_user_totals_stateful",
 ]
 
 DOC_SCHEMA = StructType([StructField("doc_id", LongType()),
