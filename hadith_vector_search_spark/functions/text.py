@@ -161,6 +161,53 @@ def clamp01(c: Column) -> Column:
     return F.least(F.lit(1.0), F.greatest(F.lit(0.0), c))
 
 
+def scrub_non_finite(c: Column) -> Column:
+    """F16: NaN/Inf/null -> 0.0 (the reference's np.nan_to_num on score
+    vectors, /root/reference/quran_mcp/search.py:159-160)."""
+    return (F.when(F.isnan(c) | c.isNull(), F.lit(0.0))
+            .when(c == float("inf"), F.lit(0.0))
+            .when(c == float("-inf"), F.lit(0.0))
+            .otherwise(c))
+
+
+def render_for_embedding(narrator: Column | str, text_en: Column | str,
+                         text_ar: Column | str) -> Column:
+    """F19: the document string fed to the embedder —
+    'Narrator: X\\n<en>\\n\\n<ar>' (reference:
+    /root/reference/mcp_server/apps/embeddings.py:44-49)."""
+    n = F.col(narrator) if isinstance(narrator, str) else narrator
+    en = F.col(text_en) if isinstance(text_en, str) else text_en
+    ar = F.col(text_ar) if isinstance(text_ar, str) else text_ar
+    return F.concat_ws("\n\n", F.concat_ws("\n", F.concat(F.lit("Narrator: "), n), en), ar)
+
+
+def make_doc_id(*parts: Column | str) -> Column:
+    """F20: colon-joined synthetic doc id (`slug:book:site_id`,
+    reference: /root/reference/mcp_server/apps/fts.py:29-30)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in parts]
+    return F.concat_ws(":", *cs)
+
+
+def verse_key(surah: Column | str, ayah: Column | str) -> Column:
+    """F21 forward: 'surah:ayah' key synthesis."""
+    return make_doc_id(surah, ayah)
+
+
+def parse_verse_key(key: Column | str) -> Column:
+    """F21 reverse: struct(surah int, ayah int) from 'surah:ayah'."""
+    k = F.col(key) if isinstance(key, str) else key
+    parts = F.split(k, ":")
+    return F.struct(parts[0].cast("int").alias("surah"),
+                    parts[1].cast("int").alias("ayah"))
+
+
+def strip_trailing_arabic_digits(col: Column | str) -> Column:
+    """F22: drop trailing Arabic-Indic/ASCII digit runs and whitespace
+    (reference: /root/reference/quran_scraper/scrape_ibn_kathir.py:82-85)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "[\\s\\u0660-\\u0669\\u06F0-\\u06F9\\d]+$", "")
+
+
 def snippet(text: Column | str, first_term: Column | str, width: int = 120) -> Column:
     """F25 (approximation): a window of `width` chars centred on the first
     occurrence of the matched term; falls back to the head of the text.

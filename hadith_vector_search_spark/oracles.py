@@ -142,6 +142,14 @@ FROM (
 WHERE rn = 1
 """)
 
+oracle("event_props_rollup", """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*)             AS event_count,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+""")
+
 oracle("daily_event_rollup", """
 SELECT
   CAST(ts AS DATE)              AS day,

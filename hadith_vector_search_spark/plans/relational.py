@@ -143,6 +143,20 @@ def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24: JSON field extraction from the semi-structured `props` column
+    (get_json_object stays JVM-side; no schema inference pass over the
+    corpus), bucketed aggregation over the extracted key."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select(F.pmod(k, F.lit(10)).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("event_count"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
 def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (tumbling-window batch analogue of the
     streaming rollup in SURVEY §2.11): date_trunc keeps the expression

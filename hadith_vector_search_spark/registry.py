@@ -34,6 +34,7 @@ QUERIES: dict[str, QueryFn] = {
     "segment_stats": relational.segment_stats,
     "first_event_per_user": relational.first_event_per_user,
     "daily_event_rollup": relational.daily_event_rollup,
+    "event_props_rollup": relational.event_props_rollup,
     # lexical leg (SURVEY §2.7/§4.2)
     "term_doc_frequency": lexical.term_doc_frequency,
     "bm25_topk": lexical.bm25_topk,

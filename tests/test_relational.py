@@ -16,6 +16,7 @@ RELATIONAL = [
     "segment_stats",
     "first_event_per_user",
     "daily_event_rollup",
+    "event_props_rollup",
 ]
 
 

@@ -98,3 +98,32 @@ def test_clamp_and_signals(spark):
     ).collect()
     assert rows[0].c == 1.0 and rows[1].c == 0.0
     assert abs(rows[0].b - 1 / 6) < 1e-12 and rows[1].b == 1.0
+
+
+def test_scrub_non_finite(spark):
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (float("-inf"),), (None,), (2.5,)],
+        "x double")
+    out = [r.s for r in df.select(T.scrub_non_finite(F.col("x")).alias("s")).collect()]
+    assert out == [0.0, 0.0, 0.0, 0.0, 2.5]
+
+
+def test_render_and_ids(spark):
+    df = spark.createDataFrame([("Abu Bakr", "text en", "نص", "riyad", 3, 17)],
+                               "n string, en string, ar string, slug string, book int, site int")
+    row = df.select(
+        T.render_for_embedding("n", "en", "ar").alias("r"),
+        T.make_doc_id("slug", "book", "site").alias("d"),
+        T.verse_key("book", "site").alias("v"),
+        T.parse_verse_key(T.verse_key("book", "site")).alias("p"),
+    ).collect()[0]
+    assert row.r == "Narrator: Abu Bakr\ntext en\n\nنص"
+    assert row.d == "riyad:3:17"
+    assert row.v == "3:17"
+    assert (row.p.surah, row.p.ayah) == (3, 17)
+
+
+def test_strip_trailing_arabic_digits(spark):
+    df = spark.createDataFrame([("tafsir text ١٢٣",), ("keep 12 inner 45",)], "s string")
+    out = [r.x for r in df.select(T.strip_trailing_arabic_digits("s").alias("x")).collect()]
+    assert out == ["tafsir text", "keep 12 inner"]
