@@ -64,12 +64,23 @@ class LexicalIndex:
 
 
 def build_index(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> LexicalIndex:
+                id_col: str = "doc_id", pin: bool = True) -> LexicalIndex:
     """Build the derived lexical-index tables. Replaces FTS5 index build
-    (/root/reference/mcp_server/apps/fts.py:280-290) with two partial-agg
-    shuffles over the token stream."""
+    (/root/reference/mcp_server/apps/fts.py:280-290) with partial-agg
+    shuffles over the token stream.
+
+    `pin` materializes postings eagerly (localCheckpoint): every scoring
+    query consumes the index through several branches (term df, matched
+    postings, doc_len, corpus stats) and Spark re-computes diamond
+    branches, so an unpinned index tokenizes the corpus once PER BRANCH
+    (4 full scans observed in the hybrid plan). On a lake deployment the
+    pinned frame is the persisted postings table itself — build once,
+    query many — so pinning is the faithful single-job analogue. Pass
+    pin=False when composing into a plan that materializes differently."""
     toks = doc_tokens(docs, text_col, id_col)
     postings = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    if pin:
+        postings = postings.localCheckpoint()
     # dl == token count == sum of per-term tfs; deriving it from `postings`
     # (instead of a second groupBy over `toks`) lets both legs share ONE
     # tokenize+explode+shuffle subtree — Spark's ReusedExchange kicks in
