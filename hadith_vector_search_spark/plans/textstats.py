@@ -16,7 +16,7 @@ def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of labeled vs heuristic-predicted language."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("lang", textstats.predict_lang(F.col("text")).alias("predicted"))
+        textstats.with_predicted_lang(docs.select("lang", "text"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )

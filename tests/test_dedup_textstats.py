@@ -127,3 +127,17 @@ def test_quality_monotone_on_garbage(spark):
     ])
     q = {r.doc_id: r.quality for r in textstats.quality_metrics(docs).collect()}
     assert q["good"] > q["bad"]
+
+
+def test_with_predicted_lang_matches_column_form(spark):
+    docs = _docs(spark, [
+        ("e", "the cat and the dog are in that house with a bird"),
+        ("a", "عن أبي هريرة رضي الله عنه قال في ذلك من"),
+        ("u", "zzz qqq xxx"),
+    ])
+    col_form = {r.doc_id: r.p for r in
+                docs.select("doc_id", textstats.predict_lang(F.col("text")).alias("p")).collect()}
+    df_form = {r.doc_id: r.predicted for r in
+               textstats.with_predicted_lang(docs).select("doc_id", "predicted").collect()}
+    assert col_form == df_form
+    assert df_form["u"] == "und"
