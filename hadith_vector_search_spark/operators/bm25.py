@@ -133,6 +133,69 @@ def score_terms(spark: SparkSession, index: LexicalIndex, terms: list[str],
     return per_doc
 
 
+def score_terms_batch(index: LexicalIndex, qterms: DataFrame,
+                      conjunctive: bool = True,
+                      k1: float = K1, b: float = B) -> DataFrame:
+    """Batch-of-queries BM25 (SURVEY §3.1's 'batch-of-queries is the
+    natural unit'): `qterms` is a (query_id, term) table — routing N
+    queries through scoring is ONE plan, identical to the single-query
+    plan except every key carries query_id.
+
+    Joins: postings ⋈ broadcast(query terms with df) fans each matched
+    posting out to the queries containing that term; the only corpus-wide
+    shuffle is the (query_id, doc_id) score aggregation, carrying one row
+    per (query, matched doc, term). Conjunctive semantics stay a count
+    comparison per (query, doc) — no join cascade, any number of queries.
+    Returns (query_id, doc_id, score, matched)."""
+    qt = qterms.dropDuplicates(["query_id", "term"])
+    term_df = (
+        index.postings.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    qt_df = qt.join(term_df, "term")  # (query_id, term, df); still tiny
+    matched = (
+        index.postings.join(F.broadcast(qt_df), "term")
+        .join(index.doc_len, "doc_id")
+        .crossJoin(F.broadcast(index.stats))
+    )
+    per = (
+        matched.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(_bm25_term_score(F.col("tf"), F.col("dl"), F.col("avgdl"),
+                                   F.col("df"), F.col("n_docs"), k1, b)).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("matched"),
+        )
+    )
+    if conjunctive:
+        n_terms = qt.groupBy("query_id").agg(F.count(F.lit(1)).cast("int").alias("n_terms"))
+        per = (per.join(F.broadcast(n_terms), "query_id")
+               .filter(F.col("matched") == F.col("n_terms"))
+               .drop("n_terms"))
+    return per
+
+
+def bm25_topk_batch(spark: SparkSession, docs: DataFrame,
+                    queries: list[tuple[int, str]], k: int = 10,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    conjunctive: bool = True) -> DataFrame:
+    """Per-query top-k over a literal query batch: tokenize each query with
+    the index's rules, score all queries in one plan, rank per query with
+    a window (deterministic doc_id tie-break).
+    Returns (query_id, doc_id, bm25, rank)."""
+    from pyspark.sql.window import Window
+
+    rows = [(qid, t) for qid, q in queries for t in sorted(set(py_tokenize(q)))]
+    qterms = spark.createDataFrame(rows, "query_id int, term string")
+    index = build_index(docs, text_col, id_col)
+    scored = score_terms_batch(index, qterms, conjunctive)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.select("query_id", "doc_id", F.round("score", 6).alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def score_prefix(index: LexicalIndex, prefix: str,
                  k1: float = K1, b: float = B) -> DataFrame:
     """F7 prefix term (`tok*`): every index term starting with `prefix`

@@ -81,15 +81,19 @@ def vec_signal(sim: Column) -> Column:
     return clamp01(sim)
 
 
-def fuse(fts_hits: DataFrame, vec_hits: DataFrame, key: str = "doc_id") -> DataFrame:
+def fuse(fts_hits: DataFrame, vec_hits: DataFrame,
+         key: str | list[str] = "doc_id") -> DataFrame:
     """J1/J2: full outer join of the two candidate lists, keeping both raw
-    scores (missing side -> 0.0). fts_hits: (key, bm25); vec_hits: (key, sim)."""
+    scores (missing side -> 0.0). fts_hits: (key, bm25); vec_hits: (key, sim).
+    `key` may be composite — e.g. (query_id, doc_id) for batch-of-queries
+    fusion, where the same shape fuses N queries in one join."""
+    keys = [key] if isinstance(key, str) else list(key)
     f = fts_hits.withColumnRenamed("bm25", "fts_score")
     v = vec_hits.withColumnRenamed("sim", "vector_sim")
     return (
-        f.join(v, key, "full_outer")
+        f.join(v, keys, "full_outer")
         .select(
-            key,
+            *keys,
             F.coalesce("fts_score", F.lit(0.0)).alias("fts_score"),
             F.coalesce("vector_sim", F.lit(0.0)).alias("vector_sim"),
         )

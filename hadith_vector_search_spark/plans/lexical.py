@@ -25,6 +25,9 @@ PROX_WINDOW = 5
 MATCH_TERMS = ["data"]
 MATCH_PREFIX = "sca"
 MATCH_FIELD, MATCH_FIELD_VALUE = "source", "src3"
+BATCH_QUERIES = [(1, "data stream window"), (2, "vector merge spark"),
+                 (3, "scan filter"), (4, "shuffle partition skew")]
+BATCH_K = 5
 
 
 def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,6 +56,14 @@ def bm25_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 variant: OR semantics — any term matches, ranked by summed score."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25.bm25_topk(spark, docs, BM25_OR_QUERY, k=10, conjunctive=False)
+
+
+def bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-of-queries BM25: four queries ranked per-query in ONE plan
+    (disjunctive so every query yields hits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25.bm25_topk_batch(spark, docs, BATCH_QUERIES, k=BATCH_K,
+                                conjunctive=False)
 
 
 def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,6 +166,47 @@ FROM scored
 {conj_filter}
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+def bm25_batch_oracle_sql(queries: list[tuple[int, str]], conjunctive: bool,
+                          k: int) -> str:
+    """DuckDB oracle for the query batch — same tokenizer/IDF/tie-break,
+    generated from the same (query_id, query) constants."""
+    pairs = sorted({(qid, t) for qid, q in queries for t in py_tokenize(q)})
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    conj = "AND s.matched = n.n_terms" if conjunctive else ""
+    return f"""
+WITH {_sql_tokens_cte()},
+qterms AS (SELECT * FROM (VALUES {values}) q(query_id, term)),
+nterms AS (SELECT query_id, count(*)::INT AS n_terms FROM qterms GROUP BY 1),
+tdf AS (
+  SELECT term, count(*)::DOUBLE AS df
+  FROM postings WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) ) AS score,
+         count(*)::INT AS matched
+  FROM postings p
+  JOIN tdf d USING (term)
+  JOIN qterms q USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, round(s.score, 6) AS bm25,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rank
+  FROM scored s
+  JOIN nterms n USING (query_id)
+  WHERE TRUE {conj}
+)
+SELECT query_id, doc_id, bm25, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
 """
 
 

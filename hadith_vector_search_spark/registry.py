@@ -39,6 +39,7 @@ QUERIES: dict[str, QueryFn] = {
     "term_doc_frequency": lexical.term_doc_frequency,
     "bm25_topk": lexical.bm25_topk,
     "bm25_disjunctive": lexical.bm25_disjunctive,
+    "bm25_topk_batch": lexical.bm25_topk_batch,
     "phrase_match": lexical.phrase_match,
     "coverage_scores": lexical.coverage_scores,
     "token_stats": lexical.token_stats,
@@ -56,6 +57,7 @@ QUERIES: dict[str, QueryFn] = {
     "intent_router": routing.intent_router,
     "hybrid_search": hybrid.hybrid_search,
     "hybrid_search_term_priority": hybrid.hybrid_search_term_priority,
+    "hybrid_search_batch": hybrid.hybrid_search_batch,
     # dedup family (LLM-pipeline operators)
     "dedup_exact_preview": dedup_plans.dedup_exact_preview,
     "dedup_window_preview": dedup_plans.dedup_window_preview,
@@ -92,6 +94,8 @@ QUERIES: dict[str, QueryFn] = {
 # plans embed, guaranteeing the term lists can never drift apart.
 oracle("bm25_topk", lexical.bm25_oracle_sql(lexical.BM25_QUERY, conjunctive=True))
 oracle("bm25_disjunctive", lexical.bm25_oracle_sql(lexical.BM25_OR_QUERY, conjunctive=False))
+oracle("bm25_topk_batch", lexical.bm25_batch_oracle_sql(
+    lexical.BATCH_QUERIES, conjunctive=False, k=lexical.BATCH_K))
 oracle("proximity_pairs", lexical.proximity_pairs_oracle())
 oracle("fts_match_compiled", lexical.fts_match_compiled_oracle())
 oracle("multimodal_metadata", multimodal_plans.multimodal_metadata_oracle())
@@ -107,6 +111,7 @@ oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))
+oracle("hybrid_search_batch", hybrid.hybrid_batch_oracle_sql("balanced"))
 oracle("dedup_exact_preview", dedup_plans.dedup_exact_preview_oracle())
 oracle("dedup_window_preview", dedup_plans.dedup_window_preview_oracle())
 oracle("minhash_signatures", dedup_plans.minhash_sigs_oracle())

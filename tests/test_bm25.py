@@ -65,3 +65,25 @@ def test_score_formula_hand_computed(spark, docs):
 def test_empty_query_raises(spark, docs):
     with pytest.raises(ValueError):
         bm25.bm25_topk(spark, docs, "!!", k=5)
+
+
+def test_batch_matches_single_query(spark, docs):
+    queries = [(1, "data stream"), (2, "window"), (3, "cats about")]
+    batch = bm25.bm25_topk_batch(spark, docs, queries, k=4, conjunctive=False)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.bm25))
+    for qid, q in queries:
+        single = [(r.doc_id, r.bm25) for r in
+                  bm25.bm25_topk(spark, docs, q, k=4, conjunctive=False).collect()]
+        assert got[qid] == single, f"query {qid} diverged"
+
+
+def test_batch_conjunctive_per_query_counts(spark, docs):
+    queries = [(1, "data window"), (2, "cats data")]
+    out = bm25.bm25_topk_batch(spark, docs, queries, k=4, conjunctive=True).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    assert by_q[1] == {1, 2}   # both terms present
+    assert 2 not in by_q       # no doc has cats AND data
