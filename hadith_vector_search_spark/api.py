@@ -1,0 +1,170 @@
+"""Parameterized engine API — the reference's tool surface, Spark-first.
+
+Mirrors the callable surface a user of the reference drives today:
+`hybrid_search(query, n_results, scoring_mode, weight overrides)`
+(/root/reference/mcp_server/tools.py:39-82), field/prefix FTS match
+(/root/reference/mcp_server/apps/fts_cli.py:21-42), point lookup
+(/root/reference/quran_mcp/server.py:77-107), and index status
+(/root/reference/mcp_server/tools.py:14-36) — but every method takes real
+parameters and returns a DataFrame, so the same engine serves one query or
+a million. The fixed-constant `plans/` queries are oracle-checkable
+instantiations of these methods; this class is the product surface.
+
+Lifecycle: the corpus DataFrames are supplied once; derived state (lexical
+index, document embeddings) is built lazily on first use and pinned —
+the Spark analogue of the reference's build-on-first-query in-memory
+indexes (/root/reference/quran_mcp/search.py:54-92). On a lake deployment
+these pins are persisted index tables maintained by the `incremental_*`
+path instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.text import py_tokenize, snippet, term_coverage
+from .operators import bm25, fusion, similarity
+from .operators.embedder import DEFAULT_DIM, embed_column, encode_query
+from .operators.router import route
+
+OVERFETCH_FLOOR = 50   # max(50, 5*n) per the reference (tools.py:87,93)
+
+
+class HybridEngine:
+    """Hybrid retrieval over an arbitrary documents DataFrame
+    (id_col + text_col). Vectors: pass an embeddings DataFrame keyed by
+    id_col, or omit it and the engine embeds the text column itself with
+    the executor-cached model."""
+
+    def __init__(self, spark: SparkSession, docs: DataFrame,
+                 embeddings: DataFrame | None = None,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 dim: int = DEFAULT_DIM) -> None:
+        self.spark = spark
+        self.text_col, self.id_col, self.dim = text_col, id_col, dim
+        self.docs = docs.localCheckpoint()
+        self._index: bm25.LexicalIndex | None = None
+        self._emb: DataFrame | None = (
+            embeddings.localCheckpoint() if embeddings is not None else None)
+
+    # -- derived state (lazy, pinned once) ---------------------------------
+
+    @property
+    def index(self) -> bm25.LexicalIndex:
+        if self._index is None:
+            self._index = bm25.build_index(self.docs, self.text_col, self.id_col)
+        return self._index
+
+    @property
+    def emb(self) -> DataFrame:
+        if self._emb is None:
+            self._emb = (
+                self.docs.select(
+                    F.col(self.id_col),
+                    embed_column(F.col(self.text_col), self.dim).alias("embedding"))
+                .localCheckpoint())
+        return self._emb
+
+    def _empty_leg(self, score_col: str) -> DataFrame:
+        """Zero-row leg with the right id type for any corpus id column."""
+        return (self.docs.select(self.id_col).limit(0)
+                .withColumn(score_col, F.lit(0.0)))
+
+    # -- the reference's tool surface --------------------------------------
+
+    def hybrid_search(self, query: str, n_results: int = 10,
+                      scoring_mode: str = "balanced",
+                      fts_available: bool = True, vector_available: bool = True,
+                      **weight_overrides: float) -> DataFrame:
+        """Route → both legs (over-fetched) → fuse → score → top-n, with
+        per-call weight overrides (tools.py:58-82) and Q4 degradation
+        flags. Returns (id, score, vec_signal, fts_sig, coverage, preview)."""
+        w = fusion.resolve_weights(scoring_mode, fts_available, vector_available)
+        if weight_overrides:
+            w = replace(w, **weight_overrides)
+        intent = route(self.spark.createDataFrame([(query,)], "query_text string")) \
+            .collect()[0]
+        terms = sorted(set(py_tokenize(intent.normalized)))
+        k = max(OVERFETCH_FLOOR, 5 * n_results)
+
+        if fts_available and terms:
+            fts = (bm25.score_terms(self.spark, self.index, terms, conjunctive=False)
+                   .select(F.col(self.id_col),
+                           F.round("score", 6).alias("bm25"))
+                   .orderBy(F.desc("bm25"), F.asc(self.id_col)).limit(k))
+        else:
+            fts = self._empty_leg("bm25")
+        if vector_available:
+            qvec = encode_query(intent.normalized, self.dim)
+            vec = (similarity.cosine_scores(self.emb, qvec, self.id_col)
+                   .select(self.id_col, F.round("sim", 6).alias("sim"))
+                   .orderBy(F.desc("sim"), F.asc(self.id_col)).limit(k))
+        else:
+            vec = self._empty_leg("sim")
+
+        fused = fusion.fuse(fts, vec, key=self.id_col)
+        with_text = fused.join(
+            self.docs.select(self.id_col, self.text_col), self.id_col, "left")
+        toks = F.array(*[F.lit(t) for t in terms]) if terms else F.array()
+        cov = term_coverage(toks, F.lower(F.col(self.text_col)))
+        phrase_hit = (F.instr(F.lower(F.col(self.text_col)),
+                              intent.phrase.lower()) > 0
+                      if intent.phrase else None)
+        scored = fusion.score(with_text, w, coverage_col=cov,
+                              phrase_hit_col=phrase_hit)
+        return (
+            scored.select(self.id_col, "score", "vec_signal", "fts_sig", "coverage",
+                          F.substring(F.col(self.text_col), 1, 120).alias("preview"))
+            .orderBy(F.desc("score"), F.asc(self.id_col))
+            .limit(n_results)
+        )
+
+    def fts_match(self, terms: list[str] | None = None, prefix: str | None = None,
+                  field: str | None = None, value: str | None = None,
+                  k: int = 10) -> DataFrame:
+        """Compiled match expression with FTS5-MATCH semantics
+        (fts_cli.py:21-42): AND over `terms`, optional `pre*` prefix term
+        (ANDed in), optional `field:value` scope (semi-join). Any
+        combination; at least one of terms/prefix required."""
+        if not terms and not prefix:
+            raise ValueError("need terms and/or prefix")
+        parts = []
+        if terms:
+            parts.append(
+                bm25.score_terms(self.spark, self.index, terms, conjunctive=True)
+                .select(self.id_col, F.col("score")))
+        if prefix:
+            parts.append(bm25.score_prefix(self.index, prefix)
+                         .select(self.id_col, F.col("score")))
+        out = parts[0]
+        for p in parts[1:]:  # AND semantics: inner join, scores add
+            out = (out.join(p.withColumnRenamed("score", "_s"), self.id_col)
+                   .select(self.id_col,
+                           (F.col("score") + F.col("_s")).alias("score")))
+        if field and value is not None:
+            scope = self.docs.filter(F.col(field) == value).select(self.id_col)
+            out = out.join(scope, self.id_col, "left_semi")
+        return (out.select(self.id_col, F.round("score", 6).alias("bm25"))
+                .orderBy(F.desc("bm25"), F.asc(self.id_col)).limit(k))
+
+    def semantic_search(self, query: str, n_results: int = 10) -> DataFrame:
+        """Pure vector leg (quran 'semantic' mode preset)."""
+        return self.hybrid_search(query, n_results, scoring_mode="semantic")
+
+    def get_document(self, doc_id) -> DataFrame:
+        """Q7 point lookup with a head snippet."""
+        return (self.docs.filter(F.col(self.id_col) == doc_id)
+                .select("*", snippet(F.col(self.text_col),
+                                     F.lit("")).alias("preview")))
+
+    def status(self) -> DataFrame:
+        """Q8: corpus counts + embedding dim probe (one small agg)."""
+        n_docs = self.docs.count()
+        dim = self.emb.select(F.size("embedding").alias("d")).first().d
+        return self.spark.createDataFrame(
+            [(n_docs, dim, self.text_col, self.id_col)],
+            "n_docs long, embedding_dim int, text_col string, id_col string")

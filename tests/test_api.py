@@ -1,0 +1,79 @@
+"""HybridEngine API surface — the parameterized tool layer a reference user
+drives (hybrid_search/fts_match/semantic_search/get_document/status)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadith_vector_search_spark.api import HybridEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = [
+        ("riyad:1:1", "Umar", 1, "the reward of deeds depends upon the "
+         "intentions and every person will get what he intended"),
+        ("riyad:1:2", "Abu Huraira", 1, "the strong is the one who controls "
+         "himself while in anger and controlling anger is strength"),
+        ("riyad:2:5", "Aisha", 2, "do good deeds properly sincerely and "
+         "moderately and know that deeds alone do not suffice"),
+        ("riyad:2:6", "Abu Huraira", 2, "charity does not decrease wealth "
+         "and patience in anger brings reward"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, narrator string, book int, text string")
+    return HybridEngine(spark, docs)
+
+
+def test_hybrid_search_returns_ranked_results(engine):
+    out = engine.hybrid_search("controlling anger", n_results=3).collect()
+    assert 0 < len(out) <= 3
+    assert out[0].doc_id == "riyad:1:2"
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_weight_override_changes_ranking_inputs(engine):
+    base = engine.hybrid_search("good deeds", n_results=4).collect()
+    cov_heavy = engine.hybrid_search("good deeds", n_results=4,
+                                     coverage=5.0).collect()
+    # same candidates, different scores under the override
+    assert {r.doc_id for r in base} == {r.doc_id for r in cov_heavy}
+    b = {r.doc_id: r.score for r in base}
+    c = {r.doc_id: r.score for r in cov_heavy}
+    assert any(abs(b[d] - c[d]) > 1e-6 for d in b)
+
+
+def test_degraded_vector_leg_still_serves(engine):
+    out = engine.hybrid_search("anger strength", n_results=3,
+                               vector_available=False).collect()
+    assert out and out[0].doc_id == "riyad:1:2"
+    assert all(r.vec_signal == 0.0 for r in out)
+
+
+def test_fts_match_field_scope_and_prefix(engine):
+    # AND semantics restrict to docs containing both terms
+    both = {r.doc_id for r in engine.fts_match(terms=["anger", "strong"]).collect()}
+    assert both == {"riyad:1:2"}
+    # prefix matches control/controls/controlling as one pseudo-term
+    pre = {r.doc_id for r in engine.fts_match(prefix="control").collect()}
+    assert pre == {"riyad:1:2"}
+    # field scope: anger docs in book 2 only
+    scoped = {r.doc_id for r in
+              engine.fts_match(terms=["anger"], field="book", value=2).collect()}
+    assert scoped == {"riyad:2:6"}
+
+
+def test_semantic_search_self_retrieval(engine):
+    # querying with a document's own text must retrieve that document first
+    # (hash embedder is deterministic bag-of-tokens, self-sim == 1)
+    text = "charity does not decrease wealth and patience in anger brings reward"
+    out = engine.semantic_search(text, n_results=2).collect()
+    assert out[0].doc_id == "riyad:2:6"
+
+
+def test_get_document_and_status(engine):
+    doc = engine.get_document("riyad:2:5").collect()
+    assert len(doc) == 1 and doc[0].narrator == "Aisha"
+    st = engine.status().collect()[0]
+    assert st.n_docs == 4 and st.embedding_dim > 0
