@@ -266,7 +266,7 @@ def similar_pairs(emb: DataFrame, threshold: float,
                 F.greatest("blk", "other").alias("kb"))
     )
 
-    def score_block_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_block_pair(key, pdf):  # (no hints: grouped-map infers from schema)
         ka, kb = key
         empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                               "id_b": pd.array([], dtype="int64"),
