@@ -142,6 +142,25 @@ FROM (
 WHERE rn = 1
 """)
 
+oracle("salted_user_rollup", """
+SELECT user_id,
+       count(*)             AS event_count,
+       round(sum(value), 4) AS sum_value,
+       min(value)           AS min_value,
+       max(value)           AS max_value
+FROM events
+GROUP BY user_id
+""")
+
+oracle("salted_segment_revenue", """
+SELECT c.c_mktsegment,
+       count(*)                    AS order_count,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+
 oracle("event_props_rollup", """
 SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
        count(*)             AS event_count,

@@ -143,6 +143,37 @@ def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof per-user event totals: two-phase salted aggregation whose
+    result is IDENTICAL to the plain groupBy (the oracle is the plain SQL)
+    while the hot user's rows spread over 8 reducers in phase 1."""
+    from ..operators.skew import salted_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        events.select("user_id", "value"), ["user_id"],
+        [("count", "value", "event_count"), ("sum", "value", "_sv"),
+         ("min", "value", "min_value"), ("max", "value", "max_value")])
+    return out.select("user_id", "event_count",
+                      F.round(F.col("_sv"), 4).alias("sum_value"),
+                      "min_value", "max_value")
+
+
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof orders↔customer join (salted probe, replicated build)
+    feeding a per-segment rollup; row-identical to the plain join."""
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    joined = salted_join(orders, cust, "custkey", n_salts=8)
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("order_count"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
 def event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F24: JSON field extraction from the semi-structured `props` column
     (get_json_object stays JVM-side; no schema inference pass over the

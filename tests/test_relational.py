@@ -17,6 +17,8 @@ RELATIONAL = [
     "first_event_per_user",
     "daily_event_rollup",
     "event_props_rollup",
+    "salted_user_rollup",
+    "salted_segment_revenue",
 ]
 
 
@@ -42,3 +44,32 @@ def test_entry_contract(spark):
     assert df.columns
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from hadith_vector_search_spark.operators.skew import salted_join
+
+    # one hot key (k=1 appears 50x) + cold keys
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 100), (3, 200)], "k int, v int")
+    build = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b")], "k int, tag string")
+    got = sorted((r.k, r.v, r.tag) for r in salted_join(probe, build, "k", 4).collect())
+    want = sorted((r.k, r.v, r.tag) for r in probe.join(build, "k").collect())
+    assert got == want
+
+
+def test_salted_aggregate_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from hadith_vector_search_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(1, float(i)) for i in range(100)] + [(2, 7.0)], "k int, v double")
+    out = {r.k: (r.n, r.s, r.lo, r.hi) for r in salted_aggregate(
+        df, ["k"],
+        [("count", "v", "n"), ("sum", "v", "s"), ("min", "v", "lo"), ("max", "v", "hi")],
+        n_salts=4).collect()}
+    assert out[1] == (100, sum(float(i) for i in range(100)), 0.0, 99.0)
+    assert out[2] == (1, 7.0, 7.0, 7.0)
