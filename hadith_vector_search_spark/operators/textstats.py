@@ -85,9 +85,16 @@ def quality_metrics(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality signals: char/token counts, mean token length,
     punctuation/digit/whitespace ratios, stopword ratio, and a composite
-    [0,1] quality score (each factor clamped, equally weighted)."""
+    [0,1] quality score (each factor clamped, equally weighted).
+
+    The token array feeds two consumers (token count, stopword hits); it is
+    staged through an explode-of-singleton barrier so the tokenize lambda
+    tree runs ONCE per row — higher-order lambdas are exempt from Spark's
+    subexpression elimination (same staging as `with_predicted_lang`)."""
     t = F.col(text_col)
-    toks = tokenize(t)
+    docs = docs.select(
+        "*", F.explode(F.array(tokenize(t))).alias("_qm_toks"))
+    toks = F.col("_qm_toks")
     n_chars = F.length(t)
     n_tokens = F.size(toks)
     n_punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))

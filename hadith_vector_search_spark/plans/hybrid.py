@@ -113,6 +113,18 @@ def hybrid_search_term_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid(spark, sf_dir, "term-priority")
 
 
+def hybrid_search_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quran-engine 'semantic' preset (search.py:194-200): vector-only
+    weights through the SAME fused pipeline — mode is a weight vector, not
+    a different plan (SURVEY Q2)."""
+    return _hybrid(spark, sf_dir, "semantic")
+
+
+def hybrid_search_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quran-engine 'fts' preset: lexical-only weights, same pipeline."""
+    return _hybrid(spark, sf_dir, "fts")
+
+
 def hybrid_batch_oracle_sql(mode: str = "balanced") -> str:
     """DuckDB oracle for the batch hybrid — generated from the same
     BATCH_QUERIES constants, weight preset, and tie-breaks."""

@@ -59,6 +59,8 @@ QUERIES: dict[str, QueryFn] = {
     "intent_router": routing.intent_router,
     "hybrid_search": hybrid.hybrid_search,
     "hybrid_search_term_priority": hybrid.hybrid_search_term_priority,
+    "hybrid_search_semantic": hybrid.hybrid_search_semantic,
+    "hybrid_search_fts": hybrid.hybrid_search_fts,
     "hybrid_search_batch": hybrid.hybrid_search_batch,
     # dedup family (LLM-pipeline operators)
     "dedup_exact_preview": dedup_plans.dedup_exact_preview,
@@ -113,6 +115,8 @@ oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))
+oracle("hybrid_search_semantic", hybrid.hybrid_oracle_sql("semantic"))
+oracle("hybrid_search_fts", hybrid.hybrid_oracle_sql("fts"))
 oracle("hybrid_search_batch", hybrid.hybrid_batch_oracle_sql("balanced"))
 oracle("dedup_exact_preview", dedup_plans.dedup_exact_preview_oracle())
 oracle("dedup_window_preview", dedup_plans.dedup_window_preview_oracle())
