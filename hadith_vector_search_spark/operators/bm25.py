@@ -177,7 +177,8 @@ def score_terms_batch(index: LexicalIndex, qterms: DataFrame,
 def bm25_topk_batch(spark: SparkSession, docs: DataFrame,
                     queries: list[tuple[int, str]], k: int = 10,
                     text_col: str = "text", id_col: str = "doc_id",
-                    conjunctive: bool = True) -> DataFrame:
+                    conjunctive: bool = True,
+                    index: LexicalIndex | None = None) -> DataFrame:
     """Per-query top-k over a literal query batch: tokenize each query with
     the index's rules, score all queries in one plan, rank per query with
     a window (deterministic doc_id tie-break).
@@ -186,7 +187,8 @@ def bm25_topk_batch(spark: SparkSession, docs: DataFrame,
 
     rows = [(qid, t) for qid, q in queries for t in sorted(set(py_tokenize(q)))]
     qterms = spark.createDataFrame(rows, "query_id int, term string")
-    index = build_index(docs, text_col, id_col)
+    if index is None:
+        index = build_index(docs, text_col, id_col)
     scored = score_terms_batch(index, qterms, conjunctive)
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
@@ -220,7 +222,8 @@ def score_prefix(index: LexicalIndex, prefix: str,
 def compiled_match_topk(spark: SparkSession, docs: DataFrame, terms: list[str],
                         prefix: str, field_col: str, field_value: str,
                         k: int = 10, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        index: LexicalIndex | None = None) -> DataFrame:
     """F7 compiled match expression: `term... pre* field:value` with AND
     semantics — the relational compilation of the reference's FTS5 MATCH
     builder (/root/reference/mcp_server/apps/router.py:93-107, field-scoped
@@ -231,7 +234,8 @@ def compiled_match_topk(spark: SparkSession, docs: DataFrame, terms: list[str],
     - field scope: semi-join against the restricted docs (the analogue of
       `narrator:` matching a separate indexed field).
     Returns (doc_id, bm25) ranked with deterministic tie-break."""
-    index = build_index(docs, text_col, id_col)
+    if index is None:
+        index = build_index(docs, text_col, id_col)
     base = score_terms(spark, index, terms, conjunctive=True)
     pre = score_prefix(index, prefix)
     scope = docs.filter(F.col(field_col) == field_value).select(F.col(id_col).alias("doc_id"))
@@ -247,12 +251,14 @@ def compiled_match_topk(spark: SparkSession, docs: DataFrame, terms: list[str],
 
 def bm25_topk(spark: SparkSession, docs: DataFrame, query: str, k: int = 10,
               text_col: str = "text", id_col: str = "doc_id",
-              conjunctive: bool = True) -> DataFrame:
+              conjunctive: bool = True,
+              index: LexicalIndex | None = None) -> DataFrame:
     """End-to-end lexical top-k (SURVEY T1): tokenize the query with the SAME
     rules as the index, score, rank with deterministic doc_id tie-break.
     Returns (doc_id, bm25, matched)."""
     terms = py_tokenize(query)
-    index = build_index(docs, text_col, id_col)
+    if index is None:
+        index = build_index(docs, text_col, id_col)
     scored = score_terms(spark, index, terms, conjunctive=conjunctive)
     return (
         scored.select("doc_id", F.round("score", 6).alias("bm25"), "matched")

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.text import py_tokenize, term_coverage
 from ..operators import bm25 as bm25_ops
 from ..operators import fusion, similarity
-from ..plans.lexical import _sql_tokens_cte
+from ..plans.lexical import _sql_tokens_cte, get_index
 from ..plans.semantic import _PAIR_DOT
 from ..sources import load_table
 
@@ -43,7 +43,8 @@ def _hybrid(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     fts = bm25_ops.bm25_topk(spark, docs, HYBRID_QUERY, k=OVERFETCH,
-                             conjunctive=False).select("doc_id", "bm25")
+                             conjunctive=False,
+                             index=get_index(spark, sf_dir)).select("doc_id", "bm25")
     vec = (similarity.topk_by_query_id(emb, HYBRID_VEC_ID, OVERFETCH)
            .withColumnRenamed("vec_id", "doc_id"))
 
@@ -85,7 +86,9 @@ def hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = [qid for qid, _ in BATCH_QUERIES]
 
     fts = bm25_ops.bm25_topk_batch(spark, docs, BATCH_QUERIES, k=OVERFETCH,
-                                   conjunctive=False).select("query_id", "doc_id", "bm25")
+                                   conjunctive=False,
+                                   index=get_index(spark, sf_dir)
+                                   ).select("query_id", "doc_id", "bm25")
     qvecs = (emb.filter(F.col("vec_id").isin(qids))
              .select(F.col("vec_id").alias("query_id"),
                      F.col("embedding").alias("qvec")))

@@ -29,12 +29,29 @@ BATCH_QUERIES = [(1, "data stream window"), (2, "vector merge spark"),
                  (3, "scan filter"), (4, "shuffle partition skew")]
 BATCH_K = 5
 
+# Session-scoped lexical-index cache. The reference builds its FTS index
+# once and serves every query from it (/root/reference/mcp_server/apps/
+# fts.py:280-290 persists; queries at :95-104 reuse); rebuilding the
+# postings tables per query call was its per-request-reopen anti-pattern
+# (tools.py:52-57) that SURVEY §4.3 says the Spark engine beats
+# structurally. Keyed by (Spark application, corpus dir); on a lake this
+# is the persisted bucketed postings table itself.
+_INDEX_CACHE: dict[tuple[str, str], bm25.LexicalIndex] = {}
+
+
+def get_index(spark: SparkSession, sf_dir: str) -> bm25.LexicalIndex:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = bm25.build_index(load_table(spark, sf_dir, "documents"))
+        _INDEX_CACHE[key] = idx
+    return idx
+
 
 def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: explicit tf/df statistics (what FTS5 keeps internally).
     Top-20 terms by document frequency; deterministic term tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
-    idx = bm25.build_index(docs)
+    idx = get_index(spark, sf_dir)
     return (
         idx.postings.groupBy("term")
         .agg(
@@ -49,13 +66,15 @@ def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: conjunctive BM25 top-10 for a fixed query."""
     docs = load_table(spark, sf_dir, "documents")
-    return bm25.bm25_topk(spark, docs, BM25_QUERY, k=10)
+    return bm25.bm25_topk(spark, docs, BM25_QUERY, k=10,
+                          index=get_index(spark, sf_dir))
 
 
 def bm25_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 variant: OR semantics — any term matches, ranked by summed score."""
     docs = load_table(spark, sf_dir, "documents")
-    return bm25.bm25_topk(spark, docs, BM25_OR_QUERY, k=10, conjunctive=False)
+    return bm25.bm25_topk(spark, docs, BM25_OR_QUERY, k=10, conjunctive=False,
+                          index=get_index(spark, sf_dir))
 
 
 def bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +82,8 @@ def bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (disjunctive so every query yields hits)."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25.bm25_topk_batch(spark, docs, BATCH_QUERIES, k=BATCH_K,
-                                conjunctive=False)
+                                conjunctive=False,
+                                index=get_index(spark, sf_dir))
 
 
 def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,7 +138,8 @@ def fts_match_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7: the compiled match expression 'data sca* source:src3'."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25.compiled_match_topk(spark, docs, MATCH_TERMS, MATCH_PREFIX,
-                                    MATCH_FIELD, MATCH_FIELD_VALUE, k=10)
+                                    MATCH_FIELD, MATCH_FIELD_VALUE, k=10,
+                                    index=get_index(spark, sf_dir))
 
 
 def _sql_tokens_cte() -> str:
