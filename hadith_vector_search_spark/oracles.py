@@ -121,7 +121,7 @@ WHERE round(({_COV_EXPR})::DOUBLE / {len(_COV_TERMS)}, 6) >= 0.6
 oracle("token_stats", """
 SELECT lang,
        count(*) AS doc_count,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_tokens), 4) AS avg_tokens
 FROM (
   SELECT lang,

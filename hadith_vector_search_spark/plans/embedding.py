@@ -27,12 +27,16 @@ TOPK = 10
 def embed_documents_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1: every doc through the pandas-UDF encoder; components rounded for
     display/compare. One narrow projection — embedding at 100 TB is an
-    embarrassingly parallel map over partitions."""
+    embarrassingly parallel map over partitions.
+
+    Emitted exploded as (doc_id, dim, value) rather than a raw
+    array<double> column: the correctness harness canonicalizes results
+    through pandas, which cannot sort/hash list cells."""
     docs = load_table(spark, sf_dir, "documents")
     emb = embed_column("text", DIM)
     return docs.select(
         "doc_id",
-        F.transform(emb, lambda x: F.round(x, 6)).alias("embedding"))
+        F.posexplode(F.transform(emb, lambda x: F.round(x, 6))).alias("dim", "value"))
 
 
 def embed_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,10 +80,16 @@ def embed_documents_preview_oracle() -> str:
     comps = ", ".join(f"round(n.s{j} / n.nrm, 6)" for j in range(DIM))
     zeros = ", ".join("0.0" for _ in range(DIM))
     return f"""
-WITH {_sums_cte()}
-SELECT d.doc_id,
-       CASE WHEN n.nrm > 0 THEN [{comps}] ELSE [{zeros}] END AS embedding
-FROM documents d LEFT JOIN normed n ON d.doc_id = n.doc_id
+WITH {_sums_cte()},
+vecs AS (
+  SELECT d.doc_id,
+         CASE WHEN n.nrm > 0 THEN [{comps}] ELSE [{zeros}] END AS emb
+  FROM documents d LEFT JOIN normed n ON d.doc_id = n.doc_id
+)
+SELECT doc_id,
+       generate_subscripts(emb, 1) - 1 AS dim,
+       CAST(unnest(emb) AS DOUBLE)     AS value
+FROM vecs
 """
 
 

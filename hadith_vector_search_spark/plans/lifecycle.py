@@ -116,9 +116,9 @@ def incremental_merge_stats_oracle() -> str:
     return f"""
 WITH {_INCOMING_CTE}
 SELECT count(*)                                          AS n_incoming,
-       sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS n_insert,
-       sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS n_update,
-       sum(CASE WHEN action = 'skip'   THEN 1 ELSE 0 END) AS n_skip
+       CAST(sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN action = 'skip'   THEN 1 ELSE 0 END) AS BIGINT) AS n_skip
 FROM classified
 """
 
@@ -151,7 +151,7 @@ CORPUS_STATUS_SQL = """
 SELECT count(*)                 AS n_docs,
        count(DISTINCT lang)     AS n_langs,
        count(DISTINCT source)   AS n_sources,
-       sum(n_chars)             AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 4)   AS avg_chars,
        min(doc_id)              AS min_doc_id,
        max(doc_id)              AS max_doc_id

@@ -11,6 +11,7 @@ The Spark side always operates on real bytes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import multimodal
 from ..sources import load_table
@@ -30,9 +31,14 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame features, exploded to (doc_id, frame_idx, dim, value) —
+    the correctness harness canonicalizes through pandas, which cannot
+    sort/hash raw array<double> cells."""
     docs = load_table(spark, sf_dir, "documents")
     frames = multimodal.sample_frames(multimodal.with_payload(docs), every=FRAME_EVERY)
-    return multimodal.frame_features(frames, N_FEATURES)
+    feats = multimodal.frame_features(frames, N_FEATURES)
+    return feats.select(
+        "doc_id", "frame_idx", F.posexplode("features").alias("dim", "value"))
 
 
 # ---------------------------------------------------------------------------
@@ -93,5 +99,8 @@ def multimodal_frame_features_oracle() -> str:
         for j in range(N_FEATURES))
     return f"""
 WITH {_FRAMES_CTE}
-SELECT doc_id, frame_idx, [{feats}] AS features FROM frames
+SELECT doc_id, frame_idx,
+       generate_subscripts(f, 1) - 1 AS dim,
+       CAST(unnest(f) AS DOUBLE)     AS value
+FROM (SELECT doc_id, frame_idx, [{feats}] AS f FROM frames)
 """

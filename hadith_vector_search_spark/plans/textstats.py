@@ -134,11 +134,11 @@ def token_count_stats_oracle() -> str:
     return """
 SELECT source,
        count(*) AS docs,
-       sum(len(string_split_regex(trim(text), '\\s+'))) AS ws_tokens,
-       sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
-               x -> length(x) >= 1))) AS word_tokens,
-       sum(CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT))
-         AS bpe_est_tokens
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+               x -> length(x) >= 1))) AS BIGINT) AS word_tokens,
+       CAST(sum(CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT))
+         AS BIGINT) AS bpe_est_tokens
 FROM documents
 GROUP BY source
 """
