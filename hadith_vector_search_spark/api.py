@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.text import py_tokenize, snippet, term_coverage
-from .operators import bm25, fusion, similarity
+from .operators import bm25, fusion, proximity, similarity
 from .operators.embedder import DEFAULT_DIM, embed_column, encode_query
 from .operators.router import route
 
@@ -79,10 +79,18 @@ class HybridEngine:
     def hybrid_search(self, query: str, n_results: int = 10,
                       scoring_mode: str = "balanced",
                       fts_available: bool = True, vector_available: bool = True,
+                      synonym_groups: list[list[str]] | None = None,
+                      near_window: int = 5, dedupe: bool = True,
                       **weight_overrides: float) -> DataFrame:
-        """Route → both legs (over-fetched) → fuse → score → top-n, with
-        per-call weight overrides (tools.py:58-82) and Q4 degradation
-        flags. Returns (id, score, vec_signal, fts_sig, coverage, preview)."""
+        """Route → both legs (over-fetched) → fuse → score → dedup → top-n,
+        with per-call weight overrides (tools.py:58-82) and Q4 degradation
+        flags. `synonym_groups` mirrors the reference scorer: coverage is
+        per-group any-member containment, and the first two groups within
+        `near_window` tokens earn the proximity bonus (scoring.py:57-93).
+        `dedupe` collapses hits sharing a text-preview block and reports
+        `duplicates_filtered` (quran_mcp/search.py:262-278).
+        Returns (id, score, vec_signal, fts_sig, coverage, phrase_bonus,
+        proximity_bonus, duplicates_filtered, preview)."""
         w = fusion.resolve_weights(scoring_mode, fts_available, vector_available)
         if weight_overrides:
             w = replace(w, **weight_overrides)
@@ -93,6 +101,7 @@ class HybridEngine:
 
         if fts_available and terms:
             fts = (bm25.score_terms(self.spark, self.index, terms, conjunctive=False)
+                   .withColumnRenamed("doc_id", self.id_col)
                    .select(F.col(self.id_col),
                            F.round("score", 6).alias("bm25"))
                    .orderBy(F.desc("bm25"), F.asc(self.id_col)).limit(k))
@@ -107,18 +116,60 @@ class HybridEngine:
             vec = self._empty_leg("sim")
 
         fused = fusion.fuse(fts, vec, key=self.id_col)
-        with_text = fused.join(
+        # Candidates are O(k) -> broadcast them into the documents scan.
+        with_text = F.broadcast(fused).join(
             self.docs.select(self.id_col, self.text_col), self.id_col, "left")
-        toks = F.array(*[F.lit(t) for t in terms]) if terms else F.array()
-        cov = term_coverage(toks, F.lower(F.col(self.text_col)))
-        phrase_hit = (F.instr(F.lower(F.col(self.text_col)),
-                              intent.phrase.lower()) > 0
+
+        text_lower = F.lower(F.col(self.text_col))
+        if synonym_groups:
+            # Ref scoring.py:57-66 — a group counts when ANY member appears.
+            group_hits = [
+                F.when(
+                    F.size(F.filter(
+                        F.array(*[F.lit(t.lower()) for t in grp]),
+                        lambda t: F.instr(text_lower, t) > 0)) > 0, 1
+                ).otherwise(0)
+                for grp in synonym_groups]
+            cov = (sum(group_hits, F.lit(0)).cast("double")
+                   / len(synonym_groups))
+        else:
+            toks = F.array(*[F.lit(t) for t in terms]) if terms else F.array()
+            cov = term_coverage(toks, text_lower)
+
+        prox_hit = None
+        if synonym_groups and len(synonym_groups) >= 2:
+            prox = proximity.min_pair_distance(
+                with_text.filter(F.col(self.text_col).isNotNull()),
+                tuple(t.lower() for t in synonym_groups[0]),
+                tuple(t.lower() for t in synonym_groups[1]),
+                text_col=self.text_col, id_col=self.id_col) \
+                .withColumnRenamed("doc_id", self.id_col)
+            with_text = with_text.join(F.broadcast(prox), self.id_col, "left")
+            prox_hit = F.col("min_dist") <= max(1, near_window)
+
+        phrase_hit = (F.instr(text_lower, intent.phrase.lower()) > 0
                       if intent.phrase else None)
         scored = fusion.score(with_text, w, coverage_col=cov,
-                              phrase_hit_col=phrase_hit)
+                              phrase_hit_col=phrase_hit,
+                              proximity_hit_col=prox_hit)
+        preview = F.substring(F.col(self.text_col), 1, 120)
+        if dedupe:
+            dkey = F.coalesce(F.nullif(F.trim(preview), F.lit("")),
+                              F.col(self.id_col).cast("string"))
+            dw = Window.partitionBy(dkey).orderBy(F.desc("score"),
+                                                  F.asc(self.id_col))
+            ranked = scored.withColumn("rn", F.row_number().over(dw))
+            dups = ranked.filter(F.col("rn") > 1).agg(
+                F.count(F.lit(1)).alias("duplicates_filtered"))
+            scored = (ranked.filter(F.col("rn") == 1)
+                      .crossJoin(F.broadcast(dups)))
+        else:
+            scored = scored.withColumn("duplicates_filtered",
+                                       F.lit(0).cast("long"))
         return (
-            scored.select(self.id_col, "score", "vec_signal", "fts_sig", "coverage",
-                          F.substring(F.col(self.text_col), 1, 120).alias("preview"))
+            scored.select(self.id_col, "score", "vec_signal", "fts_sig",
+                          "coverage", "phrase_bonus", "proximity_bonus",
+                          "duplicates_filtered", preview.alias("preview"))
             .orderBy(F.desc("score"), F.asc(self.id_col))
             .limit(n_results)
         )
@@ -136,9 +187,11 @@ class HybridEngine:
         if terms:
             parts.append(
                 bm25.score_terms(self.spark, self.index, terms, conjunctive=True)
+                .withColumnRenamed("doc_id", self.id_col)
                 .select(self.id_col, F.col("score")))
         if prefix:
             parts.append(bm25.score_prefix(self.index, prefix)
+                         .withColumnRenamed("doc_id", self.id_col)
                          .select(self.id_col, F.col("score")))
         out = parts[0]
         for p in parts[1:]:  # AND semantics: inner join, scores add
@@ -162,9 +215,16 @@ class HybridEngine:
                                      F.lit("")).alias("preview")))
 
     def status(self) -> DataFrame:
-        """Q8: corpus counts + embedding dim probe (one small agg)."""
+        """Q8: corpus counts + embedding dim — cheap metadata like the
+        reference's index_status: never triggers a corpus embedding pass.
+        The dim comes from the supplied embeddings (one-row probe, guarded
+        for an empty frame) or falls back to the configured encoder dim."""
         n_docs = self.docs.count()
-        dim = self.emb.select(F.size("embedding").alias("d")).first().d
+        dim = self.dim
+        if self._emb is not None:
+            row = self._emb.select(F.size("embedding").alias("d")).first()
+            if row is not None:
+                dim = row.d
         return self.spark.createDataFrame(
             [(n_docs, dim, self.text_col, self.id_col)],
             "n_docs long, embedding_dim int, text_col string, id_col string")

@@ -105,7 +105,11 @@ def score(fused: DataFrame, w: Weights,
           phrase_hit_col: Column | None = None,
           proximity_hit_col: Column | None = None) -> DataFrame:
     """F17 weighted linear fusion with a per-hit breakdown (Q6). Emits flat
-    signal columns + `score`; callers sort/limit (T3)."""
+    signal columns, a nested `breakdown` struct (the reference's
+    ScoreBreakdown, /root/reference/mcp_server/apps/scoring.py:11-18), and
+    `score`; callers sort/limit (T3). The total is clamped to [0,1] like the
+    reference (scoring.py:96-97). Flat columns stay the oracle-comparable
+    surface — the struct is the API parity item."""
     cov = coverage_col if coverage_col is not None else F.lit(0.0)
     phr = (F.when(phrase_hit_col, w.phrase).otherwise(0.0)
            if phrase_hit_col is not None else F.lit(0.0))
@@ -113,11 +117,23 @@ def score(fused: DataFrame, w: Weights,
             if proximity_hit_col is not None else F.lit(0.0))
     fsig = fts_signal(F.col("fts_score"))
     vsig = vec_signal(F.col("vector_sim"))
-    total = w.vector * vsig + w.fts * fsig + w.coverage * cov + phr + prox
+    total = clamp01(w.vector * vsig + w.fts * fsig + w.coverage * cov + phr + prox)
     return fused.select(
         "*",
         F.round(vsig, 6).alias("vec_signal"),
         F.round(fsig, 6).alias("fts_sig"),
         F.round(cov, 6).alias("coverage"),
+        F.round(phr, 6).alias("phrase_bonus"),
+        F.round(prox, 6).alias("proximity_bonus"),
         F.round(total, 6).alias("score"),
+    ).withColumn(
+        "breakdown",
+        F.struct(
+            F.col("vec_signal").alias("vector_similarity"),
+            F.col("fts_sig").alias("fts_signal"),
+            F.col("phrase_bonus").alias("phrase_bonus"),
+            F.col("proximity_bonus").alias("proximity_bonus"),
+            F.col("coverage").alias("term_coverage"),
+            F.col("score").alias("total"),
+        ),
     )

@@ -22,15 +22,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ..functions.text import py_tokenize, term_coverage
+from ..functions.text import contains_phrase, py_tokenize, term_coverage
 from ..operators import bm25 as bm25_ops
-from ..operators import fusion, similarity
+from ..operators import fusion, proximity, similarity
 from ..plans.lexical import _sql_tokens_cte, get_index
 from ..plans.semantic import _PAIR_DOT
 from ..sources import load_table
 
-HYBRID_QUERY = "data stream window"
+# The fixed hybrid query carries a quoted phrase so the router-shaped
+# phrase/proximity bonuses (ref scoring.py:52-54,72-93) are live paths:
+# tokens = (window, data, stream); phrase = "window data"; the proximity
+# groups are the first two tokens within the reference's near_window=5.
+HYBRID_QUERY = '"window data" stream'
+HYBRID_PHRASE = "window data"
+HYBRID_PROX_A = ("window",)
+HYBRID_PROX_B = ("data",)
+HYBRID_PROX_WINDOW = 5  # ref near_window default, scoring.py:44
 HYBRID_VEC_ID = 0
 HYBRID_N = 10
 BATCH_N = 5
@@ -49,16 +58,43 @@ def _hybrid(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
            .withColumnRenamed("vec_id", "doc_id"))
 
     fused = fusion.fuse(fts, vec)
-    # J3 backfill: candidates are tiny -> broadcast them INTO the documents
-    # scan side (the big side streams; no shuffle of documents).
-    with_text = fused.join(docs.select("doc_id", "text"), "doc_id", "left")
+    # J3 backfill: candidates are O(k) by construction -> explicit broadcast
+    # hint so the stated plan IS the plan (AQE would usually convert this,
+    # but post-limit size estimation is exactly where it can guess wrong at
+    # scale); the documents side streams, no shuffle.
+    with_text = F.broadcast(fused).join(docs.select("doc_id", "text"),
+                                        "doc_id", "left")
+
+    # Proximity over the CANDIDATE texts only (O(k) rows), not the corpus:
+    # one posexplode + tiny window, joined back broadcast.
+    prox = proximity.min_pair_distance(
+        with_text.filter(F.col("text").isNotNull()),
+        HYBRID_PROX_A, HYBRID_PROX_B)
+    with_prox = with_text.join(F.broadcast(prox), "doc_id", "left")
 
     toks = F.array(*[F.lit(t) for t in py_tokenize(HYBRID_QUERY)])
     cov = term_coverage(toks, F.lower(F.col("text")))
-    scored = fusion.score(with_text, w, coverage_col=cov)
+    phr_hit = contains_phrase(F.col("text"), HYBRID_PHRASE)
+    prox_hit = F.col("min_dist") <= HYBRID_PROX_WINDOW
+    scored = fusion.score(with_prox, w, coverage_col=cov,
+                          phrase_hit_col=phr_hit, proximity_hit_col=prox_hit)
+
+    # D1 fused-result dedup (ref quran_mcp/search.py:262-278): candidates
+    # sharing a text-preview block keep only the best-ranked row; the count
+    # of dropped rows is reported as `duplicates_filtered`.
+    preview = F.substring(F.col("text"), 1, 60)
+    dkey = F.coalesce(F.nullif(F.trim(preview), F.lit("")),
+                      F.col("doc_id").cast("string"))
+    dw = Window.partitionBy(dkey).orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(dw))
+    dups = ranked.filter(F.col("rn") > 1).agg(
+        F.count(F.lit(1)).alias("duplicates_filtered"))
     return (
-        scored.select("doc_id", "score", "vec_signal", "fts_sig", "coverage",
-                      F.substring(F.col("text"), 1, 60).alias("preview"))
+        ranked.filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(dups))
+        .select("doc_id", "score", "vec_signal", "fts_sig", "coverage",
+                "phrase_bonus", "proximity_bonus", "duplicates_filtered",
+                preview.alias("preview"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(HYBRID_N)
     )
@@ -76,8 +112,6 @@ def hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     = batch BM25 (qterms table join); semantic leg = batch k-NN (broadcast
     query vectors); fusion keys on (query_id, doc_id); per-query top-n via
     window. Query q's pseudo-embedding is embeddings row vec_id == q."""
-    from pyspark.sql.window import Window
-
     from .lexical import BATCH_QUERIES
 
     w = fusion.resolve_weights("balanced")
@@ -96,7 +130,9 @@ def hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("query_id", F.col("vec_id").alias("doc_id"), "sim"))
 
     fused = fusion.fuse(fts, vec, key=["query_id", "doc_id"])
-    with_text = fused.join(docs.select("doc_id", "text"), "doc_id", "left")
+    # Candidates are O(queries * k) -> broadcast into the documents scan.
+    with_text = F.broadcast(fused).join(docs.select("doc_id", "text"),
+                                        "doc_id", "left")
     tok_rows = [(qid, sorted(set(py_tokenize(q)))) for qid, q in BATCH_QUERIES]
     tokens_df = spark.createDataFrame(tok_rows, "query_id int, toks array<string>")
     with_toks = with_text.join(F.broadcast(tokens_df), "query_id")
@@ -202,13 +238,15 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id,
-         round({w.vector} * vsig + {w.fts} * fsig + {w.coverage} * cov, 6) AS score,
+         round(least(1.0, greatest(0.0,
+           {w.vector} * vsig + {w.fts} * fsig + {w.coverage} * cov)), 6) AS score,
          round(vsig, 6) AS vec_signal,
          round(fsig, 6) AS fts_sig,
          round(cov, 6)  AS coverage,
          row_number() OVER (
            PARTITION BY query_id
-           ORDER BY round({w.vector} * vsig + {w.fts} * fsig + {w.coverage} * cov, 6) DESC,
+           ORDER BY round(least(1.0, greatest(0.0,
+             {w.vector} * vsig + {w.fts} * fsig + {w.coverage} * cov)), 6) DESC,
                     doc_id ASC) AS rank
   FROM scored
 )
@@ -219,14 +257,19 @@ FROM ranked WHERE rank <= {BATCH_N}
 
 
 def hybrid_oracle_sql(mode: str) -> str:
-    """DuckDB oracle: the same two legs, fusion, and scoring in one SQL
-    statement — generated from the same constants and weight presets."""
+    """DuckDB oracle: the same two legs, fusion, phrase/proximity bonuses,
+    scoring (clamped like ref scoring.py:96-97), and fused-result dedup in
+    one SQL statement — generated from the same constants and presets."""
     w = fusion.resolve_weights(mode)
     terms = sorted(set(py_tokenize(HYBRID_QUERY)))
     values = ", ".join(f"('{t}')" for t in terms)
     cov_expr = " + ".join(
         f"(CASE WHEN strpos(lower(d.text), '{t}') > 0 THEN 1 ELSE 0 END)" for t in terms
     )
+    ga = ", ".join(f"'{t}'" for t in HYBRID_PROX_A)
+    gb = ", ".join(f"'{t}'" for t in HYBRID_PROX_B)
+    score_expr = (f"round(least(1.0, greatest(0.0, {w.vector} * vsig "
+                  f"+ {w.fts} * fsig + {w.coverage} * cov + phr + prx)), 6)")
     return f"""
 WITH {_sql_tokens_cte()},
 qterms AS (SELECT * FROM (VALUES {values}) q(term)),
@@ -259,21 +302,58 @@ fused AS (
          coalesce(v.vector_sim, 0.0)  AS vector_sim
   FROM fts_leg f FULL OUTER JOIN vec_leg v ON f.doc_id = v.doc_id
 ),
+prox_toks AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS term
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                           x -> length(x) >= 2) AS ts
+        FROM documents)
+),
+prox_lagged AS (
+  SELECT doc_id, pos, grp, lag(pos) OVER w AS prev_pos, lag(grp) OVER w AS prev_grp
+  FROM (SELECT doc_id, pos,
+               CASE WHEN term IN ({ga}) THEN 'a' ELSE 'b' END AS grp
+        FROM prox_toks WHERE term IN ({ga}) OR term IN ({gb}))
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+prox AS (
+  SELECT doc_id, min(pos - prev_pos) AS min_dist
+  FROM prox_lagged
+  WHERE prev_grp IS NOT NULL AND grp <> prev_grp
+  GROUP BY doc_id
+),
 scored AS (
   SELECT u.doc_id,
          least(1.0, greatest(0.0, u.vector_sim))                          AS vsig,
          greatest(0.0, u.fts_score) / (greatest(0.0, u.fts_score) + 1.0)  AS fsig,
          ({cov_expr})::DOUBLE / {len(terms)}                              AS cov,
+         CASE WHEN strpos(lower(d.text), '{HYBRID_PHRASE}') > 0
+              THEN {w.phrase} ELSE 0.0 END                                AS phr,
+         CASE WHEN px.min_dist <= {HYBRID_PROX_WINDOW}
+              THEN {w.proximity} ELSE 0.0 END                             AS prx,
          substr(d.text, 1, 60)                                            AS preview
-  FROM fused u LEFT JOIN documents d ON u.doc_id = d.doc_id
-)
-SELECT doc_id,
-       round({w.vector} * vsig + {w.fts} * fsig + {w.coverage} * cov, 6) AS score,
-       round(vsig, 6) AS vec_signal,
-       round(fsig, 6) AS fts_sig,
-       round(cov, 6)  AS coverage,
-       preview
-FROM scored
+  FROM fused u
+  LEFT JOIN documents d ON u.doc_id = d.doc_id
+  LEFT JOIN prox px     ON u.doc_id = px.doc_id
+),
+keyed AS (
+  SELECT doc_id, {score_expr} AS score,
+         round(vsig, 6) AS vec_signal, round(fsig, 6) AS fts_sig,
+         round(cov, 6) AS coverage, round(phr, 6) AS phrase_bonus,
+         round(prx, 6) AS proximity_bonus, preview,
+         coalesce(NULLIF(trim(preview), ''), doc_id::VARCHAR) AS dkey
+  FROM scored
+),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY dkey
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM keyed
+),
+dups AS (SELECT count(*) AS duplicates_filtered FROM deduped WHERE rn > 1)
+SELECT doc_id, score, vec_signal, fts_sig, coverage, phrase_bonus,
+       proximity_bonus, dups.duplicates_filtered, preview
+FROM deduped CROSS JOIN dups
+WHERE rn = 1
 ORDER BY score DESC, doc_id ASC
 LIMIT {HYBRID_N}
 """

@@ -77,3 +77,56 @@ def test_get_document_and_status(engine):
     assert len(doc) == 1 and doc[0].narrator == "Aisha"
     st = engine.status().collect()[0]
     assert st.n_docs == 4 and st.embedding_dim > 0
+
+def test_non_default_id_col(spark):
+    rows = [
+        ("v1", "patience in anger brings reward and controlling anger"),
+        ("v2", "charity does not decrease wealth"),
+        ("v3", "good deeds depend upon intentions"),
+    ]
+    docs = spark.createDataFrame(rows, "verse_id string, body string")
+    eng = HybridEngine(spark, docs, text_col="body", id_col="verse_id")
+    out = eng.hybrid_search("controlling anger", n_results=2).collect()
+    assert out and out[0].verse_id == "v1"
+    m = eng.fts_match(terms=["charity"]).collect()
+    assert {r.verse_id for r in m} == {"v2"}
+
+
+def test_synonym_groups_coverage_and_proximity(engine):
+    # group 0 (anger terms) and group 1 (control terms) sit within 5 tokens
+    # in riyad:1:2 -> proximity bonus fires; both groups present -> cov 1.0
+    out = engine.hybrid_search(
+        "anger control", n_results=4,
+        synonym_groups=[["anger", "rage"], ["controls", "controlling"]],
+    ).collect()
+    top = {r.doc_id: r for r in out}
+    assert top["riyad:1:2"].proximity_bonus > 0
+    assert top["riyad:1:2"].coverage == 1.0
+    # doc with anger but no control term: half coverage, no proximity
+    assert top["riyad:2:6"].proximity_bonus == 0.0
+    assert top["riyad:2:6"].coverage == 0.5
+
+
+def test_dedupe_collapses_identical_previews(spark):
+    rows = [
+        ("a1", "patience and anger control bring reward"),
+        ("a2", "patience and anger control bring reward"),  # exact dup
+        ("a3", "charity does not decrease wealth"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    eng = HybridEngine(spark, docs)
+    out = eng.hybrid_search("anger patience", n_results=5).collect()
+    ids = [r.doc_id for r in out]
+    assert "a1" in ids and "a2" not in ids  # best-ranked row kept
+    assert all(r.duplicates_filtered == 1 for r in out)
+    keep_all = eng.hybrid_search("anger patience", n_results=5,
+                                 dedupe=False).collect()
+    assert {r.doc_id for r in keep_all} >= {"a1", "a2"}
+
+
+def test_status_without_embeddings_is_cheap(spark):
+    docs = spark.createDataFrame([("d1", "some text")], "doc_id string, text string")
+    eng = HybridEngine(spark, docs)
+    st = eng.status().collect()[0]
+    assert st.n_docs == 1 and st.embedding_dim == eng.dim
+    assert eng._emb is None  # status must not trigger the embedding pass
