@@ -257,8 +257,19 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                       F.explode("shingles").alias("shingle"))
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+
+    # Epsilon-guarded ceil: the bounds below are mathematically integral at
+    # exact-threshold pairs (e.g. 0.8*5), but the double product can land a
+    # few ulps ABOVE the integer (0.8*5 -> 4.0000000000000002) and ceil then
+    # over-tightens the bound, dropping pairs with Jaccard == threshold that
+    # the exact verify step keeps — breaking losslessness. Shaving 1e-9
+    # first restores the integral case; for non-integral values it can only
+    # loosen the bound by one candidate, never lose one.
+    def ceil_eps(x: Column) -> Column:
+        return F.ceil(x - F.lit(1e-9))
+
     prefix_len = (F.col("set_size")
-                  - F.ceil(F.lit(threshold) * F.col("set_size")) + 1)
+                  - ceil_eps(F.lit(threshold) * F.col("set_size")) + 1)
     prefix = (
         sh.join(df_tbl, "shingle")
         .withColumn("rn", F.row_number().over(w_rank))
@@ -275,13 +286,13 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # Minimum overlap a qualifying pair must reach; keeping a pair when ANY
     # shared prefix row passes the positional bound is lossless because the
     # FIRST shared element (smallest ranks) gives the loosest bound.
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
-                   * (F.col("sz_a") + F.col("sz_b")))
+    alpha = ceil_eps(F.lit(threshold / (1.0 + threshold))
+                     * (F.col("sz_a") + F.col("sz_b")))
     cands = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.least("sz_a", "sz_b")
-                >= F.ceil(F.lit(threshold) * F.greatest("sz_a", "sz_b")))
+                >= ceil_eps(F.lit(threshold) * F.greatest("sz_a", "sz_b")))
         .filter(1 + F.least(F.col("sz_a") - F.col("rn_a"),
                             F.col("sz_b") - F.col("rn_b")) >= alpha)
         .select("id_a", "id_b")

@@ -126,10 +126,12 @@ def quality_metrics(docs: DataFrame, text_col: str = "text",
 
 
 def token_counts(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 keep: tuple[str, ...] = ()) -> DataFrame:
     """Token-count estimators: whitespace tokens, regex word tokens, and a
     BPE-ish subword estimate (non-space chars / 4, the common ~4 chars-per-
-    token heuristic), per doc."""
+    token heuristic), per doc. `keep` carries extra grouping columns through
+    the same projection, so callers aggregate without re-joining the scan."""
     t = F.col(text_col)
     ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
     word_tokens = F.size(tokenize(t, min_len=1))
@@ -137,6 +139,7 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     bpe_est = F.ceil(non_space / F.lit(4.0)).cast("long")
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         ws_tokens.alias("ws_tokens"),
         word_tokens.alias("word_tokens"),
         bpe_est.alias("bpe_est_tokens"),

@@ -7,6 +7,9 @@ them with the same rules it indexes with (SURVEY §4.2.4 tokenizer unification).
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,17 +37,40 @@ BATCH_K = 5
 # fts.py:280-290 persists; queries at :95-104 reuse); rebuilding the
 # postings tables per query call was its per-request-reopen anti-pattern
 # (tools.py:52-57) that SURVEY §4.3 says the Spark engine beats
-# structurally. Keyed by (Spark application, corpus dir); on a lake this
-# is the persisted bucketed postings table itself.
-_INDEX_CACHE: dict[tuple[str, str], bm25.LexicalIndex] = {}
+# structurally. Keyed by (Spark application, corpus dir, corpus
+# fingerprint); on a lake this is the persisted bucketed postings table
+# itself. LRU-bounded so a long session crossing many scale dirs cannot
+# pin unbounded checkpoint blocks, and the fingerprint (file mtime+size)
+# invalidates entries if the data under sf_dir is regenerated in-place.
+_INDEX_CACHE: "OrderedDict[tuple[str, str, tuple], bm25.LexicalIndex]" = OrderedDict()
+_INDEX_CACHE_MAX = 4
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
+
+
+def clear_index_cache() -> None:
+    """Drop every cached index (checkpoint blocks are released by Spark's
+    ContextCleaner once unreferenced)."""
+    _INDEX_CACHE.clear()
 
 
 def get_index(spark: SparkSession, sf_dir: str) -> bm25.LexicalIndex:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fingerprint(sf_dir))
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         idx = bm25.build_index(load_table(spark, sf_dir, "documents"))
         _INDEX_CACHE[key] = idx
+        while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+            _INDEX_CACHE.popitem(last=False)
+    else:
+        _INDEX_CACHE.move_to_end(key)
     return idx
 
 

@@ -28,11 +28,13 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-count roll-up: counts and `source` come out of ONE
+    projection over the scan (no self-join), then a single partial-agg
+    shuffle on source."""
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = textstats.token_counts(docs)
+    per_doc = textstats.token_counts(docs, keep=("source",))
     return (
-        per_doc.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("ws_tokens").alias("ws_tokens"),

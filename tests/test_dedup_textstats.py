@@ -141,3 +141,16 @@ def test_with_predicted_lang_matches_column_form(spark):
                textstats.with_predicted_lang(docs).select("doc_id", "predicted").collect()}
     assert col_form == df_form
     assert df_form["u"] == "und"
+
+def test_ngram_jaccard_keeps_exact_threshold_pair(spark):
+    """PPJoin prefilter regression: a pair with Jaccard EXACTLY == threshold
+    must survive — FP noise in the ceil bounds (0.8*5 -> 4.0000000000000002)
+    used to over-tighten the positional filter and drop it."""
+    from hadith_vector_search_spark.operators.dedup import ngram_jaccard_pairs
+
+    a = "aa bb cc dd ee ff gg hh ii jj kk"          # 9 shingles (w=3)
+    b = "aa bb cc dd ee ff gg hh ii jj zz"          # shares 8, union 10
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert abs(pairs[0].jaccard - 0.8) < 1e-9
