@@ -117,8 +117,11 @@ class HybridEngine:
 
         fused = fusion.fuse(fts, vec, key=self.id_col)
         # Candidates are O(k) -> broadcast them into the documents scan.
+        # INNER join: candidates come from this engine's own index and
+        # embeddings, so every id resolves; the reference likewise skips
+        # hits with no corpus entry (quran_mcp/search.py:219-221).
         with_text = F.broadcast(fused).join(
-            self.docs.select(self.id_col, self.text_col), self.id_col, "left")
+            self.docs.select(self.id_col, self.text_col), self.id_col)
 
         text_lower = F.lower(F.col(self.text_col))
         if synonym_groups:

@@ -58,12 +58,12 @@ def _hybrid(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
            .withColumnRenamed("vec_id", "doc_id"))
 
     fused = fusion.fuse(fts, vec)
-    # J3 backfill: candidates are O(k) by construction -> explicit broadcast
-    # hint so the stated plan IS the plan (AQE would usually convert this,
-    # but post-limit size estimation is exactly where it can guess wrong at
-    # scale); the documents side streams, no shuffle.
-    with_text = F.broadcast(fused).join(docs.select("doc_id", "text"),
-                                        "doc_id", "left")
+    # J3 backfill: INNER join with the O(k) candidate side broadcast — the
+    # documents side streams, no shuffle. Inner is the reference's own
+    # semantics (quran_mcp/search.py:219-221 skips hits with no corpus
+    # entry), and it is also the only shape Spark can broadcast the
+    # candidates into: an outer join can never build its preserved side.
+    with_text = F.broadcast(fused).join(docs.select("doc_id", "text"), "doc_id")
 
     # Proximity over the CANDIDATE texts only (O(k) rows), not the corpus:
     # one posexplode + tiny window, joined back broadcast.
@@ -130,9 +130,9 @@ def hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("query_id", F.col("vec_id").alias("doc_id"), "sim"))
 
     fused = fusion.fuse(fts, vec, key=["query_id", "doc_id"])
-    # Candidates are O(queries * k) -> broadcast into the documents scan.
-    with_text = F.broadcast(fused).join(docs.select("doc_id", "text"),
-                                        "doc_id", "left")
+    # Candidates are O(queries * k) -> broadcast into the documents scan
+    # (inner join = the reference's skip-missing semantics; see _hybrid).
+    with_text = F.broadcast(fused).join(docs.select("doc_id", "text"), "doc_id")
     tok_rows = [(qid, sorted(set(py_tokenize(q)))) for qid, q in BATCH_QUERIES]
     tokens_df = spark.createDataFrame(tok_rows, "query_id int, toks array<string>")
     with_toks = with_text.join(F.broadcast(tokens_df), "query_id")
@@ -333,7 +333,7 @@ scored AS (
               THEN {w.proximity} ELSE 0.0 END                             AS prx,
          substr(d.text, 1, 60)                                            AS preview
   FROM fused u
-  LEFT JOIN documents d ON u.doc_id = d.doc_id
+  JOIN documents d      ON u.doc_id = d.doc_id
   LEFT JOIN prox px     ON u.doc_id = px.doc_id
 ),
 keyed AS (

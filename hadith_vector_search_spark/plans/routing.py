@@ -27,24 +27,29 @@ QUERY_BATCH: list[tuple[int, str]] = [
     (10, "anger control"),
     (11, "the importance of sincerity in deeds"),
     (12, "xyzzy"),
+    (13, "الصبر والصلاة"),  # Arabic-dominant thematic -> contextual_arabic (F26)
 ]
 
 
 def intent_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(QUERY_BATCH, "query_id int, query_text string")
     routed = route(queries)
-    return routed.select("query_id", "intent", "phrase", "narrator_query", "n_tokens")
+    return routed.select("query_id", "intent", "phrase", "narrator_query",
+                         "n_tokens", "arabic_ratio")
 
 
-def intent_router_oracle_sql() -> str:
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
+def _esc(s: str) -> str:
+    return s.replace("'", "''")
 
-    values = ", ".join(f"({i}, '{esc(q)}')" for i, q in QUERY_BATCH)
-    # Same regexes, same precedence, RE2 syntax. NULLIF turns DuckDB's
-    # empty-string no-match into NULL to match Spark's when/otherwise NULL.
+
+def intent_feat_cte(batch: list[tuple[int, str]]) -> str:
+    """Shared oracle CTE fragment: the router's feature extraction + intent
+    CASE over a literal query batch, ending with an `intents` relation
+    (query_id, query_text, intent, phrase, narrator_query, n_tokens,
+    ar_ratio). Same regexes, same precedence as `route()`, RE2 syntax."""
+    values = ", ".join(f"({i}, '{_esc(q)}')" for i, q in batch)
     return f"""
-WITH q(query_id, query_text) AS (VALUES {values}),
+q(query_id, query_text) AS (VALUES {values}),
 feat AS (
   SELECT query_id, query_text,
     regexp_matches(lower(query_text),
@@ -55,18 +60,34 @@ feat AS (
       '\\b(?:narrated by|reported by|said by)\\s+(.+)$', 1), '') AS nar_en,
     NULLIF(regexp_extract(query_text, 'عن\\s+(.+)$', 1), '') AS nar_ar,
     len(list_filter(string_split_regex(lower(query_text), '[^a-z0-9_؀-ۿ]+'),
-                    x -> length(x) >= 2)) AS n_tokens
+                    x -> length(x) >= 2)) AS n_tokens,
+    CASE WHEN length(query_text) > 0
+         THEN length(regexp_replace(query_text, '[^؀-ۿ]', '', 'g'))::DOUBLE
+              / length(query_text)
+         ELSE 0.0 END AS ar_ratio
   FROM q
-)
-SELECT query_id,
-  CASE
-    WHEN is_ref THEN 'exact_reference'
-    WHEN coalesce(nar_en, nar_ar) IS NOT NULL THEN 'narrator'
-    WHEN coalesce(dq, sq) IS NOT NULL OR n_tokens >= 4 THEN 'thematic'
-    ELSE 'mixed'
-  END AS intent,
-  coalesce(dq, sq) AS phrase,
-  coalesce(nar_en, nar_ar) AS narrator_query,
-  CAST(n_tokens AS INT) AS n_tokens
-FROM feat
+),
+intents AS (
+  SELECT query_id, query_text,
+    CASE
+      WHEN is_ref THEN 'exact_reference'
+      WHEN ar_ratio > 0.5 THEN 'contextual_arabic'
+      WHEN coalesce(nar_en, nar_ar) IS NOT NULL THEN 'narrator'
+      WHEN coalesce(dq, sq) IS NOT NULL OR n_tokens >= 4 THEN 'thematic'
+      ELSE 'mixed'
+    END AS intent,
+    coalesce(dq, sq) AS phrase,
+    coalesce(nar_en, nar_ar) AS narrator_query,
+    n_tokens, ar_ratio
+  FROM feat
+)"""
+
+
+def intent_router_oracle_sql() -> str:
+    return f"""
+WITH {intent_feat_cte(QUERY_BATCH)}
+SELECT query_id, intent, phrase, narrator_query,
+       CAST(n_tokens AS INT) AS n_tokens,
+       round(ar_ratio, 4) AS arabic_ratio
+FROM intents
 """

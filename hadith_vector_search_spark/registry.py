@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .oracles import ORACLES, oracle
 from .plans import dedup as dedup_plans
 from .plans import embedding as embedding_plans
-from .plans import hybrid, lexical, lifecycle, relational, routing, semantic
+from .plans import hybrid, lexical, lifecycle, relational, routed, routing, semantic
 from .plans import multimodal as multimodal_plans
 from .plans import textstats as textstats_plans
 from .streaming import (
@@ -57,6 +57,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivf": semantic.ann_topk_ivf,
     # router + hybrid pipeline (SURVEY §2.9, §3.1)
     "intent_router": routing.intent_router,
+    "routed_search_batch": routed.routed_search_batch,
     "hybrid_search": hybrid.hybrid_search,
     "hybrid_search_term_priority": hybrid.hybrid_search_term_priority,
     "hybrid_search_semantic": hybrid.hybrid_search_semantic,
@@ -113,6 +114,7 @@ oracle("similar_pairs", semantic.similar_pairs_oracle())
 oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
 oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
+oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))
 oracle("hybrid_search_semantic", hybrid.hybrid_oracle_sql("semantic"))

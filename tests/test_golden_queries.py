@@ -68,8 +68,15 @@ def test_narrator_query_restricts_to_narrator(spark, corpus):
 
 
 def test_arabic_narrator_rule(spark):
+    # Spec precedence (HADITH_SEARCH_SPEC.md:256-268): Arabic-dominant wins
+    # over narrator, but the narrator phrase is still extracted for the
+    # Arabic contextual path to use.
     r = _route_one(spark, "عن أبي هريرة")
-    assert r.intent == "narrator" and r.narrator_query is not None
+    assert r.intent == "contextual_arabic" and r.narrator_query is not None
+    assert r.arabic_ratio > 0.5
+    # latin-script narrator queries still route narrator
+    r2 = _route_one(spark, "narrated by Abu Hurairah")
+    assert r2.intent == "narrator" and r2.arabic_ratio == 0.0
 
 
 # -- Category 4: thematic ranking -----------------------------------------

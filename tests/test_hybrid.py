@@ -15,13 +15,14 @@ EXPECTED_INTENTS = {
     3: "exact_reference",
     4: "narrator",
     5: "narrator",
-    6: "narrator",
+    6: "contextual_arabic",  # Arabic-dominant wins over narrator (F26, spec)
     7: "thematic",      # 4 tokens
     8: "thematic",      # quoted phrase
     9: "mixed",         # 1 token
     10: "mixed",        # 2 tokens
     11: "thematic",
     12: "mixed",
+    13: "contextual_arabic",
 }
 
 
