@@ -109,3 +109,51 @@ def test_embedder_singleton_and_normalization(spark):
     df = spark.createDataFrame([("alpha beta gamma delta",)], "text string")
     row = df.select(embedder.embed_column("text", 8).alias("e")).first()
     assert row.e == pytest.approx(v)
+
+def test_stream_merge_touches_only_affected_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: a micro-batch must leave parquet files
+    in partitions its keys don't land in byte-identical (no whole-table
+    rewrite)."""
+    from pyspark.sql import functions as F
+    from hadith_vector_search_spark.streaming.ingest import (
+        MERGE_N_PARTS, MERGE_PART_COL, stream_merge_jsonl)
+
+    src = str(tmp_path / "psrc")
+    target = str(tmp_path / "ptarget")
+    ckpt = str(tmp_path / "pckpt")
+    _write_jsonl(os.path.join(src, "b1.jsonl"),
+                 [{"doc_id": i, "text": f"doc {i}"} for i in range(1, 9)])
+    stream_merge_jsonl(spark, src, DOC_SCHEMA, target, ckpt)
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(target):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = snapshot()
+    batch2 = [{"doc_id": 2, "text": "two v2"}, {"doc_id": 100, "text": "hundred"}]
+    _write_jsonl(os.path.join(src, "b2.jsonl"), batch2)
+    stream_merge_jsonl(spark, src, DOC_SCHEMA, target, ckpt)
+
+    touched = {
+        r.p for r in spark.createDataFrame(
+            [(d["doc_id"],) for d in batch2], "doc_id long")
+        .select(F.pmod(F.hash("doc_id"), F.lit(MERGE_N_PARTS)).alias("p"))
+        .collect()}
+    after = snapshot()
+    untouched_before = {p: v for p, v in before.items()
+                        if not any(f"{MERGE_PART_COL}={t}{os.sep}" in p
+                                   for t in touched)}
+    assert untouched_before, "test needs at least one untouched partition"
+    for p, v in untouched_before.items():
+        assert after.get(p) == v, f"untouched partition file rewritten: {p}"
+
+    rows = {(r.doc_id, r.text) for r in
+            spark.read.parquet(target).select("doc_id", "text").collect()}
+    assert rows == ({(i, f"doc {i}") for i in range(1, 9)} - {(2, "doc 2")}) | {
+        (2, "two v2"), (100, "hundred")}
