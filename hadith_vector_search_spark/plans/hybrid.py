@@ -46,14 +46,21 @@ BATCH_N = 5
 OVERFETCH = 50  # max(50, 5*n) per the reference
 
 
-def _hybrid(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
-    w = fusion.resolve_weights(mode)
+def _hybrid(spark: SparkSession, sf_dir: str, mode: str,
+            fts_available: bool = True) -> DataFrame:
+    w = fusion.resolve_weights(mode, fts_available=fts_available)
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    fts = bm25_ops.bm25_topk(spark, docs, HYBRID_QUERY, k=OVERFETCH,
-                             conjunctive=False,
-                             index=get_index(spark, sf_dir)).select("doc_id", "bm25")
+    if fts_available:
+        fts = bm25_ops.bm25_topk(spark, docs, HYBRID_QUERY, k=OVERFETCH,
+                                 conjunctive=False,
+                                 index=get_index(spark, sf_dir)).select("doc_id", "bm25")
+    else:
+        # Q4 degradation: the lexical leg is down — a zero-row leg with the
+        # right schema keeps the fused pipeline shape identical.
+        fts = (docs.select("doc_id").limit(0)
+               .withColumn("bm25", F.lit(0.0)))
     vec = (similarity.topk_by_query_id(emb, HYBRID_VEC_ID, OVERFETCH)
            .withColumnRenamed("vec_id", "doc_id"))
 
@@ -164,6 +171,14 @@ def hybrid_search_fts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid(spark, sf_dir, "fts")
 
 
+def hybrid_search_degraded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/Q5 graceful degradation, oracle-checked: the FTS leg is
+    unavailable, so resolve_weights re-routes all retrieval weight to the
+    vector leg (tools.py:85-89, search.py:203-215) and the pipeline serves
+    vector-only results through the unchanged fused shape."""
+    return _hybrid(spark, sf_dir, "balanced", fts_available=False)
+
+
 def hybrid_batch_oracle_sql(mode: str = "balanced") -> str:
     """DuckDB oracle for the batch hybrid — generated from the same
     BATCH_QUERIES constants, weight preset, and tie-breaks."""
@@ -256,11 +271,13 @@ FROM ranked WHERE rank <= {BATCH_N}
 """
 
 
-def hybrid_oracle_sql(mode: str) -> str:
+def hybrid_oracle_sql(mode: str, fts_available: bool = True) -> str:
     """DuckDB oracle: the same two legs, fusion, phrase/proximity bonuses,
     scoring (clamped like ref scoring.py:96-97), and fused-result dedup in
-    one SQL statement — generated from the same constants and presets."""
-    w = fusion.resolve_weights(mode)
+    one SQL statement — generated from the same constants and presets.
+    `fts_available=False` replays the Q4 degradation: an empty lexical leg
+    and the re-routed weights."""
+    w = fusion.resolve_weights(mode, fts_available=fts_available)
     terms = sorted(set(py_tokenize(HYBRID_QUERY)))
     values = ", ".join(f"('{t}')" for t in terms)
     cov_expr = " + ".join(
@@ -270,6 +287,13 @@ def hybrid_oracle_sql(mode: str) -> str:
     gb = ", ".join(f"'{t}'" for t in HYBRID_PROX_B)
     score_expr = (f"round(least(1.0, greatest(0.0, {w.vector} * vsig "
                   f"+ {w.fts} * fsig + {w.coverage} * cov + phr + prx)), 6)")
+    fts_leg_sql = f"""
+  SELECT doc_id, round(score, 6) AS fts_score
+  FROM bm25_scored ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {OVERFETCH}
+""" if fts_available else """
+  SELECT doc_id, fts_score
+  FROM (SELECT CAST(NULL AS BIGINT) AS doc_id, 0.0 AS fts_score) WHERE FALSE
+"""
     return f"""
 WITH {_sql_tokens_cte()},
 qterms AS (SELECT * FROM (VALUES {values}) q(term)),
@@ -286,10 +310,7 @@ bm25_scored AS (
   JOIN tdf d USING (term) JOIN doclen l USING (doc_id) CROSS JOIN stats s
   GROUP BY p.doc_id
 ),
-fts_leg AS (
-  SELECT doc_id, round(score, 6) AS fts_score
-  FROM bm25_scored ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {OVERFETCH}
-),
+fts_leg AS ({fts_leg_sql}),
 {_PAIR_DOT},
 vec_leg AS (
   SELECT ib AS doc_id, round(d, 6) AS vector_sim

@@ -14,7 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from .oracles import ORACLES, oracle
 from .plans import dedup as dedup_plans
 from .plans import embedding as embedding_plans
-from .plans import hybrid, lexical, lifecycle, relational, routed, routing, semantic
+from .plans import (
+    hybrid,
+    lexical,
+    lifecycle,
+    normalization,
+    relational,
+    routed,
+    routing,
+    semantic,
+)
 from .plans import multimodal as multimodal_plans
 from .plans import textstats as textstats_plans
 from .streaming import (
@@ -63,6 +72,9 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search_semantic": hybrid.hybrid_search_semantic,
     "hybrid_search_fts": hybrid.hybrid_search_fts,
     "hybrid_search_batch": hybrid.hybrid_search_batch,
+    "hybrid_search_degraded": hybrid.hybrid_search_degraded,
+    # scalar normalization sweep (F1/F8/F19-F23)
+    "normalization_preview": normalization.normalization_preview,
     # dedup family (LLM-pipeline operators)
     "dedup_exact_preview": dedup_plans.dedup_exact_preview,
     "dedup_window_preview": dedup_plans.dedup_window_preview,
@@ -120,6 +132,9 @@ oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))
 oracle("hybrid_search_semantic", hybrid.hybrid_oracle_sql("semantic"))
 oracle("hybrid_search_fts", hybrid.hybrid_oracle_sql("fts"))
 oracle("hybrid_search_batch", hybrid.hybrid_batch_oracle_sql("balanced"))
+oracle("hybrid_search_degraded",
+       hybrid.hybrid_oracle_sql("balanced", fts_available=False))
+oracle("normalization_preview", normalization.normalization_preview_oracle())
 oracle("dedup_exact_preview", dedup_plans.dedup_exact_preview_oracle())
 oracle("dedup_window_preview", dedup_plans.dedup_window_preview_oracle())
 oracle("minhash_signatures", dedup_plans.minhash_sigs_oracle())
