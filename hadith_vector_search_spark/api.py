@@ -122,6 +122,10 @@ class HybridEngine:
         # hits with no corpus entry (quran_mcp/search.py:219-221).
         with_text = F.broadcast(fused).join(
             self.docs.select(self.id_col, self.text_col), self.id_col)
+        if synonym_groups and len(synonym_groups) >= 2:
+            # Pin the O(k) candidates: the proximity probe and the scoring
+            # path both consume them (unpinned, each re-runs both legs).
+            with_text = with_text.localCheckpoint()
 
         text_lower = F.lower(F.col(self.text_col))
         if synonym_groups:
@@ -142,7 +146,7 @@ class HybridEngine:
         prox_hit = None
         if synonym_groups and len(synonym_groups) >= 2:
             prox = proximity.min_pair_distance(
-                with_text.filter(F.col(self.text_col).isNotNull()),
+                with_text,
                 tuple(t.lower() for t in synonym_groups[0]),
                 tuple(t.lower() for t in synonym_groups[1]),
                 text_col=self.text_col, id_col=self.id_col) \

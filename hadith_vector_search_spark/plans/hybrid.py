@@ -70,13 +70,16 @@ def _hybrid(spark: SparkSession, sf_dir: str, mode: str,
     # semantics (quran_mcp/search.py:219-221 skips hits with no corpus
     # entry), and it is also the only shape Spark can broadcast the
     # candidates into: an outer join can never build its preserved side.
-    with_text = F.broadcast(fused).join(docs.select("doc_id", "text"), "doc_id")
+    # Pin the O(k) candidate frame: it feeds BOTH the proximity probe and
+    # the scoring path, and without the pin each consumer re-runs the whole
+    # two-leg retrieval (measured ~2x on the hybrid query).
+    with_text = (F.broadcast(fused)
+                 .join(docs.select("doc_id", "text"), "doc_id")
+                 .localCheckpoint())
 
     # Proximity over the CANDIDATE texts only (O(k) rows), not the corpus:
     # one posexplode + tiny window, joined back broadcast.
-    prox = proximity.min_pair_distance(
-        with_text.filter(F.col("text").isNotNull()),
-        HYBRID_PROX_A, HYBRID_PROX_B)
+    prox = proximity.min_pair_distance(with_text, HYBRID_PROX_A, HYBRID_PROX_B)
     with_prox = with_text.join(F.broadcast(prox), "doc_id", "left")
 
     toks = F.array(*[F.lit(t) for t in py_tokenize(HYBRID_QUERY)])
