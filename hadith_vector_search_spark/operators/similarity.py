@@ -299,3 +299,49 @@ def similar_pairs(emb: DataFrame, threshold: float,
 
     return rep.groupBy("ka", "kb").applyInPandas(
         score_block_pair, schema="id_a long, id_b long, sim double")
+
+
+def similar_pairs_lsh(emb: DataFrame, threshold: float,
+                      n_bands: int = 3, band_bits: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup with a banded sign-LSH PREFILTER — the 100 TB
+    scale path `similar_pairs` points at: instead of scoring all N^2/B
+    block pairs, candidates are pairs agreeing on EVERY bit of at least one
+    band (n_bands bands of band_bits hyperplane signs), and only candidates
+    pay the exact dot product.
+
+    Plan shape: planes (n_bands*band_bits deterministic data vectors, as in
+    `ann_topk_lsh`) are inlined as literals, so banding is a NARROW
+    projection; the only wide stages are the (band, bucket) self-join —
+    bucket sizes concentrate near N/2^band_bits — and the candidate-id
+    verification join back to the embeddings table. Recall < 1 by design
+    (a near-dup pair can split every band); raise n_bands for recall,
+    band_bits for precision — the oracle replays the same banding, so the
+    approximation itself is checked."""
+    from ..functions.vector import vector_lit
+
+    n_planes = n_bands * band_bits
+    plane_rows = sorted(data_planes(emb, n_planes, id_col, vec_col).collect(),
+                        key=lambda r: r.plane_id)
+    bands = F.array(*[
+        F.concat(*[
+            F.when(dot(F.col(vec_col), vector_lit(plane_rows[b * band_bits + j].pvec)) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for j in range(band_bits)
+        ])
+        for b in range(n_bands)
+    ])
+    sigs = emb.select(F.col(id_col).alias("vid"),
+                      F.posexplode(bands).alias("band", "bucket"))
+    a = sigs.select(F.col("vid").alias("id_a"), "band", "bucket")
+    b = sigs.select(F.col("vid").alias("id_b"), "band", "bucket")
+    cands = (a.join(b, ["band", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .distinct())
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (cands.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(dot(F.col("va"), F.col("vb")), 6).alias("sim"))
+            .filter(F.col("sim") > threshold))

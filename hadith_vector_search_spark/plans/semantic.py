@@ -67,6 +67,18 @@ def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.similar_pairs(emb, PAIR_THRESHOLD)
 
 
+NEARDUP_BANDS = 6
+NEARDUP_BAND_BITS = 4
+
+
+def similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH near-dup (the similar_pairs scale path): candidates
+    from band-bucket agreement, exact verification on candidates only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.similar_pairs_lsh(emb, PAIR_THRESHOLD,
+                                        NEARDUP_BANDS, NEARDUP_BAND_BITS)
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_topk_lsh(emb, QUERY_VEC_ID, LSH_PLANES, 5)
@@ -187,6 +199,28 @@ WITH {_PAIR_DOT}
 SELECT ia AS id_a, ib AS id_b, round(d, 6) AS sim
 FROM pair_dot
 WHERE ia < ib AND round(d, 6) > {PAIR_THRESHOLD}
+"""
+
+
+def similar_pairs_lsh_oracle() -> str:
+    n_planes = NEARDUP_BANDS * NEARDUP_BAND_BITS
+    return f"""
+WITH {_PAIR_DOT},
+sigs AS (
+  SELECT ia AS vid, ib // {NEARDUP_BAND_BITS} AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY ib) AS bucket
+  FROM pair_dot WHERE ib < {n_planes}
+  GROUP BY ia, ib // {NEARDUP_BAND_BITS}
+),
+cands AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vid < b.vid
+)
+SELECT c.id_a, c.id_b, round(p.d, 6) AS sim
+FROM cands c
+JOIN pair_dot p ON p.ia = c.id_a AND p.ib = c.id_b
+WHERE round(p.d, 6) > {PAIR_THRESHOLD}
 """
 
 

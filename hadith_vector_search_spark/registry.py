@@ -62,6 +62,7 @@ QUERIES: dict[str, QueryFn] = {
     "label_centroids": semantic.label_centroids,
     "embedding_stats": semantic.embedding_stats,
     "similar_pairs": semantic.similar_pairs,
+    "similar_pairs_lsh": semantic.similar_pairs_lsh,
     "ann_topk_lsh": semantic.ann_topk_lsh,
     "ann_topk_ivf": semantic.ann_topk_ivf,
     # router + hybrid pipeline (SURVEY §2.9, §3.1)
@@ -123,6 +124,7 @@ oracle("knn_join", semantic.knn_join_oracle())
 oracle("label_centroids", semantic.LABEL_CENTROIDS_SQL)
 oracle("embedding_stats", semantic.EMBEDDING_STATS_SQL)
 oracle("similar_pairs", semantic.similar_pairs_oracle())
+oracle("similar_pairs_lsh", semantic.similar_pairs_lsh_oracle())
 oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
 oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())

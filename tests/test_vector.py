@@ -87,3 +87,20 @@ def test_lsh_bucket_prunes_candidates(emb):
     # vec 3 has negative dot with plane 0 → different bucket → pruned
     assert 3 not in ids
     assert ids[0] == 0
+
+def test_similar_pairs_lsh_subset_of_exact(spark, sf_dir):
+    """LSH near-dup is a prefilter: its result must be a SUBSET of the
+    exact all-pairs result (no false positives after verification), with
+    every reported sim identical to the exact one."""
+    from hadith_vector_search_spark.plans.semantic import (
+        PAIR_THRESHOLD, similar_pairs, similar_pairs_lsh)
+
+    exact = {(r.id_a, r.id_b): r.sim
+             for r in similar_pairs(spark, sf_dir).collect()}
+    approx = {(r.id_a, r.id_b): r.sim
+              for r in similar_pairs_lsh(spark, sf_dir).collect()}
+    assert approx, "LSH prefilter found no pairs at all"
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert v == exact[k]
+    assert all(v > PAIR_THRESHOLD for v in approx.values())
