@@ -89,3 +89,27 @@ def test_hybrid_end_to_end(spark, sf_dir):
     # the query vector's own doc ranks at/near the top via the vector leg
     assert rows[0].vec_signal > 0 or rows[0].fts_sig > 0
     assert all(r.preview for r in rows)
+
+
+def test_score_breakdown_struct_matches_flat_columns(spark):
+    """Q6: fusion.score's nested breakdown struct (ref ScoreBreakdown)
+    mirrors the flat oracle-compared columns exactly."""
+    from pyspark.sql import functions as F
+
+    fts = spark.createDataFrame([(1, 2.0), (2, 0.5)], "doc_id long, bm25 double")
+    vec = spark.createDataFrame([(1, 0.9), (3, 0.4)], "doc_id long, sim double")
+    fused = fusion.fuse(fts, vec)
+    scored = fusion.score(fused, fusion.resolve_weights("balanced"),
+                          coverage_col=F.lit(0.5),
+                          phrase_hit_col=F.col("doc_id") == 1,
+                          proximity_hit_col=F.col("doc_id") == 3).collect()
+    for r in scored:
+        b = r.breakdown
+        assert (b.vector_similarity, b.fts_signal, b.phrase_bonus,
+                b.proximity_bonus, b.term_coverage, b.total) == (
+            r.vec_signal, r.fts_sig, r.phrase_bonus,
+            r.proximity_bonus, r.coverage, r.score)
+    by_id = {r.doc_id: r for r in scored}
+    assert by_id[1].phrase_bonus == 0.05 and by_id[1].proximity_bonus == 0.0
+    assert by_id[3].proximity_bonus == 0.10 and by_id[3].phrase_bonus == 0.0
+    assert all(0.0 <= r.score <= 1.0 for r in scored)  # clamped like the ref
