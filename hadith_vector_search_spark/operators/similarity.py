@@ -22,6 +22,8 @@ brute force over N into brute force over N/2^planes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -303,45 +305,102 @@ def similar_pairs(emb: DataFrame, threshold: float,
 
 def similar_pairs_lsh(emb: DataFrame, threshold: float,
                       n_bands: int = 3, band_bits: int = 4,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      block_size: int = 256) -> DataFrame:
     """Embedding near-dup with a banded sign-LSH PREFILTER — the 100 TB
     scale path `similar_pairs` points at: instead of scoring all N^2/B
     block pairs, candidates are pairs agreeing on EVERY bit of at least one
     band (n_bands bands of band_bits hyperplane signs), and only candidates
     pay the exact dot product.
 
-    Plan shape: planes (n_bands*band_bits deterministic data vectors, as in
-    `ann_topk_lsh`) are inlined as literals, so banding is a NARROW
-    projection; the only wide stages are the (band, bucket) self-join —
-    bucket sizes concentrate near N/2^band_bits — and the candidate-id
-    verification join back to the embeddings table. Recall < 1 by design
-    (a near-dup pair can split every band); raise n_bands for recall,
-    band_bits for precision — the oracle replays the same banding, so the
-    approximation itself is checked."""
-    from ..functions.vector import vector_lit
+    Plan shape, stage by stage, all scale-bounded:
 
+    1. Banding is a broadcast join against the tiny planes table plus a
+       narrow (vid, band) bit aggregation — no driver collect, no
+       literal-tree blowup, and the signature frame is pinned (lazy
+       localCheckpoint — on a lake this is the persisted signature index)
+       so it computes once, not once per self-join side.
+    2. Candidates come from the (band, bucket) self-join; bucket sizes
+       concentrate near N/2^band_bits.
+    3. Verification is a CANDIDATE-LIST BLOCKED MATMUL: candidate pairs
+       are grouped by (id-block a, id-block b), each group joins exactly
+       two block matrices (collect_list of ≤block_size vectors), and a
+       single Arrow batch BLAS-verifies the deduplicated pair list.
+       Vector traffic is O(active block pairs × block_size) — independent
+       of the candidate-pair count — instead of shipping both vectors for
+       every candidate row; inactive blocks are pruned by the join.
+
+    Recall < 1 by design (a near-dup pair can split every band); raise
+    n_bands for recall, band_bits for precision — the oracle replays the
+    same banding, so the approximation itself is checked. Float32 inputs
+    are upcast to float64 before the dot, the same arithmetic as the fold
+    in `functions.vector.dot` modulo summation order — both sides round
+    to 6 decimals."""
     n_planes = n_bands * band_bits
-    plane_rows = sorted(data_planes(emb, n_planes, id_col, vec_col).collect(),
-                        key=lambda r: r.plane_id)
-    bands = F.array(*[
-        F.concat(*[
-            F.when(dot(F.col(vec_col), vector_lit(plane_rows[b * band_bits + j].pvec)) >= 0,
-                   F.lit("1")).otherwise(F.lit("0"))
-            for j in range(band_bits)
-        ])
-        for b in range(n_bands)
-    ])
-    sigs = emb.select(F.col(id_col).alias("vid"),
-                      F.posexplode(bands).alias("band", "bucket"))
+    planes = data_planes(emb, n_planes, id_col, vec_col)
+    signed = (
+        emb.crossJoin(F.broadcast(planes))
+        .select(F.col(id_col).cast("long").alias("vid"),
+                F.floor(F.col("plane_id") / band_bits).cast("int").alias("band"),
+                F.col("plane_id"),
+                F.when(dot(F.col(vec_col), F.col("pvec")) >= 0,
+                       F.lit("1")).otherwise(F.lit("0")).alias("bit"))
+    )
+    sigs = (
+        signed.groupBy("vid", "band")
+        .agg(F.concat_ws("", F.array_sort(
+            F.collect_list(F.struct("plane_id", "bit"))).bit).alias("bucket"))
+    ).localCheckpoint(eager=False)
     a = sigs.select(F.col("vid").alias("id_a"), "band", "bucket")
     b = sigs.select(F.col("vid").alias("id_b"), "band", "bucket")
-    cands = (a.join(b, ["band", "bucket"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b")
-             .distinct())
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (cands.join(va, "id_a").join(vb, "id_b")
-            .select("id_a", "id_b",
-                    F.round(dot(F.col("va"), F.col("vb")), 6).alias("sim"))
-            .filter(F.col("sim") > threshold))
+    cand_lists = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.floor(F.col("id_a") / block_size).cast("int").alias("ka"),
+                F.floor(F.col("id_b") / block_size).cast("int").alias("kb"),
+                "id_a", "id_b")
+        .groupBy("ka", "kb")
+        .agg(F.collect_list(F.struct("id_a", "id_b")).alias("cand"))
+    )
+    blocks = (
+        emb.select(F.floor(F.col(id_col) / block_size).cast("int").alias("blk"),
+                   F.struct(F.col(id_col).cast("long").alias("vid"),
+                            F.col(vec_col).alias("vec")).alias("r"))
+        .groupBy("blk").agg(F.collect_list("r").alias("rows"))
+    )
+    joined = (
+        cand_lists
+        .join(blocks.select(F.col("blk").alias("ka"),
+                            F.col("rows").alias("rows_a")), "ka")
+        .join(blocks.select(F.col("blk").alias("kb"),
+                            F.col("rows").alias("rows_b")), "kb")
+        .select("cand", "rows_a", "rows_b")
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for cand, rows_a, rows_b in zip(pdf["cand"], pdf["rows_a"], pdf["rows_b"]):
+                pairs = np.unique(
+                    np.array([(p["id_a"], p["id_b"]) for p in cand], dtype=np.int64),
+                    axis=0)
+                ids_a = np.array([r["vid"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["vid"] for r in rows_b], dtype=np.int64)
+                ma = np.stack([np.asarray(r["vec"]) for r in rows_a]).astype(np.float64)
+                mb = np.stack([np.asarray(r["vec"]) for r in rows_b]).astype(np.float64)
+                oa, ob = np.argsort(ids_a), np.argsort(ids_b)
+                ids_a, ma = ids_a[oa], ma[oa]
+                ids_b, mb = ids_b[ob], mb[ob]
+                ia = np.searchsorted(ids_a, pairs[:, 0])
+                ib = np.searchsorted(ids_b, pairs[:, 1])
+                sims = np.round(np.einsum("ij,ij->i", ma[ia], mb[ib]), 6)
+                keep = sims > threshold
+                out_a.append(pairs[keep, 0])
+                out_b.append(pairs[keep, 1])
+                out_s.append(sims[keep])
+            if out_a:
+                yield pd.DataFrame({"id_a": np.concatenate(out_a),
+                                    "id_b": np.concatenate(out_b),
+                                    "sim": np.concatenate(out_s)})
+
+    return joined.mapInPandas(verify, schema="id_a long, id_b long, sim double")
