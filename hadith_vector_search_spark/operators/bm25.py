@@ -55,11 +55,13 @@ class LexicalIndex:
     postings: DataFrame   # doc_id, term, tf
     doc_len: DataFrame    # doc_id, dl
     stats: DataFrame      # n_docs, avgdl (single row)
+    term_df: DataFrame    # term, df — per-term document frequency
 
     def cache(self) -> "LexicalIndex":
         self.postings.cache()
         self.doc_len.cache()
         self.stats.cache()
+        self.term_df.cache()
         return self
 
 
@@ -90,7 +92,14 @@ def build_index(docs: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    return LexicalIndex(postings=postings, doc_len=doc_len, stats=stats)
+    # df is query-independent — computing it at build time (one vocab-sized
+    # table, lazily pinned) saves every scoring call a full postings pass.
+    term_df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    if pin:
+        term_df = term_df.localCheckpoint(eager=False)
+    return LexicalIndex(postings=postings, doc_len=doc_len, stats=stats,
+                        term_df=term_df)
 
 
 def _bm25_term_score(tf: Column, dl: Column, avgdl: Column, df: Column, n: Column,
@@ -111,10 +120,7 @@ def score_terms(spark: SparkSession, index: LexicalIndex, terms: list[str],
         raise ValueError("empty term list")
     terms = sorted(set(terms))
     qterms = spark.createDataFrame([(t,) for t in terms], "term string")
-    term_df = (
-        index.postings.join(F.broadcast(qterms), "term")
-        .groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    )
+    term_df = index.term_df.join(F.broadcast(qterms), "term")
     matched = (
         index.postings.join(F.broadcast(term_df), "term")
         .join(index.doc_len, "doc_id")
@@ -148,11 +154,7 @@ def score_terms_batch(index: LexicalIndex, qterms: DataFrame,
     comparison per (query, doc) — no join cascade, any number of queries.
     Returns (query_id, doc_id, score, matched)."""
     qt = qterms.dropDuplicates(["query_id", "term"])
-    term_df = (
-        index.postings.join(F.broadcast(qt.select("term").distinct()), "term")
-        .groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    )
-    qt_df = qt.join(term_df, "term")  # (query_id, term, df); still tiny
+    qt_df = index.term_df.join(F.broadcast(qt), "term")  # (query_id, term, df); still tiny
     matched = (
         index.postings.join(F.broadcast(qt_df), "term")
         .join(index.doc_len, "doc_id")

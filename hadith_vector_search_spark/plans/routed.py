@@ -61,7 +61,10 @@ def routed_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = fusion.resolve_weights("balanced")
 
     queries = spark.createDataFrame(ROUTED_BATCH, "query_id int, query_text string")
-    routed = route(queries)
+    # Pin the routed batch: eight downstream consumers would otherwise each
+    # re-plan and re-run the routing subtree (7 rows, but the duplicated
+    # subtrees inflate analysis and scheduling far beyond their data size).
+    routed = route(queries).localCheckpoint(eager=False)
 
     # -- exact_reference: parse the trailing number, partition-prunable
     #    point lookup (semi-join against the corpus keeps only real ids).
