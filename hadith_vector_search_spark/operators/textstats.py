@@ -82,10 +82,13 @@ def with_predicted_lang(docs: DataFrame, text_col: str = "text",
 
 
 def quality_metrics(docs: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-doc quality signals: char/token counts, mean token length,
     punctuation/digit/whitespace ratios, stopword ratio, and a composite
-    [0,1] quality score (each factor clamped, equally weighted).
+    [0,1] quality score (each factor clamped, equally weighted). `keep`
+    carries extra grouping columns through the projection (same contract
+    as `token_counts`) so callers aggregate without re-joining the scan.
 
     The token array feeds two consumers (token count, stopword hits); it is
     staged through an explode-of-singleton barrier so the tokenize lambda
@@ -115,6 +118,7 @@ def quality_metrics(docs: DataFrame, text_col: str = "text",
                + F.least(F.lit(1.0), stop_ratio * 4.0)) / 4.0
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_chars.alias("n_chars_computed"),
         n_tokens.alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),

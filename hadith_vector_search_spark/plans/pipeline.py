@@ -1,0 +1,204 @@
+"""Training-data pipeline queries: deterministic corpus splits, benchmark
+contamination, and the quality-filter funnel — the operations that turn a
+raw corpus into training data (complementing the dedup family in
+`plans.dedup` and the per-doc stats in `plans.textstats`).
+
+These generalize the reference's validation/reporting surface (its
+DATA_QUALITY_REPORT.md pipeline: validate → clean → report) into the
+corpus-preparation operators a 100 TB crawl needs. Every query is one scan
+plus the minimum shuffles:
+
+- `corpus_split_summary`: map-only split assignment (sha256-prefix
+  thresholds — rerun-stable, seedless) + one partial-agg shuffle.
+- `contamination_check`: broadcast the shingled benchmark suite into the
+  corpus shingle stream; only MATCHED rows shuffle (cost ~ contamination
+  rate, not corpus size).
+- `quality_filter_funnel`: cumulative survivor counts through
+  length → quality → lang-ID → exact-dedup gates in ONE pass over the
+  corpus (one window shuffle for the dedup gate, one final agg) — not one
+  pass per gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokenize
+from ..operators import sampling, textstats
+from ..operators.textstats import STOPWORDS
+from ..plans.dedup import _SHINGLES_CTE, PREVIEW_LEN
+from ..plans.textstats import _TOKS, _hits
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# corpus_split_summary
+# ---------------------------------------------------------------------------
+
+
+def corpus_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + per-(split, lang) doc and
+    token totals. The split label is a pure function of doc_id (sha256
+    prefix vs hex thresholds): re-runs and backfills never move a row."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        sampling.split_label().alias("split"),
+        "lang",
+        F.size(tokenize(F.col("text"))).alias("_n_toks"))
+    return (per_doc.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_n_toks").cast("long").alias("total_tokens")))
+
+
+def _split_case_sql(id_expr: str = "doc_id") -> str:
+    whens = " ".join(
+        f"WHEN substr(sha256(CAST({id_expr} AS VARCHAR)), 1, 2) < '{bound}' "
+        f"THEN '{name}'"
+        for name, bound in sampling.SPLIT_BOUNDS)
+    return f"CASE {whens} ELSE '{sampling.SPLIT_DEFAULT}' END"
+
+
+def corpus_split_summary_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT {_split_case_sql()} AS split, lang, len({_TOKS}) AS n_toks
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# contamination_check
+# ---------------------------------------------------------------------------
+
+# Benchmark suite: literal eval-set items. 1-3 are verbatim document
+# prefixes from the synthetic corpus (guaranteed contamination); 4 uses
+# out-of-vocabulary words (negative control — must match nothing).
+CONTAM_BENCH: list[tuple[int, str]] = [
+    (1, "key agg row scan slow fast"),
+    (2, "batch window spark order data column agg"),
+    (3, "the fast key order sort table scan"),
+    (4, "quantum pasta recipe moonlight sonata"),
+]
+CONTAM_MIN = 0.25
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w-gram containment of each benchmark item in each corpus document
+    (decontamination pass): pairs with containment >= CONTAM_MIN."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.contamination(docs, CONTAM_BENCH, CONTAM_MIN)
+
+
+def contamination_check_oracle() -> str:
+    rows = ", ".join(
+        f"({bid}, '{s}')"
+        for bid, btext in CONTAM_BENCH
+        for s in sampling.py_shingles(btext))
+    return f"""
+WITH {_SHINGLES_CTE},
+bench(bench_id, shingle) AS (VALUES {rows}),
+bsize AS (SELECT bench_id, count(*)::INT AS bench_size FROM bench GROUP BY 1),
+ov AS (
+  SELECT b.bench_id, s.doc_id, count(*)::BIGINT AS overlap
+  FROM sh s JOIN bench b USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT o.bench_id, o.doc_id, o.overlap,
+       round(o.overlap / z.bench_size, 6) AS containment
+FROM ov o JOIN bsize z USING (bench_id)
+WHERE round(o.overlap / z.bench_size, 6) >= {CONTAM_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_filter_funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_MIN_QUALITY = 0.78
+
+
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus-cleaning funnel per source: how many docs survive
+    length → quality → lang-ID-agreement → exact-dedup gates, in one scan.
+
+    The gates reuse the engine's own operators (quality_metrics,
+    with_predicted_lang, the dedup_window_preview keep-best key), so the
+    funnel IS the cleaning pipeline a training run would execute — the
+    query just counts survivors instead of materializing them."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = textstats.with_predicted_lang(docs)
+    qm = textstats.quality_metrics(
+        pred, keep=("source", "lang", "predicted", "text", "n_chars"))
+    w = Window.partitionBy(F.substring("text", 1, PREVIEW_LEN)).orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    flagged = qm.withColumn("rn", F.row_number().over(w))
+    p_len = F.col("n_tokens") >= FUNNEL_MIN_TOKENS
+    p_q = F.col("quality") >= FUNNEL_MIN_QUALITY
+    p_lang = F.col("predicted") == F.col("lang")
+    p_dd = F.col("rn") == 1
+
+    def survivors(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        survivors(p_len).alias("after_length"),
+        survivors(p_len & p_q).alias("after_quality"),
+        survivors(p_len & p_q & p_lang).alias("after_langid"),
+        survivors(p_len & p_q & p_lang & p_dd).alias("after_dedup"),
+    )
+
+
+def quality_filter_funnel_oracle() -> str:
+    langs = list(STOPWORDS)
+    score_cols = ", ".join(f"{_hits(lang)} AS s_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs)
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, lang, text, n_chars,
+         length(text) AS n_chars_txt,
+         len(ts) AS n_tokens,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^\\s]', '', 'g')) AS n_space,
+         {score_cols}
+  FROM (SELECT *, {_TOKS} AS ts FROM documents)
+),
+m AS (
+  SELECT *,
+         CASE {cases} ELSE 'und' END AS predicted,
+         round((least(1.0, n_tokens / 20.0)
+                + (1.0 - least(1.0, (n_punct / greatest(n_chars_txt, 1)::DOUBLE) * 5.0))
+                + (1.0 - least(1.0, (n_digit / greatest(n_chars_txt, 1)::DOUBLE) * 5.0))
+                + least(1.0, (s_en / greatest(n_tokens, 1)::DOUBLE) * 4.0)) / 4.0,
+               6) AS quality,
+         row_number() OVER (PARTITION BY substr(text, 1, {PREVIEW_LEN})
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM (SELECT *, {best} AS best FROM base)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_tokens >= {FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS after_length,
+       CAST(sum(CASE WHEN n_tokens >= {FUNNEL_MIN_TOKENS}
+                      AND quality >= {FUNNEL_MIN_QUALITY} THEN 1 ELSE 0 END) AS BIGINT)
+         AS after_quality,
+       CAST(sum(CASE WHEN n_tokens >= {FUNNEL_MIN_TOKENS}
+                      AND quality >= {FUNNEL_MIN_QUALITY}
+                      AND predicted = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS after_langid,
+       CAST(sum(CASE WHEN n_tokens >= {FUNNEL_MIN_TOKENS}
+                      AND quality >= {FUNNEL_MIN_QUALITY}
+                      AND predicted = lang
+                      AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS after_dedup
+FROM m GROUP BY source
+"""

@@ -25,6 +25,7 @@ from .plans import (
     semantic,
 )
 from .plans import multimodal as multimodal_plans
+from .plans import pipeline as pipeline_plans
 from .plans import textstats as textstats_plans
 from .streaming import (
     streaming_event_rollup,
@@ -106,6 +107,10 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
     "multimodal_frame_features": multimodal_plans.multimodal_frame_features,
+    # corpus-preparation pipeline: splits, decontamination, cleaning funnel
+    "corpus_split_summary": pipeline_plans.corpus_split_summary,
+    "contamination_check": pipeline_plans.contamination_check,
+    "quality_filter_funnel": pipeline_plans.quality_filter_funnel,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -128,6 +133,9 @@ oracle("similar_pairs_lsh", semantic.similar_pairs_lsh_oracle())
 oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
 oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
+oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())
+oracle("contamination_check", pipeline_plans.contamination_check_oracle())
+oracle("quality_filter_funnel", pipeline_plans.quality_filter_funnel_oracle())
 oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))

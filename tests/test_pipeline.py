@@ -1,0 +1,89 @@
+"""Corpus-preparation pipeline: split assignment, contamination,
+cleaning funnel — oracle-compared at sf0.001 plus unit tests on the
+operator invariants (determinism, containment bounds, funnel monotonicity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadith_vector_search_spark.operators import sampling
+from hadith_vector_search_spark.plans import pipeline
+from hadith_vector_search_spark.registry import get_oracles, get_queries
+from hadith_vector_search_spark.testing import compare_query
+
+ORACLE_CHECKED = [
+    "corpus_split_summary",
+    "contamination_check",
+    "quality_filter_funnel",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_matches_oracle(spark, duck, sf_dir, name):
+    queries, oracles = get_queries(), get_oracles()
+    assert name in queries and name in oracles
+    problems = compare_query(spark, duck, queries[name], oracles[name], sf_dir)
+    assert not problems, problems
+
+
+def test_split_deterministic_and_exhaustive(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r.doc_id: r.split for r in sampling.with_split(df).collect()}
+    b = {r.doc_id: r.split for r in sampling.with_split(df).collect()}
+    assert a == b  # rerun-stable
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.7 < train / n < 0.9  # ~80% by construction
+
+
+def test_split_stable_under_row_addition(spark):
+    """Adding rows never moves an existing row between splits."""
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {r.doc_id: r.split for r in sampling.with_split(small).collect()}
+    b = {r.doc_id: r.split for r in sampling.with_split(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_hash_sample_is_subset_and_roughly_sized(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    kept = sampling.hash_sample(df, "1a").collect()  # 26/256 ~ 10%
+    assert 0.05 < len(kept) / 1000 < 0.18
+
+
+def test_py_shingles_mirrors_spark_shingler(spark):
+    text = "key agg row scan slow fast table"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from hadith_vector_search_spark.operators.dedup import shingles
+
+    spark_sh = sorted(r.shingle for r in shingles(df).collect())
+    assert spark_sh == sampling.py_shingles(text)
+
+
+def test_contamination_bounds_and_negative_control(spark, sf_dir):
+    df = pipeline.contamination_check(spark, sf_dir)
+    rows = df.collect()
+    assert all(0.0 < r.containment <= 1.0 for r in rows)
+    assert all(r.bench_id != 4 for r in rows)  # OOV bench matches nothing
+    # a verbatim-prefix bench item must register at least one hit somewhere
+    # in one of the sf dirs it was drawn from; at minimum overlap >= 1 rows
+    assert all(r.overlap >= 1 for r in rows)
+
+
+def test_contamination_self_match_is_full(spark):
+    """A document equal to a benchmark text has containment exactly 1.0."""
+    docs = spark.createDataFrame(
+        [(7, pipeline.CONTAM_BENCH[0][1]), (8, "unrelated words only here")],
+        "doc_id long, text string")
+    out = sampling.contamination(docs, pipeline.CONTAM_BENCH, 0.0)
+    rows = {(r.bench_id, r.doc_id): r for r in out.collect()}
+    assert rows[(1, 7)].containment == 1.0
+    assert (1, 8) not in rows
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    for r in pipeline.quality_filter_funnel(spark, sf_dir).collect():
+        assert (r.n_docs >= r.after_length >= r.after_quality
+                >= r.after_langid >= r.after_dedup >= 0)
