@@ -116,6 +116,125 @@ WHERE round(o.overlap / z.bench_size, 6) >= {CONTAM_MIN}
 
 
 # ---------------------------------------------------------------------------
+# domain_mix_plan / sequence_packing_estimate
+# ---------------------------------------------------------------------------
+
+# Target language mix for a training run (weights sum to 1) and the token
+# budget to allocate. Literal config, identical in the oracle.
+MIX_TARGET: dict[str, float] = {
+    "en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1,
+}
+MIX_BUDGET_TOKENS = 20_000
+PACK_SEQ_LEN = 128
+
+
+def domain_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix allocation: per language, available tokens vs the
+    budget share the target mix asks for, the resulting deterministic
+    sampling rate (capped at 1.0 — oversubscribed domains need epochs,
+    flagged), and the planned token count.
+
+    One corpus scan + one tiny agg; the mix arithmetic runs on ~n_langs
+    rows, so at 100 TB this is exactly one partial-agg shuffle. Languages
+    outside the target get weight 0 (rate 0, planned 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    avail = (docs.select("lang", F.size(tokenize(F.col("text"))).alias("_t"))
+             .groupBy("lang")
+             .agg(F.sum("_t").cast("long").alias("available_tokens")))
+    weight = F.lit(0.0)
+    for lang, w in MIX_TARGET.items():
+        weight = F.when(F.col("lang") == lang, F.lit(w)).otherwise(weight)
+    need = F.round(weight * MIX_BUDGET_TOKENS, 6)
+    rate = F.least(
+        F.lit(1.0),
+        F.round(need / F.greatest(F.col("available_tokens").cast("double"),
+                                  F.lit(1.0)), 6))
+    return avail.select(
+        "lang",
+        "available_tokens",
+        need.alias("target_tokens"),
+        rate.alias("sampling_rate"),
+        F.round(rate * F.col("available_tokens"), 6).alias("planned_tokens"),
+        (need > F.col("available_tokens").cast("double"))
+        .alias("oversubscribed"),
+    )
+
+
+def domain_mix_plan_oracle() -> str:
+    weight = ("CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {w}" for lang, w in MIX_TARGET.items())
+        + " ELSE 0.0 END")
+    return f"""
+WITH avail AS (
+  SELECT lang, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY lang
+),
+m AS (
+  SELECT lang, available_tokens,
+         round(({weight}) * {MIX_BUDGET_TOKENS}, 6) AS target_tokens
+  FROM avail
+),
+r AS (
+  SELECT *,
+         least(1.0, round(target_tokens /
+                          greatest(available_tokens::DOUBLE, 1.0), 6))
+           AS sampling_rate
+  FROM m
+)
+SELECT lang, available_tokens, target_tokens, sampling_rate,
+       round(sampling_rate * available_tokens, 6) AS planned_tokens,
+       target_tokens > available_tokens::DOUBLE AS oversubscribed
+FROM r
+"""
+
+
+def sequence_packing_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for fixed-length training sequences: per
+    source, documents/tokens, sequences needed when each doc pads to its
+    own ceil(tokens/L) blocks (naive) vs dense packing (ceil(sum/L)), and
+    the fraction of compute the naive layout wastes on padding.
+
+    Everything is a per-row projection plus one partial-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", F.size(tokenize(F.col("text"))).alias("_t"))
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").cast("long").alias("total_tokens"),
+        F.sum(F.ceil(F.col("_t") / F.lit(PACK_SEQ_LEN)))
+        .cast("long").alias("naive_sequences"))
+    packed = F.ceil(F.col("total_tokens") / F.lit(PACK_SEQ_LEN)).cast("long")
+    return agg.select(
+        "source", "n_docs", "total_tokens", "naive_sequences",
+        packed.alias("packed_sequences"),
+        F.round(1.0 - F.col("total_tokens")
+                / (F.col("naive_sequences") * F.lit(PACK_SEQ_LEN)).cast("double"),
+                6).alias("naive_pad_waste"),
+    )
+
+
+def sequence_packing_estimate_oracle() -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT source, len({_TOKS}) AS t FROM documents
+),
+agg AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(t) AS BIGINT) AS total_tokens,
+         CAST(sum(CAST(ceil(t / {PACK_SEQ_LEN}.0) AS BIGINT)) AS BIGINT)
+           AS naive_sequences
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, total_tokens, naive_sequences,
+       CAST(ceil(total_tokens / {PACK_SEQ_LEN}.0) AS BIGINT) AS packed_sequences,
+       round(1.0 - total_tokens /
+             (naive_sequences * {PACK_SEQ_LEN})::DOUBLE, 6) AS naive_pad_waste
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality_filter_funnel
 # ---------------------------------------------------------------------------
 

@@ -111,6 +111,8 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_split_summary": pipeline_plans.corpus_split_summary,
     "contamination_check": pipeline_plans.contamination_check,
     "quality_filter_funnel": pipeline_plans.quality_filter_funnel,
+    "domain_mix_plan": pipeline_plans.domain_mix_plan,
+    "sequence_packing_estimate": pipeline_plans.sequence_packing_estimate,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -136,6 +138,8 @@ oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())
 oracle("contamination_check", pipeline_plans.contamination_check_oracle())
 oracle("quality_filter_funnel", pipeline_plans.quality_filter_funnel_oracle())
+oracle("domain_mix_plan", pipeline_plans.domain_mix_plan_oracle())
+oracle("sequence_packing_estimate", pipeline_plans.sequence_packing_estimate_oracle())
 oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))

@@ -16,6 +16,8 @@ ORACLE_CHECKED = [
     "corpus_split_summary",
     "contamination_check",
     "quality_filter_funnel",
+    "domain_mix_plan",
+    "sequence_packing_estimate",
 ]
 
 
@@ -87,3 +89,21 @@ def test_funnel_is_monotone(spark, sf_dir):
     for r in pipeline.quality_filter_funnel(spark, sf_dir).collect():
         assert (r.n_docs >= r.after_length >= r.after_quality
                 >= r.after_langid >= r.after_dedup >= 0)
+
+
+def test_domain_mix_invariants(spark, sf_dir):
+    rows = pipeline.domain_mix_plan(spark, sf_dir).collect()
+    assert {r.lang for r in rows} >= set(pipeline.MIX_TARGET)
+    for r in rows:
+        assert 0.0 <= r.sampling_rate <= 1.0
+        assert r.planned_tokens <= r.available_tokens + 1e-6
+        if r.oversubscribed:  # capped rate -> plan everything available
+            assert r.sampling_rate == 1.0
+            assert r.planned_tokens == r.available_tokens
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    for r in pipeline.sequence_packing_estimate(spark, sf_dir).collect():
+        assert r.packed_sequences <= r.naive_sequences
+        assert 0.0 <= r.naive_pad_waste < 1.0
+        assert r.packed_sequences * pipeline.PACK_SEQ_LEN >= r.total_tokens
