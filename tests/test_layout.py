@@ -1,0 +1,105 @@
+"""Lake-layout machinery: partition pruning and bucketed co-located joins,
+asserted from the physical plan (not assumed)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadith_vector_search_spark.sources import load_table
+from hadith_vector_search_spark.sources.layout import (
+    partition_filters,
+    scan_exchanges,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, "lang")
+    # layout on disk: one directory per lang
+    dirs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert len(dirs) >= 2
+
+    pruned = spark.read.parquet(path).filter(F.col("lang") == "en")
+    pf = partition_filters(pruned)
+    assert pf and any("lang" in f for f in pf), pf
+    # pruned scan reads only the en partition's rows
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert pruned.count() == n_en
+
+
+def test_dynamic_overwrite_touches_only_written_partitions(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_dyn")
+    write_partitioned(docs, path, "lang")
+    before = {d: os.listdir(os.path.join(path, d))
+              for d in os.listdir(path) if d.startswith("lang=")}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        en_only = docs.filter(F.col("lang") == "en").withColumn(
+            "text", F.concat(F.col("text"), F.lit(" [v2]")))
+        write_partitioned(en_only, path, "lang")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    after = {d: os.listdir(os.path.join(path, d))
+             for d in os.listdir(path) if d.startswith("lang=")}
+    assert set(after) == set(before)  # no partition dropped
+    assert after["lang=en"] != before["lang=en"]  # rewritten
+    for d in before:
+        if d != "lang=en":
+            assert after[d] == before[d], f"untouched partition {d} modified"
+    # and the data reflects the merge
+    merged = spark.read.parquet(path)
+    assert merged.filter(F.col("text").endswith(" [v2]")).count() == \
+        merged.filter(F.col("lang") == "en").count()
+
+
+def test_bucketed_join_skips_exchange(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source")
+    emb_ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label")
+    try:
+        write_bucketed(docs, "t_docs_b", str(tmp_path / "docs_b"),
+                       "doc_id", 4, sort_col="doc_id")
+        write_bucketed(emb_ids, "t_emb_b", str(tmp_path / "emb_b"),
+                       "doc_id", 4, sort_col="doc_id")
+        a = spark.table("t_docs_b")
+        b = spark.table("t_emb_b")
+        # disable auto-broadcast so the join shape under test is the
+        # sort-merge join a large-scale run would use
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "doc_id")
+            # both sides pre-distributed on the key: no shuffle in the plan
+            assert scan_exchanges(joined) == 0, "bucketed join still shuffles"
+            # versus the plain-parquet join, which must exchange both sides
+            plain = (load_table(spark, sf_dir, "documents")
+                     .select("doc_id", "lang", "source")
+                     .join(emb_ids, "doc_id"))
+            assert scan_exchanges(plain) >= 2
+            # same result either way
+            assert joined.count() == plain.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_emb_b")
+
+
+def test_bucketed_agg_skips_exchange(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    try:
+        write_bucketed(docs, "t_docs_agg", str(tmp_path / "docs_agg"),
+                       "doc_id", 4)
+        agg = (spark.table("t_docs_agg")
+               .groupBy("doc_id").agg(F.sum("n_chars").alias("s")))
+        assert scan_exchanges(agg) == 0, "bucketed agg still shuffles"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_agg")
