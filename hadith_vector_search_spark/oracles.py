@@ -142,6 +142,28 @@ FROM (
 WHERE rn = 1
 """)
 
+
+oracle("event_attribution", """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+),
+errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+clicks AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click')
+  WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       round(date_diff('microsecond', c.ts, e.ts) / 1000000.0, 6)
+         AS seconds_since_click
+FROM errors e ASOF JOIN clicks c ON e.user_id = c.user_id AND c.ts <= e.ts
+""")
+
 oracle("salted_user_rollup", """
 SELECT user_id,
        count(*)             AS event_count,

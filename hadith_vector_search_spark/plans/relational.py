@@ -202,3 +202,36 @@ def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("unique_users"),
         )
     )
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribution: each 'error' event joined to the LATEST preceding
+    'click' of the same user (`operators.asof.asof_join` — union-tag +
+    running window, one shuffle, no range-join row explosion).
+
+    The click side is deduped to one row per (user, ts) first — with
+    duplicate quote timestamps the "latest preceding quote" is otherwise
+    ambiguous in ANY as-of implementation (DuckDB's native ASOF JOIN picks
+    arbitrarily too). The gap is computed on integer microseconds
+    (unix_micros), not timestamp→double casts, which lose sub-µs precision
+    at epoch magnitudes."""
+    from pyspark.sql import Window
+
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    errors = (events.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts"))
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id")
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    j = asof_join(errors, clicks, on="user_id")
+    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof.ts"))) \
+        / F.lit(1000000.0)
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.col("asof.event_id").alias("click_event_id"),
+        F.col("asof.ts").alias("click_ts"),
+        F.round(gap, 6).alias("seconds_since_click"))

@@ -45,6 +45,7 @@ QUERIES: dict[str, QueryFn] = {
     "first_event_per_user": relational.first_event_per_user,
     "daily_event_rollup": relational.daily_event_rollup,
     "event_props_rollup": relational.event_props_rollup,
+    "event_attribution": relational.event_attribution,
     "salted_user_rollup": relational.salted_user_rollup,
     "salted_segment_revenue": relational.salted_segment_revenue,
     # lexical leg (SURVEY §2.7/§4.2)

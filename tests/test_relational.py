@@ -73,3 +73,38 @@ def test_salted_aggregate_equals_plain(spark):
         n_salts=4).collect()}
     assert out[1] == (100, sum(float(i) for i in range(100)), 0.0, 99.0)
     assert out[2] == (1, 7.0, 7.0, 7.0)
+
+
+def test_asof_join_semantics(spark):
+    """Literal-frame checks: <= tie inclusion, latest-quote selection,
+    inner vs left behavior for probes with no preceding quote."""
+    from hadith_vector_search_spark.operators.asof import asof_join
+
+    probes = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 5, "p0"), (2, 50, "p2")],
+        "k long, ts long, tag string")
+    quotes = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 100, 2.0), (1, 120, 3.0), (2, 60, 9.0)],
+        "k long, ts long, v double")
+
+    inner = {(r.tag): r.asof for r in
+             asof_join(probes, quotes, on="k", how="inner").collect()}
+    # tie at ts=100 matches the equal-time quote (<= semantics)
+    assert inner["p1"].v == 2.0
+    # p0 precedes every quote -> dropped; p2's only quote is later -> dropped
+    assert set(inner) == {"p1"}
+
+    left = {r.tag: r.asof for r in
+            asof_join(probes, quotes, on="k", how="left").collect()}
+    assert set(left) == {"p0", "p1", "p2"}
+    assert left["p0"] is None and left["p2"] is None
+    assert left["p1"].v == 2.0
+
+
+def test_event_attribution_gap_is_nonnegative(spark, sf_dir):
+    from hadith_vector_search_spark.plans.relational import event_attribution
+
+    rows = event_attribution(spark, sf_dir).collect()
+    assert rows, "no error events attributed"
+    assert all(r.seconds_since_click >= 0 for r in rows)
+    assert all(r.click_ts <= r.ts for r in rows)
