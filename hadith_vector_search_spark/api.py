@@ -24,10 +24,10 @@ from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .functions.text import py_tokenize, snippet, term_coverage
 from .operators import bm25, fusion, proximity, similarity
+from .operators import dedup as dedup_ops
 from .operators.embedder import DEFAULT_DIM, embed_column, encode_query
 from .operators.router import route
 
@@ -122,9 +122,10 @@ class HybridEngine:
         # hits with no corpus entry (quran_mcp/search.py:219-221).
         with_text = F.broadcast(fused).join(
             self.docs.select(self.id_col, self.text_col), self.id_col)
-        if synonym_groups and len(synonym_groups) >= 2:
-            # Pin the O(k) candidates: the proximity probe and the scoring
-            # path both consume them (unpinned, each re-runs both legs).
+        if dedupe or (synonym_groups and len(synonym_groups) >= 2):
+            # Pin the O(k) candidates: the proximity probe and the dedup
+            # diamond (dropped-count agg + keep-best filter) each consume
+            # them twice — unpinned, every consumer re-runs both legs.
             with_text = with_text.localCheckpoint()
 
         text_lower = F.lower(F.col(self.text_col))
@@ -161,15 +162,8 @@ class HybridEngine:
                               proximity_hit_col=prox_hit)
         preview = F.substring(F.col(self.text_col), 1, 120)
         if dedupe:
-            dkey = F.coalesce(F.nullif(F.trim(preview), F.lit("")),
-                              F.col(self.id_col).cast("string"))
-            dw = Window.partitionBy(dkey).orderBy(F.desc("score"),
-                                                  F.asc(self.id_col))
-            ranked = scored.withColumn("rn", F.row_number().over(dw))
-            dups = ranked.filter(F.col("rn") > 1).agg(
-                F.count(F.lit(1)).alias("duplicates_filtered"))
-            scored = (ranked.filter(F.col("rn") == 1)
-                      .crossJoin(F.broadcast(dups)))
+            scored = dedup_ops.fused_result_dedup(scored, preview,
+                                                  id_col=self.id_col)
         else:
             scored = scored.withColumn("duplicates_filtered",
                                        F.lit(0).cast("long"))

@@ -194,6 +194,27 @@ def window_dedup(docs: DataFrame, key: Column, order_cols: list[Column],
     )
 
 
+def fused_result_dedup(scored: DataFrame, preview_col: Column,
+                       id_col: str = "doc_id",
+                       score_col: str = "score") -> DataFrame:
+    """D1 on a ranked candidate list (ref quran_mcp/search.py:262-278):
+    rows sharing a non-empty text-preview key keep only the best-scored
+    one (deterministic id tie-break), and every surviving row carries
+    `duplicates_filtered` — the total number of rows dropped — via a
+    broadcast of the 1-row count. Empty/blank previews fall back to the
+    id so they can never collide. Shared by the HybridEngine API and the
+    oracle-checked hybrid plan; the candidate list is O(k), so the window
+    and the count are trivial at any corpus size."""
+    dkey = F.coalesce(F.nullif(F.trim(preview_col), F.lit("")),
+                      F.col(id_col).cast("string"))
+    dw = Window.partitionBy(dkey).orderBy(F.desc(score_col), F.asc(id_col))
+    ranked = scored.withColumn("rn", F.row_number().over(dw))
+    dups = ranked.filter(F.col("rn") > 1).agg(
+        F.count(F.lit(1)).alias("duplicates_filtered"))
+    return (ranked.filter(F.col("rn") == 1).drop("rn")
+            .crossJoin(F.broadcast(dups)))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n_bits: int = 16) -> DataFrame:
     """Charikar SimHash: bit_i = sign of sum over tokens of ±1 (+1 when hex

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from ..functions.text import contains_phrase, py_tokenize, term_coverage
 from ..operators import bm25 as bm25_ops
-from ..operators import fusion, proximity, similarity
+from ..operators import dedup, fusion, proximity, similarity
 from ..plans.lexical import _sql_tokens_cte, get_index
 from ..plans.semantic import _PAIR_DOT
 from ..sources import load_table
@@ -93,15 +93,8 @@ def _hybrid(spark: SparkSession, sf_dir: str, mode: str,
     # sharing a text-preview block keep only the best-ranked row; the count
     # of dropped rows is reported as `duplicates_filtered`.
     preview = F.substring(F.col("text"), 1, 60)
-    dkey = F.coalesce(F.nullif(F.trim(preview), F.lit("")),
-                      F.col("doc_id").cast("string"))
-    dw = Window.partitionBy(dkey).orderBy(F.desc("score"), F.asc("doc_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(dw))
-    dups = ranked.filter(F.col("rn") > 1).agg(
-        F.count(F.lit(1)).alias("duplicates_filtered"))
     return (
-        ranked.filter(F.col("rn") == 1)
-        .crossJoin(F.broadcast(dups))
+        dedup.fused_result_dedup(scored, preview)
         .select("doc_id", "score", "vec_signal", "fts_sig", "coverage",
                 "phrase_bonus", "proximity_bonus", "duplicates_filtered",
                 preview.alias("preview"))

@@ -172,7 +172,18 @@ def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
         sess = batch.sparkSession
         incoming = (batch.dropDuplicates([key])
                     .withColumn(MERGE_PART_COL, part_of))
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Scope the dynamic-overwrite mode to this merge: leaking it onto
+        # the shared session would silently change the semantics of every
+        # later `overwrite` write (kept-instead-of-dropped partitions).
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev_mode = sess.conf.get(conf_key, "static")
+        sess.conf.set(conf_key, "dynamic")
+        try:
+            _merge_batch_inner(sess, incoming)
+        finally:
+            sess.conf.set(conf_key, prev_mode)
+
+    def _merge_batch_inner(sess: SparkSession, incoming: DataFrame) -> None:
         if os.path.exists(target_dir):
             # Touched-partition list is bounded by n_parts — a tiny collect.
             touched = [r[0] for r in
