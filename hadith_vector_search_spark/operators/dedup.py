@@ -322,6 +322,47 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     return jaccard_verify(cands, sharr, threshold)
 
 
+def near_dup_simhash(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n_bits: int = 16,
+                     n_bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs via PIGEONHOLE banding: the n_bits
+    fingerprint splits into n_bands contiguous chunks; two fingerprints
+    within hamming distance <= n_bands - 1 MUST agree on at least one
+    whole chunk, so the band-bucket self-join is a LOSSLESS candidate
+    generator for max_hamming <= n_bands - 1 (unlike MinHash banding,
+    whose recall is probabilistic). Verification computes the exact
+    hamming distance on candidates only.
+
+    Same plan skeleton as `near_dup_minhash`: narrow fingerprinting
+    (pinned — two join sides), one self-join shuffle on small (band, key)
+    buckets, candidate-bounded verify. Output: (id_a, id_b, hamming_dist)
+    with hamming_dist <= max_hamming."""
+    assert n_bits % n_bands == 0, "bands must tile the fingerprint"
+    assert max_hamming <= n_bands - 1, "banding is lossless only to bands-1"
+    band_w = n_bits // n_bands
+    sigs = simhash(docs, text_col, id_col, n_bits).localCheckpoint()
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.substring("simhash", 1 + b * band_w, band_w).alias("bkey"))
+        for b in range(n_bands)
+    ])
+    ex = (sigs.select(F.col("doc_id").alias("vid"), F.explode(bands).alias("b"))
+          .select("vid", "b.band", "b.bkey"))
+    a = ex.select(F.col("vid").alias("id_a"), "band", "bkey")
+    b = ex.select(F.col("vid").alias("id_b"), "band", "bkey")
+    cands = (a.join(b, ["band", "bkey"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .distinct())
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (cands.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    hamming(F.col("sh_a"), F.col("sh_b"), n_bits)
+                    .cast("int").alias("hamming_dist"))
+            .filter(F.col("hamming_dist") <= max_hamming))
+
+
 def hamming(a: Column, b: Column, n_bits: int) -> Column:
     """Hamming distance between equal-length bit strings — JVM-side."""
     return F.aggregate(

@@ -186,13 +186,13 @@ WHERE round(c.cnt::DOUBLE / (sa.n + sb.n - c.cnt), 6) >= {t}
 """
 
 
-def simhash_oracle() -> str:
+def simhash_oracle(n_bits: int = SIMHASH_BITS) -> str:
     sums = ", ".join(
         f"sum(CASE WHEN substr(dg, {i + 1}, 1) < '8' "
         f"THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(SIMHASH_BITS))
+        for i in range(n_bits))
     bits = " || ".join(
-        f"(CASE WHEN b{i} >= 0 THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS))
+        f"(CASE WHEN b{i} >= 0 THEN '1' ELSE '0' END)" for i in range(n_bits))
     return f"""
 WITH tok_rows AS (
   SELECT doc_id, sha256(unnest(list_filter(
@@ -202,4 +202,51 @@ WITH tok_rows AS (
 ),
 sums AS (SELECT doc_id, {sums} FROM tok_rows GROUP BY doc_id)
 SELECT doc_id, {bits} AS simhash FROM sums
+"""
+
+
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+# The near-dup query uses a WIDER fingerprint than the 16-bit preview
+# query: at 16 bits a small-vocabulary corpus collides constantly (19% of
+# all pairs within hamming 3); 32 bits makes hamming<=3 mean near-duplicate.
+SIMHASH_NEARDUP_BITS = 32
+
+
+def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole band buckets (LOSSLESS for
+    hamming <= bands-1) + exact hamming verify on candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_simhash(docs, n_bits=SIMHASH_NEARDUP_BITS,
+                                  n_bands=SIMHASH_BANDS,
+                                  max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def near_dup_simhash_oracle() -> str:
+    n_bits = SIMHASH_NEARDUP_BITS
+    band_w = n_bits // SIMHASH_BANDS
+    return f"""
+WITH sims AS ({simhash_oracle(n_bits).strip()}),
+bands AS (
+  SELECT doc_id, b.band,
+         substr(simhash, 1 + b.band * {band_w}, {band_w}) AS bkey
+  FROM sims, unnest(range(0, {SIMHASH_BANDS})) AS b(band)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(range(1, {n_bits + 1}),
+              i -> substr(x.simhash, CAST(i AS INT), 1)
+                   <> substr(y.simhash, CAST(i AS INT), 1))) AS INT)
+           AS hamming_dist
+  FROM cands c
+  JOIN sims x ON x.doc_id = c.id_a
+  JOIN sims y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, hamming_dist FROM verified
+WHERE hamming_dist <= {SIMHASH_MAX_HAMMING}
 """

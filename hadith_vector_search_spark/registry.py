@@ -84,6 +84,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": dedup_plans.minhash_sigs,
     "near_dup_minhash": dedup_plans.near_dup_minhash,
     "simhash_fingerprints": dedup_plans.simhash_fingerprints,
+    "near_dup_simhash": dedup_plans.near_dup_simhash,
     "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
     # text analysis + multimodal plumbing
     "lang_id_counts": textstats_plans.lang_id_counts,
@@ -155,6 +156,7 @@ oracle("dedup_window_preview", dedup_plans.dedup_window_preview_oracle())
 oracle("minhash_signatures", dedup_plans.minhash_sigs_oracle())
 oracle("near_dup_minhash", dedup_plans.near_dup_minhash_oracle())
 oracle("simhash_fingerprints", dedup_plans.simhash_oracle())
+oracle("near_dup_simhash", dedup_plans.near_dup_simhash_oracle())
 oracle("near_dup_ngram_jaccard", dedup_plans.near_dup_ngram_jaccard_oracle())
 oracle("lang_id_counts", textstats_plans.lang_id_counts_oracle())
 oracle("quality_scores", textstats_plans.quality_scores_oracle())

@@ -154,3 +154,30 @@ def test_ngram_jaccard_keeps_exact_threshold_pair(spark):
     pairs = ngram_jaccard_pairs(docs, threshold=0.8).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
     assert abs(pairs[0].jaccard - 0.8) < 1e-9
+
+
+def test_near_dup_simhash_lossless_banding(spark, sf_dir):
+    """Pigeonhole guarantee: every pair within max_hamming appears —
+    verified against brute-force hamming over all fingerprint pairs."""
+    from itertools import combinations
+
+    from hadith_vector_search_spark.plans.dedup import (
+        SIMHASH_BANDS,
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_NEARDUP_BITS,
+        near_dup_simhash,
+    )
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = {r.doc_id: r.simhash
+            for r in dedup.simhash(docs, n_bits=SIMHASH_NEARDUP_BITS).collect()}
+    brute = {
+        (a, b): sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        for a, b in combinations(sorted(sigs), 2)
+        if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= SIMHASH_MAX_HAMMING
+    }
+    got = {(r.id_a, r.id_b): r.hamming_dist
+           for r in near_dup_simhash(spark, sf_dir).collect()}
+    assert got == brute  # lossless: exact same pair set and distances
+    assert SIMHASH_MAX_HAMMING <= SIMHASH_BANDS - 1
