@@ -29,6 +29,7 @@ from .plans import pipeline as pipeline_plans
 from .plans import textstats as textstats_plans
 from .streaming import (
     streaming_event_rollup,
+    streaming_merge_jsonl,
     streaming_user_sessions,
     streaming_user_totals_stateful,
 )
@@ -105,6 +106,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_event_rollup": streaming_event_rollup,
     "streaming_user_sessions": streaming_user_sessions,
     "streaming_user_totals_stateful": streaming_user_totals_stateful,
+    "streaming_merge_jsonl": streaming_merge_jsonl,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -157,6 +159,7 @@ oracle("minhash_signatures", dedup_plans.minhash_sigs_oracle())
 oracle("near_dup_minhash", dedup_plans.near_dup_minhash_oracle())
 oracle("simhash_fingerprints", dedup_plans.simhash_oracle())
 oracle("near_dup_simhash", dedup_plans.near_dup_simhash_oracle())
+oracle("streaming_merge_jsonl", lifecycle.incremental_merge_preview_oracle())
 oracle("near_dup_ngram_jaccard", dedup_plans.near_dup_ngram_jaccard_oracle())
 oracle("lang_id_counts", textstats_plans.lang_id_counts_oracle())
 oracle("quality_scores", textstats_plans.quality_scores_oracle())

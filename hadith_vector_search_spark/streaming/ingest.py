@@ -202,3 +202,33 @@ def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def streaming_merge_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming-MERGE correctness query: batch 1 streams the
+    corpus itself into an empty target, batch 2 streams the lifecycle
+    synthetic "second arrival" (same derivation as
+    `plans.lifecycle.incremental_merge_preview`), each as its own
+    AvailableNow pass over a JSONL source dir (the checkpoint ensures pass
+    2 reads ONLY the new files). The final merged table must equal the
+    batch MERGE — the oracle IS `incremental_merge_preview`'s SQL, so the
+    streaming path is hash-checked against batch semantics, not just
+    row-counted."""
+    import tempfile
+
+    from ..plans.lifecycle import _incoming
+    from ..sources import load_table
+
+    work = tempfile.mkdtemp(prefix="stream_merge_q_")
+    src = os.path.join(work, "src")
+    tgt = os.path.join(work, "tgt")
+    ckpt = os.path.join(work, "ckpt")
+    schema = spark.createDataFrame([], "doc_id long, text string").schema
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").coalesce(4).write.mode("overwrite").json(src)
+    stream_merge_jsonl(spark, src, schema, tgt, ckpt)
+    (_incoming(docs).select("doc_id", "text")
+     .coalesce(4).write.mode("append").json(src))
+    stream_merge_jsonl(spark, src, schema, tgt, ckpt)
+    return spark.read.parquet(tgt).select("doc_id", "text")
