@@ -235,3 +235,31 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof.event_id").alias("click_event_id"),
         F.col("asof.ts").alias("click_ts"),
         F.round(gap, 6).alias("seconds_since_click"))
+
+
+CORR_TOLERANCE_US = 300_000_000  # ± 5 minutes
+
+
+def event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval correlation: every (error, click) pair of the same user
+    within ±5 minutes, via `operators.rangejoin.range_join_buckets` — the
+    band predicate joins as part of the key (3x replication), not as a
+    post-join filter over the per-user cross product. The oracle runs the
+    naive inequality join, checking the bucketed rewrite against the
+    direct semantics."""
+    from ..operators.rangejoin import range_join_buckets
+
+    events = load_table(spark, sf_dir, "events")
+    errors = (events.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts"))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_event_id"),
+                      "user_id", F.col("ts").alias("click_ts")))
+    j = range_join_buckets(
+        errors, clicks, on="user_id",
+        left_ts=F.unix_micros(F.col("ts")),
+        right_ts=F.unix_micros(F.col("click_ts")),
+        tolerance_us=CORR_TOLERANCE_US)
+    return j.select(
+        "event_id", "user_id", "ts", "click_event_id",
+        F.round(F.col("delta_us") / F.lit(1000000.0), 6).alias("delta_seconds"))

@@ -47,6 +47,7 @@ QUERIES: dict[str, QueryFn] = {
     "daily_event_rollup": relational.daily_event_rollup,
     "event_props_rollup": relational.event_props_rollup,
     "event_attribution": relational.event_attribution,
+    "event_correlation": relational.event_correlation,
     "salted_user_rollup": relational.salted_user_rollup,
     "salted_segment_revenue": relational.salted_segment_revenue,
     # lexical leg (SURVEY §2.7/§4.2)
@@ -159,6 +160,21 @@ oracle("minhash_signatures", dedup_plans.minhash_sigs_oracle())
 oracle("near_dup_minhash", dedup_plans.near_dup_minhash_oracle())
 oracle("simhash_fingerprints", dedup_plans.simhash_oracle())
 oracle("near_dup_simhash", dedup_plans.near_dup_simhash_oracle())
+oracle("event_correlation", f"""
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+),
+errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, e.ts, c.event_id AS click_event_id,
+       round(date_diff('microsecond', e.ts, c.ts) / 1000000.0, 6)
+         AS delta_seconds
+FROM errors e JOIN clicks c ON e.user_id = c.user_id
+WHERE abs(date_diff('microsecond', e.ts, c.ts))
+      <= {relational.CORR_TOLERANCE_US}
+""")
+
 oracle("streaming_merge_jsonl", lifecycle.incremental_merge_preview_oracle())
 oracle("near_dup_ngram_jaccard", dedup_plans.near_dup_ngram_jaccard_oracle())
 oracle("lang_id_counts", textstats_plans.lang_id_counts_oracle())

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hadith_vector_search_spark.registry import get_oracles, get_queries
 from hadith_vector_search_spark.testing import compare_query
@@ -108,3 +109,40 @@ def test_event_attribution_gap_is_nonnegative(spark, sf_dir):
     assert rows, "no error events attributed"
     assert all(r.seconds_since_click >= 0 for r in rows)
     assert all(r.click_ts <= r.ts for r in rows)
+
+
+def test_range_join_buckets_equals_naive(spark):
+    """Bucketed rewrite == naive inequality join, including pairs exactly
+    at the tolerance boundary and across bucket edges."""
+    from hadith_vector_search_spark.operators.rangejoin import range_join_buckets
+
+    tol = 100
+    left = spark.createDataFrame(
+        [(1, 1000, "a"), (1, 1100, "b"), (2, 500, "c")],
+        "k long, t long, ltag string")
+    right = spark.createDataFrame(
+        [(1, 900, "x"), (1, 1100, "y"), (1, 1201, "z"), (2, 650, "w")],
+        "k long, t long, rtag string")
+    got = {(r.ltag, r.rtag, r.delta_us) for r in range_join_buckets(
+        left.select("k", F.col("t").alias("lt"), "ltag"),
+        right.select("k", F.col("t").alias("rt"), "rtag"),
+        on="k", left_ts=F.col("lt"), right_ts=F.col("rt"),
+        tolerance_us=tol).collect()}
+    naive = {(lr.ltag, rr.rtag, rr.t - lr.t)
+             for lr in left.collect() for rr in right.collect()
+             if lr.k == rr.k and abs(rr.t - lr.t) <= tol}
+    assert got == naive
+    assert ("a", "x", -100) in got      # exactly at -tolerance
+    assert ("b", "z", 101) not in got   # just outside
+
+
+def test_event_correlation_window_bound(spark, sf_dir):
+    from hadith_vector_search_spark.plans.relational import (
+        CORR_TOLERANCE_US,
+        event_correlation,
+    )
+
+    rows = event_correlation(spark, sf_dir).collect()
+    assert rows, "no correlated pairs found"
+    bound = CORR_TOLERANCE_US / 1_000_000.0
+    assert all(abs(r.delta_seconds) <= bound for r in rows)
