@@ -57,8 +57,11 @@ def main() -> None:
     try:
         from hadith_vector_search_spark.plans.lexical import get_index
         get_index(spark, sf_dir)
-    except Exception:  # noqa: BLE001
-        pass
+    except Exception as e:  # noqa: BLE001
+        # Don't abort the bench, but DO leave a trace: a silent failure
+        # here re-bills the index build to the first lexical query and
+        # skews run-to-run comparison.
+        print(f"bench: index warm-up failed: {e}", file=sys.stderr)
     gc.collect()
 
     timings: dict[str, float] = {}

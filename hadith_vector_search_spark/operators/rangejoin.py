@@ -23,16 +23,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_RESERVED = ("_lt", "_rt", "_bkt", "_delta", "delta_us")
+
+
 def range_join_buckets(left: DataFrame, right: DataFrame, on: str,
                        left_ts: Column, right_ts: Column,
-                       tolerance_us: int,
-                       how_cols: tuple[str, ...] = ()) -> DataFrame:
+                       tolerance_us: int) -> DataFrame:
     """Join rows of `left` and `right` sharing `on` whose integer-µs
     timestamps differ by at most `tolerance_us`. `left_ts` / `right_ts`
     are integer-microsecond Columns (use `F.unix_micros` for timestamps —
     integer math, no double epoch rounding). Returns left columns +
     right columns (caller pre-aliases to avoid collisions) + `delta_us`
     (right - left, in [-tolerance_us, +tolerance_us])."""
+    clash = [c for c in _RESERVED
+             if c in left.columns or c in right.columns]
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {clash}")
     lb = F.floor(left_ts / F.lit(tolerance_us)).cast("long")
     rb = F.floor(right_ts / F.lit(tolerance_us)).cast("long")
     l_rep = (left

@@ -227,30 +227,16 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_dup_simhash_oracle() -> str:
+    """INDEPENDENT oracle: brute-force all-pairs hamming with DuckDB's
+    builtin hamming() — it does NOT replay the pigeonhole banding, so a
+    banding bug shared between operator and oracle is impossible (the
+    banding being lossless for max_hamming <= bands-1 makes the brute
+    answer the exact expected output)."""
     n_bits = SIMHASH_NEARDUP_BITS
-    band_w = n_bits // SIMHASH_BANDS
     return f"""
-WITH sims AS ({simhash_oracle(n_bits).strip()}),
-bands AS (
-  SELECT doc_id, b.band,
-         substr(simhash, 1 + b.band * {band_w}, {band_w}) AS bkey
-  FROM sims, unnest(range(0, {SIMHASH_BANDS})) AS b(band)
-),
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-  WHERE a.doc_id < b.doc_id
-),
-verified AS (
-  SELECT c.id_a, c.id_b,
-         CAST(len(list_filter(range(1, {n_bits + 1}),
-              i -> substr(x.simhash, CAST(i AS INT), 1)
-                   <> substr(y.simhash, CAST(i AS INT), 1))) AS INT)
-           AS hamming_dist
-  FROM cands c
-  JOIN sims x ON x.doc_id = c.id_a
-  JOIN sims y ON y.doc_id = c.id_b
-)
-SELECT id_a, id_b, hamming_dist FROM verified
-WHERE hamming_dist <= {SIMHASH_MAX_HAMMING}
+WITH sims AS ({simhash_oracle(n_bits).strip()})
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST(hamming(x.simhash, y.simhash) AS INT) AS hamming_dist
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE hamming(x.simhash, y.simhash) <= {SIMHASH_MAX_HAMMING}
 """

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -226,9 +227,17 @@ def streaming_merge_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.createDataFrame([], "doc_id long, text string").schema
 
     docs = load_table(spark, sf_dir, "documents")
-    docs.select("doc_id", "text").coalesce(4).write.mode("overwrite").json(src)
-    stream_merge_jsonl(spark, src, schema, tgt, ckpt)
-    (_incoming(docs).select("doc_id", "text")
-     .coalesce(4).write.mode("append").json(src))
-    stream_merge_jsonl(spark, src, schema, tgt, ckpt)
-    return spark.read.parquet(tgt).select("doc_id", "text")
+    try:
+        docs.select("doc_id", "text").coalesce(4).write.mode("overwrite").json(src)
+        stream_merge_jsonl(spark, src, schema, tgt, ckpt)
+        (_incoming(docs).select("doc_id", "text")
+         .coalesce(4).write.mode("append").json(src))
+        stream_merge_jsonl(spark, src, schema, tgt, ckpt)
+        # Materialize the merged table into block storage so the workdir
+        # (full corpus as JSONL + target parquet + checkpoint) can be
+        # removed before returning — repeated runs must not accumulate
+        # corpus copies in the temp filesystem.
+        return (spark.read.parquet(tgt).select("doc_id", "text")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

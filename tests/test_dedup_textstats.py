@@ -15,6 +15,7 @@ ORACLE_CHECKED = [
     "dedup_window_preview",
     "minhash_signatures",
     "near_dup_minhash",
+    "near_dup_simhash",
     "simhash_fingerprints",
     "near_dup_ngram_jaccard",
     "lang_id_counts",
@@ -172,11 +173,9 @@ def test_near_dup_simhash_lossless_banding(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sigs = {r.doc_id: r.simhash
             for r in dedup.simhash(docs, n_bits=SIMHASH_NEARDUP_BITS).collect()}
-    brute = {
-        (a, b): sum(x != y for x, y in zip(sigs[a], sigs[b]))
-        for a, b in combinations(sorted(sigs), 2)
-        if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= SIMHASH_MAX_HAMMING
-    }
+    dists = (((a, b), sum(x != y for x, y in zip(sigs[a], sigs[b])))
+             for a, b in combinations(sorted(sigs), 2))
+    brute = {pair: d for pair, d in dists if d <= SIMHASH_MAX_HAMMING}
     got = {(r.id_a, r.id_b): r.hamming_dist
            for r in near_dup_simhash(spark, sf_dir).collect()}
     assert got == brute  # lossless: exact same pair set and distances

@@ -28,6 +28,7 @@ ORACLE_CHECKED = [
     "streaming_event_rollup",
     "streaming_user_sessions",
     "streaming_user_totals_stateful",
+    "streaming_merge_jsonl",
 ]
 
 DOC_SCHEMA = StructType([StructField("doc_id", LongType()),

@@ -20,6 +20,8 @@ RELATIONAL = [
     "event_props_rollup",
     "salted_user_rollup",
     "salted_segment_revenue",
+    "event_attribution",
+    "event_correlation",
 ]
 
 
