@@ -2,24 +2,30 @@
 document embedding through the Arrow pandas UDF, and the full
 embed -> score -> top-k search path with a driver-side query embedding.
 
-Both are oracle-checked end to end: the deterministic encoder
-(operators/embedder.py) is reproducible in DuckDB SQL (md5-derived ±1
-signs per (dim, token), summed over the doc's token multiset, then
-L2-normalized), so the oracle replays the entire embedding pipeline —
-not just the final ranking.
+These run at the reference model's real geometry — dim=384, the
+all-MiniLM-L6-v2 shape (/root/reference/quran_mcp/embeddings.py:28-37) —
+through the deterministic hash backend, so every query pays a realistic
+per-vector cost AND stays oracle-checkable: the encoder (sign j of a token
+= hex digit (j mod 32) of md5("{j//32}|token"), summed over the doc's
+token multiset, L2-normalized) is replayed exactly in DuckDB SQL below.
+The `backend="hash"` pin means correctness never depends on whether the
+real sentence-transformer happens to be importable.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_SPLIT_RE
-from ..functions.vector import dot, vector_lit
-from ..operators.embedder import embed_column, encode_query
+from ..functions.vector import dot, norm, vector_lit
+from ..operators.embedder import _HEX_PER_DIGEST, embed_column, encode_query
 from ..sources import load_table
 
-DIM = 8
+DIM = 384
+N_BLOCKS = -(-DIM // _HEX_PER_DIGEST)
 QUERY_TEXT = "quality filtering and near duplicate detection for training data"
 TOPK = 10
 
@@ -33,7 +39,7 @@ def embed_documents_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     array<double> column: the correctness harness canonicalizes results
     through pandas, which cannot sort/hash list cells."""
     docs = load_table(spark, sf_dir, "documents")
-    emb = embed_column("text", DIM)
+    emb = embed_column("text", DIM, backend="hash")
     return docs.select(
         "doc_id",
         F.posexplode(F.transform(emb, lambda x: F.round(x, 6))).alias("dim", "value"))
@@ -43,27 +49,37 @@ def embed_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2+V3: embed the corpus (executor-side UDF), embed the query once on
     the driver (constant-folded literal), exact cosine top-k with the
     reference's positive-similarity filter (P7,
-    /root/reference/quran_mcp/search.py:168-169)."""
+    /root/reference/quran_mcp/search.py:168-169).
+
+    The cosine is computed from the RAW integer sign-sum vectors:
+    dot(raw, q_raw) and ||raw||² are exact small-integer sums in double
+    (order-insensitive), so the whole score is one sqrt + one multiply +
+    one divide — bit-identical between Spark's fold and DuckDB's SUM at
+    384 dims, where a normalized-vector dot would depend on summation
+    order at the last ulp."""
     docs = load_table(spark, sf_dir, "documents")
-    qvec = vector_lit(encode_query(QUERY_TEXT, DIM))
-    scored = docs.select(
-        "doc_id",
-        F.round(dot(embed_column("text", DIM), qvec), 6).alias("sim"))
+    q_raw = encode_query(QUERY_TEXT, DIM, backend="hash", normalize=False)
+    qn = math.sqrt(sum(t * t for t in q_raw))
+    raw = embed_column("text", DIM, backend="hash", normalize=False)
+    scored = (docs.select("doc_id", raw.alias("emb"))
+              .select("doc_id",
+                      F.when(norm("emb") > 0,
+                             F.round(dot("emb", vector_lit(q_raw))
+                                     / (norm("emb") * F.lit(qn)), 6))
+                      .alias("sim")))
     return (scored.filter(F.col("sim") > 0)
             .orderBy(F.desc("sim"), F.asc("doc_id"))
             .limit(TOPK))
 
 
 # ---------------------------------------------------------------------------
-# Oracles — replay the encoder in SQL.
+# Oracles — replay the encoder in SQL. One md5 digest covers 32 dims (hex
+# digit j mod 32 of block j // 32), so a token's full sign vector is the
+# concatenation of N_BLOCKS digests — `hx` below.
 # ---------------------------------------------------------------------------
 
-def _sums_cte() -> str:
-    sums = ", ".join(
-        f"sum(CASE WHEN substr(md5('{j}|' || tok), 1, 1) < '8' "
-        f"THEN 1 ELSE -1 END)::DOUBLE AS s{j}"
-        for j in range(DIM))
-    sq = " + ".join(f"s{j} * s{j}" for j in range(DIM))
+def _tok_hex_cte() -> str:
+    hx = " || ".join(f"md5('{b}|' || tok)" for b in range(N_BLOCKS))
     return f"""
 tok_rows AS (
   SELECT doc_id,
@@ -71,36 +87,61 @@ tok_rows AS (
                             x -> length(x) >= 2)) AS tok
   FROM documents
 ),
-sums AS (SELECT doc_id, {sums} FROM tok_rows GROUP BY doc_id),
-normed AS (SELECT doc_id, sqrt({sq}) AS nrm, * EXCLUDE (doc_id) FROM sums)
+tok_hex AS (SELECT doc_id, {hx} AS hx FROM tok_rows)
 """
 
 
 def embed_documents_preview_oracle() -> str:
-    comps = ", ".join(f"round(n.s{j} / n.nrm, 6)" for j in range(DIM))
-    zeros = ", ".join("0.0" for _ in range(DIM))
+    # Narrow replay: explode each token's hex signature over the dim axis,
+    # sum the ±1 signs per (doc, dim) — integer-exact, so summation order
+    # cannot matter — then normalize with the same single division Spark
+    # performs. Docs whose every token is filtered get the zero vector.
     return f"""
-WITH {_sums_cte()},
-vecs AS (
-  SELECT d.doc_id,
-         CASE WHEN n.nrm > 0 THEN [{comps}] ELSE [{zeros}] END AS emb
-  FROM documents d LEFT JOIN normed n ON d.doc_id = n.doc_id
-)
-SELECT doc_id,
-       generate_subscripts(emb, 1) - 1 AS dim,
-       CAST(unnest(emb) AS DOUBLE)     AS value
-FROM vecs
+WITH {_tok_hex_cte()},
+comps AS (
+  SELECT doc_id, g.j AS dim,
+         SUM(CASE WHEN substr(hx, g.j + 1, 1) < '8' THEN 1 ELSE -1 END)::DOUBLE AS s
+  FROM tok_hex CROSS JOIN generate_series(0, {DIM - 1}) AS g(j)
+  GROUP BY doc_id, g.j
+),
+norms AS (SELECT doc_id, sqrt(SUM(s * s)) AS nrm FROM comps GROUP BY doc_id)
+SELECT d.doc_id, g.j AS dim,
+       round(CASE WHEN n.nrm > 0 THEN c.s / n.nrm ELSE 0.0 END, 6) AS value
+FROM documents d
+CROSS JOIN generate_series(0, {DIM - 1}) AS g(j)
+LEFT JOIN comps c ON c.doc_id = d.doc_id AND c.dim = g.j
+LEFT JOIN norms n ON n.doc_id = d.doc_id
 """
 
 
 def embed_and_search_oracle() -> str:
-    q = encode_query(QUERY_TEXT, DIM)
-    dot_expr = " + ".join(f"(n.s{j} / n.nrm) * ({q[j]!r})" for j in range(DIM))
+    # Narrow replay of the raw-integer cosine: per-(doc, dim) sign sums,
+    # joined against the query's raw vector, aggregated as exact integer
+    # sums (num, ssq) — order cannot matter — then the same single
+    # sqrt/multiply/divide Spark performs. qn is sqrt of an exact integer,
+    # identical on both engines via repr round-trip.
+    q_raw = encode_query(QUERY_TEXT, DIM, backend="hash", normalize=False)
+    qn = math.sqrt(sum(t * t for t in q_raw))
+    qvals = ", ".join(f"({j}, {q_raw[j]!r})" for j in range(DIM))
     return f"""
-WITH {_sums_cte()}
-SELECT n.doc_id, round({dot_expr}, 6) AS sim
-FROM normed n
-WHERE n.nrm > 0 AND round({dot_expr}, 6) > 0
+WITH {_tok_hex_cte()},
+comps AS (
+  SELECT doc_id, g.j AS dim,
+         SUM(CASE WHEN substr(hx, g.j + 1, 1) < '8' THEN 1 ELSE -1 END)::DOUBLE AS s
+  FROM tok_hex CROSS JOIN generate_series(0, {DIM - 1}) AS g(j)
+  GROUP BY doc_id, g.j
+),
+qvec(j, t) AS (VALUES {qvals}),
+stats AS (
+  SELECT c.doc_id,
+         SUM(c.s * q.t) AS num,
+         SUM(c.s * c.s) AS ssq
+  FROM comps c JOIN qvec q ON q.j = c.dim
+  GROUP BY c.doc_id
+)
+SELECT doc_id, round(num / (sqrt(ssq) * {qn!r}), 6) AS sim
+FROM stats
+WHERE ssq > 0 AND round(num / (sqrt(ssq) * {qn!r}), 6) > 0
 ORDER BY sim DESC, doc_id ASC
 LIMIT {TOPK}
 """
