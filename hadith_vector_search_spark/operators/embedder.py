@@ -57,7 +57,13 @@ class HashEmbedder:
     its tokens of ±1, L2-normalized. The per-token ±1 vector is derived
     from ceil(dim/32) md5 digests — sign j = (hex digit (j mod 32) of
     md5("{j//32}|token")) < '8' — and memoized as a numpy array per token,
-    the moral equivalent of resident embedding-table weights."""
+    the moral equivalent of resident embedding-table weights. The memo is
+    bounded (SIGN_CACHE_MAX entries ≈ 100 MB at dim=384): a long-lived
+    executor worker streaming an open vocabulary must not grow without
+    limit, so on overflow the oldest half is evicted (dict preserves
+    insertion order; eviction only costs recomputing one md5 chain)."""
+
+    SIGN_CACHE_MAX = 65536
 
     def __init__(self, dim: int = DEFAULT_DIM) -> None:
         self.dim = dim
@@ -72,6 +78,9 @@ class HashEmbedder:
                 for b in range(self.n_blocks))[: self.dim]
             v = np.where(np.frombuffer(hx.encode("ascii"), dtype=np.uint8)
                          < ord("8"), 1.0, -1.0)
+            if len(self._signs) >= self.SIGN_CACHE_MAX:
+                for k in list(self._signs)[: self.SIGN_CACHE_MAX // 2]:
+                    del self._signs[k]
             self._signs[tok] = v
         return v
 
@@ -130,20 +139,31 @@ class SentenceTransformerEmbedder:
 
 
 def real_model_available() -> bool:
+    # A broken install can raise OSError/RuntimeError (native libs, torch)
+    # at import time, not just ImportError — any failure means "fall back".
     try:
         import sentence_transformers  # noqa: F401
         return True
-    except ImportError:
+    except Exception:
         return False
+
+
+def resolve_backend(dim: int, backend: str) -> str:
+    """Resolve 'auto' to a concrete backend name. Called ONCE on the driver
+    before a UDF closure is built, so driver-side query embedding and
+    executor-side document embedding can never silently pick different
+    models when sentence-transformers is importable on only one side."""
+    if backend == "auto":
+        return ("st" if real_model_available()
+                and dim == SentenceTransformerEmbedder.dim else "hash")
+    return backend
 
 
 def get_model(dim: int = DEFAULT_DIM, backend: str = "auto"):
     """Lazy per-process singleton (V1's executor-cached model). "auto"
     prefers the real sentence-transformer when importable (and the dim
     matches its fixed 384 geometry), else the deterministic hash backend."""
-    if backend == "auto":
-        backend = ("st" if real_model_available()
-                   and dim == SentenceTransformerEmbedder.dim else "hash")
+    backend = resolve_backend(dim, backend)
     key = (backend, dim)
     model = _MODEL_CACHE.get(key)
     if model is None:
@@ -164,8 +184,11 @@ def get_model(dim: int = DEFAULT_DIM, backend: str = "auto"):
 def make_embedder(dim: int = DEFAULT_DIM, backend: str = "auto",
                   normalize: bool = True):
     """Returns a pandas UDF: text column -> array<double> embedding column.
-    The UDF body runs in executor Python workers; `get_model` resolves the
-    singleton there, not on the driver."""
+    'auto' is resolved to a concrete backend HERE on the driver and the
+    resolved name is baked into the UDF closure — executors must use the
+    driver's choice, not re-probe their own environment. The model
+    singleton itself still materializes lazily in each executor worker."""
+    backend = resolve_backend(dim, backend)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def embed(texts: pd.Series) -> pd.Series:

@@ -205,24 +205,28 @@ SELECT doc_id, {bits} AS simhash FROM sums
 """
 
 
-SIMHASH_BANDS = 4
+SIMHASH_BLOCKS = 6
+SIMHASH_COMBO = 3
 SIMHASH_MAX_HAMMING = 3
 # The near-dup query uses a WIDER fingerprint than the 16-bit preview
 # query — the classic web-dedup setting (64-bit simhash, hamming <= 3,
 # Manku-Jain-Sarma WWW'07). Narrow fingerprints collapse on a
 # small-vocabulary corpus: simhash bits are sign-sums over shared frequent
-# tokens, so they correlate strongly across documents and 8-bit band
-# buckets hold ~30% of the corpus (4.4M candidate pairs at sf0.1);
-# 16-bit bands cut that to ~thousands while banding stays lossless.
+# tokens, so they correlate strongly across documents; simple 16-bit bands
+# put 13% of the sf0.1 corpus in ONE bucket (556k candidate rows). The
+# 3-of-6 block-combination keys (~32 bits each, C(6,3)=20 tables) keep
+# banding lossless for hamming <= 3 while bounding bucket sizes.
 SIMHASH_NEARDUP_BITS = 64
 
 
 def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: pigeonhole band buckets (LOSSLESS for
-    hamming <= bands-1) + exact hamming verify on candidates only."""
+    """SimHash near-dup pairs: exact-fingerprint collapse, then LOSSLESS
+    block-combination banding (hamming <= n_blocks - combo_size) + exact
+    XOR/popcount verify on candidates only."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.near_dup_simhash(docs, n_bits=SIMHASH_NEARDUP_BITS,
-                                  n_bands=SIMHASH_BANDS,
+                                  n_blocks=SIMHASH_BLOCKS,
+                                  combo_size=SIMHASH_COMBO,
                                   max_hamming=SIMHASH_MAX_HAMMING)
 
 

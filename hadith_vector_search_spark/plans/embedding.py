@@ -61,11 +61,15 @@ def embed_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_raw = encode_query(QUERY_TEXT, DIM, backend="hash", normalize=False)
     qn = math.sqrt(sum(t * t for t in q_raw))
     raw = embed_column("text", DIM, backend="hash", normalize=False)
+    # Materialize the norm into its own column first: it is a 384-element
+    # aggregate fold, and referencing it from both the guard and the
+    # denominator must not rely on Catalyst CSE across when() branches.
     scored = (docs.select("doc_id", raw.alias("emb"))
+              .withColumn("emb_norm", norm("emb"))
               .select("doc_id",
-                      F.when(norm("emb") > 0,
+                      F.when(F.col("emb_norm") > 0,
                              F.round(dot("emb", vector_lit(q_raw))
-                                     / (norm("emb") * F.lit(qn)), 6))
+                                     / (F.col("emb_norm") * F.lit(qn)), 6))
                       .alias("sim")))
     return (scored.filter(F.col("sim") > 0)
             .orderBy(F.desc("sim"), F.asc("doc_id"))

@@ -40,15 +40,7 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming constraints shape the plan: `countDistinct` is unsupported in
     streaming aggs (use approx_count_distinct in production); the memory
     sink with complete output mode holds the final state table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events_path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(events_path).schema
-    stream = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    agg = (stream
+    agg = (_events_stream(spark, sf_dir)
            .withWatermark("ts", "1 day")
            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("event_count"),
@@ -67,15 +59,22 @@ SESSION_GAP = "30 minutes"
 
 def _events_stream(spark: SparkSession, sf_dir: str):
     """File-source stream over the events table (shared reader: schema from
-    a batch probe, nanos-as-long conf, micros downcast)."""
+    a batch probe, nanos-as-long conf, event-time normalization). The `ts`
+    column must land as TIMESTAMP for `withWatermark`: nano-long payloads
+    are downcast to micros, and TIMESTAMP_NTZ (how recent parquet writers
+    encode naive timestamps) is cast — value-preserving because the session
+    timezone is pinned to UTC in session.py."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events_path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(events_path).schema
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
+    dt = dict(stream.dtypes).get("ts")
+    if dt == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

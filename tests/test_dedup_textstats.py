@@ -163,7 +163,8 @@ def test_near_dup_simhash_lossless_banding(spark, sf_dir):
     from itertools import combinations
 
     from hadith_vector_search_spark.plans.dedup import (
-        SIMHASH_BANDS,
+        SIMHASH_BLOCKS,
+        SIMHASH_COMBO,
         SIMHASH_MAX_HAMMING,
         SIMHASH_NEARDUP_BITS,
         near_dup_simhash,
@@ -179,4 +180,4 @@ def test_near_dup_simhash_lossless_banding(spark, sf_dir):
     got = {(r.id_a, r.id_b): r.hamming_dist
            for r in near_dup_simhash(spark, sf_dir).collect()}
     assert got == brute  # lossless: exact same pair set and distances
-    assert SIMHASH_MAX_HAMMING <= SIMHASH_BANDS - 1
+    assert SIMHASH_MAX_HAMMING <= SIMHASH_BLOCKS - SIMHASH_COMBO
