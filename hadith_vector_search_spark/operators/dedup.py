@@ -148,24 +148,77 @@ def jaccard_verify(pairs: DataFrame, sharr: DataFrame, threshold: float) -> Data
     )
 
 
+def _shingle_groups(sharr: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-set collapse for shingle-based near-dup: docs with identical
+    (sorted) shingle sets are interchangeable under Jaccard, so banding and
+    verification run over one REPRESENTATIVE per set and member pairs are
+    restored afterward. A corpus with K copies of one boilerplate page
+    contributes ONE row to every band bucket instead of K — the classic
+    web-dedup bucket blowup can't happen from duplicate multiplicity.
+
+    Returns (membership, groups): membership = (doc_id, gkey) for docs with
+    non-empty shingle sets; groups = (gkey, rep_id, members)."""
+    membership = (sharr.filter(F.size("shingles") > 0)
+                  .select("doc_id",
+                          F.xxhash64(F.array_sort("shingles")).alias("gkey")))
+    groups = (membership.groupBy("gkey")
+              .agg(F.min("doc_id").alias("rep_id"),
+                   F.count(F.lit(1)).alias("members")))
+    return membership, groups
+
+
+def _expand_shingle_pairs(rep_pairs: DataFrame, membership: DataFrame,
+                          groups: DataFrame, threshold: float) -> DataFrame:
+    """Expand representative-level verified pairs (id_a, id_b, jaccard)
+    back to member-level pairs, and emit all within-group pairs (identical
+    shingle sets ⇒ Jaccard exactly 1.0). Expansion joins are on group keys
+    — output cardinality only, never intermediate all-pairs state."""
+    rep_a = groups.select(F.col("rep_id").alias("id_a"), F.col("gkey").alias("gk_a"))
+    rep_b = groups.select(F.col("rep_id").alias("id_b"), F.col("gkey").alias("gk_b"))
+    mem_a = membership.select(F.col("gkey").alias("gk_a"), F.col("doc_id").alias("did_a"))
+    mem_b = membership.select(F.col("gkey").alias("gk_b"), F.col("doc_id").alias("did_b"))
+    cross = (rep_pairs.join(rep_a, "id_a").join(rep_b, "id_b")
+             .join(mem_a, "gk_a").join(mem_b, "gk_b")
+             .select(F.least("did_a", "did_b").alias("id_a"),
+                     F.greatest("did_a", "did_b").alias("id_b"),
+                     "jaccard"))
+    if threshold > 1.0:
+        return cross
+    dup_keys = groups.filter(F.col("members") >= 2).select("gkey")
+    dup_members = membership.join(dup_keys, "gkey", "left_semi")
+    within = (dup_members.select("gkey", F.col("doc_id").alias("did_a"))
+              .join(dup_members.select("gkey", F.col("doc_id").alias("did_b")), "gkey")
+              .filter(F.col("did_a") < F.col("did_b"))
+              .select(F.col("did_a").alias("id_a"), F.col("did_b").alias("id_b"),
+                      F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(within)
+
+
 def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      n_hashes: int = 8, band_size: int = 2,
                      threshold: float = 0.8) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: shingle arrays (narrow) →
-    signatures (narrow) → band-bucket candidate pairs (the only corpus-wide
-    shuffle, on small band keys) → exact-Jaccard verification restricted to
-    candidates (array_intersect, no shingle explode).
+    exact-set collapse (`_shingle_groups` — duplicate boilerplate can't
+    flood band buckets) → signatures over representatives (narrow) →
+    band-bucket candidate pairs (the only corpus-wide shuffle, on small
+    band keys) → exact-Jaccard verification restricted to candidates
+    (array_intersect, no shingle explode) → member expansion.
 
-    The shingle and signature frames each feed TWO consumers (both sides of
-    a self-join / the verify joins). Spark recomputes diamond branches, so
-    both are pinned with an eager localCheckpoint — shingling and hashing
-    run exactly once per doc. On a cluster deployment these are the derived
+    The shingle and group frames each feed multiple consumers (join sides
+    / verify / expansion). Spark recomputes diamond branches, so both are
+    pinned with an eager localCheckpoint — shingling and hashing run
+    exactly once per doc. On a cluster deployment these are the derived
     index tables you would persist anyway (parquet, bucketed by doc_id);
     the checkpoint is the single-job equivalent."""
     sharr = shingle_array(docs, text_col, id_col).localCheckpoint()
-    sigs = minhash_signatures(sharr, n_hashes).localCheckpoint()
+    membership, groups = _shingle_groups(sharr)
+    groups = groups.localCheckpoint()
+    rep_sharr = sharr.join(groups.select(F.col("rep_id").alias("doc_id")),
+                           "doc_id", "left_semi")
+    sigs = minhash_signatures(rep_sharr, n_hashes).localCheckpoint()
     cands = lsh_band_pairs(sigs, n_hashes, band_size)
-    return jaccard_verify(cands, sharr, threshold)
+    rep_pairs = jaccard_verify(cands, rep_sharr, threshold)
+    return _expand_shingle_pairs(rep_pairs, membership, groups, threshold)
 
 
 def exact_dedup_groups(docs: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
@@ -304,8 +357,18 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # sharr feeds three consumers (df stats, ranking, verify) and prefix
     # feeds both sides of the candidate self-join — pin both so shingling
     # runs once and the self-join reads materialized rows (see
-    # near_dup_minhash for the cluster-deployment framing).
-    sharr = shingle_array(docs, text_col, id_col, w).localCheckpoint()
+    # near_dup_minhash for the cluster-deployment framing). As there,
+    # exact-set collapse runs the join over one representative per
+    # distinct shingle set: duplicate boilerplate can't flood the rare-
+    # shingle buckets, and losslessness is preserved because prefix
+    # filtering is lossless under ANY consistent global ordering — the
+    # representative-only document frequencies are simply a different
+    # (equally valid) ordering than all-docs df.
+    sharr_all = shingle_array(docs, text_col, id_col, w).localCheckpoint()
+    membership, groups = _shingle_groups(sharr_all)
+    groups = groups.localCheckpoint()
+    sharr = sharr_all.join(groups.select(F.col("rep_id").alias("doc_id")),
+                           "doc_id", "left_semi")
     sh = sharr.select("doc_id", F.size("shingles").alias("set_size"),
                       F.explode("shingles").alias("shingle"))
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -351,7 +414,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_verify(cands, sharr, threshold)
+    rep_pairs = jaccard_verify(cands, sharr, threshold)
+    return _expand_shingle_pairs(rep_pairs, membership, groups, threshold)
 
 
 def _combo_keys(n_bits: int, n_blocks: int, combo_size: int) -> list[Column]:

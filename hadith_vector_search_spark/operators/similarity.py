@@ -335,15 +335,36 @@ def similar_pairs_lsh(emb: DataFrame, threshold: float,
     same banding, so the approximation itself is checked. Float32 inputs
     are upcast to float64 before the dot, the same arithmetic as the fold
     in `functions.vector.dot` modulo summation order — both sides round
-    to 6 decimals."""
+    to 6 decimals.
+
+    Stage 0 (not numbered above, added for the hot-bucket bound):
+    EXACT-VECTOR COLLAPSE. Bit-identical vectors share every band bucket,
+    so K copies of one embedding (duplicated boilerplate docs embed
+    identically) would put K rows in the same bucket and go quadratic in
+    the self-join. Banding + verify therefore run over one representative
+    per distinct vector (xxhash64 of the array), and member-level pairs
+    are restored afterward — within-group pairs score round(dot(v,v),6)
+    against the threshold, exactly what banding+verify would have
+    produced for an identical pair (identical vectors always agree on
+    every band)."""
     n_planes = n_bands * band_bits
     planes = data_planes(emb, n_planes, id_col, vec_col)
+    tagged = (emb.select(F.col(id_col).cast("long").alias("vid"),
+                         F.col(vec_col).alias("vec"),
+                         F.xxhash64(F.col(vec_col)).alias("gkey"))
+              .localCheckpoint(eager=False))
+    groups = (tagged.groupBy("gkey")
+              .agg(F.min("vid").alias("rep_id"),
+                   F.count(F.lit(1)).alias("members"))
+              .localCheckpoint(eager=False))
+    reps = tagged.join(groups.select(F.col("rep_id").alias("vid")),
+                       "vid", "left_semi")
     signed = (
-        emb.crossJoin(F.broadcast(planes))
-        .select(F.col(id_col).cast("long").alias("vid"),
+        reps.crossJoin(F.broadcast(planes))
+        .select("vid",
                 F.floor(F.col("plane_id") / band_bits).cast("int").alias("band"),
                 F.col("plane_id"),
-                F.when(dot(F.col(vec_col), F.col("pvec")) >= 0,
+                F.when(dot(F.col("vec"), F.col("pvec")) >= 0,
                        F.lit("1")).otherwise(F.lit("0")).alias("bit"))
     )
     sigs = (
@@ -363,9 +384,8 @@ def similar_pairs_lsh(emb: DataFrame, threshold: float,
         .agg(F.collect_list(F.struct("id_a", "id_b")).alias("cand"))
     )
     blocks = (
-        emb.select(F.floor(F.col(id_col) / block_size).cast("int").alias("blk"),
-                   F.struct(F.col(id_col).cast("long").alias("vid"),
-                            F.col(vec_col).alias("vec")).alias("r"))
+        reps.select(F.floor(F.col("vid") / block_size).cast("int").alias("blk"),
+                    F.struct("vid", "vec").alias("r"))
         .groupBy("blk").agg(F.collect_list("r").alias("rows"))
     )
     joined = (
@@ -403,4 +423,31 @@ def similar_pairs_lsh(emb: DataFrame, threshold: float,
                                     "id_b": np.concatenate(out_b),
                                     "sim": np.concatenate(out_s)})
 
-    return joined.mapInPandas(verify, schema="id_a long, id_b long, sim double")
+    rep_pairs = joined.mapInPandas(verify,
+                                   schema="id_a long, id_b long, sim double")
+
+    # Member expansion (stage 0's inverse). Cross-group pairs inherit the
+    # representative pair's sim (identical vectors, identical dot); within-
+    # group pairs of a duplicated vector score round(dot(v, v), 6) computed
+    # ONCE per group, then fan out — output cardinality, no banding state.
+    rep_a = groups.select(F.col("rep_id").alias("id_a"), F.col("gkey").alias("gk_a"))
+    rep_b = groups.select(F.col("rep_id").alias("id_b"), F.col("gkey").alias("gk_b"))
+    mem_a = tagged.select(F.col("gkey").alias("gk_a"), F.col("vid").alias("did_a"))
+    mem_b = tagged.select(F.col("gkey").alias("gk_b"), F.col("vid").alias("did_b"))
+    cross = (rep_pairs.join(rep_a, "id_a").join(rep_b, "id_b")
+             .join(mem_a, "gk_a").join(mem_b, "gk_b")
+             .select(F.least("did_a", "did_b").alias("id_a"),
+                     F.greatest("did_a", "did_b").alias("id_b"),
+                     "sim"))
+    selfsim = (reps.join(groups.filter(F.col("members") >= 2)
+                         .select(F.col("rep_id").alias("vid")), "vid", "left_semi")
+               .select("gkey", F.round(dot(F.col("vec"), F.col("vec")), 6).alias("sim"))
+               .filter(F.col("sim") > threshold))
+    within = (tagged.join(selfsim, "gkey")
+              .select("gkey", "sim", F.col("vid").alias("did_a"))
+              .join(tagged.select(F.col("gkey").alias("gkey"),
+                                  F.col("vid").alias("did_b")), "gkey")
+              .filter(F.col("did_a") < F.col("did_b"))
+              .select(F.col("did_a").alias("id_a"),
+                      F.col("did_b").alias("id_b"), "sim"))
+    return cross.unionByName(within)

@@ -230,6 +230,67 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   max_hamming=SIMHASH_MAX_HAMMING)
 
 
+BOILER_COPIES = 150
+BOILER_ID_BASE = 9_000_000
+BOILER_TEXT = (
+    "subscribe to our newsletter for updates terms of service privacy "
+    "policy all rights reserved copyright contact us about careers press "
+    "blog help center community guidelines cookie settings sitemap "
+    "accessibility feedback support")
+
+
+def near_dup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADVERSARIAL-FIXTURE near-dup: the corpus is `documents` plus
+    BOILER_COPIES exact copies of one boilerplate page — the classic
+    web-dedup hot-bucket case (every copy lands in every one of its band
+    buckets). Exact-fingerprint collapse means the banding self-join sees
+    the whole boilerplate cluster as ONE row per bucket; the C(copies, 2)
+    duplicate pairs appear only in the output expansion, never as
+    intermediate band-join state. Oracle: independent brute-force hamming
+    over the same synthesized corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    boiler = (spark.range(BOILER_COPIES)
+              .select((F.col("id") + BOILER_ID_BASE).alias("doc_id"),
+                      F.lit(BOILER_TEXT).alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(boiler)
+    return dedup.near_dup_simhash(corpus, n_bits=SIMHASH_NEARDUP_BITS,
+                                  n_blocks=SIMHASH_BLOCKS,
+                                  combo_size=SIMHASH_COMBO,
+                                  max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def near_dup_boilerplate_oracle() -> str:
+    """Brute-force hamming over documents ∪ synthesized boilerplate rows
+    (DuckDB range() builds the identical copies)."""
+    n_bits = SIMHASH_NEARDUP_BITS
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(dg, {i + 1}, 1) < '8' "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits))
+    bits = " || ".join(
+        f"(CASE WHEN b{i} >= 0 THEN '1' ELSE '0' END)" for i in range(n_bits))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT i + {BOILER_ID_BASE} AS doc_id, '{BOILER_TEXT}' AS text
+  FROM range({BOILER_COPIES}) t(i)
+),
+tok_rows AS (
+  SELECT doc_id, sha256(unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+           x -> length(x) >= 2))) AS dg
+  FROM corpus
+),
+sums AS (SELECT doc_id, {sums} FROM tok_rows GROUP BY doc_id),
+sims AS (SELECT doc_id, {bits} AS simhash FROM sums)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST(hamming(x.simhash, y.simhash) AS INT) AS hamming_dist
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE hamming(x.simhash, y.simhash) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 def near_dup_simhash_oracle() -> str:
     """INDEPENDENT oracle: brute-force all-pairs hamming with DuckDB's
     builtin hamming() — it does NOT replay the pigeonhole banding, so a

@@ -87,6 +87,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_minhash": dedup_plans.near_dup_minhash,
     "simhash_fingerprints": dedup_plans.simhash_fingerprints,
     "near_dup_simhash": dedup_plans.near_dup_simhash,
+    "near_dup_boilerplate": dedup_plans.near_dup_boilerplate,
     "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
     # text analysis + multimodal plumbing
     "lang_id_counts": textstats_plans.lang_id_counts,
@@ -160,6 +161,7 @@ oracle("minhash_signatures", dedup_plans.minhash_sigs_oracle())
 oracle("near_dup_minhash", dedup_plans.near_dup_minhash_oracle())
 oracle("simhash_fingerprints", dedup_plans.simhash_oracle())
 oracle("near_dup_simhash", dedup_plans.near_dup_simhash_oracle())
+oracle("near_dup_boilerplate", dedup_plans.near_dup_boilerplate_oracle())
 oracle("event_correlation", f"""
 WITH ev AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type

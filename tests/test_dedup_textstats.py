@@ -181,3 +181,45 @@ def test_near_dup_simhash_lossless_banding(spark, sf_dir):
            for r in near_dup_simhash(spark, sf_dir).collect()}
     assert got == brute  # lossless: exact same pair set and distances
     assert SIMHASH_MAX_HAMMING <= SIMHASH_BLOCKS - SIMHASH_COMBO
+
+
+def test_boilerplate_collapse_bounds_band_state(spark, sf_dir):
+    """Hot-bucket bound: K exact copies of one page contribute ONE row per
+    combination table to the banding self-join (not K), while the output
+    still contains all C(K, 2) duplicate pairs — i.e. the quadratic blowup
+    moved from intermediate join state to true output cardinality."""
+    from itertools import combinations as icombs
+
+    from hadith_vector_search_spark.plans.dedup import (
+        BOILER_COPIES,
+        BOILER_ID_BASE,
+        SIMHASH_BLOCKS,
+        SIMHASH_COMBO,
+        SIMHASH_NEARDUP_BITS,
+        near_dup_boilerplate,
+    )
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    from hadith_vector_search_spark.plans.dedup import BOILER_TEXT
+    boiler = (spark.range(BOILER_COPIES)
+              .select((F.col("id") + BOILER_ID_BASE).alias("doc_id"),
+                      F.lit(BOILER_TEXT).alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(boiler)
+
+    sigs = dedup.simhash_long(corpus, n_bits=SIMHASH_NEARDUP_BITS)
+    n_distinct = sigs.select("fp").distinct().count()
+    assert n_distinct <= n_docs + 1  # all copies share one fingerprint
+
+    # Banding input is one row per distinct fp per combination table.
+    groups = sigs.groupBy("fp").count()
+    n_combos = len(list(icombs(range(SIMHASH_BLOCKS), SIMHASH_COMBO)))
+    ex = groups.select("fp", F.explode(F.array(
+        *dedup._combo_keys(SIMHASH_NEARDUP_BITS, SIMHASH_BLOCKS, SIMHASH_COMBO))).alias("b"))
+    assert ex.count() == n_distinct * n_combos
+
+    out = near_dup_boilerplate(spark, sf_dir)
+    boiler_pairs = out.filter((F.col("id_a") >= BOILER_ID_BASE)
+                              & (F.col("hamming_dist") == 0)).count()
+    assert boiler_pairs >= BOILER_COPIES * (BOILER_COPIES - 1) // 2
