@@ -89,6 +89,41 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, QUERY_VEC_ID, IVF_CENTROIDS, IVF_PROBE, 5)
 
 
+ANN_K = 5
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-exact for every approximate similarity operator — the
+    honest accounting for substituting LSH/IVF where the reference uses
+    HNSW (Chroma, /root/reference/mcp_server/apps/embeddings.py:224-228):
+    recall@k against the exact cosine top-k for the ANN probes, and pair
+    recall against the exact blocked-matmul all-pairs for the banded-LSH
+    near-dup. One row per method; every leg reuses the oracle-checked
+    operators, so this report is itself oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact5 = similarity.topk_by_query_id(emb, QUERY_VEC_ID, ANN_K).select("vec_id")
+    lsh5 = similarity.ann_topk_lsh(emb, QUERY_VEC_ID, LSH_PLANES, ANN_K).select("vec_id")
+    ivf5 = similarity.ivf_topk(emb, QUERY_VEC_ID, IVF_CENTROIDS, IVF_PROBE,
+                               ANN_K).select("vec_id")
+    epairs = similarity.similar_pairs(emb, PAIR_THRESHOLD).select("id_a", "id_b")
+    lpairs = similarity.similar_pairs_lsh(
+        emb, PAIR_THRESHOLD, NEARDUP_BANDS, NEARDUP_BAND_BITS).select("id_a", "id_b")
+
+    def row(method: str, approx: DataFrame, exact: DataFrame,
+            keys: list[str]) -> DataFrame:
+        hits = (approx.join(exact, keys, "left_semi")
+                .agg(F.count(F.lit(1)).alias("hits")))
+        expected = exact.agg(F.count(F.lit(1)).alias("expected"))
+        return (hits.crossJoin(F.broadcast(expected))
+                .select(F.lit(method).alias("method"), "hits", "expected",
+                        F.round(F.col("hits") / F.col("expected"), 6).alias("recall")))
+
+    return (row("ann_topk_lsh", lsh5, exact5, ["vec_id"])
+            .unionByName(row("ann_topk_ivf", ivf5, exact5, ["vec_id"]))
+            .unionByName(row("similar_pairs_lsh", lpairs, epairs,
+                             ["id_a", "id_b"])))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generators (DuckDB). Dot products are computed by positional
 # parallel unnest with explicit DOUBLE casts — the same arithmetic the Spark
@@ -221,6 +256,93 @@ SELECT c.id_a, c.id_b, round(p.d, 6) AS sim
 FROM cands c
 JOIN pair_dot p ON p.ia = c.id_a AND p.ib = c.id_b
 WHERE round(p.d, 6) > {PAIR_THRESHOLD}
+"""
+
+
+def ann_recall_report_oracle() -> str:
+    """Replays all five legs (exact top-k, LSH top-k, IVF top-k, exact
+    pairs, banded-LSH pairs) with the same SQL the individual oracles use,
+    then counts overlaps."""
+    n_planes = NEARDUP_BANDS * NEARDUP_BAND_BITS
+    return f"""
+WITH {_PAIR_DOT},
+exact5 AS (
+  SELECT ib AS vec_id FROM pair_dot WHERE ia = {QUERY_VEC_ID}
+  ORDER BY round(d, 6) DESC, ib ASC LIMIT {ANN_K}
+),
+plane_dot AS (
+  SELECT ia AS vec_id, ib AS plane_id, d FROM pair_dot WHERE ib < {LSH_PLANES}
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane_id) AS bucket
+  FROM plane_dot GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {QUERY_VEC_ID}),
+lsh_c AS (SELECT b.vec_id FROM buckets b JOIN qb ON b.bucket = qb.bucket),
+lsh5 AS (
+  SELECT p.ib AS vec_id FROM pair_dot p JOIN lsh_c c ON p.ib = c.vec_id
+  WHERE p.ia = {QUERY_VEC_ID}
+  ORDER BY round(p.d, 6) DESC, p.ib ASC LIMIT {ANN_K}
+),
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cent_id FROM cent_dot WHERE vec_id = {QUERY_VEC_ID}
+  ORDER BY cd DESC, cent_id ASC LIMIT {IVF_PROBE}
+),
+ivf_c AS (SELECT a.vec_id FROM assign a JOIN probes p ON a.cent_id = p.cent_id),
+ivf5 AS (
+  SELECT p.ib AS vec_id FROM pair_dot p JOIN ivf_c c ON p.ib = c.vec_id
+  WHERE p.ia = {QUERY_VEC_ID}
+  ORDER BY round(p.d, 6) DESC, p.ib ASC LIMIT {ANN_K}
+),
+epairs AS (
+  SELECT ia AS id_a, ib AS id_b FROM pair_dot
+  WHERE ia < ib AND round(d, 6) > {PAIR_THRESHOLD}
+),
+sigs AS (
+  SELECT ia AS vid, ib // {NEARDUP_BAND_BITS} AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY ib) AS bucket
+  FROM pair_dot WHERE ib < {n_planes}
+  GROUP BY ia, ib // {NEARDUP_BAND_BITS}
+),
+cands AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vid < b.vid
+),
+lpairs AS (
+  SELECT c.id_a, c.id_b FROM cands c
+  JOIN pair_dot p ON p.ia = c.id_a AND p.ib = c.id_b
+  WHERE round(p.d, 6) > {PAIR_THRESHOLD}
+),
+rows_ AS (
+  SELECT 'ann_topk_lsh' AS method,
+         (SELECT count(*) FROM lsh5 JOIN exact5 USING (vec_id)) AS hits,
+         (SELECT count(*) FROM exact5) AS expected
+  UNION ALL
+  SELECT 'ann_topk_ivf',
+         (SELECT count(*) FROM ivf5 JOIN exact5 USING (vec_id)),
+         (SELECT count(*) FROM exact5)
+  UNION ALL
+  SELECT 'similar_pairs_lsh',
+         (SELECT count(*) FROM lpairs JOIN epairs USING (id_a, id_b)),
+         (SELECT count(*) FROM epairs)
+)
+SELECT method, hits, expected,
+       round(hits::DOUBLE / expected, 6) AS recall
+FROM rows_
 """
 
 

@@ -69,6 +69,7 @@ QUERIES: dict[str, QueryFn] = {
     "similar_pairs_lsh": semantic.similar_pairs_lsh,
     "ann_topk_lsh": semantic.ann_topk_lsh,
     "ann_topk_ivf": semantic.ann_topk_ivf,
+    "ann_recall_report": semantic.ann_recall_report,
     # router + hybrid pipeline (SURVEY §2.9, §3.1)
     "intent_router": routing.intent_router,
     "routed_search_batch": routed.routed_search_batch,
@@ -140,6 +141,7 @@ oracle("similar_pairs", semantic.similar_pairs_oracle())
 oracle("similar_pairs_lsh", semantic.similar_pairs_lsh_oracle())
 oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
 oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
+oracle("ann_recall_report", semantic.ann_recall_report_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())
 oracle("contamination_check", pipeline_plans.contamination_check_oracle())

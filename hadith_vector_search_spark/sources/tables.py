@@ -26,17 +26,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Dimension tables stay small at every SF
     (region=5, nation=25) — they are natural broadcast sides.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; we read nanos as long (runtime-settable legacy
-    conf) and convert to microsecond timestamps JVM-side (`ts div 1000` is
-    exact integer math — no double round-trip). DuckDB truncates NANOS→micros
-    the same way, so oracle comparisons stay exact.
+    ``events.parquet`` event time must land as TIMESTAMP whatever the
+    writer encoded: TIMESTAMP(NANOS) is read nanos-as-long (runtime legacy
+    conf) and converted JVM-side (`ts div 1000` is exact integer math — no
+    double round-trip; DuckDB truncates NANOS→micros the same way), and
+    TIMESTAMP_NTZ — how newer writers encode naive timestamps — is cast,
+    value-preserving because the session timezone is pinned to UTC.
+    Downstream time arithmetic (`unix_micros`, watermarks) requires plain
+    TIMESTAMP.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ cast below and all downstream date math must be
+        # tz-stable even under a plain SparkSession (the driver's smoke
+        # harness does not use session.py, which also pins UTC).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
