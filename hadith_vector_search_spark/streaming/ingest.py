@@ -145,6 +145,56 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
 
 MERGE_PART_COL = "part"
 MERGE_N_PARTS = 16
+MERGE_MANIFEST = "_merge_commit.json"
+
+# Test hook: called with the partition index before each publish rename —
+# tests inject a crash between partition renames to exercise recovery.
+_PUBLISH_FAULT = None
+
+
+def _apply_publish(target_dir: str, staging_dir: str, parts: list) -> None:
+    """Complete a committed publish: move every staged partition dir into
+    the target with one os.rename each (atomic on a single filesystem),
+    then clear the manifest. Idempotent — a partition whose staged dir is
+    already gone was published before a crash; deleting the stale target
+    dir before rename is safe because the staged partition holds the FULL
+    merged content (existing ∪ incoming) for that partition."""
+    import shutil
+
+    for i, p in enumerate(parts):
+        if _PUBLISH_FAULT is not None:
+            _PUBLISH_FAULT(i)
+        sdir = os.path.join(staging_dir, f"{MERGE_PART_COL}={p}")
+        tdir = os.path.join(target_dir, f"{MERGE_PART_COL}={p}")
+        if not os.path.exists(sdir):
+            continue
+        if os.path.exists(tdir):
+            shutil.rmtree(tdir)
+        os.rename(sdir, tdir)
+    os.remove(os.path.join(target_dir, MERGE_MANIFEST))
+    shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+def _recover_pending_publish(target_dir: str) -> None:
+    """Crash recovery, run before every batch (and safe to run anytime).
+    The manifest is the commit point: if present, the staging write had
+    finished — finish the renames; if absent, any staging dirs are
+    pre-commit leftovers — the target was never touched, so just GC them."""
+    import glob as _glob
+    import json
+    import shutil
+
+    mpath = os.path.join(target_dir, MERGE_MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        if os.path.exists(m["staging"]):
+            _apply_publish(target_dir, m["staging"], m["parts"])
+        else:
+            os.remove(mpath)
+        return
+    for stale in _glob.glob(f"{target_dir}.staging-*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
@@ -158,33 +208,33 @@ def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
     checksum-incremental batch path.
 
     The target is hash-partitioned on the merge key (`part = pmod(hash(key),
-    n_parts)`) and each micro-batch uses DYNAMIC partition overwrite: only
-    the partitions the batch's keys land in are read (partition-pruned
-    scan), merged, and rewritten — cost is O(touched partitions), not
-    O(table), per batch. On a lake deployment the foreachBatch body is a
-    Delta/Iceberg `MERGE INTO` (atomic); this plain-parquet stand-in keeps
-    untouched partition files byte-identical across batches but a crash
-    mid-write can leave a touched partition half-written."""
+    n_parts)`): only the partitions the batch's keys land in are read
+    (partition-pruned scan), merged, and republished — cost is O(touched
+    partitions), not O(table), per batch.
+
+    CRASH SAFETY (the plain-parquet analogue of a lake format's atomic
+    `MERGE INTO`): merged partitions are fully written to a staging dir
+    first; an atomically-replaced manifest inside the target is the commit
+    point; publish is then one os.rename per partition. A crash anywhere
+    leaves the table readable — before the manifest exists the target is
+    untouched, after it exists `_recover_pending_publish` (run at the
+    start of every batch) finishes the remaining renames idempotently.
+    foreachBatch replays after a crash re-run the same protocol, so
+    checkpoint replay converges to the batch-MERGE result."""
 
     part_of = F.pmod(F.hash(F.col(key)), F.lit(n_parts))
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        import json
+        import os as _os
+        import tempfile
+
         sess = batch.sparkSession
         incoming = (batch.dropDuplicates([key])
                     .withColumn(MERGE_PART_COL, part_of))
-        # Scope the dynamic-overwrite mode to this merge: leaking it onto
-        # the shared session would silently change the semantics of every
-        # later `overwrite` write (kept-instead-of-dropped partitions).
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        prev_mode = sess.conf.get(conf_key, "static")
-        sess.conf.set(conf_key, "dynamic")
-        try:
-            _merge_batch_inner(sess, incoming)
-        finally:
-            sess.conf.set(conf_key, prev_mode)
-
-    def _merge_batch_inner(sess: SparkSession, incoming: DataFrame) -> None:
+        staging = f"{target_dir}.staging-{batch_id}-{_os.getpid()}"
         if os.path.exists(target_dir):
+            _recover_pending_publish(target_dir)
             # Touched-partition list is bounded by n_parts — a tiny collect.
             touched = [r[0] for r in
                        incoming.select(MERGE_PART_COL).distinct().collect()]
@@ -192,10 +242,18 @@ def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
                         .filter(F.col(MERGE_PART_COL).isin(touched)))
             merged = merge_upsert(existing, incoming, key=key)
             (merged.write.mode("overwrite")
-             .partitionBy(MERGE_PART_COL).parquet(target_dir))
+             .partitionBy(MERGE_PART_COL).parquet(staging))
+            # Commit point: manifest lands atomically (write + os.replace).
+            fd, tmp = tempfile.mkstemp(dir=target_dir, prefix=".commit-")
+            with _os.fdopen(fd, "w") as fh:
+                json.dump({"staging": staging, "parts": touched}, fh)
+            _os.replace(tmp, os.path.join(target_dir, MERGE_MANIFEST))
+            _apply_publish(target_dir, staging, touched)
         else:
+            # Initial load: stage the whole table, publish with ONE rename.
             (incoming.write.mode("overwrite")
-             .partitionBy(MERGE_PART_COL).parquet(target_dir))
+             .partitionBy(MERGE_PART_COL).parquet(staging))
+            _os.rename(staging, target_dir)
 
     stream = spark.readStream.schema(schema).json(src_dir)
     q = (stream.writeStream.foreachBatch(merge_batch)

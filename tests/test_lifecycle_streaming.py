@@ -158,3 +158,58 @@ def test_stream_merge_touches_only_affected_partitions(spark, tmp_path):
             spark.read.parquet(target).select("doc_id", "text").collect()}
     assert rows == ({(i, f"doc {i}") for i in range(1, 9)} - {(2, "doc 2")}) | {
         (2, "two v2"), (100, "hundred")}
+
+
+def test_stream_merge_crash_mid_publish_recovers(spark, tmp_path):
+    """Kill-mid-batch: inject a crash between partition renames during
+    publish. The table must stay readable and consistent (manifest commit
+    point means every partition is either fully old or fully new), and
+    re-running the merge pass must recover the pending publish and
+    converge to the same result as an uninterrupted merge."""
+    from hadith_vector_search_spark.streaming import ingest as singest
+
+    src = str(tmp_path / "csrc")
+    target = str(tmp_path / "ctarget")
+    ckpt = str(tmp_path / "cckpt")
+    rows1 = [{"doc_id": i, "text": f"doc {i}"} for i in range(1, 9)]
+    _write_jsonl(os.path.join(src, "b1.jsonl"), rows1)
+    stream_merge_jsonl(spark, src, DOC_SCHEMA, target, ckpt)
+
+    # Batch 2 touches several partitions; crash after the FIRST rename.
+    batch2 = [{"doc_id": 2, "text": "two v2"}, {"doc_id": 5, "text": "five v2"},
+              {"doc_id": 100, "text": "hundred"}]
+    _write_jsonl(os.path.join(src, "b2.jsonl"), batch2)
+
+    class Boom(RuntimeError):
+        pass
+
+    def fault(i):
+        if i >= 1:
+            raise Boom(f"injected crash before rename #{i}")
+
+    singest._PUBLISH_FAULT = fault
+    try:
+        with pytest.raises(Exception):  # StreamingQueryException wraps Boom
+            stream_merge_jsonl(spark, src, DOC_SCHEMA, target, ckpt)
+    finally:
+        singest._PUBLISH_FAULT = None
+
+    # Mid-crash state: manifest pending, table still readable, and every
+    # row is either its old or its new version — never missing/garbled.
+    assert os.path.exists(os.path.join(target, singest.MERGE_MANIFEST))
+    seen = {r.doc_id: r.text
+            for r in spark.read.parquet(target).select("doc_id", "text").collect()}
+    expect_old = {d["doc_id"]: d["text"] for d in rows1}
+    expect_new = {**expect_old, **{d["doc_id"]: d["text"] for d in batch2}}
+    for did, text in seen.items():
+        assert text in {expect_old.get(did), expect_new.get(did)}
+    assert set(expect_old) <= set(seen)  # no pre-existing row lost
+
+    # Replay: a fresh pass recovers the pending publish; the checkpoint
+    # did NOT commit the failed batch, so b2 is re-processed — the final
+    # table must equal the uninterrupted merge.
+    stream_merge_jsonl(spark, src, DOC_SCHEMA, target, ckpt)
+    assert not os.path.exists(os.path.join(target, singest.MERGE_MANIFEST))
+    final = {(r.doc_id, r.text)
+             for r in spark.read.parquet(target).select("doc_id", "text").collect()}
+    assert final == set(expect_new.items())
