@@ -1,0 +1,186 @@
+"""MCP-shaped stdio serving loop over `api.HybridEngine`.
+
+The reference serves three transports — MCP stdio
+(/root/reference/mcp_server/mcp_stdio.py:57-101), Flask HTTP
+(/root/reference/mcp_server/http_server.py:43-68), FastMCP streamable HTTP
+(/root/reference/quran_mcp/mcp_http.py:40-52) — all thin dispatch layers
+over the same tool functions. This module is the Spark-engine analogue:
+newline-delimited JSON-RPC 2.0 on stdin/stdout with the MCP method shapes
+(`initialize`, `tools/list`, `tools/call`), a LONG-LIVED SparkSession, and
+the engine's lazily-built pinned index/embeddings reused across calls —
+the serving property that matters (build once, query many) without
+depending on the `mcp` package (not in this container; the wire shapes
+are public protocol).
+
+Run: ``python -m hadith_vector_search_spark.serving.stdio [sf_dir]``.
+
+Every tool result is a bounded frame (top-k, point lookup, status), so the
+``collect()`` here is O(k) presentation, never a data-sized pull.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Any
+
+TOOL_DEFINITIONS: tuple[dict[str, Any], ...] = (
+    {
+        "name": "hybrid_search",
+        "description": "Hybrid (BM25 + vector) search over the corpus",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string"},
+                "n_results": {"type": "integer", "default": 10, "minimum": 1},
+                "scoring_mode": {
+                    "type": "string",
+                    "enum": ["balanced", "term-priority", "semantic", "fts"],
+                },
+                "weight_vector": {"type": "number"},
+                "weight_fts": {"type": "number"},
+                "weight_term_coverage": {"type": "number"},
+                "bonus_phrase": {"type": "number"},
+            },
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "fts_match",
+        "description": "Compiled FTS match: AND terms, prefix*, field:value scope",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "terms": {"type": "array", "items": {"type": "string"}},
+                "prefix": {"type": "string"},
+                "field": {"type": "string"},
+                "value": {"type": "string"},
+                "limit": {"type": "integer", "default": 10, "minimum": 1},
+            },
+        },
+    },
+    {
+        "name": "get_document",
+        "description": "Point lookup by document id",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"doc_id": {"type": ["integer", "string"]}},
+            "required": ["doc_id"],
+        },
+    },
+    {
+        "name": "status",
+        "description": "Corpus/index status",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+)
+
+
+class StdioServer:
+    """Dispatch layer: one engine, many requests. Tool calls collect their
+    bounded result frames and return MCP-style content
+    (`{"content": [{"type": "text", "text": <json rows>}]}`)."""
+
+    PROTOCOL_VERSION = "2024-11-05"
+
+    def __init__(self, engine) -> None:
+        self.engine = engine
+
+    # -- tool dispatch ------------------------------------------------------
+
+    def call_tool(self, name: str, args: dict[str, Any]):
+        if name == "hybrid_search":
+            weights = {k: args[k] for k in
+                       ("weight_vector", "weight_fts", "weight_term_coverage",
+                        "bonus_phrase") if k in args}
+            return self.engine.hybrid_search(
+                args["query"], n_results=int(args.get("n_results", 10)),
+                scoring_mode=args.get("scoring_mode", "balanced"), **weights)
+        if name == "fts_match":
+            return self.engine.fts_match(
+                terms=args.get("terms"), prefix=args.get("prefix"),
+                field=args.get("field"), value=args.get("value"),
+                k=int(args.get("limit", 10)))
+        if name == "get_document":
+            return self.engine.get_document(args["doc_id"])
+        if name == "status":
+            return self.engine.status()
+        raise KeyError(f"unknown tool: {name}")
+
+    @staticmethod
+    def _rows_json(df) -> str:
+        return json.dumps([row.asDict(recursive=True) for row in df.collect()],
+                          ensure_ascii=False, default=str)
+
+    # -- JSON-RPC plumbing --------------------------------------------------
+
+    def handle(self, req: dict[str, Any]) -> dict[str, Any] | None:
+        rid = req.get("id")
+        method = req.get("method")
+        if method == "initialize":
+            return self._result(rid, {
+                "protocolVersion": self.PROTOCOL_VERSION,
+                "capabilities": {"tools": {}},
+                "serverInfo": {"name": "hadith-vector-search-spark",
+                               "version": "1.0"},
+            })
+        if method == "notifications/initialized":
+            return None  # notification: no response
+        if method == "ping":
+            return self._result(rid, {})
+        if method == "tools/list":
+            return self._result(rid, {"tools": list(TOOL_DEFINITIONS)})
+        if method == "tools/call":
+            params = req.get("params") or {}
+            name = params.get("name", "")
+            args = params.get("arguments") or {}
+            try:
+                df = self.call_tool(name, args)
+                content = [{"type": "text", "text": self._rows_json(df)}]
+                return self._result(rid, {"content": content,
+                                          "isError": False})
+            except Exception as exc:  # noqa: BLE001 — serve, don't die
+                content = [{"type": "text", "text": f"{type(exc).__name__}: {exc}"}]
+                return self._result(rid, {"content": content, "isError": True})
+        return {"jsonrpc": "2.0", "id": rid,
+                "error": {"code": -32601, "message": f"unknown method {method!r}"}}
+
+    @staticmethod
+    def _result(rid, result: dict[str, Any]) -> dict[str, Any]:
+        return {"jsonrpc": "2.0", "id": rid, "result": result}
+
+    def serve(self, stdin=None, stdout=None) -> None:
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+            except json.JSONDecodeError as exc:
+                resp = {"jsonrpc": "2.0", "id": None,
+                        "error": {"code": -32700, "message": f"parse error: {exc}"}}
+            else:
+                resp = self.handle(req)
+            if resp is not None:
+                stdout.write(json.dumps(resp, ensure_ascii=False) + "\n")
+                stdout.flush()
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+
+    from ..api import HybridEngine
+    from ..session import get_spark
+    from ..sources import load_table
+
+    spark = get_spark("stdio-serving")
+    docs = load_table(spark, sf_dir, "documents")
+    engine = HybridEngine(spark, docs)
+    StdioServer(engine).serve()
+
+
+if __name__ == "__main__":
+    main()

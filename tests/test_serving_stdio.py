@@ -1,0 +1,109 @@
+"""Integration test for the MCP-shaped stdio serving loop: drive a real
+subprocess through initialize → tools/list → tools/call and check the
+served hybrid_search/status payloads against engine-direct results from
+this test session (same corpus, same parameters)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+QUERY = "patience and prayer"
+N_RESULTS = 5
+
+
+class StdioClient:
+    def __init__(self, proc: subprocess.Popen) -> None:
+        self.proc = proc
+        self._next_id = 0
+
+    def request(self, method: str, params: dict | None = None,
+                timeout: float = 180.0) -> dict:
+        self._next_id += 1
+        req = {"jsonrpc": "2.0", "id": self._next_id, "method": method}
+        if params is not None:
+            req["params"] = params
+        self.proc.stdin.write(json.dumps(req) + "\n")
+        self.proc.stdin.flush()
+        line = self.proc.stdout.readline()
+        assert line, "server closed stdout"
+        resp = json.loads(line)
+        assert resp["id"] == self._next_id
+        return resp
+
+
+@pytest.fixture(scope="module")
+def server():
+    env = dict(os.environ, SPARK_GRAFT_TEST_CPUS="4")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "hadith_vector_search_spark.serving.stdio",
+         SF_SMOKE],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    client = StdioClient(proc)
+    yield client
+    proc.stdin.close()
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def _tool_rows(resp: dict) -> list[dict]:
+    result = resp["result"]
+    assert result["isError"] is False, result
+    return json.loads(result["content"][0]["text"])
+
+
+def test_stdio_session_end_to_end(server, spark, sf_dir):
+    # initialize handshake
+    init = server.request("initialize", {})
+    assert init["result"]["serverInfo"]["name"] == "hadith-vector-search-spark"
+
+    # tools/list exposes the reference's tool surface
+    tools = {t["name"] for t in server.request("tools/list")["result"]["tools"]}
+    assert {"hybrid_search", "fts_match", "get_document", "status"} <= tools
+
+    # status matches engine-direct
+    status_rows = _tool_rows(server.request(
+        "tools/call", {"name": "status", "arguments": {}}))
+    from hadith_vector_search_spark.api import HybridEngine
+    from hadith_vector_search_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    engine = HybridEngine(spark, docs)
+    direct_status = [r.asDict() for r in engine.status().collect()]
+    assert status_rows == direct_status
+
+    # hybrid_search: served rows equal engine-direct rows (same session
+    # params), proving the dispatch layer adds nothing and loses nothing.
+    served = _tool_rows(server.request("tools/call", {
+        "name": "hybrid_search",
+        "arguments": {"query": QUERY, "n_results": N_RESULTS}}))
+    direct = [r.asDict() for r in
+              engine.hybrid_search(QUERY, n_results=N_RESULTS).collect()]
+    assert [r["doc_id"] for r in served] == [r["doc_id"] for r in direct]
+    for s, d in zip(served, direct):
+        assert s["score"] == pytest.approx(d["score"])
+
+    # the long-lived session reuses the built index: a second call works
+    served2 = _tool_rows(server.request("tools/call", {
+        "name": "hybrid_search",
+        "arguments": {"query": QUERY, "n_results": N_RESULTS}}))
+    assert served2 == served
+
+    # point lookup round-trips through the served surface
+    doc_id = served[0]["doc_id"]
+    got = _tool_rows(server.request("tools/call", {
+        "name": "get_document", "arguments": {"doc_id": doc_id}}))
+    assert len(got) == 1 and got[0]["doc_id"] == doc_id
+
+    # unknown tool -> isError result, session keeps serving
+    bad = server.request("tools/call", {"name": "nope", "arguments": {}})
+    assert bad["result"]["isError"] is True
+    assert _tool_rows(server.request(
+        "tools/call", {"name": "status", "arguments": {}})) == direct_status
