@@ -61,11 +61,15 @@ def embed_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_raw = encode_query(QUERY_TEXT, DIM, backend="hash", normalize=False)
     qn = math.sqrt(sum(t * t for t in q_raw))
     raw = embed_column("text", DIM, backend="hash", normalize=False)
-    # Materialize the norm into its own column first: it is a 384-element
-    # aggregate fold, and referencing it from both the guard and the
-    # denominator must not rely on Catalyst CSE across when() branches.
-    scored = (docs.select("doc_id", raw.alias("emb"))
-              .withColumn("emb_norm", norm("emb"))
+    # Pin the UDF output (lazy checkpoint) BEFORE fanning it into the norm
+    # guard and the dot product: projection collapse would otherwise
+    # substitute the pandas-UDF expression into every use site, and the
+    # Python-UDF extraction pass does not dedupe the copies — measured as
+    # the corpus being embedded twice (8.0s vs 2.7s at sf0.1). The norm
+    # itself is also materialized once instead of per when()-branch.
+    raw_emb = docs.select("doc_id", raw.alias("emb")).localCheckpoint(eager=False)
+    scored = (raw_emb
+              .select("doc_id", "emb", norm("emb").alias("emb_norm"))
               .select("doc_id",
                       F.when(F.col("emb_norm") > 0,
                              F.round(dot("emb", vector_lit(q_raw))

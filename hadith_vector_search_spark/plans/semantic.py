@@ -101,13 +101,21 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup. One row per method; every leg reuses the oracle-checked
     operators, so this report is itself oracle-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact5 = similarity.topk_by_query_id(emb, QUERY_VEC_ID, ANN_K).select("vec_id")
-    lsh5 = similarity.ann_topk_lsh(emb, QUERY_VEC_ID, LSH_PLANES, ANN_K).select("vec_id")
-    ivf5 = similarity.ivf_topk(emb, QUERY_VEC_ID, IVF_CENTROIDS, IVF_PROBE,
-                               ANN_K).select("vec_id")
-    epairs = similarity.similar_pairs(emb, PAIR_THRESHOLD).select("id_a", "id_b")
-    lpairs = similarity.similar_pairs_lsh(
-        emb, PAIR_THRESHOLD, NEARDUP_BANDS, NEARDUP_BAND_BITS).select("id_a", "id_b")
+    # Each leg's OUTPUT is tiny (k rows / the qualifying pair set) but its
+    # pipeline is not; the three report rows form one union plan that
+    # would re-run shared legs (exact5 feeds two rows). Pin the outputs so
+    # every pipeline executes exactly once.
+    exact5 = (similarity.topk_by_query_id(emb, QUERY_VEC_ID, ANN_K)
+              .select("vec_id").localCheckpoint())
+    lsh5 = (similarity.ann_topk_lsh(emb, QUERY_VEC_ID, LSH_PLANES, ANN_K)
+            .select("vec_id").localCheckpoint())
+    ivf5 = (similarity.ivf_topk(emb, QUERY_VEC_ID, IVF_CENTROIDS, IVF_PROBE,
+                                ANN_K).select("vec_id").localCheckpoint())
+    epairs = (similarity.similar_pairs(emb, PAIR_THRESHOLD)
+              .select("id_a", "id_b").localCheckpoint())
+    lpairs = (similarity.similar_pairs_lsh(
+        emb, PAIR_THRESHOLD, NEARDUP_BANDS, NEARDUP_BAND_BITS)
+        .select("id_a", "id_b").localCheckpoint())
 
     def row(method: str, approx: DataFrame, exact: DataFrame,
             keys: list[str]) -> DataFrame:
