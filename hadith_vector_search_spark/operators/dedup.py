@@ -171,27 +171,28 @@ def _expand_shingle_pairs(rep_pairs: DataFrame, membership: DataFrame,
                           groups: DataFrame, threshold: float) -> DataFrame:
     """Expand representative-level verified pairs (id_a, id_b, jaccard)
     back to member-level pairs, and emit all within-group pairs (identical
-    shingle sets ⇒ Jaccard exactly 1.0). Expansion joins are on group keys
-    — output cardinality only, never intermediate all-pairs state."""
+    shingle sets ⇒ Jaccard exactly 1.0). Rep pairs map to group-key pairs,
+    within-group keys (gk, gk, 1.0) union in, and ONE two-join pass
+    expands both through the member table — output cardinality only,
+    never intermediate all-pairs state."""
     rep_a = groups.select(F.col("rep_id").alias("id_a"), F.col("gkey").alias("gk_a"))
     rep_b = groups.select(F.col("rep_id").alias("id_b"), F.col("gkey").alias("gk_b"))
+    gk_pairs = (rep_pairs.join(rep_a, "id_a").join(rep_b, "id_b")
+                .select("gk_a", "gk_b", "jaccard"))
+    if threshold <= 1.0:
+        within_gk = (groups.filter(F.col("members") >= 2)
+                     .select(F.col("gkey").alias("gk_a"),
+                             F.col("gkey").alias("gk_b"),
+                             F.lit(1.0).alias("jaccard")))
+        gk_pairs = gk_pairs.unionByName(within_gk)
     mem_a = membership.select(F.col("gkey").alias("gk_a"), F.col("doc_id").alias("did_a"))
     mem_b = membership.select(F.col("gkey").alias("gk_b"), F.col("doc_id").alias("did_b"))
-    cross = (rep_pairs.join(rep_a, "id_a").join(rep_b, "id_b")
-             .join(mem_a, "gk_a").join(mem_b, "gk_b")
-             .select(F.least("did_a", "did_b").alias("id_a"),
-                     F.greatest("did_a", "did_b").alias("id_b"),
-                     "jaccard"))
-    if threshold > 1.0:
-        return cross
-    dup_keys = groups.filter(F.col("members") >= 2).select("gkey")
-    dup_members = membership.join(dup_keys, "gkey", "left_semi")
-    within = (dup_members.select("gkey", F.col("doc_id").alias("did_a"))
-              .join(dup_members.select("gkey", F.col("doc_id").alias("did_b")), "gkey")
-              .filter(F.col("did_a") < F.col("did_b"))
-              .select(F.col("did_a").alias("id_a"), F.col("did_b").alias("id_b"),
-                      F.lit(1.0).alias("jaccard")))
-    return cross.unionByName(within)
+    return (gk_pairs.join(mem_a, "gk_a").join(mem_b, "gk_b")
+            .filter((F.col("gk_a") != F.col("gk_b"))
+                    | (F.col("did_a") < F.col("did_b")))
+            .select(F.least("did_a", "did_b").alias("id_a"),
+                    F.greatest("did_a", "did_b").alias("id_b"),
+                    "jaccard"))
 
 
 def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -212,7 +213,7 @@ def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     the checkpoint is the single-job equivalent."""
     sharr = shingle_array(docs, text_col, id_col).localCheckpoint()
     membership, groups = _shingle_groups(sharr)
-    groups = groups.localCheckpoint()
+    groups = groups.localCheckpoint(eager=False)
     rep_sharr = sharr.join(groups.select(F.col("rep_id").alias("doc_id")),
                            "doc_id", "left_semi")
     sigs = minhash_signatures(rep_sharr, n_hashes).localCheckpoint()
@@ -366,7 +367,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # (equally valid) ordering than all-docs df.
     sharr_all = shingle_array(docs, text_col, id_col, w).localCheckpoint()
     membership, groups = _shingle_groups(sharr_all)
-    groups = groups.localCheckpoint()
+    groups = groups.localCheckpoint(eager=False)
     sharr = sharr_all.join(groups.select(F.col("rep_id").alias("doc_id")),
                            "doc_id", "left_semi")
     sh = sharr.select("doc_id", F.size("shingles").alias("set_size"),
@@ -485,10 +486,10 @@ def near_dup_simhash(docs: DataFrame, text_col: str = "text",
     Output: (id_a, id_b, hamming_dist) with hamming_dist <= max_hamming."""
     assert max_hamming <= n_blocks - combo_size, \
         "combination banding is lossless only to n_blocks - combo_size"
-    sigs = simhash_long(docs, text_col, id_col, n_bits).localCheckpoint()
+    sigs = simhash_long(docs, text_col, id_col, n_bits).localCheckpoint(eager=False)
     groups = (sigs.groupBy("fp")
               .agg(F.count(F.lit(1)).alias("members"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
 
     ex = (groups.select("fp", F.explode(F.array(
               *_combo_keys(n_bits, n_blocks, combo_size))).alias("b"))
@@ -508,26 +509,26 @@ def near_dup_simhash(docs: DataFrame, text_col: str = "text",
                             .cast("int"))
                 .filter(F.col("hamming_dist") <= max_hamming))
 
-    # Expansion back to document pairs. Cross-group: every member of fp_a
-    # with every member of fp_b (ids normalized so id_a < id_b). Within-
-    # group: all C(members, 2) pairs of an exactly-duplicated fingerprint,
-    # hamming 0 by construction.
+    # Expansion back to document pairs in ONE join pass: within-group
+    # fingerprint "pairs" (fp, fp, 0) for duplicated fingerprints union
+    # into the qualifying pair list BEFORE the member joins, so cross-
+    # group pairs (every member of fp_a with every member of fp_b) and
+    # within-group pairs (all C(members, 2), hamming 0 by construction)
+    # expand through the same two joins. The filter keeps each unordered
+    # pair once: cross-group rows are unique already; same-fp rows need
+    # did_a < did_b.
+    within_fp = (groups.filter(F.col("members") >= 2)
+                 .select(F.col("fp").alias("fp_a"), F.col("fp").alias("fp_b"),
+                         F.lit(0).cast("int").alias("hamming_dist")))
+    pairs_all = fp_pairs.unionByName(within_fp)
     ma = sigs.select(F.col("fp").alias("fp_a"), F.col("doc_id").alias("did_a"))
     mb = sigs.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("did_b"))
-    cross = (fp_pairs.join(ma, "fp_a").join(mb, "fp_b")
-             .select(F.least("did_a", "did_b").alias("id_a"),
-                     F.greatest("did_a", "did_b").alias("id_b"),
-                     "hamming_dist"))
-    dup_fps = groups.filter(F.col("members") >= 2).select("fp")
-    within = (sigs.join(dup_fps, "fp", "left_semi")
-              .select("fp", F.col("doc_id").alias("did_a"))
-              .join(sigs.join(dup_fps, "fp", "left_semi")
-                    .select("fp", F.col("doc_id").alias("did_b")), "fp")
-              .filter(F.col("did_a") < F.col("did_b"))
-              .select(F.col("did_a").alias("id_a"),
-                      F.col("did_b").alias("id_b"),
-                      F.lit(0).cast("int").alias("hamming_dist")))
-    return cross.unionByName(within)
+    return (pairs_all.join(ma, "fp_a").join(mb, "fp_b")
+            .filter((F.col("fp_a") != F.col("fp_b"))
+                    | (F.col("did_a") < F.col("did_b")))
+            .select(F.least("did_a", "did_b").alias("id_a"),
+                    F.greatest("did_a", "did_b").alias("id_b"),
+                    "hamming_dist"))
 
 
 def hamming(a: Column, b: Column, n_bits: int) -> Column:

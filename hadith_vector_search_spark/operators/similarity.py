@@ -429,25 +429,22 @@ def similar_pairs_lsh(emb: DataFrame, threshold: float,
     # Member expansion (stage 0's inverse). Cross-group pairs inherit the
     # representative pair's sim (identical vectors, identical dot); within-
     # group pairs of a duplicated vector score round(dot(v, v), 6) computed
-    # ONCE per group, then fan out — output cardinality, no banding state.
+    # ONCE per group. Both expand through a single two-join pass — output
+    # cardinality, no banding state.
     rep_a = groups.select(F.col("rep_id").alias("id_a"), F.col("gkey").alias("gk_a"))
     rep_b = groups.select(F.col("rep_id").alias("id_b"), F.col("gkey").alias("gk_b"))
-    mem_a = tagged.select(F.col("gkey").alias("gk_a"), F.col("vid").alias("did_a"))
-    mem_b = tagged.select(F.col("gkey").alias("gk_b"), F.col("vid").alias("did_b"))
-    cross = (rep_pairs.join(rep_a, "id_a").join(rep_b, "id_b")
-             .join(mem_a, "gk_a").join(mem_b, "gk_b")
-             .select(F.least("did_a", "did_b").alias("id_a"),
-                     F.greatest("did_a", "did_b").alias("id_b"),
-                     "sim"))
+    gk_pairs = (rep_pairs.join(rep_a, "id_a").join(rep_b, "id_b")
+                .select("gk_a", "gk_b", "sim"))
     selfsim = (reps.join(groups.filter(F.col("members") >= 2)
                          .select(F.col("rep_id").alias("vid")), "vid", "left_semi")
-               .select("gkey", F.round(dot(F.col("vec"), F.col("vec")), 6).alias("sim"))
+               .select(F.col("gkey").alias("gk_a"), F.col("gkey").alias("gk_b"),
+                       F.round(dot(F.col("vec"), F.col("vec")), 6).alias("sim"))
                .filter(F.col("sim") > threshold))
-    within = (tagged.join(selfsim, "gkey")
-              .select("gkey", "sim", F.col("vid").alias("did_a"))
-              .join(tagged.select(F.col("gkey").alias("gkey"),
-                                  F.col("vid").alias("did_b")), "gkey")
-              .filter(F.col("did_a") < F.col("did_b"))
-              .select(F.col("did_a").alias("id_a"),
-                      F.col("did_b").alias("id_b"), "sim"))
-    return cross.unionByName(within)
+    mem_a = tagged.select(F.col("gkey").alias("gk_a"), F.col("vid").alias("did_a"))
+    mem_b = tagged.select(F.col("gkey").alias("gk_b"), F.col("vid").alias("did_b"))
+    return (gk_pairs.unionByName(selfsim)
+            .join(mem_a, "gk_a").join(mem_b, "gk_b")
+            .filter((F.col("gk_a") != F.col("gk_b"))
+                    | (F.col("did_a") < F.col("did_b")))
+            .select(F.least("did_a", "did_b").alias("id_a"),
+                    F.greatest("did_a", "did_b").alias("id_b"), "sim"))
