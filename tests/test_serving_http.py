@@ -1,0 +1,78 @@
+"""HTTP transport test: in-process ThreadingHTTPServer over the engine,
+driven with urllib — route shapes mirror the reference's Flask app
+(/root/reference/mcp_server/http_server.py:43-68). Served payloads must
+equal engine-direct results, and both transports (HTTP here, stdio in
+test_serving_stdio) share the same dispatch layer."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+QUERY = "patience and prayer"
+
+
+@pytest.fixture(scope="module")
+def served(spark, sf_dir):
+    from hadith_vector_search_spark.api import HybridEngine
+    from hadith_vector_search_spark.serving.http import EngineHTTPServer
+    from hadith_vector_search_spark.sources import load_table
+
+    engine = HybridEngine(spark, load_table(spark, sf_dir, "documents"))
+    server = EngineHTTPServer(engine).start()
+    yield server, engine
+    server.stop()
+
+
+def _get(server, path):
+    with urllib.request.urlopen(
+            f"http://{server.host}:{server.port}{path}", timeout=120) as r:
+        return json.loads(r.read())
+
+
+def _post(server, path, payload):
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+def test_http_routes_match_engine_direct(served):
+    server, engine = served
+
+    assert _get(server, "/health") == {"ok": True}
+
+    direct_status = [r.asDict() for r in engine.status().collect()]
+    assert _get(server, "/api/status") == direct_status
+
+    served_rows = _post(server, "/api/search/hybrid",
+                        {"query": QUERY, "n_results": 5})
+    direct = [r.asDict() for r in
+              engine.hybrid_search(QUERY, n_results=5).collect()]
+    assert [r["doc_id"] for r in served_rows] == [r["doc_id"] for r in direct]
+    for s, d in zip(served_rows, direct):
+        assert s["score"] == pytest.approx(d["score"])
+
+    doc = _get(server, f"/api/document/{served_rows[0]['doc_id']}")
+    assert doc["doc_id"] == served_rows[0]["doc_id"]
+
+    fts = _post(server, "/api/match/fts", {"terms": ["patience"], "limit": 5})
+    assert isinstance(fts, list)
+
+
+def test_http_error_paths(served):
+    server, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/search/hybrid", {})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/nope")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/document/999999999")
+    assert e.value.code == 404
