@@ -183,6 +183,29 @@ def test_near_dup_simhash_lossless_banding(spark, sf_dir):
     assert SIMHASH_MAX_HAMMING <= SIMHASH_BLOCKS - SIMHASH_COMBO
 
 
+def test_max_bucket_cap_bounds_work_with_explicit_recall_loss(spark):
+    """The emergency valve: with max_bucket set, combination buckets of
+    DISTINCT fingerprints above the cap stop generating candidates —
+    bounded work, recall loss. Uncapped stays lossless on the same data."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    # Many distinct docs over a tiny vocabulary → correlated fingerprints
+    # that flood combination buckets without being exact duplicates.
+    rows = [(i, " ".join(rng.choices(vocab, k=30))) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.near_dup_simhash(docs, n_bits=16, n_blocks=4,
+                                      combo_size=2, max_hamming=2)
+    capped = dedup.near_dup_simhash(docs, n_bits=16, n_blocks=4,
+                                    combo_size=2, max_hamming=2, max_bucket=3)
+    full = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    part = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert part <= full          # capping only ever drops pairs
+    assert len(part) < len(full)  # and on this corpus it demonstrably does
+
+
 def test_boilerplate_collapse_bounds_band_state(spark, sf_dir):
     """Hot-bucket bound: K exact copies of one page contribute ONE row per
     combination table to the banding self-join (not K), while the output
