@@ -49,6 +49,19 @@ def main() -> None:
                 pass
             gc.collect()  # release checkpointed RDD blocks promptly
 
+    # Touch every timed-SF table once (full scan, noop sink): parquet
+    # footer reads, file listing, and OS page cache are per-table one-offs
+    # that would otherwise be billed to whichever query alphabetically
+    # reads each table first — at sf0.1 that skewed the first embedding
+    # query by seconds. Steady state is the honest measure (see above).
+    try:
+        from hadith_vector_search_spark.sources import TABLE_NAMES, load_table
+        for t in TABLE_NAMES:
+            load_table(spark, sf_dir, t).write.mode(
+                "overwrite").format("noop").save()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: table warm-up failed: {e}", file=sys.stderr)
+
     # Build the timed-SF lexical index before timing: the session-scoped
     # postings cache is steady-state infrastructure every lexical/hybrid
     # query shares (the reference likewise queries a prebuilt FTS index);

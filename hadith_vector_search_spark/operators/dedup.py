@@ -97,10 +97,19 @@ def minhash_signatures(sharr: DataFrame, n_hashes: int = 8) -> DataFrame:
           for j in range(n_hashes)])
 
 
-def lsh_band_pairs(sigs: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+def lsh_band_pairs(sigs: DataFrame, n_hashes: int = 8, band_size: int = 2,
+                   max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs sharing at least one LSH band. Bands are contiguous
     signature slices; the self-join shuffles on (band_id, band_key) so each
-    bucket joins locally. Output: distinct (id_a, id_b), id_a < id_b."""
+    bucket joins locally. Output: distinct (id_a, id_b), id_a < id_b.
+
+    `max_bucket` is the same emergency valve as `near_dup_simhash`'s:
+    band buckets above the cap stop generating candidates (bounded work,
+    explicit recall loss). With the exact-set collapse in
+    `near_dup_minhash`, buckets count DISTINCT shingle sets, so the cap
+    only ever bites on genuinely diverse near-miss floods. None (the
+    default, used on every oracle-checked path) keeps standard LSH
+    recall."""
     n_bands = n_hashes // band_size
     bands = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
@@ -112,6 +121,10 @@ def lsh_band_pairs(sigs: DataFrame, n_hashes: int = 8, band_size: int = 2) -> Da
         sigs.select("doc_id", F.explode(bands).alias("band"))
         .select("doc_id", "band.band_id", "band.band_key")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        exploded = (exploded.withColumn("_bn", F.count(F.lit(1)).over(w))
+                    .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a = exploded.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
     b = exploded.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
     return (
@@ -197,7 +210,8 @@ def _expand_shingle_pairs(rep_pairs: DataFrame, membership: DataFrame,
 
 def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      n_hashes: int = 8, band_size: int = 2,
-                     threshold: float = 0.8) -> DataFrame:
+                     threshold: float = 0.8,
+                     max_bucket: int | None = None) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: shingle arrays (narrow) →
     exact-set collapse (`_shingle_groups` — duplicate boilerplate can't
     flood band buckets) → signatures over representatives (narrow) →
@@ -217,7 +231,7 @@ def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     rep_sharr = sharr.join(groups.select(F.col("rep_id").alias("doc_id")),
                            "doc_id", "left_semi")
     sigs = minhash_signatures(rep_sharr, n_hashes).localCheckpoint()
-    cands = lsh_band_pairs(sigs, n_hashes, band_size)
+    cands = lsh_band_pairs(sigs, n_hashes, band_size, max_bucket)
     rep_pairs = jaccard_verify(cands, rep_sharr, threshold)
     return _expand_shingle_pairs(rep_pairs, membership, groups, threshold)
 

@@ -306,7 +306,8 @@ def similar_pairs(emb: DataFrame, threshold: float,
 def similar_pairs_lsh(emb: DataFrame, threshold: float,
                       n_bands: int = 3, band_bits: int = 4,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      block_size: int = 256) -> DataFrame:
+                      block_size: int = 256,
+                      max_bucket: int | None = None) -> DataFrame:
     """Embedding near-dup with a banded sign-LSH PREFILTER — the 100 TB
     scale path `similar_pairs` points at: instead of scoring all N^2/B
     block pairs, candidates are pairs agreeing on EVERY bit of at least one
@@ -372,8 +373,15 @@ def similar_pairs_lsh(emb: DataFrame, threshold: float,
         .agg(F.concat_ws("", F.array_sort(
             F.collect_list(F.struct("plane_id", "bit"))).bit).alias("bucket"))
     ).localCheckpoint(eager=False)
-    a = sigs.select(F.col("vid").alias("id_a"), "band", "bucket")
-    b = sigs.select(F.col("vid").alias("id_b"), "band", "bucket")
+    banded = sigs
+    if max_bucket is not None:
+        # Same emergency valve as the dedup banding joins: buckets of
+        # DISTINCT vectors above the cap stop generating candidates.
+        w = Window.partitionBy("band", "bucket")
+        banded = (banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+                  .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    a = banded.select(F.col("vid").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("vid").alias("id_b"), "band", "bucket")
     cand_lists = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
