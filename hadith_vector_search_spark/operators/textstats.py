@@ -156,3 +156,56 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     lowercased text — the exact-dedup / provenance key (SURVEY F9)."""
     t = normalize_whitespace(F.lower(F.col(text_col)))
     return docs.select(F.col(id_col), F.sha2(t, 256).alias("fingerprint"))
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    duplicate n-gram filters): per doc, the fraction of all 2-gram
+    occurrences held by the single most frequent 2-gram
+    (`top_bigram_frac`) and the fraction held by 2-grams occurring more
+    than once (`dup_bigram_frac`). High values mark the looping/
+    boilerplate text every training-data pipeline drops.
+
+    Shape: one narrow bigram projection (token array zipped with its own
+    shifted tail — same lambda discipline as `dedup.shingle_array`), one
+    explode, one (doc, bigram) count agg, one per-doc roll-up; both
+    shuffles are map-side combined, nothing is quadratic. Docs with fewer
+    than two tokens have no bigrams and are excluded."""
+    toks_df = docs.select(F.col(id_col).alias("doc_id"),
+                          tokenize(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    bg = F.zip_with(t, F.slice(t, 2, F.size(t)),
+                    lambda a, b: F.concat_ws(" ", a, b))
+    arr = F.slice(bg, 1, F.greatest(F.size(t) - 1, F.lit(0)))
+    counts = (toks_df.select("doc_id", F.explode(arr).alias("bigram"))
+              .groupBy("doc_id", "bigram")
+              .agg(F.count(F.lit(1)).alias("c")))
+    total = F.sum("c")
+    return (counts.groupBy("doc_id")
+            .agg(total.alias("n_bigrams"),
+                 F.round(F.max("c") / total, 6).alias("top_bigram_frac"),
+                 F.round(F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                               .otherwise(0)) / total, 6)
+                 .alias("dup_bigram_frac")))
+
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2} [0-9]{3} [0-9]{4}"
+
+
+def pii_metrics(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction (corpus-prep scrubbing pass): counts of
+    email/phone matches and the text with matches replaced by typed
+    placeholders. Both regexes are deliberately written in the common
+    subset of Java regex and RE2 so the DuckDB oracle replays them
+    verbatim. One narrow projection — at 100 TB this is a map-only pass."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        scrubbed.alias("scrubbed"))

@@ -161,3 +161,77 @@ SELECT doc_id,
        sha256(text) AS content_sha
 FROM documents
 """
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-bigram repetition signals per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.repetition_metrics(docs)
+
+
+def repetition_scores_oracle() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+  FROM toks, unnest(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac,
+       round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+         AS dup_bigram_frac
+FROM cnt GROUP BY doc_id
+"""
+
+
+def pii_scrub_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus with deterministic synthetic contact
+    strings injected (the test tables carry no real PII, so doc_id-derived
+    emails/phones are appended for every 3rd/5th doc — both engines build
+    the identical augmented corpus). Output: match counts + the scrubbed
+    tail where the injection landed."""
+    docs = load_table(spark, sf_dir, "documents")
+    email = F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit(""))
+    phone = F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call +1 555 "),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                   4, "0"))).otherwise(F.lit(""))
+    aug = docs.select("doc_id",
+                      F.concat(F.col("text"), email, phone).alias("text"))
+    return (textstats.pii_metrics(aug)
+            .select("doc_id", "n_emails", "n_phones",
+                    F.expr("right(scrubbed, 60)").alias("tail")))
+
+
+def pii_scrub_preview_oracle() -> str:
+    email_re = textstats.EMAIL_RE
+    phone_re = textstats.PHONE_RE
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || doc_id || '@example.com' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+             THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email_re}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{phone_re}')) AS INT) AS n_phones,
+       right(regexp_replace(regexp_replace(text, '{email_re}', '[EMAIL]', 'g'),
+                            '{phone_re}', '[PHONE]', 'g'), 60) AS tail
+FROM aug
+"""

@@ -95,6 +95,8 @@ QUERIES: dict[str, QueryFn] = {
     "quality_scores": textstats_plans.quality_scores,
     "token_count_stats": textstats_plans.token_count_stats,
     "doc_fingerprints": textstats_plans.doc_fingerprints,
+    "repetition_scores": textstats_plans.repetition_scores,
+    "pii_scrub_preview": textstats_plans.pii_scrub_preview,
     "binary_metadata": textstats_plans.binary_metadata,
     # lifecycle: incremental ingest, point lookup, status (SURVEY §3.3, Q7/Q8)
     "incremental_merge_stats": lifecycle.incremental_merge_stats,
@@ -185,6 +187,8 @@ oracle("lang_id_counts", textstats_plans.lang_id_counts_oracle())
 oracle("quality_scores", textstats_plans.quality_scores_oracle())
 oracle("token_count_stats", textstats_plans.token_count_stats_oracle())
 oracle("doc_fingerprints", textstats_plans.doc_fingerprints_oracle())
+oracle("repetition_scores", textstats_plans.repetition_scores_oracle())
+oracle("pii_scrub_preview", textstats_plans.pii_scrub_preview_oracle())
 oracle("binary_metadata", textstats_plans.binary_metadata_oracle())
 oracle("incremental_merge_stats", lifecycle.incremental_merge_stats_oracle())
 oracle("incremental_changed_docs", lifecycle.incremental_changed_docs_oracle())
