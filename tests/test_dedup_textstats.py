@@ -183,6 +183,51 @@ def test_near_dup_simhash_lossless_banding(spark, sf_dir):
     assert SIMHASH_MAX_HAMMING <= SIMHASH_BLOCKS - SIMHASH_COMBO
 
 
+def test_ngram_jaccard_randomized_lossless_with_duplicates(spark):
+    """Randomized end-to-end check of collapse + PPJoin losslessness: a
+    seeded corpus with exact duplicates injected must yield EXACTLY the
+    brute-force Jaccard pair set (prefix filtering and the exact-set
+    collapse are both lossless, so any discrepancy is a bug)."""
+    import random
+
+    from hadith_vector_search_spark.functions.text import py_tokenize
+    from hadith_vector_search_spark.operators.dedup import (
+        SHINGLE_W,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(30)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(5, 20)))
+             for _ in range(60)]
+    # duplicate ~20% of docs exactly, and add a few near-dups (one token
+    # appended) to exercise the non-trivial threshold region
+    texts += [texts[i] for i in range(0, 60, 5)]
+    texts += [texts[i] + " tok0" for i in range(0, 60, 15)]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    t = 0.8
+
+    def shingle_set(text):
+        toks = py_tokenize(text)
+        return {" ".join(toks[i:i + SHINGLE_W])
+                for i in range(len(toks) - SHINGLE_W + 1)}
+
+    sets = {i: shingle_set(x) for i, x in enumerate(texts)}
+    brute = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+                if round(jac, 6) >= t:
+                    brute[(i, j)] = round(jac, 6)
+
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, threshold=t).collect()}
+    assert got == brute
+
+
 def test_max_bucket_cap_bounds_work_with_explicit_recall_loss(spark):
     """The emergency valve: with max_bucket set, combination buckets of
     DISTINCT fingerprints above the cap stop generating candidates —
