@@ -181,9 +181,30 @@ def data_centroids(emb: DataFrame, n_centroids: int,
     )
 
 
+def kmeans_centroids(emb: DataFrame, n_centroids: int,
+                     vec_col: str = "embedding", seed: int = 42,
+                     max_iter: int = 10) -> list[tuple[int, list[float]]]:
+    """Train an IVF codebook with distributed k-means (Spark MLlib,
+    k-means|| init, fixed seed) — the quality upgrade over the
+    deterministic data-derived codebook, same (cent_id, cvec) contract.
+    Returns driver-side literal centroids (a codebook is config-sized:
+    n_centroids × dim floats), exactly like `data_centroids` consumers
+    expect. Iterative and FP-reduction-order dependent, so this path is
+    covered by rows-only checks and recall tests, not a SQL oracle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    return [(i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())]
+
+
 def ivf_topk(emb: DataFrame, query_id: int, n_centroids: int = 8,
              n_probe: int = 2, k: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition vectors into
     centroid cells, probe only the query's `n_probe` nearest cells, score
     exactly within them. The complementary ANN family to sign-LSH
@@ -198,12 +219,14 @@ def ivf_topk(emb: DataFrame, query_id: int, n_centroids: int = 8,
     # ties go to the LOWEST centroid id). Probe selection reuses the same
     # expression on the 1-row query side (identical arithmetic to the
     # oracle); the final query is one shuffle-free scan + top-k.
-    cent_rows = sorted(data_centroids(emb, n_centroids, id_col, vec_col).collect(),
-                       key=lambda r: r.cent_id)
+    if centroids is None:
+        centroids = [(r.cent_id, r.cvec) for r in sorted(
+            data_centroids(emb, n_centroids, id_col, vec_col).collect(),
+            key=lambda r: r.cent_id)]
     cells = F.array(*[
-        F.struct(F.round(dot(F.col(vec_col), vector_lit(r.cvec)), 6).alias("cd"),
-                 F.lit(-r.cent_id).alias("ncid"))
-        for r in cent_rows
+        F.struct(F.round(dot(F.col(vec_col), vector_lit(cvec)), 6).alias("cd"),
+                 F.lit(-cid).alias("ncid"))
+        for cid, cvec in centroids
     ])
     probe_top = (emb.filter(F.col(id_col) == query_id)
                  .select(F.slice(F.reverse(F.array_sort(cells)), 1, n_probe)

@@ -92,6 +92,20 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_K = 5
 
 
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a k-means-TRAINED codebook (MLlib, fixed seed) —
+    the recall upgrade over the deterministic data-derived codebook the
+    oracle-checked `ann_topk_ivf` uses. k-means is iterative and its FP
+    reduction order is partitioning-dependent, so this query is
+    registered WITHOUT a SQL oracle (driver runs the rows-only check);
+    `tests/test_semantic_ops.py` asserts shape, ordering, and a recall
+    floor against the exact top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, IVF_CENTROIDS)
+    return similarity.ivf_topk(emb, QUERY_VEC_ID, IVF_CENTROIDS, IVF_PROBE,
+                               ANN_K, centroids=cents)
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-vs-exact for every approximate similarity operator — the
     honest accounting for substituting LSH/IVF where the reference uses

@@ -70,6 +70,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_lsh": semantic.ann_topk_lsh,
     "ann_topk_ivf": semantic.ann_topk_ivf,
     "ann_recall_report": semantic.ann_recall_report,
+    # iterative algorithm — no SQL oracle (driver rows-only check)
+    "ann_topk_ivf_kmeans": semantic.ann_topk_ivf_kmeans,
     # router + hybrid pipeline (SURVEY §2.9, §3.1)
     "intent_router": routing.intent_router,
     "routed_search_batch": routed.routed_search_batch,

@@ -104,3 +104,22 @@ def test_similar_pairs_lsh_subset_of_exact(spark, sf_dir):
     for k, v in approx.items():
         assert v == exact[k]
     assert all(v > PAIR_THRESHOLD for v in approx.values())
+
+
+def test_ivf_kmeans_codebook_recall(spark, sf_dir):
+    """k-means-trained IVF: k rows, sims descending, and recall@k against
+    the exact top-k at least as a loose floor (data-adapted cells should
+    not be pathologically worse than the probe budget allows)."""
+    from hadith_vector_search_spark.plans.semantic import (
+        ANN_K,
+        ann_topk_ivf_kmeans,
+        cosine_topk,
+    )
+
+    approx = ann_topk_ivf_kmeans(spark, sf_dir).collect()
+    assert len(approx) == ANN_K
+    sims = [r.sim for r in approx]
+    assert sims == sorted(sims, reverse=True)
+    exact = {r.vec_id for r in cosine_topk(spark, sf_dir).collect()[:ANN_K]}
+    recall = len({r.vec_id for r in approx} & exact) / ANN_K
+    assert recall >= 0.2
