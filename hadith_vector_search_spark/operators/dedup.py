@@ -145,7 +145,14 @@ def jaccard_verify(pairs: DataFrame, sharr: DataFrame, threshold: float) -> Data
     side is small by LSH/prefix construction, so AQE converts both joins to
     broadcasts; if a pathological corpus made it large, the same plan
     degrades gracefully to a shuffle join. Output: (id_a, id_b, jaccard)
-    above threshold."""
+    above threshold.
+
+    The candidate frame is referenced five times in this plan (the final
+    join plus both semi-join sides' id union), and Spark recomputes common
+    subplans unless an exchange happens to be reused — so `pairs` is pinned
+    with a lazy localCheckpoint: the (band-join) candidate generation runs
+    once, and every reference reads the materialized blocks."""
+    pairs = pairs.localCheckpoint(eager=False)
     ids = (pairs.select(F.col("id_a").alias("doc_id"))
            .union(pairs.select(F.col("id_b").alias("doc_id"))).distinct())
     cand_sharr = sharr.join(ids, "doc_id", "left_semi")
@@ -161,23 +168,68 @@ def jaccard_verify(pairs: DataFrame, sharr: DataFrame, threshold: float) -> Data
     )
 
 
-def _shingle_groups(sharr: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Exact-set collapse for shingle-based near-dup: docs with identical
-    (sorted) shingle sets are interchangeable under Jaccard, so banding and
-    verification run over one REPRESENTATIVE per set and member pairs are
-    restored afterward. A corpus with K copies of one boilerplate page
-    contributes ONE row to every band bucket instead of K — the classic
-    web-dedup bucket blowup can't happen from duplicate multiplicity.
+def _set_gkey(arr: Column) -> Column:
+    """128-bit identity key for a shingle/element SET: two independent-ish
+    xxhash64 digests of the sorted array (the second mixes a distinct
+    constant into the hash state first). A single 64-bit key has a birthday
+    collision bound of ~N^2/2^65 — material at the documented
+    billions-of-docs posture, where a silent collision would merge two
+    distinct documents into one collapse group (false jaccard=1.0 pairs).
+    Pairing two 64-bit digests pushes the bound to ~N^2/2^129: negligible
+    at any corpus size this engine targets. Exactness would require
+    grouping on the sorted array itself; the struct key keeps shuffle keys
+    fixed-width."""
+    sorted_arr = F.array_sort(arr)
+    return F.struct(F.xxhash64(sorted_arr).alias("h1"),
+                    F.xxhash64(F.lit(7), sorted_arr).alias("h2"))
 
-    Returns (membership, groups): membership = (doc_id, gkey) for docs with
-    non-empty shingle sets; groups = (gkey, rep_id, members)."""
-    membership = (sharr.filter(F.size("shingles") > 0)
-                  .select("doc_id",
-                          F.xxhash64(F.array_sort("shingles")).alias("gkey")))
-    groups = (membership.groupBy("gkey")
+
+def _collapsed_shingles(docs: DataFrame, text_col: str, id_col: str,
+                        w: int = SHINGLE_W) -> DataFrame:
+    """Exact-set collapse for shingle-based near-dup, fused into ONE pass:
+    docs with identical shingle sets are interchangeable under Jaccard, so
+    banding and verification run over one REPRESENTATIVE per set and member
+    pairs are restored afterward. A corpus with K copies of one boilerplate
+    page contributes ONE row to every band bucket instead of K — the
+    classic web-dedup bucket blowup can't happen from duplicate
+    multiplicity.
+
+    Cost shape (this replaced a groupBy + semi-join + two extra
+    checkpoints that made collapse a fixed ~1.5x tax on every run, round-4
+    regression): the shingle pass runs once (fully narrow — the group key
+    rides along as a column, no shuffle at all) and is pinned with ONE
+    eager localCheckpoint. Whether any collapse work is needed at all is
+    decided afterward by `_dup_groups`, which probes the checkpointed
+    frame with a gkey-only aggregate — shingle arrays never shuffle for
+    collapse bookkeeping. On a cluster this frame is the derived
+    shingle-index table you would persist anyway (parquet, bucketed by
+    doc_id); the checkpoint is the single-job equivalent.
+
+    Returns (doc_id, shingles, gkey) for docs with non-empty shingle
+    sets."""
+    return (shingle_array(docs, text_col, id_col, w)
+            .filter(F.size("shingles") > 0)
+            .withColumn("gkey", _set_gkey(F.col("shingles")))
+            .localCheckpoint())
+
+
+def _dup_groups(per_doc: DataFrame) -> DataFrame | None:
+    """Duplicate-set probe + group table over the checkpointed per-doc
+    shingle frame: returns (gkey, rep_id, members) if ANY duplicate
+    shingle set exists, else None. The aggregate shuffles only (gkey,
+    doc_id) — never the arrays — and is map-side combined, so on a clean
+    corpus (the common case) collapse costs exactly one cheap probe job
+    and the pipelines skip representative selection and member expansion
+    entirely. The group table is pinned lazily: when duplicates DO exist
+    it feeds representative selection AND both expansion joins, and
+    materializes once."""
+    groups = (per_doc.groupBy("gkey")
               .agg(F.min("doc_id").alias("rep_id"),
-                   F.count(F.lit(1)).alias("members")))
-    return membership, groups
+                   F.count(F.lit(1)).alias("members"))
+              .localCheckpoint(eager=False))
+    if groups.filter(F.col("members") >= 2).isEmpty():
+        return None
+    return groups
 
 
 def _expand_shingle_pairs(rep_pairs: DataFrame, membership: DataFrame,
@@ -211,28 +263,41 @@ def _expand_shingle_pairs(rep_pairs: DataFrame, membership: DataFrame,
 def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      n_hashes: int = 8, band_size: int = 2,
                      threshold: float = 0.8,
-                     max_bucket: int | None = None) -> DataFrame:
+                     max_bucket: int | None = None,
+                     sharr: DataFrame | None = None) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: shingle arrays (narrow) →
-    exact-set collapse (`_shingle_groups` — duplicate boilerplate can't
+    exact-set collapse (`_collapsed_shingles` — duplicate boilerplate can't
     flood band buckets) → signatures over representatives (narrow) →
     band-bucket candidate pairs (the only corpus-wide shuffle, on small
     band keys) → exact-Jaccard verification restricted to candidates
     (array_intersect, no shingle explode) → member expansion.
 
-    The shingle and group frames each feed multiple consumers (join sides
-    / verify / expansion). Spark recomputes diamond branches, so both are
-    pinned with an eager localCheckpoint — shingling and hashing run
-    exactly once per doc. On a cluster deployment these are the derived
-    index tables you would persist anyway (parquet, bucketed by doc_id);
-    the checkpoint is the single-job equivalent."""
-    sharr = shingle_array(docs, text_col, id_col).localCheckpoint()
-    membership, groups = _shingle_groups(sharr)
-    groups = groups.localCheckpoint(eager=False)
-    rep_sharr = sharr.join(groups.select(F.col("rep_id").alias("doc_id")),
-                           "doc_id", "left_semi")
-    sigs = minhash_signatures(rep_sharr, n_hashes).localCheckpoint()
+    The shingle frame is checkpointed once (`_collapsed_shingles`) and the
+    duplicate-set probe (`_dup_groups`) decides whether collapse machinery
+    runs at all: on a clean corpus — the common case — banding runs over
+    all docs directly and the member-expansion joins are skipped, so
+    collapse costs one cheap gkey-only probe; it pays for itself exactly
+    when boilerplate floods would otherwise blow up the banding join.
+
+    `sharr` accepts a prebuilt (doc_id, shingles, gkey) index frame
+    (`_collapsed_shingles` output) — the persisted-shingle-index path a
+    deployment uses so N dedup jobs over one corpus shingle it once
+    (see plans.dedup.get_shingle_index)."""
+    per_doc = sharr if sharr is not None else _collapsed_shingles(
+        docs, text_col, id_col)
+    groups = _dup_groups(per_doc)
+    if groups is None:
+        rep_sharr = per_doc.select("doc_id", "shingles")
+    else:
+        rep_sharr = (per_doc.join(groups.select(F.col("rep_id").alias("doc_id")),
+                                  "doc_id", "left_semi")
+                     .select("doc_id", "shingles"))
+    sigs = minhash_signatures(rep_sharr, n_hashes).localCheckpoint(eager=False)
     cands = lsh_band_pairs(sigs, n_hashes, band_size, max_bucket)
     rep_pairs = jaccard_verify(cands, rep_sharr, threshold)
+    if groups is None:
+        return rep_pairs
+    membership = per_doc.select("doc_id", "gkey")
     return _expand_shingle_pairs(rep_pairs, membership, groups, threshold)
 
 
@@ -332,19 +397,21 @@ def simhash_long(docs: DataFrame, text_col: str = "text",
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            n_bits: int = 16) -> DataFrame:
+            n_bits: int = 16, sigs: DataFrame | None = None) -> DataFrame:
     """Bit-string view of `simhash_long` — (doc_id, simhash) where simhash
     is the n_bits-char '0'/'1' string reading b0..b{n-1} left to right.
     `bin()` on the packed BIGINT renders exactly that (a 64-bit fingerprint
     with b0 set is negative, and bin() of a negative long is the full
-    64-char two's-complement pattern, which IS the fingerprint)."""
-    return (simhash_long(docs, text_col, id_col, n_bits)
-            .select("doc_id", F.lpad(F.bin("fp"), n_bits, "0").alias("simhash")))
+    64-char two's-complement pattern, which IS the fingerprint). `sigs`
+    accepts a prebuilt (doc_id, fp) fingerprint index frame."""
+    base = sigs if sigs is not None else simhash_long(docs, text_col, id_col, n_bits)
+    return base.select("doc_id", F.lpad(F.bin("fp"), n_bits, "0").alias("simhash"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", w: int = SHINGLE_W,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        sharr: DataFrame | None = None) -> DataFrame:
     """n-gram Jaccard similarity join via PREFIX FILTERING (PPJoin-style),
     the third near-dup family next to MinHash-LSH and SimHash.
 
@@ -369,21 +436,25 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     df, one window per doc (partitioned by doc_id), one self-join on rare
     shingles, then candidate-only verification.
     """
-    # sharr feeds three consumers (df stats, ranking, verify) and prefix
-    # feeds both sides of the candidate self-join — pin both so shingling
-    # runs once and the self-join reads materialized rows (see
-    # near_dup_minhash for the cluster-deployment framing). As there,
-    # exact-set collapse runs the join over one representative per
-    # distinct shingle set: duplicate boilerplate can't flood the rare-
-    # shingle buckets, and losslessness is preserved because prefix
-    # filtering is lossless under ANY consistent global ordering — the
-    # representative-only document frequencies are simply a different
-    # (equally valid) ordering than all-docs df.
-    sharr_all = shingle_array(docs, text_col, id_col, w).localCheckpoint()
-    membership, groups = _shingle_groups(sharr_all)
-    groups = groups.localCheckpoint(eager=False)
-    sharr = sharr_all.join(groups.select(F.col("rep_id").alias("doc_id")),
-                           "doc_id", "left_semi")
+    # Exact-set collapse runs the join over one representative per
+    # distinct shingle set (one checkpointed shingle pass + a gkey-only
+    # probe, see `_collapsed_shingles` / `_dup_groups`): duplicate
+    # boilerplate can't flood the rare-shingle buckets, and losslessness
+    # is preserved because prefix filtering is lossless under ANY
+    # consistent global ordering — the representative-only document
+    # frequencies are simply a different (equally valid) ordering than
+    # all-docs df. On a corpus with no duplicate sets the probe skips
+    # representative selection and member expansion entirely. `sharr`
+    # accepts the prebuilt shingle index (plans.dedup.get_shingle_index).
+    per_doc = sharr if sharr is not None else _collapsed_shingles(
+        docs, text_col, id_col, w)
+    groups = _dup_groups(per_doc)
+    if groups is None:
+        sharr = per_doc.select("doc_id", "shingles")
+    else:
+        sharr = (per_doc.join(groups.select(F.col("rep_id").alias("doc_id")),
+                              "doc_id", "left_semi")
+                 .select("doc_id", "shingles"))
     sh = sharr.select("doc_id", F.size("shingles").alias("set_size"),
                       F.explode("shingles").alias("shingle"))
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -430,6 +501,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .distinct()
     )
     rep_pairs = jaccard_verify(cands, sharr, threshold)
+    if groups is None:
+        return rep_pairs
+    membership = per_doc.select("doc_id", "gkey")
     return _expand_shingle_pairs(rep_pairs, membership, groups, threshold)
 
 
@@ -469,7 +543,8 @@ def near_dup_simhash(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", n_bits: int = 16,
                      n_blocks: int = 6, combo_size: int = 3,
                      max_hamming: int = 3,
-                     max_bucket: int | None = None) -> DataFrame:
+                     max_bucket: int | None = None,
+                     sigs: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup pairs, lossless for max_hamming <= n_blocks -
     combo_size, in three scale-bounded stages:
 
@@ -497,10 +572,16 @@ def near_dup_simhash(docs: DataFrame, text_col: str = "text",
     path; pair it with a monitoring count of dropped buckets in
     production.
 
+    `sigs` accepts a prebuilt (doc_id, fp) fingerprint index frame
+    (`simhash_long` output, pinned) — the persisted-fingerprint-index path
+    so N near-dup jobs over one corpus fingerprint it once
+    (plans.dedup.get_simhash_index).
+
     Output: (id_a, id_b, hamming_dist) with hamming_dist <= max_hamming."""
     assert max_hamming <= n_blocks - combo_size, \
         "combination banding is lossless only to n_blocks - combo_size"
-    sigs = simhash_long(docs, text_col, id_col, n_bits).localCheckpoint(eager=False)
+    if sigs is None:
+        sigs = simhash_long(docs, text_col, id_col, n_bits).localCheckpoint(eager=False)
     groups = (sigs.groupBy("fp")
               .agg(F.count(F.lit(1)).alias("members"))
               .localCheckpoint(eager=False))

