@@ -365,8 +365,14 @@ def similar_pairs_lsh(emb: DataFrame, threshold: float,
     EXACT-VECTOR COLLAPSE. Bit-identical vectors share every band bucket,
     so K copies of one embedding (duplicated boilerplate docs embed
     identically) would put K rows in the same bucket and go quadratic in
-    the self-join. Banding + verify therefore run over one representative
-    per distinct vector (xxhash64 of the array), and member-level pairs
+    the self-join. The vector frame is checkpointed ONCE with a 128-bit
+    group key (two xxhash64 digests — a single 64-bit key has a birthday
+    collision bound that is material at billions of vectors), then a
+    gkey-only aggregate probes for duplicates: on a corpus of distinct
+    vectors — the common case — banding runs over all rows directly and
+    the member-expansion joins are skipped entirely, so collapse costs
+    one cheap probe job. When duplicates DO exist, banding + verify run
+    over one representative per distinct vector and member-level pairs
     are restored afterward — within-group pairs score round(dot(v,v),6)
     against the threshold, exactly what banding+verify would have
     produced for an identical pair (identical vectors always agree on
@@ -375,14 +381,21 @@ def similar_pairs_lsh(emb: DataFrame, threshold: float,
     planes = data_planes(emb, n_planes, id_col, vec_col)
     tagged = (emb.select(F.col(id_col).cast("long").alias("vid"),
                          F.col(vec_col).alias("vec"),
-                         F.xxhash64(F.col(vec_col)).alias("gkey"))
-              .localCheckpoint(eager=False))
+                         F.struct(
+                             F.xxhash64(F.col(vec_col)).alias("h1"),
+                             F.xxhash64(F.lit(7), F.col(vec_col)).alias("h2"))
+                         .alias("gkey"))
+              .localCheckpoint())
     groups = (tagged.groupBy("gkey")
               .agg(F.min("vid").alias("rep_id"),
                    F.count(F.lit(1)).alias("members"))
               .localCheckpoint(eager=False))
-    reps = tagged.join(groups.select(F.col("rep_id").alias("vid")),
-                       "vid", "left_semi")
+    if groups.filter(F.col("members") >= 2).isEmpty():
+        groups = None
+        reps = tagged
+    else:
+        reps = tagged.join(groups.select(F.col("rep_id").alias("vid")),
+                           "vid", "left_semi")
     signed = (
         reps.crossJoin(F.broadcast(planes))
         .select("vid",
@@ -456,6 +469,8 @@ def similar_pairs_lsh(emb: DataFrame, threshold: float,
 
     rep_pairs = joined.mapInPandas(verify,
                                    schema="id_a long, id_b long, sim double")
+    if groups is None:
+        return rep_pairs
 
     # Member expansion (stage 0's inverse). Cross-group pairs inherit the
     # representative pair's sim (identical vectors, identical dot); within-
