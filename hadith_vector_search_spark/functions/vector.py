@@ -2,8 +2,13 @@
 
 The reference's numpy matmul (`np.dot(matrix, qvec)` at
 /root/reference/quran_mcp/search.py:158) becomes a higher-order-function
-fold over `array<float>` columns — whole-stage-codegen-friendly, no Python.
-Elements are cast to double before arithmetic so results are stable and
+fold over `array<float>` columns — JVM-side, no Python round-trip.
+Honest cost note: lambda-bearing HOF trees are INTERPRETED (they sit
+outside whole-stage codegen and skip runtime subexpression elimination —
+see operators/dedup.py shingle notes), which is fine for per-query scoring
+of broadcast-sized sides; corpus-wide all-pairs work routes through the
+Arrow-batched numpy matmuls in operators/similarity.py instead. Elements
+are cast to double before arithmetic so results are stable and
 DuckDB-comparable.
 """
 

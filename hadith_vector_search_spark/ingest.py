@@ -1,0 +1,232 @@
+"""Ingestion CLI — the runnable entry point over the incremental-ingest
+operators, mirroring the reference's
+``python -m mcp_server.apps.ingestion --book ... --update-indexes``
+(/root/reference/mcp_server/apps/ingestion.py:96-185: argparse at
+:97-108, per-book loop at :144-151, index totals print at :161-185).
+
+Usage::
+
+    python -m hadith_vector_search_spark.ingest \
+        --data-dir /path/to/books --table /path/to/corpus.parquet \
+        [--book 1 2 intro] [--update-indexes] [--force-index-refresh]
+
+Flow (all Spark-side, scale-shaped like the batch lifecycle plans):
+
+1. every selected ``book_<id>.jsonl`` goes through the validated scan
+   (S2 10-error gate), gets a row checksum (F9), and is classified
+   against the existing corpus table in ONE left join — insert / update /
+   skip per row (P3/P4);
+2. per-book and total A5 stats roll up map-side and print;
+3. changed rows MERGE into the corpus table (anti-join + union), written
+   to a staging dir and swapped in atomically (same rename discipline as
+   the streaming MERGE publish);
+4. ``--update-indexes`` refreshes the derived FTS-postings and
+   vector-index tables, gated by the staleness manifest (S13) so a
+   no-change re-run rebuilds nothing; ``--force-index-refresh`` rebuilds
+   unconditionally (implies ``--update-indexes``), matching the
+   reference's flag semantics.
+
+Idempotence: re-running with unchanged inputs classifies every row
+``skip``, leaves the table bytes untouched, and reuses both indexes
+(asserted by tests/test_ingest_cli.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+from .operators.embedder import embed_column
+from .sources.ingest import (classify_changes, ingest_stats, merge_upsert,
+                             row_checksum, validated_scan)
+from .sources.manifest import (IndexManifest, ensure_index,
+                               source_fingerprint, write_manifest)
+
+BOOK_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+])
+
+EMBED_DIM = 384  # reference model geometry (quran_mcp/embeddings.py:28-37)
+
+
+def book_paths(data_dir: str, books: list[str] | None) -> list[str]:
+    """``book_<id>.jsonl`` under data_dir; explicit ids must all exist
+    (reference raises on unknown ids: ingestion.py:
+    iter_book_paths)."""
+    if not books:
+        return sorted(glob.glob(os.path.join(data_dir, "book_*.jsonl")))
+    paths = []
+    for b in books:
+        p = os.path.join(data_dir, f"book_{b}.jsonl")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no such book file: {p}")
+        paths.append(p)
+    return paths
+
+
+def load_book(spark: SparkSession, path: str) -> DataFrame:
+    """Validated scan + derived columns: n_chars (when absent upstream)
+    and the row checksum every downstream change probe keys on."""
+    df = validated_scan(spark, path, BOOK_SCHEMA)
+    return (df.withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))))
+            .withColumn("checksum", row_checksum("text", "lang", "source")))
+
+
+def _publish_table(df: DataFrame, table_path: str) -> None:
+    """Write-then-swap: never leaves the table half-written. The staged
+    result is fully materialized before the old dir moves aside; the two
+    renames mirror the streaming MERGE publish protocol."""
+    staging = f"{table_path}.staging-{os.getpid()}"
+    aside = f"{table_path}.old-{os.getpid()}"
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(table_path):
+        os.rename(table_path, aside)
+    os.rename(staging, table_path)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def _fts_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None:
+    """Derived FTS postings table (term, doc_id, tf) — the parquet
+    analogue of the reference's SQLite FTS5 rebuild (fts.py)."""
+    from .operators.bm25 import doc_tokens
+
+    docs = spark.read.parquet(table_path)
+    postings = (doc_tokens(docs)
+                .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf")))
+    postings.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+
+
+def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None:
+    """Derived embedding table (doc_id, embedding array<double>) via the
+    Arrow pandas-UDF encoder, hash backend (deterministic; the real
+    sentence-transformer backend drops in via operators.embedder)."""
+    docs = spark.read.parquet(table_path)
+    emb = docs.select("doc_id", embed_column("text", EMBED_DIM,
+                                             backend="hash").alias("embedding"))
+    emb.write.mode("overwrite").parquet(os.path.join(out_dir, "vectors"))
+
+
+def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
+                   force: bool = False) -> dict[str, list[str]]:
+    """Refresh both derived indexes behind the staleness manifest. Returns
+    {index_name: rebuild reasons} ([] == reused). ``force`` rebuilds
+    unconditionally, the reference's --force-index-refresh."""
+    n_rows = spark.read.parquet(table_path).count()
+    fp = source_fingerprint([table_path])
+    out: dict[str, list[str]] = {}
+    for name, model, dim, build in (
+            ("fts", "fts-postings-v1", 0, _fts_index_build),
+            ("vector", f"hash-embedder-{EMBED_DIM}", EMBED_DIM,
+             _vector_index_build)):
+        idx_dir = os.path.join(index_dir, name)
+        manifest = IndexManifest(model_name=model, dim=dim, n_rows=n_rows,
+                                 source_files=fp)
+        if force:
+            build(spark, table_path, idx_dir)
+            write_manifest(idx_dir, manifest)
+            out[name] = ["forced refresh"]
+        else:
+            out[name] = ensure_index(
+                idx_dir, manifest,
+                lambda b=build, d=idx_dir: b(spark, table_path, d))
+    return out
+
+
+def run_ingestion(spark: SparkSession, data_dir: str, table_path: str,
+                  books: list[str] | None = None, index_dir: str | None = None,
+                  do_update_indexes: bool = False, force_index: bool = False,
+                  log=print) -> dict[str, int]:
+    """The CLI's programmatic core; returns the total A5 stats dict."""
+    paths = book_paths(data_dir, books)
+    log(f"Processing {len(paths)} book(s) from {data_dir}...")
+    totals = {"n_incoming": 0, "n_insert": 0, "n_update": 0, "n_skip": 0}
+    existing = (spark.read.parquet(table_path)
+                if os.path.exists(table_path) else None)
+    changed_frames: list[DataFrame] = []
+    for path in paths:
+        incoming = load_book(spark, path)
+        if existing is not None:
+            classified = classify_changes(incoming, existing)
+        else:
+            classified = incoming.withColumn("action", F.lit("insert"))
+        stats = ingest_stats(classified).collect()[0].asDict()
+        for k in totals:
+            totals[k] += int(stats[k] or 0)
+        log(f"{os.path.basename(path)}: "
+            + ", ".join(f"{k[2:]}={int(stats[k] or 0)}" for k in stats))
+        changed_frames.append(
+            classified.filter(F.col("action") != "skip").drop("action"))
+
+    n_changed = totals["n_insert"] + totals["n_update"]
+    if n_changed:
+        incoming_all = changed_frames[0]
+        for f in changed_frames[1:]:
+            incoming_all = incoming_all.unionByName(f)
+        merged = (merge_upsert(existing, incoming_all)
+                  if existing is not None else incoming_all)
+        # Swap-publish requires the merged frame fully staged first; the
+        # anti-join reads the old table, so no read-while-overwrite hazard.
+        _publish_table(merged, table_path)
+        log(f"merged {n_changed} changed row(s) into {table_path}")
+    else:
+        log(f"no changes; {table_path} untouched")
+
+    if do_update_indexes or force_index:
+        t0 = time.time()
+        reasons = update_indexes(spark, table_path,
+                                 index_dir or f"{table_path}_indexes",
+                                 force=force_index)
+        log("Index update summary:")
+        for name, why in reasons.items():
+            state = f"rebuilt ({'; '.join(why)})" if why else "reused (fresh)"
+            log(f"  {name} index -> {state}, duration: {time.time() - t0:.2f}s")
+    log("Ingestion totals -> "
+        + ", ".join(f"{k[2:]}: {v}" for k, v in totals.items()))
+    return totals
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Corpus ingestion validator + incremental index refresh")
+    parser.add_argument("--data-dir", required=True,
+                        help="directory holding book_<id>.jsonl files")
+    parser.add_argument("--table", required=True,
+                        help="corpus parquet table path (created on first run)")
+    parser.add_argument("--book", nargs="*",
+                        help="book ids to load (e.g. 1 2 intro); omitted = all")
+    parser.add_argument("--index-dir", default=None,
+                        help="derived index root (default <table>_indexes)")
+    parser.add_argument("--update-indexes", action="store_true",
+                        help="refresh FTS + vector indexes after the merge")
+    parser.add_argument("--force-index-refresh", action="store_true",
+                        help="rebuild indexes even if manifests are fresh "
+                             "(implies --update-indexes)")
+    args = parser.parse_args(argv)
+
+    from .session import get_spark
+    spark = get_spark("ingest-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        run_ingestion(spark, args.data_dir, args.table, books=args.book,
+                      index_dir=args.index_dir,
+                      do_update_indexes=args.update_indexes,
+                      force_index=args.force_index_refresh)
+    except (FileNotFoundError, RuntimeError) as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

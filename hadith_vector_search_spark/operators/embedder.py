@@ -60,8 +60,10 @@ class HashEmbedder:
     the moral equivalent of resident embedding-table weights. The memo is
     bounded (SIGN_CACHE_MAX entries ≈ 100 MB at dim=384): a long-lived
     executor worker streaming an open vocabulary must not grow without
-    limit, so on overflow the oldest half is evicted (dict preserves
-    insertion order; eviction only costs recomputing one md5 chain)."""
+    limit, so on overflow the least-recently-USED half is evicted — hits
+    re-insert the key at the dict's tail, so hot tokens survive eviction
+    cycles instead of being aged out by insertion order, and eviction
+    walks an iterator (islice) rather than materializing the key list."""
 
     SIGN_CACHE_MAX = 65536
 
@@ -71,7 +73,7 @@ class HashEmbedder:
         self._signs: dict[str, np.ndarray] = {}
 
     def _sign_vec(self, tok: str) -> np.ndarray:
-        v = self._signs.get(tok)
+        v = self._signs.pop(tok, None)
         if v is None:
             hx = "".join(
                 hashlib.md5(f"{b}|{tok}".encode("utf-8")).hexdigest()
@@ -79,9 +81,12 @@ class HashEmbedder:
             v = np.where(np.frombuffer(hx.encode("ascii"), dtype=np.uint8)
                          < ord("8"), 1.0, -1.0)
             if len(self._signs) >= self.SIGN_CACHE_MAX:
-                for k in list(self._signs)[: self.SIGN_CACHE_MAX // 2]:
+                from itertools import islice
+                for k in list(islice(self._signs, self.SIGN_CACHE_MAX // 2)):
                     del self._signs[k]
-            self._signs[tok] = v
+        # (Re-)insert at the tail: dict order becomes recency order, so the
+        # overflow eviction above drops the least-recently-used half.
+        self._signs[tok] = v
         return v
 
     def encode(self, text: str, normalize: bool = True) -> list[float]:

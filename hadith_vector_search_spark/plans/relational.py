@@ -63,18 +63,22 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way dimension join (SURVEY §2.3 J3/J4 broadcast lookups):
-    fact table joins small dims — every dim side is broadcast so the only
-    shuffle is the final 5-group aggregation."""
+    """Multi-way dimension join (SURVEY §2.3 J3/J4 broadcast lookups).
+    Broadcast hints are reserved for the FIXED-SIZE dims (nation/region —
+    25/5 rows at any SF): orders and customer scale with the corpus, so
+    forcing them broadcast would be wrong at 100 TB (and measurably slower
+    than AQE's choice already at sf0.1 — AQE still converts them to
+    broadcasts when their post-pruning size fits, and falls back to a
+    shuffle join when it doesn't)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))

@@ -92,18 +92,73 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_K = 5
 
 
-def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k with a k-means-TRAINED codebook (MLlib, fixed seed) —
-    the recall upgrade over the deterministic data-derived codebook the
-    oracle-checked `ann_topk_ivf` uses. k-means is iterative and its FP
-    reduction order is partitioning-dependent, so this query is
-    registered WITHOUT a SQL oracle (driver runs the rows-only check);
-    `tests/test_semantic_ops.py` asserts shape, ordering, and a recall
-    floor against the exact top-k."""
+KMEANS_RECALL_FLOOR_HITS = 1  # of ANN_K; see ann_topk_ivf_kmeans docstring
+
+
+def kmeans_ann_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF top-k rows with a k-means-TRAINED codebook (MLlib, fixed
+    seed) — the recall upgrade over the deterministic data-derived
+    codebook `ann_topk_ivf` uses. The user-facing ANN surface; the
+    registered query wraps it in a deterministic report (below)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_centroids(emb, IVF_CENTROIDS)
     return similarity.ivf_topk(emb, QUERY_VEC_ID, IVF_CENTROIDS, IVF_PROBE,
                                ANN_K, centroids=cents)
+
+
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means-IVF ANN as a RECALL-BOUND REPORT with a real SQL oracle.
+
+    k-means is iterative and FP-reduction-order dependent, so the ANN hit
+    set itself cannot be replayed in SQL — but two things about the run
+    ARE deterministic and checkable: (a) the exact top-k it is measured
+    against, and (b) whether its recall clears a floor. The query emits
+    one row: (method, k, exact_ids — the sorted exact top-k id list the
+    oracle recomputes — and recall_ok = hits >= KMEANS_RECALL_FLOOR_HITS).
+    The oracle asserts recall_ok IS TRUE, so a codebook regression that
+    drops recall below the floor turns the driver row red instead of
+    hiding behind a rows-only check (round-4 verdict item 4; same report
+    shape as `ann_recall_report`).
+
+    The floor is deliberately loose (hits >= 1 of 5): with 8 cells and 2
+    probes, worst-case-but-healthy recall at tiny SFs is low — the HONEST
+    recall accounting across methods is `ann_recall_report`; this floor
+    is a regression tripwire, not a quality claim (tests assert the same
+    floor; measured this round: 0.4 at sf0.001/sf0.01, 0.6 at sf0.1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = kmeans_ann_rows(spark, sf_dir).select("vec_id")
+    exact = (similarity.topk_by_query_id(emb, QUERY_VEC_ID, ANN_K)
+             .select("vec_id").localCheckpoint(eager=False))
+    hits = (ann.join(exact, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits")))
+    exact_ids = exact.agg(
+        F.array_join(F.transform(F.array_sort(F.collect_list("vec_id")),
+                                 lambda x: x.cast("string")), ",")
+        .alias("exact_ids"))
+    return (exact_ids.crossJoin(F.broadcast(hits))
+            .select(F.lit("ann_topk_ivf_kmeans").alias("method"),
+                    F.lit(ANN_K).alias("k"),
+                    "exact_ids",
+                    (F.col("hits") >= KMEANS_RECALL_FLOOR_HITS)
+                    .alias("recall_ok")))
+
+
+def ann_topk_ivf_kmeans_oracle() -> str:
+    """Replays the deterministic legs: the exact top-k id list, and the
+    recall assertion as a constant TRUE that only matches when Spark's
+    measured recall clears the floor."""
+    return f"""
+WITH {_PAIR_DOT},
+exact5 AS (
+  SELECT ib AS vec_id FROM pair_dot WHERE ia = {QUERY_VEC_ID}
+  ORDER BY round(d, 6) DESC, ib ASC LIMIT {ANN_K}
+)
+SELECT 'ann_topk_ivf_kmeans' AS method,
+       {ANN_K} AS k,
+       (SELECT string_agg(vec_id::VARCHAR, ',' ORDER BY vec_id)
+        FROM exact5) AS exact_ids,
+       TRUE AS recall_ok
+"""
 
 
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -146,6 +146,7 @@ oracle("similar_pairs_lsh", semantic.similar_pairs_lsh_oracle())
 oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
 oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 oracle("ann_recall_report", semantic.ann_recall_report_oracle())
+oracle("ann_topk_ivf_kmeans", semantic.ann_topk_ivf_kmeans_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())
 oracle("contamination_check", pipeline_plans.contamination_check_oracle())

@@ -14,19 +14,30 @@ Routes:
   "field": ..., "value": ..., "limit": ...}`` → result rows
 - ``GET  /api/document/<id>`` → the document row
 
-TLS termination belongs in front (the reference inlines a cert pair; a
-deployment puts this behind a proxy). Concurrency: handler threads submit
-Spark actions on the shared session — safe (SparkSession is thread-safe;
-jobs interleave on the scheduler)."""
+TLS: pass a cert/key pair (``EngineHTTPServer(..., tls_cert=, tls_key=)``
+or ``--tls-cert/--tls-key``) to serve HTTPS directly, mirroring the
+reference's inlined cert pair (/root/reference/mcp_server/http_server.py:
+78-80); without one the server is plaintext and TLS termination belongs in
+a fronting proxy.
+
+Security posture: request bodies are capped at ``MAX_BODY_BYTES`` (413
+beyond it), but there is NO authentication — the default bind is loopback;
+a non-loopback ``--host`` needs a fronting proxy that provides auth.
+
+Concurrency: handler threads submit Spark actions on the shared session —
+safe (SparkSession is thread-safe; jobs interleave on the scheduler)."""
 
 from __future__ import annotations
 
 import json
+import ssl
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
 from .stdio import StdioServer
+
+MAX_BODY_BYTES = 1 << 20  # 1 MiB — a query payload is a few hundred bytes
 
 
 def _make_handler(dispatch: StdioServer):
@@ -70,6 +81,11 @@ def _make_handler(dispatch: StdioServer):
         def do_POST(self) -> None:  # noqa: N802
             try:
                 n = int(self.headers.get("Content-Length") or 0)
+                if n > MAX_BODY_BYTES:
+                    # Read nothing: a client-controlled length must not
+                    # size a server-side buffer.
+                    self._send(413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"})
+                    return
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/api/search/hybrid":
                     if not payload.get("query"):
@@ -94,10 +110,17 @@ class EngineHTTPServer:
     """Long-lived HTTP front over one engine. `port=0` picks a free port
     (exposed as `.port`); `start()` serves on a daemon thread."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 tls_cert: str | None = None, tls_key: str | None = None) -> None:
         self._dispatch = StdioServer(engine)
         self.httpd = ThreadingHTTPServer((host, port),
                                          _make_handler(self._dispatch))
+        self.tls = bool(tls_cert)
+        if tls_cert:
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(certfile=tls_cert, keyfile=tls_key)
+            self.httpd.socket = ctx.wrap_socket(self.httpd.socket,
+                                                server_side=True)
         self.host, self.port = self.httpd.server_address[:2]
         self._thread: threading.Thread | None = None
 
@@ -125,12 +148,18 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--tls-cert", default=None,
+                        help="PEM cert chain; enables HTTPS (ref "
+                             "http_server.py:78-80 serves with a cert pair)")
+    parser.add_argument("--tls-key", default=None, help="PEM private key")
     args = parser.parse_args(argv)
 
     spark = get_spark("http-serving")
     engine = HybridEngine(spark, load_table(spark, args.sf_dir, "documents"))
-    server = EngineHTTPServer(engine, args.host, args.port)
-    print(f"serving on http://{server.host}:{server.port}")
+    server = EngineHTTPServer(engine, args.host, args.port,
+                              tls_cert=args.tls_cert, tls_key=args.tls_key)
+    scheme = "https" if server.tls else "http"
+    print(f"serving on {scheme}://{server.host}:{server.port}")
     server.httpd.serve_forever()
 
 

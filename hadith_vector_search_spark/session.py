@@ -34,5 +34,13 @@ def get_spark(app_name: str = "hadith-vector-search-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # The default codegen cache (100 entries) thrashes once a session
+        # runs the full 75-query registry — each query compiles several
+        # whole-stage-codegen classes, so a warm-up pass evicts its own
+        # entries and every later query recompiles (measured ~25% wall-time
+        # tax on a 10-query subset after a full warm-up). 5000 entries keeps
+        # the whole registry's generated classes resident; memory cost is a
+        # few hundred MB of compiled classes, trivial against the heap.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     return builder.getOrCreate()

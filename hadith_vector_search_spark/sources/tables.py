@@ -35,19 +35,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Downstream time arithmetic (`unix_micros`, watermarks) requires plain
     TIMESTAMP.
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The NTZ cast below and all downstream date math must be
-        # tz-stable even under a plain SparkSession (the driver's smoke
-        # harness does not use session.py, which also pins UTC).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    if name != "events":
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    # nanosAsLong must stay set for the life of the session: the parquet
+    # schema conversion consults it at scan time, not just at plan time.
+    # It only affects TIMESTAMP(NANOS) columns, which nothing else reads.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ cast below and all downstream date math must be tz-stable
+    # even under a plain SparkSession (the driver's smoke harness does not
+    # use session.py, which also pins UTC). A timestamp cast captures the
+    # session timezone when the plan is ANALYZED (ResolveTimeZone), so:
+    # pin UTC, build the projection, force analysis (`df.schema`), then
+    # restore the caller's timezone — no session-wide side effect leaks to
+    # subsequent queries (tests/test_sources.py asserts both properties).
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         dt = dict(df.dtypes).get("ts")
         if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif dt == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df.schema  # noqa: B018 — forces analysis, binding UTC into the cast
+    finally:
+        if prev_tz is not None:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return df
 
 

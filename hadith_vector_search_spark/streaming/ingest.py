@@ -153,12 +153,23 @@ _PUBLISH_FAULT = None
 
 
 def _apply_publish(target_dir: str, staging_dir: str, parts: list) -> None:
-    """Complete a committed publish: move every staged partition dir into
-    the target with one os.rename each (atomic on a single filesystem),
-    then clear the manifest. Idempotent — a partition whose staged dir is
-    already gone was published before a crash; deleting the stale target
-    dir before rename is safe because the staged partition holds the FULL
-    merged content (existing ∪ incoming) for that partition."""
+    """Complete a committed publish: swap every staged partition dir into
+    the target with two os.renames each (old aside, staged in — rename is
+    atomic on a single filesystem), then clear the manifest. Idempotent —
+    a partition whose staged dir is already gone was published before a
+    crash, and a leftover `.old` aside dir is superseded content (the
+    staged partition holds the FULL merged existing ∪ incoming rows) so
+    it is simply GC'd.
+
+    Rename-aside rather than rmtree-before-rename: the old rows are never
+    destroyed before the new rows are in place, so a crash at ANY point
+    loses nothing and `_recover_pending_publish` completes the swap. A
+    concurrent external reader can still observe a partition briefly
+    absent between the two renames — bounded by two directory renames,
+    not by a recursive delete; readers that must never see that window
+    should call `recover_pending_publish` first and snapshot the file
+    list (or read through a lake-format table layer, which is what this
+    publish protocol is standing in for)."""
     import shutil
 
     for i, p in enumerate(parts):
@@ -166,11 +177,16 @@ def _apply_publish(target_dir: str, staging_dir: str, parts: list) -> None:
             _PUBLISH_FAULT(i)
         sdir = os.path.join(staging_dir, f"{MERGE_PART_COL}={p}")
         tdir = os.path.join(target_dir, f"{MERGE_PART_COL}={p}")
+        # Dot-prefixed so Spark/Hadoop partition discovery ignores it — a
+        # visible `part=N.old` dir would poison partition-value inference.
+        aside = os.path.join(target_dir, f".{MERGE_PART_COL}={p}.old")
+        shutil.rmtree(aside, ignore_errors=True)  # superseded content
         if not os.path.exists(sdir):
             continue
         if os.path.exists(tdir):
-            shutil.rmtree(tdir)
+            os.rename(tdir, aside)
         os.rename(sdir, tdir)
+        shutil.rmtree(aside, ignore_errors=True)
     os.remove(os.path.join(target_dir, MERGE_MANIFEST))
     shutil.rmtree(staging_dir, ignore_errors=True)
 
@@ -195,6 +211,18 @@ def _recover_pending_publish(target_dir: str) -> None:
         return
     for stale in _glob.glob(f"{target_dir}.staging-*"):
         shutil.rmtree(stale, ignore_errors=True)
+    for stale in _glob.glob(os.path.join(target_dir,
+                                         f".{MERGE_PART_COL}=*.old")):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def recover_pending_publish(target_dir: str) -> None:
+    """Public read-path hook: external readers that must not observe the
+    bounded publish window (a partition absent between its two swap
+    renames after a crash) call this before listing files — it completes
+    any committed-but-unfinished publish and GCs aside dirs. No-op on a
+    clean table."""
+    _recover_pending_publish(target_dir)
 
 
 def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
@@ -215,11 +243,17 @@ def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
     CRASH SAFETY (the plain-parquet analogue of a lake format's atomic
     `MERGE INTO`): merged partitions are fully written to a staging dir
     first; an atomically-replaced manifest inside the target is the commit
-    point; publish is then one os.rename per partition. A crash anywhere
-    leaves the table readable — before the manifest exists the target is
-    untouched, after it exists `_recover_pending_publish` (run at the
-    start of every batch) finishes the remaining renames idempotently.
-    foreachBatch replays after a crash re-run the same protocol, so
+    point; publish then swaps each partition with two os.renames (old
+    aside, staged in) — no rows are ever destroyed before their
+    replacement is in place. A crash anywhere loses nothing: before the
+    manifest exists the target is untouched; after it exists
+    `_recover_pending_publish` (run at the start of every batch, or by
+    external readers via `recover_pending_publish`) finishes the swaps
+    idempotently. Honest caveat for external readers WITHOUT the recovery
+    call: between a partition's two renames (and after a crash in that
+    window, until the next recovery) that partition reads as absent —
+    bounded by two directory renames, never a torn mix of old and new
+    rows. foreachBatch replays after a crash re-run the same protocol, so
     checkpoint replay converges to the batch-MERGE result."""
 
     part_of = F.pmod(F.hash(F.col(key)), F.lit(n_parts))

@@ -1,0 +1,96 @@
+"""Serving-path latency bench: p50/p95 per engine call on a PRE-WARMED
+long-lived `HybridEngine` (pinned lexical/vector indexes), the deployment
+shape the reference's latency targets assume (BASELINE.md rows 1-3:
+<150 ms hybrid p95 / <50 ms vector+scoring / <5 ms exact lookup, all
+targets — the reference never implemented its benchmark runner).
+
+Usage: python scripts/bench_serving.py [sf_dir ...] [--n 30]
+Prints one JSON line per SF with per-call p50/p95 in milliseconds, and a
+markdown table to stderr for SERVING_LATENCY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    "patience and prayer",
+    "charity given in secret",
+    "window merge sort batch",
+    "stream spark join order",
+    "small hash scan",
+]
+
+
+def pctl(xs: list[float], p: float) -> float:
+    xs = sorted(xs)
+    k = max(0, min(len(xs) - 1, round(p / 100 * (len(xs) - 1))))
+    return xs[k]
+
+
+def bench_sf(spark, sf_dir: str, n: int) -> dict:
+    from hadith_vector_search_spark.api import HybridEngine
+    from hadith_vector_search_spark.sources import load_table
+
+    engine = HybridEngine(spark, load_table(spark, sf_dir, "documents"))
+    doc_ids = [r.doc_id for r in
+               engine.docs.select("doc_id").limit(200).collect()]
+
+    calls = {
+        "hybrid_search": lambda i: engine.hybrid_search(
+            QUERIES[i % len(QUERIES)], n_results=10).collect(),
+        "fts_match": lambda i: engine.fts_match(
+            terms=[QUERIES[i % len(QUERIES)].split()[0]], limit=10).collect(),
+        "get_document": lambda i: engine.get_document(
+            doc_ids[i % len(doc_ids)]).collect(),
+    }
+    out = {}
+    for name, call in calls.items():
+        for i in range(3):  # warm: indexes pin, plans compile
+            call(i)
+        lat = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            call(i)
+            lat.append((time.perf_counter() - t0) * 1000)
+        out[name] = {"p50_ms": round(pctl(lat, 50), 1),
+                     "p95_ms": round(pctl(lat, 95), 1),
+                     "mean_ms": round(statistics.mean(lat), 1),
+                     "n": n}
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dirs", nargs="*",
+                    default=["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+    ap.add_argument("--n", type=int, default=30)
+    args = ap.parse_args()
+
+    from hadith_vector_search_spark.session import get_spark
+    spark = get_spark("bench-serving")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").write.mode(
+        "overwrite").format("noop").save()
+
+    md = ["| sf | call | p50 ms | p95 ms | mean ms |", "|---|---|---|---|---|"]
+    for sf_dir in args.sf_dirs:
+        res = bench_sf(spark, sf_dir, args.n)
+        sf = os.path.basename(sf_dir.rstrip("/"))
+        print(json.dumps({"sf_dir": sf_dir, "latencies": res}))
+        for call, m in res.items():
+            md.append(f"| {sf} | {call} | {m['p50_ms']} | {m['p95_ms']} | "
+                      f"{m['mean_ms']} |")
+    print("\n".join(md), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Ingestion CLI end-to-end (ref mcp_server/apps/ingestion.py:96-185):
+validated scan → classify → merge → manifest-gated index refresh, plus
+idempotent re-run and the --force-index-refresh semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from hadith_vector_search_spark.ingest import (book_paths, main,
+                                               run_ingestion)
+from hadith_vector_search_spark.sources.ingest import ValidationError
+
+
+def _write_book(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _snapshot(table):
+    out = {}
+    for root, _, files in os.walk(table):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[p] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    data = str(tmp_path / "books")
+    _write_book(os.path.join(data, "book_1.jsonl"),
+                [{"doc_id": i, "text": f"alpha beta doc {i}", "lang": "en",
+                  "source": "b1"} for i in range(5)])
+    _write_book(os.path.join(data, "book_2.jsonl"),
+                [{"doc_id": 100 + i, "text": f"gamma delta doc {i}",
+                  "lang": "en", "source": "b2"} for i in range(3)])
+    return data, str(tmp_path / "corpus.parquet")
+
+
+def test_ingest_end_to_end_and_idempotent_rerun(spark, corpus):
+    data, table = corpus
+    totals = run_ingestion(spark, data, table, do_update_indexes=True,
+                           log=lambda *_: None)
+    assert totals == {"n_incoming": 8, "n_insert": 8, "n_update": 0,
+                      "n_skip": 0}
+    rows = {r.doc_id: r for r in spark.read.parquet(table).collect()}
+    assert set(rows) == set(range(5)) | {100, 101, 102}
+    assert rows[0].n_chars == len("alpha beta doc 0")
+    # derived indexes exist with manifests
+    for name in ("fts", "vector"):
+        assert os.path.exists(os.path.join(f"{table}_indexes", name,
+                                           "_index_manifest.json"))
+
+    before = _snapshot(table)
+    totals2 = run_ingestion(spark, data, table, do_update_indexes=True,
+                            log=lambda *_: None)
+    assert totals2 == {"n_incoming": 8, "n_insert": 0, "n_update": 0,
+                       "n_skip": 8}
+    assert _snapshot(table) == before, "no-change re-run must not rewrite"
+
+
+def test_ingest_incremental_update(spark, corpus):
+    data, table = corpus
+    run_ingestion(spark, data, table, log=lambda *_: None)
+    # one changed row + one new row in book_2
+    _write_book(os.path.join(data, "book_2.jsonl"),
+                [{"doc_id": 100, "text": "gamma delta doc 0", "lang": "en",
+                  "source": "b2"},
+                 {"doc_id": 101, "text": "CHANGED text", "lang": "en",
+                  "source": "b2"},
+                 {"doc_id": 103, "text": "brand new", "lang": "en",
+                  "source": "b2"}])
+    totals = run_ingestion(spark, data, table, books=["2"],
+                           log=lambda *_: None)
+    assert (totals["n_insert"], totals["n_update"], totals["n_skip"]) == (1, 1, 1)
+    rows = {r.doc_id: r.text for r in spark.read.parquet(table).collect()}
+    assert rows[101] == "CHANGED text" and rows[103] == "brand new"
+    assert rows[0] == "alpha beta doc 0", "untouched book must survive merge"
+
+
+def test_index_manifest_gating_and_force(spark, corpus):
+    from hadith_vector_search_spark.ingest import update_indexes
+
+    data, table = corpus
+    run_ingestion(spark, data, table, log=lambda *_: None)
+    idx = f"{table}_indexes"
+    first = update_indexes(spark, table, idx)
+    assert all(first[n] for n in ("fts", "vector")), "first build has reasons"
+    second = update_indexes(spark, table, idx)
+    assert second == {"fts": [], "vector": []}, "fresh manifests -> reuse"
+    forced = update_indexes(spark, table, idx, force=True)
+    assert forced == {"fts": ["forced refresh"], "vector": ["forced refresh"]}
+    vecs = spark.read.parquet(os.path.join(idx, "vector", "vectors"))
+    assert vecs.count() == 8 and len(vecs.first().embedding) == 384
+
+
+def test_validation_gate_halts_bad_book(spark, tmp_path):
+    data = str(tmp_path / "books")
+    _write_book(os.path.join(data, "book_9.jsonl"),
+                [{"doc_id": i, "text": "ok", "lang": "en", "source": "b"}
+                 for i in range(3)])
+    with open(os.path.join(data, "book_9.jsonl"), "a") as fh:
+        for _ in range(12):
+            fh.write("{not valid json\n")
+    with pytest.raises(ValidationError):
+        run_ingestion(spark, data, str(tmp_path / "t.parquet"),
+                      log=lambda *_: None)
+
+
+def test_book_selection_and_cli_main(spark, corpus, capsys):
+    data, table = corpus
+    assert [os.path.basename(p) for p in book_paths(data, None)] == \
+        ["book_1.jsonl", "book_2.jsonl"]
+    with pytest.raises(FileNotFoundError):
+        book_paths(data, ["77"])
+    # argparse surface end-to-end (reuses the live test session via
+    # getOrCreate); --force-index-refresh implies index update
+    rc = main(["--data-dir", data, "--table", table, "--book", "1",
+               "--force-index-refresh"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "book_1.jsonl" in out and "forced refresh" in out
+    assert "Ingestion totals" in out
+    rc_bad = main(["--data-dir", data, "--table", table, "--book", "77"])
+    assert rc_bad == 1

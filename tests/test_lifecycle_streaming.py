@@ -162,10 +162,11 @@ def test_stream_merge_touches_only_affected_partitions(spark, tmp_path):
 
 def test_stream_merge_crash_mid_publish_recovers(spark, tmp_path):
     """Kill-mid-batch: inject a crash between partition renames during
-    publish. The table must stay readable and consistent (manifest commit
-    point means every partition is either fully old or fully new), and
-    re-running the merge pass must recover the pending publish and
-    converge to the same result as an uninterrupted merge."""
+    publish. The table must stay readable (a partition caught inside its
+    two-rename swap window reads as absent — never a torn mix of old and
+    new rows, and its rows survive in the aside dir), and re-running the
+    merge pass must recover the pending publish and converge to the same
+    result as an uninterrupted merge."""
     from hadith_vector_search_spark.streaming import ingest as singest
 
     src = str(tmp_path / "csrc")

@@ -76,3 +76,60 @@ def test_http_error_paths(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/api/document/999999999")
     assert e.value.code == 404
+
+
+def test_http_body_size_cap(served):
+    """Client-controlled Content-Length beyond MAX_BODY_BYTES → 413, and
+    the server must not read the oversized body into memory."""
+    from hadith_vector_search_spark.serving.http import MAX_BODY_BYTES
+
+    server, _ = served
+    big = b'{"query": "' + b"x" * MAX_BODY_BYTES + b'"}'
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/api/search/hybrid",
+        data=big, headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 413
+
+
+def test_https_round_trip(spark, sf_dir, tmp_path):
+    """TLS transport (ref mcp_server/http_server.py:78-80 serves Flask over
+    a cert pair): self-signed cert, HTTPS health + hybrid search round-trip.
+    Skips when the openssl CLI is unavailable."""
+    import shutil
+    import ssl
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        pytest.skip("openssl CLI not available to mint a test cert")
+
+    cert, key = str(tmp_path / "crt.pem"), str(tmp_path / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", cert, "-days", "1",
+         "-subj", "/CN=localhost"],
+        check=True, capture_output=True)
+
+    from hadith_vector_search_spark.api import HybridEngine
+    from hadith_vector_search_spark.serving.http import EngineHTTPServer
+    from hadith_vector_search_spark.sources import load_table
+
+    engine = HybridEngine(spark, load_table(spark, sf_dir, "documents"))
+    server = EngineHTTPServer(engine, tls_cert=cert, tls_key=key).start()
+    try:
+        ctx = ssl.create_default_context(cafile=cert)
+        ctx.check_hostname = False  # self-signed test cert, CN only
+        url = f"https://{server.host}:{server.port}"
+        with urllib.request.urlopen(f"{url}/health", timeout=60,
+                                    context=ctx) as r:
+            assert json.loads(r.read()) == {"ok": True}
+        req = urllib.request.Request(
+            f"{url}/api/search/hybrid",
+            data=json.dumps({"query": QUERY, "n_results": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300, context=ctx) as r:
+            rows = json.loads(r.read())
+        assert rows and all("doc_id" in r for r in rows)
+    finally:
+        server.stop()

@@ -107,19 +107,39 @@ def test_similar_pairs_lsh_subset_of_exact(spark, sf_dir):
 
 
 def test_ivf_kmeans_codebook_recall(spark, sf_dir):
-    """k-means-trained IVF: k rows, sims descending, and recall@k against
-    the exact top-k at least as a loose floor (data-adapted cells should
-    not be pathologically worse than the probe budget allows)."""
+    """k-means-trained IVF raw rows: k rows, sims descending, and recall@k
+    against the exact top-k at least as a loose floor (data-adapted cells
+    should not be pathologically worse than the probe budget allows)."""
     from hadith_vector_search_spark.plans.semantic import (
         ANN_K,
-        ann_topk_ivf_kmeans,
         cosine_topk,
+        kmeans_ann_rows,
     )
 
-    approx = ann_topk_ivf_kmeans(spark, sf_dir).collect()
+    approx = kmeans_ann_rows(spark, sf_dir).collect()
     assert len(approx) == ANN_K
     sims = [r.sim for r in approx]
     assert sims == sorted(sims, reverse=True)
     exact = {r.vec_id for r in cosine_topk(spark, sf_dir).collect()[:ANN_K]}
     recall = len({r.vec_id for r in approx} & exact) / ANN_K
     assert recall >= 0.2
+
+
+def test_ivf_kmeans_report_is_deterministic_and_green(spark, sf_dir):
+    """The registered kmeans query is a recall-bound REPORT: its exact-ids
+    leg must equal the exact top-k, and recall_ok must hold (the SQL
+    oracle asserts the same TRUE — a codebook regression flips it)."""
+    from hadith_vector_search_spark.plans.semantic import (
+        ANN_K,
+        QUERY_VEC_ID,
+        ann_topk_ivf_kmeans,
+        cosine_topk,
+    )
+
+    row = ann_topk_ivf_kmeans(spark, sf_dir).collect()
+    assert len(row) == 1
+    row = row[0]
+    assert (row.method, row.k) == ("ann_topk_ivf_kmeans", ANN_K)
+    exact = sorted(r.vec_id for r in cosine_topk(spark, sf_dir).collect()[:ANN_K])
+    assert row.exact_ids == ",".join(str(i) for i in exact)
+    assert row.recall_ok is True
