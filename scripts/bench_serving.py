@@ -48,7 +48,7 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
         "hybrid_search": lambda i: engine.hybrid_search(
             QUERIES[i % len(QUERIES)], n_results=10).collect(),
         "fts_match": lambda i: engine.fts_match(
-            terms=[QUERIES[i % len(QUERIES)].split()[0]], limit=10).collect(),
+            terms=[QUERIES[i % len(QUERIES)].split()[0]], k=10).collect(),
         "get_document": lambda i: engine.get_document(
             doc_ids[i % len(doc_ids)]).collect(),
     }
