@@ -38,6 +38,7 @@ from typing import Any
 from .stdio import StdioServer
 
 MAX_BODY_BYTES = 1 << 20  # 1 MiB — a query payload is a few hundred bytes
+DRAIN_CAP_BYTES = 32 << 20  # drain (not buffer) overages up to this, then cut
 
 
 def _make_handler(dispatch: StdioServer):
@@ -82,8 +83,20 @@ def _make_handler(dispatch: StdioServer):
             try:
                 n = int(self.headers.get("Content-Length") or 0)
                 if n > MAX_BODY_BYTES:
-                    # Read nothing: a client-controlled length must not
-                    # size a server-side buffer.
+                    # A client-controlled length must never size a server
+                    # buffer. Modest overages are DRAINED in fixed chunks
+                    # (discarded, O(chunk) memory) so the client receives
+                    # the 413 instead of a mid-send connection reset;
+                    # absurd lengths just drop the connection.
+                    if n <= DRAIN_CAP_BYTES:
+                        remaining = n
+                        while remaining > 0:
+                            chunk = self.rfile.read(min(65536, remaining))
+                            if not chunk:
+                                break
+                            remaining -= len(chunk)
+                    else:
+                        self.close_connection = True
                     self._send(413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"})
                     return
                 payload = json.loads(self.rfile.read(n) or b"{}")
