@@ -89,10 +89,12 @@ def main() -> None:
         dedup_plans.get_simhash_index(spark, sf_dir,
                                       dedup_plans.SIMHASH_NEARDUP_BITS)
         dedup_plans.get_simhash_index(spark, sf_dir, dedup_plans.SIMHASH_BITS)
-        print(f"bench: dedup index build {time.time() - t0:.1f}s",
+        from hadith_vector_search_spark.plans import semantic as sem_plans
+        sem_plans.get_vector_lsh_index(spark, sf_dir)
+        print(f"bench: derived index build {time.time() - t0:.1f}s",
               file=sys.stderr)
     except Exception as e:  # noqa: BLE001
-        print(f"bench: dedup index warm-up failed: {e}", file=sys.stderr)
+        print(f"bench: derived index warm-up failed: {e}", file=sys.stderr)
     gc.collect()
 
     timings: dict[str, float] = {}

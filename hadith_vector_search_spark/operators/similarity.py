@@ -326,11 +326,69 @@ def similar_pairs(emb: DataFrame, threshold: float,
         score_block_pair, schema="id_a long, id_b long, sim double")
 
 
+class VectorLshIndex:
+    """Banding state every LSH-prefilter job over one corpus shares — on a
+    lake these are persisted index tables (tagged vectors + band
+    signatures), rebuilt only when the corpus snapshot changes; here the
+    frames are checkpointed once per build (see
+    plans.semantic.get_vector_lsh_index for the session cache).
+    `groups` is None when the corpus has no duplicate vectors (the
+    common case) — consumers then skip member expansion entirely."""
+
+    def __init__(self, tagged: DataFrame, groups: DataFrame | None,
+                 reps: DataFrame, sigs: DataFrame) -> None:
+        self.tagged, self.groups, self.reps, self.sigs = \
+            tagged, groups, reps, sigs
+
+
+def build_vector_lsh_index(emb: DataFrame, n_bands: int, band_bits: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> VectorLshIndex:
+    """Stages 0-1 of `similar_pairs_lsh` (exact-vector collapse + band
+    signatures), split out so the expensive prefix builds once and serves
+    every consumer (the near-dup query, the recall report, repeated
+    API calls)."""
+    n_planes = n_bands * band_bits
+    planes = data_planes(emb, n_planes, id_col, vec_col)
+    tagged = (emb.select(F.col(id_col).cast("long").alias("vid"),
+                         F.col(vec_col).alias("vec"),
+                         F.struct(
+                             F.xxhash64(F.col(vec_col)).alias("h1"),
+                             F.xxhash64(F.lit(7), F.col(vec_col)).alias("h2"))
+                         .alias("gkey"))
+              .localCheckpoint())
+    groups = (tagged.groupBy("gkey")
+              .agg(F.min("vid").alias("rep_id"),
+                   F.count(F.lit(1)).alias("members"))
+              .localCheckpoint(eager=False))
+    if groups.filter(F.col("members") >= 2).isEmpty():
+        groups = None
+        reps = tagged
+    else:
+        reps = tagged.join(groups.select(F.col("rep_id").alias("vid")),
+                           "vid", "left_semi")
+    signed = (
+        reps.crossJoin(F.broadcast(planes))
+        .select("vid",
+                F.floor(F.col("plane_id") / band_bits).cast("int").alias("band"),
+                F.col("plane_id"),
+                F.when(dot(F.col("vec"), F.col("pvec")) >= 0,
+                       F.lit("1")).otherwise(F.lit("0")).alias("bit"))
+    )
+    sigs = (
+        signed.groupBy("vid", "band")
+        .agg(F.concat_ws("", F.array_sort(
+            F.collect_list(F.struct("plane_id", "bit"))).bit).alias("bucket"))
+    ).localCheckpoint(eager=False)
+    return VectorLshIndex(tagged, groups, reps, sigs)
+
+
 def similar_pairs_lsh(emb: DataFrame, threshold: float,
                       n_bands: int = 3, band_bits: int = 4,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       block_size: int = 256,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      index: VectorLshIndex | None = None) -> DataFrame:
     """Embedding near-dup with a banded sign-LSH PREFILTER — the 100 TB
     scale path `similar_pairs` points at: instead of scoring all N^2/B
     block pairs, candidates are pairs agreeing on EVERY bit of at least one
@@ -376,39 +434,12 @@ def similar_pairs_lsh(emb: DataFrame, threshold: float,
     are restored afterward — within-group pairs score round(dot(v,v),6)
     against the threshold, exactly what banding+verify would have
     produced for an identical pair (identical vectors always agree on
-    every band)."""
-    n_planes = n_bands * band_bits
-    planes = data_planes(emb, n_planes, id_col, vec_col)
-    tagged = (emb.select(F.col(id_col).cast("long").alias("vid"),
-                         F.col(vec_col).alias("vec"),
-                         F.struct(
-                             F.xxhash64(F.col(vec_col)).alias("h1"),
-                             F.xxhash64(F.lit(7), F.col(vec_col)).alias("h2"))
-                         .alias("gkey"))
-              .localCheckpoint())
-    groups = (tagged.groupBy("gkey")
-              .agg(F.min("vid").alias("rep_id"),
-                   F.count(F.lit(1)).alias("members"))
-              .localCheckpoint(eager=False))
-    if groups.filter(F.col("members") >= 2).isEmpty():
-        groups = None
-        reps = tagged
-    else:
-        reps = tagged.join(groups.select(F.col("rep_id").alias("vid")),
-                           "vid", "left_semi")
-    signed = (
-        reps.crossJoin(F.broadcast(planes))
-        .select("vid",
-                F.floor(F.col("plane_id") / band_bits).cast("int").alias("band"),
-                F.col("plane_id"),
-                F.when(dot(F.col("vec"), F.col("pvec")) >= 0,
-                       F.lit("1")).otherwise(F.lit("0")).alias("bit"))
-    )
-    sigs = (
-        signed.groupBy("vid", "band")
-        .agg(F.concat_ws("", F.array_sort(
-            F.collect_list(F.struct("plane_id", "bit"))).bit).alias("bucket"))
-    ).localCheckpoint(eager=False)
+    every band). `index` accepts a prebuilt `VectorLshIndex` so repeated
+    jobs over one corpus share the collapse + signature build."""
+    if index is None:
+        index = build_vector_lsh_index(emb, n_bands, band_bits, id_col, vec_col)
+    tagged, groups, reps, sigs = \
+        index.tagged, index.groups, index.reps, index.sigs
     banded = sigs
     if max_bucket is not None:
         # Same emergency valve as the dedup banding joins: buckets of

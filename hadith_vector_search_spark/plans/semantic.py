@@ -70,13 +70,36 @@ def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_BANDS = 6
 NEARDUP_BAND_BITS = 4
 
+_VLSH_CACHE: dict[tuple, "similarity.VectorLshIndex"] = {}
+
+
+def get_vector_lsh_index(spark: SparkSession, sf_dir: str,
+                         n_bands: int = NEARDUP_BANDS,
+                         band_bits: int = NEARDUP_BAND_BITS):
+    """Session-scoped banding index over `embeddings` (exact-vector
+    collapse + band signatures, checkpointed once) — the persisted
+    signature-index table a lake deployment maintains, shared by the
+    near-dup query and the recall report (same derived-index discipline
+    as plans.dedup.get_shingle_index; the DuckDB oracles rebuild the
+    banding from raw vectors each gate pass, so the cache is
+    correctness-checked continuously)."""
+    import os as _os
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+           n_bands, band_bits)
+    if key not in _VLSH_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _VLSH_CACHE[key] = similarity.build_vector_lsh_index(
+            emb, n_bands, band_bits)
+    return _VLSH_CACHE[key]
+
 
 def similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH near-dup (the similar_pairs scale path): candidates
     from band-bucket agreement, exact verification on candidates only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.similar_pairs_lsh(emb, PAIR_THRESHOLD,
-                                        NEARDUP_BANDS, NEARDUP_BAND_BITS)
+    return similarity.similar_pairs_lsh(
+        emb, PAIR_THRESHOLD, NEARDUP_BANDS, NEARDUP_BAND_BITS,
+        index=get_vector_lsh_index(spark, sf_dir))
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,7 +206,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     epairs = (similarity.similar_pairs(emb, PAIR_THRESHOLD)
               .select("id_a", "id_b").localCheckpoint())
     lpairs = (similarity.similar_pairs_lsh(
-        emb, PAIR_THRESHOLD, NEARDUP_BANDS, NEARDUP_BAND_BITS)
+        emb, PAIR_THRESHOLD, NEARDUP_BANDS, NEARDUP_BAND_BITS,
+        index=get_vector_lsh_index(spark, sf_dir))
         .select("id_a", "id_b").localCheckpoint())
 
     def row(method: str, approx: DataFrame, exact: DataFrame,
