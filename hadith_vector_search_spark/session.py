@@ -31,7 +31,11 @@ def get_spark(app_name: str = "hadith-vector-search-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: the session pins derived indexes (shingles, fingerprints,
+        # LSH signatures, lexical postings) plus a 5000-entry codegen
+        # cache; 8g was enough but ran closer to GC pressure on full
+        # 75-query sessions. The container has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # The default codegen cache (100 entries) thrashes once a session

@@ -214,3 +214,72 @@ def test_stream_merge_crash_mid_publish_recovers(spark, tmp_path):
     final = {(r.doc_id, r.text)
              for r in spark.read.parquet(target).select("doc_id", "text").collect()}
     assert final == set(expect_new.items())
+
+
+def test_stream_merge_crash_between_swap_renames_recovers(spark, tmp_path):
+    """Crash in the NEW narrowest window: after a partition's old dir moved
+    aside but before the staged dir renamed in. That partition reads as
+    absent (bounded gap, no torn rows, old rows preserved in the aside
+    dir); the public recover_pending_publish hook must complete the swap
+    and GC the aside."""
+    import os as _os
+
+    from hadith_vector_search_spark.streaming import ingest as singest
+
+    src = str(tmp_path / "dsrc")
+    target = str(tmp_path / "dtarget")
+    ckpt = str(tmp_path / "dckpt")
+    rows1 = [{"doc_id": i, "text": f"doc {i}"} for i in range(1, 9)]
+    _write_jsonl(os.path.join(src, "b1.jsonl"), rows1)
+    stream_merge_jsonl(spark, src, DOC_SCHEMA, target, ckpt)
+
+    batch2 = [{"doc_id": 3, "text": "three v2"}, {"doc_id": 7, "text": "seven v2"}]
+    _write_jsonl(os.path.join(src, "b2.jsonl"), batch2)
+
+    real_rename = _os.rename
+    armed = {"on": True}
+
+    def flaky(srcp, dstp):
+        real_rename(srcp, dstp)
+        if armed["on"] and str(dstp).endswith(".old"):
+            armed["on"] = False
+            raise RuntimeError("injected crash between the two swap renames")
+
+    _os.rename = flaky
+    try:
+        with pytest.raises(Exception):
+            stream_merge_jsonl(spark, src, DOC_SCHEMA, target, ckpt)
+    finally:
+        _os.rename = real_rename
+
+    # Mid-crash: manifest pending, exactly one aside dir, table readable,
+    # surviving rows untorn; the in-flight partition's rows are absent from
+    # the table but preserved on disk in the aside dir.
+    assert os.path.exists(os.path.join(target, singest.MERGE_MANIFEST))
+    asides = [d for d in os.listdir(target) if d.endswith(".old")]
+    assert len(asides) == 1
+    expect_old = {d["doc_id"]: d["text"] for d in rows1}
+    expect_new = {**expect_old, **{d["doc_id"]: d["text"] for d in batch2}}
+    seen = {r.doc_id: r.text
+            for r in spark.read.parquet(target).select("doc_id", "text").collect()}
+    assert set(seen) < set(expect_old), "in-flight partition reads as absent"
+    for did, text in seen.items():
+        assert text in {expect_old.get(did), expect_new.get(did)}
+
+    # Read-path recovery completes the swap: every old row back (or its
+    # merged replacement), asides and manifest gone.
+    singest.recover_pending_publish(target)
+    assert not os.path.exists(os.path.join(target, singest.MERGE_MANIFEST))
+    assert not [d for d in os.listdir(target) if d.endswith(".old")]
+    recovered = {r.doc_id: r.text
+                 for r in spark.read.parquet(target).select("doc_id", "text").collect()}
+    assert set(expect_old) <= set(recovered)
+    for did, text in recovered.items():
+        assert text in {expect_old.get(did), expect_new.get(did)}
+
+    # The checkpoint never committed b2; the next pass replays it and
+    # converges to the uninterrupted result.
+    stream_merge_jsonl(spark, src, DOC_SCHEMA, target, ckpt)
+    final = {(r.doc_id, r.text)
+             for r in spark.read.parquet(target).select("doc_id", "text").collect()}
+    assert final == set(expect_new.items())
