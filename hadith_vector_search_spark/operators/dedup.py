@@ -626,6 +626,95 @@ def near_dup_simhash(docs: DataFrame, text_col: str = "text",
                     "hamming_dist"))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-dup pair graph — the step a
+    training-data pipeline runs AFTER pair detection: transitively-linked
+    near-dups form one cluster, and keep-one-per-cluster drops the rest.
+
+    Classic Spark min-label propagation: every node starts labeled with
+    its own id; each round, a node's label becomes the min of its own and
+    its neighbors' labels; converged when a round changes nothing. Rounds
+    needed ≈ graph diameter — near-dup graphs are unions of small dense
+    clusters (stars/cliques), so 2-4 rounds in practice; `max_iter` is a
+    pathological-chain backstop. Each round is one join + one partial-agg
+    min on the EDGE LIST only (nodes outside any pair never enter), and
+    labels are re-checkpointed per round to truncate lineage — the same
+    loop shape GraphX/GraphFrames uses, kept DataFrame-native.
+
+    The driver-side convergence probe is one count per round over a
+    frame of cluster-member size — this is an iterative algorithm; the
+    loop itself is O(diameter) tiny jobs, and is the documented exception
+    to the no-driver-loops rule (like MLlib k-means).
+
+    Output: (doc_id, cluster_rep, cluster_size) for every doc that
+    appears in at least one pair; cluster_rep = min doc id reachable."""
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .unionByName(pairs.select(F.col(id_b).alias("u"),
+                                       F.col(id_a).alias("v")))
+             .distinct().localCheckpoint())
+    labels = (edges.select("u").distinct()
+              .select("u", F.col("u").alias("lbl")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels.withColumnRenamed("u", "v"), "v")
+                   .groupBy("u").agg(F.min("lbl").alias("nbr_lbl")))
+        new_labels = (labels.join(nbr_min, "u", "left")
+                      .select("u", F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                              .alias("lbl"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "u")
+                   .filter(F.col("n.lbl") != F.col("o.lbl"))
+                   .isEmpty())
+        labels = new_labels
+        if changed:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "lbl")
+            .select(F.col("u").alias("doc_id"),
+                    F.col("lbl").alias("cluster_rep"),
+                    "cluster_size"))
+
+
+def phrase_positions(docs: DataFrame, phrase_terms: list[str],
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """TRUE positional phrase match (FTS5 '"a b c"' semantics): the
+    phrase's tokens must appear ADJACENT and IN ORDER in the tokenized
+    doc — not merely as a substring of raw text (which breaks across
+    punctuation/normalization) and not merely all-terms-present.
+
+    Spark-first trick: a k-token phrase occurs at position p iff the
+    doc's k-shingle at p equals the joined phrase — so the match reuses
+    the shingle construction (fully narrow, no positional self-joins;
+    the naive relational encoding needs k-1 joins on (doc_id, pos+j)).
+    Shingles here keep DUPLICATES (no array_distinct) so occurrence
+    counts and first positions are exact.
+
+    Output: (doc_id, n_occurrences, first_pos) for docs with >= 1
+    occurrence; first_pos is the 0-based TOKEN index of the first match."""
+    from ..functions.text import tokenize
+
+    k = len(phrase_terms)
+    assert k >= 1
+    phrase = " ".join(phrase_terms)
+    toks_df = docs.select(F.col(id_col).alias("doc_id"),
+                          tokenize(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    sh = t
+    for j in range(1, k):
+        shifted = F.slice(t, j + 1, F.size(t))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    n_full = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    shingles_all = F.slice(sh, 1, n_full)
+    hits = F.filter(shingles_all, lambda s: s == F.lit(phrase))
+    first_pos = F.array_position(shingles_all, phrase) - 1
+    return (toks_df
+            .select("doc_id",
+                    F.size(hits).cast("long").alias("n_occurrences"),
+                    first_pos.cast("long").alias("first_pos"))
+            .filter(F.col("n_occurrences") >= 1))
+
+
 def hamming(a: Column, b: Column, n_bits: int) -> Column:
     """Hamming distance between equal-length bit strings — JVM-side.
     Diagnostic/test helper; the near-dup hot path compares packed BIGINT

@@ -99,6 +99,32 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      sharr=get_shingle_index(spark, sf_dir))
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph — the
+    keep-one-per-cluster step after pair detection. Min-label propagation
+    on the edge list (O(diameter) rounds); oracle = recursive-CTE
+    transitive closure over the SAME pair SQL, so both the pair pipeline
+    and the clustering are independently verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_minhash(docs, n_hashes=N_HASHES,
+                                   band_size=BAND_SIZE,
+                                   threshold=JACCARD_THRESHOLD,
+                                   sharr=get_shingle_index(spark, sf_dir))
+    return dedup.connected_components(pairs)
+
+
+PHRASE_TERMS = ["big", "order", "scan"]
+
+
+def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE positional phrase match (FTS5 '"..."' adjacency semantics,
+    upgrading the substring approximation SURVEY §4.2.1 sanctions for the
+    hybrid scorer): tokens adjacent and in order, with exact occurrence
+    counts and first token position."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.phrase_positions(docs, PHRASE_TERMS)
+
+
 # --------------------------------------------------------------------------
 # Oracles
 # --------------------------------------------------------------------------
@@ -228,6 +254,52 @@ FROM common c
 JOIN sizes sa ON c.id_a = sa.doc_id
 JOIN sizes sb ON c.id_b = sb.doc_id
 WHERE round(c.cnt::DOUBLE / (sa.n + sb.n - c.cnt), 6) >= {t}
+"""
+
+
+def near_dup_clusters_oracle() -> str:
+    """Transitive closure via recursive CTE over the same pair SQL the
+    near_dup_minhash oracle uses — an INDEPENDENT clustering formulation
+    (closure + group-min) vs Spark's iterative label propagation."""
+    return f"""
+WITH RECURSIVE pairs AS ({near_dup_minhash_oracle()}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lbl AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_rep FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM lbl
+"""
+
+
+def phrase_match_positional_oracle() -> str:
+    phrase = " ".join(PHRASE_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+)
+SELECT doc_id, count(*) AS n_occurrences, min(pos) AS first_pos
+FROM sh
+WHERE shingle = '{phrase}'
+GROUP BY doc_id
 """
 
 

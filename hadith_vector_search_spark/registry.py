@@ -92,6 +92,8 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_simhash": dedup_plans.near_dup_simhash,
     "near_dup_boilerplate": dedup_plans.near_dup_boilerplate,
     "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
+    "near_dup_clusters": dedup_plans.near_dup_clusters,
+    "phrase_match_positional": dedup_plans.phrase_match_positional,
     # text analysis + multimodal plumbing
     "lang_id_counts": textstats_plans.lang_id_counts,
     "quality_scores": textstats_plans.quality_scores,
@@ -169,6 +171,8 @@ oracle("near_dup_minhash", dedup_plans.near_dup_minhash_oracle())
 oracle("simhash_fingerprints", dedup_plans.simhash_oracle())
 oracle("near_dup_simhash", dedup_plans.near_dup_simhash_oracle())
 oracle("near_dup_boilerplate", dedup_plans.near_dup_boilerplate_oracle())
+oracle("near_dup_clusters", dedup_plans.near_dup_clusters_oracle())
+oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())
 oracle("event_correlation", f"""
 WITH ev AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type

@@ -291,3 +291,43 @@ def test_boilerplate_collapse_bounds_band_state(spark, sf_dir):
     boiler_pairs = out.filter((F.col("id_a") >= BOILER_ID_BASE)
                               & (F.col("hamming_dist") == 0)).count()
     assert boiler_pairs >= BOILER_COPIES * (BOILER_COPIES - 1) // 2
+
+
+def test_connected_components_semantics(spark):
+    """Chain + triangle + isolated pair → three clusters with min-id reps;
+    transitivity across the chain is the point (pairwise detection alone
+    would under-merge)."""
+    from hadith_vector_search_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain: one cluster rep=1
+         (10, 11), (11, 12), (10, 12),  # triangle: rep=10
+         (20, 21)],                   # pair: rep=20
+        "id_a long, id_b long")
+    rows = {r.doc_id: (r.cluster_rep, r.cluster_size)
+            for r in connected_components(pairs).collect()}
+    assert rows == {1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+                    10: (10, 3), 11: (10, 3), 12: (10, 3),
+                    20: (20, 2), 21: (20, 2)}
+
+
+def test_phrase_positions_adjacency_semantics(spark):
+    """Adjacent-in-order only: substring-across-punctuation and
+    all-terms-present-but-not-adjacent must NOT match; counts and first
+    token positions are exact (duplicates kept)."""
+    from hadith_vector_search_spark.operators.dedup import phrase_positions
+
+    docs = spark.createDataFrame(
+        [(1, "xx big order scan yy big order scan"),   # 2 hits, first at 1
+         (2, "big scan order"),                        # terms present, wrong order
+         (3, "big order, scan"),                       # punctuation splits tokens -> still adjacent post-tokenize
+         (4, "big orderscan"),                         # substring-ish, not tokens
+         (5, "the big order"),                         # incomplete phrase
+         ],
+        "doc_id long, text string")
+    rows = {r.doc_id: (r.n_occurrences, r.first_pos)
+            for r in phrase_positions(docs, ["big", "order", "scan"]).collect()}
+    # doc 3: tokenizer drops punctuation, so 'big order scan' IS adjacent
+    # in token space — exactly FTS5's behavior (and why raw-substring
+    # matching under-counts).
+    assert rows == {1: (2, 1), 3: (1, 0)}
