@@ -246,6 +246,40 @@ def ivf_topk(emb: DataFrame, query_id: int, n_centroids: int = 8,
     )
 
 
+def int8_dequantized(vec: Column | str) -> Column:
+    """Symmetric per-vector int8 quantize→dequantize round trip:
+    scale = max |x|, q_i = round(x_i / scale * 127) ∈ [-127, 127],
+    x̂_i = q_i * scale / 127. At 100 TB this is the 4x-smaller vector
+    storage format (int8 codes + one float scale per vector, the standard
+    serving-side compression); computing similarity on the DEQUANTIZED
+    values makes the whole path a pure column expression the DuckDB
+    oracle replays exactly — quantization error is then a measured
+    quantity (see `ann_topk_int8` / its recall leg), not a leap of faith.
+    Zero vectors pass through unchanged (scale 0 → x̂ = x = 0)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    return F.transform(
+        v, lambda x: F.when(scale == 0.0, F.lit(0.0)).otherwise(
+            F.round(x.cast("double") / scale * 127.0, 0) * scale / 127.0))
+
+
+def int8_topk(emb: DataFrame, query_id: int, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k over int8-quantized vectors (both sides quantized) —
+    brute force on the compressed representation, the baseline every
+    compressed-index variant (IVF-PQ etc.) is judged against. Same
+    broadcast self-probe shape as `topk_by_query_id`."""
+    deq = emb.select(F.col(id_col), int8_dequantized(vec_col).alias("dq"))
+    q = deq.filter(F.col(id_col) == query_id).select(F.col("dq").alias("qvec"))
+    return (
+        deq.crossJoin(F.broadcast(q))
+        .select(F.col(id_col),
+                F.round(dot(F.col("dq"), F.col("qvec")), 6).alias("sim_q"))
+        .orderBy(F.desc("sim_q"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def similar_pairs_bruteforce(emb: DataFrame, threshold: float,
                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All-pairs similarity via a nested-loop pair join + per-pair JVM fold.

@@ -113,6 +113,17 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def dedup_removal_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster materialized: the docs a cleaning pipeline
+    DROPS — every near-dup cluster member except its representative (min
+    id), with the rep it duplicates. `corpus MINUS removal_list` is the
+    deduplicated training corpus; emitting the removal side keeps the
+    query small and the decision auditable."""
+    return (near_dup_clusters(spark, sf_dir)
+            .filter(F.col("doc_id") != F.col("cluster_rep"))
+            .select("doc_id", "cluster_rep"))
+
+
 PHRASE_TERMS = ["big", "order", "scan"]
 
 
@@ -279,6 +290,26 @@ lbl AS (
 SELECT doc_id, cluster_rep,
        count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
 FROM lbl
+"""
+
+
+def dedup_removal_list_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({near_dup_minhash_oracle()}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lbl AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_rep FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_rep FROM lbl WHERE doc_id <> cluster_rep
 """
 
 

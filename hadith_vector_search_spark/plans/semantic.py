@@ -184,6 +184,44 @@ SELECT 'ann_topk_ivf_kmeans' AS method,
 """
 
 
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over int8-quantized vectors (per-vector symmetric
+    scale) — the 4x-smaller serving-side storage format, scored on the
+    dequantized values so the oracle replays the quantization exactly
+    and its ranking error is visible in the checked output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.int8_topk(emb, QUERY_VEC_ID, ANN_K)
+
+
+def ann_topk_int8_oracle() -> str:
+    return f"""
+WITH scales AS (
+  SELECT vec_id, embedding,
+         (SELECT max(abs(CAST(x AS DOUBLE))) FROM unnest(embedding) AS u(x)) AS s
+  FROM embeddings
+),
+dq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN s = 0 THEN 0.0
+             ELSE round(CAST(x AS DOUBLE) / s * 127.0) * s / 127.0 END) AS d
+  FROM scales
+),
+qd AS (SELECT d FROM dq WHERE vec_id = {QUERY_VEC_ID}),
+dots AS (
+  SELECT vec_id, sum(av * bv) AS dp
+  FROM (
+    SELECT dq.vec_id, unnest(dq.d) AS av, unnest(qd.d) AS bv
+    FROM dq, qd
+  )
+  GROUP BY vec_id
+)
+SELECT vec_id, round(dp, 6) AS sim_q
+FROM dots
+ORDER BY sim_q DESC, vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-vs-exact for every approximate similarity operator — the
     honest accounting for substituting LSH/IVF where the reference uses

@@ -72,6 +72,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall_report": semantic.ann_recall_report,
     # iterative algorithm — no SQL oracle (driver rows-only check)
     "ann_topk_ivf_kmeans": semantic.ann_topk_ivf_kmeans,
+    "ann_topk_int8": semantic.ann_topk_int8,
     # router + hybrid pipeline (SURVEY §2.9, §3.1)
     "intent_router": routing.intent_router,
     "routed_search_batch": routed.routed_search_batch,
@@ -93,6 +94,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_boilerplate": dedup_plans.near_dup_boilerplate,
     "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
     "near_dup_clusters": dedup_plans.near_dup_clusters,
+    "dedup_removal_list": dedup_plans.dedup_removal_list,
     "phrase_match_positional": dedup_plans.phrase_match_positional,
     # text analysis + multimodal plumbing
     "lang_id_counts": textstats_plans.lang_id_counts,
@@ -149,6 +151,8 @@ oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
 oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 oracle("ann_recall_report", semantic.ann_recall_report_oracle())
 oracle("ann_topk_ivf_kmeans", semantic.ann_topk_ivf_kmeans_oracle())
+oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
+oracle("dedup_removal_list", dedup_plans.dedup_removal_list_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())
 oracle("contamination_check", pipeline_plans.contamination_check_oracle())

@@ -143,3 +143,31 @@ def test_ivf_kmeans_report_is_deterministic_and_green(spark, sf_dir):
     exact = sorted(r.vec_id for r in cosine_topk(spark, sf_dir).collect()[:ANN_K])
     assert row.exact_ids == ",".join(str(i) for i in exact)
     assert row.recall_ok is True
+
+
+def test_int8_quantized_topk(spark, sf_dir):
+    """int8 round-trip: quantized sims within per-component error bound of
+    exact sims, zero vectors survive, and top-k overlap with the exact
+    ranking is high (quantization is a compression, not an approximation
+    of the candidate set)."""
+    from hadith_vector_search_spark.operators.similarity import (
+        int8_dequantized, int8_topk)
+    from hadith_vector_search_spark.plans.semantic import ANN_K, QUERY_VEC_ID
+    from hadith_vector_search_spark.sources import load_table
+
+    zero = spark.createDataFrame([(0, [0.0, 0.0])],
+                                 "vec_id long, embedding array<double>")
+    assert zero.select(int8_dequantized("embedding").alias("d")).first().d \
+        == [0.0, 0.0]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = int8_topk(emb, QUERY_VEC_ID, ANN_K).collect()
+    assert len(rows) == ANN_K
+    sims = [r.sim_q for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # self-similarity of a unit vector survives quantization near 1.0
+    assert rows[0].vec_id == QUERY_VEC_ID and rows[0].sim_q > 0.98
+
+    from hadith_vector_search_spark.operators.similarity import topk_by_query_id
+    exact = {r.vec_id for r in topk_by_query_id(emb, QUERY_VEC_ID, ANN_K).collect()}
+    assert len({r.vec_id for r in rows} & exact) >= ANN_K - 1
