@@ -263,18 +263,52 @@ def int8_dequantized(vec: Column | str) -> Column:
             F.round(x.cast("double") / scale * 127.0, 0) * scale / 127.0))
 
 
+def _int8_roundtrip_np(m: "np.ndarray") -> "np.ndarray":
+    """numpy twin of `int8_dequantized` (same arithmetic, vectorized):
+    per-row symmetric scale, HALF_UP rounding away from zero (matching
+    Spark's F.round and DuckDB's round — numpy's own round() is
+    half-to-even and would diverge on exact .5 codes)."""
+    if m.size == 0:
+        return m
+    s = np.abs(m).max(axis=1, keepdims=True)
+    safe = np.where(s == 0.0, 1.0, s)
+    r = m / safe * 127.0
+    q = np.sign(r) * np.floor(np.abs(r) + 0.5)
+    return np.where(s == 0.0, 0.0, q * safe / 127.0)
+
+
 def int8_topk(emb: DataFrame, query_id: int, k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k over int8-quantized vectors (both sides quantized) —
     brute force on the compressed representation, the baseline every
-    compressed-index variant (IVF-PQ etc.) is judged against. Same
-    broadcast self-probe shape as `topk_by_query_id`."""
-    deq = emb.select(F.col(id_col), int8_dequantized(vec_col).alias("dq"))
-    q = deq.filter(F.col(id_col) == query_id).select(F.col("dq").alias("qvec"))
+    compressed-index variant (IVF-PQ etc.) is judged against.
+
+    Scored as an Arrow-batched numpy matmul (`mapInPandas`), not the
+    column-expression fold: the quantize→dequantize round trip references
+    the per-vector scale inside a lambda transform, and interpreted HOF
+    trees recompute that scale per ELEMENT (no subexpression
+    elimination — see operators/dedup.py shingle notes), an O(dim²)
+    per-row blow-up on a corpus-wide path. The numpy twin does it in two
+    BLAS passes per batch. The column form (`int8_dequantized`) remains
+    for per-query/broadcast-sized use and as the oracle-shaped spec."""
+    q_rows = (emb.filter(F.col(id_col) == query_id)
+              .select(vec_col).limit(1).collect())
+    qv = np.asarray(q_rows[0][0], dtype=np.float64)[None, :]
+    qd = _int8_roundtrip_np(qv)[0]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            sims = np.round(_int8_roundtrip_np(m) @ qd, 6)
+            yield pd.DataFrame({id_col: pdf[id_col], "sim_q": sims})
+
+    id_type = emb.schema[id_col].dataType.simpleString()
     return (
-        deq.crossJoin(F.broadcast(q))
-        .select(F.col(id_col),
-                F.round(dot(F.col("dq"), F.col("qvec")), 6).alias("sim_q"))
+        emb.select(id_col, vec_col)
+        .mapInPandas(score, schema=f"{id_col} {id_type}, sim_q double")
         .orderBy(F.desc("sim_q"), F.asc(id_col))
         .limit(k)
     )
