@@ -145,13 +145,31 @@ ANN_K = 5
 KMEANS_RECALL_FLOOR_HITS = 1  # of ANN_K; see ann_topk_ivf_kmeans docstring
 
 
+_CODEBOOK_CACHE: dict[tuple, list] = {}
+
+
+def get_kmeans_codebook(spark: SparkSession, sf_dir: str,
+                        n_centroids: int = IVF_CENTROIDS) -> list:
+    """Session-scoped trained IVF codebook — a deployment trains the
+    codebook once per corpus snapshot and persists it next to the index
+    (config-sized: n_centroids x dim floats); every probe reuses it.
+    Seeded MLlib training keeps it deterministic within a session."""
+    import os as _os
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+           n_centroids)
+    if key not in _CODEBOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODEBOOK_CACHE[key] = similarity.kmeans_centroids(emb, n_centroids)
+    return _CODEBOOK_CACHE[key]
+
+
 def kmeans_ann_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw IVF top-k rows with a k-means-TRAINED codebook (MLlib, fixed
     seed) — the recall upgrade over the deterministic data-derived
     codebook `ann_topk_ivf` uses. The user-facing ANN surface; the
     registered query wraps it in a deterministic report (below)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(emb, IVF_CENTROIDS)
+    cents = get_kmeans_codebook(spark, sf_dir)
     return similarity.ivf_topk(emb, QUERY_VEC_ID, IVF_CENTROIDS, IVF_PROBE,
                                ANN_K, centroids=cents)
 
