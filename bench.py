@@ -89,6 +89,7 @@ def main() -> None:
         dedup_plans.get_simhash_index(spark, sf_dir,
                                       dedup_plans.SIMHASH_NEARDUP_BITS)
         dedup_plans.get_simhash_index(spark, sf_dir, dedup_plans.SIMHASH_BITS)
+        dedup_plans.get_window_index(spark, sf_dir)
         from hadith_vector_search_spark.plans import semantic as sem_plans
         sem_plans.get_vector_lsh_index(spark, sf_dir)
         print(f"bench: derived index build {time.time() - t0:.1f}s",

@@ -715,6 +715,90 @@ def phrase_positions(docs: DataFrame, phrase_terms: list[str],
             .filter(F.col("n_occurrences") >= 1))
 
 
+DUPSPAN_W = 10
+
+
+def window_index(docs: DataFrame, w: int = DUPSPAN_W,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Positional w-token window index: (doc_id, pos, _h1, _h2) — one row
+    per token position, windows reduced to a 96-bit hash pair (xxhash64 +
+    crc32, same paired-hash collision posture as `_set_gkey`) so rows are
+    fixed-width longs, never window text. Fully narrow (tokenize + the
+    `shingle_array` zip-with-shifted accumulation + one positional
+    explode). `duplicated_spans` consumes this frame TWICE (duplicate-key
+    aggregate and position-marking semi join), so callers should pin it —
+    on a lake it's the persisted substring-dedup index table."""
+    toks_df = docs.select(F.col(id_col).alias("doc_id"),
+                          tokenize(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    sh = t
+    for j in range(1, w):
+        shifted = F.slice(t, j + 1, F.size(t))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    n_full = F.greatest(F.size(t) - (w - 1), F.lit(0))
+    arr = F.slice(sh, 1, n_full)
+    # Explode-of-singleton barrier (see `shingle_array`): materialize the
+    # window array before the positional explode so Generate doesn't
+    # re-evaluate the whole accumulation per output row.
+    return (toks_df.select("doc_id", F.explode(F.array(arr)).alias("_wins"))
+            .select("doc_id", F.posexplode("_wins").alias("pos", "_w"))
+            .select("doc_id", "pos",
+                    F.xxhash64(F.col("_w")).alias("_h1"),
+                    F.crc32(F.col("_w")).alias("_h2")))
+
+
+def duplicated_spans(docs: DataFrame, w: int = DUPSPAN_W, min_docs: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     windows: DataFrame | None = None) -> DataFrame:
+    """Substring-level (span) dedup, the Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better' operation the document-
+    level near-dup family cannot express: find every MAXIMAL token span
+    that some w-token window shares with another document, so a cleaning
+    pipeline can cut the repeated boilerplate passage instead of dropping
+    whole documents. (The reference dedups at document granularity only —
+    checksum skip at /root/reference/mcp_server/apps/ingestion.py:146 —
+    this is the scale-pipeline extension.)
+
+    Plan shape (all relational, no pair join, no O(N^2) state):
+      1. tokenize once; build all w-token windows WITH positions by the
+         same zip-with-shifted-slices accumulation as `shingle_array`
+         (narrow, no explode until the windows exist);
+      2. posexplode -> (doc_id, pos, window); windows are immediately
+         reduced to a 96-bit key (xxhash64 + crc32 — paired hashes for
+         the same collision posture as `_set_gkey`) so the shuffle rows
+         carry 12 bytes, not the window text;
+      3. groupBy key, keep keys seen in >= min_docs DISTINCT docs
+         (map-side combined; a boilerplate window in a million docs is
+         one hot GROUP, never a pair explosion);
+      4. left-semi join windows against duplicated keys (same key as the
+         groupBy, so AQE reuses the partitioning), then merge adjacent
+         duplicated positions per doc into maximal spans with one
+         gaps-and-islands window pass partitioned by doc.
+
+    Output: (doc_id, span_start, span_len, n_windows) — span_start is the
+    1-based token index, span_len the span's token count (>= w), n_windows
+    the duplicated windows merged into it."""
+    wins = windows if windows is not None else window_index(
+        docs, w, text_col, id_col)
+    dup_keys = (wins.groupBy("_h1", "_h2")
+                .agg(F.countDistinct("doc_id").alias("_nd"))
+                .filter(F.col("_nd") >= min_docs)
+                .select("_h1", "_h2"))
+    marked = wins.join(dup_keys, ["_h1", "_h2"], "left_semi")
+    byd = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (marked
+               .withColumn("_brk", F.when(
+                   F.col("pos") == F.lag("pos").over(byd) + 1, F.lit(0))
+                   .otherwise(F.lit(1)))
+               .withColumn("_gid", F.sum("_brk").over(
+                   byd.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy("doc_id", "_gid")
+            .agg((F.min("pos") + 1).cast("long").alias("span_start"),
+                 (F.max("pos") - F.min("pos") + w).cast("long").alias("span_len"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .drop("_gid"))
+
+
 def hamming(a: Column, b: Column, n_bits: int) -> Column:
     """Hamming distance between equal-length bit strings — JVM-side.
     Diagnostic/test helper; the near-dup hot path compares packed BIGINT

@@ -131,6 +131,43 @@ def dedup_removal_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "cluster_rep"))
 
 
+def get_window_index(spark: SparkSession, sf_dir: str,
+                     w: int = dedup.DUPSPAN_W) -> DataFrame:
+    """Session-scoped positional token-window index over `documents`
+    (eager-checkpointed): consumed twice per span-dedup pass, persisted
+    as a table on a lake."""
+    key = _cache_key(spark, sf_dir, "windows", w)
+    if key not in _INDEX_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _INDEX_CACHE[key] = dedup.window_index(docs, w).localCheckpoint()
+    return _INDEX_CACHE[key]
+
+
+def duplicated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022): maximal cross-document
+    duplicated token spans — what a cleaning pipeline CUTS from documents
+    that survive document-level dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(
+        docs, windows=get_window_index(spark, sf_dir))
+
+
+TOP_NGRAMS_K = 20
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the corpus's most document-frequent shingles
+    (distinct per doc, so doc frequency not raw term frequency) — the
+    candidate list for template/boilerplate strip rules. Reads the pinned
+    shingle index; one explode + one map-side-combined count."""
+    sharr = get_shingle_index(spark, sf_dir).select("doc_id", "shingles")
+    return (sharr.select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+            .limit(TOP_NGRAMS_K))
+
+
 PHRASE_TERMS = ["big", "order", "scan"]
 
 
@@ -338,6 +375,58 @@ SELECT doc_id, count(*) AS n_occurrences, min(pos) AS first_pos
 FROM sh
 WHERE shingle = '{phrase}'
 GROUP BY doc_id
+"""
+
+
+def duplicated_span_report_oracle() -> str:
+    """Replays windowing + cross-doc duplication + island merge from raw
+    text. DuckDB groups on the window STRING itself; Spark groups on a
+    96-bit hash pair — a collision on BOTH digests would diverge the gate
+    (bound ~N^2/2^97; see `_set_gkey` for the posture)."""
+    w = dedup.DUPSPAN_W
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(ts[i:i+{w}-1], 'string_agg', ' ') AS wstr
+  FROM toks, unnest(range(1, len(ts) - {w} + 2)) AS r(i)
+  WHERE len(ts) >= {w}
+),
+dup AS (
+  SELECT wstr FROM win GROUP BY wstr HAVING count(DISTINCT doc_id) >= 2
+),
+marked AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wstr)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos = lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+              THEN 0 ELSE 1 END AS b
+  FROM marked
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM brk
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) - min(pos) + {w} AS span_len,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, gid
+"""
+
+
+def boilerplate_ngrams_oracle() -> str:
+    return f"""
+WITH {_SHINGLES_CTE}
+SELECT shingle, count(*) AS doc_freq
+FROM sh
+GROUP BY shingle
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT {TOP_NGRAMS_K}
 """
 
 

@@ -96,6 +96,8 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_clusters": dedup_plans.near_dup_clusters,
     "dedup_removal_list": dedup_plans.dedup_removal_list,
     "phrase_match_positional": dedup_plans.phrase_match_positional,
+    "duplicated_span_report": dedup_plans.duplicated_span_report,
+    "boilerplate_ngrams": dedup_plans.boilerplate_ngrams,
     # text analysis + multimodal plumbing
     "lang_id_counts": textstats_plans.lang_id_counts,
     "quality_scores": textstats_plans.quality_scores,
@@ -177,6 +179,8 @@ oracle("near_dup_simhash", dedup_plans.near_dup_simhash_oracle())
 oracle("near_dup_boilerplate", dedup_plans.near_dup_boilerplate_oracle())
 oracle("near_dup_clusters", dedup_plans.near_dup_clusters_oracle())
 oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())
+oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
+oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())
 oracle("event_correlation", f"""
 WITH ev AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type

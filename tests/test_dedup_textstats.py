@@ -331,3 +331,33 @@ def test_phrase_positions_adjacency_semantics(spark):
     # in token space — exactly FTS5's behavior (and why raw-substring
     # matching under-counts).
     assert rows == {1: (2, 1), 3: (1, 0)}
+
+
+def test_duplicated_spans_semantics(spark):
+    """Cross-doc duplicated windows merge into maximal spans; within-doc
+    repetition alone does not qualify (min_docs=2 counts DISTINCT docs)."""
+    from hadith_vector_search_spark.operators.dedup import duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, f"unique one two three {shared} tail1 tail2"),
+         (2, f"{shared} completely different ending here"),
+         # doc 3 repeats ITS OWN 10-token run twice but shares with no one:
+         (3, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 " * 2),
+         (4, "no overlap at all in this document whatsoever"),
+         ],
+        "doc_id long, text string")
+    rows = {(r.doc_id): (r.span_start, r.span_len, r.n_windows)
+            for r in duplicated_spans(docs, w=10).collect()}
+    # doc 1: shared run starts at token 5 (1-based), exactly one window
+    # doc 2: shared run starts at token 1
+    assert rows == {1: (5, 10, 1), 2: (1, 10, 1)}
+
+    # Lower w: two overlapping 5-token windows merge into one 6-token span.
+    shared6 = "pp qq rr ss tt uu"
+    docs2 = spark.createDataFrame(
+        [(1, f"xx {shared6} yy"), (2, f"{shared6} zz")],
+        "doc_id long, text string")
+    rows2 = {r.doc_id: (r.span_start, r.span_len, r.n_windows)
+             for r in duplicated_spans(docs2, w=5).collect()}
+    assert rows2 == {1: (2, 6, 2), 2: (1, 6, 2)}
