@@ -152,6 +152,27 @@ def duplicated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, windows=get_window_index(spark, sf_dir))
 
 
+def doc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-window fraction — the document-level
+    quality signal derived from the substring-dedup index (a doc that is
+    90% shared boilerplate should score differently from one with a
+    single quoted passage). Reads the pinned window index twice: one
+    duplicate-key aggregate, one semi join, one per-doc rollup."""
+    wins = get_window_index(spark, sf_dir)
+    dup_keys = (wins.groupBy("_h1", "_h2")
+                .agg(F.countDistinct("doc_id").alias("_nd"))
+                .filter(F.col("_nd") >= 2).select("_h1", "_h2"))
+    dup_counts = (wins.join(dup_keys, ["_h1", "_h2"], "left_semi")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_dup_windows")))
+    totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return (totals.join(dup_counts, "doc_id", "left")
+            .select("doc_id", "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+                    F.round(F.coalesce("n_dup_windows", F.lit(0))
+                            / F.col("n_windows"), 6).alias("dup_fraction")))
+
+
 TOP_NGRAMS_K = 20
 
 
@@ -416,6 +437,37 @@ SELECT doc_id, min(pos) AS span_start,
        max(pos) - min(pos) + {w} AS span_len,
        count(*) AS n_windows
 FROM isl GROUP BY doc_id, gid
+"""
+
+
+def doc_dup_fraction_oracle() -> str:
+    w = dedup.DUPSPAN_W
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(ts[i:i+{w}-1], 'string_agg', ' ') AS wstr
+  FROM toks, unnest(range(1, len(ts) - {w} + 2)) AS r(i)
+  WHERE len(ts) >= {w}
+),
+dup AS (
+  SELECT wstr FROM win GROUP BY wstr HAVING count(DISTINCT doc_id) >= 2
+),
+dc AS (
+  SELECT w.doc_id, count(*) AS n_dup_windows
+  FROM win w JOIN dup USING (wstr) GROUP BY w.doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY doc_id)
+SELECT t.doc_id, t.n_windows,
+       coalesce(dc.n_dup_windows, 0) AS n_dup_windows,
+       round(coalesce(dc.n_dup_windows, 0) / CAST(t.n_windows AS DOUBLE), 6)
+         AS dup_fraction
+FROM tot t LEFT JOIN dc ON t.doc_id = dc.doc_id
 """
 
 

@@ -235,3 +235,41 @@ SELECT doc_id,
                             '{phone_re}', '[PHONE]', 'g'), 60) AS tail
 FROM aug
 """
+
+
+QUANTILES = (0.25, 0.5, 0.9, 0.99)
+
+
+def length_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling rollup a pipeline runs before choosing length/
+    packing thresholds: exact interpolated length percentiles per
+    language (`percentile` — SQL-standard continuous interpolation,
+    matching DuckDB's quantile_cont) plus bounds. Exact percentile sorts
+    per group; at lake scale swap in percentile_approx (t-digest,
+    map-side combinable) — the one-word change is the documented scale
+    lever, exactness here keeps the oracle byte-tight."""
+    docs = load_table(spark, sf_dir, "documents")
+    pcts = [
+        F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(
+            f"p{int(q * 100)}_chars")
+        for q in QUANTILES
+    ]
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 *pcts,
+                 F.max("n_chars").alias("max_chars")))
+
+
+def length_quantile_profile_oracle() -> str:
+    pcts = ",\n       ".join(
+        f"round(quantile_cont(n_chars, {q}), 6) AS p{int(q * 100)}_chars"
+        for q in QUANTILES)
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       {pcts},
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+"""

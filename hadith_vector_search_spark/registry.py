@@ -28,6 +28,7 @@ from .plans import multimodal as multimodal_plans
 from .plans import pipeline as pipeline_plans
 from .plans import textstats as textstats_plans
 from .streaming import (
+    streaming_dedup_docs,
     streaming_event_rollup,
     streaming_merge_jsonl,
     streaming_user_sessions,
@@ -95,6 +96,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
     "near_dup_clusters": dedup_plans.near_dup_clusters,
     "dedup_removal_list": dedup_plans.dedup_removal_list,
+    "doc_dup_fraction": dedup_plans.doc_dup_fraction,
     "phrase_match_positional": dedup_plans.phrase_match_positional,
     "duplicated_span_report": dedup_plans.duplicated_span_report,
     "boilerplate_ngrams": dedup_plans.boilerplate_ngrams,
@@ -105,6 +107,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprints": textstats_plans.doc_fingerprints,
     "repetition_scores": textstats_plans.repetition_scores,
     "pii_scrub_preview": textstats_plans.pii_scrub_preview,
+    "length_quantile_profile": textstats_plans.length_quantile_profile,
     "binary_metadata": textstats_plans.binary_metadata,
     # lifecycle: incremental ingest, point lookup, status (SURVEY §3.3, Q7/Q8)
     "incremental_merge_stats": lifecycle.incremental_merge_stats,
@@ -120,6 +123,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_user_sessions": streaming_user_sessions,
     "streaming_user_totals_stateful": streaming_user_totals_stateful,
     "streaming_merge_jsonl": streaming_merge_jsonl,
+    "streaming_dedup_docs": streaming_dedup_docs,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -251,6 +255,14 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events
 GROUP BY user_id
 """)
+oracle("streaming_dedup_docs", """
+SELECT source, count(DISTINCT text) AS n_unique_docs
+FROM documents
+GROUP BY source
+""")
+oracle("doc_dup_fraction", dedup_plans.doc_dup_fraction_oracle())
+oracle("length_quantile_profile",
+       textstats_plans.length_quantile_profile_oracle())
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -1,5 +1,6 @@
 from .ingest import (  # noqa: F401
     stream_merge_jsonl,
+    streaming_dedup_docs,
     streaming_event_rollup,
     streaming_merge_jsonl,
     streaming_user_sessions,

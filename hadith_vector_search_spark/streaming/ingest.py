@@ -104,6 +104,35 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events", "sum_value"))
 
 
+def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the arrival-time `dropDuplicates` state
+    operator (one state row per key on its shuffle partition — the
+    streaming twin of the batch checksum skip at
+    /root/reference/mcp_server/apps/ingestion.py:146). Documents stream
+    from the file source, duplicates are dropped on (source, checksum) as
+    they arrive, survivors land in the sink; the returned rollup counts
+    survivors per source. Keyed on (source, checksum) so the result is
+    arrival-order independent — what the batch oracle checks with
+    count(DISTINCT text). In production the key set is bounded with
+    `withWatermark` + dropDuplicatesWithinWatermark; AvailableNow over a
+    static snapshot has no late data, so state here is the full key set."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    kept = (stream
+            .withColumn("checksum", F.sha2(F.col("text"), 256))
+            .dropDuplicates(["source", "checksum"]))
+    name = f"stream_dedup_{next(_MEMSINK_IDS)}"
+    q = (kept.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_unique_docs")))
+
+
 def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via `applyInPandasWithState`:
     per-user running totals held in explicit GroupState, updated rows
