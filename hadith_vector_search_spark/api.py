@@ -29,7 +29,7 @@ from .functions.text import py_tokenize, snippet, term_coverage
 from .operators import bm25, fusion, proximity, similarity
 from .operators import dedup as dedup_ops
 from .operators.embedder import DEFAULT_DIM, embed_column, encode_query
-from .operators.router import route
+from .operators.router import route_one
 
 OVERFETCH_FLOOR = 50   # max(50, 5*n) per the reference (tools.py:87,93)
 
@@ -94,8 +94,10 @@ class HybridEngine:
         w = fusion.resolve_weights(scoring_mode, fts_available, vector_available)
         if weight_overrides:
             w = replace(w, **weight_overrides)
-        intent = route(self.spark.createDataFrame([(query,)], "query_text string")) \
-            .collect()[0]
+        # Driver-side router twin: one serving call routes ONE string, and
+        # a 1-row Spark job costs ~400 ms of scheduler overhead per request
+        # (route_one is equivalence-tested against the column router).
+        intent = route_one(query)
         terms = sorted(set(py_tokenize(intent.normalized)))
         k = max(OVERFETCH_FLOOR, 5 * n_results)
 

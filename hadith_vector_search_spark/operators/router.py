@@ -10,6 +10,9 @@ a billion queries is the same plan as routing one.
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -19,6 +22,7 @@ from ..functions.text import (
     extract_quoted_phrase,
     is_exact_reference,
     normalize_whitespace,
+    py_tokenize,
     strip_quotes,
     tokenize,
 )
@@ -37,6 +41,78 @@ THEMATIC_MIN_TOKENS = 4
 # after exact-reference and before narrator (spec classify() order,
 # HADITH_SEARCH_SPEC.md:256-268).
 ARABIC_DOMINANT = 0.5
+
+
+@dataclass(frozen=True)
+class RoutedQuery:
+    """Driver-side routing result — same fields as `route`'s columns."""
+    query_text: str
+    normalized: str
+    phrase: str | None
+    narrator_query: str | None
+    tokens: list[str]
+    n_tokens: int
+    arabic_ratio: float
+    intent: str
+
+
+# Python twins of the column expressions, for single-query serving calls.
+# Java regex classes are ASCII-only (\s = [ \t\n\x0B\f\r], \d = [0-9],
+# \w = [a-zA-Z0-9_]); Python's are Unicode-aware by default — every twin
+# spells the ASCII classes out so both routers match byte-for-byte
+# (equivalence is pinned by tests/test_router.py's twin-vs-column sweep).
+_PY_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_PY_ENCLOSING_QUOTES = re.compile("^[\"'](.*)[\"']$")
+_PY_DQ_PHRASE = re.compile('"([^"]{3,})"')
+_PY_SQ_PHRASE = re.compile("'([^']{3,})'")
+_PY_NARRATOR_EN = re.compile(
+    r"(?:^|(?<=[^a-z0-9_]))(?:narrated by|reported by|said by)"
+    r"[ \t\n\x0b\f\r]+(.+)$")
+_PY_NARRATOR_AR = re.compile("عن[ \\t\\n\\x0b\\f\\r]+(.+)$")
+_PY_EXACT_REF = re.compile(
+    r"^[ \t\n\x0b\f\r]*(?:book|kitab|bk)?[ \t\n\x0b\f\r]*"
+    r"[0-9]+(?:[:\-/][0-9]+)?[ \t\n\x0b\f\r]*$")
+_PY_ARABIC = re.compile("[؀-ۿ]")
+
+
+def _py_normalize_ws(s: str) -> str:
+    return _PY_WS.sub(" ", s).strip()
+
+
+def route_one(query_text: str) -> RoutedQuery:
+    """Single-query twin of `route` evaluated driver-side in pure Python —
+    the serving path routes ONE string per call, and spinning a 1-row
+    Spark job just to run five regexes costs ~400 ms of scheduler overhead
+    per request. Batch routing (the registered `intent_router` query) stays
+    on the column version; this twin is regex-for-regex identical and
+    equivalence-tested against it."""
+    q = query_text
+    stripped = _PY_ENCLOSING_QUOTES.sub(r"\1", q)
+    normalized = _py_normalize_ws(stripped.lower())
+    dq = _PY_DQ_PHRASE.search(q)
+    sq = _PY_SQ_PHRASE.search(q)
+    phrase = dq.group(1) if dq else (sq.group(1) if sq else None)
+    en = _PY_NARRATOR_EN.search(q.lower())
+    ar_n = _PY_NARRATOR_AR.search(q)
+    narrator = (en.group(1) if en and en.group(1) != "" else
+                (ar_n.group(1) if ar_n and ar_n.group(1) != "" else None))
+    tokens = py_tokenize(q)
+    n_ar = len(_PY_ARABIC.findall(q))
+    ar_ratio = (n_ar / len(q)) if len(q) > 0 else 0.0
+    if _PY_EXACT_REF.match(q.lower()):
+        intent = INTENT_EXACT
+    elif ar_ratio > ARABIC_DOMINANT:
+        intent = INTENT_ARABIC
+    elif narrator is not None:
+        intent = INTENT_NARRATOR
+    elif phrase is not None or len(tokens) >= THEMATIC_MIN_TOKENS:
+        intent = INTENT_THEMATIC
+    else:
+        intent = INTENT_MIXED
+    return RoutedQuery(query_text=q, normalized=normalized, phrase=phrase,
+                       narrator_query=narrator, tokens=tokens,
+                       n_tokens=len(tokens),
+                       arabic_ratio=round(ar_ratio, 4), intent=intent)
 
 
 def route(queries: DataFrame, text_col: str = "query_text") -> DataFrame:

@@ -113,3 +113,48 @@ def test_score_breakdown_struct_matches_flat_columns(spark):
     assert by_id[1].phrase_bonus == 0.05 and by_id[1].proximity_bonus == 0.0
     assert by_id[3].proximity_bonus == 0.10 and by_id[3].phrase_bonus == 0.0
     assert all(0.0 <= r.score <= 1.0 for r in scored)  # clamped like the ref
+
+
+def test_route_one_matches_column_router(spark):
+    """The driver-side serving router must agree with the column router on
+    every field, across the tricky shapes (Java vs Python regex semantics:
+    ASCII \\d/\\s/\\b, Unicode digits, Arabic word boundaries, enclosing
+    quotes, newlines)."""
+    from hadith_vector_search_spark.operators.router import route, route_one
+
+    queries = [
+        "patience and prayer",
+        '"patience in adversity" reward',
+        "'charity' said by abu hurairah",
+        "narrated by aisha",
+        "Reported By  Umar ibn al-Khattab",
+        "said by",                    # verb with no narrator tail
+        "book 1:12", " bk 3 ", "680", "kitab 5/7", "12-34",
+        "٦٨٠",                        # Arabic-Indic digits: NOT \d in Java
+        "عن أبي هريرة",
+        "الصبر والصلاة مفتاح الفرج",
+        "quranعن مريم",               # no ASCII boundary before عن
+        "'q'",                        # quoted but under min phrase length
+        "\"short\"",
+        "  spaced   out   query  ",
+        "one two three four five",
+        "tiny", "", "   ",
+        "mixed عربي and english words",
+        "'enclosed entirely in quotes'",
+        "line\nbreak query",
+        "CASE Folding QUERY",
+    ]
+    df = spark.createDataFrame([(q,) for q in queries], "query_text string")
+    col_rows = {r.query_text: r for r in route(df).collect()}
+    for q in queries:
+        got = route_one(q)
+        exp = col_rows[q]
+        assert got.normalized == exp.normalized, (q, got.normalized, exp.normalized)
+        assert got.phrase == exp.phrase, (q, got.phrase, exp.phrase)
+        assert got.narrator_query == exp.narrator_query, \
+            (q, got.narrator_query, exp.narrator_query)
+        assert got.tokens == list(exp.tokens), (q, got.tokens, exp.tokens)
+        assert got.n_tokens == exp.n_tokens
+        assert abs(got.arabic_ratio - exp.arabic_ratio) < 1e-9, \
+            (q, got.arabic_ratio, exp.arabic_ratio)
+        assert got.intent == exp.intent, (q, got.intent, exp.intent)
