@@ -314,6 +314,75 @@ def int8_topk(emb: DataFrame, query_id: int, k: int = 5,
     )
 
 
+def pq_topk(emb: DataFrame, query_id: int, n_cents: int = 4, k: int = 5,
+            rerank: int = 20,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring and exact
+    rerank — the compressed-index step beyond flat int8 (`int8_topk`):
+    each vector is stored as 2 sub-codebook codes (here 2 x log2(n_cents)
+    bits + shared codebooks instead of d floats), candidates are ranked by
+    ADC (query subvectors dotted against the doc's reconstructed
+    centroids), and the ADC top-`rerank` are re-scored exactly for the
+    final top-k — the standard two-stage serving shape (cf. the HNSW
+    recall/rerank tradeoff the reference delegates to Chroma,
+    /root/reference/mcp_server/apps/embeddings.py:277-321).
+
+    Codebooks are data-derived (subvectors of the first `n_cents`
+    corpus vectors) and assignment/rounding is pinned (L2^2 rounded to 6
+    decimals, ties to the lowest centroid id), so the WHOLE pipeline —
+    encode, ADC, rerank — is replayed by a DuckDB oracle; swap in k-means
+    sub-codebooks at deployment exactly like `kmeans_centroids` upgrades
+    `ivf_topk`. Scoring runs as an Arrow-batched numpy pass (two BLAS
+    matmuls per subspace per batch); the exact rerank scores only the
+    `rerank` joined survivors JVM-side."""
+    cent_rows = (emb.filter(F.col(id_col) < n_cents)
+                 .select(id_col, vec_col).collect())
+    cent_rows.sort(key=lambda r: r[0])
+    B = np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    q_rows = (emb.filter(F.col(id_col) == query_id)
+              .select(vec_col).limit(1).collect())
+    qv = np.asarray(q_rows[0][0], dtype=np.float64)
+    d = qv.shape[0]
+    bounds = [(0, d // 2), (d // 2, d)]
+    subbooks = [B[:, lo:hi] for lo, hi in bounds]
+    qsubs = [qv[lo:hi] for lo, hi in bounds]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            adc = np.zeros(len(X))
+            for (lo, hi), Bm, qm in zip(bounds, subbooks, qsubs):
+                Xm = X[:, lo:hi]
+                # Elementwise sum((x-c)^2) — same arithmetic the oracle's
+                # positional unnest performs (not the expanded-norm form,
+                # whose different FP error could flip a knife-edge
+                # assignment); rounded to 6 before argmin, which takes the
+                # FIRST minimum = lowest cent id, matching the oracle's
+                # (d2 ASC, cid ASC) tie-break.
+                d2 = np.round(
+                    ((Xm[:, None, :] - Bm[None, :, :]) ** 2).sum(-1), 6)
+                codes = d2.argmin(1)
+                adc += Bm[codes] @ qm
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "adc_sim": np.round(adc, 6)})
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    cands = (emb.select(id_col, vec_col)
+             .mapInPandas(score, schema=f"{id_col} {id_type}, adc_sim double")
+             .orderBy(F.desc("adc_sim"), F.asc(id_col))
+             .limit(rerank))
+    from ..functions.vector import vector_lit
+    qlit = vector_lit([float(x) for x in qv])
+    return (emb.join(F.broadcast(cands), id_col)
+            .select(F.col(id_col), "adc_sim",
+                    F.round(dot(F.col(vec_col), qlit), 6).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc(id_col))
+            .limit(k))
+
+
 def similar_pairs_bruteforce(emb: DataFrame, threshold: float,
                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All-pairs similarity via a nested-loop pair join + per-pair JVM fold.

@@ -267,6 +267,87 @@ LIMIT {ANN_K}
 """
 
 
+PQ_CENTS = 4
+PQ_RERANK = 20
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with ADC + exact rerank (see
+    `similarity.pq_topk`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, QUERY_VEC_ID, PQ_CENTS, ANN_K, PQ_RERANK)
+
+
+def ann_topk_pq_oracle() -> str:
+    """Replays the full PQ pipeline: sub-codebooks from the first
+    PQ_CENTS vectors, per-doc code assignment (rounded L2^2, ties to the
+    lowest centroid id), ADC candidate ranking, exact rerank."""
+    return f"""
+WITH halves AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1),
+sub AS (
+  SELECT vec_id, m,
+         CASE WHEN m = 0 THEN embedding[1:h]
+              ELSE embedding[h+1:len(embedding)] END AS sv
+  FROM embeddings, halves, (VALUES (0), (1)) AS mm(m)
+),
+cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {PQ_CENTS}),
+dist AS (
+  SELECT vec_id, m, cid, round(sum((av - bv) * (av - bv)), 6) AS d2
+  FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           CAST(unnest(s.sv) AS DOUBLE) AS av,
+           CAST(unnest(c.cv) AS DOUBLE) AS bv
+    FROM sub s JOIN cb c ON s.m = c.m
+  )
+  GROUP BY vec_id, m, cid
+),
+code AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+qsub AS (SELECT m, sv FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+adc_terms AS (
+  SELECT k.vec_id, k.m, sum(qv * cv) AS t
+  FROM (
+    SELECT code.vec_id, code.m,
+           CAST(unnest(q.sv) AS DOUBLE) AS qv,
+           CAST(unnest(c.cv) AS DOUBLE) AS cv
+    FROM code
+    JOIN cb c ON c.m = code.m AND c.cid = code.cid
+    JOIN qsub q ON q.m = code.m
+  ) k
+  GROUP BY k.vec_id, k.m
+),
+adc AS (
+  SELECT vec_id, round(sum(t), 6) AS adc_sim
+  FROM adc_terms GROUP BY vec_id
+),
+cands AS (
+  SELECT vec_id, adc_sim FROM adc
+  ORDER BY adc_sim DESC, vec_id ASC LIMIT {PQ_RERANK}
+),
+dots AS (
+  SELECT vec_id, sum(av * bv) AS dp
+  FROM (
+    SELECT e.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS av,
+           CAST(unnest(q.embedding) AS DOUBLE) AS bv
+    FROM embeddings e, (SELECT embedding FROM embeddings
+                        WHERE vec_id = {QUERY_VEC_ID}) q
+  )
+  GROUP BY vec_id
+)
+SELECT c.vec_id, c.adc_sim, round(d.dp, 6) AS sim
+FROM cands c JOIN dots d ON c.vec_id = d.vec_id
+ORDER BY sim DESC, c.vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-vs-exact for every approximate similarity operator — the
     honest accounting for substituting LSH/IVF where the reference uses

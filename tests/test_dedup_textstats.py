@@ -361,3 +361,27 @@ def test_duplicated_spans_semantics(spark):
     rows2 = {r.doc_id: (r.span_start, r.span_len, r.n_windows)
              for r in duplicated_spans(docs2, w=5).collect()}
     assert rows2 == {1: (2, 6, 2), 2: (1, 6, 2)}
+
+
+def test_duplicated_spans_hot_window_bounded(spark):
+    """Adversarial boilerplate: one 12-token passage shared by 200 docs.
+    The hot window key is ONE aggregate group (never a pair join), and the
+    output is exactly one correct span per doc — the same bounded-state
+    guarantee the banding dedup family proves with its 150-copy fixture."""
+    from hadith_vector_search_spark.operators.dedup import duplicated_spans
+
+    boiler = ("terms of service apply to all content provided "
+              "herein without warranty")  # 11 tokens after len>=2 filter
+    rows = [(i, f"doc{i} unique{i} preamble {boiler} trailer{i}")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans(docs, w=10).collect()
+    assert len(out) == 200
+    by_doc = {r.doc_id: r for r in out}
+    for i in range(200):
+        r = by_doc[i]
+        # tokens: doc{i}, unique{i}, preamble, then 11 boilerplate tokens
+        # (the literal token 'preamble' is itself shared by every doc, so
+        # the duplicated region is tokens 3..14): windows starting at
+        # 1-based positions 3, 4, 5 merge into one 12-token span.
+        assert (r.span_start, r.span_len, r.n_windows) == (3, 12, 3), r

@@ -171,3 +171,34 @@ def test_int8_quantized_topk(spark, sf_dir):
     from hadith_vector_search_spark.operators.similarity import topk_by_query_id
     exact = {r.vec_id for r in topk_by_query_id(emb, QUERY_VEC_ID, ANN_K).collect()}
     assert len({r.vec_id for r in rows} & exact) >= ANN_K - 1
+
+
+def test_pq_topk_full_rerank_equals_exact(spark, sf_dir):
+    """With rerank >= corpus size the ADC stage only orders candidates —
+    the exact rerank must then return exactly the exact top-k set."""
+    from hadith_vector_search_spark.operators.similarity import (
+        pq_topk, topk_by_query_id)
+    from hadith_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    got = [(r.vec_id, r.sim) for r in pq_topk(emb, 0, 4, 5, rerank=n).collect()]
+    want = [(r.vec_id, r.sim) for r in topk_by_query_id(emb, 0, 5).collect()]
+    assert got and [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-6
+
+
+def test_pq_topk_default_rerank_recall(spark, sf_dir):
+    """Compressed-candidate recall floor at the default rerank depth: the
+    final top-5 must share >= 3 ids with the exact top-5 on the test
+    corpus (PQ with 2x4 codebooks is coarse; the rerank recovers order
+    for whatever ADC surfaces)."""
+    from hadith_vector_search_spark.operators.similarity import (
+        pq_topk, topk_by_query_id)
+    from hadith_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.vec_id for r in pq_topk(emb, 0, 4, 5, 20).collect()}
+    want = {r.vec_id for r in topk_by_query_id(emb, 0, 5).collect()}
+    assert len(got & want) >= 3, (got, want)
