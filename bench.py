@@ -98,8 +98,16 @@ def main() -> None:
         print(f"bench: derived index warm-up failed: {e}", file=sys.stderr)
     gc.collect()
 
+    # SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the timed pass — the
+    # attribution tool for session-scale drift checks (time a sentinel
+    # subset in a fresh session vs embedded in the full pass; see
+    # SCALE.md "Session-scale drift").
+    only = {n for n in os.environ.get(
+        "SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
     timings: dict[str, float] = {}
     for name, fn in sorted(get_queries().items()):
+        if only and name not in only:
+            continue
         # Checkpoint blocks from prior queries are only unpersisted after
         # Python GC drops the DataFrame refs; collect eagerly so later
         # queries aren't taxed by dead blocks + GC pressure.
