@@ -819,6 +819,62 @@ def duplicated_spans(docs: DataFrame, w: int = DUPSPAN_W, min_docs: int = 2,
             .drop("_gid"))
 
 
+WINNOW_GUARANTEE = 4
+
+
+def winnowed_fingerprints(docs: DataFrame, w: int = DUPSPAN_W,
+                          guarantee: int = WINNOW_GUARANTEE,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): from each run of `guarantee` consecutive w-gram
+    hashes keep the minimum, which guarantees any match of length
+    >= w + guarantee - 1 tokens shares a selected fingerprint while
+    storing only ~2/(guarantee+1) of positions — the principled way to
+    SUBSAMPLE the substring-dedup window index when storing every
+    position is too much state.
+
+    Determinism/oracle posture: the selection hash is sha256 of the
+    window text encoded as 'hex#pos' so min-comparison is plain string
+    order BOTH engines implement identically (ties on identical repeated
+    windows resolve to the lowest position). Production would winnow on
+    xxhash64 (cheaper); the selection structure is identical. Docs with
+    fewer than `guarantee` full windows select nothing (strict full-
+    window winnowing).
+
+    Output: (doc_id, n_windows, n_fingerprints, fp_digest) — the digest
+    is sha256 over the doc's sorted distinct selections, pinning the
+    exact fingerprint SET compactly. One narrow window pass + two
+    per-doc window functions + one groupBy."""
+    toks_df = docs.select(F.col(id_col).alias("doc_id"),
+                          tokenize(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    sh = t
+    for j in range(1, w):
+        shifted = F.slice(t, j + 1, F.size(t))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    n_full = F.greatest(F.size(t) - (w - 1), F.lit(0))
+    arr = F.slice(sh, 1, n_full)
+    wins = (toks_df.select("doc_id", F.explode(F.array(arr)).alias("_wins"))
+            .select("doc_id", F.posexplode("_wins").alias("pos", "_w"))
+            .select("doc_id", "pos",
+                    F.concat(F.sha2(F.col("_w"), 256), F.lit("#"),
+                             F.lpad(F.col("pos").cast("string"), 8, "0"))
+                    .alias("enc")))
+    per_doc = Window.partitionBy("doc_id")
+    frame = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(0, guarantee - 1))
+    sel = (wins
+           .withColumn("n_windows", F.count(F.lit(1)).over(per_doc))
+           .withColumn("_sel", F.min("enc").over(frame))
+           .filter(F.col("pos") <= F.col("n_windows") - guarantee))
+    return (sel.select("doc_id", "n_windows", "_sel").distinct()
+            .groupBy("doc_id", F.col("n_windows").cast("long").alias("n_windows"))
+            .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+                 F.sha2(F.array_join(F.array_sort(
+                     F.collect_list("_sel")), ","), 256).alias("fp_digest")))
+
+
 def hamming(a: Column, b: Column, n_bits: int) -> Column:
     """Hamming distance between equal-length bit strings — JVM-side.
     Diagnostic/test helper; the near-dup hot path compares packed BIGINT

@@ -209,3 +209,50 @@ def pii_metrics(docs: DataFrame, text_col: str = "text",
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
         F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
         scrubbed.alias("scrubbed"))
+
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS,
+                    overlap: int = CHUNK_OVERLAP, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """RAG-style token chunking — the unit-of-embedding step an ingestion
+    pipeline runs before V1 batch embedding (the reference's natural unit
+    is the verse/hadith row; open-domain corpora need fixed token windows
+    with overlap so no boundary context is lost). Fully narrow: tokenize
+    once (explode-of-singleton barrier so chunk slicing can't re-run the
+    regex per chunk), one `sequence` of chunk starts, slices + join
+    inside a single positional explode.
+
+    Output: (doc_id, chunk_id, start_token, n_tokens, chunk_text) —
+    start_token 1-based, chunk_id 0-based, docs with zero tokens emit no
+    chunks. At 100 TB this is a map-only pass whose output lands
+    partitioned by the same key as its input; the embedder consumes it
+    without a shuffle."""
+    from ..functions.text import tokenize
+
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks_df = docs.select(F.col(id_col).alias("doc_id"),
+                          F.explode(F.array(tokenize(F.col(text_col))))
+                          .alias("_toks"))
+    t = F.col("_toks")
+    # Starts run to n - overlap so the final chunk always reaches token n
+    # (s_last + chunk - 1 >= n) while a tail fully contained in the
+    # previous chunk is never emitted.
+    chunks = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.size(t) - overlap, F.lit(1)),
+                   F.lit(stride)),
+        lambda s: F.struct(
+            s.alias("start_token"),
+            F.slice(t, s, chunk_tokens).alias("_ctoks")))
+    return (toks_df.select("doc_id", F.posexplode(chunks)
+                           .alias("chunk_id", "_c"))
+            .select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                    F.col("_c.start_token").cast("long").alias("start_token"),
+                    F.size("_c._ctoks").cast("long").alias("n_tokens"),
+                    F.array_join("_c._ctoks", " ").alias("chunk_text"))
+            .filter(F.col("n_tokens") >= 1))

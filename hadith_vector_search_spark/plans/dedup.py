@@ -607,3 +607,47 @@ SELECT x.doc_id AS id_a, y.doc_id AS id_b,
 FROM sims x JOIN sims y ON x.doc_id < y.doc_id
 WHERE hamming(x.simhash, y.simhash) <= {SIMHASH_MAX_HAMMING}
 """
+
+
+def winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection over the corpus (MOSS;
+    see operators/dedup.winnowed_fingerprints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnowed_fingerprints(docs)
+
+
+def winnowed_fingerprints_oracle() -> str:
+    w, g = dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i - 1 AS pos,
+         sha256(list_aggregate(ts[i:i+{w}-1], 'string_agg', ' '))
+           || '#' || lpad(CAST(i - 1 AS VARCHAR), 8, '0') AS enc
+  FROM toks, unnest(range(1, len(ts) - {w} + 2)) AS r(i)
+  WHERE len(ts) >= {w}
+),
+n AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY doc_id),
+sel AS (
+  SELECT w.doc_id, w.pos,
+         min(w.enc) OVER (PARTITION BY w.doc_id ORDER BY w.pos
+                          ROWS BETWEEN CURRENT ROW AND {g - 1} FOLLOWING)
+           AS s
+  FROM win w
+),
+fp AS (
+  SELECT DISTINCT sel.doc_id, sel.s
+  FROM sel JOIN n USING (doc_id)
+  WHERE sel.pos <= n.n_windows - {g}
+)
+SELECT fp.doc_id, CAST(n.n_windows AS BIGINT) AS n_windows,
+       count(*) AS n_fingerprints,
+       sha256(string_agg(fp.s, ',' ORDER BY fp.s)) AS fp_digest
+FROM fp JOIN n USING (doc_id)
+GROUP BY fp.doc_id, n.n_windows
+"""

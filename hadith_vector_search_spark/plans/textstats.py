@@ -273,3 +273,42 @@ SELECT lang, count(*) AS n_docs,
 FROM documents
 GROUP BY lang
 """
+
+
+def chunk_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking over the corpus (token windows with overlap — the
+    unit-of-embedding an open-domain ingestion pipeline feeds to V1).
+    Preview projection keeps the gate payload bounded: per-chunk offsets,
+    sizes, and the chunk text's first 48 chars + sha256."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = textstats.chunk_documents(docs)
+    return chunks.select(
+        "doc_id", "chunk_id", "start_token", "n_tokens",
+        F.substring("chunk_text", 1, 48).alias("chunk_head"),
+        F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"))
+
+
+def chunk_preview_oracle() -> str:
+    ct, ov = textstats.CHUNK_TOKENS, textstats.CHUNK_OVERLAP
+    stride = ct - ov
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST((i - 1) // {stride} AS BIGINT) AS chunk_id,
+         CAST(i AS BIGINT) AS start_token,
+         ts[i:i+{ct}-1] AS ctoks
+  FROM toks, unnest(range(1, greatest(len(ts) - {ov}, 1) + 1, {stride})) AS r(i)
+)
+SELECT doc_id, chunk_id, start_token,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       substr(list_aggregate(ctoks, 'string_agg', ' '), 1, 48) AS chunk_head,
+       sha256(list_aggregate(ctoks, 'string_agg', ' ')) AS chunk_sha
+FROM chunks
+WHERE len(ctoks) >= 1
+"""

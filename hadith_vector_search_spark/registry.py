@@ -101,6 +101,7 @@ QUERIES: dict[str, QueryFn] = {
     "phrase_match_positional": dedup_plans.phrase_match_positional,
     "duplicated_span_report": dedup_plans.duplicated_span_report,
     "boilerplate_ngrams": dedup_plans.boilerplate_ngrams,
+    "winnowed_fingerprints": dedup_plans.winnowed_fingerprints,
     # text analysis + multimodal plumbing
     "lang_id_counts": textstats_plans.lang_id_counts,
     "quality_scores": textstats_plans.quality_scores,
@@ -109,6 +110,7 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_scores": textstats_plans.repetition_scores,
     "pii_scrub_preview": textstats_plans.pii_scrub_preview,
     "length_quantile_profile": textstats_plans.length_quantile_profile,
+    "chunk_preview": textstats_plans.chunk_preview,
     "binary_metadata": textstats_plans.binary_metadata,
     # lifecycle: incremental ingest, point lookup, status (SURVEY §3.3, Q7/Q8)
     "incremental_merge_stats": lifecycle.incremental_merge_stats,
@@ -187,6 +189,7 @@ oracle("near_dup_clusters", dedup_plans.near_dup_clusters_oracle())
 oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
 oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())
+oracle("winnowed_fingerprints", dedup_plans.winnowed_fingerprints_oracle())
 oracle("event_correlation", f"""
 WITH ev AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
@@ -265,6 +268,7 @@ GROUP BY source
 oracle("doc_dup_fraction", dedup_plans.doc_dup_fraction_oracle())
 oracle("length_quantile_profile",
        textstats_plans.length_quantile_profile_oracle())
+oracle("chunk_preview", textstats_plans.chunk_preview_oracle())
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -415,3 +415,72 @@ def test_refresh_window_index_equals_rebuild(spark):
     key = lambda r: (r.doc_id, r.pos, r._h1, r._h2)  # noqa: E731
     assert sorted(map(key, refreshed.collect())) == \
         sorted(map(key, rebuilt.collect()))
+
+
+def test_chunk_documents_semantics(spark):
+    """Chunk coverage invariants: every token lands in some chunk, chunks
+    overlap by exactly `overlap` in the interior, no chunk is fully
+    contained in its predecessor, empty docs emit nothing."""
+    from hadith_vector_search_spark.operators.textstats import chunk_documents
+
+    n = 100
+    words = " ".join(f"tok{i:03d}" for i in range(1, n + 1))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")], "doc_id long, text string")
+    out = sorted(((r.doc_id, r.chunk_id, r.start_token, r.n_tokens,
+                   r.chunk_text.split(" ")) for r in
+                  chunk_documents(docs, chunk_tokens=16, overlap=4).collect()))
+    d1 = [c for c in out if c[0] == 1]
+    # starts: 1, 13, 25, ... step 12, last start <= 96 -> 1..85
+    assert [c[2] for c in d1] == list(range(1, n - 4 + 1, 12))
+    # full coverage and correct content
+    seen = set()
+    for _, cid, start, ntok, toks in d1:
+        assert toks == [f"tok{i:03d}" for i in range(start, start + ntok)]
+        seen.update(range(start, start + ntok))
+    assert seen == set(range(1, n + 1))
+    # last chunk reaches the final token, is not redundant
+    assert d1[-1][2] + d1[-1][3] - 1 == n and d1[-1][3] > 4
+    d2 = [c for c in out if c[0] == 2]
+    assert len(d2) == 1 and d2[0][4] == ["short", "doc"]
+    assert not [c for c in out if c[0] == 3]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing property (Schleimer et al. 2003): two docs sharing a run
+    of >= w + guarantee - 1 tokens must share at least one selected
+    fingerprint VALUE; selection keeps well under half the windows."""
+    from hadith_vector_search_spark.operators.dedup import winnowed_fingerprints
+
+    shared = " ".join(f"sh{i:02d}" for i in range(13))  # w=10,g=4 -> 13 tokens
+    fillers_a = " ".join(f"aa{i:02d}" for i in range(30))
+    fillers_b = " ".join(f"bb{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, f"{fillers_a} {shared} {fillers_a}"),
+         (2, f"{fillers_b} {shared} {fillers_b}")],
+        "doc_id long, text string")
+    # recompute per-doc selected fingerprint SETS via the operator's
+    # internals: use digest equality on a doc pair that shares everything
+    out = {r.doc_id: r for r in winnowed_fingerprints(docs).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert 0 < r.n_fingerprints < r.n_windows / 2 + 2
+
+    # direct guarantee check: selected VALUES (hash part of the encoding)
+    # must intersect across the two docs
+    from hadith_vector_search_spark.operators import dedup as D
+    from pyspark.sql import functions as FF
+    import hashlib
+
+    def selected_values(text):
+        toks = [t for t in __import__("re").findall(r"[a-z0-9_]+", text.lower())
+                if len(t) >= 2]
+        wins = [" ".join(toks[i:i + 10]) for i in range(len(toks) - 9)]
+        encs = [hashlib.sha256(w.encode()).hexdigest() + "#" + str(i).zfill(8)
+                for i, w in enumerate(wins)]
+        sel = {min(encs[i:i + 4]) for i in range(len(encs) - 3)}
+        return {e.split("#")[0] for e in sel}
+
+    va = selected_values(f"{fillers_a} {shared} {fillers_a}")
+    vb = selected_values(f"{fillers_b} {shared} {fillers_b}")
+    assert va & vb, "winnowing guarantee violated in the reference model"
