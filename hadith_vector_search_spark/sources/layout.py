@@ -28,16 +28,18 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str,
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def write_bucketed(df: DataFrame, table: str, path: str, bucket_col: str,
+def write_bucketed(df: DataFrame, table: str, path: str,
+                   bucket_col: str | list[str],
                    n_buckets: int, sort_col: str | None = None,
                    mode: str = "overwrite") -> None:
     """Bucketed external table: rows are hash-distributed into
-    `n_buckets` files per partition on `bucket_col` and recorded in the
-    catalog, so joins/aggs keyed on that column read co-located buckets
-    and skip the exchange. `sort_col` additionally orders within buckets
-    (lets sort-merge joins skip the sort too)."""
+    `n_buckets` files per partition on the bucket column(s) and recorded
+    in the catalog, so joins/aggs keyed on those columns read co-located
+    buckets and skip the exchange. `sort_col` additionally orders within
+    buckets (lets sort-merge joins skip the sort too)."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     w = (df.write.mode(mode).option("path", path)
-         .bucketBy(n_buckets, bucket_col))
+         .bucketBy(n_buckets, cols[0], *cols[1:]))
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)

@@ -103,3 +103,37 @@ def test_bucketed_agg_skips_exchange(spark, sf_dir, tmp_path):
         assert scan_exchanges(agg) == 0, "bucketed agg still shuffles"
     finally:
         spark.sql("DROP TABLE IF EXISTS t_docs_agg")
+
+
+def test_bucketed_window_index_span_dedup_single_shuffle(spark, sf_dir, tmp_path):
+    """The 'on a lake this is a persisted table' claim, made concrete: the
+    substring-dedup window index persisted as a parquet table bucketed by
+    its join/agg hash key runs the WHOLE span-dedup pipeline with exactly
+    ONE hash exchange (the per-doc island merge) — the duplicate-key
+    aggregate and the position-marking join read co-located buckets, and
+    the final per-doc rollup reuses the island window's partitioning."""
+    from hadith_vector_search_spark.operators.dedup import (
+        duplicated_spans, window_index)
+
+    docs = load_table(spark, sf_dir, "documents")
+    wins = window_index(docs)
+    try:
+        write_bucketed(wins, "t_wins_b", str(tmp_path / "wins_b"),
+                       ["_h1", "_h2"], 4)
+        bucketed = spark.table("t_wins_b")
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            spans_b = duplicated_spans(docs, windows=bucketed)
+            n_b = scan_exchanges(spans_b)
+            spans_p = duplicated_spans(docs, windows=wins)
+            n_p = scan_exchanges(spans_p)
+            assert n_b == 1, f"bucketed span dedup shuffles {n_b}x"
+            assert n_p > n_b, (n_p, n_b)
+            key = lambda r: (r.doc_id, r.span_start)  # noqa: E731
+            assert sorted(map(key, spans_b.collect())) == \
+                sorted(map(key, spans_p.collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_wins_b")
