@@ -235,7 +235,8 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequantized values so the oracle replays the quantization exactly
     and its ranking error is visible in the checked output."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.int8_topk(emb, QUERY_VEC_ID, ANN_K)
+    return _pinned(spark, sf_dir, "int8_topk5",
+                   lambda: similarity.int8_topk(emb, QUERY_VEC_ID, ANN_K))
 
 
 def ann_topk_int8_oracle() -> str:
@@ -275,7 +276,9 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN with ADC + exact rerank (see
     `similarity.pq_topk`)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(emb, QUERY_VEC_ID, PQ_CENTS, ANN_K, PQ_RERANK)
+    return _pinned(spark, sf_dir, "pq_topk5",
+                   lambda: similarity.pq_topk(emb, QUERY_VEC_ID, PQ_CENTS,
+                                              ANN_K, PQ_RERANK))
 
 
 def ann_topk_pq_oracle() -> str:
@@ -368,6 +371,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("vec_id"))
     lsh5 = ann_topk_lsh(spark, sf_dir).select("vec_id")
     ivf5 = ann_topk_ivf(spark, sf_dir).select("vec_id")
+    int85 = ann_topk_int8(spark, sf_dir).select("vec_id")
+    pq5 = ann_topk_pq(spark, sf_dir).select("vec_id")
     epairs = similar_pairs(spark, sf_dir).select("id_a", "id_b")
     lpairs = similar_pairs_lsh(spark, sf_dir).select("id_a", "id_b")
 
@@ -382,6 +387,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (row("ann_topk_lsh", lsh5, exact5, ["vec_id"])
             .unionByName(row("ann_topk_ivf", ivf5, exact5, ["vec_id"]))
+            .unionByName(row("ann_topk_int8", int85, exact5, ["vec_id"]))
+            .unionByName(row("ann_topk_pq", pq5, exact5, ["vec_id"]))
             .unionByName(row("similar_pairs_lsh", lpairs, epairs,
                              ["id_a", "id_b"])))
 
@@ -522,9 +529,9 @@ WHERE round(p.d, 6) > {PAIR_THRESHOLD}
 
 
 def ann_recall_report_oracle() -> str:
-    """Replays all five legs (exact top-k, LSH top-k, IVF top-k, exact
-    pairs, banded-LSH pairs) with the same SQL the individual oracles use,
-    then counts overlaps."""
+    """Replays every leg (exact top-k, LSH/IVF/int8/PQ top-k, exact pairs,
+    banded-LSH pairs) with the same SQL the individual oracles use, then
+    counts overlaps."""
     n_planes = NEARDUP_BANDS * NEARDUP_BAND_BITS
     return f"""
 WITH {_PAIR_DOT},
@@ -589,6 +596,79 @@ lpairs AS (
   JOIN pair_dot p ON p.ia = c.id_a AND p.ib = c.id_b
   WHERE round(p.d, 6) > {PAIR_THRESHOLD}
 ),
+scales AS (
+  SELECT vec_id, embedding,
+         (SELECT max(abs(CAST(x AS DOUBLE))) FROM unnest(embedding) AS u(x)) AS s
+  FROM embeddings
+),
+dq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN s = 0 THEN 0.0
+             ELSE round(CAST(x AS DOUBLE) / s * 127.0) * s / 127.0 END) AS dv
+  FROM scales
+),
+int8_dots AS (
+  SELECT a.vec_id, sum(av * bv) AS dp
+  FROM (
+    SELECT dq.vec_id, unnest(dq.dv) AS av, unnest(q.dv) AS bv
+    FROM dq, (SELECT dv FROM dq WHERE vec_id = {QUERY_VEC_ID}) q
+  ) a
+  GROUP BY a.vec_id
+),
+int85 AS (
+  SELECT vec_id FROM int8_dots
+  ORDER BY round(dp, 6) DESC, vec_id ASC LIMIT {ANN_K}
+),
+halves AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1),
+sub AS (
+  SELECT vec_id, m,
+         CASE WHEN m = 0 THEN embedding[1:h]
+              ELSE embedding[h+1:len(embedding)] END AS sv
+  FROM embeddings, halves, (VALUES (0), (1)) AS mm(m)
+),
+cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {PQ_CENTS}),
+pq_dist AS (
+  SELECT vec_id, m, cid, round(sum((av - bv) * (av - bv)), 6) AS d2
+  FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           CAST(unnest(s.sv) AS DOUBLE) AS av,
+           CAST(unnest(c.cv) AS DOUBLE) AS bv
+    FROM sub s JOIN cb c ON s.m = c.m
+  )
+  GROUP BY vec_id, m, cid
+),
+code AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM pq_dist
+  ) WHERE rn = 1
+),
+qsub AS (SELECT m, sv FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+adc AS (
+  SELECT vec_id, round(sum(t), 6) AS adc_sim FROM (
+    SELECT k.vec_id, k.m, sum(qv * cv) AS t
+    FROM (
+      SELECT code.vec_id, code.m,
+             CAST(unnest(q.sv) AS DOUBLE) AS qv,
+             CAST(unnest(c.cv) AS DOUBLE) AS cv
+      FROM code
+      JOIN cb c ON c.m = code.m AND c.cid = code.cid
+      JOIN qsub q ON q.m = code.m
+    ) k
+    GROUP BY k.vec_id, k.m
+  ) GROUP BY vec_id
+),
+pq_cands AS (
+  SELECT vec_id FROM adc ORDER BY adc_sim DESC, vec_id ASC LIMIT {PQ_RERANK}
+),
+pq5 AS (
+  SELECT p.ib AS vec_id
+  FROM pair_dot p JOIN pq_cands c ON p.ib = c.vec_id
+  WHERE p.ia = {QUERY_VEC_ID}
+  ORDER BY round(p.d, 6) DESC, p.ib ASC LIMIT {ANN_K}
+),
 rows_ AS (
   SELECT 'ann_topk_lsh' AS method,
          (SELECT count(*) FROM lsh5 JOIN exact5 USING (vec_id)) AS hits,
@@ -596,6 +676,14 @@ rows_ AS (
   UNION ALL
   SELECT 'ann_topk_ivf',
          (SELECT count(*) FROM ivf5 JOIN exact5 USING (vec_id)),
+         (SELECT count(*) FROM exact5)
+  UNION ALL
+  SELECT 'ann_topk_int8',
+         (SELECT count(*) FROM int85 JOIN exact5 USING (vec_id)),
+         (SELECT count(*) FROM exact5)
+  UNION ALL
+  SELECT 'ann_topk_pq',
+         (SELECT count(*) FROM pq5 JOIN exact5 USING (vec_id)),
          (SELECT count(*) FROM exact5)
   UNION ALL
   SELECT 'similar_pairs_lsh',
