@@ -60,7 +60,8 @@ class RoutedQuery:
 # Java regex classes are ASCII-only (\s = [ \t\n\x0B\f\r], \d = [0-9],
 # \w = [a-zA-Z0-9_]); Python's are Unicode-aware by default — every twin
 # spells the ASCII classes out so both routers match byte-for-byte
-# (equivalence is pinned by tests/test_router.py's twin-vs-column sweep).
+# (equivalence is pinned by the twin-vs-column sweeps in
+# tests/test_properties.py and tests/test_hybrid.py).
 _PY_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 _PY_ENCLOSING_QUOTES = re.compile("^[\"'](.*)[\"']$")
 _PY_DQ_PHRASE = re.compile('"([^"]{3,})"')
@@ -87,19 +88,26 @@ def route_one(query_text: str) -> RoutedQuery:
     on the column version; this twin is regex-for-regex identical and
     equivalence-tested against it."""
     q = query_text
-    stripped = _PY_ENCLOSING_QUOTES.sub(r"\1", q)
+    # Java's non-MULTILINE '$' matches before a FINAL line terminator
+    # including '\r' / '\r\n'; Python's only before a final '\n'. Strip
+    # one trailing CR(LF) for the $-anchored patterns so both agree on
+    # Windows line endings (tokens/arabic_ratio still see the full
+    # string, matching the column forms).
+    anchored = (q[:-2] if q.endswith("\r\n")
+                else q[:-1] if q.endswith("\r") else q)
+    stripped = _PY_ENCLOSING_QUOTES.sub(r"\1", anchored)
     normalized = _py_normalize_ws(stripped.lower())
     dq = _PY_DQ_PHRASE.search(q)
     sq = _PY_SQ_PHRASE.search(q)
     phrase = dq.group(1) if dq else (sq.group(1) if sq else None)
-    en = _PY_NARRATOR_EN.search(q.lower())
-    ar_n = _PY_NARRATOR_AR.search(q)
+    en = _PY_NARRATOR_EN.search(anchored.lower())
+    ar_n = _PY_NARRATOR_AR.search(anchored)
     narrator = (en.group(1) if en and en.group(1) != "" else
                 (ar_n.group(1) if ar_n and ar_n.group(1) != "" else None))
     tokens = py_tokenize(q)
     n_ar = len(_PY_ARABIC.findall(q))
     ar_ratio = (n_ar / len(q)) if len(q) > 0 else 0.0
-    if _PY_EXACT_REF.match(q.lower()):
+    if _PY_EXACT_REF.match(anchored.lower()):
         intent = INTENT_EXACT
     elif ar_ratio > ARABIC_DOMINANT:
         intent = INTENT_ARABIC

@@ -92,3 +92,43 @@ def test_shingle_sets_invariant_to_duplication(spark):
     # b's shingles = a's plus the two seam shingles crossing the repeat
     assert rows["a"] <= rows["b"]
     assert rows["b"] - rows["a"] == {"delta epsilon alpha", "epsilon alpha beta"}
+
+
+def test_route_one_matches_column_router_everywhere(spark):
+    """The serving path's pure-Python router twin must agree with the
+    column router on EVERY field over the adversarial corpus — the same
+    single-job hammer as the tokenizer equivalence above, extended with
+    router-shaped strings (quotes, narrator markers, reference patterns,
+    Unicode digits that Java's ASCII \\d must NOT match)."""
+    from hadith_vector_search_spark.operators.router import route, route_one
+
+    router_shapes = [
+        'narrated by عن mixed "quoted bit" tail',
+        "'single quoted whole'",
+        '"dq" and \'sq\' both present',
+        "book ١٢",            # Arabic-Indic digits: not a Java \\d match
+        "bk 07-9",
+        "kitab3:4",
+        "reported by  ",
+        "said by X",
+        "عن",
+        "عن  واحد اثنان",
+        '"ab"',               # under min phrase length
+        '"abc"',              # exactly min phrase length
+    ]
+    router_shapes += ["narrated by someone\r", "said by x\r\n", "12\r",
+                      "'quoted'\r", "tab\tsep\nnewline\rcarriage"]
+    texts = EDGE_CASES + router_shapes + _random_corpus(seed=7)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, query_text string")
+    got = {r.i: r for r in route(df).collect()}
+    for i, t in enumerate(texts):
+        py = route_one(t)
+        sp = got[i]
+        assert py.normalized == sp.normalized, (t, py.normalized, sp.normalized)
+        assert py.phrase == sp.phrase, (t, py.phrase, sp.phrase)
+        assert py.narrator_query == sp.narrator_query, \
+            (t, py.narrator_query, sp.narrator_query)
+        assert py.tokens == list(sp.tokens), t
+        assert abs(py.arabic_ratio - sp.arabic_ratio) < 1e-9, t
+        assert py.intent == sp.intent, (t, py.intent, sp.intent)
