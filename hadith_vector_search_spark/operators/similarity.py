@@ -246,6 +246,66 @@ def ivf_topk(emb: DataFrame, query_id: int, n_centroids: int = 8,
     )
 
 
+def cell_dedup_list(emb: DataFrame, n_centroids: int = 8,
+                    threshold: float = 0.4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: list[tuple[int, list[float]]] | None = None
+                    ) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023): assign vectors
+    to centroid cells, find near-dup pairs WITHIN each cell only, and emit
+    the removal list (every doc that has a higher-similarity-than-threshold
+    neighbor with a smaller id in its cell, with the smallest such
+    neighbor as its kept representative). Cells bound the pair work to
+    O(sum n_cell^2) dense BLAS instead of corpus-wide O(N^2); cross-cell
+    near-dups are the documented recall loss every cell-local dedup
+    accepts (SemDeDup's own design point).
+
+    Deterministic end to end: data-derived centroids (swap in
+    `kmeans_centroids` at deployment), rounded-dot assignment with ties
+    to the lowest centroid id (same rule as `ivf_topk`), rounded-sim
+    thresholding — so a DuckDB oracle replays assignment, pairing, and
+    representative choice exactly. Per-cell pairs run as one
+    `applyInPandas` numpy matmul per cell."""
+    from ..functions.vector import vector_lit
+
+    if centroids is None:
+        centroids = [(r.cent_id, r.cvec) for r in sorted(
+            data_centroids(emb, n_centroids, id_col, vec_col).collect(),
+            key=lambda r: r.cent_id)]
+    cells = F.array(*[
+        F.struct(F.round(dot(F.col(vec_col), vector_lit(cvec)), 6).alias("cd"),
+                 F.lit(-cid).alias("ncid"))
+        for cid, cvec in centroids
+    ])
+    assigned = emb.select(F.col(id_col), F.col(vec_col),
+                          (-F.array_max(cells)["ncid"]).alias("cent_id"))
+
+    def cell_pairs(pdf):
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][[id_col]].assign(kept_rep=[], sim=[])
+        order = pdf[id_col].argsort()
+        ids = pdf[id_col].to_numpy()[order]
+        X = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col].to_numpy()[order]])
+        S = np.round(X @ X.T, 6)
+        out_id, out_rep, out_sim = [], [], []
+        for j in range(1, len(ids)):
+            above = np.nonzero(S[:j, j] > threshold)[0]
+            if len(above):
+                i = above[0]  # ids sorted ascending -> smallest-id neighbor
+                out_id.append(ids[j])
+                out_rep.append(ids[i])
+                out_sim.append(S[i, j])
+        return pd.DataFrame({id_col: out_id, "kept_rep": out_rep,
+                             "sim": out_sim})
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return (assigned.groupBy("cent_id")
+            .applyInPandas(cell_pairs,
+                           schema=f"{id_col} {id_type}, kept_rep {id_type}, "
+                                  f"sim double"))
+
+
 def int8_dequantized(vec: Column | str) -> Column:
     """Symmetric per-vector int8 quantize→dequantize round trip:
     scale = max |x|, q_i = round(x_i / scale * 127) ∈ [-127, 127],

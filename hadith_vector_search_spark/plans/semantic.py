@@ -717,3 +717,41 @@ WHERE p.ia = {QUERY_VEC_ID}
 ORDER BY sim DESC, vec_id ASC
 LIMIT 5
 """
+
+
+def semantic_dedup_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style within-cell embedding dedup removal list (see
+    `similarity.cell_dedup_list`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cell_dedup_list(emb, IVF_CENTROIDS, PAIR_THRESHOLD)
+
+
+def semantic_dedup_list_oracle() -> str:
+    """Replays cell assignment (rounded dot, ties to lowest centroid id),
+    within-cell pairing above the threshold, and smallest-id
+    representative choice."""
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+rem AS (
+  SELECT p.ib AS vec_id, min(p.ia) AS kept_rep
+  FROM pair_dot p
+  JOIN assign a ON a.vec_id = p.ia
+  JOIN assign b ON b.vec_id = p.ib AND b.cent_id = a.cent_id
+  WHERE p.ia < p.ib AND round(p.d, 6) > {PAIR_THRESHOLD}
+  GROUP BY p.ib
+)
+SELECT r.vec_id, r.kept_rep, round(p.d, 6) AS sim
+FROM rem r JOIN pair_dot p ON p.ia = r.kept_rep AND p.ib = r.vec_id
+"""

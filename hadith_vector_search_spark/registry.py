@@ -75,6 +75,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivf_kmeans": semantic.ann_topk_ivf_kmeans,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_pq": semantic.ann_topk_pq,
+    "semantic_dedup_list": semantic.semantic_dedup_list,
     # router + hybrid pipeline (SURVEY §2.9, §3.1)
     "intent_router": routing.intent_router,
     "routed_search_batch": routed.routed_search_batch,
@@ -162,6 +163,7 @@ oracle("ann_recall_report", semantic.ann_recall_report_oracle())
 oracle("ann_topk_ivf_kmeans", semantic.ann_topk_ivf_kmeans_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())
+oracle("semantic_dedup_list", semantic.semantic_dedup_list_oracle())
 oracle("dedup_removal_list", dedup_plans.dedup_removal_list_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())

@@ -202,3 +202,28 @@ def test_pq_topk_default_rerank_recall(spark, sf_dir):
     got = {r.vec_id for r in pq_topk(emb, 0, 4, 5, 20).collect()}
     want = {r.vec_id for r in topk_by_query_id(emb, 0, 5).collect()}
     assert len(got & want) >= 3, (got, want)
+
+
+def test_cell_dedup_list_semantics(spark):
+    """Within-cell removal only: near-identical vectors in the same cell
+    produce (higher_id -> smallest-qualifying-lower-id) removal rows;
+    vectors without a lower-id near neighbor survive."""
+    from hadith_vector_search_spark.operators.similarity import cell_dedup_list
+
+    # 2 cells along axes; ids 0/1 are the data-derived centroids (n=2)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # centroid cell 0
+        (1, [0.0, 1.0, 0.0]),          # centroid cell 1
+        (10, [0.999, 0.04, 0.0]),      # cell 0, near-dup of 0
+        (11, [0.998, 0.06, 0.0]),      # cell 0, near-dup of 0 and 10
+        (20, [0.0, 0.999, 0.04]),      # cell 1, near-dup of 1
+        (30, [0.0, 0.0, 1.0]),         # argmax tie -> lowest cell, unique
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.kept_rep, r.sim) for r in
+           cell_dedup_list(emb, n_centroids=2, threshold=0.9).collect()}
+    assert set(out) == {10, 11, 20}
+    assert out[10][0] == 0 and out[11][0] == 0 and out[20][0] == 1
+    assert all(s > 0.9 for _, s in out.values())
