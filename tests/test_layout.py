@@ -137,3 +137,42 @@ def test_bucketed_window_index_span_dedup_single_shuffle(spark, sf_dir, tmp_path
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_wins_b")
+
+
+def test_bucketed_postings_term_lookup_prunes_buckets(spark, sf_dir, tmp_path):
+    """The serving-side FTS scale lever: postings persisted bucketed by
+    `term` let a query's term-list lookup scan ONLY the buckets its terms
+    hash to (SelectedBucketsCount in the scan), instead of the whole
+    postings table — the on-lake analogue of an FTS term index."""
+    from hadith_vector_search_spark.operators.bm25 import build_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_index(docs)
+    auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        # DisableUnnecessaryBucketedScan treats a pruning-only scan (no
+        # downstream join/agg needing the distribution) as "unnecessary"
+        # and silently disables the bucketed read — for a point-lookup
+        # serving path the pruning IS the point, so pin it on.
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        write_bucketed(idx.postings, "t_postings_b",
+                       str(tmp_path / "postings_b"), "term", 8)
+        b = spark.table("t_postings_b")
+        probe = b.filter(F.col("term").isin("spark", "query"))
+        plan = probe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        sel = [ln.strip() for ln in plan.splitlines()
+               if "SelectedBucketsCount" in ln]
+        assert sel, "no bucket pruning in plan:\n" + plan
+        import re as _re
+        m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", sel[0])
+        assert m and int(m.group(1)) < int(m.group(2)), sel[0]
+        # pruned scan returns the same rows as the full filter
+        full = idx.postings.filter(F.col("term").isin("spark", "query"))
+        assert probe.count() == full.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", auto)
+        spark.sql("DROP TABLE IF EXISTS t_postings_b")
