@@ -130,3 +130,47 @@ def test_status_without_embeddings_is_cheap(spark):
     st = eng.status().collect()[0]
     assert st.n_docs == 1 and st.embedding_dim == eng.dim
     assert eng._emb is None  # status must not trigger the embedding pass
+
+
+def test_engine_concurrent_requests(spark, sf_dir):
+    """The serving claim SCALE.md makes — concurrent requests interleave
+    as independent Spark jobs over one engine's shared pins — driven for
+    real: 4 threads mixing hybrid/fts/lookup calls must all succeed and
+    match their serial results."""
+    import threading
+
+    from hadith_vector_search_spark.api import HybridEngine
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eng = HybridEngine(spark, docs)
+    eng.index, eng.emb  # build pins once, serially
+
+    def hybrid(q):
+        return [(r[0], r.score) for r in eng.hybrid_search(q, 5).collect()]
+
+    def fts(terms):
+        return sorted((r.doc_id, r.bm25)
+                      for r in eng.fts_match(terms=terms).collect())
+
+    serial = {
+        "h1": hybrid("window merge sort"), "h2": hybrid("small hash scan"),
+        "f1": fts(["spark"]), "f2": fts(["query"]),
+    }
+    results, errors = {}, []
+
+    def run(key, fn, arg):
+        try:
+            results[key] = fn(arg)
+        except Exception as e:  # noqa: BLE001
+            errors.append((key, e))
+
+    threads = [threading.Thread(target=run, args=a) for a in [
+        ("h1", hybrid, "window merge sort"), ("h2", hybrid, "small hash scan"),
+        ("f1", fts, ["spark"]), ("f2", fts, ["query"])]]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert results == serial
