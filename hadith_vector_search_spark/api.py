@@ -217,6 +217,42 @@ class HybridEngine:
                 .select("*", snippet(F.col(self.text_col),
                                      F.lit("")).alias("preview")))
 
+    def vector_index_status(self) -> DataFrame:
+        """The reference's `vector_index_status` tool
+        (/root/reference/mcp_server/tools.py:14-27): embedding-index
+        metadata — vector count, dim, whether the index is built (pinned)
+        yet. Counting a pinned frame never re-embeds."""
+        built = self._emb is not None
+        n_vectors = self._emb.count() if built else 0
+        dim = self.dim
+        if built:
+            row = self._emb.select(F.size("embedding").alias("d")).first()
+            if row is not None:
+                dim = row.d
+        return self.spark.createDataFrame(
+            [(n_vectors, dim, built)],
+            "n_vectors long, embedding_dim int, built boolean")
+
+    def fts_status(self) -> DataFrame:
+        """The reference's `fts_status` tool (tools.py:29-37): lexical-
+        index metadata from the pinned postings/stats frames — doc count,
+        distinct terms, postings rows, average doc length."""
+        built = self._index is not None
+        if not built:
+            return self.spark.createDataFrame(
+                [(0, 0, 0, 0.0, False)],
+                "n_docs long, n_terms long, n_postings long, "
+                "avgdl double, built boolean")
+        idx = self._index
+        st = idx.stats.first()
+        n_terms = idx.term_df.count()
+        n_postings = idx.postings.count()
+        return self.spark.createDataFrame(
+            [(int(st.n_docs), n_terms, n_postings,
+              round(float(st.avgdl), 4), True)],
+            "n_docs long, n_terms long, n_postings long, "
+            "avgdl double, built boolean")
+
     def status(self) -> DataFrame:
         """Q8: corpus counts + embedding dim — cheap metadata like the
         reference's index_status: never triggers a corpus embedding pass.

@@ -8,6 +8,8 @@ transports serve identical payloads from one long-lived engine.
 Routes:
 - ``GET  /health``          → ``{"ok": true}``
 - ``GET  /api/status``      → status rows
+- ``GET  /api/status/vector`` / ``/api/status/fts`` → per-index status
+  (ref tools.py:14-37, http_server.py status routes)
 - ``POST /api/search/hybrid``  body ``{"query": ..., "n_results": ...,
   "scoring_mode": ..., weight overrides}`` → result rows
 - ``POST /api/match/fts``   body ``{"terms": [...], "prefix": ...,
@@ -64,6 +66,12 @@ def _make_handler(dispatch: StdioServer):
                     self._send(200, {"ok": True})
                 elif self.path == "/api/status":
                     self._send(200, self._rows(dispatch.call_tool("status", {})))
+                elif self.path == "/api/status/vector":
+                    self._send(200, self._rows(
+                        dispatch.call_tool("vector_index_status", {})))
+                elif self.path == "/api/status/fts":
+                    self._send(200, self._rows(
+                        dispatch.call_tool("fts_status", {})))
                 elif self.path.startswith("/api/document/"):
                     doc_id: Any = self.path.rsplit("/", 1)[1]
                     if doc_id.lstrip("-").isdigit():

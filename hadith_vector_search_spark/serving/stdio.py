@@ -69,6 +69,16 @@ TOOL_DEFINITIONS: tuple[dict[str, Any], ...] = (
         },
     },
     {
+        "name": "vector_index_status",
+        "description": "Embedding (vector) index status",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+    {
+        "name": "fts_status",
+        "description": "Full-text (lexical) index status",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+    {
         "name": "status",
         "description": "Corpus/index status",
         "inputSchema": {"type": "object", "properties": {}},
@@ -105,6 +115,10 @@ class StdioServer:
             return self.engine.get_document(args["doc_id"])
         if name == "status":
             return self.engine.status()
+        if name == "vector_index_status":
+            return self.engine.vector_index_status()
+        if name == "fts_status":
+            return self.engine.fts_status()
         raise KeyError(f"unknown tool: {name}")
 
     @staticmethod

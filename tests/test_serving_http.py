@@ -133,3 +133,13 @@ def test_https_round_trip(spark, sf_dir, tmp_path):
         assert rows and all("doc_id" in r for r in rows)
     finally:
         server.stop()
+
+
+def test_http_split_status_routes(served):
+    """GET /api/status/vector and /api/status/fts mirror the reference's
+    split status endpoints (tools.py:14-37)."""
+    server, _engine = served
+    for path, key in [("/api/status/vector", "n_vectors"),
+                      ("/api/status/fts", "n_docs")]:
+        rows = _get(server, path)
+        assert rows and key in rows[0], (path, rows)

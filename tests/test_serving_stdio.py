@@ -107,3 +107,36 @@ def test_stdio_session_end_to_end(server, spark, sf_dir):
     assert bad["result"]["isError"] is True
     assert _tool_rows(server.request(
         "tools/call", {"name": "status", "arguments": {}})) == direct_status
+
+
+def test_index_status_tools(spark, sf_dir):
+    """The reference's split status tools (tools.py:14-37): vector and
+    fts status report built/unbuilt truthfully and correct counts."""
+    import json as _json
+
+    from hadith_vector_search_spark.api import HybridEngine
+    from hadith_vector_search_spark.serving.stdio import StdioServer
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eng = HybridEngine(spark, docs)
+    d = StdioServer(eng)
+    names = {t["name"] for t in __import__(
+        "hadith_vector_search_spark.serving.stdio",
+        fromlist=["TOOL_DEFINITIONS"]).TOOL_DEFINITIONS}
+    assert {"vector_index_status", "fts_status"} <= names
+
+    v0 = _json.loads(d._rows_json(d.call_tool("vector_index_status", {})))[0]
+    f0 = _json.loads(d._rows_json(d.call_tool("fts_status", {})))[0]
+    assert v0["built"] is False and v0["n_vectors"] == 0
+    assert f0["built"] is False
+
+    eng.index, eng.emb  # build pins
+    v1 = _json.loads(d._rows_json(d.call_tool("vector_index_status", {})))[0]
+    f1 = _json.loads(d._rows_json(d.call_tool("fts_status", {})))[0]
+    n_docs = docs.count()
+    assert v1["built"] is True and v1["n_vectors"] == n_docs
+    assert v1["embedding_dim"] == eng.dim
+    assert f1["built"] is True and f1["n_docs"] == n_docs
+    assert f1["n_terms"] > 0 and f1["n_postings"] >= f1["n_terms"]
+    assert f1["avgdl"] > 0
