@@ -8,8 +8,8 @@ One-shot:
   python -m hadith_vector_search_spark.serving.cli --prefix pat --json
 
 No query arguments → a simple REPL: each line runs a hybrid search
-(`:match t1 t2 ...` switches a line to compiled FTS match, `:quit`
-exits). The session (and the engine's pinned index) lives across REPL
+(`:match t1 t2 ...` switches a line to compiled FTS match,
+`:status [vector|fts]` prints index status, `:quit` exits). The session (and the engine's pinned index) lives across REPL
 lines — one build, many queries, same as both serving transports."""
 
 from __future__ import annotations
@@ -40,6 +40,8 @@ def run(argv: list[str] | None = None, engine=None,
     parser.add_argument("-k", "--limit", type=int, default=10)
     parser.add_argument("--mode", default="balanced",
                         choices=["balanced", "term-priority", "semantic", "fts"])
+    parser.add_argument("--status", choices=["corpus", "vector", "fts"],
+                        help="print index/corpus status instead of querying")
     parser.add_argument("--json", action="store_true", dest="as_json")
     parser.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     args = parser.parse_args(argv)
@@ -55,6 +57,11 @@ def run(argv: list[str] | None = None, engine=None,
         spark.sparkContext.setLogLevel("ERROR")
         engine = HybridEngine(spark, load_table(spark, args.sf_dir, "documents"))
 
+    if args.status:
+        fn = {"corpus": engine.status, "vector": engine.vector_index_status,
+              "fts": engine.fts_status}[args.status]
+        _print_df(fn(), args.as_json, stdout)
+        return 0
     if args.terms or args.prefix:
         _print_df(engine.fts_match(terms=args.terms or None,
                                    prefix=args.prefix, k=args.limit),
@@ -74,6 +81,14 @@ def run(argv: list[str] | None = None, engine=None,
         if line in {":quit", ":q", ""}:
             if line:
                 break
+        elif line.startswith(":status"):
+            parts = line.split()
+            which = parts[1] if len(parts) > 1 else "corpus"
+            fn = {"corpus": engine.status,
+                  "vector": engine.vector_index_status,
+                  "fts": engine.fts_status}.get(which)
+            if fn is not None:
+                _print_df(fn(), args.as_json, stdout)
         elif line.startswith(":match"):
             terms = line.split()[1:]
             if terms:

@@ -58,3 +58,33 @@ def test_repl_two_queries_one_engine(engine):
     payloads = [json.loads(line) for line in text.replace("query>", "").splitlines()
                 if line.strip()]
     assert len(payloads) == 2
+
+
+def test_cli_status_flags(spark, sf_dir):
+    """--status {corpus,vector,fts} one-shots and the ':status' REPL
+    command print status rows."""
+    import io
+    import json as _json
+
+    from hadith_vector_search_spark.api import HybridEngine
+    from hadith_vector_search_spark.serving.cli import run
+    from hadith_vector_search_spark.sources import load_table
+
+    eng = HybridEngine(spark, load_table(spark, sf_dir, "documents"))
+    out = io.StringIO()
+    assert run(["--status", "fts", "--json"], engine=eng, stdout=out) == 0
+    row = _json.loads(out.getvalue())[0]
+    assert row["built"] is False
+
+    eng.index  # build the lexical pin
+    out = io.StringIO()
+    assert run(["--status", "fts", "--json"], engine=eng, stdout=out) == 0
+    row = _json.loads(out.getvalue())[0]
+    assert row["built"] is True and row["n_docs"] > 0
+
+    out = io.StringIO()
+    rc = run(["--json"], engine=eng,
+             stdin=io.StringIO(":status vector\n:quit\n"), stdout=out)
+    assert rc == 0
+    payload = out.getvalue().split("query> ")[1]
+    assert "n_vectors" in payload
