@@ -283,3 +283,55 @@ def test_stream_merge_crash_between_swap_renames_recovers(spark, tmp_path):
     final = {(r.doc_id, r.text)
              for r in spark.read.parquet(target).select("doc_id", "text").collect()}
     assert final == set(expect_new.items())
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """The production variant of streaming dedup (streaming_dedup_docs
+    docstring): dropDuplicatesWithinWatermark holds a key only while it is
+    inside the watermark window, so (a) in-window duplicates are dropped,
+    and (b) a key RE-ARRIVING after its state was evicted is emitted again
+    — bounded state traded for window-scoped dedup, vs dropDuplicates'
+    unbounded forever-state. Driven as two AvailableNow runs over one
+    checkpoint (the restart pattern), so the watermark and dedup state
+    carry across runs through the state store."""
+    import datetime as dt
+
+    src = tmp_path / "dd_stream"
+    src.mkdir()
+    sink = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    day = dt.datetime(2026, 1, 1)
+
+    def run_batch(rows):
+        if rows:
+            spark.createDataFrame(rows, "k string, ts timestamp") \
+                .write.mode("append").parquet(str(src))
+        schema = spark.read.parquet(str(src)).schema
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        deduped = (stream.withWatermark("ts", "1 day")
+                   .dropDuplicatesWithinWatermark(["k"]))
+        q = (deduped.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # run 1: key 'a' at day0; 'b' twice in-window (one survives); 'adv' at
+    # day9 pushes the watermark to day8 (delay 1 day), so 'a' (expiry
+    # day1) is evicted from state at the end of the run.
+    run_batch([
+        ("a", day), ("b", day + dt.timedelta(hours=1)),
+        ("b", day + dt.timedelta(hours=1)),
+        ("adv", day + dt.timedelta(days=9)),
+    ])
+    # run 2 (same checkpoint): 'a' re-arrives with a RECENT timestamp ->
+    # emitted AGAIN (state was evicted); the late duplicate 'b' behind
+    # the watermark is dropped as late data.
+    run_batch([
+        ("a", day + dt.timedelta(days=9, hours=1)),
+        ("b", day + dt.timedelta(hours=1)),
+    ])
+    got = sorted((r.k, r.ts) for r in spark.read.parquet(sink).collect())
+    ks = [k for k, _ in got]
+    assert ks.count("a") == 2, got      # re-emitted after state eviction
+    assert ks.count("b") == 1, got      # in-window dup + late dup dropped
+    assert ks.count("adv") == 1, got
