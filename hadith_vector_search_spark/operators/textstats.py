@@ -256,3 +256,47 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS,
                     F.size("_c._ctoks").cast("long").alias("n_tokens"),
                     F.array_join("_c._ctoks", " ").alias("chunk_text"))
             .filter(F.col("n_tokens") >= 1))
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM quality scoring with a corpus-trained bigram model
+    (the in-engine stand-in for KenLM perplexity filtering): per doc, the
+    average add-one-smoothed log2 P(w2|w1) over its bigrams and the
+    corresponding perplexity. Low-probability (garbled / out-of-domain)
+    text scores high perplexity and can be thresholded by a cleaning
+    funnel.
+
+    One corpus pass builds the counts (bigram counts, prefix counts, and
+    the vocabulary size for smoothing — all map-side-combined aggs); the
+    scoring join hits the bigram-count table on its group key. At 100 TB
+    the counts ARE the persisted model table (bucket by bigram);
+    'training' is one aggregation, exactly how CCNet trains per-language
+    KenLM models offline. Docs with fewer than 2 tokens emit no row."""
+    from ..functions.text import tokenize
+
+    toks_df = docs.select(F.col(id_col).alias("doc_id"),
+                          F.explode(F.array(tokenize(F.col(text_col))))
+                          .alias("_toks"))
+    t = F.col("_toks")
+    bg_arr = F.slice(
+        F.zip_with(t, F.slice(t, 2, F.size(t)),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        1, F.greatest(F.size(t) - 1, F.lit(0)))
+    bigrams = (toks_df.select("doc_id", F.explode(bg_arr).alias("bg"))
+               .withColumn("w1", F.split(F.col("bg"), " ").getItem(0)))
+    c2 = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (toks_df.select(F.explode("_toks").alias("tok"))
+             .agg(F.countDistinct("tok").alias("v")))
+    scored = (bigrams
+              .join(c2, "bg")
+              .join(c1, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("_lp", F.log2((F.col("c2") + 1)
+                                        / (F.col("c1") + F.col("v")))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("_lp"), 6).alias("avg_log2p"))
+            .withColumn("perplexity",
+                        F.round(F.pow(F.lit(2.0), -F.col("avg_log2p")), 4)))

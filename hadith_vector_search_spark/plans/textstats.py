@@ -312,3 +312,41 @@ SELECT doc_id, chunk_id, start_token,
 FROM chunks
 WHERE len(ctoks) >= 1
 """
+
+
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per doc (CCNet-style quality
+    filter; see operators/textstats.bigram_lm_scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bigram_lm_scores(docs)
+
+
+def lm_perplexity_scores_oracle() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg, ts[i] AS w1
+  FROM toks, unnest(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2
+),
+c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT x) AS v
+  FROM (SELECT unnest(ts) AS x FROM toks)
+),
+sc AS (
+  SELECT b.doc_id,
+         log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS lp
+  FROM bg b JOIN c2 USING (bg) JOIN c1 USING (w1), v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(lp), 6) AS avg_log2p,
+       round(pow(2.0, -round(avg(lp), 6)), 4) AS perplexity
+FROM sc GROUP BY doc_id
+"""

@@ -112,6 +112,7 @@ QUERIES: dict[str, QueryFn] = {
     "pii_scrub_preview": textstats_plans.pii_scrub_preview,
     "length_quantile_profile": textstats_plans.length_quantile_profile,
     "chunk_preview": textstats_plans.chunk_preview,
+    "lm_perplexity_scores": textstats_plans.lm_perplexity_scores,
     "binary_metadata": textstats_plans.binary_metadata,
     # lifecycle: incremental ingest, point lookup, status (SURVEY §3.3, Q7/Q8)
     "incremental_merge_stats": lifecycle.incremental_merge_stats,
@@ -271,6 +272,7 @@ oracle("doc_dup_fraction", dedup_plans.doc_dup_fraction_oracle())
 oracle("length_quantile_profile",
        textstats_plans.length_quantile_profile_oracle())
 oracle("chunk_preview", textstats_plans.chunk_preview_oracle())
+oracle("lm_perplexity_scores", textstats_plans.lm_perplexity_scores_oracle())
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -484,3 +484,24 @@ def test_winnowing_guarantee_and_density(spark):
     va = selected_values(f"{fillers_a} {shared} {fillers_a}")
     vb = selected_values(f"{fillers_b} {shared} {fillers_b}")
     assert va & vb, "winnowing guarantee violated in the reference model"
+
+
+def test_bigram_lm_perplexity_ranks_garbled_text_higher(spark):
+    """The filtering property that matters: text made of corpus-typical
+    bigrams scores LOWER perplexity than shuffled/garbled text under the
+    same corpus-trained model."""
+    from hadith_vector_search_spark.operators.textstats import bigram_lm_scores
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(8)]
+        + [(100, "the cat sat on the mat again today")      # in-domain
+           , (101, "mat the on cat rug sat dog the and")],  # shuffled
+        "doc_id long, text string")
+    out = {r.doc_id: r.perplexity for r in bigram_lm_scores(docs).collect()}
+    assert out[100] < out[101], out
+    # single-token / empty docs emit no row
+    docs2 = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "two tokens")], "doc_id long, text string")
+    rows = bigram_lm_scores(docs2).collect()
+    assert {r.doc_id for r in rows} == {3}
