@@ -132,3 +132,81 @@ def test_route_one_matches_column_router_everywhere(spark):
         assert py.tokens == list(sp.tokens), t
         assert abs(py.arabic_ratio - sp.arabic_ratio) < 1e-9, t
         assert py.intent == sp.intent, (t, py.intent, sp.intent)
+
+
+def test_duplicated_spans_matches_python_model_randomized(spark):
+    """Randomized equivalence: span dedup (window hash agg + islands) vs a
+    direct pure-Python model over seeded corpora drawn from a small token
+    pool (high window-collision pressure). One Spark job per corpus."""
+    from hadith_vector_search_spark.operators.dedup import duplicated_spans
+
+    W = 4
+    for seed in (3, 11, 27):
+        rng = random.Random(seed)
+        pool = [f"tk{i:02d}" for i in range(12)]
+        docs, toks = [], {}
+        for d in range(40):
+            n = rng.randint(0, 25)
+            ts = [rng.choice(pool) for _ in range(n)]
+            toks[d] = ts
+            docs.append((d, " ".join(ts)))
+
+        # python model
+        from collections import defaultdict
+        owners = defaultdict(set)
+        wins = {}
+        for d, ts in toks.items():
+            wins[d] = [tuple(ts[i:i + W]) for i in range(len(ts) - W + 1)]
+            for w in wins[d]:
+                owners[w].add(d)
+        expected = set()
+        for d, ws in wins.items():
+            dup_pos = [i for i, w in enumerate(ws) if len(owners[w]) >= 2]
+            run = []
+            for p in dup_pos + [None]:
+                if run and (p is None or p != run[-1] + 1):
+                    expected.add((d, run[0] + 1,
+                                  run[-1] - run[0] + W, len(run)))
+                    run = []
+                if p is not None:
+                    run.append(p)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r.doc_id, r.span_start, r.span_len, r.n_windows)
+               for r in duplicated_spans(df, w=W).collect()}
+        assert got == expected, f"seed {seed}: {got ^ expected}"
+
+
+def test_winnowing_digest_matches_python_model_randomized(spark):
+    """Randomized equivalence for winnowing: the per-doc fingerprint
+    digest must equal a direct python implementation of min-in-window
+    selection over the same 'sha256#pos' encodings (ties included — the
+    small pool forces repeated identical windows)."""
+    import hashlib
+
+    from hadith_vector_search_spark.operators.dedup import (
+        DUPSPAN_W, WINNOW_GUARANTEE, winnowed_fingerprints)
+
+    W, G = DUPSPAN_W, WINNOW_GUARANTEE
+    rng = random.Random(13)
+    pool = [f"wd{i:02d}" for i in range(6)]
+    docs, toks = [], {}
+    for d in range(25):
+        n = rng.randint(0, 40)
+        ts = [rng.choice(pool) for _ in range(n)]
+        toks[d] = ts
+        docs.append((d, " ".join(ts)))
+
+    expected = {}
+    for d, ts in toks.items():
+        wins = [" ".join(ts[i:i + W]) for i in range(len(ts) - W + 1)]
+        encs = [hashlib.sha256(w.encode()).hexdigest() + "#" + str(i).zfill(8)
+                for i, w in enumerate(wins)]
+        sel = sorted({min(encs[i:i + G]) for i in range(len(encs) - G + 1)})
+        if sel:
+            digest = hashlib.sha256(",".join(sel).encode()).hexdigest()
+            expected[d] = (len(wins), len(sel), digest)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_windows, r.n_fingerprints, r.fp_digest)
+           for r in winnowed_fingerprints(df).collect()}
+    assert got == expected
