@@ -153,3 +153,67 @@ WHERE ssq > 0 AND round(num / (sqrt(ssq) * {qn!r}), 6) > 0
 ORDER BY sim DESC, doc_id ASC
 LIMIT {TOPK}
 """
+
+
+CHUNK_EMBED_MAX_DOC = 50  # preview scope: bounded gate payload
+
+
+def embed_chunks_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG ingestion unit end to end: token chunking (overlapping
+    windows) -> per-CHUNK embedding through the same Arrow pandas-UDF
+    encoder the document path uses. Chunk text re-tokenizes to exactly
+    its token slice (chunks are tokens joined by single spaces), so the
+    oracle replays the whole pipeline from raw text. Scoped to
+    doc_id < CHUNK_EMBED_MAX_DOC to bound the exploded gate payload;
+    the plan is the same map-only pass at any scope."""
+    from ..operators.textstats import chunk_documents
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < CHUNK_EMBED_MAX_DOC))
+    chunks = chunk_documents(docs)
+    emb = embed_column("chunk_text", DIM, backend="hash")
+    return chunks.select(
+        "doc_id", "chunk_id",
+        F.posexplode(F.transform(emb, lambda x: F.round(x, 6)))
+        .alias("dim", "value"))
+
+
+def embed_chunks_preview_oracle() -> str:
+    from ..operators.textstats import CHUNK_OVERLAP, CHUNK_TOKENS
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    hx = " || ".join(f"md5('{b}|' || tok)" for b in range(N_BLOCKS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+  WHERE doc_id < {CHUNK_EMBED_MAX_DOC}
+),
+chunks AS (
+  SELECT doc_id,
+         CAST((i - 1) // {stride} AS BIGINT) AS chunk_id,
+         ts[i:i+{CHUNK_TOKENS}-1] AS ctoks
+  FROM toks,
+       unnest(range(1, greatest(len(ts) - {CHUNK_OVERLAP}, 1) + 1, {stride}))
+         AS r(i)
+  WHERE len(ts[i:i+{CHUNK_TOKENS}-1]) >= 1
+),
+tok_hex AS (
+  SELECT doc_id, chunk_id, {hx} AS hx
+  FROM (SELECT doc_id, chunk_id, unnest(ctoks) AS tok FROM chunks)
+),
+comps AS (
+  SELECT doc_id, chunk_id, g.j AS dim,
+         SUM(CASE WHEN substr(hx, g.j + 1, 1) < '8' THEN 1 ELSE -1 END)::DOUBLE AS s
+  FROM tok_hex CROSS JOIN generate_series(0, {DIM - 1}) AS g(j)
+  GROUP BY doc_id, chunk_id, g.j
+),
+norms AS (
+  SELECT doc_id, chunk_id, sqrt(SUM(s * s)) AS nrm
+  FROM comps GROUP BY doc_id, chunk_id
+)
+SELECT c.doc_id, c.chunk_id, c.dim,
+       round(CASE WHEN n.nrm > 0 THEN c.s / n.nrm ELSE 0.0 END, 6) AS value
+FROM comps c JOIN norms n USING (doc_id, chunk_id)
+"""

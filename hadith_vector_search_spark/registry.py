@@ -123,6 +123,7 @@ QUERIES: dict[str, QueryFn] = {
     # embedding pipeline (V1/V2/V3 via Arrow pandas UDF)
     "embed_documents_preview": embedding_plans.embed_documents_preview,
     "embed_and_search": embedding_plans.embed_and_search,
+    "embed_chunks_preview": embedding_plans.embed_chunks_preview,
     # structured streaming (§2.11 extension; result equals the batch oracle)
     "streaming_event_rollup": streaming_event_rollup,
     "streaming_user_sessions": streaming_user_sessions,
@@ -272,6 +273,7 @@ oracle("doc_dup_fraction", dedup_plans.doc_dup_fraction_oracle())
 oracle("length_quantile_profile",
        textstats_plans.length_quantile_profile_oracle())
 oracle("chunk_preview", textstats_plans.chunk_preview_oracle())
+oracle("embed_chunks_preview", embedding_plans.embed_chunks_preview_oracle())
 oracle("lm_perplexity_scores", textstats_plans.lm_perplexity_scores_oracle())
 
 
