@@ -176,3 +176,25 @@ def test_bucketed_postings_term_lookup_prunes_buckets(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", auto)
         spark.sql("DROP TABLE IF EXISTS t_postings_b")
+
+
+def test_plan_shape_invariant_across_scale_factors(spark):
+    """The 100x-scale-up question asked directly of the plans: for a
+    representative query from each family, the number of shuffle
+    exchanges must be IDENTICAL at sf0.001 and sf0.01 — cost grows with
+    data, plan shape must not (no data-dependent shuffle insertion
+    outside AQE's runtime coalescing, which rewrites partition counts,
+    not exchange counts)."""
+    from hadith_vector_search_spark.registry import get_queries
+
+    queries = get_queries()
+    sample = ["pricing_summary", "revenue_by_region", "near_dup_minhash",
+              "duplicated_span_report", "similar_pairs", "bm25_topk",
+              "lm_perplexity_scores", "doc_dup_fraction"]
+    for name in sample:
+        shapes = {}
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            df = queries[name](spark, sf)
+            shapes[sf] = scan_exchanges(df)
+        a, b = shapes.values()
+        assert a == b, (name, shapes)
