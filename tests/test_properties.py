@@ -210,3 +210,36 @@ def test_winnowing_digest_matches_python_model_randomized(spark):
     got = {r.doc_id: (r.n_windows, r.n_fingerprints, r.fp_digest)
            for r in winnowed_fingerprints(df).collect()}
     assert got == expected
+
+
+def test_chunking_matches_python_model_randomized(spark):
+    """Randomized equivalence for RAG chunking: starts, sizes, and exact
+    token content vs a direct python model, over lengths straddling every
+    boundary (0, < overlap, < chunk, exact multiples, long)."""
+    from hadith_vector_search_spark.operators.textstats import chunk_documents
+
+    C, O = 16, 4
+    stride = C - O
+    rng = random.Random(5)
+    lengths = [0, 1, 3, 4, 5, 15, 16, 17, 28, 29, 40, 41, 100] + \
+        [rng.randint(0, 120) for _ in range(20)]
+    docs, toks = [], {}
+    for d, n in enumerate(lengths):
+        ts = [f"w{d}x{i}" for i in range(n)]
+        toks[d] = ts
+        docs.append((d, " ".join(ts)))
+
+    expected = set()
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        starts = list(range(1, max(len(ts) - O, 1) + 1, stride))
+        for cid, s in enumerate(starts):
+            ctoks = ts[s - 1:s - 1 + C]
+            if ctoks:
+                expected.add((d, cid, s, len(ctoks), " ".join(ctoks)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_id, r.start_token, r.n_tokens, r.chunk_text)
+           for r in chunk_documents(df, chunk_tokens=C, overlap=O).collect()}
+    assert got == expected, got ^ expected
