@@ -321,3 +321,154 @@ SELECT source,
          AS after_dedup
 FROM m GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# cleaning_decisions — the per-doc auditable keep/drop table
+# ---------------------------------------------------------------------------
+
+CLEAN_MIN_TOKENS = 5
+CLEAN_MIN_QUALITY = 0.7
+CLEAN_MAX_DUP_BIGRAM = 0.12
+CLEAN_MAX_PPL = 30.0
+CLEAN_MAX_DUPFRAC = 0.5
+_CLEAN_GATES = (
+    # (reason, passes-expression builder) — evaluated in order, first
+    # failing gate names the drop reason. Thresholds sit at the tails of
+    # the test corpus's signal distributions so every gate is live.
+    ("too_short", lambda c: c["n_tokens"] >= CLEAN_MIN_TOKENS),
+    ("low_quality", lambda c: c["quality"] >= CLEAN_MIN_QUALITY),
+    ("repetitive", lambda c: c["dup_bigram_frac"] <= CLEAN_MAX_DUP_BIGRAM),
+    ("high_perplexity", lambda c: c["perplexity"] <= CLEAN_MAX_PPL),
+    ("boilerplate", lambda c: c["dup_fraction"] <= CLEAN_MAX_DUPFRAC),
+)
+
+
+def cleaning_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pipeline's AUDITABLE output: one row per document with
+    every quality signal the engine computes (token count, composite
+    quality, Gopher dup-bigram fraction, bigram-LM perplexity, duplicated-
+    window fraction) and the keep/drop decision with the FIRST failing
+    gate as its reason — what `corpus MINUS drops` trains on, and what a
+    data audit reads to answer 'why was this document removed?'.
+
+    Every signal reuses an oracle-checked operator; the joins are per-doc
+    left joins (missing signals — short docs with no bigrams/windows —
+    coalesce to passing values so `too_short` is the reason short docs
+    carry). One corpus scan per signal family, all map-side-combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..plans.dedup import doc_dup_fraction as _ddf
+
+    qm = textstats.quality_metrics(docs).select(
+        "doc_id", "n_tokens", "quality")
+    rep = textstats.repetition_metrics(docs).select(
+        "doc_id", "dup_bigram_frac")
+    lm = textstats.bigram_lm_scores(docs).select("doc_id", "perplexity")
+    dupf = _ddf(spark, sf_dir).select("doc_id", "dup_fraction")
+    feat = (qm.join(rep, "doc_id", "left")
+            .join(lm, "doc_id", "left")
+            .join(dupf, "doc_id", "left")
+            .select("doc_id", "n_tokens", "quality",
+                    F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+                    F.coalesce("perplexity", F.lit(0.0)).alias("perplexity"),
+                    F.coalesce("dup_fraction", F.lit(0.0)).alias("dup_fraction")))
+    cols = {c: F.col(c) for c in
+            ("n_tokens", "quality", "dup_bigram_frac", "perplexity",
+             "dup_fraction")}
+    reason = F.lit("none")
+    for name, passes in reversed(_CLEAN_GATES):
+        reason = F.when(~passes(cols), F.lit(name)).otherwise(reason)
+    return feat.select(
+        "*", (reason == "none").alias("keep"), reason.alias("reason"))
+
+
+def cleaning_decisions_oracle() -> str:
+    from ..operators.dedup import DUPSPAN_W
+    en_hits = _hits("en")
+    w = DUPSPAN_W
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(ts) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^\\s]', '', 'g')) AS n_space,
+         {en_hits} AS sw, ts
+  FROM (SELECT doc_id, text, {_TOKS} AS ts FROM documents)
+),
+qm AS (
+  SELECT doc_id, n_tokens,
+         round((least(1.0, n_tokens / 20.0)
+                + (1.0 - least(1.0, n_punct / greatest(n_chars, 1)::DOUBLE * 5.0))
+                + (1.0 - least(1.0, n_digit / greatest(n_chars, 1)::DOUBLE * 5.0))
+                + least(1.0, sw / greatest(n_tokens, 1)::DOUBLE * 4.0)) / 4.0,
+               6) AS quality
+  FROM base
+),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram, ts[i] AS w1
+  FROM base, unnest(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2
+),
+bcnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+           AS dup_bigram_frac
+  FROM bcnt GROUP BY doc_id
+),
+c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT x) AS v FROM (SELECT unnest(ts) AS x FROM base)),
+lm AS (
+  SELECT doc_id,
+         round(pow(2.0, -round(avg(lp), 6)), 4) AS perplexity
+  FROM (
+    SELECT b.doc_id,
+           log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS lp
+    FROM bg b JOIN c2 USING (bigram) JOIN c1 USING (w1), v
+  ) GROUP BY doc_id
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(ts[i:i+{w}-1], 'string_agg', ' ') AS wstr
+  FROM base, unnest(range(1, len(ts) - {w} + 2)) AS r(i)
+  WHERE len(ts) >= {w}
+),
+dup AS (SELECT wstr FROM win GROUP BY wstr HAVING count(DISTINCT doc_id) >= 2),
+dc AS (
+  SELECT w.doc_id, count(*) AS nd FROM win w JOIN dup USING (wstr)
+  GROUP BY w.doc_id
+),
+tot AS (SELECT doc_id, count(*) AS nw FROM win GROUP BY doc_id),
+dupf AS (
+  SELECT t.doc_id,
+         round(coalesce(dc.nd, 0) / CAST(t.nw AS DOUBLE), 6) AS dup_fraction
+  FROM tot t LEFT JOIN dc ON t.doc_id = dc.doc_id
+),
+feat AS (
+  SELECT q.doc_id, q.n_tokens, q.quality,
+         coalesce(r.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+         coalesce(l.perplexity, 0.0) AS perplexity,
+         coalesce(d.dup_fraction, 0.0) AS dup_fraction
+  FROM qm q
+  LEFT JOIN rep r USING (doc_id)
+  LEFT JOIN lm l USING (doc_id)
+  LEFT JOIN dupf d USING (doc_id)
+)
+SELECT doc_id, n_tokens, quality, dup_bigram_frac, perplexity,
+       dup_fraction, (reason = 'none') AS keep, reason
+FROM (
+  SELECT doc_id, n_tokens, quality, dup_bigram_frac, perplexity,
+         dup_fraction,
+         CASE
+           WHEN NOT (n_tokens >= {CLEAN_MIN_TOKENS}) THEN 'too_short'
+           WHEN NOT (quality >= {CLEAN_MIN_QUALITY}) THEN 'low_quality'
+           WHEN NOT (dup_bigram_frac <= {CLEAN_MAX_DUP_BIGRAM}) THEN 'repetitive'
+           WHEN NOT (perplexity <= {CLEAN_MAX_PPL}) THEN 'high_perplexity'
+           WHEN NOT (dup_fraction <= {CLEAN_MAX_DUPFRAC}) THEN 'boilerplate'
+           ELSE 'none'
+         END AS reason
+  FROM feat
+)
+"""

@@ -107,3 +107,53 @@ def test_sequence_packing_invariants(spark, sf_dir):
         assert r.packed_sequences <= r.naive_sequences
         assert 0.0 <= r.naive_pad_waste < 1.0
         assert r.packed_sequences * pipeline.PACK_SEQ_LEN >= r.total_tokens
+
+
+def test_cleaning_decisions_reasons(spark, tmp_path):
+    """Each gate names the FIRST failure. Fixture shape matters: keepers
+    must share BIGRAMS across docs (the corpus-trained LM then scores
+    them probable) while sharing no 10-token window (exact copies are
+    correctly 'boilerplate'), so each keeper is a distinct seeded
+    permutation of a common phrase pool."""
+    import random as _random
+
+    from pyspark.sql import functions as FF
+
+    from hadith_vector_search_spark.plans.pipeline import cleaning_decisions
+
+    pool = ["the quiet fields rested", "morning light spread wide",
+            "distant hills turned golden", "under clear autumn skies",
+            "gentle winds carried scents", "the old bridge stood firm",
+            "river water moved slowly", "travelers walked for hours"]
+    footer = ("footer notice section lists publisher address street number "
+              "city region postal code contact email phone hours monday "
+              "tuesday wednesday thursday friday saturday sunday opening "
+              "closing holiday schedule privacy policy terms conditions "
+              "copyright imprint all rights reserved worldwide edition")
+
+    def shuffled(seed, k=len(pool)):
+        ph = pool[:]
+        _random.Random(seed).shuffle(ph)
+        return " ".join(ph[:k])
+
+    rows = [(1, "tiny doc"),                                   # too_short
+            (2, "000 111 222 333 444 555 666 777 888 999"),   # low_quality
+            (3, ("repeat the phrase again " * 10).strip())]   # repetitive
+    rows += [(10 + i, shuffled(i)) for i in range(8)]         # keepers
+    rows += [(20, f"{shuffled(100, 3)} {footer}"),            # boilerplate
+             (21, f"{footer} {shuffled(101, 3)}")]
+    sf = tmp_path / "sfdir"
+    sf.mkdir()
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .withColumn("lang", FF.lit("en")).withColumn("source", FF.lit("t"))
+     .withColumn("n_chars", FF.length("text"))
+     .write.parquet(str(sf / "documents.parquet")))
+    out = {r.doc_id: (r.keep, r.reason)
+           for r in cleaning_decisions(spark, str(sf)).collect()}
+    assert out[1] == (False, "too_short")
+    assert out[2] == (False, "low_quality")
+    assert out[3] == (False, "repetitive")
+    assert out[20] == (False, "boilerplate"), out
+    assert out[21] == (False, "boilerplate"), out
+    kept = [d for d in range(10, 18) if out[d] == (True, "none")]
+    assert len(kept) >= 6, out   # phrase permutations survive every gate
