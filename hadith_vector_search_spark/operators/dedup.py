@@ -805,6 +805,14 @@ def duplicated_spans(docs: DataFrame, w: int = DUPSPAN_W, min_docs: int = 2,
                 .filter(F.col("_nd") >= min_docs)
                 .select("_h1", "_h2"))
     marked = wins.join(dup_keys, ["_h1", "_h2"], "left_semi")
+    return positions_to_spans(marked, w)
+
+
+def positions_to_spans(marked: DataFrame, w: int) -> DataFrame:
+    """Gaps-and-islands merge of marked window positions into maximal
+    spans: (doc_id, pos) rows in, (doc_id, span_start, span_len,
+    n_windows) out. One window shuffle by doc; the final rollup reuses
+    its partitioning. Shared by span dedup and span decontamination."""
     byd = Window.partitionBy("doc_id").orderBy("pos")
     islands = (marked
                .withColumn("_brk", F.when(

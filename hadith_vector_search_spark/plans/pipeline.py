@@ -472,3 +472,71 @@ FROM (
   FROM feat
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# decontamination_spans — cut the contaminated span, not the document
+# ---------------------------------------------------------------------------
+
+
+def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: the maximal token spans where benchmark
+    w-grams occur in corpus documents — what a pipeline CUTS when the
+    document is otherwise fine (dropping whole docs for one leaked
+    benchmark sentence wastes data; cutting the span is the standard
+    remedy). Composition of the engine's own pieces: the positional
+    window machinery at the shingle width, a broadcast semi join against
+    the benchmark's w-gram hash keys, and the shared gaps-and-islands
+    span merge. Only matching positions shuffle — cost tracks the
+    contamination rate, not corpus size."""
+    from ..operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dedup_ops.SHINGLE_W
+    wins = dedup_ops.window_index(docs, w=w)
+    bench_grams = sorted({s for _, btext in CONTAM_BENCH
+                          for s in sampling.py_shingles(btext, w)})
+    bench_df = spark.createDataFrame([(g,) for g in bench_grams], "g string")
+    bench_keys = bench_df.select(F.xxhash64("g").alias("_h1"),
+                                 F.crc32("g").alias("_h2"))
+    marked = wins.join(F.broadcast(bench_keys), ["_h1", "_h2"], "left_semi")
+    return dedup_ops.positions_to_spans(marked, w)
+
+
+def decontamination_spans_oracle() -> str:
+    from ..operators import dedup as dedup_ops
+    w = dedup_ops.SHINGLE_W
+    grams = sorted({s for _, btext in CONTAM_BENCH
+                    for s in sampling.py_shingles(btext, w)})
+    rows = ", ".join(f"('{g}')" for g in grams)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(ts[i:i+{w}-1], 'string_agg', ' ') AS wstr
+  FROM toks, unnest(range(1, len(ts) - {w} + 2)) AS r(i)
+  WHERE len(ts) >= {w}
+),
+bench(g) AS (VALUES {rows}),
+marked AS (SELECT w.doc_id, w.pos FROM win w JOIN bench b ON w.wstr = b.g),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos = lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+              THEN 0 ELSE 1 END AS b
+  FROM marked
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM brk
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) - min(pos) + {w} AS span_len,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, gid
+"""

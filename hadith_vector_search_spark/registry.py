@@ -141,6 +141,7 @@ QUERIES: dict[str, QueryFn] = {
     "domain_mix_plan": pipeline_plans.domain_mix_plan,
     "sequence_packing_estimate": pipeline_plans.sequence_packing_estimate,
     "cleaning_decisions": pipeline_plans.cleaning_decisions,
+    "decontamination_spans": pipeline_plans.decontamination_spans,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -172,6 +173,7 @@ oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())
 oracle("contamination_check", pipeline_plans.contamination_check_oracle())
 oracle("cleaning_decisions", pipeline_plans.cleaning_decisions_oracle())
+oracle("decontamination_spans", pipeline_plans.decontamination_spans_oracle())
 oracle("quality_filter_funnel", pipeline_plans.quality_filter_funnel_oracle())
 oracle("domain_mix_plan", pipeline_plans.domain_mix_plan_oracle())
 oracle("sequence_packing_estimate", pipeline_plans.sequence_packing_estimate_oracle())
