@@ -157,3 +157,30 @@ def test_cleaning_decisions_reasons(spark, tmp_path):
     assert out[21] == (False, "boilerplate"), out
     kept = [d for d in range(10, 18) if out[d] == (True, "none")]
     assert len(kept) >= 6, out   # phrase permutations survive every gate
+
+
+def test_decontamination_spans_semantics(spark, tmp_path):
+    """A doc embedding one benchmark sentence yields exactly the maximal
+    span covering it (merged across its overlapping w-grams); clean docs
+    yield nothing."""
+    from pyspark.sql import functions as FF
+
+    from hadith_vector_search_spark.plans.pipeline import (
+        CONTAM_BENCH, decontamination_spans)
+
+    bench_text = CONTAM_BENCH[0][1]          # "key agg row scan slow fast"
+    n_bench = len(bench_text.split())
+    rows = [
+        (1, f"prefix words here {bench_text} suffix words there"),
+        (2, "totally clean document with no leaked content at all"),
+    ]
+    sf = tmp_path / "sfdir"
+    sf.mkdir()
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .withColumn("lang", FF.lit("en")).withColumn("source", FF.lit("t"))
+     .withColumn("n_chars", FF.length("text"))
+     .write.parquet(str(sf / "documents.parquet")))
+    out = [(r.doc_id, r.span_start, r.span_len, r.n_windows)
+           for r in decontamination_spans(spark, str(sf)).collect()]
+    # 3 prefix tokens -> span starts at token 4, covers the 6 bench tokens
+    assert out == [(1, 4, n_bench, n_bench - 2)], out
