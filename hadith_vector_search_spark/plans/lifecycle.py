@@ -157,3 +157,42 @@ SELECT count(*)                 AS n_docs,
        max(doc_id)              AS max_doc_id
 FROM documents
 """
+
+
+def streaming_embed_merge_oracle() -> str:
+    """Oracle for the streaming embedding-cache MERGE: the batch MERGE's
+    merged text, re-embedded from scratch with the hash-encoder replay
+    (tok_hex sign sums, L2-normalize) — incremental must equal
+    from-scratch at the vector level."""
+    from .embedding import DIM, N_BLOCKS
+    from ..functions.text import TOKEN_SPLIT_RE
+    hx = " || ".join(f"md5('{b}|' || tok)" for b in range(N_BLOCKS))
+    return f"""
+WITH {_INCOMING_CTE},
+merged AS (
+  SELECT e.doc_id, e.text FROM documents e
+  WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.doc_id = e.doc_id)
+  UNION ALL
+  SELECT doc_id, text FROM incoming
+),
+tok_rows AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                            x -> length(x) >= 2)) AS tok
+  FROM merged
+),
+tok_hex AS (SELECT doc_id, {hx} AS hx FROM tok_rows),
+comps AS (
+  SELECT doc_id, g.j AS dim,
+         SUM(CASE WHEN substr(hx, g.j + 1, 1) < '8' THEN 1 ELSE -1 END)::DOUBLE AS s
+  FROM tok_hex CROSS JOIN generate_series(0, {DIM - 1}) AS g(j)
+  GROUP BY doc_id, g.j
+),
+norms AS (SELECT doc_id, sqrt(SUM(s * s)) AS nrm FROM comps GROUP BY doc_id)
+SELECT m.doc_id, g.j AS dim,
+       round(CASE WHEN n.nrm > 0 THEN c.s / n.nrm ELSE 0.0 END, 6) AS value
+FROM merged m
+CROSS JOIN generate_series(0, {DIM - 1}) AS g(j)
+LEFT JOIN comps c ON c.doc_id = m.doc_id AND c.dim = g.j
+LEFT JOIN norms n ON n.doc_id = m.doc_id
+"""

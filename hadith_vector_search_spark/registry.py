@@ -29,6 +29,7 @@ from .plans import pipeline as pipeline_plans
 from .plans import textstats as textstats_plans
 from .streaming import (
     streaming_dedup_docs,
+    streaming_embed_merge,
     streaming_event_rollup,
     streaming_merge_jsonl,
     streaming_user_sessions,
@@ -130,6 +131,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_user_totals_stateful": streaming_user_totals_stateful,
     "streaming_merge_jsonl": streaming_merge_jsonl,
     "streaming_dedup_docs": streaming_dedup_docs,
+    "streaming_embed_merge": streaming_embed_merge,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -214,6 +216,7 @@ WHERE abs(date_diff('microsecond', e.ts, c.ts))
 """)
 
 oracle("streaming_merge_jsonl", lifecycle.incremental_merge_preview_oracle())
+oracle("streaming_embed_merge", lifecycle.streaming_embed_merge_oracle())
 oracle("near_dup_ngram_jaccard", dedup_plans.near_dup_ngram_jaccard_oracle())
 oracle("lang_id_counts", textstats_plans.lang_id_counts_oracle())
 oracle("quality_scores", textstats_plans.quality_scores_oracle())

@@ -1,6 +1,7 @@
 from .ingest import (  # noqa: F401
     stream_merge_jsonl,
     streaming_dedup_docs,
+    streaming_embed_merge,
     streaming_event_rollup,
     streaming_merge_jsonl,
     streaming_user_sessions,

@@ -257,7 +257,8 @@ def recover_pending_publish(target_dir: str) -> None:
 def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
                        target_dir: str, checkpoint_dir: str,
                        key: str = "doc_id",
-                       n_parts: int = MERGE_N_PARTS) -> None:
+                       n_parts: int = MERGE_N_PARTS,
+                       transform=None) -> None:
     """Run one AvailableNow pass: stream JSONL files from `src_dir`, MERGE
     each micro-batch into the parquet table at `target_dir` keyed on `key`.
     Re-running after new files arrive processes ONLY the new files (the
@@ -293,8 +294,14 @@ def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
         import tempfile
 
         sess = batch.sparkSession
-        incoming = (batch.dropDuplicates([key])
-                    .withColumn(MERGE_PART_COL, part_of))
+        incoming = batch.dropDuplicates([key])
+        if transform is not None:
+            # Per-batch derivation (e.g. embed arriving text): the target
+            # then maintains the DERIVED table, and derivation cost per
+            # pass tracks the ARRIVING rows only — the streaming twin of
+            # the checksum-driven re-embed path.
+            incoming = transform(incoming)
+        incoming = incoming.withColumn(MERGE_PART_COL, part_of)
         staging = f"{target_dir}.staging-{batch_id}-{_os.getpid()}"
         if os.path.exists(target_dir):
             _recover_pending_publish(target_dir)
@@ -359,5 +366,50 @@ def streaming_merge_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus copies in the temp filesystem.
         return (spark.read.parquet(tgt).select("doc_id", "text")
                 .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_embed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EMBEDDING-CACHE maintenance (S11 x streaming): arriving
+    documents are embedded INSIDE the micro-batch (Arrow pandas UDF) and
+    MERGEd into the vector table with the same crash-safe staged-write
+    protocol as the text MERGE — so the second pass re-embeds only the
+    arriving revision, never the corpus. The final cache must equal a
+    batch embed of the batch-MERGE result: the oracle composes the MERGE
+    SQL with the hash-encoder replay, checking incremental == from-scratch
+    at the VECTOR level. Emitted exploded (doc_id, dim, value) like
+    `embed_documents_preview`."""
+    import tempfile
+
+    from ..operators.embedder import embed_column
+    from ..plans.embedding import DIM
+    from ..plans.lifecycle import _incoming
+    from ..sources import load_table
+
+    def embed_tf(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            embed_column("text", DIM, backend="hash").alias("embedding"))
+
+    work = tempfile.mkdtemp(prefix="stream_embed_q_")
+    src = os.path.join(work, "src")
+    tgt = os.path.join(work, "tgt")
+    ckpt = os.path.join(work, "ckpt")
+    schema = spark.createDataFrame([], "doc_id long, text string").schema
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        docs.select("doc_id", "text").coalesce(4).write.mode(
+            "overwrite").json(src)
+        stream_merge_jsonl(spark, src, schema, tgt, ckpt, transform=embed_tf)
+        (_incoming(docs).select("doc_id", "text")
+         .coalesce(4).write.mode("append").json(src))
+        stream_merge_jsonl(spark, src, schema, tgt, ckpt, transform=embed_tf)
+        return (spark.read.parquet(tgt)
+                .select("doc_id",
+                        F.posexplode(F.transform(
+                            "embedding", lambda x: F.round(x, 6)))
+                        .alias("dim", "value"))
+                .localCheckpoint())
     finally:
         shutil.rmtree(work, ignore_errors=True)
