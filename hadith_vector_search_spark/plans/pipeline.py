@@ -540,3 +540,30 @@ SELECT doc_id, min(pos) AS span_start,
        count(*) AS n_windows
 FROM isl GROUP BY doc_id, gid
 """
+
+
+def materialize_clean_corpus(spark: SparkSession, sf_dir: str,
+                             out_dir: str) -> dict:
+    """The pipeline's terminal SINK: corpus MINUS cleaning drops MINUS
+    near-dup removals, written as lang-partitioned parquet (the training
+    corpus a run actually reads). Both drop sets are the engine's own
+    auditable tables (`cleaning_decisions`, `dedup_removal_list`), so
+    every absent doc has a recorded reason; anti-joins keep the write
+    one pass over survivors. Returns the summary stats dict a pipeline
+    logs (input/dropped/deduped/written counts)."""
+    from ..plans.dedup import dedup_removal_list
+    from ..sources.layout import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    drops = cleaning_decisions(spark, sf_dir).filter(~F.col("keep")) \
+        .select("doc_id")
+    dups = dedup_removal_list(spark, sf_dir).select("doc_id")
+    clean = (docs.join(drops, "doc_id", "left_anti")
+             .join(dups, "doc_id", "left_anti"))
+    write_partitioned(clean, out_dir, "lang")
+    n_in = docs.count()
+    n_drop = drops.count()
+    n_dup = dups.count()
+    n_out = spark.read.parquet(out_dir).count()
+    return {"n_input": n_in, "n_quality_dropped": n_drop,
+            "n_dedup_removed": n_dup, "n_written": n_out}

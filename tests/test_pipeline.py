@@ -184,3 +184,34 @@ def test_decontamination_spans_semantics(spark, tmp_path):
            for r in decontamination_spans(spark, str(sf)).collect()]
     # 3 prefix tokens -> span starts at token 4, covers the 6 bench tokens
     assert out == [(1, 4, n_bench, n_bench - 2)], out
+
+
+def test_materialize_clean_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """The terminal sink: written corpus == docs minus (cleaning drops
+    UNION dedup removals), lang-partitioned on disk, stats consistent."""
+    import os
+
+    from hadith_vector_search_spark.plans.dedup import dedup_removal_list
+    from hadith_vector_search_spark.plans.pipeline import (
+        cleaning_decisions, materialize_clean_corpus)
+    from hadith_vector_search_spark.sources import load_table
+
+    out = str(tmp_path / "clean_corpus")
+    stats = materialize_clean_corpus(spark, sf_dir, out)
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = {r.doc_id for r in cleaning_decisions(spark, sf_dir)
+               .filter("not keep").select("doc_id").collect()}
+    removed = {r.doc_id for r in dedup_removal_list(spark, sf_dir)
+               .select("doc_id").collect()}
+    expected = {r.doc_id for r in docs.select("doc_id").collect()} \
+        - dropped - removed
+    written = {r.doc_id for r in
+               spark.read.parquet(out).select("doc_id").collect()}
+    assert written == expected and written
+    assert stats["n_written"] == len(expected)
+    assert stats["n_input"] == docs.count()
+    # survivors' reasons are auditable: every absent doc is in a table
+    absent = {r.doc_id for r in docs.select("doc_id").collect()} - written
+    assert absent == dropped | removed
+    # lang partitioning on disk
+    assert any(d.startswith("lang=") for d in os.listdir(out))
