@@ -215,3 +215,24 @@ def test_materialize_clean_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert absent == dropped | removed
     # lang partitioning on disk
     assert any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_clean_cli_module(sf_dir, tmp_path):
+    """`python -m hadith_vector_search_spark.clean` runs end to end in a
+    fresh process and prints consistent JSON stats."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "clean_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "hadith_vector_search_spark.clean",
+         "--sf-dir", sf_dir, "--out", out, "--json"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["n_written"] > 0
+    assert stats["n_written"] <= stats["n_input"]
+    assert os.path.isdir(out)
