@@ -190,7 +190,9 @@ def test_plan_shape_invariant_across_scale_factors(spark):
     queries = get_queries()
     sample = ["pricing_summary", "revenue_by_region", "near_dup_minhash",
               "duplicated_span_report", "similar_pairs", "bm25_topk",
-              "lm_perplexity_scores", "doc_dup_fraction"]
+              "lm_perplexity_scores", "doc_dup_fraction",
+              "cleaning_decisions", "decontamination_spans",
+              "winnowed_fingerprints", "chunk_preview"]
     for name in sample:
         shapes = {}
         for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
