@@ -350,3 +350,42 @@ SELECT doc_id, count(*) AS n_bigrams,
        round(pow(2.0, -round(avg(lp), 6)), 4) AS perplexity
 FROM sc GROUP BY doc_id
 """
+
+
+def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf profile: the frequency-of-frequencies spectrum
+    (how many distinct terms occur ~2^b times, with term and occurrence
+    mass per bucket). Heavy head = boilerplate/templating, heavy tail =
+    OCR noise/garbage vocabulary — the diagnostic read BEFORE choosing
+    dedup/quality thresholds. Two map-side-combined aggregations (term
+    counts, then bucket rollup); the second input is one row per distinct
+    term, tiny at any corpus size relative to the token stream."""
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # floor(log2(c)) computed integer-exactly as len(bin(c))-1 — libm log2
+    # at exact powers of two is a last-ulp risk both engines need not
+    # share; the binary-string length cannot disagree.
+    bucket = (F.length(F.bin("c")) - 1).cast("long")
+    return (counts.groupBy(bucket.alias("log2_freq_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum("c").alias("n_occurrences")))
+
+
+def token_frequency_spectrum_oracle() -> str:
+    return """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+           x -> length(x) >= 2)) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_freq_bucket,
+       count(*) AS n_terms,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM counts
+GROUP BY 1
+"""

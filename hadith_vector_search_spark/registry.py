@@ -114,6 +114,7 @@ QUERIES: dict[str, QueryFn] = {
     "length_quantile_profile": textstats_plans.length_quantile_profile,
     "chunk_preview": textstats_plans.chunk_preview,
     "lm_perplexity_scores": textstats_plans.lm_perplexity_scores,
+    "token_frequency_spectrum": textstats_plans.token_frequency_spectrum,
     "binary_metadata": textstats_plans.binary_metadata,
     # lifecycle: incremental ingest, point lookup, status (SURVEY §3.3, Q7/Q8)
     "incremental_merge_stats": lifecycle.incremental_merge_stats,
@@ -282,6 +283,8 @@ oracle("length_quantile_profile",
 oracle("chunk_preview", textstats_plans.chunk_preview_oracle())
 oracle("embed_chunks_preview", embedding_plans.embed_chunks_preview_oracle())
 oracle("lm_perplexity_scores", textstats_plans.lm_perplexity_scores_oracle())
+oracle("token_frequency_spectrum",
+       textstats_plans.token_frequency_spectrum_oracle())
 
 
 def get_queries() -> dict[str, QueryFn]:
