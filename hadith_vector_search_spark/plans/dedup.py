@@ -651,3 +651,37 @@ SELECT fp.doc_id, CAST(n.n_windows AS BIGINT) AS n_windows,
 FROM fp JOIN n USING (doc_id)
 GROUP BY fp.doc_id, n.n_windows
 """
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup overlap matrix: how many near-dup pairs link
+    each (unordered) source pair — the provenance view that tells a
+    pipeline WHICH feeds copy from each other (mirror detection, scrape
+    overlap) before deciding what to drop. Reads the pinned near-dup pair
+    table; the doc->source map broadcasts."""
+    pairs = near_dup_minhash(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.col("source").alias("src_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"),
+                    F.col("source").alias("src_b"))
+    return (pairs.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+            .groupBy(F.least("src_a", "src_b").alias("source_a"),
+                     F.greatest("src_a", "src_b").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def source_overlap_matrix_oracle() -> str:
+    return f"""
+WITH pairs AS ({near_dup_minhash_oracle()}),
+lab AS (
+  SELECT p.id_a, p.id_b, da.source AS src_a, db.source AS src_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+)
+SELECT least(src_a, src_b) AS source_a,
+       greatest(src_a, src_b) AS source_b,
+       count(*) AS n_pairs
+FROM lab GROUP BY 1, 2
+"""

@@ -99,6 +99,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
     "near_dup_clusters": dedup_plans.near_dup_clusters,
     "dedup_removal_list": dedup_plans.dedup_removal_list,
+    "source_overlap_matrix": dedup_plans.source_overlap_matrix,
     "doc_dup_fraction": dedup_plans.doc_dup_fraction,
     "phrase_match_positional": dedup_plans.phrase_match_positional,
     "duplicated_span_report": dedup_plans.duplicated_span_report,
@@ -193,6 +194,7 @@ oracle("dedup_exact_preview", dedup_plans.dedup_exact_preview_oracle())
 oracle("dedup_window_preview", dedup_plans.dedup_window_preview_oracle())
 oracle("minhash_signatures", dedup_plans.minhash_sigs_oracle())
 oracle("near_dup_minhash", dedup_plans.near_dup_minhash_oracle())
+oracle("source_overlap_matrix", dedup_plans.source_overlap_matrix_oracle())
 oracle("simhash_fingerprints", dedup_plans.simhash_oracle())
 oracle("near_dup_simhash", dedup_plans.near_dup_simhash_oracle())
 oracle("near_dup_boilerplate", dedup_plans.near_dup_boilerplate_oracle())
