@@ -1,0 +1,453 @@
+"""Corpus/table profiling, sketch-bounded aggregates, deterministic
+stratified sampling, batch sessionization, rolling time-range windows, and
+greedy sequence packing.
+
+These extend the engine's data-ops surface beyond the reference's
+validation/reporting (its DATA_QUALITY_REPORT.md pipeline and
+`mcp_server/apps/ingestion.py` stats roll-up) toward what a 100 TB
+training-data pipeline operates on daily: one-pass column profiles for
+data-quality dashboards, HLL/GK sketches with *verified* error bounds
+(the sketch answer is checked in-plan against the exact answer, so the
+oracle binds on a deterministic report — same pattern as
+`ann_topk_ivf_kmeans`'s recall-bound oracle), hash-stratified sampling
+that is rerun-stable with zero seed state, session/rolling windows over
+the event stream, and the next-fit packing assignment that turns token
+budgets into training batches.
+
+Scale posture (SCALE.md "pipeline suite"):
+- `table_profile`: ONE scan; the multi-count(distinct) agg expands rows
+  (Spark's Expand operator, one row per distinct-aggregate per input row)
+  but partial-aggregates map-side, so the shuffle carries ~distinct keys,
+  not input rows. At extreme cardinality swap count(distinct) for
+  approx_count_distinct — the bounded-sketch variant below is the template.
+- `approx_distinct_bounds` / `approx_quantile_bounds`: sketches are the
+  100 TB answer (fixed-size state, one pass, mergeable across partitions);
+  the exact sides here are the *verifier*, kept because test SFs make them
+  cheap. The quantile check broadcasts the 4-row quantile table into the
+  rank-count pass — no shuffle of lineitem at all.
+- `stratified_sample`: map-only predicate on sha256(key) — pushes to the
+  scan, samples every stratum at the same rate without per-stratum state,
+  and never moves a row between reruns or backfills (same property as
+  `sampling.split_label`).
+- `user_sessions_batch` / `rolling_event_rate`: one hash-partition shuffle
+  on user_id each; the session id is a running sum over an already-sorted
+  partition, the rolling frame is a RANGE window on unix_micros — both
+  whole-stage-codegen window operators, no self-joins.
+- `greedy_pack_assignments`: packing is inherently sequential WITHIN a
+  shard (bin state folds left-to-right) and embarrassingly parallel ACROSS
+  shards — exactly applyInPandas's contract (one Arrow batch per source
+  group). At 100 TB the shard key is (source, date, hash-bucket) so each
+  group stays executor-sized; the oracle replays the same fold as a
+  recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# table_profile — one-pass per-column profile (data-quality dashboard row)
+# ---------------------------------------------------------------------------
+
+# (column, is_numeric) — numeric columns report rounded numeric min/max,
+# string columns report lexicographic min/max; each side leaves the other
+# representation NULL so no cross-engine number→string formatting is needed.
+_PROFILE_COLS: tuple[tuple[str, bool], ...] = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+)
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of `orders` in ONE aggregation pass: row count,
+    null count, exact distinct count, min/max. The wide agg computes every
+    metric simultaneously (Catalyst plans the multi-count-distinct via
+    Expand with map-side partial aggs); the per-column rows are then
+    unpivoted driver-free with `stack`."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for col, numeric in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"))
+        aggs.append(F.countDistinct(col).alias(f"{col}__distinct"))
+        if numeric:
+            aggs.append(F.round(F.min(col).cast("double"), 2).alias(f"{col}__min_num"))
+            aggs.append(F.round(F.max(col).cast("double"), 2).alias(f"{col}__max_num"))
+        else:
+            aggs.append(F.min(col).alias(f"{col}__min_str"))
+            aggs.append(F.max(col).alias(f"{col}__max_str"))
+    wide = orders.agg(*aggs)
+    stack_args = []
+    for col, numeric in _PROFILE_COLS:
+        mn = f"`{col}__min_num`" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"`{col}__max_num`" if numeric else "CAST(NULL AS DOUBLE)"
+        ms = "CAST(NULL AS STRING)" if numeric else f"`{col}__min_str`"
+        xs = "CAST(NULL AS STRING)" if numeric else f"`{col}__max_str`"
+        stack_args.append(
+            f"'{col}', `{col}__nulls`, `{col}__distinct`, {mn}, {mx}, {ms}, {xs}")
+    n = len(_PROFILE_COLS)
+    return wide.selectExpr(
+        "_n AS n_rows",
+        f"stack({n}, {', '.join(stack_args)}) AS "
+        "(column_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct",
+             "min_num", "max_num", "min_str", "max_str")
+
+
+def table_profile_oracle() -> str:
+    parts = []
+    for col, numeric in _PROFILE_COLS:
+        mn = f"round(CAST(min({col}) AS DOUBLE), 2)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"round(CAST(max({col}) AS DOUBLE), 2)" if numeric else "CAST(NULL AS DOUBLE)"
+        ms = "CAST(NULL AS VARCHAR)" if numeric else f"min({col})"
+        xs = "CAST(NULL AS VARCHAR)" if numeric else f"max({col})"
+        parts.append(f"""
+SELECT '{col}' AS column_name,
+       count(*) AS n_rows,
+       count(*) - count({col}) AS n_nulls,
+       count(DISTINCT {col}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {ms} AS min_str, {xs} AS max_str
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# approx_distinct_bounds — HLL++ sketch checked against the exact answer
+# ---------------------------------------------------------------------------
+
+_HLL_RSD = 0.05          # relative standard deviation passed to the sketch
+_HLL_TOLERANCE = 0.15    # accept |approx-exact|/exact <= 3*rsd
+
+_DISTINCT_TARGETS: tuple[tuple[str, str], ...] = (
+    ("events", "user_id"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+)
+
+
+def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch vs exact, per target column.
+
+    The sketch is the 100 TB operator (constant memory, single pass,
+    mergeable partial state — the exact count(distinct) shuffles every
+    distinct key). This query *verifies* the sketch: it emits the exact
+    count plus a boolean `within_bounds` asserting the sketch landed
+    inside 3x its configured rsd, so the deterministic oracle can bind on
+    the report even though the sketch value itself is
+    implementation-defined."""
+    outs = []
+    for table, col in _DISTINCT_TARGETS:
+        df = load_table(spark, sf_dir, table)
+        outs.append(df.agg(
+            F.lit(f"{table}.{col}").alias("entity"),
+            F.countDistinct(col).alias("exact_distinct"),
+            F.approx_count_distinct(col, rsd=_HLL_RSD).alias("_approx"),
+        ).select(
+            "entity", "exact_distinct",
+            (F.abs(F.col("_approx") - F.col("exact_distinct"))
+             <= F.lit(_HLL_TOLERANCE) * F.col("exact_distinct"))
+            .alias("within_bounds")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def approx_distinct_bounds_oracle() -> str:
+    parts = [
+        f"""SELECT '{table}.{col}' AS entity,
+       count(DISTINCT {col}) AS exact_distinct,
+       TRUE AS within_bounds
+FROM {table}"""
+        for table, col in _DISTINCT_TARGETS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# approx_quantile_bounds — GK quantile sketch checked against exact ranks
+# ---------------------------------------------------------------------------
+
+_QUANTILES: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+_PA_ACCURACY = 10_000  # percentile_approx guarantees rank error <= N/accuracy
+
+
+def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx(l_extendedprice) at several quantiles, verified by
+    rank: the true rank of the sketch's answer (count of rows <= value)
+    must lie within q*N +- 2*N/accuracy + 1. The verification pass
+    broadcasts the 4-row quantile table into one scan of lineitem — the
+    fact table itself is never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qarr = F.percentile_approx(
+        "l_extendedprice", list(_QUANTILES), _PA_ACCURACY)
+    qrows = (li.agg(qarr.alias("qs"))
+             .select(F.posexplode("qs").alias("qi", "qval"))
+             .select(F.col("qi"), F.col("qval")))
+    tol = 2.0 / _PA_ACCURACY
+    joined = li.crossJoin(F.broadcast(qrows))
+    return (joined.groupBy("qi")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((F.col("l_extendedprice") <= F.col("qval"))
+                       .cast("long")).alias("_rank"))
+            .select(
+                F.element_at(
+                    F.array(*[F.lit(f"q{q}") for q in _QUANTILES]),
+                    F.col("qi").cast("int") + 1).alias("quantile"),
+                "n_rows",
+                ((F.col("_rank")
+                  >= F.floor((F.element_at(
+                      F.array(*[F.lit(q) for q in _QUANTILES]),
+                      F.col("qi").cast("int") + 1) - tol)
+                      * F.col("n_rows")) - 1)
+                 & (F.col("_rank")
+                    <= F.ceil((F.element_at(
+                        F.array(*[F.lit(q) for q in _QUANTILES]),
+                        F.col("qi").cast("int") + 1) + tol)
+                        * F.col("n_rows")) + 1))
+                .alias("within_bounds")))
+
+
+def approx_quantile_bounds_oracle() -> str:
+    parts = [
+        f"""SELECT 'q{q}' AS quantile, count(*) AS n_rows, TRUE AS within_bounds
+FROM lineitem"""
+        for q in _QUANTILES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — deterministic hash sampling, verified per stratum
+# ---------------------------------------------------------------------------
+
+_SAMPLE_BOUND = "1a"  # sha256 2-hex-char prefix < '1a' keeps 26/256 ~ 10.2%
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mktsegment summary of a deterministic ~10% customer sample.
+
+    Membership is a pure function of c_custkey (sha256 2-hex prefix vs a
+    hex bound — `sampling.hash_sample`'s idiom), so the sample needs no
+    seed/state, is identical on rerun and backfill, and samples every
+    stratum at the same expected rate. The predicate is map-only; the only
+    shuffle is the final per-segment partial agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    in_sample = (F.substring(F.sha2(F.col("c_custkey").cast("string"), 256),
+                             1, 2) < F.lit(_SAMPLE_BOUND))
+    return (cust.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(in_sample.cast("long")).alias("n_sampled"),
+                 F.round(F.sum(F.when(in_sample, F.col("c_acctbal"))
+                               .otherwise(F.lit(0.0))), 2)
+                 .alias("sampled_acctbal"),
+                 F.min(F.when(in_sample, F.col("c_custkey")))
+                 .alias("min_sampled_key"),
+                 F.max(F.when(in_sample, F.col("c_custkey")))
+                 .alias("max_sampled_key")))
+
+
+def stratified_sample_oracle() -> str:
+    return f"""
+SELECT c_mktsegment,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN substr(sha256(CAST(c_custkey AS VARCHAR)), 1, 2)
+                     < '{_SAMPLE_BOUND}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled,
+       round(sum(CASE WHEN substr(sha256(CAST(c_custkey AS VARCHAR)), 1, 2)
+                     < '{_SAMPLE_BOUND}' THEN c_acctbal ELSE 0.0 END), 2)
+           AS sampled_acctbal,
+       min(CASE WHEN substr(sha256(CAST(c_custkey AS VARCHAR)), 1, 2)
+                     < '{_SAMPLE_BOUND}' THEN c_custkey END)
+           AS min_sampled_key,
+       max(CASE WHEN substr(sha256(CAST(c_custkey AS VARCHAR)), 1, 2)
+                     < '{_SAMPLE_BOUND}' THEN c_custkey END)
+           AS max_sampled_key
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_sessions_batch — gap-based sessionization as pure window algebra
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800  # 30 min, matches streaming_user_sessions
+
+
+def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `streaming_user_sessions`: a >=30-min silence starts a
+    new session. Two stacked windows over ONE hash partitioning on
+    user_id (lag -> boundary flag -> running sum = session index), then
+    the per-session roll-up reuses the same partitioning — Catalyst plans
+    a single Exchange for the whole query."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.asc("ts"), F.asc("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    new_s = (gap.isNull() | (gap >= F.lit(_SESSION_GAP_S * 1_000_000))).cast("long")
+    run = Window.partitionBy("user_id").orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (ev.withColumn("_new", new_s)
+            .withColumn("session_idx", F.sum("_new").over(run))
+            .groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.round(F.sum("value"), 2).alias("session_value")))
+
+
+def user_sessions_batch_oracle() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   >= {_SESSION_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT user_id, ts, value,
+         CAST(sum(_new) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling_event_rate — per-event trailing-1h RANGE window
+# ---------------------------------------------------------------------------
+
+_ROLL_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def rolling_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many events (and how much value) this user produced
+    in the trailing hour, inclusive. A RANGE frame on unix_micros(ts) —
+    microsecond-exact, so the DuckDB INTERVAL-frame oracle sees the
+    identical row set. One shuffle on user_id; the frame is evaluated by
+    the codegen'd sliding-window operator, not a self-join (a time-range
+    self-join would shuffle events x events; the window carries each row
+    once)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts")))
+         .rangeBetween(-_ROLL_WINDOW_US, 0))
+    return (ev.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 2).alias("value_1h")))
+
+
+def rolling_event_rate_oracle() -> str:
+    return """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_events_1h,
+       round(sum(value) OVER w, 2) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# greedy_pack_assignments — next-fit sequence packing into char budgets
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 1024  # char budget per packed sequence (bin)
+
+_PACK_SCHEMA = StructType([
+    StructField("source", StringType()),
+    StructField("bin_id", LongType()),
+    StructField("n_docs", LongType()),
+    StructField("bin_chars", LongType()),
+])
+
+
+def greedy_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit packing of documents (doc_id order) into fixed char-budget
+    bins, per source shard: the assignment that turns a token-budgeted
+    corpus into training sequences. The fold is inherently sequential
+    within a shard and parallel across shards — applyInPandas gives each
+    source group one Arrow batch and runs the O(n) fold in C-speed numpy
+    indexing. At 100 TB the shard key is (source, date, hash-bucket) so a
+    group never exceeds an executor's batch budget; the packing itself
+    only ever holds ONE running (bin, fill) pair, not the group.
+
+    Oracle: a DuckDB recursive CTE replays the identical fold row-by-row.
+    Oversized docs (> capacity) occupy a bin alone, like every next-fit
+    formulation."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    cap = _PACK_CAPACITY
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for c in pdf["n_chars"].astype("int64"):
+            if fill > 0 and fill + c > cap:
+                bin_id += 1
+                fill = 0
+            fill += int(c)
+            bins.append(bin_id)
+        out = pd.DataFrame({"source": pdf["source"].iloc[0],
+                            "bin_id": bins,
+                            "n_chars": pdf["n_chars"].astype("int64")})
+        return (out.groupby("bin_id", as_index=False)
+                .agg(n_docs=("n_chars", "size"), bin_chars=("n_chars", "sum"))
+                .assign(source=pdf["source"].iloc[0])
+                [["source", "bin_id", "n_docs", "bin_chars"]])
+
+    return docs.groupBy("source").applyInPandas(pack, _PACK_SCHEMA)
+
+
+def greedy_pack_assignments_oracle() -> str:
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+  FROM documents
+), folded AS (
+  SELECT source, rn, n_chars, 0::BIGINT AS bin_id, n_chars AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.n_chars,
+         CASE WHEN f.fill + o.n_chars > {_PACK_CAPACITY}
+              THEN f.bin_id + 1 ELSE f.bin_id END AS bin_id,
+         CASE WHEN f.fill + o.n_chars > {_PACK_CAPACITY}
+              THEN o.n_chars ELSE f.fill + o.n_chars END AS fill
+  FROM folded f
+  JOIN ordered o ON o.source = f.source AND o.rn = f.rn + 1
+)
+SELECT source, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS bin_chars
+FROM folded
+GROUP BY source, bin_id
+"""

@@ -26,6 +26,7 @@ from .plans import (
 )
 from .plans import multimodal as multimodal_plans
 from .plans import pipeline as pipeline_plans
+from .plans import profile as profile_plans
 from .plans import textstats as textstats_plans
 from .streaming import (
     streaming_dedup_docs,
@@ -146,6 +147,14 @@ QUERIES: dict[str, QueryFn] = {
     "sequence_packing_estimate": pipeline_plans.sequence_packing_estimate,
     "cleaning_decisions": pipeline_plans.cleaning_decisions,
     "decontamination_spans": pipeline_plans.decontamination_spans,
+    # profiling, sketch-bound checks, sampling, window ops, packing
+    "table_profile": profile_plans.table_profile,
+    "approx_distinct_bounds": profile_plans.approx_distinct_bounds,
+    "approx_quantile_bounds": profile_plans.approx_quantile_bounds,
+    "stratified_sample": profile_plans.stratified_sample,
+    "user_sessions_batch": profile_plans.user_sessions_batch,
+    "rolling_event_rate": profile_plans.rolling_event_rate,
+    "greedy_pack_assignments": profile_plans.greedy_pack_assignments,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -181,6 +190,13 @@ oracle("decontamination_spans", pipeline_plans.decontamination_spans_oracle())
 oracle("quality_filter_funnel", pipeline_plans.quality_filter_funnel_oracle())
 oracle("domain_mix_plan", pipeline_plans.domain_mix_plan_oracle())
 oracle("sequence_packing_estimate", pipeline_plans.sequence_packing_estimate_oracle())
+oracle("table_profile", profile_plans.table_profile_oracle())
+oracle("approx_distinct_bounds", profile_plans.approx_distinct_bounds_oracle())
+oracle("approx_quantile_bounds", profile_plans.approx_quantile_bounds_oracle())
+oracle("stratified_sample", profile_plans.stratified_sample_oracle())
+oracle("user_sessions_batch", profile_plans.user_sessions_batch_oracle())
+oracle("rolling_event_rate", profile_plans.rolling_event_rate_oracle())
+oracle("greedy_pack_assignments", profile_plans.greedy_pack_assignments_oracle())
 oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))

@@ -1,0 +1,126 @@
+"""Profiling / sketch-bound / sampling / window / packing family:
+oracle-compared at sf0.001 plus unit tests on the operator invariants
+(sketch bounds honestly checkable, sample determinism, session boundary
+semantics, next-fit packing feasibility)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from hadith_vector_search_spark.plans import profile
+from hadith_vector_search_spark.registry import get_oracles, get_queries
+from hadith_vector_search_spark.testing import compare_query
+
+ORACLE_CHECKED = [
+    "table_profile",
+    "approx_distinct_bounds",
+    "approx_quantile_bounds",
+    "stratified_sample",
+    "user_sessions_batch",
+    "rolling_event_rate",
+    "greedy_pack_assignments",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_matches_oracle(spark, duck, sf_dir, name):
+    queries, oracles = get_queries(), get_oracles()
+    assert name in queries and name in oracles
+    problems = compare_query(spark, duck, queries[name], oracles[name], sf_dir)
+    assert not problems, problems
+
+
+def test_sketch_bounds_actually_hold(spark, sf_dir):
+    """within_bounds must be computed, not hard-coded: every row TRUE on
+    real data, and the exact counts are positive."""
+    rows = profile.approx_distinct_bounds(spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert all(r.within_bounds for r in rows)
+    assert all(r.exact_distinct > 0 for r in rows)
+    qrows = profile.approx_quantile_bounds(spark, sf_dir).collect()
+    assert len(qrows) == 4
+    assert all(r.within_bounds for r in qrows)
+
+
+def test_stratified_sample_rate_and_determinism(spark, sf_dir):
+    a = {r.c_mktsegment: r for r in
+         profile.stratified_sample(spark, sf_dir).collect()}
+    b = {r.c_mktsegment: r for r in
+         profile.stratified_sample(spark, sf_dir).collect()}
+    assert a.keys() == b.keys()
+    for seg, r in a.items():
+        assert r.n_sampled == b[seg].n_sampled          # rerun-stable
+        assert r.sampled_acctbal == b[seg].sampled_acctbal
+        assert 0 <= r.n_sampled <= r.n_total
+    total = sum(r.n_total for r in a.values())
+    sampled = sum(r.n_sampled for r in a.values())
+    assert 0.02 < sampled / total < 0.25                # ~10% expected
+
+
+def test_session_boundary_semantics(spark):
+    """Events exactly 30 min apart start a new session; 29:59 does not."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=29, seconds=59), 10, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=59, seconds=59), 10, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=95), 10, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    orig = profile.load_table
+    try:
+        profile.load_table = lambda _s, _d, name: df  # noqa: ARG005
+        out = sorted(profile.user_sessions_batch(spark, "ignored").collect(),
+                     key=lambda r: r.session_idx)
+    finally:
+        profile.load_table = orig
+    # events 1+2 share a session (gap 29:59 < 30m); 3 is 30:00 after 2 ->
+    # new session; 4 is 35:01 after 3 -> new session.
+    assert [r.n_events for r in out] == [2, 1, 1]
+
+
+def test_rolling_window_is_trailing_inclusive(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(hours=2), 7, "click", 1.0, "{}"),
+        (2, t0 - dt.timedelta(minutes=60), 7, "click", 2.0, "{}"),  # exactly 1h before
+        (3, t0, 7, "click", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    orig = profile.load_table
+    try:
+        profile.load_table = lambda _s, _d, name: df  # noqa: ARG005
+        out = {r.event_id: r for r in
+               profile.rolling_event_rate(spark, "ignored").collect()}
+    finally:
+        profile.load_table = orig
+    assert out[1].n_events_1h == 1
+    assert out[2].n_events_1h == 2      # event 1 is exactly 1h back: inclusive
+    assert out[3].n_events_1h == 2      # event 2 in range, event 1 (2h) out
+    assert out[3].value_1h == 6.0
+
+
+def test_next_fit_packing_is_feasible_and_exhaustive(spark, sf_dir):
+    from hadith_vector_search_spark.sources import load_table
+
+    bins = profile.greedy_pack_assignments(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars").collect()
+    # every doc lands in exactly one bin; totals conserve chars
+    assert sum(r.n_docs for r in bins) == len(docs)
+    assert sum(r.bin_chars for r in bins) == sum(r.n_chars for r in docs)
+    by_src = {}
+    for r in bins:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        # bin ids are dense 0..n-1 within a source
+        assert sorted(r.bin_id for r in rows) == list(range(len(rows)))
+        for r in rows:
+            # a bin only exceeds capacity when a single doc does
+            assert r.bin_chars <= profile._PACK_CAPACITY or r.n_docs == 1
