@@ -97,6 +97,40 @@ def minhash_signatures(sharr: DataFrame, n_hashes: int = 8) -> DataFrame:
           for j in range(n_hashes)])
 
 
+def band_explode(sigs: DataFrame, n_hashes: int = 8,
+                 band_size: int = 2) -> DataFrame:
+    """One row per (doc, LSH band): contiguous signature slices become
+    (band_id, band_key) join keys. Narrow (array literal + explode); the
+    shared building block of the self-join (`lsh_band_pairs`) and the
+    incremental cross-set join (`lsh_band_join`)."""
+    n_bands = n_hashes // band_size
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band_id"),
+                 F.concat_ws("#", *[F.col(f"h{b * band_size + j}")
+                                    for j in range(band_size)]).alias("band_key"))
+        for b in range(n_bands)
+    ])
+    return (sigs.select("doc_id", F.explode(bands).alias("band"))
+            .select("doc_id", "band.band_id", "band.band_key"))
+
+
+def lsh_band_join(sigs_new: DataFrame, sigs_old: DataFrame,
+                  n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Incremental-ingest candidate generation: which NEW docs collide with
+    which EXISTING docs in at least one LSH band. The join is new-bands ×
+    old-bands on (band_id, band_key) — cost scales with the incoming batch
+    and its bucket hits, never existing × existing (at deployment the old
+    side is the persisted band index table, bucketed by band_key, so the
+    probe is bucket-local). Output: distinct (new_id, old_id)."""
+    a = (band_explode(sigs_new, n_hashes, band_size)
+         .select(F.col("doc_id").alias("new_id"), "band_id", "band_key"))
+    b = (band_explode(sigs_old, n_hashes, band_size)
+         .select(F.col("doc_id").alias("old_id"), "band_id", "band_key"))
+    return (a.join(b, ["band_id", "band_key"])
+            .select("new_id", "old_id")
+            .distinct())
+
+
 def lsh_band_pairs(sigs: DataFrame, n_hashes: int = 8, band_size: int = 2,
                    max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs sharing at least one LSH band. Bands are contiguous
@@ -110,17 +144,7 @@ def lsh_band_pairs(sigs: DataFrame, n_hashes: int = 8, band_size: int = 2,
     only ever bites on genuinely diverse near-miss floods. None (the
     default, used on every oracle-checked path) keeps standard LSH
     recall."""
-    n_bands = n_hashes // band_size
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band_id"),
-                 F.concat_ws("#", *[F.col(f"h{b * band_size + j}")
-                                    for j in range(band_size)]).alias("band_key"))
-        for b in range(n_bands)
-    ])
-    exploded = (
-        sigs.select("doc_id", F.explode(bands).alias("band"))
-        .select("doc_id", "band.band_id", "band.band_key")
-    )
+    exploded = band_explode(sigs, n_hashes, band_size)
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key")
         exploded = (exploded.withColumn("_bn", F.count(F.lit(1)).over(w))

@@ -204,7 +204,8 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int,
 def ivf_topk(emb: DataFrame, query_id: int, n_centroids: int = 8,
              n_probe: int = 2, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
+             centroids: list[tuple[int, list[float]]] | None = None,
+             allowed: DataFrame | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition vectors into
     centroid cells, probe only the query's `n_probe` nearest cells, score
     exactly within them. The complementary ANN family to sign-LSH
@@ -235,12 +236,21 @@ def ivf_topk(emb: DataFrame, query_id: int, n_centroids: int = 8,
                  .collect()[0])
     probes = [-s["ncid"] for s in probe_top["top"]]
     qvec = vector_lit(probe_top["qvec"])
+    scan = (emb.select(F.col(id_col), F.col(vec_col),
+                       (-F.array_max(cells)["ncid"]).alias("cent_id"))
+            .filter(F.col("cent_id").isin(probes)))
+    if allowed is not None:
+        # Filtered ANN (the vector-db "metadata filter"): restrict the
+        # probed candidates to an allowed-id set via LEFT SEMI join.
+        # Probe selection stays on the FULL index — the filter narrows
+        # results, not the cells searched. No broadcast hint: the allowed
+        # side scales with the predicate's selectivity, so AQE decides
+        # (round-5 hint policy). At lake scale the filter column lives in
+        # the cell-partitioned index files and pushes into the scan.
+        scan = scan.join(allowed.select(F.col(id_col)), id_col, "left_semi")
     return (
-        emb.select(F.col(id_col), F.col(vec_col),
-                   (-F.array_max(cells)["ncid"]).alias("cent_id"))
-        .filter(F.col("cent_id").isin(probes))
-        .select(F.col(id_col),
-                F.round(dot(F.col(vec_col), qvec), 6).alias("sim"))
+        scan.select(F.col(id_col),
+                    F.round(dot(F.col(vec_col), qvec), 6).alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )

@@ -94,6 +94,70 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _INDEX_CACHE[key]
 
 
+# Deterministic stand-in for "the incoming ingest batch": docs whose id is
+# ≡ INCR_REM (mod INCR_MOD) are the new arrivals, everything else is the
+# already-indexed corpus.
+INCR_MOD = 10
+INCR_REM = 7
+
+
+def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup check: which docs of an INCOMING batch are
+    near-duplicates of the EXISTING corpus — without ever re-banding the
+    corpus against itself. New signatures band-join against the existing
+    band index (`dedup.lsh_band_join`), then exact Jaccard verifies the
+    candidates only. Cost scales with the batch and its bucket hits; the
+    corpus-side work at deployment is a bucket-local probe of the
+    persisted band-index table. This is the dedup half of the reference's
+    checksum-driven incremental ingest (mcp_server/apps/ingestion.py's
+    changed-docs flow) extended to NEAR-duplicate semantics."""
+    sharr = get_shingle_index(spark, sf_dir)
+    is_new = (F.col("doc_id") % INCR_MOD) == INCR_REM
+    sigs_new = dedup.minhash_signatures(sharr.filter(is_new), N_HASHES)
+    sigs_old = dedup.minhash_signatures(sharr.filter(~is_new), N_HASHES)
+    cands = (dedup.lsh_band_join(sigs_new, sigs_old, N_HASHES, BAND_SIZE)
+             .select(F.col("new_id").alias("id_a"),
+                     F.col("old_id").alias("id_b")))
+    return (dedup.jaccard_verify(cands, sharr, JACCARD_THRESHOLD)
+            .select(F.col("id_a").alias("new_id"),
+                    F.col("id_b").alias("old_id"), "jaccard"))
+
+
+def near_dup_incremental_oracle() -> str:
+    n_bands = N_HASHES // BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"h{b * BAND_SIZE} || '#' || h{b * BAND_SIZE + 1} AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {_sig_cols(N_HASHES)} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id % {INCR_MOD} = {INCR_REM}
+    AND b.doc_id % {INCR_MOD} <> {INCR_REM}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.new_id, c.old_id, count(*) AS cnt
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.new_id
+  JOIN sh y ON y.doc_id = c.old_id AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT c.new_id, c.old_id,
+       round(c.cnt::DOUBLE / (sa.n + sb.n - c.cnt), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.new_id = sa.doc_id
+JOIN sizes sb ON c.old_id = sb.doc_id
+WHERE round(c.cnt::DOUBLE / (sa.n + sb.n - c.cnt), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, n_bits=SIMHASH_BITS,

@@ -374,3 +374,103 @@ WHERE rn = 1
 ORDER BY score DESC, doc_id ASC
 LIMIT {HYBRID_N}
 """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — the rank-based alternative to weighted fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard damping constant (Cormack et al. 2009)
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fused by reciprocal rank instead of weighted
+    scores: rrf = sum over legs of 1/(RRF_K + rank). Rank-based fusion
+    needs no score calibration between legs (BM25 is unbounded, cosine is
+    [-1,1]), which is why it is the other standard fusion in hybrid
+    search engines; the reference's weighted fusion (scoring.py:96-97)
+    stays the default, this is the alternative a user of any hybrid
+    engine expects to find.
+
+    Both legs are top-OVERFETCH limited before fusion, so ranking and
+    everything after is O(k). Ranks order by (rounded score desc, doc_id
+    asc) — rounding BEFORE ranking makes the rank, and therefore the
+    fused score, reproducible across engines and FP summation orders."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    fts = (bm25_ops.bm25_topk(spark, docs, HYBRID_QUERY, k=OVERFETCH,
+                              conjunctive=False,
+                              index=get_index(spark, sf_dir))
+           .select("doc_id", F.round("bm25", 6).alias("bm25")))
+    vec = (similarity.topk_by_query_id(emb, HYBRID_VEC_ID, OVERFETCH)
+           .select(F.col("vec_id").alias("doc_id"), "sim"))
+
+    wf = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wv = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    fts_r = fts.select("doc_id", F.row_number().over(wf).alias("fts_rank"))
+    vec_r = vec.select("doc_id", F.row_number().over(wv).alias("vec_rank"))
+
+    fused = (fts_r.join(vec_r, "doc_id", "full_outer")
+             .select(
+                 "doc_id", "fts_rank", "vec_rank",
+                 F.round(
+                     F.coalesce(1.0 / (F.lit(RRF_K) + F.col("fts_rank")),
+                                F.lit(0.0))
+                     + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")),
+                                  F.lit(0.0)), 6).alias("rrf_score")))
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(HYBRID_N)
+
+
+def hybrid_rrf_oracle_sql() -> str:
+    """DuckDB oracle: the identical legs (postings BM25, pairwise-dot
+    cosine), the identical rounded-score ranking, and the same
+    1/(K+rank) fold."""
+    terms = sorted(set(py_tokenize(HYBRID_QUERY)))
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {_sql_tokens_cte()},
+qterms AS (SELECT * FROM (VALUES {values}) q(term)),
+tdf AS (
+  SELECT term, count(*)::DOUBLE AS df
+  FROM postings WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+bm25_scored AS (
+  SELECT p.doc_id,
+         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) ) AS score
+  FROM postings p
+  JOIN tdf d USING (term) JOIN doclen l USING (doc_id) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+fts_leg AS (
+  SELECT doc_id, round(score, 6) AS bm25
+  FROM bm25_scored ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {OVERFETCH}
+),
+{_PAIR_DOT},
+vec_leg AS (
+  SELECT ib AS doc_id, round(d, 6) AS sim
+  FROM pair_dot WHERE ia = {HYBRID_VEC_ID}
+  ORDER BY round(d, 6) DESC, ib ASC LIMIT {OVERFETCH}
+),
+fts_ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+             AS fts_rank
+  FROM fts_leg
+),
+vec_ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS INTEGER)
+             AS vec_rank
+  FROM vec_leg
+)
+SELECT coalesce(f.doc_id, v.doc_id) AS doc_id,
+       f.fts_rank, v.vec_rank,
+       round(coalesce(1.0 / ({RRF_K} + f.fts_rank), 0.0)
+             + coalesce(1.0 / ({RRF_K} + v.vec_rank), 0.0), 6) AS rrf_score
+FROM fts_ranked f FULL OUTER JOIN vec_ranked v ON f.doc_id = v.doc_id
+ORDER BY rrf_score DESC, coalesce(f.doc_id, v.doc_id) ASC
+LIMIT {HYBRID_N}
+"""

@@ -141,6 +141,65 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_K = 5
 
+ANN_FILTER_LANG = "en"  # metadata predicate for the filtered-ANN query
+
+
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — the vector-db "metadata filter" shape: IVF probe on
+    the full index, candidates then restricted to docs whose metadata
+    passes a predicate (lang = 'en'), exact rerank within survivors.
+    Filtering candidates (not the probe) keeps the cell geometry stable
+    under any predicate; the documented recall trade is that a highly
+    selective filter may leave < k survivors in the probed cells — the
+    standard cure is raising n_probe with selectivity. Deterministic
+    codebook (first-N-rows centroids, as `ann_topk_ivf`) makes the whole
+    path SQL-replayable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = (docs.filter(F.col("lang") == ANN_FILTER_LANG)
+               .select(F.col("doc_id").alias("vec_id")))
+    return _pinned(spark, sf_dir, "ivf_topk5_filtered",
+                   lambda: similarity.ivf_topk(emb, QUERY_VEC_ID,
+                                               IVF_CENTROIDS, IVF_PROBE,
+                                               ANN_K, allowed=allowed))
+
+
+def ann_topk_filtered_oracle() -> str:
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id
+  FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cent_id
+  FROM cent_dot WHERE vec_id = {QUERY_VEC_ID}
+  ORDER BY cd DESC, cent_id ASC
+  LIMIT {IVF_PROBE}
+),
+cands AS (
+  SELECT a.vec_id FROM assign a
+  JOIN probes p ON a.cent_id = p.cent_id
+  JOIN documents d ON a.vec_id = d.doc_id
+  WHERE d.lang = '{ANN_FILTER_LANG}'
+)
+SELECT p.ib AS vec_id, round(p.d, 6) AS sim
+FROM pair_dot p
+JOIN cands c ON p.ib = c.vec_id
+WHERE p.ia = {QUERY_VEC_ID}
+ORDER BY sim DESC, vec_id ASC
+LIMIT {ANN_K}
+"""
+
 
 KMEANS_RECALL_FLOOR_HITS = 1  # of ANN_K; see ann_topk_ivf_kmeans docstring
 

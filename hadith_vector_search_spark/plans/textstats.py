@@ -389,3 +389,62 @@ SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_freq_bucket,
 FROM counts
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# domain_kl_divergence — per-source token-distribution drift vs the corpus
+# ---------------------------------------------------------------------------
+
+
+def domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over token unigram distributions — the
+    corpus-health metric that flags a source whose language drifted from
+    the mix (scraper breakage, spam floods, template churn). Every
+    source-present token also appears in the corpus distribution, so the
+    divergence is finite by construction.
+
+    Shape: one tokenize+explode pass feeds per-(source, term) counts
+    (map-side combined), the corpus term distribution derives from the
+    same aggregate (one extra shuffle on term), per-source totals ride a
+    window over the source partitioning, and the KL fold is a final
+    per-source agg. At 100 TB each aggregate carries distinct keys, not
+    token occurrences."""
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize(F.col("text"))).alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_st"))
+    t = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    totals = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    grand = t.agg(F.sum("n_t").alias("n")).select("n")
+    p_s = F.col("n_st") / F.col("n_s")
+    p_c = F.col("n_t") / F.col("n")
+    return (st.join(t, "term")
+            .join(totals, "source")  # source-count side: AQE decides (hint policy)
+            .crossJoin(F.broadcast(grand))
+            .groupBy("source")
+            .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_nats"),
+                 F.count(F.lit(1)).alias("n_terms"),
+                 F.max("n_s").cast("long").alias("n_tokens")))
+
+
+def domain_kl_divergence_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+st AS (SELECT source, term, count(*)::DOUBLE AS n_st FROM toks GROUP BY 1, 2),
+t AS (SELECT term, sum(n_st) AS n_t FROM st GROUP BY 1),
+totals AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+grand AS (SELECT sum(n_t) AS n FROM t)
+SELECT s.source,
+       round(sum((s.n_st / z.n_s) * ln((s.n_st / z.n_s) / (t.n_t / g.n))), 6)
+           AS kl_nats,
+       count(*) AS n_terms,
+       CAST(max(z.n_s) AS BIGINT) AS n_tokens
+FROM st s
+JOIN t USING (term)
+JOIN totals z USING (source)
+CROSS JOIN grand g
+GROUP BY s.source
+"""

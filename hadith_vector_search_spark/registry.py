@@ -76,6 +76,7 @@ QUERIES: dict[str, QueryFn] = {
     # iterative algorithm — no SQL oracle (driver rows-only check)
     "ann_topk_ivf_kmeans": semantic.ann_topk_ivf_kmeans,
     "ann_topk_int8": semantic.ann_topk_int8,
+    "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
     "semantic_dedup_list": semantic.semantic_dedup_list,
     # router + hybrid pipeline (SURVEY §2.9, §3.1)
@@ -87,6 +88,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search_fts": hybrid.hybrid_search_fts,
     "hybrid_search_batch": hybrid.hybrid_search_batch,
     "hybrid_search_degraded": hybrid.hybrid_search_degraded,
+    "hybrid_search_rrf": hybrid.hybrid_search_rrf,
     # scalar normalization sweep (F1/F8/F19-F23)
     "normalization_preview": normalization.normalization_preview,
     # dedup family (LLM-pipeline operators)
@@ -99,6 +101,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_boilerplate": dedup_plans.near_dup_boilerplate,
     "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
     "near_dup_clusters": dedup_plans.near_dup_clusters,
+    "near_dup_incremental": dedup_plans.near_dup_incremental,
     "dedup_removal_list": dedup_plans.dedup_removal_list,
     "source_overlap_matrix": dedup_plans.source_overlap_matrix,
     "doc_dup_fraction": dedup_plans.doc_dup_fraction,
@@ -117,6 +120,7 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_preview": textstats_plans.chunk_preview,
     "lm_perplexity_scores": textstats_plans.lm_perplexity_scores,
     "token_frequency_spectrum": textstats_plans.token_frequency_spectrum,
+    "domain_kl_divergence": textstats_plans.domain_kl_divergence,
     "binary_metadata": textstats_plans.binary_metadata,
     # lifecycle: incremental ingest, point lookup, status (SURVEY §3.3, Q7/Q8)
     "incremental_merge_stats": lifecycle.incremental_merge_stats,
@@ -179,6 +183,7 @@ oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 oracle("ann_recall_report", semantic.ann_recall_report_oracle())
 oracle("ann_topk_ivf_kmeans", semantic.ann_topk_ivf_kmeans_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
+oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())
 oracle("semantic_dedup_list", semantic.semantic_dedup_list_oracle())
 oracle("dedup_removal_list", dedup_plans.dedup_removal_list_oracle())
@@ -205,6 +210,7 @@ oracle("hybrid_search_fts", hybrid.hybrid_oracle_sql("fts"))
 oracle("hybrid_search_batch", hybrid.hybrid_batch_oracle_sql("balanced"))
 oracle("hybrid_search_degraded",
        hybrid.hybrid_oracle_sql("balanced", fts_available=False))
+oracle("hybrid_search_rrf", hybrid.hybrid_rrf_oracle_sql())
 oracle("normalization_preview", normalization.normalization_preview_oracle())
 oracle("dedup_exact_preview", dedup_plans.dedup_exact_preview_oracle())
 oracle("dedup_window_preview", dedup_plans.dedup_window_preview_oracle())
@@ -215,6 +221,7 @@ oracle("simhash_fingerprints", dedup_plans.simhash_oracle())
 oracle("near_dup_simhash", dedup_plans.near_dup_simhash_oracle())
 oracle("near_dup_boilerplate", dedup_plans.near_dup_boilerplate_oracle())
 oracle("near_dup_clusters", dedup_plans.near_dup_clusters_oracle())
+oracle("near_dup_incremental", dedup_plans.near_dup_incremental_oracle())
 oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
 oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())
@@ -303,6 +310,7 @@ oracle("embed_chunks_preview", embedding_plans.embed_chunks_preview_oracle())
 oracle("lm_perplexity_scores", textstats_plans.lm_perplexity_scores_oracle())
 oracle("token_frequency_spectrum",
        textstats_plans.token_frequency_spectrum_oracle())
+oracle("domain_kl_divergence", textstats_plans.domain_kl_divergence_oracle())
 
 
 def get_queries() -> dict[str, QueryFn]:

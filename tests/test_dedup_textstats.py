@@ -18,6 +18,8 @@ ORACLE_CHECKED = [
     "near_dup_simhash",
     "simhash_fingerprints",
     "near_dup_ngram_jaccard",
+    "near_dup_incremental",
+    "domain_kl_divergence",
     "lang_id_counts",
     "quality_scores",
     "token_count_stats",
@@ -505,3 +507,25 @@ def test_bigram_lm_perplexity_ranks_garbled_text_higher(spark):
         [(1, "hello"), (2, ""), (3, "two tokens")], "doc_id long, text string")
     rows = bigram_lm_scores(docs2).collect()
     assert {r.doc_id for r in rows} == {3}
+
+
+def test_incremental_neardup_is_cross_set_only(spark, sf_dir):
+    """Every emitted pair crosses the batch boundary (new x old), and KL
+    divergence is finite and non-negative for every source."""
+    from hadith_vector_search_spark.plans import dedup as dp
+    from hadith_vector_search_spark.plans import textstats as ts
+
+    pairs = dp.near_dup_incremental(spark, sf_dir).collect()
+    for r in pairs:
+        assert r.new_id % dp.INCR_MOD == dp.INCR_REM
+        assert r.old_id % dp.INCR_MOD != dp.INCR_REM
+        assert r.jaccard >= dp.JACCARD_THRESHOLD
+
+    kl = ts.domain_kl_divergence(spark, sf_dir).collect()
+    assert len(kl) > 0
+    import math
+    for r in kl:
+        assert math.isfinite(r.kl_nats)
+        # KL >= 0 up to the 1e-6 rounding of the emitted value
+        assert r.kl_nats >= -1e-6
+        assert r.n_tokens > 0

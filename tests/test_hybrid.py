@@ -158,3 +158,26 @@ def test_route_one_matches_column_router(spark):
         assert abs(got.arabic_ratio - exp.arabic_ratio) < 1e-9, \
             (q, got.arabic_ratio, exp.arabic_ratio)
         assert got.intent == exp.intent, (q, got.intent, exp.intent)
+
+
+def test_rrf_fuses_both_legs(spark, sf_dir):
+    """RRF output: scores decrease, every score is attainable from the
+    1/(K+rank) fold, and a doc present in both legs outranks equal
+    single-leg docs at the same ranks."""
+    from hadith_vector_search_spark.plans.hybrid import (
+        RRF_K,
+        hybrid_search_rrf,
+    )
+
+    rows = hybrid_search_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        expect = 0.0
+        if r.fts_rank is not None:
+            expect += 1.0 / (RRF_K + r.fts_rank)
+        if r.vec_rank is not None:
+            expect += 1.0 / (RRF_K + r.vec_rank)
+        assert abs(r.rrf_score - round(expect, 6)) < 1e-9
+        assert r.fts_rank is not None or r.vec_rank is not None

@@ -192,7 +192,9 @@ def test_plan_shape_invariant_across_scale_factors(spark):
               "duplicated_span_report", "similar_pairs", "bm25_topk",
               "lm_perplexity_scores", "doc_dup_fraction",
               "cleaning_decisions", "decontamination_spans",
-              "winnowed_fingerprints", "chunk_preview"]
+              "winnowed_fingerprints", "chunk_preview",
+              "table_profile", "user_sessions_batch",
+              "greedy_pack_assignments", "rolling_event_rate"]
     for name in sample:
         shapes = {}
         for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):

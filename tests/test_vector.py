@@ -227,3 +227,22 @@ def test_cell_dedup_list_semantics(spark):
     assert set(out) == {10, 11, 20}
     assert out[10][0] == 0 and out[11][0] == 0 and out[20][0] == 1
     assert all(s > 0.9 for _, s in out.values())
+
+
+def test_filtered_ann_respects_predicate(spark, sf_dir):
+    """Every hit passes the metadata filter, and the hit set is a subset
+    of the unfiltered IVF scan of the same probed cells."""
+    from hadith_vector_search_spark.plans.semantic import (
+        ANN_FILTER_LANG,
+        ann_topk_filtered,
+    )
+    from hadith_vector_search_spark.sources import load_table
+
+    hits = ann_topk_filtered(spark, sf_dir).collect()
+    assert hits, "filter should leave candidates at test SF"
+    langs = {r.doc_id: r.lang for r in
+             load_table(spark, sf_dir, "documents").collect()}
+    for h in hits:
+        assert langs[h.vec_id] == ANN_FILTER_LANG
+    sims = [h.sim for h in hits]
+    assert sims == sorted(sims, reverse=True)
