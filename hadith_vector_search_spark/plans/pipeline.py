@@ -567,3 +567,80 @@ def materialize_clean_corpus(spark: SparkSession, sf_dir: str,
     n_out = spark.read.parquet(out_dir).count()
     return {"n_input": n_in, "n_quality_dropped": n_drop,
             "n_dedup_removed": n_dup, "n_written": n_out}
+
+
+# ---------------------------------------------------------------------------
+# mix_sample_realization — execute the mix plan as a deterministic sample
+# ---------------------------------------------------------------------------
+
+_MIX_HEX_DIGITS = 6                      # sample on the first 6 hex chars
+_MIX_HEX_SPACE = 16 ** _MIX_HEX_DIGITS   # = 16777216 outcomes
+
+
+def mix_sample_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the loop on `domain_mix_plan`: apply each language's computed
+    sampling rate as a deterministic content-addressed sample and report
+    what the plan REALIZES — per language, the docs kept and the tokens
+    they carry next to the planned rate. Membership compares the first 6
+    hex chars of sha256(doc_id) against printf('%06x', floor(rate·16^6)):
+    fixed-width lowercase hex compares lexicographically as numbers in
+    both engines, so the sample is exact, seedless, and identical on
+    rerun/backfill (the `sampling.split_label` invariance class). The
+    rate table is ~n_langs rows joined broadcast; everything else is one
+    scan + one partial agg."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokenize(F.col("text"))).alias("_t"))
+    rates = domain_mix_plan(spark, sf_dir).select("lang", "sampling_rate")
+    thr = F.format_string(
+        "%06x",
+        F.floor(F.col("sampling_rate") * _MIX_HEX_SPACE).cast("int"))
+    prefix = F.substring(F.sha2(F.col("doc_id").cast("string"), 256),
+                         1, _MIX_HEX_DIGITS)
+    keep = (F.col("sampling_rate") >= 1.0) | (prefix < thr)
+    return (docs.join(F.broadcast(rates), "lang")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(keep.cast("long")).alias("n_sampled"),
+                 F.sum(F.when(keep, F.col("_t")).otherwise(F.lit(0)))
+                 .cast("long").alias("realized_tokens"),
+                 F.max("sampling_rate").alias("sampling_rate")))
+
+
+def mix_sample_realization_oracle() -> str:
+    weight = ("CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {w}" for lang, w in MIX_TARGET.items())
+        + " ELSE 0.0 END")
+    return f"""
+WITH avail AS (
+  SELECT lang, CAST(sum(len({_TOKS})) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY lang
+),
+r AS (
+  SELECT lang,
+         least(1.0, round(round(({weight}) * {MIX_BUDGET_TOKENS}, 6) /
+                          greatest(available_tokens::DOUBLE, 1.0), 6))
+           AS sampling_rate
+  FROM avail
+),
+d AS (
+  SELECT doc_id, lang, len({_TOKS}) AS _t,
+         substr(sha256(CAST(doc_id AS VARCHAR)), 1, {_MIX_HEX_DIGITS}) AS pfx
+  FROM documents
+),
+k AS (
+  SELECT d.lang, d._t, r.sampling_rate,
+         (r.sampling_rate >= 1.0 OR
+          d.pfx < printf('%06x',
+                         CAST(floor(r.sampling_rate * {_MIX_HEX_SPACE})
+                              AS INTEGER))) AS keep
+  FROM d JOIN r USING (lang)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN keep THEN _t ELSE 0 END) AS BIGINT)
+           AS realized_tokens,
+       max(sampling_rate) AS sampling_rate
+FROM k
+GROUP BY lang
+"""

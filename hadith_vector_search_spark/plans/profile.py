@@ -451,3 +451,161 @@ SELECT source, bin_id,
 FROM folded
 GROUP BY source, bin_id
 """
+
+
+# ---------------------------------------------------------------------------
+# order_value_outliers — per-group z-score outlier detection
+# ---------------------------------------------------------------------------
+
+_Z_THRESHOLD = 2.5
+
+
+def order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment z-score outliers over order totals — the
+    standard per-group anomaly screen. Two-phase: one partial-agg pass
+    computes each segment's (avg, stddev_samp), the ~5-row stats table
+    joins back (AQE broadcasts it), and the z filter is a map-only
+    projection. No window over the fact table, so nothing resorts orders
+    within segments. The filter tests the ROUNDED z so both engines make
+    the identical boundary call."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    fact = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice")
+    stats = fact.groupBy("c_mktsegment").agg(
+        F.avg("o_totalprice").alias("_mu"),
+        F.stddev_samp("o_totalprice").alias("_sd"))
+    z = F.round((F.col("o_totalprice") - F.col("_mu")) / F.col("_sd"), 4)
+    return (fact.join(stats, "c_mktsegment")
+            .select("c_mktsegment", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    z.alias("zscore"))
+            .filter(F.abs(F.col("zscore")) > _Z_THRESHOLD))
+
+
+def order_value_outliers_oracle() -> str:
+    return f"""
+WITH fact AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+stats AS (
+  SELECT c_mktsegment, avg(o_totalprice) AS mu,
+         stddev_samp(o_totalprice) AS sd
+  FROM fact GROUP BY 1
+)
+SELECT f.c_mktsegment, f.o_orderkey,
+       round(f.o_totalprice, 2) AS o_totalprice,
+       round((f.o_totalprice - s.mu) / s.sd, 4) AS zscore
+FROM fact f JOIN stats s USING (c_mktsegment)
+WHERE abs(round((f.o_totalprice - s.mu) / s.sd, 4)) > {_Z_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# adaptive_length_filter — per-language percentile gates
+# ---------------------------------------------------------------------------
+
+_LEN_LO_Q = 0.05
+_LEN_HI_Q = 0.95
+
+
+def adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length gates that ADAPT per language instead of one global cutoff
+    (Arabic chars ≠ English chars ≠ Chinese chars): drop below each
+    language's p05 or above its p95. Exact interpolated percentiles here
+    (byte-tight oracle); `percentile_approx` is the documented lake-scale
+    swap, as in `length_quantile_profile`. One corpus pass for the
+    thresholds (~n_langs rows, joined back via AQE broadcast), one
+    map-only classification pass, one partial agg."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    thr = docs.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(n_chars, {_LEN_LO_Q})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(n_chars, {_LEN_HI_Q})"), 6).alias("hi"))
+    tagged = docs.join(thr, "lang")
+    return (tagged.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_chars") < F.col("lo")).cast("long"))
+                 .alias("dropped_short"),
+                 F.sum((F.col("n_chars") > F.col("hi")).cast("long"))
+                 .alias("dropped_long"),
+                 F.sum(((F.col("n_chars") >= F.col("lo"))
+                        & (F.col("n_chars") <= F.col("hi"))).cast("long"))
+                 .alias("kept"),
+                 F.max("lo").alias("lo_chars"),
+                 F.max("hi").alias("hi_chars")))
+
+
+def adaptive_length_filter_oracle() -> str:
+    return f"""
+WITH thr AS (
+  SELECT lang,
+         round(quantile_cont(n_chars, {_LEN_LO_Q}), 6) AS lo,
+         round(quantile_cont(n_chars, {_LEN_HI_Q}), 6) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.n_chars < t.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS dropped_short,
+       CAST(sum(CASE WHEN d.n_chars > t.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS dropped_long,
+       CAST(sum(CASE WHEN d.n_chars >= t.lo AND d.n_chars <= t.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       max(t.lo) AS lo_chars,
+       max(t.hi) AS hi_chars
+FROM documents d JOIN thr t USING (lang)
+GROUP BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_embedding_drift — per-source centroid vs corpus centroid
+# ---------------------------------------------------------------------------
+
+
+def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic drift monitor: cosine between each source's embedding
+    centroid and the corpus centroid — low cosine flags a source whose
+    CONTENT (not just token mix, cf. `domain_kl_divergence`) left the
+    distribution. One posexplode pass feeds both the per-(source, dim)
+    and per-dim averages (shuffle rows = sources × dims and dims — narrow
+    and bounded, never row-count-shaped); the cosine fold joins on dim
+    and aggs per source."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    exploded = (docs.join(emb, "doc_id")
+                .select("source", F.posexplode("embedding")
+                        .alias("dim", "val")))
+    src = exploded.groupBy("source", "dim").agg(F.avg("val").alias("a"))
+    corpus = exploded.groupBy("dim").agg(F.avg("val").alias("b"))
+    joined = src.join(corpus, "dim")
+    return (joined.groupBy("source")
+            .agg(F.round(
+                F.sum(F.col("a") * F.col("b"))
+                / (F.sqrt(F.sum(F.col("a") * F.col("a")))
+                   * F.sqrt(F.sum(F.col("b") * F.col("b")))), 6)
+                .alias("centroid_cosine"),
+                 F.count(F.lit(1)).alias("n_dims")))
+
+
+def source_embedding_drift_oracle() -> str:
+    return """
+WITH exploded AS (
+  SELECT d.source,
+         generate_subscripts(e.embedding, 1) AS dim,
+         CAST(unnest(e.embedding) AS DOUBLE) AS val
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+src AS (SELECT source, dim, avg(val) AS a FROM exploded GROUP BY 1, 2),
+corpus AS (SELECT dim, avg(val) AS b FROM exploded GROUP BY 1)
+SELECT s.source,
+       round(sum(s.a * c.b) /
+             (sqrt(sum(s.a * s.a)) * sqrt(sum(c.b * c.b))), 6)
+           AS centroid_cosine,
+       count(*) AS n_dims
+FROM src s JOIN corpus c USING (dim)
+GROUP BY s.source
+"""

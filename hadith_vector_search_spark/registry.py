@@ -148,6 +148,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_check": pipeline_plans.contamination_check,
     "quality_filter_funnel": pipeline_plans.quality_filter_funnel,
     "domain_mix_plan": pipeline_plans.domain_mix_plan,
+    "mix_sample_realization": pipeline_plans.mix_sample_realization,
     "sequence_packing_estimate": pipeline_plans.sequence_packing_estimate,
     "cleaning_decisions": pipeline_plans.cleaning_decisions,
     "decontamination_spans": pipeline_plans.decontamination_spans,
@@ -159,6 +160,9 @@ QUERIES: dict[str, QueryFn] = {
     "user_sessions_batch": profile_plans.user_sessions_batch,
     "rolling_event_rate": profile_plans.rolling_event_rate,
     "greedy_pack_assignments": profile_plans.greedy_pack_assignments,
+    "order_value_outliers": profile_plans.order_value_outliers,
+    "adaptive_length_filter": profile_plans.adaptive_length_filter,
+    "source_embedding_drift": profile_plans.source_embedding_drift,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -194,6 +198,7 @@ oracle("cleaning_decisions", pipeline_plans.cleaning_decisions_oracle())
 oracle("decontamination_spans", pipeline_plans.decontamination_spans_oracle())
 oracle("quality_filter_funnel", pipeline_plans.quality_filter_funnel_oracle())
 oracle("domain_mix_plan", pipeline_plans.domain_mix_plan_oracle())
+oracle("mix_sample_realization", pipeline_plans.mix_sample_realization_oracle())
 oracle("sequence_packing_estimate", pipeline_plans.sequence_packing_estimate_oracle())
 oracle("table_profile", profile_plans.table_profile_oracle())
 oracle("approx_distinct_bounds", profile_plans.approx_distinct_bounds_oracle())
@@ -202,6 +207,9 @@ oracle("stratified_sample", profile_plans.stratified_sample_oracle())
 oracle("user_sessions_batch", profile_plans.user_sessions_batch_oracle())
 oracle("rolling_event_rate", profile_plans.rolling_event_rate_oracle())
 oracle("greedy_pack_assignments", profile_plans.greedy_pack_assignments_oracle())
+oracle("order_value_outliers", profile_plans.order_value_outliers_oracle())
+oracle("adaptive_length_filter", profile_plans.adaptive_length_filter_oracle())
+oracle("source_embedding_drift", profile_plans.source_embedding_drift_oracle())
 oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))

@@ -17,6 +17,7 @@ ORACLE_CHECKED = [
     "contamination_check",
     "quality_filter_funnel",
     "domain_mix_plan",
+    "mix_sample_realization",
     "sequence_packing_estimate",
 ]
 
@@ -236,3 +237,25 @@ def test_clean_cli_module(sf_dir, tmp_path):
     assert stats["n_written"] > 0
     assert stats["n_written"] <= stats["n_input"]
     assert os.path.isdir(out)
+
+
+def test_mix_sample_realization_consistency(spark, sf_dir):
+    """Realized sample respects the plan: n_sampled <= n_docs, a rate of
+    1.0 keeps everything, a rate of 0 keeps nothing, and realized tokens
+    never exceed the language's availability."""
+    from hadith_vector_search_spark.plans.pipeline import (
+        domain_mix_plan,
+        mix_sample_realization,
+    )
+
+    plan = {r.lang: r for r in domain_mix_plan(spark, sf_dir).collect()}
+    real = {r.lang: r for r in mix_sample_realization(spark, sf_dir).collect()}
+    assert set(real) == set(plan)
+    for lang, r in real.items():
+        assert 0 <= r.n_sampled <= r.n_docs
+        assert r.sampling_rate == plan[lang].sampling_rate
+        if r.sampling_rate >= 1.0:
+            assert r.n_sampled == r.n_docs
+            assert r.realized_tokens == plan[lang].available_tokens
+        if r.sampling_rate == 0.0:
+            assert r.n_sampled == 0 and r.realized_tokens == 0

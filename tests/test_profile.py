@@ -21,6 +21,9 @@ ORACLE_CHECKED = [
     "user_sessions_batch",
     "rolling_event_rate",
     "greedy_pack_assignments",
+    "order_value_outliers",
+    "adaptive_length_filter",
+    "source_embedding_drift",
 ]
 
 
@@ -124,3 +127,27 @@ def test_next_fit_packing_is_feasible_and_exhaustive(spark, sf_dir):
         for r in rows:
             # a bin only exceeds capacity when a single doc does
             assert r.bin_chars <= profile._PACK_CAPACITY or r.n_docs == 1
+
+
+def test_outlier_zscores_exceed_threshold(spark, sf_dir):
+    rows = profile.order_value_outliers(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r.zscore) > profile._Z_THRESHOLD
+
+
+def test_adaptive_length_filter_partitions_counts(spark, sf_dir):
+    rows = profile.adaptive_length_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dropped_short + r.dropped_long + r.kept == r.n_docs
+        assert r.lo_chars <= r.hi_chars
+        # percentile gates keep the bulk of each language
+        assert r.kept >= 0.8 * r.n_docs
+
+
+def test_source_drift_cosine_in_range(spark, sf_dir):
+    rows = profile.source_embedding_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.centroid_cosine <= 1.0
+        assert r.n_dims > 0
