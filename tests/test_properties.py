@@ -243,3 +243,104 @@ def test_chunking_matches_python_model_randomized(spark):
     got = {(r.doc_id, r.chunk_id, r.start_token, r.n_tokens, r.chunk_text)
            for r in chunk_documents(df, chunk_tokens=C, overlap=O).collect()}
     assert got == expected, got ^ expected
+
+
+def test_next_fit_packing_matches_python_model_randomized(spark):
+    """Randomized equivalence: the applyInPandas next-fit fold vs a direct
+    pure-Python fold over seeded (source, n_chars) corpora, including
+    oversized docs that must occupy a bin alone."""
+    from hadith_vector_search_spark.plans import profile
+
+    cap = profile._PACK_CAPACITY
+    for seed in (5, 19, 42):
+        rng = random.Random(seed)
+        rows = []
+        did = 0
+        for s in range(4):
+            for _ in range(rng.randint(1, 30)):
+                # mix tiny, mid, and > capacity docs
+                c = rng.choice([rng.randint(1, 200),
+                                rng.randint(200, cap),
+                                rng.randint(cap, 2 * cap)])
+                rows.append((did, f"s{s}", c))
+                did += 1
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long")
+
+        # python model: next-fit in doc_id order per source
+        expected = {}
+        by_src = {}
+        for d, s, c in sorted(rows):
+            by_src.setdefault(s, []).append(c)
+        for s, cs in by_src.items():
+            bin_id, fill = 0, 0
+            for c in cs:
+                if fill > 0 and fill + c > cap:
+                    bin_id += 1
+                    fill = 0
+                fill += c
+                k = (s, bin_id)
+                nd, bc = expected.get(k, (0, 0))
+                expected[k] = (nd + 1, bc + c)
+
+        orig = profile.load_table
+        try:
+            profile.load_table = lambda _s, _d, name: docs  # noqa: ARG005
+            got = {(r.source, r.bin_id): (r.n_docs, r.bin_chars)
+                   for r in profile.greedy_pack_assignments(
+                       spark, "ignored").collect()}
+        finally:
+            profile.load_table = orig
+        assert got == expected, f"seed {seed}"
+
+
+def test_sessionization_matches_python_model_randomized(spark):
+    """Randomized equivalence: window-algebra sessionization vs a direct
+    Python fold, with gaps engineered to land on both sides of (and
+    exactly at) the 30-minute boundary."""
+    import datetime as dt
+
+    from hadith_vector_search_spark.plans import profile
+
+    gap_s = profile._SESSION_GAP_S
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(6):
+            t = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randint(0, 60))
+            for _ in range(rng.randint(1, 40)):
+                rows.append((eid, t, u, "click", 1.0, "{}"))
+                eid += 1
+                # gaps: tiny, just-below, exact, just-above boundary
+                t += dt.timedelta(seconds=rng.choice(
+                    [1, 60, gap_s - 1, gap_s, gap_s + 1, 2 * gap_s]))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string")
+
+        expected = {}
+        by_user = {}
+        for e, t, u, *_ in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+            by_user.setdefault(u, []).append(t)
+        for u, ts in by_user.items():
+            sess = 0
+            prev = None
+            for t in ts:
+                if prev is None or (t - prev).total_seconds() >= gap_s:
+                    sess += 1
+                k = (u, sess)
+                n, lo, hi = expected.get(k, (0, t, t))
+                expected[k] = (n + 1, min(lo, t), max(hi, t))
+                prev = t
+
+        orig = profile.load_table
+        try:
+            profile.load_table = lambda _s, _d, name: df  # noqa: ARG005
+            got = {(r.user_id, r.session_idx):
+                   (r.n_events, r.session_start, r.session_end)
+                   for r in profile.user_sessions_batch(
+                       spark, "ignored").collect()}
+        finally:
+            profile.load_table = orig
+        assert got == expected, f"seed {seed}"
