@@ -48,6 +48,14 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 pass
             gc.collect()  # release checkpointed RDD blocks promptly
+        # The warm pass exists only to populate the codegen cache; its
+        # warm-SF index pins and memory-sink tables are dead weight for
+        # the timed pass (which pins its own SF) — carrying them inflated
+        # the timed pass measurably once the registry passed ~100 queries
+        # (GC pressure on the 16g driver).
+        from hadith_vector_search_spark.plans.pins import release_sf_pins
+        released = release_sf_pins(spark, warm_dir)
+        print(f"bench: released {released} warm-SF pins", file=sys.stderr)
 
     # Touch every timed-SF table once (full scan, noop sink): parquet
     # footer reads, file listing, and OS page cache are per-table one-offs
