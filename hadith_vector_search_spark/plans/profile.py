@@ -609,3 +609,93 @@ SELECT s.source,
 FROM src s JOIN corpus c USING (dim)
 GROUP BY s.source
 """
+
+
+# ---------------------------------------------------------------------------
+# order_price_histogram — fixed-width binned distribution
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 50_000.0
+_HIST_BINS = 10  # final bin absorbs the tail
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — the dashboard distribution
+    primitive. Bucket = least(floor(x / width), n-1) (tail clamped into
+    the last bin): identical double arithmetic in both engines, one
+    map-side-combined agg, shuffle rows = bins. Empty bins are absent by
+    construction (sparse histogram)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / _HIST_WIDTH),
+                     F.lit(_HIST_BINS - 1)).cast("long")
+    return (orders.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi_price"))
+            .select("bucket",
+                    F.round(F.col("bucket") * _HIST_WIDTH, 2)
+                    .alias("bucket_floor"),
+                    "n_orders", "lo_price", "hi_price"))
+
+
+def order_price_histogram_oracle() -> str:
+    return f"""
+SELECT bucket,
+       round(bucket * {_HIST_WIDTH}, 2) AS bucket_floor,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo_price,
+       round(max(o_totalprice), 2) AS hi_price
+FROM (
+  SELECT o_totalprice,
+         CAST(least(floor(o_totalprice / {_HIST_WIDTH}),
+                    {_HIST_BINS - 1}) AS BIGINT) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# frequent_terms_bound — freqItems sketch verified against exact counts
+# ---------------------------------------------------------------------------
+
+_FREQ_SUPPORT = 0.02  # report terms above 2% of token occurrences
+
+
+def frequent_terms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries-style frequent-items sketch (`DataFrame.stat.freqItems`)
+    verified against exact counts — same deterministic-report pattern as
+    the HLL/GK bound checks: the sketch may emit impl-defined false
+    positives, so the report enumerates the EXACT frequent set (count >
+    support·N) and asserts each member was found by the sketch (the
+    algorithm's no-false-negative guarantee). The sketch side is one
+    fixed-state pass; the exact side is the verifier the test SFs make
+    cheap. The sketch's item list is O(1/support) and becomes a plan
+    literal — the codebook/planes collect policy."""
+    from ..functions.text import tokenize
+
+    toks = (load_table(spark, sf_dir, "documents")
+            .select(F.explode(tokenize(F.col("text"))).alias("term")))
+    sketch_items = set(
+        toks.stat.freqItems(["term"], _FREQ_SUPPORT).collect()[0][0])
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") > F.lit(_FREQ_SUPPORT) * F.col("n"))
+            .select("term", "cnt",
+                    F.col("term").isin(sketch_items).alias("found_in_sketch")))
+
+
+def frequent_terms_bound_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({{toks}}) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+total AS (SELECT count(*) AS n FROM toks)
+SELECT c.term, c.cnt, TRUE AS found_in_sketch
+FROM counts c CROSS JOIN total t
+WHERE c.cnt > {_FREQ_SUPPORT} * t.n
+""".replace("{toks}",
+            "list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9_؀-ۿ]+'), x -> length(x) >= 2)")

@@ -163,6 +163,8 @@ QUERIES: dict[str, QueryFn] = {
     "order_value_outliers": profile_plans.order_value_outliers,
     "adaptive_length_filter": profile_plans.adaptive_length_filter,
     "source_embedding_drift": profile_plans.source_embedding_drift,
+    "order_price_histogram": profile_plans.order_price_histogram,
+    "frequent_terms_bound": profile_plans.frequent_terms_bound,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -210,6 +212,8 @@ oracle("greedy_pack_assignments", profile_plans.greedy_pack_assignments_oracle()
 oracle("order_value_outliers", profile_plans.order_value_outliers_oracle())
 oracle("adaptive_length_filter", profile_plans.adaptive_length_filter_oracle())
 oracle("source_embedding_drift", profile_plans.source_embedding_drift_oracle())
+oracle("order_price_histogram", profile_plans.order_price_histogram_oracle())
+oracle("frequent_terms_bound", profile_plans.frequent_terms_bound_oracle())
 oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))

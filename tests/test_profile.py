@@ -24,6 +24,8 @@ ORACLE_CHECKED = [
     "order_value_outliers",
     "adaptive_length_filter",
     "source_embedding_drift",
+    "order_price_histogram",
+    "frequent_terms_bound",
 ]
 
 
@@ -151,3 +153,23 @@ def test_source_drift_cosine_in_range(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r.centroid_cosine <= 1.0
         assert r.n_dims > 0
+
+
+def test_histogram_partitions_all_orders(spark, sf_dir):
+    from hadith_vector_search_spark.sources import load_table
+
+    rows = profile.order_price_histogram(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n
+    for r in rows:
+        assert 0 <= r.bucket < profile._HIST_BINS
+        assert r.lo_price <= r.hi_price
+        if r.bucket < profile._HIST_BINS - 1:
+            assert r.hi_price < (r.bucket + 1) * profile._HIST_WIDTH
+        assert r.lo_price >= r.bucket * profile._HIST_WIDTH
+
+
+def test_frequent_terms_no_false_negatives(spark, sf_dir):
+    rows = profile.frequent_terms_bound(spark, sf_dir).collect()
+    assert rows, "stopword-like terms should exceed 2% support"
+    assert all(r.found_in_sketch for r in rows)
