@@ -699,3 +699,95 @@ WHERE c.cnt > {_FREQ_SUPPORT} * t.n
 """.replace("{toks}",
             "list_filter(string_split_regex(lower(text), "
             "'[^a-z0-9_؀-ۿ]+'), x -> length(x) >= 2)")
+
+
+# ---------------------------------------------------------------------------
+# cumulative_users — running distinct-user growth curve
+# ---------------------------------------------------------------------------
+
+
+def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth curve: new users per day and the running distinct-user
+    total. Cumulative DISTINCT over a growing window is re-expressed as
+    first-seen-day (one agg) + per-day counts + a running sum over the
+    tiny day series — no day x user state ever accumulates, which is what
+    makes the curve computable in one pass at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.min(F.to_date("ts")).alias("day")))
+    daily = (first_seen.groupBy("day")
+             .agg(F.count(F.lit(1)).alias("new_users")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return daily.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"))
+
+
+def cumulative_users_oracle() -> str:
+    return """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+),
+daily AS (SELECT day, count(*) AS new_users FROM first_seen GROUP BY 1)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+           AS cumulative_users
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts — first-seen-day cohorts x days-since activity
+# ---------------------------------------------------------------------------
+
+_RETENTION_MAX_OFFSET = 7  # track the first week per cohort
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen day, then for
+    each day-offset 0..7, how many of the cohort were active. The cohort
+    label joins onto events by user_id (events shuffle once on user_id —
+    the same partitioning the first-seen agg produced, so Catalyst reuses
+    the exchange), activity dedupes to (cohort, offset, user) before
+    counting. Output rows = cohorts x offsets, never user-shaped."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"))
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = ev.join(first_seen, "user_id").select(
+        "user_id", "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"))
+    active = (joined.filter(F.col("day_offset") <= _RETENTION_MAX_OFFSET)
+              .select("cohort_day", "day_offset", "user_id").distinct())
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (active.groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).alias("active_users"))
+            .join(sizes, "cohort_day")
+            .select("cohort_day", "day_offset", "cohort_size", "active_users",
+                    F.round(F.col("active_users") / F.col("cohort_size"), 6)
+                    .alias("retention")))
+
+
+def retention_cohorts_oracle() -> str:
+    return f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first_seen AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT f.cohort_day, date_diff('day', f.cohort_day, e.day)
+             AS day_offset, e.user_id
+  FROM ev e JOIN first_seen f USING (user_id)
+  WHERE date_diff('day', f.cohort_day, e.day) <= {_RETENTION_MAX_OFFSET}
+),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size
+          FROM first_seen GROUP BY 1)
+SELECT a.cohort_day, CAST(a.day_offset AS INTEGER) AS day_offset,
+       s.cohort_size, count(*) AS active_users,
+       round(count(*) / s.cohort_size::DOUBLE, 6) AS retention
+FROM active a JOIN sizes s USING (cohort_day)
+GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+"""

@@ -165,6 +165,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_embedding_drift": profile_plans.source_embedding_drift,
     "order_price_histogram": profile_plans.order_price_histogram,
     "frequent_terms_bound": profile_plans.frequent_terms_bound,
+    "cumulative_users": profile_plans.cumulative_users,
+    "retention_cohorts": profile_plans.retention_cohorts,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -214,6 +216,8 @@ oracle("adaptive_length_filter", profile_plans.adaptive_length_filter_oracle())
 oracle("source_embedding_drift", profile_plans.source_embedding_drift_oracle())
 oracle("order_price_histogram", profile_plans.order_price_histogram_oracle())
 oracle("frequent_terms_bound", profile_plans.frequent_terms_bound_oracle())
+oracle("cumulative_users", profile_plans.cumulative_users_oracle())
+oracle("retention_cohorts", profile_plans.retention_cohorts_oracle())
 oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))

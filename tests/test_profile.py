@@ -26,6 +26,8 @@ ORACLE_CHECKED = [
     "source_embedding_drift",
     "order_price_histogram",
     "frequent_terms_bound",
+    "cumulative_users",
+    "retention_cohorts",
 ]
 
 
@@ -173,3 +175,30 @@ def test_frequent_terms_no_false_negatives(spark, sf_dir):
     rows = profile.frequent_terms_bound(spark, sf_dir).collect()
     assert rows, "stopword-like terms should exceed 2% support"
     assert all(r.found_in_sketch for r in rows)
+
+
+def test_cumulative_users_monotone_and_complete(spark, sf_dir):
+    from hadith_vector_search_spark.sources import load_table
+
+    rows = sorted(profile.cumulative_users(spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    assert rows
+    running = 0
+    for r in rows:
+        running += r.new_users
+        assert r.cumulative_users == running
+    n_users = (load_table(spark, sf_dir, "events")
+               .select("user_id").distinct().count())
+    assert rows[-1].cumulative_users == n_users
+
+
+def test_retention_day0_is_full_cohort(spark, sf_dir):
+    rows = profile.retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.day_offset <= profile._RETENTION_MAX_OFFSET
+        assert 0 < r.active_users <= r.cohort_size
+        if r.day_offset == 0:
+            # every cohort member is active on their first-seen day
+            assert r.active_users == r.cohort_size
+            assert r.retention == 1.0
