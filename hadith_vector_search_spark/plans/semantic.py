@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import norm
+from ..functions.vector import dot, norm
 from ..operators import similarity
 from ..sources import load_table
 
@@ -432,8 +432,30 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf5 = ann_topk_ivf(spark, sf_dir).select("vec_id")
     int85 = ann_topk_int8(spark, sf_dir).select("vec_id")
     pq5 = ann_topk_pq(spark, sf_dir).select("vec_id")
+    filt5 = ann_topk_filtered(spark, sf_dir).select("vec_id")
     epairs = similar_pairs(spark, sf_dir).select("id_a", "id_b")
     lpairs = similar_pairs_lsh(spark, sf_dir).select("id_a", "id_b")
+
+    def _exact_filtered():
+        # the honest baseline for the filtered variant: brute-force cosine
+        # over the SAME metadata-filtered corpus (query vector still read
+        # from the full table, matching `ann_topk_filtered`'s probe).
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = load_table(spark, sf_dir, "documents")
+        allowed = (docs.filter(F.col("lang") == ANN_FILTER_LANG)
+                   .select(F.col("doc_id").alias("vec_id")))
+        q = (emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+             .select(F.col("embedding").alias("qvec")))
+        return (emb.join(allowed, "vec_id", "left_semi")
+                .crossJoin(F.broadcast(q))
+                .select("vec_id",
+                        F.round(dot(F.col("embedding"), F.col("qvec")), 6)
+                        .alias("sim"))
+                .orderBy(F.desc("sim"), F.asc("vec_id"))
+                .limit(ANN_K)
+                .select("vec_id"))
+
+    exactf5 = _pinned(spark, sf_dir, "exact_filtered_topk5", _exact_filtered)
 
     def row(method: str, approx: DataFrame, exact: DataFrame,
             keys: list[str]) -> DataFrame:
@@ -448,6 +470,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(row("ann_topk_ivf", ivf5, exact5, ["vec_id"]))
             .unionByName(row("ann_topk_int8", int85, exact5, ["vec_id"]))
             .unionByName(row("ann_topk_pq", pq5, exact5, ["vec_id"]))
+            .unionByName(row("ann_topk_filtered", filt5, exactf5, ["vec_id"]))
             .unionByName(row("similar_pairs_lsh", lpairs, epairs,
                              ["id_a", "id_b"])))
 
@@ -728,6 +751,20 @@ pq5 AS (
   WHERE p.ia = {QUERY_VEC_ID}
   ORDER BY round(p.d, 6) DESC, p.ib ASC LIMIT {ANN_K}
 ),
+exactf5 AS (
+  SELECT p.ib AS vec_id
+  FROM pair_dot p JOIN documents dd ON p.ib = dd.doc_id
+  WHERE p.ia = {QUERY_VEC_ID} AND dd.lang = '{ANN_FILTER_LANG}'
+  ORDER BY round(p.d, 6) DESC, p.ib ASC LIMIT {ANN_K}
+),
+filt5 AS (
+  SELECT p.ib AS vec_id
+  FROM pair_dot p
+  JOIN ivf_c c ON p.ib = c.vec_id
+  JOIN documents dd ON p.ib = dd.doc_id
+  WHERE p.ia = {QUERY_VEC_ID} AND dd.lang = '{ANN_FILTER_LANG}'
+  ORDER BY round(p.d, 6) DESC, p.ib ASC LIMIT {ANN_K}
+),
 rows_ AS (
   SELECT 'ann_topk_lsh' AS method,
          (SELECT count(*) FROM lsh5 JOIN exact5 USING (vec_id)) AS hits,
@@ -744,6 +781,10 @@ rows_ AS (
   SELECT 'ann_topk_pq',
          (SELECT count(*) FROM pq5 JOIN exact5 USING (vec_id)),
          (SELECT count(*) FROM exact5)
+  UNION ALL
+  SELECT 'ann_topk_filtered',
+         (SELECT count(*) FROM filt5 JOIN exactf5 USING (vec_id)),
+         (SELECT count(*) FROM exactf5)
   UNION ALL
   SELECT 'similar_pairs_lsh',
          (SELECT count(*) FROM lpairs JOIN epairs USING (id_a, id_b)),

@@ -246,3 +246,15 @@ def test_filtered_ann_respects_predicate(spark, sf_dir):
         assert langs[h.vec_id] == ANN_FILTER_LANG
     sims = [h.sim for h in hits]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_recall_report_covers_every_ann_variant(spark, sf_dir):
+    from hadith_vector_search_spark.plans.semantic import ann_recall_report
+
+    rows = {r.method: r for r in ann_recall_report(spark, sf_dir).collect()}
+    assert set(rows) == {"ann_topk_lsh", "ann_topk_ivf", "ann_topk_int8",
+                         "ann_topk_pq", "ann_topk_filtered",
+                         "similar_pairs_lsh"}
+    for r in rows.values():
+        assert 0.0 <= r.recall <= 1.0
+        assert r.hits <= r.expected
