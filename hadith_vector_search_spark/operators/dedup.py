@@ -115,17 +115,28 @@ def band_explode(sigs: DataFrame, n_hashes: int = 8,
 
 
 def lsh_band_join(sigs_new: DataFrame, sigs_old: DataFrame,
-                  n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+                  n_hashes: int = 8, band_size: int = 2,
+                  max_bucket: int | None = None) -> DataFrame:
     """Incremental-ingest candidate generation: which NEW docs collide with
     which EXISTING docs in at least one LSH band. The join is new-bands ×
     old-bands on (band_id, band_key) — cost scales with the incoming batch
     and its bucket hits, never existing × existing (at deployment the old
     side is the persisted band index table, bucketed by band_key, so the
-    probe is bucket-local). Output: distinct (new_id, old_id)."""
+    probe is bucket-local). Output: distinct (new_id, old_id).
+
+    `max_bucket` is the same emergency valve as `lsh_band_pairs`': an
+    EXISTING-side band bucket larger than the cap stops yielding
+    candidates (bounded ingest cost under a corpus-side boilerplate
+    flood, explicit recall loss). None — the default on every
+    oracle-checked path — keeps standard LSH recall."""
     a = (band_explode(sigs_new, n_hashes, band_size)
          .select(F.col("doc_id").alias("new_id"), "band_id", "band_key"))
     b = (band_explode(sigs_old, n_hashes, band_size)
          .select(F.col("doc_id").alias("old_id"), "band_id", "band_key"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        b = (b.withColumn("_bn", F.count(F.lit(1)).over(w))
+             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     return (a.join(b, ["band_id", "band_key"])
             .select("new_id", "old_id")
             .distinct())

@@ -529,3 +529,21 @@ def test_incremental_neardup_is_cross_set_only(spark, sf_dir):
         # KL >= 0 up to the 1e-6 rounding of the emitted value
         assert r.kl_nats >= -1e-6
         assert r.n_tokens > 0
+
+
+def test_incremental_band_join_valve_bounds_flooded_bucket(spark):
+    """A 50-copy boilerplate flood on the EXISTING side: uncapped, every
+    flood copy is a candidate for the matching new doc; with the valve,
+    the flooded bucket stops yielding candidates while distinct docs
+    still match."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [("new", base)] + [(f"old{i}", base) for i in range(50)] + [
+        ("old_x", "completely different content about spark planning today ok")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    sharr = dedup._collapsed_shingles(docs, "text", "doc_id")
+    sigs_new = dedup.minhash_signatures(sharr.filter(F.col("doc_id") == "new"))
+    sigs_old = dedup.minhash_signatures(sharr.filter(F.col("doc_id") != "new"))
+    open_cands = dedup.lsh_band_join(sigs_new, sigs_old).collect()
+    assert len(open_cands) == 50            # every flood copy is a candidate
+    capped = dedup.lsh_band_join(sigs_new, sigs_old, max_bucket=10).collect()
+    assert len(capped) == 0                 # the flooded buckets are valved

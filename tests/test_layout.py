@@ -194,7 +194,9 @@ def test_plan_shape_invariant_across_scale_factors(spark):
               "cleaning_decisions", "decontamination_spans",
               "winnowed_fingerprints", "chunk_preview",
               "table_profile", "user_sessions_batch",
-              "greedy_pack_assignments", "rolling_event_rate"]
+              "greedy_pack_assignments", "rolling_event_rate",
+              "hybrid_search_rrf", "near_dup_incremental",
+              "domain_kl_divergence", "retention_cohorts"]
     for name in sample:
         shapes = {}
         for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
