@@ -791,3 +791,74 @@ SELECT a.cohort_day, CAST(a.day_offset AS INTEGER) AS day_offset,
 FROM active a JOIN sizes s USING (cohort_day)
 GROUP BY a.cohort_day, a.day_offset, s.cohort_size
 """
+
+
+# ---------------------------------------------------------------------------
+# event_funnel — ordered multi-stage conversion
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: a user converts at stage k only with an
+    event of that type STRICTLY AFTER their stage-(k-1) conversion time
+    (first-touch semantics). Each stage is a filtered min-ts aggregate on
+    user_id — the same hash partitioning throughout, so Catalyst chains
+    the joins without new exchanges on the user side; the final count is
+    one single-row agg unpivoted with `stack`. No per-user event
+    sequences are ever materialized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts")
+    s1 = (ev.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (ev.filter(F.col("event_type") == _FUNNEL_STAGES[1])
+          .join(s1, "user_id").filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == _FUNNEL_STAGES[2])
+          .join(s2, "user_id").filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    wide = (s1.join(s2.select("user_id", "t2"), "user_id", "left")
+            .join(s3.select("user_id", "t3"), "user_id", "left")
+            .agg(F.count("t1").alias("n1"),
+                 F.count("t2").alias("n2"),
+                 F.count("t3").alias("n3")))
+    return wide.selectExpr(
+        f"stack(3, 1, '{_FUNNEL_STAGES[0]}', n1, CAST(1.0 AS DOUBLE),"
+        f" 2, '{_FUNNEL_STAGES[1]}', n2,"
+        " round(n2 / CAST(nullif(n1, 0) AS DOUBLE), 6),"
+        f" 3, '{_FUNNEL_STAGES[2]}', n3,"
+        " round(n3 / CAST(nullif(n2, 0) AS DOUBLE), 6))"
+        " AS (stage_idx, stage, n_users, conversion)")
+
+
+def event_funnel_oracle() -> str:
+    s1, s2, s3 = _FUNNEL_STAGES
+    return f"""
+WITH st1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{s1}' GROUP BY 1
+),
+st2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN st1 USING (user_id)
+  WHERE e.event_type = '{s2}' AND e.ts > st1.t1
+  GROUP BY 1
+),
+st3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN st2 USING (user_id)
+  WHERE e.event_type = '{s3}' AND e.ts > st2.t2
+  GROUP BY 1
+),
+wide AS (
+  SELECT count(a.t1) AS n1, count(b.t2) AS n2, count(c.t3) AS n3
+  FROM st1 a LEFT JOIN st2 b USING (user_id) LEFT JOIN st3 c USING (user_id)
+)
+SELECT 1 AS stage_idx, '{s1}' AS stage, n1 AS n_users,
+       round(1.0, 6) AS conversion FROM wide
+UNION ALL
+SELECT 2, '{s2}', n2, round(n2 / CAST(nullif(n1, 0) AS DOUBLE), 6) FROM wide
+UNION ALL
+SELECT 3, '{s3}', n3, round(n3 / CAST(nullif(n2, 0) AS DOUBLE), 6) FROM wide
+"""

@@ -30,6 +30,7 @@ from .plans import profile as profile_plans
 from .plans import textstats as textstats_plans
 from .streaming import (
     streaming_dedup_docs,
+    streaming_neardup_ingest,
     streaming_embed_merge,
     streaming_event_rollup,
     streaming_merge_jsonl,
@@ -139,6 +140,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_merge_jsonl": streaming_merge_jsonl,
     "streaming_dedup_docs": streaming_dedup_docs,
     "streaming_embed_merge": streaming_embed_merge,
+    "streaming_neardup_ingest": streaming_neardup_ingest,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -167,6 +169,7 @@ QUERIES: dict[str, QueryFn] = {
     "frequent_terms_bound": profile_plans.frequent_terms_bound,
     "cumulative_users": profile_plans.cumulative_users,
     "retention_cohorts": profile_plans.retention_cohorts,
+    "event_funnel": profile_plans.event_funnel,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -218,6 +221,7 @@ oracle("order_price_histogram", profile_plans.order_price_histogram_oracle())
 oracle("frequent_terms_bound", profile_plans.frequent_terms_bound_oracle())
 oracle("cumulative_users", profile_plans.cumulative_users_oracle())
 oracle("retention_cohorts", profile_plans.retention_cohorts_oracle())
+oracle("event_funnel", profile_plans.event_funnel_oracle())
 oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))
@@ -238,6 +242,8 @@ oracle("near_dup_simhash", dedup_plans.near_dup_simhash_oracle())
 oracle("near_dup_boilerplate", dedup_plans.near_dup_boilerplate_oracle())
 oracle("near_dup_clusters", dedup_plans.near_dup_clusters_oracle())
 oracle("near_dup_incremental", dedup_plans.near_dup_incremental_oracle())
+# the streaming gate's drained result equals the batch incremental check
+oracle("streaming_neardup_ingest", dedup_plans.near_dup_incremental_oracle())
 oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
 oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())

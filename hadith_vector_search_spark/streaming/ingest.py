@@ -413,3 +413,70 @@ def streaming_embed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint())
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time NEAR-dup gate as a stream: arriving document batches
+    are shingled and minhash-signed inside each micro-batch, band-probed
+    against the published band-index snapshot (`lsh_band_join` — never
+    corpus x corpus), Jaccard-verified, and the verified matches plus the
+    batch's own signatures land in append sinks (the match log and the
+    maintained index). The probe targets the SNAPSHOT the stream started
+    from — the production policy for a dedup gate (probe a static
+    published index; republish periodically) — so the drained result is
+    batch-order independent and equals `near_dup_incremental` exactly,
+    which is what the shared oracle checks. `maxFilesPerTrigger=1` forces
+    genuinely multiple micro-batches over the incoming set."""
+    import tempfile
+
+    from ..operators import dedup as dedup_ops
+    from ..plans import dedup as dedup_plans
+    from ..sources import load_table
+
+    work = tempfile.mkdtemp(prefix="stream_neardup_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "pairs")
+    idx = os.path.join(work, "index")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        sharr = dedup_plans.get_shingle_index(spark, sf_dir)
+        is_new = (F.col("doc_id") % dedup_plans.INCR_MOD) == dedup_plans.INCR_REM
+        sigs_old = dedup_ops.minhash_signatures(
+            sharr.filter(~is_new), dedup_plans.N_HASHES).localCheckpoint()
+
+        (docs.filter(is_new).select("doc_id", "text")
+         .repartition(3).write.mode("overwrite").json(src))
+        schema = spark.createDataFrame([], "doc_id long, text string").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(src))
+
+        def process(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_sharr = dedup_ops._collapsed_shingles(
+                batch_df, "text", "doc_id")
+            sigs_new = dedup_ops.minhash_signatures(
+                batch_sharr, dedup_plans.N_HASHES)
+            cands = (dedup_ops.lsh_band_join(
+                sigs_new, sigs_old,
+                dedup_plans.N_HASHES, dedup_plans.BAND_SIZE)
+                .select(F.col("new_id").alias("id_a"),
+                        F.col("old_id").alias("id_b")))
+            pairs = dedup_ops.jaccard_verify(
+                cands, sharr, dedup_plans.JACCARD_THRESHOLD)
+            pairs.write.mode("append").parquet(out)
+            sigs_new.write.mode("append").parquet(idx)
+
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        if not os.path.isdir(out):
+            return spark.createDataFrame(
+                [], "new_id long, old_id long, jaccard double")
+        return (spark.read.parquet(out)
+                .select(F.col("id_a").alias("new_id"),
+                        F.col("id_b").alias("old_id"), "jaccard")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -28,6 +28,7 @@ ORACLE_CHECKED = [
     "frequent_terms_bound",
     "cumulative_users",
     "retention_cohorts",
+    "event_funnel",
 ]
 
 
@@ -202,3 +203,14 @@ def test_retention_day0_is_full_cohort(spark, sf_dir):
             # every cohort member is active on their first-seen day
             assert r.active_users == r.cohort_size
             assert r.retention == 1.0
+
+
+def test_funnel_is_monotone_nonincreasing(spark, sf_dir):
+    rows = sorted(profile.event_funnel(spark, sf_dir).collect(),
+                  key=lambda r: r.stage_idx)
+    assert [r.stage for r in rows] == list(profile._FUNNEL_STAGES)
+    ns = [r.n_users for r in rows]
+    assert ns[0] >= ns[1] >= ns[2] >= 0
+    assert rows[0].conversion == 1.0
+    for r in rows[1:]:
+        assert r.conversion is None or 0.0 <= r.conversion <= 1.0
