@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 
@@ -267,3 +268,113 @@ def event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id", "user_id", "ts", "click_event_id",
         F.round(F.col("delta_us") / F.lit(1000000.0), 6).alias("delta_seconds"))
+
+
+# ---------------------------------------------------------------------------
+# OLAP surfaces: ROLLUP, PIVOT, NTILE (round 5)
+# ---------------------------------------------------------------------------
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (segment → orderstatus → grand
+    total): one Expand-based aggregate — Catalyst plans grouping sets as
+    a single pass with map-side partials, not one scan per level. NULL
+    grouping keys are replaced with 'ALL' so the driver's hash compare
+    is unambiguous about subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (joined.rollup("c_mktsegment", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.coalesce("c_mktsegment", F.lit("ALL"))
+                    .alias("segment"),
+                    F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    "n_orders", "revenue"))
+
+
+def revenue_rollup_oracle() -> str:
+    return """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+"""
+
+
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide daily activity table: one row per day, one column per event
+    type. The pivot values are DECLARED (`pivot(col, values)`), so Spark
+    skips the extra distinct-scan job and plans a single aggregate whose
+    shuffle carries days × types cells."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.to_date("ts").alias("day"))
+            .pivot("event_type", list(_PIVOT_TYPES))
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, list(_PIVOT_TYPES)))
+
+
+def daily_event_pivot_oracle() -> str:
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS \"{t}\"" for t in _PIVOT_TYPES)
+    return f"""
+SELECT CAST(ts AS DATE) AS day,
+       {cols}
+FROM events
+GROUP BY 1
+"""
+
+
+_N_DECILES = 10
+
+
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile table: rank customers by lifetime spend with
+    ntile(10) (deterministic tie-break on custkey), then per-decile
+    count / bounds / share. The spend aggregate shuffles on custkey; the
+    ntile is ONE global sort of the ~customer-count aggregate (not the
+    orders fact), and the final roll-up is 10 groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("spend")))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    tiled = spend.withColumn("decile", F.ntile(_N_DECILES).over(w))
+    total = tiled.agg(F.sum("spend").alias("t")).select("t")
+    return (tiled.crossJoin(F.broadcast(total))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.min("spend"), 2).alias("min_spend"),
+                 F.round(F.max("spend"), 2).alias("max_spend"),
+                 F.round(F.sum("spend") / F.max("t"), 6)
+                 .alias("revenue_share")))
+
+
+def customer_value_deciles_oracle() -> str:
+    return f"""
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY 1
+),
+tiled AS (
+  SELECT o_custkey, spend,
+         ntile({_N_DECILES}) OVER (ORDER BY spend DESC, o_custkey ASC)
+             AS decile
+  FROM spend
+),
+total AS (SELECT sum(spend) AS t FROM spend)
+SELECT decile,
+       count(*) AS n_customers,
+       round(min(spend), 2) AS min_spend,
+       round(max(spend), 2) AS max_spend,
+       round(sum(spend) / max(t.t), 6) AS revenue_share
+FROM tiled CROSS JOIN total t
+GROUP BY decile
+"""

@@ -54,6 +54,9 @@ QUERIES: dict[str, QueryFn] = {
     "event_correlation": relational.event_correlation,
     "salted_user_rollup": relational.salted_user_rollup,
     "salted_segment_revenue": relational.salted_segment_revenue,
+    "revenue_rollup": relational.revenue_rollup,
+    "daily_event_pivot": relational.daily_event_pivot,
+    "customer_value_deciles": relational.customer_value_deciles,
     # lexical leg (SURVEY §2.7/§4.2)
     "term_doc_frequency": lexical.term_doc_frequency,
     "bm25_topk": lexical.bm25_topk,
@@ -222,6 +225,9 @@ oracle("frequent_terms_bound", profile_plans.frequent_terms_bound_oracle())
 oracle("cumulative_users", profile_plans.cumulative_users_oracle())
 oracle("retention_cohorts", profile_plans.retention_cohorts_oracle())
 oracle("event_funnel", profile_plans.event_funnel_oracle())
+oracle("revenue_rollup", relational.revenue_rollup_oracle())
+oracle("daily_event_pivot", relational.daily_event_pivot_oracle())
+oracle("customer_value_deciles", relational.customer_value_deciles_oracle())
 oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))

@@ -22,6 +22,9 @@ RELATIONAL = [
     "salted_segment_revenue",
     "event_attribution",
     "event_correlation",
+    "revenue_rollup",
+    "daily_event_pivot",
+    "customer_value_deciles",
 ]
 
 
