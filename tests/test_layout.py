@@ -204,3 +204,42 @@ def test_plan_shape_invariant_across_scale_factors(spark):
             shapes[sf] = scan_exchanges(df)
         a, b = shapes.values()
         assert a == b, (name, shapes)
+
+
+def test_bucketed_band_index_probe_prunes_buckets(spark, sf_dir, tmp_path):
+    """The incremental near-dup scale lever: the EXISTING corpus's band
+    index persisted bucketed by band_key makes an incoming batch's probe
+    (`lsh_band_join`'s old side) a bucket-pruned read — the on-lake
+    analogue of probing an LSH hash table instead of scanning it."""
+    from hadith_vector_search_spark.operators import dedup as dedup_ops
+    from hadith_vector_search_spark.plans import dedup as dedup_plans
+
+    sharr = dedup_plans.get_shingle_index(spark, sf_dir)
+    is_new = (F.col("doc_id") % dedup_plans.INCR_MOD) == dedup_plans.INCR_REM
+    bands_old = dedup_ops.band_explode(
+        dedup_ops.minhash_signatures(sharr.filter(~is_new)))
+    auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        write_bucketed(bands_old, "t_bands_b",
+                       str(tmp_path / "bands_b"), "band_key", 8)
+        b = spark.table("t_bands_b")
+        # an incoming doc's band keys = a point-lookup list
+        keys = [r.band_key for r in bands_old.limit(2).collect()]
+        probe = b.filter(F.col("band_key").isin(*keys))
+        plan = probe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        sel = [ln.strip() for ln in plan.splitlines()
+               if "SelectedBucketsCount" in ln]
+        assert sel, "no bucket pruning in plan:\n" + plan
+        import re as _re
+        m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", sel[0])
+        assert m and int(m.group(1)) < int(m.group(2)), sel[0]
+        assert probe.count() == bands_old.filter(
+            F.col("band_key").isin(*keys)).count()
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", auto)
+        spark.sql("DROP TABLE IF EXISTS t_bands_b")
