@@ -150,6 +150,53 @@ def ann_topk_lsh(emb: DataFrame, query_id: int, n_planes: int = 6, k: int = 5,
     )
 
 
+def ann_topk_lsh_multiprobe(emb: DataFrame, query_id: int,
+                            n_planes: int = 6, k: int = 5, n_flip: int = 2,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe sign-LSH (Lv et al. 2007, adapted to hyperplane LSH):
+    besides the query's own bucket, probe the buckets reached by flipping
+    the `n_flip` LOWEST-|margin| planes — the bits most likely to have
+    split true neighbors away. Recall rises toward exact at FIXED index
+    cost (no extra hash tables); scan cost grows to (1 + n_flip)
+    buckets, still ~N·(1+n_flip)/2^planes. Probe selection runs on the
+    1-row query side (margins rounded to 6 so the flip ORDER is
+    reproducible cross-engine; ties break on plane_id); the corpus-side
+    plan is identical to `ann_topk_lsh` with an IN-list bucket filter,
+    which bucket-partitioned storage turns into multi-partition
+    pruning."""
+    from ..functions.vector import vector_lit
+
+    plane_rows = sorted(data_planes(emb, n_planes, id_col, vec_col).collect(),
+                        key=lambda r: r.plane_id)
+    qsel = [F.col(vec_col).alias("qvec")]
+    for r in plane_rows:
+        d = dot(F.col(vec_col), vector_lit(r.pvec))
+        qsel.append((d >= 0).alias(f"s{r.plane_id}"))
+        qsel.append(F.round(d, 6).alias(f"m{r.plane_id}"))
+    q = emb.filter(F.col(id_col) == query_id).select(*qsel).collect()[0]
+    base = "".join("1" if q[f"s{i}"] else "0" for i in range(n_planes))
+    flip_order = sorted((abs(q[f"m{i}"]), i) for i in range(n_planes))
+    probes = [base]
+    for _, i in flip_order[:n_flip]:
+        probes.append(base[:i] + ("0" if base[i] == "1" else "1")
+                      + base[i + 1:])
+    bucket = F.concat(*[
+        F.when(dot(F.col(vec_col), vector_lit(r.pvec)) >= 0, F.lit("1"))
+         .otherwise(F.lit("0"))
+        for r in plane_rows
+    ])
+    qvec = vector_lit(q["qvec"])
+    return (
+        emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+        .filter(F.col("bucket").isin(probes))
+        .select(F.col(id_col),
+                F.round(dot(F.col(vec_col), qvec), 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_cell_assignments(emb: DataFrame, centroids: DataFrame,
                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign every vector to its nearest centroid cell (max dot, ties to

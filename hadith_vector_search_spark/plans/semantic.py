@@ -132,6 +132,58 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    LSH_PLANES, 5))
 
 
+ANN_N_FLIP = 2  # multi-probe: flip the 2 lowest-|margin| planes
+
+
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _pinned(spark, sf_dir, "lsh_topk5_multiprobe",
+                   lambda: similarity.ann_topk_lsh_multiprobe(
+                       emb, QUERY_VEC_ID, LSH_PLANES, 5, ANN_N_FLIP))
+
+
+def ann_topk_lsh_multiprobe_oracle() -> str:
+    return f"""
+WITH {_PAIR_DOT},
+plane_dot AS (
+  SELECT ia AS vec_id, ib AS plane_id, d
+  FROM pair_dot WHERE ib < {LSH_PLANES}
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane_id) AS bucket
+  FROM plane_dot GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {QUERY_VEC_ID}),
+flips AS (
+  SELECT plane_id FROM (
+    SELECT plane_id,
+           row_number() OVER (ORDER BY abs(round(d, 6)) ASC, plane_id ASC)
+               AS rn
+    FROM plane_dot WHERE vec_id = {QUERY_VEC_ID}
+  ) WHERE rn <= {ANN_N_FLIP}
+),
+probes AS (
+  SELECT bucket FROM qb
+  UNION ALL
+  SELECT substr(qb.bucket, 1, f.plane_id)
+         || (CASE WHEN substr(qb.bucket, f.plane_id + 1, 1) = '1'
+                  THEN '0' ELSE '1' END)
+         || substr(qb.bucket, f.plane_id + 2)
+  FROM qb, flips f
+),
+cands AS (
+  SELECT DISTINCT b.vec_id FROM buckets b JOIN probes p ON b.bucket = p.bucket
+)
+SELECT p.ib AS vec_id, round(p.d, 6) AS sim
+FROM pair_dot p JOIN cands c ON p.ib = c.vec_id
+WHERE p.ia = {QUERY_VEC_ID}
+ORDER BY sim DESC, vec_id ASC
+LIMIT 5
+"""
+
+
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return _pinned(spark, sf_dir, "ivf_topk5",

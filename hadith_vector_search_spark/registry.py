@@ -75,6 +75,7 @@ QUERIES: dict[str, QueryFn] = {
     "similar_pairs": semantic.similar_pairs,
     "similar_pairs_lsh": semantic.similar_pairs_lsh,
     "ann_topk_lsh": semantic.ann_topk_lsh,
+    "ann_topk_lsh_multiprobe": semantic.ann_topk_lsh_multiprobe,
     "ann_topk_ivf": semantic.ann_topk_ivf,
     "ann_recall_report": semantic.ann_recall_report,
     # iterative algorithm — no SQL oracle (driver rows-only check)
@@ -193,6 +194,7 @@ oracle("embedding_stats", semantic.EMBEDDING_STATS_SQL)
 oracle("similar_pairs", semantic.similar_pairs_oracle())
 oracle("similar_pairs_lsh", semantic.similar_pairs_lsh_oracle())
 oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
+oracle("ann_topk_lsh_multiprobe", semantic.ann_topk_lsh_multiprobe_oracle())
 oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 oracle("ann_recall_report", semantic.ann_recall_report_oracle())
 oracle("ann_topk_ivf_kmeans", semantic.ann_topk_ivf_kmeans_oracle())

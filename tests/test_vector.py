@@ -258,3 +258,21 @@ def test_recall_report_covers_every_ann_variant(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r.recall <= 1.0
         assert r.hits <= r.expected
+
+
+def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
+    """Multi-probe candidates are a superset of the single-bucket scan, so
+    its recall@k vs exact can never be lower."""
+    from hadith_vector_search_spark.plans.semantic import (
+        ann_topk_lsh,
+        ann_topk_lsh_multiprobe,
+        cosine_topk,
+    )
+
+    exact = [r.vec_id for r in cosine_topk(spark, sf_dir).collect()][:5]
+    single = {r.vec_id for r in ann_topk_lsh(spark, sf_dir).collect()}
+    multi = {r.vec_id for r in ann_topk_lsh_multiprobe(spark, sf_dir).collect()}
+    r_single = len(single & set(exact))
+    r_multi = len(multi & set(exact))
+    assert r_multi >= r_single
+    assert multi  # probes always include the query's own bucket
