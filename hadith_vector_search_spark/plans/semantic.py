@@ -907,3 +907,118 @@ rem AS (
 SELECT r.vec_id, r.kept_rep, round(p.d, 6) AS sim
 FROM rem r JOIN pair_dot p ON p.ia = r.kept_rep AND p.ib = r.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank — maximal-marginal-relevance diversified top-k
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_CANDS = 20
+MMR_K = 5
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998): greedily pick argmax of
+    λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the standard
+    post-processor that stops near-duplicate hits crowding a result page.
+
+    Decomposition for scale: relevance (top-`MMR_CANDS` exact cosine) and
+    the candidate×candidate similarity matrix are computed IN-PLAN with
+    the same JVM dot fold and 6-decimal rounding the oracle replays; the
+    greedy fold itself is O(k²) over one Arrow batch (applyInPandas on
+    the single candidate group) — sequential by definition, like
+    `greedy_pack_assignments`, and bounded by the over-fetch constant,
+    never the corpus. Ties break on (rounded score desc, vec_id asc) in
+    both engines."""
+    import pandas as pd
+
+    from ..operators.similarity import topk_by_query_id
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = _pinned(
+        spark, sf_dir, f"exact_topk{MMR_CANDS}",
+        lambda: topk_by_query_id(emb, QUERY_VEC_ID, MMR_CANDS))
+    cvec = emb.join(cands.select("vec_id"), "vec_id", "left_semi").select(
+        "vec_id", "embedding")
+    a = cvec.select(F.col("vec_id").alias("ia"),
+                    F.col("embedding").alias("va"))
+    b = cvec.select(F.col("vec_id").alias("ib"),
+                    F.col("embedding").alias("vb"))
+    from ..functions.vector import dot as vdot
+    pairs = (a.crossJoin(b)
+             .select("ia", "ib",
+                     F.round(vdot(F.col("va"), F.col("vb")), 6).alias("d")))
+    feed = (pairs.join(cands.select(F.col("vec_id").alias("ia"),
+                                    F.col("sim").alias("simq")), "ia")
+            .withColumn("_g", F.lit(1)))
+
+    lam = MMR_LAMBDA
+    k = MMR_K
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        simq = (pdf.drop_duplicates("ia").set_index("ia")["simq"].to_dict())
+        pair = {(r.ia, r.ib): r.d for r in pdf.itertuples()}
+        remaining = sorted(simq)
+        selected, out = [], []
+        for step in range(1, min(k, len(remaining)) + 1):
+            best = None
+            for c in remaining:
+                if step == 1:
+                    score = round(lam * simq[c], 6)
+                else:
+                    m = max(pair[(c, s)] for s in selected)
+                    score = round(lam * simq[c] - (1 - lam) * m, 6)
+                cand = (-score, c)
+                if best is None or cand < best:
+                    best = cand
+            score, chosen = -best[0], best[1]
+            selected.append(chosen)
+            remaining.remove(chosen)
+            out.append((step, chosen, simq[chosen], score))
+        return pd.DataFrame(out, columns=["rank", "vec_id", "simq",
+                                          "mmr_score"])
+
+    return (feed.groupBy("_g").applyInPandas(
+        greedy, "rank int, vec_id long, simq double, mmr_score double"))
+
+
+def mmr_rerank_oracle() -> str:
+    lam = MMR_LAMBDA
+    return f"""
+WITH RECURSIVE {_PAIR_DOT},
+cands AS (
+  SELECT ib AS vec_id, round(d, 6) AS simq
+  FROM pair_dot WHERE ia = {QUERY_VEC_ID}
+  ORDER BY round(d, 6) DESC, ib ASC LIMIT {MMR_CANDS}
+),
+cpair AS (
+  SELECT p.ia, p.ib, round(p.d, 6) AS d
+  FROM pair_dot p
+  JOIN cands x ON p.ia = x.vec_id
+  JOIN cands y ON p.ib = y.vec_id
+),
+sel AS (
+  SELECT 1 AS rank, vec_id, simq, round({lam} * simq, 6) AS mmr_score,
+         [vec_id] AS chosen
+  FROM (SELECT vec_id, simq FROM cands
+        ORDER BY round({lam} * simq, 6) DESC, vec_id ASC LIMIT 1)
+  UNION ALL
+  SELECT sel.rank + 1, nxt.vec_id, nxt.simq, nxt.score,
+         list_append(sel.chosen, nxt.vec_id)
+  FROM sel, LATERAL (
+    SELECT c.vec_id, c.simq,
+           round({lam} * c.simq - {round(1 - lam, 6)} *
+                 (SELECT max(p.d) FROM cpair p
+                  WHERE p.ia = c.vec_id
+                    AND list_contains(sel.chosen, p.ib)), 6) AS score
+    FROM cands c
+    WHERE NOT list_contains(sel.chosen, c.vec_id)
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT 1
+  ) nxt
+  WHERE sel.rank < {MMR_K}
+)
+SELECT rank, vec_id, simq, mmr_score FROM sel
+"""

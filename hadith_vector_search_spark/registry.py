@@ -84,6 +84,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
     "semantic_dedup_list": semantic.semantic_dedup_list,
+    "mmr_rerank": semantic.mmr_rerank,
     # router + hybrid pipeline (SURVEY §2.9, §3.1)
     "intent_router": routing.intent_router,
     "routed_search_batch": routed.routed_search_batch,
@@ -202,6 +203,7 @@ oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())
 oracle("semantic_dedup_list", semantic.semantic_dedup_list_oracle())
+oracle("mmr_rerank", semantic.mmr_rerank_oracle())
 oracle("dedup_removal_list", dedup_plans.dedup_removal_list_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())

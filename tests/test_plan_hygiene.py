@@ -24,6 +24,7 @@ ARROW_ALLOWED = {
     "multimodal_metadata", "multimodal_frames", "multimodal_frame_features",
     "greedy_pack_assignments",
     "streaming_user_totals_stateful",
+    "mmr_rerank",
 }
 
 

@@ -276,3 +276,20 @@ def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
     r_multi = len(multi & set(exact))
     assert r_multi >= r_single
     assert multi  # probes always include the query's own bucket
+
+
+def test_mmr_first_pick_is_top_relevance_and_scores_decrease_in_rank(spark, sf_dir):
+    from hadith_vector_search_spark.plans.semantic import (
+        MMR_K,
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    rows = sorted(mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, MMR_K + 1))
+    top1 = cosine_topk(spark, sf_dir).collect()[0]
+    assert rows[0].vec_id == top1.vec_id        # rank 1 = pure relevance
+    assert len({r.vec_id for r in rows}) == MMR_K   # no repeats
+    # each pick's relevance never exceeds the previous pick's by rank-1
+    # construction on a sorted candidate list
+    assert rows[0].simq == max(r.simq for r in rows)
