@@ -928,3 +928,62 @@ def hamming(a: Column, b: Column, n_bits: int) -> Column:
         F.lit(0),
         lambda acc, v: acc + v,
     )
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", w: int = SHINGLE_W,
+                      threshold: float = 0.9, min_size: int = 5,
+                      sharr: DataFrame | None = None) -> DataFrame:
+    """ASYMMETRIC set containment join: pairs where |A∩B| / |A| >= t —
+    the quote/excerpt detector. Jaccard-based near-dup misses a short doc
+    embedded in a long one (the union term swamps the overlap); containment
+    is the right measure, and it is NOT symmetric: (a contained-in b) and
+    (b contained-in a) qualify independently.
+
+    Lossless prefix filter, containment form: containment >= t forces A to
+    share >= ceil(t·|A|) shingles with B, so at least one of A's
+    (|A| − ceil(t·|A|) + 1) globally-RAREST shingles must appear in B —
+    the probe side joins only its rare prefix against the indexed side's
+    full shingle postings (no length filter exists here by design: |B| may
+    be arbitrarily large). Verification is exact array_intersect on
+    candidates. Tiny probe sets (< min_size shingles) are excluded — they
+    qualify on trivial overlaps.
+
+    Scale: probe volume = prefix rows (~(1−t)·|A|+1 per doc), keyed on
+    rare shingles (bounded buckets, as in `ngram_jaccard_pairs`); at
+    corpus scale the same exact-set collapse applied there bolts on
+    identically (representatives probe, members expand) — kept plain here
+    because the collapse machinery is already proven on the Jaccard path
+    and this operator shares its shingle index. Output:
+    (contained_id, container_id, containment)."""
+    per_doc = sharr if sharr is not None else _collapsed_shingles(
+        docs, text_col, id_col, w)
+    base = per_doc.select("doc_id", "shingles").filter(
+        F.size("shingles") >= min_size)
+    sh = base.select("doc_id", F.size("shingles").alias("set_size"),
+                     F.explode("shingles").alias("shingle"))
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix_len = (F.col("set_size")
+                  - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9))
+                  + 1)
+    prefix = (sh.join(df_tbl, "shingle")
+              .withColumn("rn", F.row_number().over(w_rank))
+              .filter(F.col("rn") <= prefix_len)
+              .select(F.col("doc_id").alias("id_a"), "shingle"))
+    cand = (prefix.join(sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+                        "shingle")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b").distinct()
+            .localCheckpoint(eager=False))
+    sa = base.select(F.col("doc_id").alias("id_a"),
+                     F.col("shingles").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("id_b"),
+                     F.col("shingles").alias("sh_b"))
+    cont = (F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+            .cast("double") / F.size("sh_a"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select(F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.round(cont, 6).alias("containment"))
+            .filter(F.col("containment") >= threshold))

@@ -749,3 +749,64 @@ SELECT least(src_a, src_b) AS source_a,
        count(*) AS n_pairs
 FROM lab GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# containment (quote/excerpt) join
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.9
+CONTAIN_MIN_SIZE = 5
+
+
+def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join over the shared shingle index: docs
+    whose shingle set is >= 90% contained in another doc's — the
+    quote/excerpt detector Jaccard-based near-dup structurally misses
+    (a short doc inside a long one has high containment but low
+    Jaccard)."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=CONTAIN_THRESHOLD, min_size=CONTAIN_MIN_SIZE,
+        sharr=get_shingle_index(spark, sf_dir))
+
+
+def near_dup_containment_oracle() -> str:
+    t = CONTAIN_THRESHOLD
+    return f"""
+WITH {_SHINGLES_CTE},
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+  HAVING count(*) >= {CONTAIN_MIN_SIZE}
+),
+shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN sizes USING (doc_id)),
+dfreq AS (SELECT shingle, count(*) AS df FROM shf GROUP BY 1),
+ranked AS (
+  SELECT s.doc_id, s.shingle,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df ASC, s.shingle ASC) AS rn,
+         z.n
+  FROM shf s JOIN dfreq d USING (shingle) JOIN sizes z USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, shingle FROM ranked
+  WHERE rn <= n - ceil({t} * n - 1e-9) + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a
+  JOIN shf b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS cnt
+  FROM cands c
+  JOIN shf x ON x.doc_id = c.id_a
+  JOIN shf y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a AS contained_id, c.id_b AS container_id,
+       round(c.cnt::DOUBLE / sa.n, 6) AS containment
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+WHERE round(c.cnt::DOUBLE / sa.n, 6) >= {t}
+"""

@@ -108,6 +108,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
     "near_dup_clusters": dedup_plans.near_dup_clusters,
     "near_dup_incremental": dedup_plans.near_dup_incremental,
+    "near_dup_containment": dedup_plans.near_dup_containment,
     "dedup_removal_list": dedup_plans.dedup_removal_list,
     "source_overlap_matrix": dedup_plans.source_overlap_matrix,
     "doc_dup_fraction": dedup_plans.doc_dup_fraction,
@@ -252,6 +253,7 @@ oracle("near_dup_simhash", dedup_plans.near_dup_simhash_oracle())
 oracle("near_dup_boilerplate", dedup_plans.near_dup_boilerplate_oracle())
 oracle("near_dup_clusters", dedup_plans.near_dup_clusters_oracle())
 oracle("near_dup_incremental", dedup_plans.near_dup_incremental_oracle())
+oracle("near_dup_containment", dedup_plans.near_dup_containment_oracle())
 # the streaming gate's drained result equals the batch incremental check
 oracle("streaming_neardup_ingest", dedup_plans.near_dup_incremental_oracle())
 oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())

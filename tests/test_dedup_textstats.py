@@ -547,3 +547,27 @@ def test_incremental_band_join_valve_bounds_flooded_bucket(spark):
     assert len(open_cands) == 50            # every flood copy is a candidate
     capped = dedup.lsh_band_join(sigs_new, sigs_old, max_bucket=10).collect()
     assert len(capped) == 0                 # the flooded buckets are valved
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short quote embedded verbatim in a long doc: containment ~1.0,
+    Jaccard far below 0.8 — the asymmetric join must find it and the
+    Jaccard join must (correctly) not."""
+    quote = "actions are judged by intentions and every person gets reward"
+    filler = ("the long host document discusses many unrelated matters "
+              "of jurisprudence travel commerce fasting prayer charity "
+              "in extended detail before quoting that ")
+    docs = _docs(spark, [
+        ("q", quote),
+        ("host", filler + quote + " and then continues with more analysis"),
+        ("other", "completely different content about spark planning"),
+    ])
+    got = {(r.contained_id, r.container_id): r.containment
+           for r in dedup.containment_pairs(docs, threshold=0.9,
+                                            min_size=5).collect()}
+    assert ("q", "host") in got
+    assert got[("q", "host")] >= 0.9
+    assert ("host", "q") not in got            # asymmetric: host not in quote
+    jac = {(r.id_a, r.id_b) for r in
+           dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert ("host", "q") not in jac and ("q", "host") not in jac
