@@ -862,3 +862,94 @@ SELECT 2, '{s2}', n2, round(n2 / CAST(nullif(n1, 0) AS DOUBLE), 6) FROM wide
 UNION ALL
 SELECT 3, '{s3}', n3, round(n3 / CAST(nullif(n2, 0) AS DOUBLE), 6) FROM wide
 """
+
+
+# ---------------------------------------------------------------------------
+# length_psi_drift — population stability index between corpus halves
+# ---------------------------------------------------------------------------
+
+_PSI_BIN_W = 64.0
+_PSI_BINS = 10
+
+
+def length_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per language over the doc-length
+    distribution: the standard drift monitor between a REFERENCE slice and
+    a CURRENT slice (here the deterministic doc_id parity halves stand in
+    for consecutive snapshots). Fixed-width tail-clamped bins (as
+    `order_price_histogram`), Laplace-smoothed shares so empty bins stay
+    finite, PSI = Σ (p−q)·ln(p/q). One scan → per-(lang, half, bin)
+    map-side counts → two tiny joins; nothing row-shaped survives the
+    first aggregate. PSI < 0.1 is the conventional 'stable' reading."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id",
+                                                         "n_chars")
+    half = (F.col("doc_id") % 2 == 0)
+    bucket = F.least(F.floor(F.col("n_chars") / _PSI_BIN_W),
+                     F.lit(_PSI_BINS - 1)).cast("long")
+    counts = (docs.groupBy("lang", half.alias("is_ref"),
+                           bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    totals = counts.groupBy("lang", "is_ref").agg(F.sum("c").alias("n"))
+    # Laplace smoothing: share = (c + 1) / (n + bins); absent bins get
+    # 1 / (n + bins) via the full outer bin frame below.
+    ref = (counts.filter(F.col("is_ref")).drop("is_ref")
+           .withColumnRenamed("c", "cr"))
+    cur = (counts.filter(~F.col("is_ref")).drop("is_ref")
+           .withColumnRenamed("c", "cc"))
+    both = (ref.join(cur, ["lang", "bucket"], "full_outer")
+            .na.fill(0, ["cr", "cc"]))
+    nr = (totals.filter(F.col("is_ref"))
+          .select("lang", F.col("n").alias("nr")))
+    nc = (totals.filter(~F.col("is_ref"))
+          .select("lang", F.col("n").alias("nc")))
+    joined = both.join(nr, "lang").join(nc, "lang")
+    p = (F.col("cr") + 1) / (F.col("nr") + _PSI_BINS)
+    q = (F.col("cc") + 1) / (F.col("nc") + _PSI_BINS)
+    return (joined.groupBy("lang")
+            .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+                 F.count(F.lit(1)).alias("n_bins"),
+                 F.max("nr").cast("long").alias("n_ref"),
+                 F.max("nc").cast("long").alias("n_cur")))
+
+
+def length_psi_drift_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT lang, doc_id % 2 = 0 AS is_ref,
+         CAST(least(floor(n_chars / {_PSI_BIN_W}), {_PSI_BINS - 1}) AS BIGINT)
+             AS bucket
+  FROM documents
+),
+counts AS (
+  SELECT lang, is_ref, bucket, count(*) AS c FROM base GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT lang, is_ref, CAST(sum(c) AS BIGINT) AS n
+  FROM counts GROUP BY 1, 2
+),
+ref AS (SELECT lang, bucket, c AS cr FROM counts WHERE is_ref),
+cur AS (SELECT lang, bucket, c AS cc FROM counts WHERE NOT is_ref),
+merged AS (
+  SELECT coalesce(r.lang, u.lang) AS lang,
+         coalesce(r.bucket, u.bucket) AS bucket,
+         coalesce(r.cr, 0) AS cr, coalesce(u.cc, 0) AS cc
+  FROM ref r FULL OUTER JOIN cur u
+    ON r.lang = u.lang AND r.bucket = u.bucket
+),
+j AS (
+  SELECT b.lang, b.cr, b.cc, tr.n AS nr, tc.n AS nc
+  FROM merged b
+  JOIN totals tr ON tr.lang = b.lang AND tr.is_ref
+  JOIN totals tc ON tc.lang = b.lang AND NOT tc.is_ref
+)
+SELECT lang,
+       round(sum(((cr + 1.0) / (nr + {_PSI_BINS})
+                  - (cc + 1.0) / (nc + {_PSI_BINS}))
+                 * ln(((cr + 1.0) / (nr + {_PSI_BINS}))
+                      / ((cc + 1.0) / (nc + {_PSI_BINS})))), 6) AS psi,
+       count(*) AS n_bins,
+       CAST(max(nr) AS BIGINT) AS n_ref,
+       CAST(max(nc) AS BIGINT) AS n_cur
+FROM j
+GROUP BY lang
+"""

@@ -176,6 +176,7 @@ QUERIES: dict[str, QueryFn] = {
     "cumulative_users": profile_plans.cumulative_users,
     "retention_cohorts": profile_plans.retention_cohorts,
     "event_funnel": profile_plans.event_funnel,
+    "length_psi_drift": profile_plans.length_psi_drift,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -230,6 +231,7 @@ oracle("frequent_terms_bound", profile_plans.frequent_terms_bound_oracle())
 oracle("cumulative_users", profile_plans.cumulative_users_oracle())
 oracle("retention_cohorts", profile_plans.retention_cohorts_oracle())
 oracle("event_funnel", profile_plans.event_funnel_oracle())
+oracle("length_psi_drift", profile_plans.length_psi_drift_oracle())
 oracle("revenue_rollup", relational.revenue_rollup_oracle())
 oracle("daily_event_pivot", relational.daily_event_pivot_oracle())
 oracle("customer_value_deciles", relational.customer_value_deciles_oracle())

@@ -29,6 +29,7 @@ ORACLE_CHECKED = [
     "cumulative_users",
     "retention_cohorts",
     "event_funnel",
+    "length_psi_drift",
 ]
 
 
@@ -214,3 +215,20 @@ def test_funnel_is_monotone_nonincreasing(spark, sf_dir):
     assert rows[0].conversion == 1.0
     for r in rows[1:]:
         assert r.conversion is None or 0.0 <= r.conversion <= 1.0
+
+
+def test_psi_zero_when_halves_identical(spark):
+    """Identical reference and current distributions give PSI ~ 0."""
+    rows = [(i, "en", 100 + (i // 2) % 5 * 64) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    orig = profile.load_table
+    try:
+        profile.load_table = lambda _s, _d, name: df  # noqa: ARG005
+        out = profile.length_psi_drift(spark, "ignored").collect()
+    finally:
+        profile.load_table = orig
+    assert len(out) == 1
+    # consecutive ids pair one even + one odd doc of the same length:
+    # the parity halves are identical distributions
+    assert abs(out[0].psi) < 1e-9
+    assert out[0].n_ref == out[0].n_cur == 100
