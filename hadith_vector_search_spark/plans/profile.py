@@ -953,3 +953,105 @@ SELECT lang,
 FROM j
 GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# decayed_user_value — exponential time-decay aggregation
+# ---------------------------------------------------------------------------
+
+_DECAY_TAU_S = 86_400.0  # e-folding time: one day
+
+
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially decayed activity value at the corpus's last
+    timestamp: Σ value·exp(−Δt/τ) — the standard recency-weighted feature
+    (decay makes a week-old purchase worth ~e⁻⁷ of a fresh one). The
+    anchor T = max(ts) comes from a one-row agg broadcast into the scan;
+    the decay is a map-side expression feeding ONE partial agg on
+    user_id. Microsecond Δt keeps both engines' exponents bit-identical
+    before the exp; the sum rounds to 4."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("t_max")).select("t_max")
+    dt_s = ((F.unix_micros(F.col("t_max")) - F.unix_micros(F.col("ts")))
+            / 1_000_000.0)
+    return (ev.crossJoin(F.broadcast(anchor))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value")
+                               * F.exp(-dt_s / _DECAY_TAU_S)), 4)
+                 .alias("decayed_value"),
+                 F.round(F.sum("value"), 4).alias("raw_value")))
+
+
+def decayed_user_value_oracle() -> str:
+    return f"""
+WITH anchor AS (SELECT max(ts) AS t_max FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value * exp(-((epoch_us(t_max) - epoch_us(ts))
+                               / 1000000.0) / {_DECAY_TAU_S})), 4)
+           AS decayed_value,
+       round(sum(value), 4) AS raw_value
+FROM events CROSS JOIN anchor
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# epoch_plan — multi-epoch schedule for oversubscribed domains
+# ---------------------------------------------------------------------------
+
+
+def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the other half of the mix-plan loop: a language whose target
+    EXCEEDS its available tokens needs repetition — full epochs =
+    floor(target/available), plus a fractional final epoch sampled at the
+    remainder rate (the standard up-sampling schedule; >4 epochs is the
+    conventional diminishing-returns warning, cf. the data-constrained
+    scaling literature). Pure arithmetic on the ~n_langs mix rows."""
+    from .pipeline import MIX_BUDGET_TOKENS, MIX_TARGET
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokenize
+    avail = (docs.select("lang", F.size(tokenize(F.col("text"))).alias("_t"))
+             .groupBy("lang")
+             .agg(F.sum("_t").cast("long").alias("available_tokens")))
+    weight = F.lit(0.0)
+    for lang, wt in MIX_TARGET.items():
+        weight = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(weight)
+    target = F.round(weight * MIX_BUDGET_TOKENS, 6)
+    av = F.greatest(F.col("available_tokens").cast("double"), F.lit(1.0))
+    full = F.floor(target / av).cast("long")
+    frac = F.round(target / av - full, 6)
+    return avail.select(
+        "lang", "available_tokens", target.alias("target_tokens"),
+        full.alias("full_epochs"), frac.alias("final_epoch_rate"),
+        (full >= 4).alias("repetition_warning"))
+
+
+def epoch_plan_oracle() -> str:
+    from .pipeline import MIX_BUDGET_TOKENS, MIX_TARGET
+    weight = ("CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {w}" for lang, w in MIX_TARGET.items())
+        + " ELSE 0.0 END")
+    return f"""
+WITH avail AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(string_split_regex(lower(text),
+              '[^a-z0-9_؀-ۿ]+'), x -> length(x) >= 2))) AS BIGINT)
+             AS available_tokens
+  FROM documents GROUP BY lang
+),
+m AS (
+  SELECT lang, available_tokens,
+         round(({weight}) * {MIX_BUDGET_TOKENS}, 6) AS target_tokens,
+         greatest(available_tokens::DOUBLE, 1.0) AS av
+  FROM avail
+)
+SELECT lang, available_tokens, target_tokens,
+       CAST(floor(target_tokens / av) AS BIGINT) AS full_epochs,
+       round(target_tokens / av - floor(target_tokens / av), 6)
+           AS final_epoch_rate,
+       floor(target_tokens / av) >= 4 AS repetition_warning
+FROM m
+"""

@@ -177,6 +177,8 @@ QUERIES: dict[str, QueryFn] = {
     "retention_cohorts": profile_plans.retention_cohorts,
     "event_funnel": profile_plans.event_funnel,
     "length_psi_drift": profile_plans.length_psi_drift,
+    "decayed_user_value": profile_plans.decayed_user_value,
+    "epoch_plan": profile_plans.epoch_plan,
 }
 
 # BM25 oracles are generated from the same fixed query strings the Spark
@@ -232,6 +234,8 @@ oracle("cumulative_users", profile_plans.cumulative_users_oracle())
 oracle("retention_cohorts", profile_plans.retention_cohorts_oracle())
 oracle("event_funnel", profile_plans.event_funnel_oracle())
 oracle("length_psi_drift", profile_plans.length_psi_drift_oracle())
+oracle("decayed_user_value", profile_plans.decayed_user_value_oracle())
+oracle("epoch_plan", profile_plans.epoch_plan_oracle())
 oracle("revenue_rollup", relational.revenue_rollup_oracle())
 oracle("daily_event_pivot", relational.daily_event_pivot_oracle())
 oracle("customer_value_deciles", relational.customer_value_deciles_oracle())

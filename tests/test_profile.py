@@ -30,6 +30,8 @@ ORACLE_CHECKED = [
     "retention_cohorts",
     "event_funnel",
     "length_psi_drift",
+    "decayed_user_value",
+    "epoch_plan",
 ]
 
 
@@ -232,3 +234,25 @@ def test_psi_zero_when_halves_identical(spark):
     # the parity halves are identical distributions
     assert abs(out[0].psi) < 1e-9
     assert out[0].n_ref == out[0].n_cur == 100
+
+
+def test_decay_bounds_and_epoch_consistency(spark, sf_dir):
+    rows = profile.decayed_user_value(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # decay never amplifies, and never crosses zero for positive values
+        assert 0 <= r.decayed_value <= r.raw_value + 1e-9
+
+    from hadith_vector_search_spark.plans.pipeline import domain_mix_plan
+
+    plan = {r.lang: r for r in domain_mix_plan(spark, sf_dir).collect()}
+    ep = {r.lang: r for r in profile.epoch_plan(spark, sf_dir).collect()}
+    assert set(ep) == set(plan)
+    for lang, r in ep.items():
+        assert r.full_epochs >= 0
+        assert 0.0 <= r.final_epoch_rate < 1.0 + 1e-9
+        if plan[lang].oversubscribed:
+            assert r.full_epochs >= 1
+        else:
+            assert r.full_epochs == 0
+            assert abs(r.final_epoch_rate - plan[lang].sampling_rate) < 1e-6
