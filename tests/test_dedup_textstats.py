@@ -571,3 +571,35 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     jac = {(r.id_a, r.id_b) for r in
            dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
     assert ("host", "q") not in jac and ("q", "host") not in jac
+
+
+def test_containment_prefix_filter_is_lossless_randomized(spark):
+    """The containment-form prefix filter must find EVERY ordered pair
+    with containment >= t that a brute-force all-pairs scan finds, across
+    seeded corpora with heavy shingle sharing."""
+    import random
+
+    for seed in (13, 31):
+        rng = random.Random(seed)
+        pool = [f"wd{i:02d}" for i in range(14)]
+        rows = []
+        for d in range(25):
+            n = rng.randint(7, 16)
+            rows.append((f"d{d}", " ".join(rng.choice(pool) for _ in range(n))))
+        docs = _docs(spark, rows)
+        t, ms = 0.8, 5
+        got = {(r.contained_id, r.container_id) for r in
+               dedup.containment_pairs(docs, threshold=t,
+                                       min_size=ms).collect()}
+        sharr = dedup.shingle_array(docs).filter(F.size("shingles") >= ms)
+        a = sharr.select(F.col("doc_id").alias("id_a"),
+                         F.col("shingles").alias("sh_a"))
+        b = sharr.select(F.col("doc_id").alias("id_b"),
+                         F.col("shingles").alias("sh_b"))
+        cont = (F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+                .cast("double") / F.size("sh_a"))
+        brute = (a.join(b, F.col("id_a") != F.col("id_b"))
+                 .withColumn("c", F.round(cont, 6))
+                 .filter(F.col("c") >= t))
+        want = {(r.id_a, r.id_b) for r in brute.collect()}
+        assert got == want, f"seed {seed}: {got ^ want}"
