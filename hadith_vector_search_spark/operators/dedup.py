@@ -865,6 +865,65 @@ def positions_to_spans(marked: DataFrame, w: int) -> DataFrame:
 WINNOW_GUARANTEE = 4
 
 
+def _winnow_selected(docs: DataFrame, w: int = DUPSPAN_W,
+                     guarantee: int = WINNOW_GUARANTEE,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Shared winnowing selection (see `winnowed_fingerprints` for the
+    algorithm and determinism notes): one row per (doc, window position)
+    with the per-frame minimum encoded selection in `_sel` and the doc's
+    full-window count in `n_windows`, already restricted to positions
+    that head a full `guarantee`-length frame."""
+    toks_df = docs.select(F.col(id_col).alias("doc_id"),
+                          tokenize(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    sh = t
+    for j in range(1, w):
+        shifted = F.slice(t, j + 1, F.size(t))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    n_full = F.greatest(F.size(t) - (w - 1), F.lit(0))
+    arr = F.slice(sh, 1, n_full)
+    wins = (toks_df.select("doc_id", F.explode(F.array(arr)).alias("_wins"))
+            .select("doc_id", F.posexplode("_wins").alias("pos", "_w"))
+            .select("doc_id", "pos",
+                    F.concat(F.sha2(F.col("_w"), 256), F.lit("#"),
+                             F.lpad(F.col("pos").cast("string"), 8, "0"))
+                    .alias("enc")))
+    per_doc = Window.partitionBy("doc_id")
+    frame = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(0, guarantee - 1))
+    return (wins
+            .withColumn("n_windows", F.count(F.lit(1)).over(per_doc))
+            .withColumn("_sel", F.min("enc").over(frame))
+            .filter(F.col("pos") <= F.col("n_windows") - guarantee))
+
+
+def winnow_match_pairs(docs: DataFrame, w: int = DUPSPAN_W,
+                       guarantee: int = WINNOW_GUARANTEE,
+                       min_shared: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The MOSS MATCHING step on top of winnowing selection: candidate
+    document pairs ranked by how many selected fingerprints they share
+    (the position suffix is stripped — the matchable identity is the
+    window hash). By the winnowing guarantee, any common substring of
+    >= w + guarantee - 1 tokens forces at least one shared fingerprint,
+    so this join finds every long verbatim overlap while each doc
+    contributes only ~2/(guarantee+1) of its positions to the join.
+    Shared-count >= `min_shared` filters the single-collision noise
+    floor. Output: (id_a, id_b, shared_fps), id_a < id_b."""
+    sel = _winnow_selected(docs, w, guarantee, text_col, id_col)
+    fps = (sel.select("doc_id", F.substring("_sel", 1, 64).alias("fp"))
+           .distinct())
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared))
+
+
 def winnowed_fingerprints(docs: DataFrame, w: int = DUPSPAN_W,
                           guarantee: int = WINNOW_GUARANTEE,
                           text_col: str = "text",
@@ -889,28 +948,7 @@ def winnowed_fingerprints(docs: DataFrame, w: int = DUPSPAN_W,
     is sha256 over the doc's sorted distinct selections, pinning the
     exact fingerprint SET compactly. One narrow window pass + two
     per-doc window functions + one groupBy."""
-    toks_df = docs.select(F.col(id_col).alias("doc_id"),
-                          tokenize(F.col(text_col)).alias("_toks"))
-    t = F.col("_toks")
-    sh = t
-    for j in range(1, w):
-        shifted = F.slice(t, j + 1, F.size(t))
-        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    n_full = F.greatest(F.size(t) - (w - 1), F.lit(0))
-    arr = F.slice(sh, 1, n_full)
-    wins = (toks_df.select("doc_id", F.explode(F.array(arr)).alias("_wins"))
-            .select("doc_id", F.posexplode("_wins").alias("pos", "_w"))
-            .select("doc_id", "pos",
-                    F.concat(F.sha2(F.col("_w"), 256), F.lit("#"),
-                             F.lpad(F.col("pos").cast("string"), 8, "0"))
-                    .alias("enc")))
-    per_doc = Window.partitionBy("doc_id")
-    frame = (Window.partitionBy("doc_id").orderBy("pos")
-             .rowsBetween(0, guarantee - 1))
-    sel = (wins
-           .withColumn("n_windows", F.count(F.lit(1)).over(per_doc))
-           .withColumn("_sel", F.min("enc").over(frame))
-           .filter(F.col("pos") <= F.col("n_windows") - guarantee))
+    sel = _winnow_selected(docs, w, guarantee, text_col, id_col)
     return (sel.select("doc_id", "n_windows", "_sel").distinct()
             .groupBy("doc_id", F.col("n_windows").cast("long").alias("n_windows"))
             .agg(F.count(F.lit(1)).alias("n_fingerprints"),

@@ -810,3 +810,49 @@ FROM common c
 JOIN sizes sa ON c.id_a = sa.doc_id
 WHERE round(c.cnt::DOUBLE / sa.n, 6) >= {t}
 """
+
+
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS matching: document pairs ranked by shared winnowed
+    fingerprints (operators/dedup.winnow_match_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_match_pairs(docs, min_shared=WINNOW_MIN_SHARED)
+
+
+def winnow_match_pairs_oracle() -> str:
+    w, g = dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i - 1 AS pos,
+         sha256(list_aggregate(ts[i:i+{w}-1], 'string_agg', ' '))
+           || '#' || lpad(CAST(i - 1 AS VARCHAR), 8, '0') AS enc
+  FROM toks, unnest(range(1, len(ts) - {w} + 2)) AS r(i)
+  WHERE len(ts) >= {w}
+),
+n AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY doc_id),
+sel AS (
+  SELECT w.doc_id, w.pos,
+         min(w.enc) OVER (PARTITION BY w.doc_id ORDER BY w.pos
+                          ROWS BETWEEN CURRENT ROW AND {g - 1} FOLLOWING)
+           AS s
+  FROM win w
+),
+fp AS (
+  SELECT DISTINCT sel.doc_id, substr(sel.s, 1, 64) AS fp
+  FROM sel JOIN n USING (doc_id)
+  WHERE sel.pos <= n.n_windows - {g}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""

@@ -333,3 +333,74 @@ WHERE EXISTS (SELECT 1 FROM documents d
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk — classic vector-space retrieval next to BM25
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine retrieval over the SAME postings index BM25 reads:
+    w_dt = tf·ln(N/df), document L2 norm over the doc's full term vector,
+    score = Σ w_dt·w_qt / (|d|·|q|). The other classical lexical model —
+    length-normalized where BM25 saturates — offered because a user of
+    any lexical engine expects both. Plan shape: matched-postings join on
+    the query's term list (index-lookup moral equivalent), one agg per
+    doc over matched terms, the norm table derived from postings with one
+    more agg (at lake scale it persists next to doc_len); top-k fuses to
+    TakeOrderedAndProject."""
+    idx = get_index(spark, sf_dir)
+    terms = sorted(set(py_tokenize(BM25_QUERY)))
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    w = (idx.postings
+         .join(idx.term_df, "term")
+         .crossJoin(F.broadcast(idx.stats))
+         .select("doc_id", "term",
+                 (F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+                 .alias("w")))
+    dnorm = (w.groupBy("doc_id")
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")))
+    qw = (idx.term_df.join(F.broadcast(qterms), "term")
+          .crossJoin(F.broadcast(idx.stats))
+          .select("term", F.log(F.col("n_docs") / F.col("df")).alias("wq")))
+    qnorm = qw.agg(F.sqrt(F.sum(F.col("wq") * F.col("wq"))).alias("qnorm"))
+    return (w.join(F.broadcast(qw), "term")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("wq")).alias("_dp"))
+            .join(dnorm, "doc_id")
+            .crossJoin(F.broadcast(qnorm))
+            .select("doc_id",
+                    F.round(F.col("_dp") / (F.col("dnorm") * F.col("qnorm")),
+                            6).alias("tfidf_cosine"))
+            .orderBy(F.desc("tfidf_cosine"), F.asc("doc_id"))
+            .limit(10))
+
+
+def tfidf_topk_oracle() -> str:
+    terms = sorted(set(py_tokenize(BM25_QUERY)))
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {_sql_tokens_cte()},
+qterms AS (SELECT * FROM (VALUES {values}) q(term)),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+w AS (
+  SELECT p.doc_id, p.term, p.tf * ln(s.n_docs / d.df) AS w
+  FROM postings p JOIN tdf d USING (term) CROSS JOIN stats s
+),
+dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM w GROUP BY 1),
+qw AS (
+  SELECT d.term, ln(s.n_docs / d.df) AS wq
+  FROM tdf d JOIN qterms USING (term) CROSS JOIN stats s
+),
+qnorm AS (SELECT sqrt(sum(wq * wq)) AS qnorm FROM qw)
+SELECT w.doc_id,
+       round(sum(w.w * qw.wq) / (max(dn.dnorm) * max(qn.qnorm)), 6)
+           AS tfidf_cosine
+FROM w JOIN qw USING (term)
+JOIN dnorm dn ON dn.doc_id = w.doc_id
+CROSS JOIN qnorm qn
+GROUP BY w.doc_id
+ORDER BY tfidf_cosine DESC, w.doc_id ASC
+LIMIT 10
+"""

@@ -62,6 +62,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_topk": lexical.bm25_topk,
     "bm25_disjunctive": lexical.bm25_disjunctive,
     "bm25_topk_batch": lexical.bm25_topk_batch,
+    "tfidf_topk": lexical.tfidf_topk,
     "phrase_match": lexical.phrase_match,
     "coverage_scores": lexical.coverage_scores,
     "token_stats": lexical.token_stats,
@@ -116,6 +117,7 @@ QUERIES: dict[str, QueryFn] = {
     "duplicated_span_report": dedup_plans.duplicated_span_report,
     "boilerplate_ngrams": dedup_plans.boilerplate_ngrams,
     "winnowed_fingerprints": dedup_plans.winnowed_fingerprints,
+    "winnow_match_pairs": dedup_plans.winnow_match_pairs,
     # text analysis + multimodal plumbing
     "lang_id_counts": textstats_plans.lang_id_counts,
     "quality_scores": textstats_plans.quality_scores,
@@ -184,6 +186,7 @@ QUERIES: dict[str, QueryFn] = {
 # BM25 oracles are generated from the same fixed query strings the Spark
 # plans embed, guaranteeing the term lists can never drift apart.
 oracle("bm25_topk", lexical.bm25_oracle_sql(lexical.BM25_QUERY, conjunctive=True))
+oracle("tfidf_topk", lexical.tfidf_topk_oracle())
 oracle("bm25_disjunctive", lexical.bm25_oracle_sql(lexical.BM25_OR_QUERY, conjunctive=False))
 oracle("bm25_topk_batch", lexical.bm25_batch_oracle_sql(
     lexical.BATCH_QUERIES, conjunctive=False, k=lexical.BATCH_K))
@@ -266,6 +269,7 @@ oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
 oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())
 oracle("winnowed_fingerprints", dedup_plans.winnowed_fingerprints_oracle())
+oracle("winnow_match_pairs", dedup_plans.winnow_match_pairs_oracle())
 oracle("event_correlation", f"""
 WITH ev AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type

@@ -603,3 +603,26 @@ def test_containment_prefix_filter_is_lossless_randomized(spark):
                  .filter(F.col("c") >= t))
         want = {(r.id_a, r.id_b) for r in brute.collect()}
         assert got == want, f"seed {seed}: {got ^ want}"
+
+
+def test_winnow_matching_guarantee(spark):
+    """Two docs sharing a verbatim run of >= w + g - 1 tokens MUST share a
+    winnowed fingerprint (the Schleimer match-length guarantee applied
+    through the join); unrelated docs share none."""
+    from hadith_vector_search_spark.operators.dedup import (
+        DUPSPAN_W,
+        WINNOW_GUARANTEE,
+        winnow_match_pairs,
+    )
+
+    run = " ".join(f"shared{i:02d}" for i in range(DUPSPAN_W
+                                                   + WINNOW_GUARANTEE + 2))
+    docs = _docs(spark, [
+        ("a", "left context words here " + run + " right tail words"),
+        ("b", "совершенно other start tokens then " + run + " and more"),
+        ("c", "nothing in common with either document at all here okay"),
+    ])
+    pairs = {(r.id_a, r.id_b): r.shared_fps
+             for r in winnow_match_pairs(docs, min_shared=1).collect()}
+    assert ("a", "b") in pairs and pairs[("a", "b")] >= 1
+    assert all("c" not in k for k in pairs)
