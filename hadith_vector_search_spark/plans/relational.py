@@ -378,3 +378,78 @@ SELECT decile,
 FROM tiled CROSS JOIN total t
 GROUP BY decile
 """
+
+
+TOP_PER_SEGMENT_N = 3
+
+
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-per-group, the other canonical window shape next to
+    keep-first (`first_event_per_user`): the 3 largest orders per market
+    segment. One hash exchange on the group key; rank + filter fuse into
+    the window operator — never a global sort, never a per-group
+    sub-query."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_PER_SEGMENT_N)
+            .select("c_mktsegment", "rank", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+def top_orders_per_segment_oracle() -> str:
+    return f"""
+SELECT c_mktsegment, CAST(rank AS INTEGER) AS rank, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+             AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rank <= {TOP_PER_SEGMENT_N}
+"""
+
+
+SLIDE_WINDOW = "2 hours"
+SLIDE_STEP = "1 hour"
+
+
+def sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (2 h window, 1 h slide) — the window
+    type tumbling rollups and RANGE frames don't cover: each event lands in
+    window_size/slide overlapping windows, which `F.window` expands
+    in-place (a 2-row generate per event here), then one partial agg on
+    (window, event_type). The oracle replays the expansion with a
+    generate_series range join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", SLIDE_WINDOW, SLIDE_STEP).alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sliding_event_rate_oracle() -> str:
+    return """
+WITH expanded AS (
+  SELECT e.event_type, e.value, w.window_start
+  FROM events e,
+       LATERAL (
+         SELECT time_bucket(INTERVAL 1 HOUR, e.ts)
+                  - INTERVAL 1 HOUR * g.x AS window_start
+         FROM (SELECT unnest(range(0, 2)) AS x) g
+       ) w
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM expanded
+GROUP BY 1, 2
+"""

@@ -57,6 +57,8 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_rollup": relational.revenue_rollup,
     "daily_event_pivot": relational.daily_event_pivot,
     "customer_value_deciles": relational.customer_value_deciles,
+    "top_orders_per_segment": relational.top_orders_per_segment,
+    "sliding_event_rate": relational.sliding_event_rate,
     # lexical leg (SURVEY §2.7/§4.2)
     "term_doc_frequency": lexical.term_doc_frequency,
     "bm25_topk": lexical.bm25_topk,
@@ -242,6 +244,8 @@ oracle("epoch_plan", profile_plans.epoch_plan_oracle())
 oracle("revenue_rollup", relational.revenue_rollup_oracle())
 oracle("daily_event_pivot", relational.daily_event_pivot_oracle())
 oracle("customer_value_deciles", relational.customer_value_deciles_oracle())
+oracle("top_orders_per_segment", relational.top_orders_per_segment_oracle())
+oracle("sliding_event_rate", relational.sliding_event_rate_oracle())
 oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))

@@ -25,6 +25,8 @@ RELATIONAL = [
     "revenue_rollup",
     "daily_event_pivot",
     "customer_value_deciles",
+    "top_orders_per_segment",
+    "sliding_event_rate",
 ]
 
 
@@ -151,3 +153,15 @@ def test_event_correlation_window_bound(spark, sf_dir):
     assert rows, "no correlated pairs found"
     bound = CORR_TOLERANCE_US / 1_000_000.0
     assert all(abs(r.delta_seconds) <= bound for r in rows)
+
+
+def test_sliding_windows_double_count_by_design(spark, sf_dir):
+    """Every event appears in exactly window/slide = 2 sliding windows, so
+    the sliding total is exactly 2x the event count."""
+    from hadith_vector_search_spark.plans.relational import sliding_event_rate
+    from hadith_vector_search_spark.sources import load_table
+
+    total = sum(r.n_events for r in
+                sliding_event_rate(spark, sf_dir).collect())
+    n = load_table(spark, sf_dir, "events").count()
+    assert total == 2 * n
