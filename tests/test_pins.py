@@ -24,3 +24,16 @@ def test_release_is_scoped_and_rebuildable(spark):
     # releasing again with nothing streaming is a no-op for this module
     release_sf_pins(spark, SF_A)
     assert dedup_plans.get_shingle_index(spark, SF_A) is not a1
+
+
+def test_release_covers_semantic_pins_too(spark):
+    from hadith_vector_search_spark.plans import semantic as sp
+
+    a = sp.cosine_topk(spark, SF_A)
+    b = sp.cosine_topk(spark, SF_B)
+    n = release_sf_pins(spark, SF_A)
+    assert n >= 1
+    assert sp.cosine_topk(spark, SF_B) is b      # other dir untouched
+    a2 = sp.cosine_topk(spark, SF_A)             # released dir rebuilds
+    assert a2 is not a
+    assert a2.count() == a.count()
