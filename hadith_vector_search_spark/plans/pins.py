@@ -44,9 +44,14 @@ def release_sf_pins(spark: SparkSession, sf_dir: str,
     if drop_stream_tables:
         # Memory-sink tables hold their full result in driver memory and
         # are write-once (fresh name per run) — completed ones are dead
-        # weight.
+        # weight. Names carry the owning scale dir's token
+        # (streaming.ingest._memsink_name), so only THIS sf_dir's tables
+        # are dropped — another SF's live sink tables survive a
+        # mid-session release.
+        from ..streaming.ingest import sf_token
+        tok = f"_sf{sf_token(sf_dir)}_"
         for t in spark.catalog.listTables():
-            if t.name.startswith("stream_"):
+            if t.name.startswith("stream_") and tok in t.name:
                 spark.catalog.dropTempView(t.name)
                 n += 1
     gc.collect()

@@ -278,27 +278,32 @@ def event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP (segment → orderstatus → grand
     total): one Expand-based aggregate — Catalyst plans grouping sets as
-    a single pass with map-side partials, not one scan per level. NULL
-    grouping keys are replaced with 'ALL' so the driver's hash compare
-    is unambiguous about subtotal rows."""
+    a single pass with map-side partials, not one scan per level.
+    Subtotal rows are labelled 'ALL' via the GROUPING() indicator, not by
+    coalescing NULL keys — a genuine NULL c_mktsegment/o_orderstatus value
+    in the data would otherwise be conflated with the subtotal row."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
     joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (joined.rollup("c_mktsegment", "o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-            .select(F.coalesce("c_mktsegment", F.lit("ALL"))
-                    .alias("segment"),
-                    F.coalesce("o_orderstatus", F.lit("ALL"))
-                    .alias("status"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.grouping("c_mktsegment").alias("_g_seg"),
+                 F.grouping("o_orderstatus").alias("_g_st"))
+            .select(F.when(F.col("_g_seg") == 1, F.lit("ALL"))
+                    .otherwise(F.col("c_mktsegment")).alias("segment"),
+                    F.when(F.col("_g_st") == 1, F.lit("ALL"))
+                    .otherwise(F.col("o_orderstatus")).alias("status"),
                     "n_orders", "revenue"))
 
 
 def revenue_rollup_oracle() -> str:
     return """
-SELECT coalesce(c_mktsegment, 'ALL') AS segment,
-       coalesce(o_orderstatus, 'ALL') AS status,
+SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+            ELSE c_mktsegment END AS segment,
+       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END AS status,
        count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

@@ -914,6 +914,11 @@ FROM rem r JOIN pair_dot p ON p.ia = r.kept_rep AND p.ib = r.vec_id
 # ---------------------------------------------------------------------------
 
 MMR_LAMBDA = 0.7
+# The diversity weight is DERIVED but pinned to 6 decimals: raw
+# `1 - 0.7` is 0.30000000000000004 in binary double, and the oracle SQL
+# interpolates the literal 0.3 — both engines must fold the same constant
+# or a score landing exactly on a 1e-6 rounding boundary flakes the gate.
+MMR_MU = round(1 - MMR_LAMBDA, 6)
 MMR_CANDS = 20
 MMR_K = 5
 
@@ -947,7 +952,11 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cvec.select(F.col("vec_id").alias("ib"),
                     F.col("embedding").alias("vb"))
     from ..functions.vector import dot as vdot
-    pairs = (a.crossJoin(b)
+    # Both sides are semi-join restrictions of the top-MMR_CANDS candidate
+    # set (≤ 20 rows); the explicit broadcast pins the candidate×candidate
+    # build to a BroadcastNestedLoopJoin so the pair matrix can never fall
+    # back to a shuffled Cartesian at any scale.
+    pairs = (a.crossJoin(F.broadcast(b))
              .select("ia", "ib",
                      F.round(vdot(F.col("va"), F.col("vb")), 6).alias("d")))
     feed = (pairs.join(cands.select(F.col("vec_id").alias("ia"),
@@ -955,6 +964,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("_g", F.lit(1)))
 
     lam = MMR_LAMBDA
+    mu = MMR_MU
     k = MMR_K
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -969,7 +979,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     score = round(lam * simq[c], 6)
                 else:
                     m = max(pair[(c, s)] for s in selected)
-                    score = round(lam * simq[c] - (1 - lam) * m, 6)
+                    score = round(lam * simq[c] - mu * m, 6)
                 cand = (-score, c)
                 if best is None or cand < best:
                     best = cand
@@ -1009,7 +1019,7 @@ sel AS (
          list_append(sel.chosen, nxt.vec_id)
   FROM sel, LATERAL (
     SELECT c.vec_id, c.simq,
-           round({lam} * c.simq - {round(1 - lam, 6)} *
+           round({lam} * c.simq - {MMR_MU} *
                  (SELECT max(p.d) FROM cpair p
                   WHERE p.ia = c.vec_id
                     AND list_contains(sel.chosen, p.ib)), 6) AS score

@@ -32,6 +32,20 @@ from ..sources.ingest import merge_upsert
 _MEMSINK_IDS = itertools.count()
 
 
+def sf_token(sf_dir: str) -> str:
+    """Stable short token for a scale directory, baked into memory-sink
+    table names so `plans.pins.release_sf_pins(spark, sf_dir)` can drop
+    exactly the tables belonging to ONE scale dir — a mid-session release
+    of the warm dir must not tear down another SF's live sink tables."""
+    import hashlib
+    return hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")).hexdigest()[:8]
+
+
+def _memsink_name(kind: str, sf_dir: str) -> str:
+    return f"stream_{kind}_sf{sf_token(sf_dir)}_{next(_MEMSINK_IDS)}"
+
+
 def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily tumbling-window event rollup computed BY THE STREAMING ENGINE
     (file source -> watermark -> window agg -> memory sink, AvailableNow),
@@ -45,7 +59,7 @@ def streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("event_count"),
                 F.round(F.sum("value"), 4).alias("sum_value")))
-    name = f"stream_rollup_{next(_MEMSINK_IDS)}"
+    name = _memsink_name("rollup", sf_dir)
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -93,7 +107,7 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 4).alias("sum_value")))
-    name = f"stream_sessions_{next(_MEMSINK_IDS)}"
+    name = _memsink_name("sessions", sf_dir)
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -124,7 +138,7 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (stream
             .withColumn("checksum", F.sha2(F.col("text"), 256))
             .dropDuplicates(["source", "checksum"]))
-    name = f"stream_dedup_{next(_MEMSINK_IDS)}"
+    name = _memsink_name("dedup", sf_dir)
     q = (kept.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -165,7 +179,7 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
                stateStructType="n long, total double",
                outputMode="update",
                timeoutConf=GroupStateTimeout.NoTimeout))
-    name = f"stream_totals_{next(_MEMSINK_IDS)}"
+    name = _memsink_name("totals", sf_dir)
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -451,7 +465,7 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1).json(src))
 
-        def process(batch_df: DataFrame, _batch_id: int) -> None:
+        def process(batch_df: DataFrame, batch_id: int) -> None:
             batch_sharr = dedup_ops._collapsed_shingles(
                 batch_df, "text", "doc_id")
             sigs_new = dedup_ops.minhash_signatures(
@@ -463,8 +477,16 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("old_id").alias("id_b")))
             pairs = dedup_ops.jaccard_verify(
                 cands, sharr, dedup_plans.JACCARD_THRESHOLD)
-            pairs.write.mode("append").parquet(out)
-            sigs_new.write.mode("append").parquet(idx)
+            # Idempotent-by-batch-id sinks: each micro-batch OVERWRITES its
+            # own batch=N subdirectory instead of appending to a flat dir,
+            # so a retried micro-batch (foreachBatch's at-least-once
+            # contract) replaces its previous partial output rather than
+            # double-appending match-log rows. Readers discover `batch` as
+            # a partition column and drop it.
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch={batch_id}"))
+            sigs_new.write.mode("overwrite").parquet(
+                os.path.join(idx, f"batch={batch_id}"))
 
         q = (stream.writeStream.foreachBatch(process)
              .option("checkpointLocation", ckpt)

@@ -26,6 +26,24 @@ def test_release_is_scoped_and_rebuildable(spark):
     assert dedup_plans.get_shingle_index(spark, SF_A) is not a1
 
 
+def test_release_drops_only_own_sf_stream_tables(spark):
+    from hadith_vector_search_spark.streaming.ingest import _memsink_name
+
+    name_a = _memsink_name("rollup", SF_A)
+    name_b = _memsink_name("rollup", SF_B)
+    spark.range(1).createOrReplaceTempView(name_a)
+    spark.range(1).createOrReplaceTempView(name_b)
+    try:
+        release_sf_pins(spark, SF_A)
+        live = {t.name for t in spark.catalog.listTables()}
+        assert name_a not in live          # own SF's sink table dropped
+        assert name_b in live              # other SF's live table survives
+    finally:
+        for nm in (name_a, name_b):
+            spark.catalog.dropTempView(nm) if nm in {
+                t.name for t in spark.catalog.listTables()} else None
+
+
 def test_release_covers_semantic_pins_too(spark):
     from hadith_vector_search_spark.plans import semantic as sp
 
