@@ -902,7 +902,9 @@ def winnow_match_pairs(docs: DataFrame, w: int = DUPSPAN_W,
                        guarantee: int = WINNOW_GUARANTEE,
                        min_shared: int = 2,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       max_df: int | None = None,
+                       selected: DataFrame | None = None) -> DataFrame:
     """The MOSS MATCHING step on top of winnowing selection: candidate
     document pairs ranked by how many selected fingerprints they share
     (the position suffix is stripped — the matchable identity is the
@@ -911,10 +913,32 @@ def winnow_match_pairs(docs: DataFrame, w: int = DUPSPAN_W,
     so this join finds every long verbatim overlap while each doc
     contributes only ~2/(guarantee+1) of its positions to the join.
     Shared-count >= `min_shared` filters the single-collision noise
-    floor. Output: (id_a, id_b, shared_fps), id_a < id_b."""
-    sel = _winnow_selected(docs, w, guarantee, text_col, id_col)
-    fps = (sel.select("doc_id", F.substring("_sel", 1, 64).alias("fp"))
+    floor. Output: (id_a, id_b, shared_fps), id_a < id_b.
+
+    `max_df` is MOSS's own over-common-fingerprint rule: a fingerprint
+    appearing in more than `max_df` documents is corpus boilerplate, not
+    overlap signal, and the fp self-join would emit C(df, 2) candidate
+    rows for it BEFORE any filter — quadratic in the hot key. Capped fps
+    are dropped from matching entirely (the same valve as the banding
+    joins' `max_bucket`; pair it with a monitoring count of dropped fps
+    via one `groupBy(fp).count()` agg in production). The df is computed
+    on the distinct (doc, fp) set with one window, so the cap costs one
+    extra shuffle on the already-narrow fp table.
+
+    `selected` optionally supplies the precomputed DISTINCT
+    (doc_id, n_windows, _sel) selection triple so the (window-hash + two
+    window functions) pass is shared with `winnowed_fingerprints`
+    instead of recomputed — the post-distinct triple is ~2/(g+1) of the
+    window rows, the right granularity to pin."""
+    if selected is None:
+        sel = _winnow_selected(docs, w, guarantee, text_col, id_col)
+        selected = sel.select("doc_id", "n_windows", "_sel").distinct()
+    fps = (selected.select("doc_id", F.substring("_sel", 1, 64).alias("fp"))
            .distinct())
+    if max_df is not None:
+        wfp = Window.partitionBy("fp")
+        fps = (fps.withColumn("_df", F.count(F.lit(1)).over(wfp))
+               .filter(F.col("_df") <= max_df).drop("_df"))
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
     return (a.join(b, "fp")
@@ -927,7 +951,8 @@ def winnow_match_pairs(docs: DataFrame, w: int = DUPSPAN_W,
 def winnowed_fingerprints(docs: DataFrame, w: int = DUPSPAN_W,
                           guarantee: int = WINNOW_GUARANTEE,
                           text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          selected: DataFrame | None = None) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
     the MOSS algorithm): from each run of `guarantee` consecutive w-gram
     hashes keep the minimum, which guarantees any match of length
@@ -947,9 +972,13 @@ def winnowed_fingerprints(docs: DataFrame, w: int = DUPSPAN_W,
     Output: (doc_id, n_windows, n_fingerprints, fp_digest) — the digest
     is sha256 over the doc's sorted distinct selections, pinning the
     exact fingerprint SET compactly. One narrow window pass + two
-    per-doc window functions + one groupBy."""
-    sel = _winnow_selected(docs, w, guarantee, text_col, id_col)
-    return (sel.select("doc_id", "n_windows", "_sel").distinct()
+    per-doc window functions + one groupBy. `selected` optionally
+    supplies the precomputed DISTINCT (doc_id, n_windows, _sel) triple
+    (shared with `winnow_match_pairs` via the plans-layer pin)."""
+    if selected is None:
+        sel = _winnow_selected(docs, w, guarantee, text_col, id_col)
+        selected = sel.select("doc_id", "n_windows", "_sel").distinct()
+    return (selected
             .groupBy("doc_id", F.col("n_windows").cast("long").alias("n_windows"))
             .agg(F.count(F.lit(1)).alias("n_fingerprints"),
                  F.sha2(F.array_join(F.array_sort(

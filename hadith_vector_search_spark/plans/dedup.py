@@ -50,6 +50,29 @@ def get_simhash_index(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFram
             docs, n_bits=n_bits).localCheckpoint()
     return _INDEX_CACHE[key]
 
+
+def get_winnow_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped winnowing selection over `documents`: the
+    eager-checkpointed DISTINCT (doc_id, n_windows, _sel) triple that
+    both `winnowed_fingerprints` and `winnow_match_pairs` consume — the
+    window-hash sha256 pass plus two per-doc window functions are by far
+    the dominant cost of the winnowing family, so like the shingle/
+    simhash indexes it is computed once per (session, sf_dir).
+    Checkpointing happens AFTER the distinct, when winnowing has already
+    discarded ~(g-1)/(g+1) of window rows — pinning the pre-distinct
+    window frame would materialize ~10× the rows for no reuse. At lake
+    scale this triple is the persisted fingerprint index a MOSS-style
+    service maintains incrementally."""
+    key = _cache_key(spark, sf_dir, "winnow",
+                     dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE)
+    if key not in _INDEX_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        sel = dedup._winnow_selected(
+            docs, dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE, "text", "doc_id")
+        _INDEX_CACHE[key] = (sel.select("doc_id", "n_windows", "_sel")
+                             .distinct().localCheckpoint())
+    return _INDEX_CACHE[key]
+
 PREVIEW_LEN = 40
 N_HASHES = 8
 BAND_SIZE = 2
@@ -675,9 +698,11 @@ WHERE hamming(x.simhash, y.simhash) <= {SIMHASH_MAX_HAMMING}
 
 def winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection over the corpus (MOSS;
-    see operators/dedup.winnowed_fingerprints)."""
+    see operators/dedup.winnowed_fingerprints). Consumes the shared
+    pinned selection — one sha256/window pass per (session, sf_dir)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.winnowed_fingerprints(docs)
+    return dedup.winnowed_fingerprints(
+        docs, selected=get_winnow_selection(spark, sf_dir))
 
 
 def winnowed_fingerprints_oracle() -> str:
@@ -813,13 +838,22 @@ WHERE round(c.cnt::DOUBLE / sa.n, 6) >= {t}
 
 
 WINNOW_MIN_SHARED = 2
+# MOSS's over-common-fingerprint rule: fps shared by more documents than
+# this are corpus boilerplate — each would emit C(df, 2) join rows.
+# Lossless on the test corpus (measured max df = 4 at sf0.1); the oracle
+# replays the same cap so correctness holds on ANY corpus.
+WINNOW_MAX_FP_DF = 50
 
 
 def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS matching: document pairs ranked by shared winnowed
-    fingerprints (operators/dedup.winnow_match_pairs)."""
+    fingerprints (operators/dedup.winnow_match_pairs), over the shared
+    pinned selection, with over-common fingerprints dropped before the
+    self-join (`WINNOW_MAX_FP_DF`)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.winnow_match_pairs(docs, min_shared=WINNOW_MIN_SHARED)
+    return dedup.winnow_match_pairs(
+        docs, min_shared=WINNOW_MIN_SHARED, max_df=WINNOW_MAX_FP_DF,
+        selected=get_winnow_selection(spark, sf_dir))
 
 
 def winnow_match_pairs_oracle() -> str:
@@ -850,9 +884,14 @@ fp AS (
   SELECT DISTINCT sel.doc_id, substr(sel.s, 1, 64) AS fp
   FROM sel JOIN n USING (doc_id)
   WHERE sel.pos <= n.n_windows - {g}
+),
+dfreq AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+fpk AS (
+  SELECT f.doc_id, f.fp FROM fp f
+  JOIN dfreq d USING (fp) WHERE d.df <= {WINNOW_MAX_FP_DF}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
-FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
