@@ -1,11 +1,96 @@
 """Embedder backend selection, geometry, and the real-model branch
-(SURVEY §2.8 V1/V2; ref /root/reference/quran_mcp/embeddings.py:28-37)."""
+(SURVEY §2.8 V1/V2; ref /root/reference/quran_mcp/embeddings.py:28-37).
+
+The sentence-transformers package is intentionally absent from this
+container, so the real-model code path (lazy load, per-process singleton,
+batch kwargs, normalization contract) is exercised against a FAKE package
+surface — a module injected into sys.modules whose SentenceTransformer
+returns deterministic unit vectors. Only the actual-weights variant
+remains import-skipped."""
 
 import math
+import sys
+import types
 
+import numpy as np
 import pytest
 
 from hadith_vector_search_spark.operators import embedder
+
+
+class _FakeST:
+    """Mimics sentence_transformers.SentenceTransformer's constructor and
+    encode() signature; emits e_{len(text) mod 384} unit vectors so every
+    layer downstream is checkable against a closed form."""
+
+    instances: list = []
+
+    def __init__(self, name):
+        self.name = name
+        self.calls: list = []
+        _FakeST.instances.append(self)
+
+    def encode(self, texts, batch_size=None, normalize_embeddings=None,
+               show_progress_bar=None):
+        self.calls.append({"n": len(texts), "batch_size": batch_size,
+                           "normalize_embeddings": normalize_embeddings,
+                           "show_progress_bar": show_progress_bar})
+        out = np.zeros((len(texts), 384))
+        for i, t in enumerate(texts):
+            out[i, len(t) % 384] = 1.0
+        return out
+
+
+@pytest.fixture
+def fake_st(monkeypatch):
+    mod = types.ModuleType("sentence_transformers")
+    mod.SentenceTransformer = _FakeST
+    _FakeST.instances = []
+    monkeypatch.setitem(sys.modules, "sentence_transformers", mod)
+    monkeypatch.setattr(embedder, "_MODEL_CACHE", {})
+    return mod
+
+
+def test_fake_st_auto_resolves_and_loads_lazily(fake_st):
+    assert embedder.real_model_available()
+    assert embedder.resolve_backend(384, "auto") == "st"
+    m = embedder.get_model(384, backend="auto")
+    assert isinstance(m, embedder.SentenceTransformerEmbedder)
+    # Lazy: construction must not touch the (expensive) model weights.
+    assert _FakeST.instances == []
+    m.encode("hi")
+    assert len(_FakeST.instances) == 1
+    assert _FakeST.instances[0].name == "all-MiniLM-L6-v2"
+    # Singleton: repeat encodes and repeat get_model reuse the loaded model.
+    m.encode("again")
+    assert embedder.get_model(384, backend="auto") is m
+    assert len(_FakeST.instances) == 1
+
+
+def test_fake_st_batch_kwargs_match_reference(fake_st):
+    """The reference encodes with batch_size=64, normalized, no progress
+    bar (ref quran_mcp/embeddings.py:28-37) — assert the exact kwargs the
+    wrapper forwards, and the output geometry."""
+    m = embedder.get_model(384, backend="st")
+    vecs = m.encode_batch(["ab", "abcd"])
+    call = _FakeST.instances[0].calls[0]
+    assert call == {"n": 2, "batch_size": 64,
+                    "normalize_embeddings": True, "show_progress_bar": False}
+    assert all(isinstance(v, list) and len(v) == 384 for v in vecs)
+    assert vecs[0][2] == 1.0 and vecs[1][4] == 1.0
+
+
+def test_fake_st_udf_body_runs_st_backend(fake_st):
+    """The pandas-UDF body (the code executors run): backend resolved to
+    'st' on the driver is baked into the closure, nulls are filled, and
+    the model singleton materializes inside the worker function."""
+    import pandas as pd
+
+    udf = embedder.make_embedder(384, backend="auto")
+    out = udf.func(pd.Series(["ab", None]))
+    assert list(out[0])[2] == 1.0          # len("ab") == 2
+    assert list(out[1])[0] == 1.0          # None -> "" -> len 0
+    assert len(_FakeST.instances) == 1
 
 
 def test_default_dim_is_reference_geometry():
@@ -61,6 +146,58 @@ def test_real_model_branch_encodes():
     assert len(vecs) == 2 and all(len(v) == 384 for v in vecs)
     for v in vecs:
         assert abs(sum(x * x for x in v) - 1.0) < 1e-6
+
+
+def test_fake_st_end_to_end_through_executors(tmp_path):
+    """Full distributed path: a fake sentence_transformers package on
+    PYTHONPATH of a FRESH python process (so Spark's executor workers
+    inherit it too), embed_column(backend='auto') resolves to 'st' on the
+    driver, and the executor-side import/load/encode produces the fake's
+    closed-form vectors. This is the exact deployment shape for the real
+    model: weights importable on driver AND workers, loaded lazily once
+    per worker process."""
+    import os
+    import subprocess
+
+    pkg = tmp_path / "fakepkg" / "sentence_transformers"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text(
+        "import numpy as np\n"
+        "class SentenceTransformer:\n"
+        "    def __init__(self, name):\n"
+        "        assert name == 'all-MiniLM-L6-v2', name\n"
+        "    def encode(self, texts, batch_size=None,\n"
+        "               normalize_embeddings=None, show_progress_bar=None):\n"
+        "        assert batch_size == 64 and normalize_embeddings is True\n"
+        "        out = np.zeros((len(texts), 384))\n"
+        "        for i, t in enumerate(texts):\n"
+        "            out[i, len(t) % 384] = 1.0\n"
+        "        return out\n")
+    script = tmp_path / "drive.py"
+    script.write_text(
+        "from pyspark.sql import SparkSession\n"
+        "from hadith_vector_search_spark.operators.embedder import (\n"
+        "    embed_column, resolve_backend)\n"
+        "assert resolve_backend(384, 'auto') == 'st'\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "df = spark.createDataFrame([(1, 'ab'), (2, 'abcde')],\n"
+        "                           'doc_id long, text string')\n"
+        "rows = {r.doc_id: r.v for r in df.select(\n"
+        "    'doc_id', embed_column('text', 384, backend='auto')\n"
+        "    .alias('v')).collect()}\n"
+        "assert rows[1][2] == 1.0 and sum(rows[1]) == 1.0, rows[1][:5]\n"
+        "assert rows[2][5] == 1.0 and sum(rows[2]) == 1.0, rows[2][:5]\n"
+        "print('E2E_OK')\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (f"{tmp_path / 'fakepkg'}{os.pathsep}{repo}"
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, str(script)], env=env, cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=240)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "E2E_OK" in proc.stdout
 
 
 def test_real_model_raw_mode_rejected():

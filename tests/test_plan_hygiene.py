@@ -58,3 +58,24 @@ def test_no_row_at_a_time_python_and_no_cartesian(spark):
         "either JVM-ify the operator or add it to ARROW_ALLOWED with a "
         "reason it must be Python")
     assert not offenders_cart, f"Cartesian products in: {offenders_cart}"
+
+
+def test_mmr_pair_build_is_broadcast_and_bounded(spark):
+    """mmr_rerank's candidate×candidate crossJoin must plan as a
+    BroadcastNestedLoopJoin (the explicit broadcast hint pins it — never
+    a shuffled Cartesian at any scale), and its inputs are semi-join
+    restrictions to the top-MMR_CANDS candidate set, so the pair matrix
+    is bounded by the over-fetch constant, not the corpus."""
+    from hadith_vector_search_spark.operators.similarity import (
+        topk_by_query_id,
+    )
+    from hadith_vector_search_spark.plans import semantic as sp
+    from hadith_vector_search_spark.sources import load_table
+
+    plan = _plan_of(spark, sp.mmr_rerank)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    emb = load_table(spark, SF, "embeddings")
+    n_cands = topk_by_query_id(emb, sp.QUERY_VEC_ID, sp.MMR_CANDS).count()
+    assert n_cands <= sp.MMR_CANDS
