@@ -34,6 +34,27 @@ from .operators.router import route_one
 OVERFETCH_FLOOR = 50   # max(50, 5*n) per the reference (tools.py:87,93)
 
 
+def configure_interactive(spark: SparkSession,
+                          shuffle_partitions: int = 8) -> None:
+    """Tune a session for the INTERACTIVE serving path (one query per
+    call, every frame O(k) or pinned). Two deliberate inversions of the
+    batch defaults in session.py:
+
+    - AQE off: adaptive execution materializes every shuffle exchange as
+      its own Spark job to re-plan on runtime stats — exactly right at
+      lake scale, but on a sub-second serving call each extra job costs
+      the full scheduler floor (~50-150 ms). Measured on the hybrid call:
+      11 jobs/call with AQE vs 3-4 without.
+    - small fixed shuffle width: serving exchanges carry tens of rows;
+      32+ tasks per wave is pure dispatch overhead without AQE coalescing.
+
+    Serving processes are dedicated (the transports own their session),
+    so the session-global conf change is safe there. Batch/bench sessions
+    must NOT call this."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
+
 class HybridEngine:
     """Hybrid retrieval over an arbitrary documents DataFrame
     (id_col + text_col). Vectors: pass an embeddings DataFrame keyed by
@@ -50,6 +71,72 @@ class HybridEngine:
         self._index: bm25.LexicalIndex | None = None
         self._emb: DataFrame | None = (
             embeddings.localCheckpoint() if embeddings is not None else None)
+        self._ids = None   # numpy id vector (interactive mode)
+        self._mat = None   # numpy embedding matrix (interactive mode)
+
+    def enable_interactive(self, max_driver_rows: int = 500_000) -> bool:
+        """Opt-in INTERACTIVE serving: pull the pinned vector index into a
+        driver-resident numpy matrix so the per-request vector leg and the
+        O(k) fusion run driver-side — the reference's own in-process
+        architecture (quran_mcp/search.py's numpy matmul over a loaded
+        matrix), and the point-serving layer SCALE.md prescribes for
+        sub-second latency, collapsed into this engine for corpora that
+        fit one node. Scoring, bonuses, and dedup stay on the SAME Spark
+        column expressions (no logic twin); only retrieval moves.
+
+        Bounded: refuses (returns False, engine unchanged) above
+        `max_driver_rows` vectors — at lake scale the interactive tier is
+        a separate service over the published index, not a driver copy.
+        Batch paths and oracle-checked plans never use this state."""
+        import numpy as np
+
+        if self.emb.count() > max_driver_rows:
+            return False
+        rows = self.emb.select(self.id_col, "embedding").collect()
+        self._ids = np.array([r[0] for r in rows])
+        self._mat = np.array([list(r[1]) for r in rows])
+        return True
+
+    def _fused_literal_df(self, items: list) -> DataFrame:
+        """Fused candidates as a SQL VALUES literal — a genuine
+        LocalRelation, which matters: PySpark's createDataFrame builds an
+        RDD-backed frame whose broadcast-exchange build runs a full Spark
+        job (default-parallelism tasks), while a LocalRelation broadcast
+        builds driver-side with NO job. Doubles travel as
+        CAST('repr' AS DOUBLE) (bare decimal literals parse as DECIMAL in
+        Spark SQL; the string cast round-trips the exact double)."""
+        id_t = self.docs.schema[self.id_col].dataType.simpleString()
+        if not items:
+            return (self.docs.select(self.id_col).limit(0)
+                    .withColumn("fts_score", F.lit(0.0))
+                    .withColumn("vector_sim", F.lit(0.0)))
+
+        def fmt_id(v) -> str:
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return str(v)
+
+        vals = ", ".join(
+            f"({fmt_id(rid)}, CAST('{float(fs)!r}' AS DOUBLE), "
+            f"CAST('{float(vs)!r}' AS DOUBLE))"
+            for rid, (fs, vs) in items)
+        return self.spark.sql(
+            f"SELECT CAST(col1 AS {id_t}) AS {self.id_col}, "
+            f"col2 AS fts_score, col3 AS vector_sim FROM VALUES {vals}")
+
+    def _vec_topk_interactive(self, qvec: list[float], k: int) -> list:
+        """Driver-side exact cosine top-k over the resident matrix:
+        one BLAS matvec + argsort by (rounded sim desc, id asc) — the
+        same rounding-then-tie-break contract as the Spark leg. FP note:
+        BLAS pairwise summation can differ from the JVM fold at ~1e-16,
+        visible only if a product sits exactly on a 5e-7 rounding
+        boundary (p ≈ 2e-10 per pair; equivalence is pinned by
+        tests/test_api.py on the real corpus)."""
+        import numpy as np
+
+        sims = np.round(self._mat @ np.asarray(qvec), 6)
+        order = np.lexsort((self._ids, -sims))[:k]
+        return [(self._ids[i].item(), float(sims[i])) for i in order]
 
     # -- derived state (lazy, pinned once) ---------------------------------
 
@@ -109,25 +196,45 @@ class HybridEngine:
                    .orderBy(F.desc("bm25"), F.asc(self.id_col)).limit(k))
         else:
             fts = self._empty_leg("bm25")
-        if vector_available:
-            qvec = encode_query(intent.normalized, self.dim)
-            vec = (similarity.cosine_scores(self.emb, qvec, self.id_col)
-                   .select(self.id_col, F.round("sim", 6).alias("sim"))
-                   .orderBy(F.desc("sim"), F.asc(self.id_col)).limit(k))
+        if self._mat is not None:
+            # Interactive fast path (enable_interactive): collect the O(k)
+            # lexical leg (one Spark job), run the vector top-k and the
+            # exact max/coalesce fusion driver-side, and feed the fused
+            # candidates back as a LOCAL relation — its broadcast below
+            # builds without a Spark job, so the whole request is two jobs
+            # total. Fusion on collected values is exact arithmetic on
+            # ≤2k pairs; the scoring plan below is byte-identical to the
+            # batch path.
+            fused_map: dict = {}
+            for r in fts.collect():
+                fused_map[r[0]] = [float(r[1]), 0.0]
+            if vector_available:
+                qvec = encode_query(intent.normalized, self.dim)
+                for rid, s in self._vec_topk_interactive(qvec, k):
+                    fused_map.setdefault(rid, [0.0, 0.0])[1] = s
+            fused = self._fused_literal_df(sorted(fused_map.items()))
         else:
-            vec = self._empty_leg("sim")
-
-        fused = fusion.fuse(fts, vec, key=self.id_col)
+            if vector_available:
+                qvec = encode_query(intent.normalized, self.dim)
+                vec = (similarity.cosine_scores(self.emb, qvec, self.id_col)
+                       .select(self.id_col, F.round("sim", 6).alias("sim"))
+                       .orderBy(F.desc("sim"), F.asc(self.id_col)).limit(k))
+            else:
+                vec = self._empty_leg("sim")
+            fused = fusion.fuse(fts, vec, key=self.id_col)
         # Candidates are O(k) -> broadcast them into the documents scan.
         # INNER join: candidates come from this engine's own index and
         # embeddings, so every id resolves; the reference likewise skips
         # hits with no corpus entry (quran_mcp/search.py:219-221).
         with_text = F.broadcast(fused).join(
             self.docs.select(self.id_col, self.text_col), self.id_col)
-        if dedupe or (synonym_groups and len(synonym_groups) >= 2):
-            # Pin the O(k) candidates: the proximity probe and the dedup
-            # diamond (dropped-count agg + keep-best filter) each consume
-            # them twice — unpinned, every consumer re-runs both legs.
+        if synonym_groups and len(synonym_groups) >= 2:
+            # Pin the O(k) candidates only when the proximity probe will
+            # consume them a second time (probe + join-back); the default
+            # path is a LINEAR single-job plan — fused_result_dedup counts
+            # drops in-window, so no consumer re-runs the legs and the
+            # per-request eager-checkpoint job is gone (measured ~2x on
+            # serving p50; see SERVING_LATENCY.md).
             with_text = with_text.localCheckpoint()
 
         text_lower = F.lower(F.col(self.text_col))

@@ -56,6 +56,8 @@ class LexicalIndex:
     doc_len: DataFrame    # doc_id, dl
     stats: DataFrame      # n_docs, avgdl (single row)
     term_df: DataFrame    # term, df — per-term document frequency
+    _stats_lit: tuple | None = None  # (n_docs, avgdl) collected once
+    _scoring: DataFrame | None = None  # denormalized scoring view, lazy
 
     def cache(self) -> "LexicalIndex":
         self.postings.cache()
@@ -63,6 +65,38 @@ class LexicalIndex:
         self.stats.cache()
         self.term_df.cache()
         return self
+
+    def scoring_view(self) -> DataFrame:
+        """Denormalized postings (doc_id, term, tf, dl, df), built once and
+        pinned — the classic impact-index layout: per-doc length and
+        per-term document frequency are FOLDED INTO the posting rows so a
+        scoring call is a pure scan+aggregate with the term filter pushed
+        into the scan; the normalized frames keep serving status tools and
+        composition. Costs ~16 bytes/posting extra and is rebuilt with the
+        index snapshot (df/dl are snapshot-static by definition). Without
+        it every BM25 call paid a doc_len shuffle join plus a term_df
+        broadcast-exchange build — two extra Spark jobs of pure scheduler
+        floor on the interactive path."""
+        if self._scoring is None:
+            self._scoring = (self.postings
+                             .join(self.doc_len, "doc_id")
+                             .join(self.term_df, "term")
+                             .select("doc_id", "term", "tf", "dl", "df")
+                             .localCheckpoint())
+        return self._scoring
+
+    def stats_literals(self) -> tuple[float, float]:
+        """(n_docs, avgdl) as Python floats, collected ONCE per index and
+        memoized. Scoring inlines them as plan literals instead of
+        `crossJoin(broadcast(stats))`: the corpus stats are two numbers
+        fixed at index-build time, and the broadcast-exchange build was
+        one extra Spark job on EVERY scoring call — a pure scheduler tax
+        on the interactive path. Values are bit-identical to the frame's
+        (same Spark aggregation, collected rather than joined)."""
+        if self._stats_lit is None:
+            r = self.stats.first()
+            self._stats_lit = (float(r.n_docs), float(r.avgdl))
+        return self._stats_lit
 
 
 def build_index(docs: DataFrame, text_col: str = "text",
@@ -114,23 +148,20 @@ def score_terms(spark: SparkSession, index: LexicalIndex, terms: list[str],
     (doc_id, score double, matched int). Conjunctive = FTS5 implicit-AND
     semantics (SURVEY F7); disjunctive keeps any match.
 
-    The terms DataFrame is a broadcast literal; `isin` would also work but a
-    join keeps df lookup and filtering in one pass."""
+    One job, no joins: the term list is an `isin` literal pushed into the
+    pinned denormalized scoring view (tf/dl/df on every row), and the
+    corpus stats are plan literals — scan -> partial agg -> final agg is
+    the whole leg."""
     if not terms:
         raise ValueError("empty term list")
     terms = sorted(set(terms))
-    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
-    term_df = index.term_df.join(F.broadcast(qterms), "term")
-    matched = (
-        index.postings.join(F.broadcast(term_df), "term")
-        .join(index.doc_len, "doc_id")
-        .crossJoin(F.broadcast(index.stats))
-    )
+    n_docs, avgdl = index.stats_literals()
+    matched = index.scoring_view().filter(F.col("term").isin(list(terms)))
     per_doc = (
         matched.groupBy("doc_id")
         .agg(
-            F.sum(_bm25_term_score(F.col("tf"), F.col("dl"), F.col("avgdl"),
-                                   F.col("df"), F.col("n_docs"), k1, b)).alias("score"),
+            F.sum(_bm25_term_score(F.col("tf"), F.col("dl"), F.lit(avgdl),
+                                   F.col("df"), F.lit(n_docs), k1, b)).alias("score"),
             F.count(F.lit(1)).cast("int").alias("matched"),
         )
     )
@@ -154,17 +185,16 @@ def score_terms_batch(index: LexicalIndex, qterms: DataFrame,
     comparison per (query, doc) — no join cascade, any number of queries.
     Returns (query_id, doc_id, score, matched)."""
     qt = qterms.dropDuplicates(["query_id", "term"])
-    qt_df = index.term_df.join(F.broadcast(qt), "term")  # (query_id, term, df); still tiny
-    matched = (
-        index.postings.join(F.broadcast(qt_df), "term")
-        .join(index.doc_len, "doc_id")
-        .crossJoin(F.broadcast(index.stats))
-    )
+    n_docs, avgdl = index.stats_literals()
+    # qt is typically a driver-local literal table (LocalTableScan), so
+    # this broadcast builds without a Spark job; df/dl ride the
+    # denormalized scoring view — no corpus-side joins.
+    matched = index.scoring_view().join(F.broadcast(qt), "term")
     per = (
         matched.groupBy("query_id", "doc_id")
         .agg(
-            F.sum(_bm25_term_score(F.col("tf"), F.col("dl"), F.col("avgdl"),
-                                   F.col("df"), F.col("n_docs"), k1, b)).alias("score"),
+            F.sum(_bm25_term_score(F.col("tf"), F.col("dl"), F.lit(avgdl),
+                                   F.col("df"), F.lit(n_docs), k1, b)).alias("score"),
             F.count(F.lit(1)).cast("int").alias("matched"),
         )
     )
@@ -208,16 +238,16 @@ def score_prefix(index: LexicalIndex, prefix: str,
     as one token set the same way). `startswith` compiles to a range
     predicate on term-sorted postings storage, so the scan prunes.
     Returns (doc_id, score)."""
-    members = index.postings.filter(F.col("term").startswith(prefix))
-    pseudo = members.groupBy("doc_id").agg(F.sum("tf").alias("tf"))
+    n_docs, avgdl = index.stats_literals()
+    members = index.scoring_view().filter(F.col("term").startswith(prefix))
+    pseudo = members.groupBy("doc_id").agg(F.sum("tf").alias("tf"),
+                                           F.first("dl").alias("dl"))
     dfrow = pseudo.agg(F.count(F.lit(1)).cast("double").alias("df"))
     return (
-        pseudo.join(index.doc_len, "doc_id")
-        .crossJoin(F.broadcast(dfrow))
-        .crossJoin(F.broadcast(index.stats))
+        pseudo.crossJoin(F.broadcast(dfrow))
         .select("doc_id",
-                _bm25_term_score(F.col("tf"), F.col("dl"), F.col("avgdl"),
-                                 F.col("df"), F.col("n_docs"), k1, b).alias("score"))
+                _bm25_term_score(F.col("tf"), F.col("dl"), F.lit(avgdl),
+                                 F.col("df"), F.lit(n_docs), k1, b).alias("score"))
     )
 
 

@@ -368,19 +368,31 @@ def fused_result_dedup(scored: DataFrame, preview_col: Column,
     """D1 on a ranked candidate list (ref quran_mcp/search.py:262-278):
     rows sharing a non-empty text-preview key keep only the best-scored
     one (deterministic id tie-break), and every surviving row carries
-    `duplicates_filtered` — the total number of rows dropped — via a
-    broadcast of the 1-row count. Empty/blank previews fall back to the
-    id so they can never collide. Shared by the HybridEngine API and the
-    oracle-checked hybrid plan; the candidate list is O(k), so the window
-    and the count are trivial at any corpus size."""
+    `duplicates_filtered` — the total number of rows dropped. Empty/blank
+    previews fall back to the id so they can never collide. Shared by the
+    HybridEngine API and the oracle-checked hybrid plan.
+
+    SINGLE-PASS shape: the dropped-row count rides a global window over
+    the ranked candidates rather than a count-agg + broadcast crossJoin —
+    the diamond shape consumed the candidate frame twice (the broadcast
+    materialization is its own Spark job), which forced serving callers
+    to eager-checkpoint the candidates per request. The candidate list is
+    O(k) by construction (both legs top-k-limited upstream), so the
+    single-partition exchange the unpartitioned window implies carries a
+    few hundred rows — the right trade for a linear, one-job plan."""
     dkey = F.coalesce(F.nullif(F.trim(preview_col), F.lit("")),
                       F.col(id_col).cast("string"))
     dw = Window.partitionBy(dkey).orderBy(F.desc(score_col), F.asc(id_col))
+    total_w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = scored.withColumn("rn", F.row_number().over(dw))
-    dups = ranked.filter(F.col("rn") > 1).agg(
-        F.count(F.lit(1)).alias("duplicates_filtered"))
-    return (ranked.filter(F.col("rn") == 1).drop("rn")
-            .crossJoin(F.broadcast(dups)))
+    return (ranked
+            .withColumn(
+                "duplicates_filtered",
+                F.coalesce(
+                    F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+                    .over(total_w), F.lit(0)).cast("long"))
+            .filter(F.col("rn") == 1).drop("rn"))
 
 
 def simhash_long(docs: DataFrame, text_col: str = "text",

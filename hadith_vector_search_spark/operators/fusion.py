@@ -83,19 +83,30 @@ def vec_signal(sim: Column) -> Column:
 
 def fuse(fts_hits: DataFrame, vec_hits: DataFrame,
          key: str | list[str] = "doc_id") -> DataFrame:
-    """J1/J2: full outer join of the two candidate lists, keeping both raw
-    scores (missing side -> 0.0). fts_hits: (key, bm25); vec_hits: (key, sim).
-    `key` may be composite — e.g. (query_id, doc_id) for batch-of-queries
-    fusion, where the same shape fuses N queries in one join."""
+    """J1/J2: full-outer fusion of the two candidate lists, keeping both
+    raw scores (missing side -> 0.0). fts_hits: (key, bm25); vec_hits:
+    (key, sim). `key` may be composite — e.g. (query_id, doc_id) for
+    batch-of-queries fusion, where the same shape fuses N queries in one
+    pass.
+
+    Planned as union + group-agg rather than a FULL OUTER join: both
+    inputs are top-k candidate lists with AT MOST ONE row per key (the
+    precondition), so `max` over the {value, NULL-filler} pair per side
+    reproduces the outer join's coalesce exactly — including negative
+    cosine scores, which a 0.0 filler under max would clobber — while
+    costing ONE exchange instead of the join's two sorted exchanges."""
     keys = [key] if isinstance(key, str) else list(key)
-    f = fts_hits.withColumnRenamed("bm25", "fts_score")
-    v = vec_hits.withColumnRenamed("sim", "vector_sim")
+    f = (fts_hits.withColumnRenamed("bm25", "fts_score")
+         .withColumn("vector_sim", F.lit(None).cast("double")))
+    v = (vec_hits.withColumnRenamed("sim", "vector_sim")
+         .withColumn("fts_score", F.lit(None).cast("double")))
+    cols = [*keys, "fts_score", "vector_sim"]
     return (
-        f.join(v, keys, "full_outer")
-        .select(
-            *keys,
-            F.coalesce("fts_score", F.lit(0.0)).alias("fts_score"),
-            F.coalesce("vector_sim", F.lit(0.0)).alias("vector_sim"),
+        f.select(*cols).unionByName(v.select(*cols))
+        .groupBy(*keys)
+        .agg(
+            F.coalesce(F.max("fts_score"), F.lit(0.0)).alias("fts_score"),
+            F.coalesce(F.max("vector_sim"), F.lit(0.0)).alias("vector_sim"),
         )
     )
 

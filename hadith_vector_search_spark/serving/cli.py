@@ -49,13 +49,15 @@ def run(argv: list[str] | None = None, engine=None,
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     if engine is None:
-        from ..api import HybridEngine
+        from ..api import HybridEngine, configure_interactive
         from ..session import get_spark
         from ..sources import load_table
 
         spark = get_spark("cli")
+        configure_interactive(spark)
         spark.sparkContext.setLogLevel("ERROR")
         engine = HybridEngine(spark, load_table(spark, args.sf_dir, "documents"))
+        engine.enable_interactive()
 
     if args.status:
         fn = {"corpus": engine.status, "vector": engine.vector_index_status,

@@ -161,7 +161,7 @@ class EngineHTTPServer:
 def main(argv: list[str] | None = None) -> None:
     import argparse
 
-    from ..api import HybridEngine
+    from ..api import HybridEngine, configure_interactive
     from ..session import get_spark
     from ..sources import load_table
 
@@ -176,7 +176,9 @@ def main(argv: list[str] | None = None) -> None:
     args = parser.parse_args(argv)
 
     spark = get_spark("http-serving")
+    configure_interactive(spark)
     engine = HybridEngine(spark, load_table(spark, args.sf_dir, "documents"))
+    engine.enable_interactive()
     server = EngineHTTPServer(engine, args.host, args.port,
                               tls_cert=args.tls_cert, tls_key=args.tls_key)
     scheme = "https" if server.tls else "http"

@@ -186,13 +186,15 @@ def main(argv: list[str] | None = None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
 
-    from ..api import HybridEngine
+    from ..api import HybridEngine, configure_interactive
     from ..session import get_spark
     from ..sources import load_table
 
     spark = get_spark("stdio-serving")
+    configure_interactive(spark)
     docs = load_table(spark, sf_dir, "documents")
     engine = HybridEngine(spark, docs)
+    engine.enable_interactive()
     StdioServer(engine).serve()
 
 

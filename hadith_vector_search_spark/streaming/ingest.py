@@ -15,6 +15,21 @@ with `Trigger.AvailableNow`:
   the `foreachBatch` body is a Delta/Iceberg `MERGE INTO`; here it is the
   plain-parquet merge (read-merge-rewrite), which is the honest local
   equivalent.
+
+Snapshot-read recipe for external readers of a merge target: the publish
+protocol swaps each staged partition with two atomic renames, so after a
+crash a partition can be briefly absent until the next batch recovers it.
+A reader that must never observe that window calls
+``recover_pending_publish(target_dir)`` first (completes any
+committed-but-unfinished publish; no-op on a clean table), then lists and
+snapshots the file set it will read:
+
+    recover_pending_publish(target)
+    df = spark.read.parquet(target)   # or snapshot the file list first
+
+On a lake deployment the table format's own snapshot isolation replaces
+this recipe; the helper exists because plain parquet directories have no
+commit log.
 """
 
 from __future__ import annotations

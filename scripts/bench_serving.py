@@ -41,6 +41,7 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
     from hadith_vector_search_spark.sources import load_table
 
     engine = HybridEngine(spark, load_table(spark, sf_dir, "documents"))
+    engine.enable_interactive()
     doc_ids = [r.doc_id for r in
                engine.docs.select("doc_id").limit(200).collect()]
 
@@ -75,8 +76,10 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=30)
     args = ap.parse_args()
 
+    from hadith_vector_search_spark.api import configure_interactive
     from hadith_vector_search_spark.session import get_spark
     spark = get_spark("bench-serving")
+    configure_interactive(spark)  # the deployment shape being measured
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").write.mode(
         "overwrite").format("noop").save()

@@ -174,3 +174,38 @@ def test_engine_concurrent_requests(spark, sf_dir):
         t.join(timeout=120)
     assert not errors, errors
     assert results == serial
+
+
+def test_interactive_mode_equals_batch_path(spark):
+    """enable_interactive moves the vector leg + fusion driver-side; the
+    results must be IDENTICAL to the pure-Spark plan, row for row, on
+    real corpus data across modes and queries (the same guarantee the
+    route_one twin carries for routing)."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    assert inter._mat is not None
+    for q, mode in [("patience and prayer", "balanced"),
+                    ("window merge sort batch", "term-priority"),
+                    ("charity given in secret", "semantic"),
+                    ('"window data" stream', "balanced")]:
+        a = [r.asDict() for r in
+             batch.hybrid_search(q, n_results=10,
+                                 scoring_mode=mode).collect()]
+        b = [r.asDict() for r in
+             inter.hybrid_search(q, n_results=10,
+                                 scoring_mode=mode).collect()]
+        assert a == b, (q, mode)
+
+
+def test_interactive_mode_refuses_oversized_corpus(spark):
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eng = HybridEngine(spark, docs)
+    assert eng.enable_interactive(max_driver_rows=3) is False
+    assert eng._mat is None  # engine unchanged, Spark path still serves
+    assert eng.hybrid_search("patience", n_results=2).count() > 0
