@@ -124,6 +124,70 @@ def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNIPPET_TOKENS = 12
+SNIPPET_TERMS = ("window", "data", "stream")  # py_tokenize(HYBRID_QUERY)
+
+
+def snippet_positional_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25 exact window selection: FTS5-style positional snippet over the
+    phrase-matching docs — best window of SNIPPET_TOKENS consecutive
+    tokens by (distinct matched terms, total matches, earliest), matched
+    tokens bracketed, ellipses on truncated edges. One narrow map over
+    the filtered scan (predicate pushdown on the phrase containment);
+    no shuffle, no UDF."""
+    from ..functions.text import snippet_positional
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = snippet_positional(F.col("text"), list(SNIPPET_TERMS),
+                           n_tokens=SNIPPET_TOKENS)
+    return (docs
+            .filter(F.instr(F.lower(F.col("text")), F.lit(PHRASE)) > 0)
+            .select("doc_id", s.alias("s"))
+            .select("doc_id",
+                    F.col("s.snippet").alias("snippet"),
+                    F.col("s.n_matched").alias("n_matched"),
+                    F.col("s.start").alias("win_start")))
+
+
+def snippet_positional_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(SNIPPET_TERMS)))
+    n = SNIPPET_TOKENS
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM documents
+  WHERE strpos(lower(text), '{PHRASE}') > 0
+),
+wins AS (
+  SELECT doc_id, ts, i - 1 AS start, ts[i:i+{n}-1] AS win
+  FROM tk, unnest(range(1, greatest(len(ts) - {n}, 0) + 2)) r(i)
+),
+scored AS (
+  SELECT doc_id, ts, start, win,
+         len(list_distinct(list_filter(win,
+             t -> list_contains([{terms}], t)))) AS d,
+         len(list_filter(win, t -> list_contains([{terms}], t))) AS m
+  FROM wins
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY d DESC, m DESC, start ASC) AS rn
+  FROM scored
+)
+SELECT doc_id,
+       (CASE WHEN start > 0 THEN '…' ELSE '' END) ||
+       list_aggregate(list_transform(win,
+           t -> CASE WHEN list_contains([{terms}], t)
+                     THEN '[' || t || ']' ELSE t END), 'string_agg', ' ') ||
+       (CASE WHEN start + {n} < len(ts) THEN '…' ELSE '' END) AS snippet,
+       m AS n_matched,
+       start AS win_start
+FROM best WHERE rn = 1
+"""
+
+
 def coverage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11: term-coverage ratio against a fixed token set; keep docs with
     >= 60% coverage. Coverage is exact rational arithmetic — oracle-safe."""

@@ -66,6 +66,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_topk_batch": lexical.bm25_topk_batch,
     "tfidf_topk": lexical.tfidf_topk,
     "phrase_match": lexical.phrase_match,
+    "snippet_positional": lexical.snippet_positional_preview,
     "coverage_scores": lexical.coverage_scores,
     "token_stats": lexical.token_stats,
     "proximity_pairs": lexical.proximity_pairs,
@@ -270,6 +271,7 @@ oracle("near_dup_containment", dedup_plans.near_dup_containment_oracle())
 # the streaming gate's drained result equals the batch incremental check
 oracle("streaming_neardup_ingest", dedup_plans.near_dup_incremental_oracle())
 oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())
+oracle("snippet_positional", lexical.snippet_positional_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
 oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())
 oracle("winnowed_fingerprints", dedup_plans.winnowed_fingerprints_oracle())

@@ -127,3 +127,30 @@ def test_strip_trailing_arabic_digits(spark):
     df = spark.createDataFrame([("tafsir text ١٢٣",), ("keep 12 inner 45",)], "s string")
     out = [r.x for r in df.select(T.strip_trailing_arabic_digits("s").alias("x")).collect()]
     assert out == ["tafsir text", "keep 12 inner"]
+
+
+def test_snippet_positional_window_selection(spark):
+    """FTS5 selection rules: prefer distinct matched terms over repeats,
+    then total matches, then the earliest window; markers wrap matches;
+    ellipses appear only on truncated edges."""
+    filler = " ".join(f"xx{i:02d}" for i in range(20))
+    rows = [
+        # repeats of 'alpha' early, but 'alpha beta' later wins (2 distinct)
+        (1, "alpha alpha alpha " + filler + " alpha beta end"),
+        # short doc, no truncation: no ellipses
+        (2, "alpha beta gamma"),
+        # match at head of long doc: trailing ellipsis only
+        (3, "alpha beta " + filler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = T.snippet_positional(F.col("text"), ["alpha", "beta"], n_tokens=4)
+    out = {r.doc_id: r for r in
+           df.select("doc_id", s.alias("s"))
+           .select("doc_id", "s.*").collect()}
+    assert out[1].n_matched == 2 and out[1].start > 0
+    assert "[alpha] [beta]" in out[1].snippet
+    assert out[1].snippet.startswith("…")
+    assert out[2].snippet == "[alpha] [beta] gamma"
+    assert out[2].start == 0 and out[2].n_matched == 2
+    assert out[3].snippet.startswith("[alpha] [beta]")
+    assert out[3].snippet.endswith("…") and not out[3].snippet.startswith("…")
