@@ -344,3 +344,54 @@ def test_sessionization_matches_python_model_randomized(spark):
         finally:
             profile.load_table = orig
         assert got == expected, f"seed {seed}"
+
+
+def test_union_fuse_equals_full_outer_join_randomized(spark):
+    """fusion.fuse is planned as union + per-key max over NULL-filled
+    sides; its contract is exact full-outer-coalesce semantics whenever
+    each input has at most one row per key (the structural precondition —
+    both legs are top-k lists). Randomized check incl. NEGATIVE cosine
+    scores and disjoint/overlapping key sets, against a literal full
+    outer join."""
+    from hadith_vector_search_spark.operators.fusion import fuse
+
+    rng = random.Random(23)
+    fts_keys = rng.sample(range(100), 30)
+    vec_keys = rng.sample(range(100), 30)
+    fts = spark.createDataFrame(
+        [(k, round(rng.uniform(0, 12), 6)) for k in fts_keys],
+        "doc_id long, bm25 double")
+    vec = spark.createDataFrame(
+        [(k, round(rng.uniform(-1, 1), 6)) for k in vec_keys],  # negatives!
+        "doc_id long, sim double")
+
+    got = {r.doc_id: (r.fts_score, r.vector_sim)
+           for r in fuse(fts, vec, key="doc_id").collect()}
+    ref_df = (fts.withColumnRenamed("bm25", "f")
+              .join(vec.withColumnRenamed("sim", "v"), "doc_id", "full_outer")
+              .select("doc_id", F.coalesce("f", F.lit(0.0)).alias("f"),
+                      F.coalesce("v", F.lit(0.0)).alias("v")))
+    ref = {r.doc_id: (r.f, r.v) for r in ref_df.collect()}
+    assert got == ref
+
+
+def test_interactive_equivalence_with_string_ids(spark):
+    """enable_interactive + the VALUES literal re-entry must survive
+    string ids (incl. quote characters needing SQL escaping) and stay
+    row-identical to the batch path."""
+    from hadith_vector_search_spark.api import HybridEngine
+
+    rows = [
+        ("a'1", "patience and prayer bring reward to the patient"),
+        ("b\"2", "the window data stream flows through the merge"),
+        ("c:3", "charity in secret and patience in anger"),
+        ("d-4", "window data window data stream stream repeated phrase"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    for q in ["patience", '"window data" stream', "charity secret"]:
+        a = [r.asDict() for r in batch.hybrid_search(q, n_results=4).collect()]
+        b = [r.asDict() for r in inter.hybrid_search(q, n_results=4).collect()]
+        assert a == b, q
