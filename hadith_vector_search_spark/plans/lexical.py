@@ -124,6 +124,193 @@ def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRF_FB_DOCS = 5     # pseudo-relevant feedback set size
+PRF_EXP_TERMS = 5   # expansion terms added to the query
+PRF_K = 10
+
+
+def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3-style, Lavrenko & Croft
+    2001 / Abdul-Jaleel et al. 2004): run the original BM25 query, treat
+    its top-PRF_FB_DOCS hits as relevant, mine the PRF_EXP_TERMS highest-
+    weight non-query terms from them (w(t) = sum over feedback docs of
+    tf/dl, idf-scaled — the RM1 estimate with uniform doc priors), add
+    them to the query, and rescore disjunctively. The second-pass scoring
+    every IR engine's "more like this" button runs.
+
+    Fully in-plan: the feedback-doc set and the mined expansion terms are
+    DataFrames joined back against the denormalized scoring view — no
+    driver round-trip between the passes, so the whole two-pass retrieval
+    is one DAG that scales with postings of the matched terms, never the
+    corpus. Deterministic: candidate weights round to 6 decimals with
+    (w desc, term asc) selection, both passes tie-break on doc_id."""
+    idx = get_index(spark, sf_dir)
+    terms = sorted(set(py_tokenize(BM25_QUERY)))
+    n_docs, avgdl = idx.stats_literals()
+    sc = idx.scoring_view()
+
+    base = bm25.score_terms(spark, idx, terms, conjunctive=False)
+    fb = (base.select("doc_id", F.round("score", 6).alias("s"))
+          .orderBy(F.desc("s"), F.asc("doc_id")).limit(PRF_FB_DOCS)
+          .select("doc_id"))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    exp_terms = (sc.join(fb, "doc_id", "left_semi")
+                 .filter(~F.col("term").isin(terms))
+                 .groupBy("term")
+                 .agg(F.round(F.sum((F.col("tf") / F.col("dl")) * idf), 6)
+                      .alias("w"))
+                 .orderBy(F.desc("w"), F.asc("term")).limit(PRF_EXP_TERMS)
+                 .select("term"))
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    expanded = qterms.unionByName(exp_terms)
+    return (sc.join(F.broadcast(expanded), "term")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(
+                bm25._bm25_term_score(
+                    F.col("tf"), F.col("dl"), F.lit(avgdl),
+                    F.col("df"), F.lit(float(n_docs)))), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(PRF_K))
+
+
+def bm25_prf_oracle() -> str:
+    terms = sorted(set(py_tokenize(BM25_QUERY)))
+    tvalues = ", ".join(f"('{t}')" for t in terms)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_sql_tokens_cte()},
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+qterms AS (SELECT * FROM (VALUES {tvalues}) q(term)),
+base AS (
+  SELECT p.doc_id,
+         round(sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) ), 6)
+           AS score
+  FROM postings p
+  JOIN dfreq d USING (term) JOIN qterms USING (term)
+  JOIN doclen l USING (doc_id) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+fb AS (SELECT doc_id FROM base
+       ORDER BY score DESC, doc_id ASC LIMIT {PRF_FB_DOCS}),
+cand AS (
+  SELECT p.term,
+         round(sum((p.tf / l.dl)
+               * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))), 6) AS w
+  FROM postings p
+  JOIN fb USING (doc_id)
+  JOIN dfreq d USING (term)
+  JOIN doclen l USING (doc_id) CROSS JOIN stats s
+  WHERE p.term NOT IN ({tlist})
+  GROUP BY p.term
+),
+exp_terms AS (SELECT term FROM cand ORDER BY w DESC, term ASC
+              LIMIT {PRF_EXP_TERMS}),
+expanded AS (SELECT term FROM qterms UNION ALL SELECT term FROM exp_terms)
+SELECT p.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+            * (p.tf * (1.2 + 1.0))
+            / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) ), 6)
+         AS bm25
+FROM postings p
+JOIN dfreq d USING (term) JOIN expanded USING (term)
+JOIN doclen l USING (doc_id) CROSS JOIN stats s
+GROUP BY p.doc_id
+ORDER BY bm25 DESC, p.doc_id ASC
+LIMIT {PRF_K}
+"""
+
+
+RERANK_CANDS = 20
+RERANK_K = 10
+
+
+def cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank, the canonical two-stage stack: BM25 first
+    stage over-fetches RERANK_CANDS candidates, an Arrow pandas-UDF pair
+    scorer (operators/reranker — cross-encoder shape, deterministic hash
+    stand-in; real model env-gated) scores each (query, candidate) pair
+    jointly, and the top-RERANK_K by rerank score ship. The expensive
+    model sees O(k) pairs per query, never the corpus; the first stage is
+    the pruned scan+agg BM25 plan. Both stage scores are emitted so the
+    oracle pins the full two-stage contract."""
+    from ..operators.reranker import pair_score
+    from .embedding import DIM
+
+    idx = get_index(spark, sf_dir)
+    terms = sorted(set(py_tokenize(BM25_QUERY)))
+    base = (bm25.score_terms(spark, idx, terms, conjunctive=False)
+            .select("doc_id", F.round("score", 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(RERANK_CANDS))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = F.broadcast(base).join(docs, "doc_id")
+    ce = F.round(pair_score(F.lit(BM25_QUERY), F.col("text"),
+                            DIM, backend="hash"), 6)
+    return (cands.select("doc_id", "bm25", ce.alias("ce_score"))
+            .orderBy(F.desc("ce_score"), F.asc("doc_id")).limit(RERANK_K))
+
+
+def cross_encoder_rerank_oracle() -> str:
+    import math
+
+    from ..operators.embedder import encode_query
+    from .embedding import DIM, N_BLOCKS
+
+    terms = sorted(set(py_tokenize(BM25_QUERY)))
+    tvalues = ", ".join(f"('{t}')" for t in terms)
+    q_raw = encode_query(BM25_QUERY, DIM, backend="hash", normalize=False)
+    qn = math.sqrt(sum(t * t for t in q_raw))
+    qvals = ", ".join(f"({j}, {q_raw[j]!r})" for j in range(DIM))
+    hx = " || ".join(f"md5('{b}|' || tok)" for b in range(N_BLOCKS))
+    return f"""
+WITH {_sql_tokens_cte()},
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+qterms AS (SELECT * FROM (VALUES {tvalues}) q(term)),
+base AS (
+  SELECT doc_id, bm25 FROM (
+    SELECT p.doc_id,
+           round(sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) ), 6)
+             AS bm25
+    FROM postings p
+    JOIN dfreq d USING (term) JOIN qterms USING (term)
+    JOIN doclen l USING (doc_id) CROSS JOIN stats s
+    GROUP BY p.doc_id)
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {RERANK_CANDS}
+),
+tok_rows AS (
+  SELECT d.doc_id,
+         unnest(list_filter(string_split_regex(lower(d.text),
+                                               '[^a-z0-9_؀-ۿ]+'),
+                            x -> length(x) >= 2)) AS tok
+  FROM documents d JOIN base USING (doc_id)
+),
+tok_hex AS (SELECT doc_id, {hx} AS hx FROM tok_rows),
+comps AS (
+  SELECT doc_id, g.j AS dim,
+         SUM(CASE WHEN substr(hx, g.j + 1, 1) < '8'
+                  THEN 1 ELSE -1 END)::DOUBLE AS s
+  FROM tok_hex CROSS JOIN generate_series(0, {DIM - 1}) AS g(j)
+  GROUP BY doc_id, g.j
+),
+qvec(j, t) AS (VALUES {qvals}),
+ce AS (
+  SELECT c.doc_id, SUM(c.s * q.t) AS num, SUM(c.s * c.s) AS ssq
+  FROM comps c JOIN qvec q ON q.j = c.dim
+  GROUP BY c.doc_id
+)
+SELECT b.doc_id, b.bm25,
+       round(CASE WHEN ce.ssq > 0
+                  THEN ce.num / (sqrt(ce.ssq) * {qn!r})
+                  ELSE 0.0 END, 6) AS ce_score
+FROM base b JOIN ce USING (doc_id)
+ORDER BY ce_score DESC, b.doc_id ASC
+LIMIT {RERANK_K}
+"""
+
+
 SNIPPET_TOKENS = 12
 SNIPPET_TERMS = ("window", "data", "stream")  # py_tokenize(HYBRID_QUERY)
 

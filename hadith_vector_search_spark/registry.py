@@ -67,6 +67,8 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_topk": lexical.tfidf_topk,
     "phrase_match": lexical.phrase_match,
     "snippet_positional": lexical.snippet_positional_preview,
+    "bm25_prf_topk": lexical.bm25_prf_topk,
+    "cross_encoder_rerank": lexical.cross_encoder_rerank,
     "coverage_scores": lexical.coverage_scores,
     "token_stats": lexical.token_stats,
     "proximity_pairs": lexical.proximity_pairs,
@@ -272,6 +274,8 @@ oracle("near_dup_containment", dedup_plans.near_dup_containment_oracle())
 oracle("streaming_neardup_ingest", dedup_plans.near_dup_incremental_oracle())
 oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())
 oracle("snippet_positional", lexical.snippet_positional_oracle())
+oracle("bm25_prf_topk", lexical.bm25_prf_oracle())
+oracle("cross_encoder_rerank", lexical.cross_encoder_rerank_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
 oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())
 oracle("winnowed_fingerprints", dedup_plans.winnowed_fingerprints_oracle())

@@ -204,3 +204,52 @@ def test_real_model_raw_mode_rejected():
     m = embedder.SentenceTransformerEmbedder()
     with pytest.raises(ValueError, match="normaliz"):
         m.encode_batch(["x"], normalize=False)
+
+
+def test_hash_pair_scorer_is_exact_cosine_of_sign_vectors():
+    from hadith_vector_search_spark.operators.reranker import HashPairScorer
+
+    s = HashPairScorer(64)
+    [same] = s.score_batch(["alpha beta"], ["alpha beta"])
+    assert same == pytest.approx(1.0, abs=1e-12)  # self-pair == 1
+    [a], [b] = (s.score_batch(["alpha beta"], ["beta alpha extra"]),
+                s.score_batch(["alpha beta"], ["unrelated words here"]))
+    assert a > b                     # shared tokens score higher
+    [z] = s.score_batch(["alpha"], [""])
+    assert z == 0.0                  # empty side -> 0, no div-by-zero
+
+
+def test_fake_cross_encoder_contract(monkeypatch):
+    """Real-model branch of the pair scorer: lazy CrossEncoder load,
+    reference model name, batch kwargs, float coercion — via a faked
+    sentence_transformers surface (the package is absent here)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from hadith_vector_search_spark.operators import reranker
+
+    calls = []
+
+    class _FakeCE:
+        def __init__(self, name):
+            assert name == reranker.CrossEncoderScorer.MODEL_NAME
+        def predict(self, pairs, batch_size=None, show_progress_bar=None):
+            calls.append({"n": len(pairs), "batch_size": batch_size,
+                          "show_progress_bar": show_progress_bar})
+            return np.array([float(len(q) + len(t)) for q, t in pairs])
+
+    mod = types.ModuleType("sentence_transformers")
+    mod.CrossEncoder = _FakeCE
+    monkeypatch.setitem(sys.modules, "sentence_transformers", mod)
+    monkeypatch.setattr(reranker, "_SCORER_CACHE", {})
+    assert reranker.cross_encoder_available()
+    assert reranker.resolve_pair_backend("auto") == "ce"
+    m = reranker.get_pair_scorer(backend="auto")
+    assert isinstance(m, reranker.CrossEncoderScorer)
+    out = m.score_batch(["ab", "abc"], ["x", "yz"])
+    assert out == [3.0, 5.0]
+    assert calls == [{"n": 2, "batch_size": 64, "show_progress_bar": False}]
+    # singleton: second resolve reuses the loaded scorer
+    assert reranker.get_pair_scorer(backend="auto") is m

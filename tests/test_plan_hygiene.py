@@ -25,6 +25,7 @@ ARROW_ALLOWED = {
     "greedy_pack_assignments",
     "streaming_user_totals_stateful",
     "mmr_rerank",
+    "cross_encoder_rerank",   # the pair scorer IS the Python inference
 }
 
 
