@@ -376,6 +376,120 @@ LIMIT {HYBRID_N}
 """
 
 
+def ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank training-data exporter: the per-(query, candidate)
+    FEATURE TABLE an LTR model trains on — lexical score, vector
+    similarity, term coverage, document length, and raw size for every
+    candidate either retrieval leg surfaces. This is the hybrid batch
+    pipeline stopped one step before fusion weights: instead of combining
+    the signals with fixed weights, ship them so a ranker can learn the
+    weights — the standard path from a hand-tuned scorer (the reference's
+    scoring.py) to a trained one. Same legs, same O(queries·k) candidate
+    frame broadcast into the corpus-side joins."""
+    from .lexical import BATCH_QUERIES, get_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [qid for qid, _ in BATCH_QUERIES]
+
+    fts = bm25_ops.bm25_topk_batch(spark, docs, BATCH_QUERIES, k=OVERFETCH,
+                                   conjunctive=False,
+                                   index=get_index(spark, sf_dir)
+                                   ).select("query_id", "doc_id", "bm25")
+    qvecs = (emb.filter(F.col("vec_id").isin(qids))
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("qvec")))
+    vec = (similarity.knn_join(emb, qvecs, k=OVERFETCH)
+           .select("query_id", F.col("vec_id").alias("doc_id"), "sim"))
+    fused = fusion.fuse(fts, vec, key=["query_id", "doc_id"])
+
+    idx = get_index(spark, sf_dir)
+    with_doc = (F.broadcast(fused)
+                .join(docs.select("doc_id", "text", "n_chars"), "doc_id"))
+    with_dl = F.broadcast(with_doc).join(idx.doc_len, "doc_id")
+    tok_rows = [(qid, sorted(set(py_tokenize(q)))) for qid, q in BATCH_QUERIES]
+    tokens_df = spark.createDataFrame(tok_rows,
+                                      "query_id int, toks array<string>")
+    cov = term_coverage(F.col("toks"), F.lower(F.col("text")))
+    return (with_dl.join(F.broadcast(tokens_df), "query_id")
+            .select("query_id", "doc_id",
+                    F.col("fts_score").alias("bm25"),
+                    "vector_sim",
+                    F.round(cov, 6).alias("coverage"),
+                    "dl", "n_chars"))
+
+
+def ltr_features_oracle() -> str:
+    from .lexical import BATCH_QUERIES
+
+    qids = ", ".join(str(qid) for qid, _ in BATCH_QUERIES)
+    term_pairs = sorted({(qid, t) for qid, q in BATCH_QUERIES
+                         for t in py_tokenize(q)})
+    tvalues = ", ".join(f"({qid}, '{t}')" for qid, t in term_pairs)
+    return f"""
+WITH {_sql_tokens_cte()},
+qterms AS (SELECT * FROM (VALUES {tvalues}) q(query_id, term)),
+ntoks AS (SELECT query_id, count(*)::DOUBLE AS n_toks FROM qterms GROUP BY 1),
+tdf AS (
+  SELECT term, count(*)::DOUBLE AS df
+  FROM postings WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1
+),
+bm25_scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) ) AS score
+  FROM postings p
+  JOIN tdf d USING (term)
+  JOIN qterms q USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+fts_leg AS (
+  SELECT query_id, doc_id, fts_score FROM (
+    SELECT query_id, doc_id, round(score, 6) AS fts_score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+    FROM bm25_scored
+  ) WHERE rn <= {OVERFETCH}
+),
+{_PAIR_DOT},
+vec_leg AS (
+  SELECT query_id, doc_id, vector_sim FROM (
+    SELECT ia AS query_id, ib AS doc_id, round(d, 6) AS vector_sim,
+           row_number() OVER (PARTITION BY ia
+                              ORDER BY round(d, 6) DESC, ib ASC) AS rn
+    FROM pair_dot WHERE ia IN ({qids}) AND ia <> ib
+  ) WHERE rn <= {OVERFETCH}
+),
+fused AS (
+  SELECT coalesce(f.query_id, v.query_id) AS query_id,
+         coalesce(f.doc_id, v.doc_id)     AS doc_id,
+         coalesce(f.fts_score, 0.0)       AS bm25,
+         coalesce(v.vector_sim, 0.0)      AS vector_sim
+  FROM fts_leg f
+  FULL OUTER JOIN vec_leg v ON f.query_id = v.query_id AND f.doc_id = v.doc_id
+),
+covs AS (
+  SELECT u.query_id, u.doc_id,
+         sum(CASE WHEN strpos(lower(d.text), t.term) > 0
+                  THEN 1 ELSE 0 END)::DOUBLE / max(n.n_toks) AS cov
+  FROM fused u
+  JOIN documents d ON u.doc_id = d.doc_id
+  JOIN qterms t ON t.query_id = u.query_id
+  JOIN ntoks n ON n.query_id = u.query_id
+  GROUP BY u.query_id, u.doc_id
+)
+SELECT u.query_id, u.doc_id, u.bm25, u.vector_sim,
+       round(c.cov, 6) AS coverage, l.dl, d.n_chars
+FROM fused u
+JOIN covs c ON u.query_id = c.query_id AND u.doc_id = c.doc_id
+JOIN doclen l ON l.doc_id = u.doc_id
+JOIN documents d ON d.doc_id = u.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Reciprocal-rank fusion — the rank-based alternative to weighted fusion
 # ---------------------------------------------------------------------------

@@ -222,6 +222,72 @@ LIMIT {PRF_K}
 """
 
 
+MLT_DOC_ID = 0      # seed document (same fixture id as HYBRID_VEC_ID)
+MLT_TERMS = 5       # representative terms mined from the seed
+MLT_K = 10
+
+
+def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style MoreLikeThis: mine the seed document's MLT_TERMS most
+    representative terms (tf·idf within the doc, rounded, term-asc
+    tie-break — Lucene's interestingTerms), then run them as a
+    disjunctive BM25 query excluding the seed itself. The "find documents
+    like this one" operator every search UI ships; here it is two joins
+    against the denormalized scoring view in ONE plan — the seed's
+    posting row IS the term source, so there is no driver round-trip.
+    """
+    idx = get_index(spark, sf_dir)
+    n_docs, avgdl = idx.stats_literals()
+    sc = idx.scoring_view()
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    seed_terms = (sc.filter(F.col("doc_id") == MLT_DOC_ID)
+                  .select("term",
+                          F.round((F.col("tf") / F.col("dl")) * idf, 6)
+                          .alias("w"))
+                  .orderBy(F.desc("w"), F.asc("term")).limit(MLT_TERMS)
+                  .select("term"))
+    return (sc.join(F.broadcast(seed_terms), "term")
+            .filter(F.col("doc_id") != MLT_DOC_ID)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(
+                bm25._bm25_term_score(
+                    F.col("tf"), F.col("dl"), F.lit(avgdl),
+                    F.col("df"), F.lit(float(n_docs)))), 6).alias("bm25"),
+                F.count(F.lit(1)).cast("int").alias("matched"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(MLT_K))
+
+
+def more_like_this_oracle() -> str:
+    return f"""
+WITH {_sql_tokens_cte()},
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+seed AS (
+  SELECT p.term,
+         round((p.tf / l.dl)
+               * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS w
+  FROM postings p
+  JOIN dfreq d USING (term) JOIN doclen l USING (doc_id) CROSS JOIN stats s
+  WHERE p.doc_id = {MLT_DOC_ID}
+  ORDER BY w DESC, p.term ASC LIMIT {MLT_TERMS}
+)
+SELECT p.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+            * (p.tf * (1.2 + 1.0))
+            / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) ), 6)
+         AS bm25,
+       CAST(count(*) AS INT) AS matched
+FROM postings p
+JOIN dfreq d USING (term)
+JOIN seed USING (term)
+JOIN doclen l USING (doc_id) CROSS JOIN stats s
+WHERE p.doc_id <> {MLT_DOC_ID}
+GROUP BY p.doc_id
+ORDER BY bm25 DESC, p.doc_id ASC
+LIMIT {MLT_K}
+"""
+
+
 RERANK_CANDS = 20
 RERANK_K = 10
 

@@ -69,6 +69,7 @@ QUERIES: dict[str, QueryFn] = {
     "snippet_positional": lexical.snippet_positional_preview,
     "bm25_prf_topk": lexical.bm25_prf_topk,
     "cross_encoder_rerank": lexical.cross_encoder_rerank,
+    "more_like_this": lexical.more_like_this,
     "coverage_scores": lexical.coverage_scores,
     "token_stats": lexical.token_stats,
     "proximity_pairs": lexical.proximity_pairs,
@@ -101,6 +102,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search_batch": hybrid.hybrid_search_batch,
     "hybrid_search_degraded": hybrid.hybrid_search_degraded,
     "hybrid_search_rrf": hybrid.hybrid_search_rrf,
+    "ltr_features": hybrid.ltr_features,
     # scalar normalization sweep (F1/F8/F19-F23)
     "normalization_preview": normalization.normalization_preview,
     # dedup family (LLM-pipeline operators)
@@ -258,6 +260,7 @@ oracle("hybrid_search_batch", hybrid.hybrid_batch_oracle_sql("balanced"))
 oracle("hybrid_search_degraded",
        hybrid.hybrid_oracle_sql("balanced", fts_available=False))
 oracle("hybrid_search_rrf", hybrid.hybrid_rrf_oracle_sql())
+oracle("ltr_features", hybrid.ltr_features_oracle())
 oracle("normalization_preview", normalization.normalization_preview_oracle())
 oracle("dedup_exact_preview", dedup_plans.dedup_exact_preview_oracle())
 oracle("dedup_window_preview", dedup_plans.dedup_window_preview_oracle())
@@ -276,6 +279,7 @@ oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())
 oracle("snippet_positional", lexical.snippet_positional_oracle())
 oracle("bm25_prf_topk", lexical.bm25_prf_oracle())
 oracle("cross_encoder_rerank", lexical.cross_encoder_rerank_oracle())
+oracle("more_like_this", lexical.more_like_this_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
 oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())
 oracle("winnowed_fingerprints", dedup_plans.winnowed_fingerprints_oracle())
