@@ -318,6 +318,36 @@ class HybridEngine:
         """Pure vector leg (quran 'semantic' mode preset)."""
         return self.hybrid_search(query, n_results, scoring_mode="semantic")
 
+    def more_like_this(self, doc_id, n_results: int = 10,
+                       n_terms: int = 5) -> DataFrame:
+        """Lucene-style MoreLikeThis: the seed document's `n_terms`
+        highest tf·idf terms (rounded, term-asc tie-break) become a
+        disjunctive BM25 query excluding the seed. Entirely in-plan
+        against the denormalized scoring view — no driver round-trip
+        between term mining and retrieval. Returns
+        (id, bm25, matched)."""
+        idx = self.index
+        n_docs, avgdl = idx.stats_literals()
+        sc = idx.scoring_view()
+        idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        seed_terms = (sc.filter(F.col("doc_id") == doc_id)
+                      .select("term",
+                              F.round((F.col("tf") / F.col("dl")) * idf, 6)
+                              .alias("w"))
+                      .orderBy(F.desc("w"), F.asc("term")).limit(n_terms)
+                      .select("term"))
+        return (sc.join(F.broadcast(seed_terms), "term")
+                .filter(F.col("doc_id") != doc_id)
+                .groupBy("doc_id")
+                .agg(F.round(F.sum(bm25._bm25_term_score(
+                    F.col("tf"), F.col("dl"), F.lit(avgdl),
+                    F.col("df"), F.lit(float(n_docs)))), 6).alias("bm25"),
+                    F.count(F.lit(1)).cast("int").alias("matched"))
+                .withColumnRenamed("doc_id", self.id_col)
+                .orderBy(F.desc("bm25"), F.asc(self.id_col))
+                .limit(n_results))
+
     def get_document(self, doc_id) -> DataFrame:
         """Q7 point lookup with a head snippet."""
         return (self.docs.filter(F.col(self.id_col) == doc_id)

@@ -14,6 +14,8 @@ Routes:
   "scoring_mode": ..., weight overrides}`` → result rows
 - ``POST /api/match/fts``   body ``{"terms": [...], "prefix": ...,
   "field": ..., "value": ..., "limit": ...}`` → result rows
+- ``POST /api/search/more_like_this`` body ``{"doc_id": ...,
+  "n_results": ..., "n_terms": ...}`` → similar-document rows
 - ``GET  /api/document/<id>`` → the document row
 
 TLS: pass a cert/key pair (``EngineHTTPServer(..., tls_cert=, tls_key=)``
@@ -116,6 +118,13 @@ def _make_handler(dispatch: StdioServer):
                     self._send(200, rows)
                 elif self.path == "/api/match/fts":
                     rows = self._rows(dispatch.call_tool("fts_match", payload))
+                    self._send(200, rows)
+                elif self.path == "/api/search/more_like_this":
+                    if "doc_id" not in payload:
+                        self._send(400, {"error": "Missing 'doc_id'"})
+                        return
+                    rows = self._rows(
+                        dispatch.call_tool("more_like_this", payload))
                     self._send(200, rows)
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})

@@ -69,6 +69,20 @@ TOOL_DEFINITIONS: tuple[dict[str, Any], ...] = (
         },
     },
     {
+        "name": "more_like_this",
+        "description": "Documents similar to a seed document "
+                       "(top tf-idf terms -> BM25, seed excluded)",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "doc_id": {"type": ["integer", "string"]},
+                "n_results": {"type": "integer", "default": 10, "minimum": 1},
+                "n_terms": {"type": "integer", "default": 5, "minimum": 1},
+            },
+            "required": ["doc_id"],
+        },
+    },
+    {
         "name": "vector_index_status",
         "description": "Embedding (vector) index status",
         "inputSchema": {"type": "object", "properties": {}},
@@ -113,6 +127,10 @@ class StdioServer:
                 k=int(args.get("limit", 10)))
         if name == "get_document":
             return self.engine.get_document(args["doc_id"])
+        if name == "more_like_this":
+            return self.engine.more_like_this(
+                args["doc_id"], n_results=int(args.get("n_results", 10)),
+                n_terms=int(args.get("n_terms", 5)))
         if name == "status":
             return self.engine.status()
         if name == "vector_index_status":

@@ -209,3 +209,25 @@ def test_interactive_mode_refuses_oversized_corpus(spark):
     assert eng.enable_interactive(max_driver_rows=3) is False
     assert eng._mat is None  # engine unchanged, Spark path still serves
     assert eng.hybrid_search("patience", n_results=2).count() > 0
+
+
+def test_more_like_this_engine_method(spark):
+    """MLT: seed excluded, ranked desc with id tie-break, and the seed's
+    own top term actually drives the matches (matched >= 1 everywhere)."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eng = HybridEngine(spark, docs)
+    out = eng.more_like_this(0, n_results=8).collect()
+    assert 0 < len(out) <= 8
+    assert all(r.doc_id != 0 for r in out)
+    scores = [r.bm25 for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.matched >= 1 for r in out)
+    # parity with the fixed-constant registry query on the same corpus
+    from hadith_vector_search_spark.plans.lexical import more_like_this
+    plan_rows = [(r.doc_id, r.bm25) for r in
+                 more_like_this(spark, "/root/testdata/sf0.001").collect()]
+    eng_rows = [(r.doc_id, r.bm25) for r in
+                eng.more_like_this(0, n_results=10, n_terms=5).collect()]
+    assert plan_rows == eng_rows

@@ -143,3 +143,15 @@ def test_http_split_status_routes(served):
                       ("/api/status/fts", "n_docs")]:
         rows = _get(server, path)
         assert rows and key in rows[0], (path, rows)
+
+
+def test_http_more_like_this_route(served):
+    server, engine = served
+    seed = [r.asDict() for r in engine.more_like_this(0, n_results=5).collect()]
+    rows = _post(server, "/api/search/more_like_this",
+                 {"doc_id": 0, "n_results": 5})
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in seed]
+    assert all(r["doc_id"] != 0 for r in rows)       # seed excluded
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/search/more_like_this", {})
+    assert e.value.code == 400
