@@ -222,6 +222,51 @@ LIMIT {PRF_K}
 """
 
 
+def percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (reverse search / alerting): a TABLE OF STORED QUERIES
+    is matched against every document — "which saved searches does this
+    doc satisfy" — the operator behind alerting, routing, and saved-feed
+    products (Elasticsearch's percolator). Semantics: conjunctive — a
+    query matches a doc iff every query term appears in it.
+
+    Relational shape: postings ⋈ broadcast(stored query terms) →
+    count-per-(doc, query) == query length. At scale the stored-query
+    table is millions of rows and becomes the INDEXED side (inverted
+    index over query terms, exactly what the broadcast join expresses);
+    cost is one pass over postings of the queried terms, never
+    docs × queries. Output: (query_id, doc_id) matches."""
+    idx = get_index(spark, sf_dir)
+    rows = sorted({(qid, t) for qid, q in BATCH_QUERIES
+                   for t in py_tokenize(q)})
+    qterms = spark.createDataFrame(rows, "query_id int, term string")
+    qlen = (qterms.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_terms")))
+    return (idx.postings.join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .join(F.broadcast(qlen), "query_id")
+            .filter(F.col("n_hit") == F.col("n_terms"))
+            .select("query_id", "doc_id"))
+
+
+def percolate_matches_oracle() -> str:
+    rows = sorted({(qid, t) for qid, q in BATCH_QUERIES
+                   for t in py_tokenize(q)})
+    tvalues = ", ".join(f"({qid}, '{t}')" for qid, t in rows)
+    return f"""
+WITH {_sql_tokens_cte()},
+qterms AS (SELECT * FROM (VALUES {tvalues}) q(query_id, term)),
+qlen AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY 1)
+SELECT h.query_id, h.doc_id
+FROM (
+  SELECT q.query_id, p.doc_id, count(*) AS n_hit
+  FROM postings p JOIN qterms q USING (term)
+  GROUP BY 1, 2
+) h JOIN qlen USING (query_id)
+WHERE h.n_hit = qlen.n_terms
+"""
+
+
 MLT_DOC_ID = 0      # seed document (same fixture id as HYBRID_VEC_ID)
 MLT_TERMS = 5       # representative terms mined from the seed
 MLT_K = 10

@@ -70,6 +70,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_prf_topk": lexical.bm25_prf_topk,
     "cross_encoder_rerank": lexical.cross_encoder_rerank,
     "more_like_this": lexical.more_like_this,
+    "percolate_matches": lexical.percolate_matches,
     "coverage_scores": lexical.coverage_scores,
     "token_stats": lexical.token_stats,
     "proximity_pairs": lexical.proximity_pairs,
@@ -280,6 +281,7 @@ oracle("snippet_positional", lexical.snippet_positional_oracle())
 oracle("bm25_prf_topk", lexical.bm25_prf_oracle())
 oracle("cross_encoder_rerank", lexical.cross_encoder_rerank_oracle())
 oracle("more_like_this", lexical.more_like_this_oracle())
+oracle("percolate_matches", lexical.percolate_matches_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
 oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())
 oracle("winnowed_fingerprints", dedup_plans.winnowed_fingerprints_oracle())
