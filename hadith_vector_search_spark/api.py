@@ -318,6 +318,32 @@ class HybridEngine:
         """Pure vector leg (quran 'semantic' mode preset)."""
         return self.hybrid_search(query, n_results, scoring_mode="semantic")
 
+    def rerank_search(self, query: str, n_results: int = 10,
+                      first_stage_k: int | None = None,
+                      scoring_mode: str = "balanced",
+                      backend: str = "auto") -> DataFrame:
+        """Retrieve-then-rerank on the product surface: the hybrid
+        pipeline over-fetches `first_stage_k` candidates (default
+        max(50, 5·n)), then a cross-encoder-shaped pair scorer
+        (operators/reranker — real model when importable, deterministic
+        hash stand-in otherwise) scores (query, candidate_text) jointly
+        and the top-`n_results` by rerank score ship. The expensive model
+        sees O(k) pairs, never the corpus. Returns the hybrid columns
+        plus `ce_score`, re-ranked by it."""
+        from .operators.reranker import pair_score
+
+        k = first_stage_k or max(OVERFETCH_FLOOR, 5 * n_results)
+        cands = self.hybrid_search(query, n_results=k,
+                                   scoring_mode=scoring_mode)
+        with_text = F.broadcast(cands).join(
+            self.docs.select(self.id_col, self.text_col), self.id_col)
+        ce = F.round(pair_score(F.lit(query), F.col(self.text_col),
+                                self.dim, backend=backend), 6)
+        return (with_text
+                .select(*cands.columns, ce.alias("ce_score"))
+                .orderBy(F.desc("ce_score"), F.asc(self.id_col))
+                .limit(n_results))
+
     def more_like_this(self, doc_id, n_results: int = 10,
                        n_terms: int = 5) -> DataFrame:
         """Lucene-style MoreLikeThis: the seed document's `n_terms`

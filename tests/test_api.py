@@ -231,3 +231,20 @@ def test_more_like_this_engine_method(spark):
     eng_rows = [(r.doc_id, r.bm25) for r in
                 eng.more_like_this(0, n_results=10, n_terms=5).collect()]
     assert plan_rows == eng_rows
+
+
+def test_rerank_search_reorders_by_pair_score(spark):
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eng = HybridEngine(spark, docs)
+    out = eng.rerank_search("patience and prayer", n_results=5,
+                            backend="hash").collect()
+    assert 0 < len(out) <= 5
+    ces = [r.ce_score for r in out]
+    assert ces == sorted(ces, reverse=True)
+    # rerank candidates are a subset of the first stage's over-fetch
+    first = {r.doc_id for r in
+             eng.hybrid_search("patience and prayer", n_results=50).collect()}
+    assert {r.doc_id for r in out} <= first
+    assert "score" in out[0].asDict()  # hybrid columns preserved

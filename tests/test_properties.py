@@ -395,3 +395,42 @@ def test_interactive_equivalence_with_string_ids(spark):
         a = [r.asDict() for r in batch.hybrid_search(q, n_results=4).collect()]
         b = [r.asDict() for r in inter.hybrid_search(q, n_results=4).collect()]
         assert a == b, q
+
+
+def test_snippet_positional_matches_python_model_randomized(spark):
+    """FTS5-style window selection vs an independent python model on
+    adversarial shapes: repeated terms, docs shorter than the window,
+    match-free docs, terms at the edges. One Spark job for all cases."""
+    from hadith_vector_search_spark.functions.text import (
+        py_tokenize,
+        snippet_positional,
+    )
+
+    terms = ["alpha", "beta", "gamma"]
+    n = 6
+    rng = random.Random(77)
+    vocab = terms + [f"w{i:02d}" for i in range(12)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 25))))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = snippet_positional(F.col("text"), terms, n_tokens=n)
+    got = {r.doc_id: (r.snippet, r.n_matched, r.start) for r in
+           df.select("doc_id", s.alias("s")).select("doc_id", "s.*").collect()}
+
+    tset = set(terms)
+    for did, text in rows:
+        toks = py_tokenize(text)
+        L = len(toks)
+        best = None
+        for i in range(0, max(L - n, 0) + 1):
+            win = toks[i:i + n]
+            m = [t for t in win if t in tset]
+            key = (len(set(m)), len(m), -i)
+            if best is None or key > best[0]:
+                best = (key, i, len(m))
+        _, bi, bm = best
+        win = toks[bi:bi + n]
+        body = " ".join(f"[{t}]" if t in tset else t for t in win)
+        exp = (("…" if bi > 0 else "") + body
+               + ("…" if bi + n < L else ""))
+        assert got[did] == (exp, bm, bi), (did, text)
