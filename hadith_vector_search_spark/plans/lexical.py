@@ -222,6 +222,84 @@ LIMIT {PRF_K}
 """
 
 
+SUGGEST_PREFIX = "sca"
+SUGGEST_K = 10
+
+
+def term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete over the index vocabulary (FTS5's fts5vocab use):
+    terms extending a prefix ranked by document frequency. `startswith`
+    compiles to a range predicate on term-sorted postings storage, so at
+    scale this is a bounded index-range read, not a vocab scan."""
+    idx = get_index(spark, sf_dir)
+    return (idx.term_df.filter(F.col("term").startswith(SUGGEST_PREFIX))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(SUGGEST_K))
+
+
+def term_suggest_oracle() -> str:
+    return f"""
+WITH {_sql_tokens_cte()},
+vocab AS (SELECT term, count(*) AS df FROM postings GROUP BY 1)
+SELECT term, df FROM vocab
+WHERE term LIKE '{SUGGEST_PREFIX}%'
+ORDER BY df DESC, term ASC LIMIT {SUGGEST_K}
+"""
+
+
+SPELL_INPUTS = ("strean", "windoe", "mergge")   # misspelled query tokens
+SPELL_MAX_DIST = 2
+SPELL_K = 3
+
+
+def spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: misspelled query tokens corrected against the index
+    vocabulary by edit distance, ranked (distance asc, df desc, term asc),
+    top-SPELL_K per input. The length-band prefilter
+    (|len(term) − len(input)| ≤ max_dist) is a pushed-down predicate that
+    prunes most of the vocabulary before any distance is computed —
+    production engines add first-character blocking / n-gram prefilters
+    on the same principle; the ranking core is identical."""
+    from pyspark.sql.window import Window
+
+    idx = get_index(spark, sf_dir)
+    inputs = spark.createDataFrame([(t,) for t in SPELL_INPUTS],
+                                   "input string")
+    cand = (idx.term_df.crossJoin(F.broadcast(inputs))
+            .filter(F.abs(F.length("term") - F.length("input"))
+                    <= SPELL_MAX_DIST)
+            .withColumn("dist", F.levenshtein("input", "term"))
+            .filter(F.col("dist") <= SPELL_MAX_DIST))
+    w = Window.partitionBy("input").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= SPELL_K)
+            .select("input", F.col("term").alias("suggestion"),
+                    "dist", F.col("df").cast("long").alias("df"), "rank"))
+
+
+def spell_correct_oracle() -> str:
+    ivalues = ", ".join(f"('{t}')" for t in SPELL_INPUTS)
+    return f"""
+WITH {_sql_tokens_cte()},
+vocab AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+inputs AS (SELECT * FROM (VALUES {ivalues}) i(input)),
+cand AS (
+  SELECT i.input, v.term, levenshtein(i.input, v.term) AS dist, v.df
+  FROM vocab v CROSS JOIN inputs i
+  WHERE abs(length(v.term) - length(i.input)) <= {SPELL_MAX_DIST}
+    AND levenshtein(i.input, v.term) <= {SPELL_MAX_DIST}
+)
+SELECT input, term AS suggestion, dist, df,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY input
+                               ORDER BY dist ASC, df DESC, term ASC) AS rank
+  FROM cand
+) WHERE rank <= {SPELL_K}
+"""
+
+
 def percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percolation (reverse search / alerting): a TABLE OF STORED QUERIES
     is matched against every document — "which saved searches does this

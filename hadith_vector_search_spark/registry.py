@@ -71,6 +71,8 @@ QUERIES: dict[str, QueryFn] = {
     "cross_encoder_rerank": lexical.cross_encoder_rerank,
     "more_like_this": lexical.more_like_this,
     "percolate_matches": lexical.percolate_matches,
+    "term_suggest": lexical.term_suggest,
+    "spell_correct": lexical.spell_correct,
     "coverage_scores": lexical.coverage_scores,
     "token_stats": lexical.token_stats,
     "proximity_pairs": lexical.proximity_pairs,
@@ -282,6 +284,8 @@ oracle("bm25_prf_topk", lexical.bm25_prf_oracle())
 oracle("cross_encoder_rerank", lexical.cross_encoder_rerank_oracle())
 oracle("more_like_this", lexical.more_like_this_oracle())
 oracle("percolate_matches", lexical.percolate_matches_oracle())
+oracle("term_suggest", lexical.term_suggest_oracle())
+oracle("spell_correct", lexical.spell_correct_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
 oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())
 oracle("winnowed_fingerprints", dedup_plans.winnowed_fingerprints_oracle())
