@@ -31,6 +31,7 @@ from .plans import textstats as textstats_plans
 from .streaming import (
     streaming_dedup_docs,
     streaming_neardup_ingest,
+    streaming_percolate,
     streaming_embed_merge,
     streaming_event_rollup,
     streaming_merge_jsonl,
@@ -159,6 +160,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup_docs": streaming_dedup_docs,
     "streaming_embed_merge": streaming_embed_merge,
     "streaming_neardup_ingest": streaming_neardup_ingest,
+    "streaming_percolate": streaming_percolate,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -284,6 +286,8 @@ oracle("bm25_prf_topk", lexical.bm25_prf_oracle())
 oracle("cross_encoder_rerank", lexical.cross_encoder_rerank_oracle())
 oracle("more_like_this", lexical.more_like_this_oracle())
 oracle("percolate_matches", lexical.percolate_matches_oracle())
+# arrival-time alerting drains to the same matches as batch percolation
+oracle("streaming_percolate", lexical.percolate_matches_oracle())
 oracle("term_suggest", lexical.term_suggest_oracle())
 oracle("spell_correct", lexical.spell_correct_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())

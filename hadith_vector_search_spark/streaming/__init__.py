@@ -5,6 +5,7 @@ from .ingest import (  # noqa: F401
     streaming_event_rollup,
     streaming_merge_jsonl,
     streaming_neardup_ingest,
+    streaming_percolate,
     streaming_user_sessions,
     streaming_user_totals_stateful,
 )

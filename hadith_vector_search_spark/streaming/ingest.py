@@ -162,6 +162,47 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_unique_docs")))
 
 
+def streaming_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation AT INGEST — the alerting deployment of reverse search:
+    documents stream from the file source, each micro-batch is tokenized
+    and matched conjunctively against the broadcast stored-query table,
+    and (query_id, doc_id) alerts land in an append sink as the docs
+    arrive. Per-doc matching is stateless (tokenize + join + count ==
+    query length), so the drained AvailableNow result equals the batch
+    `percolate_matches` exactly — the shared oracle checks that. At
+    scale the stored-query side is the indexed one (millions of saved
+    searches, inverted by term) and per-batch cost follows the batch's
+    postings, never queries × corpus."""
+    from ..functions.text import py_tokenize, tokenize
+    from ..plans.lexical import BATCH_QUERIES
+
+    rows = sorted({(qid, t) for qid, q in BATCH_QUERIES
+                   for t in py_tokenize(q)})
+    qterms = spark.createDataFrame(rows, "query_id int, term string")
+    qlen = (qterms.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_terms")))
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    toks = (stream.select("doc_id",
+                          F.explode(F.array_distinct(tokenize(F.col("text"))))
+                          .alias("term")))
+    alerts = (toks.join(F.broadcast(qterms), "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.count(F.lit(1)).alias("n_hit"))
+              .join(F.broadcast(qlen), "query_id")
+              .filter(F.col("n_hit") == F.col("n_terms"))
+              .select("query_id", "doc_id"))
+    name = _memsink_name("percolate", sf_dir)
+    q = (alerts.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("query_id", "doc_id")
+
+
 def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via `applyInPandasWithState`:
     per-user running totals held in explicit GroupState, updated rows
