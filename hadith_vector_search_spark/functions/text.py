@@ -237,12 +237,16 @@ def snippet_positional(text: Column | str, terms: list[str],
         return F.filter(w, lambda x: F.array_contains(terms_arr, x))
 
     starts = F.sequence(F.lit(0), F.greatest(n_toks - n_tokens, F.lit(0)))
-    scored = F.transform(
-        starts,
-        lambda i: F.struct(
-            F.size(F.array_distinct(matched(F.slice(toks, i + 1, n_tokens))))
-            .alias("d"),
-            F.size(matched(F.slice(toks, i + 1, n_tokens))).alias("m"),
+    # Materialize each window's matched-token array ONCE (zip_with binds
+    # it like a let-expression); computing it separately for the distinct
+    # and total counts doubled the dominant filter pass.
+    marr = F.transform(
+        starts, lambda i: matched(F.slice(toks, i + 1, n_tokens)))
+    scored = F.zip_with(
+        starts, marr,
+        lambda i, m: F.struct(
+            F.size(F.array_distinct(m)).alias("d"),
+            F.size(m).alias("m"),
             (-i).alias("ni")))
     best = F.array_max(scored)   # struct compare: d, then m, then -start
     bi = -best.getField("ni")
