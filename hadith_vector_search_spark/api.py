@@ -85,11 +85,16 @@ class HybridEngine:
         column expressions (no logic twin); only retrieval moves.
 
         Bounded: refuses (returns False, engine unchanged) above
-        `max_driver_rows` vectors — at lake scale the interactive tier is
-        a separate service over the published index, not a driver copy.
+        `max_driver_rows` vectors, and for id column types that cannot
+        round-trip through the VALUES literal re-entry (anything but
+        string/integral) — at lake scale the interactive tier is a
+        separate service over the published index, not a driver copy.
         Batch paths and oracle-checked plans never use this state."""
         import numpy as np
 
+        id_type = self.docs.schema[self.id_col].dataType.simpleString()
+        if id_type not in ("string", "tinyint", "smallint", "int", "bigint"):
+            return False
         if self.emb.count() > max_driver_rows:
             return False
         rows = self.emb.select(self.id_col, "embedding").collect()
@@ -112,8 +117,13 @@ class HybridEngine:
                     .withColumn("vector_sim", F.lit(0.0)))
 
         def fmt_id(v) -> str:
+            # Spark SQL string literals process backslash escapes by
+            # default — escape the escape char FIRST, then the quote
+            # (an id ending in '\\' would otherwise escape the closing
+            # quote: verified ParseException).
             if isinstance(v, str):
-                return "'" + v.replace("'", "''") + "'"
+                return ("'" + v.replace("\\", "\\\\").replace("'", "\\'")
+                        + "'")
             return str(v)
 
         vals = ", ".join(
@@ -283,6 +293,77 @@ class HybridEngine:
             .orderBy(F.desc("score"), F.asc(self.id_col))
             .limit(n_results)
         )
+
+    def fts_match(self, terms: list[str] | None = None, prefix: str | None = None,
+                  field: str | None = None, value: str | None = None,
+                  k: int = 10) -> DataFrame:
+        """Compiled match expression with FTS5-MATCH semantics
+        (fts_cli.py:21-42): AND over `terms`, optional `pre*` prefix term
+        (ANDed in), optional `field:value` scope (semi-join). Any
+        combination; at least one of terms/prefix required."""
+        if not terms and not prefix:
+            raise ValueError("need terms and/or prefix")
+        parts = []
+        if terms:
+            parts.append(
+                bm25.score_terms(self.spark, self.index, terms, conjunctive=True)
+                .withColumnRenamed("doc_id", self.id_col)
+                .select(self.id_col, F.col("score")))
+        if prefix:
+            parts.append(bm25.score_prefix(self.index, prefix)
+                         .withColumnRenamed("doc_id", self.id_col)
+                         .select(self.id_col, F.col("score")))
+        out = parts[0]
+        for p in parts[1:]:  # AND semantics: inner join, scores add
+            out = (out.join(p.withColumnRenamed("score", "_s"), self.id_col)
+                   .select(self.id_col,
+                           (F.col("score") + F.col("_s")).alias("score")))
+        if field and value is not None:
+            scope = self.docs.filter(F.col(field) == value).select(self.id_col)
+            out = out.join(scope, self.id_col, "left_semi")
+        return (out.select(self.id_col, F.round("score", 6).alias("bm25"))
+                .orderBy(F.desc("bm25"), F.asc(self.id_col)).limit(k))
+
+    def semantic_search(self, query: str, n_results: int = 10) -> DataFrame:
+        """Pure vector leg (quran 'semantic' mode preset)."""
+        return self.hybrid_search(query, n_results, scoring_mode="semantic")
+
+    def rerank_search(self, query: str, n_results: int = 10,
+                      first_stage_k: int | None = None,
+                      scoring_mode: str = "balanced",
+                      backend: str = "auto") -> DataFrame:
+        """Retrieve-then-rerank on the product surface: the hybrid
+        pipeline over-fetches `first_stage_k` candidates (default
+        max(50, 5·n)), then a cross-encoder-shaped pair scorer
+        (operators/reranker — real model when importable, deterministic
+        hash stand-in otherwise) scores (query, candidate_text) jointly
+        and the top-`n_results` by rerank score ship. The expensive model
+        sees O(k) pairs, never the corpus. Returns the hybrid columns
+        plus `ce_score`, re-ranked by it."""
+        from .operators.reranker import pair_score
+
+        k = first_stage_k or max(OVERFETCH_FLOOR, 5 * n_results)
+        cands = self.hybrid_search(query, n_results=k,
+                                   scoring_mode=scoring_mode)
+        with_text = F.broadcast(cands).join(
+            self.docs.select(self.id_col, self.text_col), self.id_col)
+        ce = F.round(pair_score(F.lit(query), F.col(self.text_col),
+                                self.dim, backend=backend), 6)
+        return (with_text
+                .select(*cands.columns, ce.alias("ce_score"))
+                .orderBy(F.desc("ce_score"), F.asc(self.id_col))
+                .limit(n_results))
+
+    def more_like_this(self, doc_id, n_results: int = 10,
+                       n_terms: int = 5) -> DataFrame:
+        """Lucene-style MoreLikeThis over this engine's corpus — the
+        parameterized face of the shared operator
+        (operators/bm25.more_like_this; the oracle-checked plan is its
+        fixed-constant instantiation). Returns (id, bm25, matched)."""
+        return (bm25.more_like_this(self.index, doc_id,
+                                    n_terms=n_terms, k=n_results)
+                .withColumnRenamed("doc_id", self.id_col)
+                .orderBy(F.desc("bm25"), F.asc(self.id_col)))
 
     def fts_match(self, terms: list[str] | None = None, prefix: str | None = None,
                   field: str | None = None, value: str | None = None,

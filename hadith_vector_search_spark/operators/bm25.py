@@ -95,7 +95,12 @@ class LexicalIndex:
         (same Spark aggregation, collected rather than joined)."""
         if self._stats_lit is None:
             r = self.stats.first()
-            self._stats_lit = (float(r.n_docs), float(r.avgdl))
+            # Empty corpus: avg(dl) is NULL. Any avgdl placeholder works
+            # (no posting rows exist to score), but it must be a float so
+            # the literal plan still builds and scoring returns 0 rows —
+            # the old crossJoin path's graceful-empty behavior.
+            avgdl = float(r.avgdl) if r.avgdl is not None else 1.0
+            self._stats_lit = (float(r.n_docs), avgdl)
         return self._stats_lit
 
 
@@ -140,6 +145,65 @@ def _bm25_term_score(tf: Column, dl: Column, avgdl: Column, df: Column, n: Colum
                      k1: float = K1, b: float = B) -> Column:
     idf = F.log(1.0 + (n - df + 0.5) / (df + 0.5))
     return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def idf_column(df_col: Column, n_docs: float) -> Column:
+    """The engine's BM25+ idf as a reusable expression — the ONE place
+    the formula lives for term-weight mining (MLT seeds, PRF expansion)
+    outside the full score."""
+    return F.log(1.0 + (F.lit(float(n_docs)) - df_col + 0.5)
+                 / (df_col + 0.5))
+
+
+def more_like_this(index: LexicalIndex, doc_id, n_terms: int = 5,
+                   k: int = 10) -> DataFrame:
+    """Lucene-style MoreLikeThis as the shared operator (one source of
+    truth for the fixed-constant oracle-checked plan AND the
+    parameterized HybridEngine method): mine the seed document's
+    `n_terms` highest tf·idf terms (rounded, term-asc tie-break —
+    Lucene's interestingTerms), run them as a disjunctive BM25 query
+    excluding the seed. Two joins against the denormalized scoring view
+    in ONE plan; no driver round-trip between mining and retrieval.
+    Returns (doc_id, bm25, matched) ranked (bm25 desc, doc_id asc)."""
+    n_docs, avgdl = index.stats_literals()
+    sc = index.scoring_view()
+    seed_terms = (sc.filter(F.col("doc_id") == doc_id)
+                  .select("term",
+                          F.round((F.col("tf") / F.col("dl"))
+                                  * idf_column(F.col("df"), n_docs), 6)
+                          .alias("w"))
+                  .orderBy(F.desc("w"), F.asc("term")).limit(n_terms)
+                  .select("term"))
+    return (sc.join(F.broadcast(seed_terms), "term")
+            .filter(F.col("doc_id") != doc_id)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(_bm25_term_score(
+                F.col("tf"), F.col("dl"), F.lit(avgdl),
+                F.col("df"), F.lit(n_docs))), 6).alias("bm25"),
+                F.count(F.lit(1)).cast("int").alias("matched"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k))
+
+
+def percolate(spark: SparkSession, doc_terms: DataFrame,
+              stored_queries: list) -> DataFrame:
+    """Percolation core shared by the batch and streaming operators
+    (both are checked against the SAME oracle, so the matching pipeline
+    must exist exactly once): conjunctive stored-query matching over a
+    DISTINCT (doc_id, term) frame — count of matched query terms per
+    (doc, query) equals the query length. `stored_queries` is
+    [(query_id, query_text)]; terms come from the engine tokenizer.
+    Returns (query_id, doc_id)."""
+    rows = sorted({(qid, t) for qid, q in stored_queries
+                   for t in py_tokenize(q)})
+    qterms = spark.createDataFrame(rows, "query_id int, term string")
+    qlen = (qterms.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_terms")))
+    return (doc_terms.join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .join(F.broadcast(qlen), "query_id")
+            .filter(F.col("n_hit") == F.col("n_terms"))
+            .select("query_id", "doc_id"))
 
 
 def score_terms(spark: SparkSession, index: LexicalIndex, terms: list[str],

@@ -153,8 +153,7 @@ def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = (base.select("doc_id", F.round("score", 6).alias("s"))
           .orderBy(F.desc("s"), F.asc("doc_id")).limit(PRF_FB_DOCS)
           .select("doc_id"))
-    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
+    idf = bm25.idf_column(F.col("df"), n_docs)
     exp_terms = (sc.join(fb, "doc_id", "left_semi")
                  .filter(~F.col("term").isin(terms))
                  .groupBy("term")
@@ -307,24 +306,15 @@ def percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     products (Elasticsearch's percolator). Semantics: conjunctive — a
     query matches a doc iff every query term appears in it.
 
-    Relational shape: postings ⋈ broadcast(stored query terms) →
-    count-per-(doc, query) == query length. At scale the stored-query
-    table is millions of rows and becomes the INDEXED side (inverted
-    index over query terms, exactly what the broadcast join expresses);
-    cost is one pass over postings of the queried terms, never
-    docs × queries. Output: (query_id, doc_id) matches."""
+    The matching core is the shared `operators/bm25.percolate` (also
+    behind the streaming twin, which drains to the same oracle); the
+    postings table supplies the DISTINCT (doc_id, term) frame. At scale
+    the stored-query table is millions of rows and becomes the INDEXED
+    side; cost is one pass over postings of the queried terms, never
+    docs x queries. Output: (query_id, doc_id) matches."""
     idx = get_index(spark, sf_dir)
-    rows = sorted({(qid, t) for qid, q in BATCH_QUERIES
-                   for t in py_tokenize(q)})
-    qterms = spark.createDataFrame(rows, "query_id int, term string")
-    qlen = (qterms.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_terms")))
-    return (idx.postings.join(F.broadcast(qterms), "term")
-            .groupBy("query_id", "doc_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
-            .join(F.broadcast(qlen), "query_id")
-            .filter(F.col("n_hit") == F.col("n_terms"))
-            .select("query_id", "doc_id"))
+    return bm25.percolate(spark, idx.postings.select("doc_id", "term"),
+                          BATCH_QUERIES)
 
 
 def percolate_matches_oracle() -> str:
@@ -351,34 +341,11 @@ MLT_K = 10
 
 
 def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lucene-style MoreLikeThis: mine the seed document's MLT_TERMS most
-    representative terms (tf·idf within the doc, rounded, term-asc
-    tie-break — Lucene's interestingTerms), then run them as a
-    disjunctive BM25 query excluding the seed itself. The "find documents
-    like this one" operator every search UI ships; here it is two joins
-    against the denormalized scoring view in ONE plan — the seed's
-    posting row IS the term source, so there is no driver round-trip.
-    """
-    idx = get_index(spark, sf_dir)
-    n_docs, avgdl = idx.stats_literals()
-    sc = idx.scoring_view()
-    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    seed_terms = (sc.filter(F.col("doc_id") == MLT_DOC_ID)
-                  .select("term",
-                          F.round((F.col("tf") / F.col("dl")) * idf, 6)
-                          .alias("w"))
-                  .orderBy(F.desc("w"), F.asc("term")).limit(MLT_TERMS)
-                  .select("term"))
-    return (sc.join(F.broadcast(seed_terms), "term")
-            .filter(F.col("doc_id") != MLT_DOC_ID)
-            .groupBy("doc_id")
-            .agg(F.round(F.sum(
-                bm25._bm25_term_score(
-                    F.col("tf"), F.col("dl"), F.lit(avgdl),
-                    F.col("df"), F.lit(float(n_docs)))), 6).alias("bm25"),
-                F.count(F.lit(1)).cast("int").alias("matched"))
-            .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(MLT_K))
+    """Lucene-style MoreLikeThis at fixed constants — the oracle-checked
+    instantiation of the shared operator (operators/bm25.more_like_this,
+    also behind `api.HybridEngine.more_like_this`)."""
+    return bm25.more_like_this(get_index(spark, sf_dir), MLT_DOC_ID,
+                               n_terms=MLT_TERMS, k=MLT_K)
 
 
 def more_like_this_oracle() -> str:

@@ -57,7 +57,15 @@ def run(argv: list[str] | None = None, engine=None,
         configure_interactive(spark)
         spark.sparkContext.setLogLevel("ERROR")
         engine = HybridEngine(spark, load_table(spark, args.sf_dir, "documents"))
-        engine.enable_interactive()
+        # The driver-resident vector tier embeds the corpus if no
+        # embeddings were supplied — only pay that for invocations that
+        # will actually run the vector leg. A one-shot --status or
+        # FTS-only call stays a metadata/lexical job (status() documents
+        # "never triggers a corpus embedding pass").
+        needs_vectors = bool(args.query) or not (args.status or args.terms
+                                                 or args.prefix)
+        if needs_vectors:
+            engine.enable_interactive()
 
     if args.status:
         fn = {"corpus": engine.status, "vector": engine.vector_index_status,

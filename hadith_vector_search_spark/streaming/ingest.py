@@ -173,14 +173,9 @@ def streaming_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the stored-query side is the indexed one (millions of saved
     searches, inverted by term) and per-batch cost follows the batch's
     postings, never queries × corpus."""
-    from ..functions.text import py_tokenize, tokenize
+    from ..functions.text import tokenize
+    from ..operators.bm25 import percolate
     from ..plans.lexical import BATCH_QUERIES
-
-    rows = sorted({(qid, t) for qid, q in BATCH_QUERIES
-                   for t in py_tokenize(q)})
-    qterms = spark.createDataFrame(rows, "query_id int, term string")
-    qlen = (qterms.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_terms")))
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(docs_path).schema
@@ -190,12 +185,8 @@ def streaming_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (stream.select("doc_id",
                           F.explode(F.array_distinct(tokenize(F.col("text"))))
                           .alias("term")))
-    alerts = (toks.join(F.broadcast(qterms), "term")
-              .groupBy("query_id", "doc_id")
-              .agg(F.count(F.lit(1)).alias("n_hit"))
-              .join(F.broadcast(qlen), "query_id")
-              .filter(F.col("n_hit") == F.col("n_terms"))
-              .select("query_id", "doc_id"))
+    # Matching core shared with the batch operator (same oracle):
+    alerts = percolate(spark, toks, BATCH_QUERIES)
     name = _memsink_name("percolate", sf_dir)
     q = (alerts.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())

@@ -248,3 +248,25 @@ def test_rerank_search_reorders_by_pair_score(spark):
              eng.hybrid_search("patience and prayer", n_results=50).collect()}
     assert {r.doc_id for r in out} <= first
     assert "score" in out[0].asDict()  # hybrid columns preserved
+
+
+def test_empty_corpus_serves_zero_rows_gracefully(spark):
+    """stats_literals on an empty corpus (avg(dl) is NULL) must not
+    crash — hybrid/fts calls return zero rows like the old
+    crossJoin(stats) path did."""
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    eng = HybridEngine(spark, docs)
+    assert eng.hybrid_search("anything at all").count() == 0
+    assert eng.fts_match(terms=["anything"]).count() == 0
+
+
+def test_interactive_refuses_unsupported_id_type(spark):
+    """Id types that cannot round-trip through the VALUES literal
+    (e.g. date) keep the engine on the pure-Spark path."""
+    docs = spark.createDataFrame(
+        [("2024-01-01", "patience and prayer")],
+        "doc_id string, text string").select(
+        F.to_date("doc_id").alias("doc_id"), "text")
+    eng = HybridEngine(spark, docs)
+    assert eng.enable_interactive() is False
+    assert eng._mat is None

@@ -386,6 +386,8 @@ def test_interactive_equivalence_with_string_ids(spark):
         ("b\"2", "the window data stream flows through the merge"),
         ("c:3", "charity in secret and patience in anger"),
         ("d-4", "window data window data stream stream repeated phrase"),
+        ("e\\5", "patience under a backslash id must round-trip"),
+        ("f\\", "an id ENDING in a backslash must not escape the quote"),
     ]
     docs = spark.createDataFrame(rows, "doc_id string, text string")
     batch = HybridEngine(spark, docs)
