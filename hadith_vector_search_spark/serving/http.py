@@ -16,6 +16,8 @@ Routes:
   "field": ..., "value": ..., "limit": ...}`` → result rows
 - ``POST /api/search/more_like_this`` body ``{"doc_id": ...,
   "n_results": ..., "n_terms": ...}`` → similar-document rows
+- ``POST /api/search/rerank`` body ``{"query": ..., "n_results": ...,
+  "scoring_mode": ...}`` → cross-encoder-reranked result rows
 - ``GET  /api/document/<id>`` → the document row
 
 TLS: pass a cert/key pair (``EngineHTTPServer(..., tls_cert=, tls_key=)``
@@ -118,6 +120,13 @@ def _make_handler(dispatch: StdioServer):
                     self._send(200, rows)
                 elif self.path == "/api/match/fts":
                     rows = self._rows(dispatch.call_tool("fts_match", payload))
+                    self._send(200, rows)
+                elif self.path == "/api/search/rerank":
+                    if not payload.get("query"):
+                        self._send(400, {"error": "Missing 'query'"})
+                        return
+                    rows = self._rows(
+                        dispatch.call_tool("rerank_search", payload))
                     self._send(200, rows)
                 elif self.path == "/api/search/more_like_this":
                     if "doc_id" not in payload:

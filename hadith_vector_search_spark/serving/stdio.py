@@ -69,6 +69,23 @@ TOOL_DEFINITIONS: tuple[dict[str, Any], ...] = (
         },
     },
     {
+        "name": "rerank_search",
+        "description": "Hybrid retrieval reranked by a cross-encoder-"
+                       "shaped pair scorer over the top candidates",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string"},
+                "n_results": {"type": "integer", "default": 10, "minimum": 1},
+                "scoring_mode": {
+                    "type": "string",
+                    "enum": ["balanced", "term-priority", "semantic", "fts"],
+                },
+            },
+            "required": ["query"],
+        },
+    },
+    {
         "name": "more_like_this",
         "description": "Documents similar to a seed document "
                        "(top tf-idf terms -> BM25, seed excluded)",
@@ -127,6 +144,10 @@ class StdioServer:
                 k=int(args.get("limit", 10)))
         if name == "get_document":
             return self.engine.get_document(args["doc_id"])
+        if name == "rerank_search":
+            return self.engine.rerank_search(
+                args["query"], n_results=int(args.get("n_results", 10)),
+                scoring_mode=args.get("scoring_mode", "balanced"))
         if name == "more_like_this":
             return self.engine.more_like_this(
                 args["doc_id"], n_results=int(args.get("n_results", 10)),

@@ -155,3 +155,15 @@ def test_http_more_like_this_route(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/api/search/more_like_this", {})
     assert e.value.code == 400
+
+
+def test_http_rerank_route(served):
+    server, engine = served
+    direct = [r.asDict() for r in
+              engine.rerank_search(QUERY, n_results=5).collect()]
+    rows = _post(server, "/api/search/rerank", {"query": QUERY, "n_results": 5})
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in direct]
+    assert all("ce_score" in r for r in rows)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/search/rerank", {})
+    assert e.value.code == 400
