@@ -48,6 +48,10 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
     calls = {
         "hybrid_search": lambda i: engine.hybrid_search(
             QUERIES[i % len(QUERIES)], n_results=10).collect(),
+        "rerank_search": lambda i: engine.rerank_search(
+            QUERIES[i % len(QUERIES)], n_results=10).collect(),
+        "more_like_this": lambda i: engine.more_like_this(
+            doc_ids[i % len(doc_ids)], n_results=10).collect(),
         "fts_match": lambda i: engine.fts_match(
             terms=[QUERIES[i % len(QUERIES)].split()[0]], k=10).collect(),
         "get_document": lambda i: engine.get_document(
