@@ -221,6 +221,59 @@ LIMIT {PRF_K}
 """
 
 
+def faceted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: alongside the hits, every search UI shows COUNTS
+    of matching documents per metadata facet (source, language). One
+    semi-join restricts the corpus to the query's matching docs, then a
+    single GROUPING SETS aggregate produces both facet dimensions plus
+    the grand total in one Expand-based pass — Catalyst's one-scan
+    grouping-sets plan, not one scan per facet. Subtotal rows are
+    labelled via the GROUPING() indicator (never by NULL-coalescing, so
+    genuine NULL facet values can't be conflated)."""
+    idx = get_index(spark, sf_dir)
+    terms = sorted(set(py_tokenize(BM25_QUERY)))
+    matched = (bm25.score_terms(spark, idx, terms, conjunctive=False)
+               .select("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang")
+    j = docs.join(matched, "doc_id", "left_semi")
+    return (j.groupingSets([["source"], ["lang"], []], "source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.grouping("source").alias("_gs"),
+                 F.grouping("lang").alias("_gl"))
+            .select(
+                F.when((F.col("_gs") == 0), F.lit("source"))
+                .when((F.col("_gl") == 0), F.lit("lang"))
+                .otherwise(F.lit("total")).alias("facet"),
+                F.coalesce(
+                    F.when(F.col("_gs") == 0, F.col("source")),
+                    F.when(F.col("_gl") == 0, F.col("lang")),
+                    F.lit("*")).alias("value"),
+                "n_docs"))
+
+
+def faceted_search_oracle() -> str:
+    terms = sorted(set(py_tokenize(BM25_QUERY)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_sql_tokens_cte()},
+matched AS (SELECT DISTINCT doc_id FROM postings WHERE term IN ({tlist})),
+j AS (
+  SELECT d.doc_id, d.source, d.lang
+  FROM documents d JOIN matched USING (doc_id)
+)
+SELECT CASE WHEN GROUPING(source) = 0 THEN 'source'
+            WHEN GROUPING(lang) = 0 THEN 'lang'
+            ELSE 'total' END AS facet,
+       coalesce(CASE WHEN GROUPING(source) = 0 THEN source END,
+                CASE WHEN GROUPING(lang) = 0 THEN lang END,
+                '*') AS value,
+       count(*) AS n_docs
+FROM j
+GROUP BY GROUPING SETS ((source), (lang), ())
+"""
+
+
 SUGGEST_PREFIX = "sca"
 SUGGEST_K = 10
 

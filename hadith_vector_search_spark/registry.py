@@ -74,6 +74,7 @@ QUERIES: dict[str, QueryFn] = {
     "percolate_matches": lexical.percolate_matches,
     "term_suggest": lexical.term_suggest,
     "spell_correct": lexical.spell_correct,
+    "faceted_search": lexical.faceted_search,
     "coverage_scores": lexical.coverage_scores,
     "token_stats": lexical.token_stats,
     "proximity_pairs": lexical.proximity_pairs,
@@ -290,6 +291,7 @@ oracle("percolate_matches", lexical.percolate_matches_oracle())
 oracle("streaming_percolate", lexical.percolate_matches_oracle())
 oracle("term_suggest", lexical.term_suggest_oracle())
 oracle("spell_correct", lexical.spell_correct_oracle())
+oracle("faceted_search", lexical.faceted_search_oracle())
 oracle("duplicated_span_report", dedup_plans.duplicated_span_report_oracle())
 oracle("boilerplate_ngrams", dedup_plans.boilerplate_ngrams_oracle())
 oracle("winnowed_fingerprints", dedup_plans.winnowed_fingerprints_oracle())
