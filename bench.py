@@ -22,6 +22,7 @@ if REPO not in sys.path:
 
 from hadith_vector_search_spark.registry import get_queries  # noqa: E402
 from hadith_vector_search_spark.session import get_spark  # noqa: E402
+from hadith_vector_search_spark.streaming.ingest import sf_token  # noqa: E402
 
 
 def main() -> None:
@@ -145,8 +146,13 @@ def main() -> None:
             # (the r5 bench showed streaming_user_sessions drifting
             # 2.2s -> 6.4s purely from session-scale state; fresh-session
             # steady state is flat at ~2.0s — see SCALE.md).
+            # Scope the drop to the timed SF's own sinks (same ownership
+            # rule as plans.pins.release_sf_pins): the warm-SF pass's
+            # sinks were already released with its pins, and a future
+            # multi-SF bench must not tear down another dir's live sinks.
+            tok = f"_sf{sf_token(sf_dir)}_"
             for t in spark.catalog.listTables():
-                if t.name.startswith("stream_"):
+                if t.name.startswith("stream_") and tok in t.name:
                     spark.catalog.dropTempView(t.name)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({

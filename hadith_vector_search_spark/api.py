@@ -365,96 +365,6 @@ class HybridEngine:
                 .withColumnRenamed("doc_id", self.id_col)
                 .orderBy(F.desc("bm25"), F.asc(self.id_col)))
 
-    def fts_match(self, terms: list[str] | None = None, prefix: str | None = None,
-                  field: str | None = None, value: str | None = None,
-                  k: int = 10) -> DataFrame:
-        """Compiled match expression with FTS5-MATCH semantics
-        (fts_cli.py:21-42): AND over `terms`, optional `pre*` prefix term
-        (ANDed in), optional `field:value` scope (semi-join). Any
-        combination; at least one of terms/prefix required."""
-        if not terms and not prefix:
-            raise ValueError("need terms and/or prefix")
-        parts = []
-        if terms:
-            parts.append(
-                bm25.score_terms(self.spark, self.index, terms, conjunctive=True)
-                .withColumnRenamed("doc_id", self.id_col)
-                .select(self.id_col, F.col("score")))
-        if prefix:
-            parts.append(bm25.score_prefix(self.index, prefix)
-                         .withColumnRenamed("doc_id", self.id_col)
-                         .select(self.id_col, F.col("score")))
-        out = parts[0]
-        for p in parts[1:]:  # AND semantics: inner join, scores add
-            out = (out.join(p.withColumnRenamed("score", "_s"), self.id_col)
-                   .select(self.id_col,
-                           (F.col("score") + F.col("_s")).alias("score")))
-        if field and value is not None:
-            scope = self.docs.filter(F.col(field) == value).select(self.id_col)
-            out = out.join(scope, self.id_col, "left_semi")
-        return (out.select(self.id_col, F.round("score", 6).alias("bm25"))
-                .orderBy(F.desc("bm25"), F.asc(self.id_col)).limit(k))
-
-    def semantic_search(self, query: str, n_results: int = 10) -> DataFrame:
-        """Pure vector leg (quran 'semantic' mode preset)."""
-        return self.hybrid_search(query, n_results, scoring_mode="semantic")
-
-    def rerank_search(self, query: str, n_results: int = 10,
-                      first_stage_k: int | None = None,
-                      scoring_mode: str = "balanced",
-                      backend: str = "auto") -> DataFrame:
-        """Retrieve-then-rerank on the product surface: the hybrid
-        pipeline over-fetches `first_stage_k` candidates (default
-        max(50, 5·n)), then a cross-encoder-shaped pair scorer
-        (operators/reranker — real model when importable, deterministic
-        hash stand-in otherwise) scores (query, candidate_text) jointly
-        and the top-`n_results` by rerank score ship. The expensive model
-        sees O(k) pairs, never the corpus. Returns the hybrid columns
-        plus `ce_score`, re-ranked by it."""
-        from .operators.reranker import pair_score
-
-        k = first_stage_k or max(OVERFETCH_FLOOR, 5 * n_results)
-        cands = self.hybrid_search(query, n_results=k,
-                                   scoring_mode=scoring_mode)
-        with_text = F.broadcast(cands).join(
-            self.docs.select(self.id_col, self.text_col), self.id_col)
-        ce = F.round(pair_score(F.lit(query), F.col(self.text_col),
-                                self.dim, backend=backend), 6)
-        return (with_text
-                .select(*cands.columns, ce.alias("ce_score"))
-                .orderBy(F.desc("ce_score"), F.asc(self.id_col))
-                .limit(n_results))
-
-    def more_like_this(self, doc_id, n_results: int = 10,
-                       n_terms: int = 5) -> DataFrame:
-        """Lucene-style MoreLikeThis: the seed document's `n_terms`
-        highest tf·idf terms (rounded, term-asc tie-break) become a
-        disjunctive BM25 query excluding the seed. Entirely in-plan
-        against the denormalized scoring view — no driver round-trip
-        between term mining and retrieval. Returns
-        (id, bm25, matched)."""
-        idx = self.index
-        n_docs, avgdl = idx.stats_literals()
-        sc = idx.scoring_view()
-        idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5))
-        seed_terms = (sc.filter(F.col("doc_id") == doc_id)
-                      .select("term",
-                              F.round((F.col("tf") / F.col("dl")) * idf, 6)
-                              .alias("w"))
-                      .orderBy(F.desc("w"), F.asc("term")).limit(n_terms)
-                      .select("term"))
-        return (sc.join(F.broadcast(seed_terms), "term")
-                .filter(F.col("doc_id") != doc_id)
-                .groupBy("doc_id")
-                .agg(F.round(F.sum(bm25._bm25_term_score(
-                    F.col("tf"), F.col("dl"), F.lit(avgdl),
-                    F.col("df"), F.lit(float(n_docs)))), 6).alias("bm25"),
-                    F.count(F.lit(1)).cast("int").alias("matched"))
-                .withColumnRenamed("doc_id", self.id_col)
-                .orderBy(F.desc("bm25"), F.asc(self.id_col))
-                .limit(n_results))
-
     def get_document(self, doc_id) -> DataFrame:
         """Q7 point lookup with a head snippet."""
         return (self.docs.filter(F.col(self.id_col) == doc_id)

@@ -877,6 +877,19 @@ def positions_to_spans(marked: DataFrame, w: int) -> DataFrame:
 WINNOW_GUARANTEE = 4
 
 
+def _check_winnow_params(selected: DataFrame | None, w: int,
+                         guarantee: int) -> None:
+    """Guard for the precomputed-selection hand-off: a selection pinned
+    by plans.dedup.get_winnow_selection carries the (w, guarantee) it
+    was built under in `_winnow_params`; consuming it with different
+    constants would silently yield wrong pairs, so raise instead."""
+    built = getattr(selected, "_winnow_params", None)
+    if built is not None and built != (w, guarantee):
+        raise ValueError(
+            f"winnow selection was built with (w, guarantee)={built} "
+            f"but this call asks for {(w, guarantee)}")
+
+
 def _winnow_selected(docs: DataFrame, w: int = DUPSPAN_W,
                      guarantee: int = WINNOW_GUARANTEE,
                      text_col: str = "text",
@@ -941,7 +954,12 @@ def winnow_match_pairs(docs: DataFrame, w: int = DUPSPAN_W,
     (doc_id, n_windows, _sel) selection triple so the (window-hash + two
     window functions) pass is shared with `winnowed_fingerprints`
     instead of recomputed — the post-distinct triple is ~2/(g+1) of the
-    window rows, the right granularity to pin."""
+    window rows, the right granularity to pin. PRECEDENCE: when
+    `selected` is given it wins outright — `w`/`guarantee`/`text_col`/
+    `id_col` are ignored (the selection already encodes them). A
+    selection tagged with `_winnow_params` (the plans-layer pin) is
+    checked against this call's (w, guarantee) and a mismatch raises."""
+    _check_winnow_params(selected, w, guarantee)
     if selected is None:
         sel = _winnow_selected(docs, w, guarantee, text_col, id_col)
         selected = sel.select("doc_id", "n_windows", "_sel").distinct()
@@ -986,7 +1004,11 @@ def winnowed_fingerprints(docs: DataFrame, w: int = DUPSPAN_W,
     exact fingerprint SET compactly. One narrow window pass + two
     per-doc window functions + one groupBy. `selected` optionally
     supplies the precomputed DISTINCT (doc_id, n_windows, _sel) triple
-    (shared with `winnow_match_pairs` via the plans-layer pin)."""
+    (shared with `winnow_match_pairs` via the plans-layer pin).
+    PRECEDENCE: a given `selected` wins outright — w/guarantee/text_col/
+    id_col are ignored; a `_winnow_params`-tagged selection is checked
+    against (w, guarantee) and a mismatch raises."""
+    _check_winnow_params(selected, w, guarantee)
     if selected is None:
         sel = _winnow_selected(docs, w, guarantee, text_col, id_col)
         selected = sel.select("doc_id", "n_windows", "_sel").distinct()

@@ -69,8 +69,13 @@ def get_winnow_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         sel = dedup._winnow_selected(
             docs, dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE, "text", "doc_id")
-        _INDEX_CACHE[key] = (sel.select("doc_id", "n_windows", "_sel")
-                             .distinct().localCheckpoint())
+        pinned = (sel.select("doc_id", "n_windows", "_sel")
+                  .distinct().localCheckpoint())
+        # Tag the selection with the constants it was built under so the
+        # consumers can refuse a mismatched (w, guarantee) hand-off
+        # instead of silently producing wrong pairs.
+        pinned._winnow_params = (dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE)
+        _INDEX_CACHE[key] = pinned
     return _INDEX_CACHE[key]
 
 PREVIEW_LEN = 40
