@@ -141,6 +141,128 @@ def build_index(docs: DataFrame, text_col: str = "text",
                         term_df=term_df)
 
 
+def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
+                  removed_ids: DataFrame | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  pin: bool = True) -> LexicalIndex:
+    """Incremental lexical-index maintenance — the Spark re-expression of
+    the reference's per-doc FTS upsert (delete + reinsert of one doc's
+    index rows, /root/reference/mcp_server/apps/fts.py:150-181) and the
+    same discipline as `operators.dedup.refresh_window_index`: every
+    corpus-sized frame is touched only through a broadcast anti-join of
+    the (small) changed-ID set against the PINNED base frames, and every
+    rebuild is narrow over the changed docs — cost tracks the batch,
+    never the corpus. Returns a NEW LexicalIndex; the base is untouched
+    (snapshot semantics — readers of the old index keep a consistent
+    view, exactly like a Delta/Iceberg MERGE writing a new version).
+
+    The genuinely non-local parts of a lexical index are the GLOBAL
+    statistics BM25 bakes into every score, and they are delta-merged,
+    not rebuilt:
+    - `term_df`: df changes only for terms appearing in dropped or
+      reinserted docs. Both sides of the delta aggregate tiny frames
+      (removed terms come from a left-semi slice of pinned postings,
+      added terms from the fresh postings), and the net-zero rows —
+      an updated doc that keeps a term — are filtered out before the
+      merge, so unchanged vocabulary rows pass through an anti-join
+      untouched.
+    - `stats` (n_docs, avgdl): recomputed with build_index's exact
+      aggregation over the merged doc_len — a scan of the narrow
+      (doc_id, dl) table, not the corpus text. dl/tf are integer-valued
+      doubles so the sums are exact and the result is bit-identical to
+      a from-scratch build.
+    - the denormalized `scoring_view` (if the base materialized one) is
+      delta-merged too: rows of dropped/changed docs are replaced, rows
+      of UNCHANGED docs are rebuilt only where the term's df actually
+      changed (dl can't have changed for an untouched doc), everything
+      else is kept verbatim.
+
+    At 100 TB: postings are bucketed by `term` for query pruning, so the
+    doc-keyed delete is a full-scan broadcast anti-join (no shuffle) —
+    on a lake this is merge-on-read deletion vectors; the SQLite
+    reference pays a per-doc b-tree delete instead. Rebuild-equivalence
+    with `build_index` over the merged corpus is pinned by the
+    `incremental_postings_refresh` oracle query and
+    `test_refresh_index_equals_rebuild`."""
+    changed_ids = (changed_docs.select(F.col(id_col).alias("doc_id"))
+                   .distinct())
+    drop = changed_ids
+    if removed_ids is not None:
+        drop = (drop.unionByName(
+            removed_ids.select(F.col(removed_ids.columns[0]).alias("doc_id")))
+            .distinct())
+
+    # Reinsert side: a narrow build_index over just the changed docs.
+    fresh_post = (doc_tokens(changed_docs, text_col, id_col)
+                  .groupBy("doc_id", "term")
+                  .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    if pin:
+        fresh_post = fresh_post.localCheckpoint()
+    fresh_dl = fresh_post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+    # Delete + reinsert on the doc-keyed frames.
+    new_post = (index.postings.join(F.broadcast(drop), "doc_id", "left_anti")
+                .unionByName(fresh_post))
+    new_dl = (index.doc_len.join(F.broadcast(drop), "doc_id", "left_anti")
+              .unionByName(fresh_dl))
+
+    # term_df delta: net df change per term, dropped net-zero rows.
+    removed_tf = (index.postings
+                  .join(F.broadcast(drop), "doc_id", "left_semi")
+                  .groupBy("term")
+                  .agg(F.count(F.lit(1)).cast("double").alias("_rm")))
+    added_tf = (fresh_post.groupBy("term")
+                .agg(F.count(F.lit(1)).cast("double").alias("_add")))
+    delta = (removed_tf.join(added_tf, "term", "full_outer")
+             .select("term",
+                     (F.coalesce(F.col("_add"), F.lit(0.0))
+                      - F.coalesce(F.col("_rm"), F.lit(0.0))).alias("_net"))
+             .filter(F.col("_net") != 0.0))
+    if pin:
+        delta = delta.localCheckpoint()
+    # Existing vocabulary: left join the broadcast delta (full outer can't
+    # broadcast); brand-new terms arrive via the anti-join leg.
+    updated_df = (index.term_df.join(F.broadcast(delta), "term", "left")
+                  .select("term", (F.col("df")
+                                   + F.coalesce(F.col("_net"), F.lit(0.0)))
+                          .alias("df"))
+                  .filter(F.col("df") > 0.0))
+    new_terms = (delta.join(index.term_df, "term", "left_anti")
+                 .filter(F.col("_net") > 0.0)
+                 .select("term", F.col("_net").alias("df")))
+    new_term_df = updated_df.unionByName(new_terms)
+
+    new_stats = new_dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    out = LexicalIndex(postings=new_post, doc_len=new_dl, stats=new_stats,
+                       term_df=new_term_df)
+
+    if index._scoring is not None:
+        # Scoring-view delta: replace rows of dropped/changed docs and of
+        # terms whose df moved; keep the rest verbatim. The two rebuild
+        # legs are disjoint by construction (second leg anti-joins the
+        # changed docs away).
+        changed_terms = delta.select("term")
+        kept_sc = (index._scoring
+                   .join(F.broadcast(drop), "doc_id", "left_anti")
+                   .join(F.broadcast(changed_terms), "term", "left_anti"))
+        rebuild_post = (fresh_post
+                        .unionByName(new_post
+                                     .join(F.broadcast(changed_ids),
+                                           "doc_id", "left_anti")
+                                     .join(F.broadcast(changed_terms),
+                                           "term", "left_semi")))
+        rebuilt_sc = (rebuild_post
+                      .join(new_dl, "doc_id")
+                      .join(new_term_df, "term")
+                      .select("doc_id", "term", "tf", "dl", "df"))
+        sc = kept_sc.unionByName(rebuilt_sc)
+        out._scoring = sc.localCheckpoint() if pin else sc
+    return out
+
+
 def _bm25_term_score(tf: Column, dl: Column, avgdl: Column, df: Column, n: Column,
                      k1: float = K1, b: float = B) -> Column:
     idf = F.log(1.0 + (n - df + 0.5) / (df + 0.5))

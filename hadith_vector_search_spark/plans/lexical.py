@@ -628,6 +628,66 @@ def fts_match_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     index=get_index(spark, sf_dir))
 
 
+REFRESH_NEW_ID_OFFSET = 10_000_000
+
+
+def incremental_postings_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 closed: incremental lexical-index maintenance proven by
+    rebuild-equivalence. A synthetic change batch (same fixture family as
+    plans/lifecycle: revised text for doc_id % 5 == 0, brand-new docs for
+    % 11 == 0 under an id offset, plus deletions for % 13 == 0) is
+    delta-merged into the session's pinned base index with
+    `operators.bm25.refresh_index` — delete + reinsert of the changed
+    docs' postings/doc_len rows, term_df and scoring-view delta merges,
+    exact-stats recompute over the narrow doc_len. The emitted frame is
+    the refreshed DENORMALIZED SCORING VIEW (doc_id, term, tf, dl, df):
+    it folds all three index tables into one checkable relation, so the
+    DuckDB oracle building the same index FROM SCRATCH over the merged
+    corpus pins full equivalence — the incremental path must land on
+    byte-identical global statistics, not just matching postings.
+    Mirrors the reference's per-doc FTS upsert
+    (/root/reference/mcp_server/apps/fts.py:150-181) at batch scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = get_index(spark, sf_dir)
+    base.scoring_view()  # force the delta path, not a lazy full rebuild
+    upd = (docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 13 != 0))
+           .withColumn("text", F.concat(F.col("text"), F.lit(" [rev2]"))))
+    fresh = (docs.filter(F.col("doc_id") % 11 == 0)
+             .withColumn("doc_id", F.col("doc_id") + REFRESH_NEW_ID_OFFSET))
+    changed = upd.unionByName(fresh).select("doc_id", "text")
+    removed = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    refreshed = bm25.refresh_index(base, changed, removed)
+    return refreshed.scoring_view()
+
+
+def incremental_postings_refresh_oracle() -> str:
+    """From-scratch index build over the merged corpus — the
+    rebuild-equivalence side of the refresh check."""
+    return f"""
+WITH merged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + {REFRESH_NEW_ID_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 11 = 0
+),
+toks AS (
+  SELECT doc_id, t.term
+  FROM merged,
+       unnest(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+')) AS t(term)
+  WHERE length(t.term) >= 2
+),
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+doc_len  AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+term_df  AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1)
+SELECT p.doc_id, p.term, p.tf, d.dl, t.df
+FROM postings p
+JOIN doc_len d USING (doc_id)
+JOIN term_df t USING (term)
+"""
+
+
 def _sql_tokens_cte() -> str:
     """Shared oracle CTE: tokenize documents with the engine's exact rules."""
     return """

@@ -62,6 +62,7 @@ QUERIES: dict[str, QueryFn] = {
     "sliding_event_rate": relational.sliding_event_rate,
     # lexical leg (SURVEY §2.7/§4.2)
     "term_doc_frequency": lexical.term_doc_frequency,
+    "incremental_postings_refresh": lexical.incremental_postings_refresh,
     "bm25_topk": lexical.bm25_topk,
     "bm25_disjunctive": lexical.bm25_disjunctive,
     "bm25_topk_batch": lexical.bm25_topk_batch,
@@ -286,6 +287,9 @@ oracle("snippet_positional", lexical.snippet_positional_oracle())
 oracle("bm25_prf_topk", lexical.bm25_prf_oracle())
 oracle("cross_encoder_rerank", lexical.cross_encoder_rerank_oracle())
 oracle("more_like_this", lexical.more_like_this_oracle())
+# the delta-merged index must equal a from-scratch build (rebuild equivalence)
+oracle("incremental_postings_refresh",
+       lexical.incremental_postings_refresh_oracle())
 oracle("percolate_matches", lexical.percolate_matches_oracle())
 # arrival-time alerting drains to the same matches as batch percolation
 oracle("streaming_percolate", lexical.percolate_matches_oracle())

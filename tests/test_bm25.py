@@ -87,3 +87,88 @@ def test_batch_conjunctive_per_query_counts(spark, docs):
         by_q.setdefault(r.query_id, set()).add(r.doc_id)
     assert by_q[1] == {1, 2}   # both terms present
     assert 2 not in by_q       # no doc has cats AND data
+
+
+# --- incremental refresh (S9): rebuild-equivalence ------------------------
+
+REFRESH_CORPUS = CORPUS + [
+    (5, "stream merge stream merge join"),
+    (6, "window join tables"),
+]
+
+
+def _frames_equal(a, b, cols):
+    sa = sorted(tuple(r[c] for c in cols) for r in a.collect())
+    sb = sorted(tuple(r[c] for c in cols) for r in b.collect())
+    assert sa == sb
+
+
+def _assert_index_equiv(refreshed, rebuilt):
+    _frames_equal(refreshed.postings, rebuilt.postings,
+                  ["doc_id", "term", "tf"])
+    _frames_equal(refreshed.doc_len, rebuilt.doc_len, ["doc_id", "dl"])
+    _frames_equal(refreshed.term_df, rebuilt.term_df, ["term", "df"])
+    _frames_equal(refreshed.stats, rebuilt.stats, ["n_docs", "avgdl"])
+    _frames_equal(refreshed.scoring_view(), rebuilt.scoring_view(),
+                  ["doc_id", "term", "tf", "dl", "df"])
+
+
+def test_refresh_index_equals_rebuild(spark):
+    """Delta-merged refresh must land on the exact index a from-scratch
+    build over the merged corpus produces — postings, doc_len, term_df,
+    stats AND the delta-merged scoring view (the base's view is forced
+    so the delta path runs, not a lazy rebuild)."""
+    docs = spark.createDataFrame(REFRESH_CORPUS, "doc_id long, text string")
+    base = bm25.build_index(docs)
+    base.scoring_view()
+    changed = spark.createDataFrame(
+        [(2, "window data revised join"),          # update: drops 'window' x2
+         (7, "fresh doc about stream windows")],   # insert: new doc
+        "doc_id long, text string")
+    removed = spark.createDataFrame([(4,)], "doc_id long")
+    refreshed = bm25.refresh_index(base, changed, removed)
+
+    merged = spark.createDataFrame(
+        [r for r in REFRESH_CORPUS if r[0] not in (2, 4)]
+        + [(2, "window data revised join"),
+           (7, "fresh doc about stream windows")],
+        "doc_id long, text string")
+    _assert_index_equiv(refreshed, bm25.build_index(merged))
+
+
+def test_refresh_index_remove_only_and_base_untouched(spark):
+    """A pure-deletion batch (empty changed set) must shrink the index
+    correctly, and the base index must keep serving its old snapshot."""
+    docs = spark.createDataFrame(REFRESH_CORPUS, "doc_id long, text string")
+    base = bm25.build_index(docs)
+    base.scoring_view()
+    n_base_postings = base.postings.count()
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    removed = spark.createDataFrame([(5,), (6,)], "doc_id long")
+    refreshed = bm25.refresh_index(base, empty, removed)
+
+    merged = spark.createDataFrame(
+        [r for r in REFRESH_CORPUS if r[0] not in (5, 6)],
+        "doc_id long, text string")
+    _assert_index_equiv(refreshed, bm25.build_index(merged))
+    # snapshot semantics: the base still has every original posting
+    assert base.postings.count() == n_base_postings
+    assert {r.doc_id for r in base.doc_len.collect()} == {1, 2, 3, 4, 5, 6}
+
+
+def test_refresh_index_scoring_stays_lazy_without_base_view(spark):
+    """If the base never materialized a scoring view, the refreshed index
+    must not either (no hidden full rebuild) — and the lazily-built one
+    must still match a from-scratch build."""
+    docs = spark.createDataFrame(REFRESH_CORPUS, "doc_id long, text string")
+    base = bm25.build_index(docs)
+    changed = spark.createDataFrame([(1, "data stream rewritten")],
+                                    "doc_id long, text string")
+    refreshed = bm25.refresh_index(base, changed)
+    assert refreshed._scoring is None
+    merged = spark.createDataFrame(
+        [r for r in REFRESH_CORPUS if r[0] != 1]
+        + [(1, "data stream rewritten")],
+        "doc_id long, text string")
+    _frames_equal(refreshed.scoring_view(), bm25.build_index(merged).scoring_view(),
+                  ["doc_id", "term", "tf", "dl", "df"])
