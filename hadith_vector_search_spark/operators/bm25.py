@@ -306,21 +306,69 @@ def more_like_this(index: LexicalIndex, doc_id, n_terms: int = 5,
             .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k))
 
 
+def percolator_qterms(spark: SparkSession, stored_queries: list) -> DataFrame:
+    """Stored queries -> DISTINCT (query_id, term) rows via the engine
+    tokenizer. At alerting scale this is the persisted stored-query term
+    table itself (millions of rows); here it is a literal frame."""
+    rows = sorted({(qid, t) for qid, q in stored_queries
+                   for t in py_tokenize(q)})
+    return spark.createDataFrame(rows, "query_id int, term string")
+
+
+def rarest_terms(qterms: DataFrame, term_df: DataFrame) -> DataFrame:
+    """The percolator INDEX: one routing term per stored query — the
+    query's lowest-df term (Elasticsearch percolator / rarest-term
+    pre-selection). A term absent from the corpus vocabulary gets df 0,
+    the best possible routing key (almost nothing can match through it).
+    Correctness never depends on df accuracy: a conjunctive match
+    contains EVERY query term, so routing through any one term is
+    lossless — df only controls how few false candidates survive to the
+    verify step. Ties break term-asc for determinism. One window over
+    the (tiny) per-query term rows after a vocab-table join."""
+    qd = (qterms.join(term_df, "term", "left")
+          .select("query_id", "term",
+                  F.coalesce(F.col("df"), F.lit(0.0)).alias("_df")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.asc("_df"), F.asc("term"))
+    return (qd.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).select("query_id", "term"))
+
+
 def percolate(spark: SparkSession, doc_terms: DataFrame,
-              stored_queries: list) -> DataFrame:
+              stored_queries: list,
+              term_df: DataFrame | None = None) -> DataFrame:
     """Percolation core shared by the batch and streaming operators
     (both are checked against the SAME oracle, so the matching pipeline
     must exist exactly once): conjunctive stored-query matching over a
     DISTINCT (doc_id, term) frame — count of matched query terms per
     (doc, query) equals the query length. `stored_queries` is
     [(query_id, query_text)]; terms come from the engine tokenizer.
-    Returns (query_id, doc_id)."""
-    rows = sorted({(qid, t) for qid, q in stored_queries
-                   for t in py_tokenize(q)})
-    qterms = spark.createDataFrame(rows, "query_id int, term string")
+    Returns (query_id, doc_id).
+
+    `term_df` (the corpus vocabulary's per-term document frequency, e.g.
+    `LexicalIndex.term_df`) switches on the SCALE path: stored queries
+    become the indexed side, routed through one rarest term each
+    (`rarest_terms`), so an arriving doc meets only the queries whose
+    routing term it contains — per-doc candidate count is bounded by
+    rare-term postings, never |queries|. Candidates are then verified
+    conjunctively by fanning each candidate pair out to the doc's own
+    terms: cost tracks candidates x doc length, the Elasticsearch
+    percolator two-phase shape. Without `term_df` the original
+    single-pass broadcast join runs — right for a handful of stored
+    queries with no vocabulary statistics at hand. Both paths produce
+    identical matches (`test_percolate_candidate_bound`)."""
+    qterms = percolator_qterms(spark, stored_queries)
     qlen = (qterms.groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_terms")))
-    return (doc_terms.join(F.broadcast(qterms), "term")
+    if term_df is None:
+        matched = doc_terms.join(F.broadcast(qterms), "term")
+    else:
+        rare = rarest_terms(qterms, term_df)
+        cands = (doc_terms.join(F.broadcast(rare), "term")
+                 .select("query_id", "doc_id"))
+        matched = (cands.join(doc_terms, "doc_id")
+                   .join(F.broadcast(qterms), ["query_id", "term"]))
+    return (matched
             .groupBy("query_id", "doc_id")
             .agg(F.count(F.lit(1)).alias("n_hit"))
             .join(F.broadcast(qlen), "query_id")

@@ -361,13 +361,16 @@ def percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The matching core is the shared `operators/bm25.percolate` (also
     behind the streaming twin, which drains to the same oracle); the
-    postings table supplies the DISTINCT (doc_id, term) frame. At scale
-    the stored-query table is millions of rows and becomes the INDEXED
-    side; cost is one pass over postings of the queried terms, never
-    docs x queries. Output: (query_id, doc_id) matches."""
+    postings table supplies the DISTINCT (doc_id, term) frame. The
+    stored-query table is the INDEXED side: each query is routed through
+    its rarest term (min df from the lexical index's term_df), so a doc
+    meets only queries whose routing term it contains — per-doc
+    candidates are bounded by rare-term postings, never |queries| — and
+    candidates are verified conjunctively (bm25.rarest_terms /
+    bm25.percolate two-phase path). Output: (query_id, doc_id)."""
     idx = get_index(spark, sf_dir)
     return bm25.percolate(spark, idx.postings.select("doc_id", "term"),
-                          BATCH_QUERIES)
+                          BATCH_QUERIES, term_df=idx.term_df)
 
 
 def percolate_matches_oracle() -> str:

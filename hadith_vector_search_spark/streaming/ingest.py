@@ -164,34 +164,56 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percolation AT INGEST — the alerting deployment of reverse search:
-    documents stream from the file source, each micro-batch is tokenized
-    and matched conjunctively against the broadcast stored-query table,
-    and (query_id, doc_id) alerts land in an append sink as the docs
-    arrive. Per-doc matching is stateless (tokenize + join + count ==
-    query length), so the drained AvailableNow result equals the batch
-    `percolate_matches` exactly — the shared oracle checks that. At
-    scale the stored-query side is the indexed one (millions of saved
-    searches, inverted by term) and per-batch cost follows the batch's
-    postings, never queries × corpus."""
+    documents stream from the file source and each micro-batch runs the
+    SAME indexed two-phase core as the batch operator inside
+    `foreachBatch` (bm25.percolate with term_df: every stored query is
+    routed through its rarest corpus term, the arriving docs meet only
+    the queries whose routing term they contain, then candidates are
+    verified conjunctively — per-doc candidate count is bounded by
+    rare-term postings, never |queries|, so millions of saved searches
+    cost what their routing-term matches cost). foreachBatch is what
+    makes the core reusable verbatim: the verify step fans candidates
+    out to the batch's own term rows, a self-join Structured Streaming
+    would reject on an unbounded stream but which is plain batch algebra
+    per micro-batch. Alerts land in idempotent batch=N parquet sinks
+    (at-least-once replay overwrites, never double-appends). Per-doc
+    matching is stateless, so the drained AvailableNow result equals
+    batch `percolate_matches` exactly — the shared oracle checks that."""
+    import tempfile
+
     from ..functions.text import tokenize
     from ..operators.bm25 import percolate
-    from ..plans.lexical import BATCH_QUERIES
+    from ..plans.lexical import BATCH_QUERIES, get_index
 
+    term_df = get_index(spark, sf_dir).term_df
     docs_path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(docs_path).schema
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "documents.parquet")
               .parquet(sf_dir))
-    toks = (stream.select("doc_id",
-                          F.explode(F.array_distinct(tokenize(F.col("text"))))
-                          .alias("term")))
-    # Matching core shared with the batch operator (same oracle):
-    alerts = percolate(spark, toks, BATCH_QUERIES)
-    name = _memsink_name("percolate", sf_dir)
-    q = (alerts.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name).select("query_id", "doc_id")
+    work = tempfile.mkdtemp(prefix="stream_percolate_")
+    out = os.path.join(work, "alerts")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            toks = (batch_df.select(
+                "doc_id",
+                F.explode(F.array_distinct(tokenize(F.col("text"))))
+                .alias("term")))
+            alerts = percolate(spark, toks, BATCH_QUERIES, term_df=term_df)
+            alerts.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch={batch_id}"))
+
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        if not os.path.isdir(out):
+            return spark.createDataFrame([], "query_id int, doc_id long")
+        return (spark.read.parquet(out)
+                .select("query_id", "doc_id").localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:

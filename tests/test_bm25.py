@@ -172,3 +172,56 @@ def test_refresh_index_scoring_stays_lazy_without_base_view(spark):
         "doc_id long, text string")
     _frames_equal(refreshed.scoring_view(), bm25.build_index(merged).scoring_view(),
                   ["doc_id", "term", "tf", "dl", "df"])
+
+
+# --- percolation at stored-query scale ------------------------------------
+
+def test_percolate_candidate_bound(spark):
+    """With term_df routing, per-doc candidates are bounded by rare-term
+    postings, never |queries| — and the pruned path's matches equal the
+    unpruned broadcast path's exactly."""
+    n_queries = 200
+    # Every query shares the ubiquitous term 'data' plus one unique rare
+    # term; only 3 rare terms actually occur in the corpus.
+    queries = [(i, f"data rare{i:03d}") for i in range(n_queries)]
+    docs = spark.createDataFrame(
+        [(1, "data rare005 stream"),
+         (2, "data rare007 window"),
+         (3, "data rare005 rare009 join"),
+         (4, "data only common terms here")],
+        "doc_id long, text string")
+    idx = bm25.build_index(docs, pin=False)
+    doc_terms = idx.postings.select("doc_id", "term")
+
+    qterms = bm25.percolator_qterms(spark, queries)
+    rare = bm25.rarest_terms(qterms, idx.term_df)
+    # routing term must be the rare one, never 'data'
+    assert all(r.term != "data" for r in rare.collect())
+    cands = doc_terms.join(rare, "term").select("query_id", "doc_id")
+    # 4 rare-term postings in the corpus -> 4 candidate pairs,
+    # vs 4 docs x 200 queries = 800 through the common term
+    assert cands.count() == 4
+
+    pruned = bm25.percolate(spark, doc_terms, queries, term_df=idx.term_df)
+    plain = bm25.percolate(spark, doc_terms, queries)
+    expect = {(5, 1), (5, 3), (7, 2), (9, 3)}
+    assert {(r.query_id, r.doc_id) for r in pruned.collect()} == expect
+    assert {(r.query_id, r.doc_id) for r in plain.collect()} == expect
+
+
+def test_rarest_terms_unseen_term_routes(spark):
+    """A query term absent from the corpus vocabulary gets df 0 and wins
+    routing — the cheapest possible pre-filter — and the query still
+    cannot match any doc lacking it."""
+    docs = spark.createDataFrame(
+        [(1, "data stream"), (2, "data window")],
+        "doc_id long, text string")
+    idx = bm25.build_index(docs, pin=False)
+    queries = [(1, "data nonexistentterm"), (2, "data stream")]
+    qterms = bm25.percolator_qterms(spark, queries)
+    rare = {r.query_id: r.term
+            for r in bm25.rarest_terms(qterms, idx.term_df).collect()}
+    assert rare[1] == "nonexistentterm"
+    out = bm25.percolate(spark, idx.postings.select("doc_id", "term"),
+                         queries, term_df=idx.term_df)
+    assert {(r.query_id, r.doc_id) for r in out.collect()} == {(2, 1)}
