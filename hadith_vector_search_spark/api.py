@@ -73,8 +73,11 @@ class HybridEngine:
             embeddings.localCheckpoint() if embeddings is not None else None)
         self._ids = None   # numpy id vector (interactive mode)
         self._mat = None   # numpy embedding matrix (interactive mode)
+        self._lex = None   # per-term (ids, impacts) arrays (interactive mode)
+        self._docs_view = None  # serving temp view name (interactive mode)
 
-    def enable_interactive(self, max_driver_rows: int = 500_000) -> bool:
+    def enable_interactive(self, max_driver_rows: int = 500_000,
+                           max_driver_postings: int = 5_000_000) -> bool:
         """Opt-in INTERACTIVE serving: pull the pinned vector index into a
         driver-resident numpy matrix so the per-request vector leg and the
         O(k) fusion run driver-side — the reference's own in-process
@@ -89,17 +92,64 @@ class HybridEngine:
         round-trip through the VALUES literal re-entry (anything but
         string/integral) — at lake scale the interactive tier is a
         separate service over the published index, not a driver copy.
-        Batch paths and oracle-checked plans never use this state."""
+        Batch paths and oracle-checked plans never use this state.
+
+        Also builds (best-effort, bounded by `max_driver_postings`
+        scoring-view rows) the SYMMETRIC lexical tier: per term, the ids
+        and PRECOMPUTED BM25 impacts of its postings. The per-posting
+        score idf(df)·sat(tf, dl) is query-independent — the classic
+        impact-ordered-index observation — so a request's lexical leg is
+        a gather over its terms' arrays plus one grouped sum, no Spark
+        job. With both tiers resident a hybrid call is ONE job (the
+        final scoring plan); if the postings bound is exceeded the
+        lexical leg simply stays on Spark (two jobs, round-6 behavior)."""
         import numpy as np
 
         id_type = self.docs.schema[self.id_col].dataType.simpleString()
         if id_type not in ("string", "tinyint", "smallint", "int", "bigint"):
             return False
-        if self.emb.count() > max_driver_rows:
+        n_docs_bound = self.emb.count()
+        if n_docs_bound > max_driver_rows:
             return False
         rows = self.emb.select(self.id_col, "embedding").collect()
         self._ids = np.array([r[0] for r in rows])
         self._mat = np.array([list(r[1]) for r in rows])
+
+        # Serving copy of the corpus: the pinned docs frame keeps its batch
+        # partitioning (32 one-row-ish partitions here), and a per-request
+        # probe scan pays one task DISPATCH per partition — pure scheduler
+        # tax at O(k) serving scale. Coalesce to ~250k rows/partition and
+        # register as a temp view for the single-statement fast path.
+        import uuid
+
+        n_parts = max(1, int(n_docs_bound // 250_000) + 1)
+        self._docs_serving = (self.docs.select(self.id_col, self.text_col)
+                              .coalesce(n_parts).localCheckpoint())
+        self._docs_view = f"serving_docs_{uuid.uuid4().hex[:12]}"
+        self._docs_serving.createOrReplaceTempView(self._docs_view)
+
+        sc = self.index.scoring_view()
+        if sc.count() <= max_driver_postings:
+            n_docs, avgdl = self.index.stats_literals()
+            srows = sc.collect()
+            terms = np.array([r["term"] for r in srows])
+            pids = np.array([r["doc_id"] for r in srows])
+            tf = np.array([r["tf"] for r in srows])
+            dl = np.array([r["dl"] for r in srows])
+            df = np.array([r["df"] for r in srows])
+            # Mirror the JVM expression op-for-op (np.log(1 + x), not
+            # log1p): any residual difference is libm-vs-Math.log last-ulp,
+            # the same accepted class as the BLAS note on _vec_topk, and
+            # pinned by test_interactive_mode_equals_batch_path.
+            idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            impact = idf * (tf * (bm25.K1 + 1.0)) / (
+                tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / avgdl))
+            order = np.argsort(terms, kind="stable")
+            terms, pids, impact = terms[order], pids[order], impact[order]
+            bounds = np.searchsorted(terms, np.unique(terms), side="left")
+            ends = np.append(bounds[1:], len(terms))
+            self._lex = {terms[s]: (pids[s:e], impact[s:e])
+                         for s, e in zip(bounds, ends)}
         return True
 
     def _fused_literal_df(self, items: list) -> DataFrame:
@@ -115,24 +165,159 @@ class HybridEngine:
             return (self.docs.select(self.id_col).limit(0)
                     .withColumn("fts_score", F.lit(0.0))
                     .withColumn("vector_sim", F.lit(0.0)))
+        return self.spark.sql(
+            f"SELECT CAST(col1 AS {id_t}) AS {self.id_col}, "
+            f"col2 AS fts_score, col3 AS vector_sim "
+            f"FROM VALUES {self._values_clause(items)}")
 
+    @staticmethod
+    def _sql_str(v: str) -> str:
+        """Spark SQL string literal — literals process backslash escapes
+        by default, so escape the escape char FIRST, then the quote (a
+        string ending in '\\' would otherwise escape the closing quote:
+        verified ParseException)."""
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def _values_clause(self, items: list) -> str:
+        """(id, fts_score, vector_sim) rows as a VALUES clause. Doubles
+        travel as CAST('repr' AS DOUBLE) (bare decimal literals parse as
+        DECIMAL in Spark SQL; the string cast round-trips the exact
+        double)."""
         def fmt_id(v) -> str:
-            # Spark SQL string literals process backslash escapes by
-            # default — escape the escape char FIRST, then the quote
-            # (an id ending in '\\' would otherwise escape the closing
-            # quote: verified ParseException).
-            if isinstance(v, str):
-                return ("'" + v.replace("\\", "\\\\").replace("'", "\\'")
-                        + "'")
-            return str(v)
+            return self._sql_str(v) if isinstance(v, str) else str(v)
 
-        vals = ", ".join(
+        return ", ".join(
             f"({fmt_id(rid)}, CAST('{float(fs)!r}' AS DOUBLE), "
             f"CAST('{float(vs)!r}' AS DOUBLE))"
             for rid, (fs, vs) in items)
-        return self.spark.sql(
-            f"SELECT CAST(col1 AS {id_t}) AS {self.id_col}, "
-            f"col2 AS fts_score, col3 AS vector_sim FROM VALUES {vals}")
+
+    def _interactive_scored_sql(self, items: list, terms: list[str],
+                                w, phrase: str | None, dedupe: bool,
+                                n_results: int) -> DataFrame:
+        """The interactive scoring tail as ONE generated SQL statement —
+        one py4j round trip instead of the ~900 the Column-expression
+        build costs (~250 ms/call of pure driver-side gateway chatter,
+        profiled; the expressions themselves are identical). This is a
+        deliberately narrow TEXT TWIN of `fusion.score` +
+        `dedup_ops.fused_result_dedup` + the final projection: every
+        expression below mirrors the Column build op-for-op (same
+        greatest/least shapes, same raw-vs-rounded usage, same window
+        spec, same tie-breaks), and row-for-row identity with the
+        pure-Spark path across modes/phrase/dedupe is pinned by
+        tests/test_api.py::test_interactive_mode_equals_batch_path. Used
+        only when no synonym_groups are requested (that path needs the
+        proximity probe join and stays on the shared Column build).
+
+        No join, no inline literals: in Spark 4 even a LocalRelation's
+        broadcast-exchange build runs its own Spark job (one task per
+        VALUES row, capped at default parallelism — measured ~100 ms of
+        pure scheduler floor per call), so the candidates enter as a
+        pushed membership filter on the 1-partition serving view and the
+        two leg scores as FOLDABLE `map_from_arrays` lookups — the whole
+        request plans as one narrow single-task stage (the window/sort
+        exchanges collapse because a SinglePartition child satisfies
+        every required distribution). All per-call values (ids, scores,
+        terms, phrase) travel as PARAMETERIZED-SQL args rather than SQL
+        text: the statement is one of a few fixed shapes, so parse cost
+        is flat and the folded array/map constants land in the generated
+        code as reference objects — whole-stage codegen compiles once
+        per shape, not once per query. The arrays ride as ONE delimited
+        string each, split+cast in SQL (foldable): PySpark converts
+        list-valued args element-by-element over py4j (~130 ms measured
+        for 300 elements), while a scalar string is one call. Numeric
+        id/score reprs round-trip exactly through CAST; string ids use
+        the unit separator (chr(31)) — an id containing it falls back to
+        the shared Column build rather than risk a bad split."""
+        q = lambda c: f"`{c}`"  # noqa: E731
+        idc, textc = q(self.id_col), q(self.text_col)
+        id_t = self.docs.schema[self.id_col].dataType.simpleString()
+        ids = [rid for rid, _ in items]
+        if isinstance(ids[0], str):
+            if any("\x1f" in s for s in ids):
+                return None
+            ids_expr = "split(:ids, chr(31))"
+            args: dict = {"ids": "\x1f".join(ids)}
+        else:
+            ids_expr = (f"transform(split(:ids, ','), "
+                        f"x -> CAST(x AS {id_t}))")
+            args = {"ids": ",".join(str(i) for i in ids)}
+        args.update({
+            "fts": ",".join(repr(float(s[0])) for _, s in items),
+            "vec": ",".join(repr(float(s[1])) for _, s in items),
+            "wv": float(w.vector), "wf": float(w.fts),
+            "wc": float(w.coverage),
+        })
+        dbl = "transform(split(:{}, ','), x -> CAST(x AS DOUBLE))"
+        vsig = "least(1.0D, greatest(0.0D, vector_sim))"
+        fsig = ("(greatest(0.0D, fts_score) / "
+                "(greatest(0.0D, fts_score) + 1.0D))")
+        if terms:
+            args["terms"] = ",".join(terms)
+            cov = (f"(CAST(size(filter(split(:terms, ','), "
+                   f"x -> instr(lower({textc}), x) > 0)) AS DOUBLE) "
+                   f"/ CAST(size(split(:terms, ',')) AS DOUBLE))")
+        else:
+            cov = "0.0D"
+        if phrase:
+            args["phrase"] = phrase.lower()
+            args["wp"] = float(w.phrase)
+            phr = (f"(CASE WHEN instr(lower({textc}), :phrase) > 0 "
+                   f"THEN :wp ELSE 0.0D END)")
+        else:
+            phr = "0.0D"
+        total = (f"least(1.0D, greatest(0.0D, "
+                 f"{vsig} * :wv + {fsig} * :wf + {cov} * :wc "
+                 f"+ {phr} + 0.0D))")
+        scored = f"""
+  SELECT {idc}, {textc},
+         round({vsig}, 6) AS vec_signal,
+         round({fsig}, 6) AS fts_sig,
+         round({cov}, 6) AS coverage,
+         round({phr}, 6) AS phrase_bonus,
+         0.0D AS proximity_bonus,
+         round({total}, 6) AS score
+  FROM (SELECT {idc}, {textc},
+               element_at(map_from_arrays({ids_expr},
+                 {dbl.format('fts')}), {idc}) AS fts_score,
+               element_at(map_from_arrays({ids_expr},
+                 {dbl.format('vec')}), {idc}) AS vector_sim
+        FROM {self._docs_view}
+        WHERE array_contains({ids_expr}, {idc}))"""
+        out_cols = (f"{idc}, score, vec_signal, fts_sig, coverage, "
+                    f"phrase_bonus, proximity_bonus, duplicates_filtered, "
+                    f"substring({textc}, 1, 120) AS preview")
+        if dedupe:
+            # Flattened equivalent of fused_result_dedup's two stacked
+            # windows: rn and the total candidate count compute in ONE
+            # block; the outer block's WHERE filters to survivors BEFORE
+            # its count(*) window evaluates (SQL WHERE precedes
+            # windowing), so dropped = total - survivors — the same
+            # number the sum(rn > 1) window produced, one nesting level
+            # and one CASE tree cheaper (~80 ms/call of per-request
+            # analysis+optimize, measured).
+            dkey = (f"coalesce(nullif(trim(substring({textc}, 1, 120)), "
+                    f"''), CAST({idc} AS STRING))")
+            glob = ("OVER (PARTITION BY 1 ROWS BETWEEN UNBOUNDED "
+                    "PRECEDING AND UNBOUNDED FOLLOWING)")
+            sql = f"""
+SELECT {idc}, score, vec_signal, fts_sig, coverage,
+       phrase_bonus, proximity_bonus,
+       CAST(_n_tot - count(*) {glob} AS BIGINT) AS duplicates_filtered,
+       substring({textc}, 1, 120) AS preview
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY {dkey}
+       ORDER BY score DESC, {idc} ASC) AS rn,
+       count(*) {glob} AS _n_tot
+  FROM ({scored})
+)
+WHERE rn = 1
+ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
+        else:
+            sql = f"""
+SELECT {out_cols}
+FROM (SELECT *, CAST(0 AS BIGINT) AS duplicates_filtered FROM ({scored}))
+ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
+        return self.spark.sql(sql, args=args)
 
     def _vec_topk_interactive(self, qvec: list[float], k: int) -> list:
         """Driver-side exact cosine top-k over the resident matrix:
@@ -147,6 +332,26 @@ class HybridEngine:
         sims = np.round(self._mat @ np.asarray(qvec), 6)
         order = np.lexsort((self._ids, -sims))[:k]
         return [(self._ids[i].item(), float(sims[i])) for i in order]
+
+    def _lex_topk_interactive(self, terms: list[str], k: int) -> list:
+        """Driver-side disjunctive BM25 top-k over the resident per-term
+        impact arrays: gather the query terms' postings, one grouped sum
+        (np.add.at over the unique-id inverse), round 6, rank by
+        (score desc, id asc) — the exact contract of the Spark leg
+        (`bm25.score_terms` + round + orderBy + limit)."""
+        import numpy as np
+
+        parts = [self._lex[t] for t in terms if t in self._lex]
+        if not parts:
+            return []
+        ids = np.concatenate([p[0] for p in parts])
+        impacts = np.concatenate([p[1] for p in parts])
+        uids, inv = np.unique(ids, return_inverse=True)
+        tot = np.zeros(len(uids))
+        np.add.at(tot, inv, impacts)
+        tot = np.round(tot, 6)
+        order = np.lexsort((uids, -tot))[:k]
+        return [(uids[i].item(), float(tot[i])) for i in order]
 
     # -- derived state (lazy, pinned once) ---------------------------------
 
@@ -170,6 +375,17 @@ class HybridEngine:
         """Zero-row leg with the right id type for any corpus id column."""
         return (self.docs.select(self.id_col).limit(0)
                 .withColumn(score_col, F.lit(0.0)))
+
+    def _spark_lex_leg(self, terms: list[str], k: int) -> DataFrame:
+        """The Spark lexical leg: disjunctive BM25 over the scoring view,
+        rounded, ranked (bm25 desc, id asc), over-fetched to k — the
+        contract `_lex_topk_interactive` mirrors driver-side."""
+        return (bm25.score_terms(self.spark, self.index, terms,
+                                 conjunctive=False)
+                .withColumnRenamed("doc_id", self.id_col)
+                .select(F.col(self.id_col),
+                        F.round("score", 6).alias("bm25"))
+                .orderBy(F.desc("bm25"), F.asc(self.id_col)).limit(k))
 
     # -- the reference's tool surface --------------------------------------
 
@@ -198,32 +414,46 @@ class HybridEngine:
         terms = sorted(set(py_tokenize(intent.normalized)))
         k = max(OVERFETCH_FLOOR, 5 * n_results)
 
-        if fts_available and terms:
-            fts = (bm25.score_terms(self.spark, self.index, terms, conjunctive=False)
-                   .withColumnRenamed("doc_id", self.id_col)
-                   .select(F.col(self.id_col),
-                           F.round("score", 6).alias("bm25"))
-                   .orderBy(F.desc("bm25"), F.asc(self.id_col)).limit(k))
-        else:
-            fts = self._empty_leg("bm25")
         if self._mat is not None:
-            # Interactive fast path (enable_interactive): collect the O(k)
-            # lexical leg (one Spark job), run the vector top-k and the
-            # exact max/coalesce fusion driver-side, and feed the fused
-            # candidates back as a LOCAL relation — its broadcast below
-            # builds without a Spark job, so the whole request is two jobs
-            # total. Fusion on collected values is exact arithmetic on
-            # ≤2k pairs; the scoring plan below is byte-identical to the
+            # Interactive fast path (enable_interactive): the lexical leg
+            # comes from the resident impact arrays when the tier is
+            # built (no Spark job) or from collecting the O(k) Spark leg
+            # otherwise (one job); the vector top-k and the exact
+            # max/coalesce fusion run driver-side, and the fused
+            # candidates re-enter as a LOCAL relation — its broadcast
+            # below builds without a Spark job, so the whole request is
+            # ONE job (the scoring plan) with both tiers resident.
+            # Fusion on collected values is exact arithmetic on ≤2k
+            # pairs; the scoring plan below is byte-identical to the
             # batch path.
             fused_map: dict = {}
-            for r in fts.collect():
-                fused_map[r[0]] = [float(r[1]), 0.0]
+            if fts_available and terms:
+                if self._lex is not None:
+                    lex_pairs = self._lex_topk_interactive(terms, k)
+                else:
+                    lex_pairs = [(r[0], float(r[1])) for r in
+                                 self._spark_lex_leg(terms, k).collect()]
+                for rid, s in lex_pairs:
+                    fused_map[rid] = [s, 0.0]
             if vector_available:
                 qvec = encode_query(intent.normalized, self.dim)
                 for rid, s in self._vec_topk_interactive(qvec, k):
                     fused_map.setdefault(rid, [0.0, 0.0])[1] = s
+            if fused_map and not synonym_groups:
+                # Single-statement tail: one py4j call builds the whole
+                # scoring plan (see _interactive_scored_sql); the
+                # synonym-groups path needs the proximity probe join and
+                # stays on the shared Column build below. None = an id
+                # the delimited-string transport can't carry safely.
+                out = self._interactive_scored_sql(
+                    sorted(fused_map.items()), terms, w, intent.phrase,
+                    dedupe, n_results)
+                if out is not None:
+                    return out
             fused = self._fused_literal_df(sorted(fused_map.items()))
         else:
+            fts = (self._spark_lex_leg(terms, k) if fts_available and terms
+                   else self._empty_leg("bm25"))
             if vector_available:
                 qvec = encode_query(intent.normalized, self.dim)
                 vec = (similarity.cosine_scores(self.emb, qvec, self.id_col)

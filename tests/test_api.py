@@ -188,6 +188,7 @@ def test_interactive_mode_equals_batch_path(spark):
     inter = HybridEngine(spark, docs)
     assert inter.enable_interactive()
     assert inter._mat is not None
+    assert inter._lex is not None  # both tiers resident -> one-job hybrid
     for q, mode in [("patience and prayer", "balanced"),
                     ("window merge sort batch", "term-priority"),
                     ("charity given in secret", "semantic"),
@@ -199,6 +200,25 @@ def test_interactive_mode_equals_batch_path(spark):
              inter.hybrid_search(q, n_results=10,
                                  scoring_mode=mode).collect()]
         assert a == b, (q, mode)
+    # flag combinations route through the generated-SQL tail too
+    for kw in [{"dedupe": False}, {"vector_available": False},
+               {"fts_available": False}, {"fts": 0.9}]:
+        a = [r.asDict() for r in
+             batch.hybrid_search("patience and prayer", n_results=10,
+                                 **kw).collect()]
+        b = [r.asDict() for r in
+             inter.hybrid_search("patience and prayer", n_results=10,
+                                 **kw).collect()]
+        assert a == b, kw
+    # synonym_groups falls back to the shared Column build — still equal
+    sg = [["patience", "endurance"], ["prayer", "worship"]]
+    a = [r.asDict() for r in
+         batch.hybrid_search("patience and prayer", n_results=10,
+                             synonym_groups=sg).collect()]
+    b = [r.asDict() for r in
+         inter.hybrid_search("patience and prayer", n_results=10,
+                             synonym_groups=sg).collect()]
+    assert a == b
 
 
 def test_interactive_mode_refuses_oversized_corpus(spark):
@@ -270,3 +290,21 @@ def test_interactive_refuses_unsupported_id_type(spark):
     eng = HybridEngine(spark, docs)
     assert eng.enable_interactive() is False
     assert eng._mat is None
+
+
+def test_interactive_postings_bound_degrades_to_spark_leg(spark):
+    """Exceeding the postings bound must leave the lexical tier off (the
+    leg stays on Spark) while the vector tier still serves — and results
+    must still equal the pure-Spark path."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = HybridEngine(spark, docs)
+    part = HybridEngine(spark, docs)
+    assert part.enable_interactive(max_driver_postings=10)
+    assert part._mat is not None and part._lex is None
+    a = [r.asDict() for r in
+         batch.hybrid_search("patience and prayer", n_results=10).collect()]
+    b = [r.asDict() for r in
+         part.hybrid_search("patience and prayer", n_results=10).collect()]
+    assert a == b
