@@ -265,24 +265,29 @@ class HybridEngine:
                    f"THEN :wp ELSE 0.0D END)")
         else:
             phr = "0.0D"
-        total = (f"least(1.0D, greatest(0.0D, "
-                 f"{vsig} * :wv + {fsig} * :wf + {cov} * :wc "
-                 f"+ {phr} + 0.0D))")
+        # Each raw signal is computed ONCE in an inner projection and
+        # referenced by alias — round() and the weighted total consume
+        # the same expression node, exactly as the Column build's shared
+        # Column objects do, and the analyzer tree stays small.
+        total = ("least(1.0D, greatest(0.0D, "
+                 "_vs * :wv + _fs * :wf + _cv * :wc + _ph + 0.0D))")
         scored = f"""
   SELECT {idc}, {textc},
-         round({vsig}, 6) AS vec_signal,
-         round({fsig}, 6) AS fts_sig,
-         round({cov}, 6) AS coverage,
-         round({phr}, 6) AS phrase_bonus,
+         round(_vs, 6) AS vec_signal,
+         round(_fs, 6) AS fts_sig,
+         round(_cv, 6) AS coverage,
+         round(_ph, 6) AS phrase_bonus,
          0.0D AS proximity_bonus,
          round({total}, 6) AS score
   FROM (SELECT {idc}, {textc},
-               element_at(map_from_arrays({ids_expr},
-                 {dbl.format('fts')}), {idc}) AS fts_score,
-               element_at(map_from_arrays({ids_expr},
-                 {dbl.format('vec')}), {idc}) AS vector_sim
-        FROM {self._docs_view}
-        WHERE array_contains({ids_expr}, {idc}))"""
+               {vsig} AS _vs, {fsig} AS _fs, {cov} AS _cv, {phr} AS _ph
+        FROM (SELECT {idc}, {textc},
+                     element_at(map_from_arrays({ids_expr},
+                       {dbl.format('fts')}), {idc}) AS fts_score,
+                     element_at(map_from_arrays({ids_expr},
+                       {dbl.format('vec')}), {idc}) AS vector_sim
+              FROM {self._docs_view}
+              WHERE array_contains({ids_expr}, {idc})))"""
         out_cols = (f"{idc}, score, vec_signal, fts_sig, coverage, "
                     f"phrase_bonus, proximity_bonus, duplicates_filtered, "
                     f"substring({textc}, 1, 120) AS preview")
