@@ -123,6 +123,21 @@ def main() -> None:
     # SCALE.md "Session-scale drift").
     only = {n for n in os.environ.get(
         "SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
+    # SPARK_GRAFT_BENCH_DEBUG=1: after each timed query, print session
+    # state (persistent RDD blocks, storage memory, JVM heap) to stderr —
+    # the attribution tool for mid-pass inflation (SCALE.md episode 4).
+    debug = os.environ.get("SPARK_GRAFT_BENCH_DEBUG", "") == "1"
+
+    def session_state() -> str:
+        sc = spark.sparkContext
+        jsc = sc._jsc.sc()
+        rdds = jsc.getPersistentRDDs().size()
+        jvm = sc._jvm
+        rt = jvm.java.lang.Runtime.getRuntime()
+        used_mb = (rt.totalMemory() - rt.freeMemory()) / 1e6
+        mem = jsc.getExecutorMemoryStatus().toString()
+        return f"rdds={rdds} heap={used_mb:.0f}MB mem={mem[:120]}"
+
     timings: dict[str, float] = {}
     for name, fn in sorted(get_queries().items()):
         if only and name not in only:
@@ -135,6 +150,9 @@ def main() -> None:
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 3)
+            if debug:
+                print(f"bench-debug: {name} {timings[name]:.2f}s "
+                      f"{session_state()}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0

@@ -253,3 +253,32 @@ def test_fake_cross_encoder_contract(monkeypatch):
     assert calls == [{"n": 2, "batch_size": 64, "show_progress_bar": False}]
     # singleton: second resolve reuses the loaded scorer
     assert reranker.get_pair_scorer(backend="auto") is m
+
+
+def test_eval_semantic_quality_script_runs_when_model_available(
+        spark, capsys, monkeypatch):
+    """scripts/eval_semantic_quality.py's measurement plumbing must run
+    end-to-end when the model gate opens: the cross-lingual battery
+    executes through the real engine and the markdown table prints; with
+    no CrossEncoder the rerank row is skipped with a visible notice. A
+    driver-faked package can't reach executor workers, so the gate is
+    opened by patching `real_model_available` while the resolver pins
+    the hash backend (same 384 geometry) — the script measures whatever
+    model the resolver provides; here that's the plumbing, not quality."""
+    import importlib.util
+    import os
+
+    monkeypatch.setattr(embedder, "real_model_available", lambda: True)
+    monkeypatch.setattr(embedder, "resolve_backend",
+                        lambda dim, backend: "hash")
+    spec = importlib.util.spec_from_file_location(
+        "eval_semantic_quality",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "eval_semantic_quality.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main() == 0
+    out = capsys.readouterr().out
+    assert "cross-lingual semantic recall (real model)" in out
+    assert "| category | reference target | measured |" in out
+    assert "CrossEncoder weights unavailable" in out
