@@ -220,15 +220,24 @@ def snippet_positional(text: Column | str, terms: list[str],
     matched tokens wrapped in markers, and add ellipses on truncated
     edges. Returns struct(snippet string, n_matched int, start int).
 
-    Documented deviation from FTS5: rendering reconstructs the window
-    from the normalized token stream (lowercased, punctuation collapsed
-    to single spaces) rather than slicing original bytes — the tokenizer
-    here does not retain source offsets. Window CHOICE is positional and
-    exact, which is what the r5 verdict flagged as the remaining gap.
+    Rendering slices the ORIGINAL text (round-7 upgrade closing the last
+    F25 deviation): per-token character offsets are recovered by a
+    progressive `locate` fold over the token stream — each token's next
+    occurrence at/after the previous token's end IS its true position,
+    because delimiters contain no token characters and dropped
+    sub-minimum tokens are single chars that cannot contain a >=2-char
+    search string — and the chosen window renders as raw substrings
+    (original case, punctuation, whitespace) with markers around matched
+    tokens and the inter-token gaps preserved verbatim. Offsets are
+    found in lower(text) and sliced from the original; the one residual
+    deviation is locale case-folds that change string LENGTH (e.g.
+    'İ' -> 'i̇'), which shift offsets — impossible in the ASCII+Arabic
+    corpus (Arabic has no case) and vanishingly rare elsewhere.
 
     Cost shape: O(L·N) higher-order-function ops per row (L = doc tokens);
     entirely JVM-side, no shuffle — a map over the scan."""
     t = F.col(text) if isinstance(text, str) else text
+    ltext = F.lower(t)
     toks = tokenize(t)
     n_toks = F.size(toks)
     terms_arr = F.array(*[F.lit(x) for x in sorted(set(terms))])
@@ -251,13 +260,49 @@ def snippet_positional(text: Column | str, terms: list[str],
     best = F.array_max(scored)   # struct compare: d, then m, then -start
     bi = -best.getField("ni")
     bw = F.slice(toks, bi + 1, n_tokens)
-    rendered = F.array_join(
-        F.transform(
-            bw,
-            lambda x: F.when(F.array_contains(terms_arr, x),
-                             F.concat(F.lit(mark_open), x,
-                                      F.lit(mark_close))).otherwise(x)),
-        " ")
+
+    # Character spans: fold the token stream, carrying the search cursor;
+    # span = (s: 1-based char start, e: 1-based char end inclusive).
+    spans_acc = F.aggregate(
+        toks,
+        F.struct(F.lit(0).cast("int").alias("p"),
+                 F.expr("array()").cast(
+                     "array<struct<s:int,e:int>>").alias("sp")),
+        lambda acc, tok: F.struct(
+            (F.call_function("locate", tok, ltext, acc.getField("p") + 1)
+             + F.length(tok) - 1).cast("int").alias("p"),
+            F.concat(acc.getField("sp"), F.array(F.struct(
+                F.call_function("locate", tok, ltext,
+                                acc.getField("p") + 1).cast("int")
+                .alias("s"),
+                (F.call_function("locate", tok, ltext,
+                                 acc.getField("p") + 1)
+                 + F.length(tok) - 1).cast("int").alias("e"))))
+            .alias("sp")))
+    win_spans = F.slice(spans_acc.getField("sp"), bi + 1, n_tokens)
+    n_win = F.size(win_spans)
+    # Render token k from its raw span (bracketed when matched), then the
+    # raw gap up to token k+1 (nothing after the last window token).
+    idxs = F.sequence(F.lit(0), n_win - 1)
+    pieces = F.transform(idxs, lambda k: F.concat(
+        F.when(F.array_contains(terms_arr, F.element_at(bw, k + 1)),
+               F.concat(
+                   F.lit(mark_open),
+                   t.substr(F.element_at(win_spans, k + 1).getField("s"),
+                            F.element_at(win_spans, k + 1).getField("e")
+                            - F.element_at(win_spans, k + 1).getField("s")
+                            + 1),
+                   F.lit(mark_close)))
+        .otherwise(
+            t.substr(F.element_at(win_spans, k + 1).getField("s"),
+                     F.element_at(win_spans, k + 1).getField("e")
+                     - F.element_at(win_spans, k + 1).getField("s") + 1)),
+        F.when(k < n_win - 1,
+               t.substr(F.element_at(win_spans, k + 1).getField("e") + 1,
+                        F.element_at(win_spans, k + 2).getField("s")
+                        - F.element_at(win_spans, k + 1).getField("e") - 1))
+        .otherwise(F.lit(""))))
+    rendered = F.array_join(pieces, "")
     snip = F.concat(
         F.when(bi > 0, F.lit(ellipsis)).otherwise(F.lit("")),
         rendered,

@@ -549,15 +549,33 @@ def snippet_positional_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def snippet_positional_oracle() -> str:
+    """Replays the raw-text rendering: token char spans recovered by the
+    same progressive-search rule as the Spark fold (next occurrence of
+    each token at/after the previous token's end — here a recursive CTE
+    keyed by doc), window chosen identically, then original-text slices
+    with brackets at match spans and verbatim inter-token gaps."""
     terms = ", ".join(f"'{t}'" for t in sorted(set(SNIPPET_TERMS)))
     n = SNIPPET_TOKENS
     return f"""
-WITH tk AS (
-  SELECT doc_id,
+WITH RECURSIVE tk AS (
+  SELECT doc_id, text, lower(text) AS lt,
          list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
                      x -> length(x) >= 2) AS ts
   FROM documents
   WHERE strpos(lower(text), '{PHRASE}') > 0
+),
+sp AS (
+  SELECT doc_id, 1 AS k,
+         strpos(lt, ts[1]) AS s,
+         strpos(lt, ts[1]) + length(ts[1]) - 1 AS e
+  FROM tk WHERE len(ts) >= 1
+  UNION ALL
+  SELECT t.doc_id, sp.k + 1,
+         sp.e + strpos(substr(t.lt, sp.e + 1), t.ts[sp.k + 1]) AS s,
+         sp.e + strpos(substr(t.lt, sp.e + 1), t.ts[sp.k + 1])
+              + length(t.ts[sp.k + 1]) - 1 AS e
+  FROM sp JOIN tk t USING (doc_id)
+  WHERE sp.k < len(t.ts)
 ),
 wins AS (
   SELECT doc_id, ts, i - 1 AS start, ts[i:i+{n}-1] AS win
@@ -571,19 +589,35 @@ scored AS (
   FROM wins
 ),
 best AS (
-  SELECT *, row_number() OVER (PARTITION BY doc_id
-                               ORDER BY d DESC, m DESC, start ASC) AS rn
+  SELECT *, least(start + {n}, len(ts)) AS last_k,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY d DESC, m DESC, start ASC) AS rn
   FROM scored
+),
+pieces AS (
+  SELECT b.doc_id, p.k,
+         (CASE WHEN list_contains([{terms}], t.ts[p.k])
+               THEN '[' || substr(t.text, p.s, p.e - p.s + 1) || ']'
+               ELSE substr(t.text, p.s, p.e - p.s + 1) END)
+         || (CASE WHEN p.k < b.last_k
+                  THEN substr(t.text, p.e + 1, nxt.s - p.e - 1)
+                  ELSE '' END) AS piece
+  FROM best b
+  JOIN sp p ON p.doc_id = b.doc_id
+           AND p.k BETWEEN b.start + 1 AND b.last_k
+  JOIN tk t ON t.doc_id = b.doc_id
+  LEFT JOIN sp nxt ON nxt.doc_id = p.doc_id AND nxt.k = p.k + 1
+  WHERE b.rn = 1
 )
-SELECT doc_id,
-       (CASE WHEN start > 0 THEN '…' ELSE '' END) ||
-       list_aggregate(list_transform(win,
-           t -> CASE WHEN list_contains([{terms}], t)
-                     THEN '[' || t || ']' ELSE t END), 'string_agg', ' ') ||
-       (CASE WHEN start + {n} < len(ts) THEN '…' ELSE '' END) AS snippet,
-       m AS n_matched,
-       start AS win_start
-FROM best WHERE rn = 1
+SELECT b.doc_id,
+       (CASE WHEN b.start > 0 THEN '…' ELSE '' END) ||
+       coalesce((SELECT string_agg(piece, '' ORDER BY k)
+                 FROM pieces p WHERE p.doc_id = b.doc_id), '') ||
+       (CASE WHEN b.start + {n} < len(b.ts) THEN '…' ELSE '' END)
+         AS snippet,
+       b.m AS n_matched,
+       b.start AS win_start
+FROM best b WHERE b.rn = 1
 """
 
 

@@ -154,3 +154,34 @@ def test_snippet_positional_window_selection(spark):
     assert out[2].start == 0 and out[2].n_matched == 2
     assert out[3].snippet.startswith("[alpha] [beta]")
     assert out[3].snippet.endswith("…") and not out[3].snippet.startswith("…")
+
+
+def test_snippet_positional_renders_raw_text(spark):
+    """Round-7 F25 closure: the rendered window slices the ORIGINAL text
+    — case, punctuation, and whitespace between tokens survive verbatim;
+    brackets land at the original-text match spans."""
+    rows = [
+        (1, "The WINDOW, then: data!  More window-data  here; stream ends."),
+        (2, "Data... STREAM!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = T.snippet_positional(F.col("text"), ["window", "data", "stream"],
+                             n_tokens=6)
+    out = {r.doc_id: r for r in
+           df.select("doc_id", s.alias("s")).select("doc_id", "s.*").collect()}
+    # original punctuation and double spaces preserved; original case
+    # inside brackets for matched tokens; unmatched tokens raw-case
+    assert out[1].snippet == "…[data]!  More [window]-[data]  here; [stream]…"
+    assert out[2].snippet == "[Data]... [STREAM]"
+    assert out[2].n_matched == 2 and out[2].start == 0
+
+
+def test_snippet_positional_repeated_token_offsets(spark):
+    """The progressive-locate fold must advance past each consumed token:
+    repeated tokens map to successive occurrences, not all to the first."""
+    df = spark.createDataFrame(
+        [(1, "data, data; DATA")], "doc_id long, text string")
+    s = T.snippet_positional(F.col("text"), ["data"], n_tokens=3)
+    r = df.select(s.alias("s")).select("s.*").collect()[0]
+    assert r.snippet == "[data], [data]; [DATA]"
+    assert r.n_matched == 3
