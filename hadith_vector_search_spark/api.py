@@ -105,6 +105,7 @@ class HybridEngine:
         lexical leg simply stays on Spark (two jobs, round-6 behavior)."""
         import numpy as np
 
+        self._interactive_bounds = (max_driver_rows, max_driver_postings)
         id_type = self.docs.schema[self.id_col].dataType.simpleString()
         if id_type not in ("string", "tinyint", "smallint", "int", "bigint"):
             return False
@@ -599,6 +600,87 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                                     n_terms=n_terms, k=n_results)
                 .withColumnRenamed("doc_id", self.id_col)
                 .orderBy(F.desc("bm25"), F.asc(self.id_col)))
+
+    def upsert_documents(self, incoming: DataFrame,
+                         removed_ids: DataFrame | None = None,
+                         force: bool = False) -> dict:
+        """The reference's incremental `upsert_documents` tool
+        (/root/reference/mcp_server/apps/fts.py:118-181 and
+        embeddings.py:121) across EVERY engine tier: checksum-classified
+        change detection (unchanged re-arrivals skip, like the
+        reference's checksum short-circuit; `force` disables the skip),
+        documents MERGE, lexical-index delta refresh
+        (`bm25.refresh_index` — postings/doc_len delete+reinsert,
+        term_df/scoring-view delta merges), embedding-cache delta
+        (changed docs re-embed, others untouched), and — when the
+        interactive tiers are resident — a tier rebuild under the same
+        bounds they were enabled with. `incoming` must carry the corpus
+        schema. Cost tracks the CHANGED set on every Spark-side tier;
+        the driver-resident tiers re-collect (they are bounded by
+        definition). Returns reference-shaped counts
+        {processed, inserted, updated, skipped, removed}."""
+        from .sources.ingest import (
+            classify_changes,
+            merge_upsert,
+            row_checksum,
+        )
+
+        ck = row_checksum(self.id_col, self.text_col)
+        classified = classify_changes(
+            incoming.withColumn("_ck", ck),
+            self.docs.withColumn("_ck", ck),
+            key=self.id_col, checksum="_ck").localCheckpoint()
+        st = classified.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("action") == "insert", 1).otherwise(0))
+            .alias("ins"),
+            F.sum(F.when(F.col("action") == "update", 1).otherwise(0))
+            .alias("upd"),
+        ).first()
+        n_removed = 0
+        if removed_ids is not None:
+            removed_ids = (removed_ids
+                           .select(F.col(removed_ids.columns[0])
+                                   .alias(self.id_col))
+                           .join(self.docs.select(self.id_col), self.id_col,
+                                 "left_semi").localCheckpoint())
+            n_removed = removed_ids.count()
+        changed = (classified if force
+                   else classified.filter(F.col("action") != "skip"))
+        changed = changed.drop("action", "_ck")
+        if removed_ids is not None:
+            # Removal wins over a same-batch update: a doc in both sets
+            # must NOT be reinserted into any tier.
+            changed = changed.join(removed_ids, self.id_col, "left_anti")
+        changed = changed.localCheckpoint()
+
+        merged = merge_upsert(self.docs, incoming.select(*self.docs.columns),
+                              key=self.id_col)
+        if removed_ids is not None:
+            merged = merged.join(removed_ids, self.id_col, "left_anti")
+        self.docs = merged.localCheckpoint()
+
+        if self._index is not None:
+            self._index = bm25.refresh_index(
+                self._index, changed, removed_ids,
+                text_col=self.text_col, id_col=self.id_col)
+        if self._emb is not None:
+            drop = changed.select(self.id_col)
+            if removed_ids is not None:
+                drop = drop.unionByName(removed_ids)
+            kept = self._emb.join(F.broadcast(drop.distinct()),
+                                  self.id_col, "left_anti")
+            fresh = changed.select(
+                F.col(self.id_col),
+                embed_column(F.col(self.text_col), self.dim)
+                .alias("embedding"))
+            self._emb = kept.unionByName(fresh).localCheckpoint()
+        if self._mat is not None:
+            self.enable_interactive(*self._interactive_bounds)
+        return {"processed": int(st.n), "inserted": int(st.ins or 0),
+                "updated": int(st.upd or 0),
+                "skipped": int(st.n) - int(st.ins or 0) - int(st.upd or 0),
+                "removed": n_removed}
 
     def get_document(self, doc_id) -> DataFrame:
         """Q7 point lookup with a head snippet."""

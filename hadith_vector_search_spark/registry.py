@@ -32,6 +32,7 @@ from .streaming import (
     streaming_dedup_docs,
     streaming_neardup_ingest,
     streaming_percolate,
+    streaming_postings_refresh,
     streaming_embed_merge,
     streaming_event_rollup,
     streaming_merge_jsonl,
@@ -163,6 +164,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_embed_merge": streaming_embed_merge,
     "streaming_neardup_ingest": streaming_neardup_ingest,
     "streaming_percolate": streaming_percolate,
+    "streaming_postings_refresh": streaming_postings_refresh,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -293,6 +295,9 @@ oracle("incremental_postings_refresh",
 oracle("percolate_matches", lexical.percolate_matches_oracle())
 # arrival-time alerting drains to the same matches as batch percolation
 oracle("streaming_percolate", lexical.percolate_matches_oracle())
+# drained per-batch delta merges equal the from-scratch merged-corpus build
+oracle("streaming_postings_refresh",
+       lexical.incremental_postings_refresh_oracle())
 oracle("term_suggest", lexical.term_suggest_oracle())
 oracle("spell_correct", lexical.spell_correct_oracle())
 oracle("faceted_search", lexical.faceted_search_oracle())

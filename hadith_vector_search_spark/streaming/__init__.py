@@ -6,6 +6,7 @@ from .ingest import (  # noqa: F401
     streaming_merge_jsonl,
     streaming_neardup_ingest,
     streaming_percolate,
+    streaming_postings_refresh,
     streaming_user_sessions,
     streaming_user_totals_stateful,
 )

@@ -571,3 +571,68 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint())
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_postings_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-index maintenance AT INGEST — the streaming twin of
+    `incremental_postings_refresh` and the full analogue of the
+    reference's per-doc FTS upsert loop running against an arriving feed
+    (/root/reference/mcp_server/apps/fts.py:150-181): the same synthetic
+    change feed (revised %5 docs, new %11 docs under an id offset,
+    deletions of %13 docs) streams from JSON files in several
+    micro-batches (`maxFilesPerTrigger=1`), and each batch is
+    delta-merged into the evolving index snapshot with
+    `operators.bm25.refresh_index` inside `foreachBatch` — delete +
+    reinsert of that batch's docs, term_df/scoring-view delta merges,
+    exact-stats recompute. Every doc_id appears exactly once in the feed
+    (deletes target original ids; new docs live above the offset), so
+    per-doc delete+reinsert commutes across batches and the drained
+    snapshot is batch-order independent — it must equal a FROM-SCRATCH
+    build over the merged corpus, which is exactly what the shared
+    rebuild-equivalence oracle checks. Emits the final denormalized
+    scoring view (doc_id, term, tf, dl, df)."""
+    import tempfile
+
+    from ..operators import bm25
+    from ..plans.lexical import REFRESH_NEW_ID_OFFSET, get_index
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = get_index(spark, sf_dir)
+    base.scoring_view()  # each batch exercises the delta path
+    upd = (docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 13 != 0))
+           .select("doc_id",
+                   F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+                   F.lit("upsert").alias("action")))
+    fresh = (docs.filter(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + REFRESH_NEW_ID_OFFSET).alias("doc_id"),
+                     "text", F.lit("upsert").alias("action")))
+    dels = (docs.filter(F.col("doc_id") % 13 == 0)
+            .select("doc_id", F.lit(None).cast("string").alias("text"),
+                    F.lit("delete").alias("action")))
+    feed = upd.unionByName(fresh).unionByName(dels)
+
+    work = tempfile.mkdtemp(prefix="stream_postings_")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        feed.repartition(3).write.mode("overwrite").json(src)
+        schema = spark.createDataFrame(
+            [], "doc_id long, text string, action string").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(src))
+        state = {"idx": base}
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            ups = (batch_df.filter(F.col("action") == "upsert")
+                   .select("doc_id", "text"))
+            rms = batch_df.filter(F.col("action") == "delete").select("doc_id")
+            state["idx"] = bm25.refresh_index(state["idx"], ups, rms)
+
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return state["idx"].scoring_view()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -308,3 +308,61 @@ def test_interactive_postings_bound_degrades_to_spark_leg(spark):
     b = [r.asDict() for r in
          part.hybrid_search("patience and prayer", n_results=10).collect()]
     assert a == b
+
+
+def test_upsert_documents_equals_fresh_engine(spark):
+    """Incremental upsert across every engine tier must be
+    indistinguishable from a fresh engine over the merged corpus:
+    hybrid/fts/MLT results row-identical, and the reference-shaped
+    counts correct (unchanged re-arrivals skip)."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eng = HybridEngine(spark, docs)
+    eng.index, eng.emb  # materialize both tiers before the upsert
+
+    incoming = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.when(F.col("doc_id") % 14 == 0,
+                                   F.concat(F.col("text"), F.lit(" upd")))
+                    .otherwise(F.col("text")))  # half revised, half skips
+        .unionByName(docs.filter(F.col("doc_id") % 11 == 0)
+                     .withColumn("doc_id", F.col("doc_id") + 900_000)))
+    removed = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    n_rm = removed.count()
+    stats = eng.upsert_documents(incoming, removed)
+    assert stats["removed"] == n_rm
+    assert stats["inserted"] == docs.filter(F.col("doc_id") % 11 == 0).count()
+    assert stats["updated"] == docs.filter(F.col("doc_id") % 14 == 0).count()
+    assert stats["skipped"] > 0  # unchanged re-arrivals short-circuit
+
+    merged = eng.docs
+    fresh = HybridEngine(spark, merged)
+    for q in ["patience and prayer", "window merge sort batch"]:
+        a = [r.asDict() for r in eng.hybrid_search(q, 10).collect()]
+        b = [r.asDict() for r in fresh.hybrid_search(q, 10).collect()]
+        assert a == b, q
+    assert ([r.asDict() for r in eng.fts_match(terms=["data"]).collect()]
+            == [r.asDict() for r in fresh.fts_match(terms=["data"]).collect()])
+    seed = merged.select("doc_id").orderBy("doc_id").first()[0]
+    assert ([r.asDict() for r in eng.more_like_this(seed, 5).collect()]
+            == [r.asDict() for r in fresh.more_like_this(seed, 5).collect()])
+
+
+def test_upsert_documents_refreshes_interactive_tiers(spark):
+    """With the interactive tiers resident, an upsert must rebuild them
+    under the original bounds — served results stay identical to the
+    pure-Spark path over the merged corpus."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eng = HybridEngine(spark, docs)
+    assert eng.enable_interactive()
+    incoming = (docs.filter(F.col("doc_id") % 9 == 0)
+                .withColumn("text", F.concat(F.col("text"), F.lit(" new"))))
+    eng.upsert_documents(incoming)
+    assert eng._mat is not None and eng._lex is not None
+    batch = HybridEngine(spark, eng.docs)
+    a = [r.asDict() for r in eng.hybrid_search("patience", 10).collect()]
+    b = [r.asDict() for r in batch.hybrid_search("patience", 10).collect()]
+    assert a == b
