@@ -123,6 +123,11 @@ class HybridEngine:
         # register as a temp view for the single-statement fast path.
         import uuid
 
+        if self._docs_view is not None:
+            # Re-enable (e.g. after upsert_documents): release the prior
+            # serving copy — a leaked temp view would pin the OLD corpus
+            # checkpoint for the life of the session.
+            self.spark.catalog.dropTempView(self._docs_view)
         n_parts = max(1, int(n_docs_bound // 250_000) + 1)
         self._docs_serving = (self.docs.select(self.id_col, self.text_col)
                               .coalesce(n_parts).localCheckpoint())

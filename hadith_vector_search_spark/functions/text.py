@@ -283,7 +283,10 @@ def snippet_positional(text: Column | str, terms: list[str],
     n_win = F.size(win_spans)
     # Render token k from its raw span (bracketed when matched), then the
     # raw gap up to token k+1 (nothing after the last window token).
-    idxs = F.sequence(F.lit(0), n_win - 1)
+    # sequence(0, -1) would count DOWN for a token-free doc — filter to
+    # the real index range so the empty window renders as empty.
+    idxs = F.filter(F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(0))),
+                    lambda k: k < n_win)
     pieces = F.transform(idxs, lambda k: F.concat(
         F.when(F.array_contains(terms_arr, F.element_at(bw, k + 1)),
                F.concat(
