@@ -225,3 +225,42 @@ def test_rarest_terms_unseen_term_routes(spark):
     out = bm25.percolate(spark, idx.postings.select("doc_id", "term"),
                          queries, term_df=idx.term_df)
     assert {(r.query_id, r.doc_id) for r in out.collect()} == {(2, 1)}
+
+
+def test_refresh_index_randomized_rebuild_equivalence(spark):
+    """Seeded-random stress for the headline delta-merge: random corpora,
+    random update/insert/delete batches, refresh CHAINED twice (the
+    streaming deployment shape) — every chained snapshot must equal a
+    from-scratch build over its corpus state, scoring view included."""
+    import random
+
+    rng = random.Random(2027)
+    vocab = [f"w{i:02d}" for i in range(30)]
+
+    def rand_text():
+        return " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+
+    corpus = {i: rand_text() for i in range(40)}
+    docs = spark.createDataFrame(list(corpus.items()),
+                                 "doc_id long, text string")
+    idx = bm25.build_index(docs)
+    idx.scoring_view()
+    next_id = 100
+    for _round in range(2):
+        upd = {i: rand_text() for i in rng.sample(sorted(corpus), 6)}
+        ins = {next_id + j: rand_text() for j in range(4)}
+        next_id += 10
+        rm = rng.sample([i for i in corpus if i not in upd], 5)
+        changed = {**upd, **ins}
+        corpus.update(changed)
+        for i in rm:
+            del corpus[i]
+        idx = bm25.refresh_index(
+            idx,
+            spark.createDataFrame(list(changed.items()),
+                                  "doc_id long, text string"),
+            spark.createDataFrame([(i,) for i in rm], "doc_id long"))
+        rebuilt = bm25.build_index(
+            spark.createDataFrame(list(corpus.items()),
+                                  "doc_id long, text string"))
+        _assert_index_equiv(idx, rebuilt)
