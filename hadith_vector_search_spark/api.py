@@ -74,6 +74,7 @@ class HybridEngine:
         self._ids = None   # numpy id vector (interactive mode)
         self._mat = None   # numpy embedding matrix (interactive mode)
         self._lex = None   # per-term (ids, impacts) arrays (interactive mode)
+        self._fwd = None   # doc-sorted forward arrays (interactive mode)
         self._docs_view = None  # serving temp view name (interactive mode)
 
     def enable_interactive(self, max_driver_rows: int = 500_000,
@@ -152,10 +153,20 @@ class HybridEngine:
                 tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / avgdl))
             order = np.argsort(terms, kind="stable")
             terms, pids, impact = terms[order], pids[order], impact[order]
+            tf, dl = tf[order], dl[order]
             bounds = np.searchsorted(terms, np.unique(terms), side="left")
             ends = np.append(bounds[1:], len(terms))
-            self._lex = {terms[s]: (pids[s:e], impact[s:e])
+            # raw tf/dl ride along for the prefix pseudo-term (its summed
+            # tf and member-df can't be recombined from impacts)
+            self._lex = {terms[s]: (pids[s:e], impact[s:e],
+                                    tf[s:e], dl[s:e])
                          for s, e in zip(bounds, ends)}
+            # doc-sorted forward view for MoreLikeThis seed mining
+            # (searchsorted slice -> the seed's term rows)
+            df = df[order]
+            dorder = np.argsort(pids, kind="stable")
+            self._fwd = (pids[dorder], terms[dorder], tf[dorder],
+                         dl[dorder], df[dorder])
         return True
 
     def _fused_literal_df(self, items: list) -> DataFrame:
@@ -183,6 +194,25 @@ class HybridEngine:
         string ending in '\\' would otherwise escape the closing quote:
         verified ParseException)."""
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def _hits_literal_df(self, hits: list, score_col: str) -> DataFrame:
+        """Ranked (id, score) pairs as a LocalRelation DataFrame — the
+        zero-job return path for fully driver-computed legs (collect of
+        a literal relation never launches a Spark job)."""
+        if not hits:
+            return (self.docs.select(self.id_col).limit(0)
+                    .withColumn(score_col, F.lit(0.0)))
+        id_t = self.docs.schema[self.id_col].dataType.simpleString()
+
+        def fmt_id(v) -> str:
+            return self._sql_str(v) if isinstance(v, str) else str(v)
+
+        vals = ", ".join(
+            f"({fmt_id(i)}, CAST('{float(s)!r}' AS DOUBLE))"
+            for i, s in hits)
+        return self.spark.sql(
+            f"SELECT CAST(col1 AS {id_t}) AS `{self.id_col}`, "
+            f"col2 AS {score_col} FROM VALUES {vals}")
 
     def _values_clause(self, items: list) -> str:
         """(id, fts_score, vector_sim) rows as a VALUES clause. Doubles
@@ -364,6 +394,103 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         order = np.lexsort((uids, -tot))[:k]
         return [(uids[i].item(), float(tot[i])) for i in order]
 
+    def _mlt_interactive(self, doc_id, n_terms: int, k: int):
+        """Driver-side MoreLikeThis twin over the resident arrays: mine
+        the seed's `n_terms` top tf·idf terms from the doc-sorted
+        forward view (rounded w, term-asc tie-break — same as the
+        operator), run them disjunctively over the impact arrays
+        excluding the seed. Returns [(id, bm25, matched)] ranked
+        (bm25 desc, id asc). Pinned row-identical to the Spark operator
+        by test_more_like_this_interactive_equals_spark."""
+        import numpy as np
+
+        pids, terms_a, tf, dl, df = self._fwd
+        lo = np.searchsorted(pids, doc_id, side="left")
+        hi = np.searchsorted(pids, doc_id, side="right")
+        if hi == lo:
+            return []
+        n_docs, avgdl = self.index.stats_literals()
+        idf = np.log(1.0 + (n_docs - df[lo:hi] + 0.5) / (df[lo:hi] + 0.5))
+        w = np.round((tf[lo:hi] / dl[lo:hi]) * idf, 6)
+        seed_terms = terms_a[lo:hi]
+        order = np.lexsort((seed_terms, -w))[:n_terms]
+        mined = [seed_terms[i] for i in order]
+        parts = [self._lex[t] for t in mined if t in self._lex]
+        if not parts:
+            return []
+        ids = np.concatenate([p[0] for p in parts])
+        imp = np.concatenate([p[1] for p in parts])
+        keep = ids != doc_id
+        ids, imp = ids[keep], imp[keep]
+        if not len(ids):
+            return []
+        uids, inv = np.unique(ids, return_inverse=True)
+        tot = np.zeros(len(uids))
+        np.add.at(tot, inv, imp)
+        cnt = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        tot = np.round(tot, 6)
+        order = np.lexsort((uids, -tot))[:k]
+        return [(uids[i].item(), float(tot[i]), int(cnt[i]))
+                for i in order]
+
+    def _fts_match_interactive(self, terms, prefix, k: int):
+        """Driver-side twin of the `fts_match` legs over the resident
+        impact arrays (same contract discipline as the other interactive
+        twins, pinned by test_fts_match_interactive_equals_spark):
+        conjunctive leg = per-doc impact sum where the doc matched EVERY
+        term; prefix leg = score_prefix's pseudo-term (summed member tf
+        per doc, df = count of docs containing any member) recomputed
+        from the raw tf/dl arrays; legs AND-combined by id intersection
+        with scores added, rounded 6 AFTER the sum, ranked
+        (bm25 desc, id asc), top k. Returns [(id, bm25)]."""
+        import math
+
+        import numpy as np
+
+        legs = []
+        if terms:
+            ts = sorted(set(terms))
+            parts = [self._lex.get(t) for t in ts]
+            if any(p is None for p in parts):
+                legs.append({})
+            else:
+                ids = np.concatenate([p[0] for p in parts])
+                imp = np.concatenate([p[1] for p in parts])
+                uids, inv = np.unique(ids, return_inverse=True)
+                tot = np.zeros(len(uids))
+                np.add.at(tot, inv, imp)
+                cnt = np.zeros(len(uids))
+                np.add.at(cnt, inv, 1.0)
+                m = cnt == len(ts)
+                legs.append(dict(zip(uids[m].tolist(), tot[m])))
+        if prefix:
+            members = [self._lex[t] for t in self._lex
+                       if t.startswith(prefix)]
+            if not members:
+                legs.append({})
+            else:
+                ids = np.concatenate([p[0] for p in members])
+                tf = np.concatenate([p[2] for p in members])
+                dl = np.concatenate([p[3] for p in members])
+                uids, inv = np.unique(ids, return_inverse=True)
+                tfs = np.zeros(len(uids))
+                np.add.at(tfs, inv, tf)
+                dls = np.zeros(len(uids))
+                dls[inv] = dl  # same doc, same dl — any member row's value
+                n_docs, avgdl = self.index.stats_literals()
+                df = float(len(uids))
+                idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                score = idf * (tfs * (bm25.K1 + 1.0)) / (
+                    tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl))
+                legs.append(dict(zip(uids.tolist(), score)))
+        out = legs[0]
+        for leg in legs[1:]:
+            out = {i: out[i] + leg[i] for i in out.keys() & leg.keys()}
+        ranked = sorted(((i, float(np.round(s, 6))) for i, s in out.items()),
+                        key=lambda t: (-t[1], t[0]))[:k]
+        return ranked
+
     # -- derived state (lazy, pinned once) ---------------------------------
 
     @property
@@ -544,6 +671,14 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         combination; at least one of terms/prefix required."""
         if not terms and not prefix:
             raise ValueError("need terms and/or prefix")
+        if self._lex is not None and not (field and value is not None):
+            # Interactive tier: both legs compute on the resident impact
+            # arrays and the ranked hits return as a LocalRelation —
+            # ZERO Spark jobs end-to-end (collect of a literal relation
+            # is driver-only). Field scope needs the docs metadata join
+            # and stays on the Spark path.
+            hits = self._fts_match_interactive(terms, prefix, k)
+            return self._hits_literal_df(hits, "bm25")
         parts = []
         if terms:
             parts.append(
@@ -600,7 +735,28 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         """Lucene-style MoreLikeThis over this engine's corpus — the
         parameterized face of the shared operator
         (operators/bm25.more_like_this; the oracle-checked plan is its
-        fixed-constant instantiation). Returns (id, bm25, matched)."""
+        fixed-constant instantiation). With the interactive tier
+        resident, mining + retrieval run on the driver arrays and the
+        hits return as a LocalRelation (zero Spark jobs).
+        Returns (id, bm25, matched)."""
+        if self._fwd is not None:
+            hits = self._mlt_interactive(doc_id, n_terms, n_results)
+            if not hits:
+                return (self.docs.select(self.id_col).limit(0)
+                        .withColumn("bm25", F.lit(0.0))
+                        .withColumn("matched", F.lit(0).cast("int")))
+            id_t = self.docs.schema[self.id_col].dataType.simpleString()
+
+            def fmt_id(v) -> str:
+                return self._sql_str(v) if isinstance(v, str) else str(v)
+
+            vals = ", ".join(
+                f"({fmt_id(i)}, CAST('{float(s)!r}' AS DOUBLE), {int(c)})"
+                for i, s, c in hits)
+            return self.spark.sql(
+                f"SELECT CAST(col1 AS {id_t}) AS `{self.id_col}`, "
+                f"col2 AS bm25, CAST(col3 AS INT) AS matched "
+                f"FROM VALUES {vals}")
         return (bm25.more_like_this(self.index, doc_id,
                                     n_terms=n_terms, k=n_results)
                 .withColumnRenamed("doc_id", self.id_col)

@@ -366,3 +366,50 @@ def test_upsert_documents_refreshes_interactive_tiers(spark):
     a = [r.asDict() for r in eng.hybrid_search("patience", 10).collect()]
     b = [r.asDict() for r in batch.hybrid_search("patience", 10).collect()]
     assert a == b
+
+
+def test_fts_match_interactive_equals_spark(spark):
+    """The driver-tier fts_match twin (terms / prefix / both legs) must
+    match the Spark path row-for-row on real corpus data; the
+    field-scoped form stays on the Spark path and still serves."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    cases = [dict(terms=["data"]), dict(terms=["data", "stream"]),
+             dict(prefix="sca"), dict(terms=["data"], prefix="win"),
+             dict(terms=["zzz_missing"]), dict(prefix="zzz")]
+    for kw in cases:
+        a = [r.asDict() for r in batch.fts_match(k=10, **kw).collect()]
+        b = [r.asDict() for r in inter.fts_match(k=10, **kw).collect()]
+        assert a == b, kw
+    sc_a = [r.asDict() for r in
+            batch.fts_match(terms=["data"], field="source",
+                            value="src3").collect()]
+    sc_b = [r.asDict() for r in
+            inter.fts_match(terms=["data"], field="source",
+                            value="src3").collect()]
+    assert sc_a == sc_b
+
+
+def test_more_like_this_interactive_equals_spark(spark):
+    """The driver-tier MoreLikeThis twin must match the Spark operator
+    row-for-row (same mined terms, same ranking, same matched counts)
+    across several seeds, including a nonexistent one."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    seeds = [r.doc_id for r in
+             docs.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    for seed in seeds:
+        a = [r.asDict() for r in batch.more_like_this(seed, 8).collect()]
+        b = [r.asDict() for r in inter.more_like_this(seed, 8).collect()]
+        assert a == b, seed
+    missing = [r.asDict() for r in
+               inter.more_like_this(-999_999, 8).collect()]
+    assert missing == []
