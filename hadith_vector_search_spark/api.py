@@ -75,6 +75,7 @@ class HybridEngine:
         self._mat = None   # numpy embedding matrix (interactive mode)
         self._lex = None   # per-term (ids, impacts) arrays (interactive mode)
         self._fwd = None   # doc-sorted forward arrays (interactive mode)
+        self._doc_rows = None   # id -> row dict (interactive mode)
         self._docs_view = None  # serving temp view name (interactive mode)
 
     def enable_interactive(self, max_driver_rows: int = 500_000,
@@ -167,6 +168,16 @@ class HybridEngine:
             dorder = np.argsort(pids, kind="stable")
             self._fwd = (pids[dorder], terms[dorder], tf[dorder],
                          dl[dorder], df[dorder])
+
+        # Point-lookup tier: the full corpus rows as a driver dict (same
+        # max_driver_rows bound the vector matrix already passed) — only
+        # when every column is an atomic SQL type the literal return path
+        # can round-trip.
+        if all(not f.dataType.simpleString().startswith(
+                ("array", "map", "struct", "binary"))
+               for f in self.docs.schema.fields):
+            self._doc_rows = {r[self.id_col]: r.asDict()
+                              for r in self.docs.collect()}
         return True
 
     def _fused_literal_df(self, items: list) -> DataFrame:
@@ -186,6 +197,17 @@ class HybridEngine:
             f"SELECT CAST(col1 AS {id_t}) AS {self.id_col}, "
             f"col2 AS fts_score, col3 AS vector_sim "
             f"FROM VALUES {self._values_clause(items)}")
+
+    def _sql_atom(self, v, type_str: str) -> str:
+        """One atomic value as a typed SQL literal: everything round-trips
+        through a quoted string + CAST (ints, doubles via repr, booleans,
+        dates/timestamps via their ISO str) — the uniform exact encoding
+        the VALUES fast paths rely on."""
+        if v is None:
+            return f"CAST(NULL AS {type_str})"
+        if isinstance(v, float):
+            return f"CAST('{v!r}' AS {type_str})"
+        return f"CAST({self._sql_str(str(v))} AS {type_str})"
 
     @staticmethod
     def _sql_str(v: str) -> str:
@@ -844,7 +866,27 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 "removed": n_removed}
 
     def get_document(self, doc_id) -> DataFrame:
-        """Q7 point lookup with a head snippet."""
+        """Q7 point lookup with a head snippet. With the interactive doc
+        map resident (enable_interactive; built only when every corpus
+        column is an atomic SQL type), the row returns as a
+        LocalRelation — zero Spark jobs, the reference's <5 ms in-process
+        lookup reproduced as an explicit bounded tier."""
+        if self._doc_rows is not None:
+            row = self._doc_rows.get(doc_id)
+            if row is None:
+                return (self.docs.limit(0)
+                        .select("*", F.lit("").alias("preview")))
+            vals = ", ".join(
+                self._sql_atom(row[f.name], f.dataType.simpleString())
+                for f in self.docs.schema.fields)
+            preview = self._sql_str((row[self.text_col] or "")[:120])
+            cols = ", ".join(
+                f"col{i + 1} AS `{f.name}`"
+                for i, f in enumerate(self.docs.schema.fields))
+            n = len(self.docs.schema.fields)
+            return self.spark.sql(
+                f"SELECT {cols}, col{n + 1} AS preview "
+                f"FROM VALUES ({vals}, {preview})")
         return (self.docs.filter(F.col(self.id_col) == doc_id)
                 .select("*", snippet(F.col(self.text_col),
                                      F.lit("")).alias("preview")))

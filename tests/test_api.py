@@ -413,3 +413,22 @@ def test_more_like_this_interactive_equals_spark(spark):
     missing = [r.asDict() for r in
                inter.more_like_this(-999_999, 8).collect()]
     assert missing == []
+
+
+def test_get_document_interactive_equals_spark(spark):
+    """The zero-job point-lookup tier must return the same row (all
+    corpus columns + preview) as the Spark filter path, and empty for a
+    missing id."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    assert inter._doc_rows is not None
+    for seed in [r.doc_id for r in
+                 docs.select("doc_id").orderBy("doc_id").limit(3).collect()]:
+        a = [r.asDict() for r in batch.get_document(seed).collect()]
+        b = [r.asDict() for r in inter.get_document(seed).collect()]
+        assert a == b, seed
+    assert inter.get_document(-42).collect() == []
