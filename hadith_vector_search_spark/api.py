@@ -737,12 +737,44 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         hash stand-in otherwise) scores (query, candidate_text) jointly
         and the top-`n_results` by rerank score ship. The expensive model
         sees O(k) pairs, never the corpus. Returns the hybrid columns
-        plus `ce_score`, re-ranked by it."""
+        plus `ce_score`, re-ranked by it.
+
+        With the interactive doc map resident, the pair scoring runs on
+        the DRIVER with the exact scorer object executors would run
+        (operators/reranker.get_pair_scorer — shared code, not a twin)
+        over the resident candidate texts, removing the per-request
+        Python-worker round-trip job; only the hybrid first stage
+        touches Spark. Row-identity pinned by
+        test_rerank_interactive_equals_spark."""
         from .operators.reranker import pair_score
 
         k = first_stage_k or max(OVERFETCH_FLOOR, 5 * n_results)
         cands = self.hybrid_search(query, n_results=k,
                                    scoring_mode=scoring_mode)
+        if self._doc_rows is not None:
+            import numpy as np
+
+            rows = cands.collect()
+            if not rows:
+                return cands.withColumn("ce_score", F.lit(0.0)).limit(0)
+            from .operators.reranker import get_pair_scorer
+            scorer = get_pair_scorer(self.dim, backend)
+            texts = [(self._doc_rows.get(r[self.id_col]) or {})
+                     .get(self.text_col) or "" for r in rows]
+            ces = np.round(scorer.score_batch([query] * len(rows), texts), 6)
+            ranked = sorted(zip(rows, ces.tolist()),
+                            key=lambda t: (-t[1], t[0][self.id_col]))
+            fields = ([(f.name, f.dataType.simpleString())
+                       for f in cands.schema.fields]
+                      + [("ce_score", "double")])
+            vals = ", ".join(
+                "(" + ", ".join(
+                    [self._sql_atom(r[n_], t_) for n_, t_ in fields[:-1]]
+                    + [f"CAST('{ce!r}' AS DOUBLE)"]) + ")"
+                for r, ce in ranked[:n_results])
+            cols = ", ".join(f"col{i + 1} AS `{n_}`"
+                             for i, (n_, _) in enumerate(fields))
+            return self.spark.sql(f"SELECT {cols} FROM VALUES {vals}")
         with_text = F.broadcast(cands).join(
             self.docs.select(self.id_col, self.text_col), self.id_col)
         ce = F.round(pair_score(F.lit(query), F.col(self.text_col),

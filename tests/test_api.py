@@ -432,3 +432,18 @@ def test_get_document_interactive_equals_spark(spark):
         b = [r.asDict() for r in inter.get_document(seed).collect()]
         assert a == b, seed
     assert inter.get_document(-42).collect() == []
+
+
+def test_rerank_interactive_equals_spark(spark):
+    """Driver-side pair scoring (same scorer object, resident texts)
+    must match the Spark pandas-UDF rerank row-for-row."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    for q in ["patience and prayer", "window merge sort batch"]:
+        a = [r.asDict() for r in batch.rerank_search(q, 5).collect()]
+        b = [r.asDict() for r in inter.rerank_search(q, 5).collect()]
+        assert a == b, q
