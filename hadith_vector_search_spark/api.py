@@ -77,6 +77,7 @@ class HybridEngine:
         self._fwd = None   # doc-sorted forward arrays (interactive mode)
         self._doc_rows = None   # id -> row dict (interactive mode)
         self._docs_view = None  # serving temp view name (interactive mode)
+        self._interactive_bounds = None  # set once enable_interactive runs
 
     def enable_interactive(self, max_driver_rows: int = 500_000,
                            max_driver_postings: int = 5_000_000) -> bool:
@@ -89,12 +90,17 @@ class HybridEngine:
         fit one node. Scoring, bonuses, and dedup stay on the SAME Spark
         column expressions (no logic twin); only retrieval moves.
 
-        Bounded: refuses (returns False, engine unchanged) above
-        `max_driver_rows` vectors, and for id column types that cannot
-        round-trip through the VALUES literal re-entry (anything but
-        string/integral) — at lake scale the interactive tier is a
-        separate service over the published index, not a driver copy.
-        Batch paths and oracle-checked plans never use this state.
+        Bounded: refuses (returns False) above `max_driver_rows` vectors,
+        and for id column types that cannot round-trip through the VALUES
+        literal re-entry (anything but string/integral) — at lake scale
+        the interactive tier is a separate service over the published
+        index, not a driver copy. On refusal NO interactive tier is left
+        resident: a first enable leaves the engine unchanged, and a
+        RE-enable that crosses a bound (e.g. upsert_documents grew the
+        corpus past the limit it was enabled with) releases every prior
+        tier so subsequent calls fall back to the Spark path instead of
+        silently serving the pre-upsert snapshot. Batch paths and
+        oracle-checked plans never use this state.
 
         Also builds (best-effort, bounded by `max_driver_postings`
         scoring-view rows) the SYMMETRIC lexical tier: per term, the ids
@@ -110,10 +116,17 @@ class HybridEngine:
         self._interactive_bounds = (max_driver_rows, max_driver_postings)
         id_type = self.docs.schema[self.id_col].dataType.simpleString()
         if id_type not in ("string", "tinyint", "smallint", "int", "bigint"):
+            self.disable_interactive()
             return False
         n_docs_bound = self.emb.count()
         if n_docs_bound > max_driver_rows:
+            self.disable_interactive()
             return False
+        # Tiers below are rebuilt conditionally (postings bound, atomic
+        # columns); reset them FIRST so a re-enable whose corpus newly
+        # crosses a per-tier bound degrades that tier to the Spark path
+        # instead of serving stale arrays.
+        self._lex = self._fwd = self._doc_rows = None
         rows = self.emb.select(self.id_col, "embedding").collect()
         self._ids = np.array([r[0] for r in rows])
         self._mat = np.array([list(r[1]) for r in rows])
@@ -179,6 +192,25 @@ class HybridEngine:
             self._doc_rows = {r[self.id_col]: r.asDict()
                               for r in self.docs.collect()}
         return True
+
+    def disable_interactive(self) -> None:
+        """Release every driver-resident interactive tier (vector matrix,
+        lexical impact arrays, doc map, serving temp view); all calls fall
+        back to the full Spark paths. Idempotent; called automatically
+        when a re-enable crosses a bound so no tier can serve a stale
+        corpus snapshot."""
+        if self._docs_view is not None:
+            self.spark.catalog.dropTempView(self._docs_view)
+            self._docs_view = None
+            self._docs_serving = None
+        self._ids = self._mat = None
+        self._lex = self._fwd = self._doc_rows = None
+
+    @property
+    def interactive_enabled(self) -> bool:
+        """Whether the driver-resident vector tier is serving (the other
+        tiers degrade independently per their own bounds)."""
+        return self._mat is not None
 
     def _fused_literal_df(self, items: list) -> DataFrame:
         """Fused candidates as a SQL VALUES literal — a genuine
@@ -396,24 +428,46 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         order = np.lexsort((self._ids, -sims))[:k]
         return [(self._ids[i].item(), float(sims[i])) for i in order]
 
+    @staticmethod
+    def _group_sum(ids, vals):
+        """The gather→grouped-sum kernel every lexical interactive twin
+        shares: sum `vals` per unique id (np.add.at over the unique
+        inverse). Returns (uids, tot, cnt, inv) — cnt is the per-id row
+        count (term-match count for conjunctive legs), inv lets callers
+        gather aligned per-row payloads (e.g. dl)."""
+        import numpy as np
+
+        uids, inv = np.unique(ids, return_inverse=True)
+        tot = np.zeros(len(uids))
+        np.add.at(tot, inv, vals)
+        cnt = np.zeros(len(uids), dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        return uids, tot, cnt, inv
+
+    @staticmethod
+    def _ranked_topk(uids, tot, k):
+        """The shared ranking contract of the Spark legs: round 6 AFTER
+        the sum, rank (score desc, id asc), top k. Returns (rounded
+        totals, order indices) so callers carry extra payloads along."""
+        import numpy as np
+
+        tot = np.round(tot, 6)
+        return tot, np.lexsort((uids, -tot))[:k]
+
     def _lex_topk_interactive(self, terms: list[str], k: int) -> list:
         """Driver-side disjunctive BM25 top-k over the resident per-term
-        impact arrays: gather the query terms' postings, one grouped sum
-        (np.add.at over the unique-id inverse), round 6, rank by
-        (score desc, id asc) — the exact contract of the Spark leg
-        (`bm25.score_terms` + round + orderBy + limit)."""
+        impact arrays: gather the query terms' postings, one grouped sum,
+        round 6, rank by (score desc, id asc) — the exact contract of the
+        Spark leg (`bm25.score_terms` + round + orderBy + limit)."""
         import numpy as np
 
         parts = [self._lex[t] for t in terms if t in self._lex]
         if not parts:
             return []
-        ids = np.concatenate([p[0] for p in parts])
-        impacts = np.concatenate([p[1] for p in parts])
-        uids, inv = np.unique(ids, return_inverse=True)
-        tot = np.zeros(len(uids))
-        np.add.at(tot, inv, impacts)
-        tot = np.round(tot, 6)
-        order = np.lexsort((uids, -tot))[:k]
+        uids, tot, _, _ = self._group_sum(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))
+        tot, order = self._ranked_topk(uids, tot, k)
         return [(uids[i].item(), float(tot[i])) for i in order]
 
     def _mlt_interactive(self, doc_id, n_terms: int, k: int):
@@ -446,13 +500,8 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         ids, imp = ids[keep], imp[keep]
         if not len(ids):
             return []
-        uids, inv = np.unique(ids, return_inverse=True)
-        tot = np.zeros(len(uids))
-        np.add.at(tot, inv, imp)
-        cnt = np.zeros(len(uids), dtype=np.int64)
-        np.add.at(cnt, inv, 1)
-        tot = np.round(tot, 6)
-        order = np.lexsort((uids, -tot))[:k]
+        uids, tot, cnt, _ = self._group_sum(ids, imp)
+        tot, order = self._ranked_topk(uids, tot, k)
         return [(uids[i].item(), float(tot[i]), int(cnt[i]))
                 for i in order]
 
@@ -477,13 +526,9 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             if any(p is None for p in parts):
                 legs.append({})
             else:
-                ids = np.concatenate([p[0] for p in parts])
-                imp = np.concatenate([p[1] for p in parts])
-                uids, inv = np.unique(ids, return_inverse=True)
-                tot = np.zeros(len(uids))
-                np.add.at(tot, inv, imp)
-                cnt = np.zeros(len(uids))
-                np.add.at(cnt, inv, 1.0)
+                uids, tot, cnt, _ = self._group_sum(
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
                 m = cnt == len(ts)
                 legs.append(dict(zip(uids[m].tolist(), tot[m])))
         if prefix:
@@ -492,12 +537,10 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             if not members:
                 legs.append({})
             else:
-                ids = np.concatenate([p[0] for p in members])
-                tf = np.concatenate([p[2] for p in members])
                 dl = np.concatenate([p[3] for p in members])
-                uids, inv = np.unique(ids, return_inverse=True)
-                tfs = np.zeros(len(uids))
-                np.add.at(tfs, inv, tf)
+                uids, tfs, _, inv = self._group_sum(
+                    np.concatenate([p[0] for p in members]),
+                    np.concatenate([p[2] for p in members]))
                 dls = np.zeros(len(uids))
                 dls[inv] = dl  # same doc, same dl — any member row's value
                 n_docs, avgdl = self.index.stats_literals()
@@ -827,10 +870,12 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         documents MERGE, lexical-index delta refresh
         (`bm25.refresh_index` — postings/doc_len delete+reinsert,
         term_df/scoring-view delta merges), embedding-cache delta
-        (changed docs re-embed, others untouched), and — when the
-        interactive tiers are resident — a tier rebuild under the same
-        bounds they were enabled with. `incoming` must carry the corpus
-        schema. Cost tracks the CHANGED set on every Spark-side tier;
+        (changed docs re-embed, others untouched), and — when interactive
+        serving was ever enabled — a tier rebuild under the same bounds.
+        A batch that grows the corpus past those bounds RELEASES the
+        interactive tiers (Spark paths take over; `interactive_enabled`
+        tells you which side you're on) rather than serving a stale
+        snapshot. `incoming` must carry the corpus schema. Cost tracks the CHANGED set on every Spark-side tier;
         the driver-resident tiers re-collect (they are bounded by
         definition). Returns reference-shaped counts
         {processed, inserted, updated, skipped, removed}."""
@@ -845,13 +890,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             incoming.withColumn("_ck", ck),
             self.docs.withColumn("_ck", ck),
             key=self.id_col, checksum="_ck").localCheckpoint()
-        st = classified.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("action") == "insert", 1).otherwise(0))
-            .alias("ins"),
-            F.sum(F.when(F.col("action") == "update", 1).otherwise(0))
-            .alias("upd"),
-        ).first()
+        n_incoming = classified.count()
         n_removed = 0
         if removed_ids is not None:
             removed_ids = (removed_ids
@@ -860,6 +899,22 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                            .join(self.docs.select(self.id_col), self.id_col,
                                  "left_semi").localCheckpoint())
             n_removed = removed_ids.count()
+        # Counts report what actually happened to each tier: a doc in both
+        # incoming and removed_ids is dropped everywhere (removal wins), so
+        # it counts ONLY as removed; under force the checksum-unchanged
+        # rows are genuinely reprocessed, so they count as updated, not
+        # skipped. `processed` stays the full incoming batch size.
+        stats_src = classified
+        if removed_ids is not None:
+            stats_src = stats_src.join(removed_ids, self.id_col, "left_anti")
+        st = stats_src.agg(
+            F.sum(F.when(F.col("action") == "insert", 1).otherwise(0))
+            .alias("ins"),
+            F.sum(F.when(F.col("action") == "update", 1).otherwise(0))
+            .alias("upd"),
+            F.sum(F.when(F.col("action") == "skip", 1).otherwise(0))
+            .alias("skp"),
+        ).first()
         changed = (classified if force
                    else classified.filter(F.col("action") != "skip"))
         changed = changed.drop("action", "_ck")
@@ -890,12 +945,20 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 embed_column(F.col(self.text_col), self.dim)
                 .alias("embedding"))
             self._emb = kept.unionByName(fresh).localCheckpoint()
-        if self._mat is not None:
+        if self._interactive_bounds is not None:
+            # Interactive was requested at some point: rebuild the tiers
+            # under the same bounds. A refusal (corpus grew past a bound)
+            # RELEASES every resident tier (enable_interactive's contract)
+            # so nothing serves the pre-upsert snapshot; a batch that
+            # shrinks the corpus back under the bounds re-enables. Check
+            # `interactive_enabled` after bulk loads to see which side
+            # you're on.
             self.enable_interactive(*self._interactive_bounds)
-        return {"processed": int(st.n), "inserted": int(st.ins or 0),
-                "updated": int(st.upd or 0),
-                "skipped": int(st.n) - int(st.ins or 0) - int(st.upd or 0),
-                "removed": n_removed}
+        ins, upd, skp = int(st.ins or 0), int(st.upd or 0), int(st.skp or 0)
+        if force:
+            upd, skp = upd + skp, 0
+        return {"processed": n_incoming, "inserted": ins, "updated": upd,
+                "skipped": skp, "removed": n_removed}
 
     def get_document(self, doc_id) -> DataFrame:
         """Q7 point lookup with a head snippet. With the interactive doc
@@ -911,7 +974,11 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             vals = ", ".join(
                 self._sql_atom(row[f.name], f.dataType.simpleString())
                 for f in self.docs.schema.fields)
-            preview = self._sql_str((row[self.text_col] or "")[:120])
+            # NULL text must stay NULL (the Spark path's snippet(NULL)
+            # is NULL) — '' here would break tier row-identity.
+            txt = row[self.text_col]
+            preview = ("CAST(NULL AS STRING)" if txt is None
+                       else self._sql_str(txt[:120]))
             cols = ", ".join(
                 f"col{i + 1} AS `{f.name}`"
                 for i, f in enumerate(self.docs.schema.fields))

@@ -232,6 +232,18 @@ def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
                  .select("term", F.col("_net").alias("df")))
     new_term_df = updated_df.unionByName(new_terms)
 
+    if pin:
+        # Truncate lineage so CHAINED refreshes (repeated upsert batches,
+        # streaming per-micro-batch maintenance) stay O(1) plan depth: an
+        # unpinned result would make the next refresh's base a lazy
+        # anti-join/union tower replaying every earlier batch. Lazy
+        # checkpoints (eager=False) pin at first evaluation — a refresh
+        # whose output is never read costs nothing extra, and the eager
+        # scoring-view checkpoint below pins all three as a side effect.
+        new_post = new_post.localCheckpoint(eager=False)
+        new_dl = new_dl.localCheckpoint(eager=False)
+        new_term_df = new_term_df.localCheckpoint(eager=False)
+
     new_stats = new_dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -332,8 +332,15 @@ def test_upsert_documents_equals_fresh_engine(spark):
     n_rm = removed.count()
     stats = eng.upsert_documents(incoming, removed)
     assert stats["removed"] == n_rm
+    assert stats["processed"] == incoming.count()
     assert stats["inserted"] == docs.filter(F.col("doc_id") % 11 == 0).count()
-    assert stats["updated"] == docs.filter(F.col("doc_id") % 14 == 0).count()
+    # Removal wins: a doc in both incoming and removed_ids counts ONLY
+    # as removed, never double-counted as updated/skipped.
+    assert stats["updated"] == docs.filter(
+        (F.col("doc_id") % 14 == 0) & (F.col("doc_id") % 13 != 0)).count()
+    assert stats["skipped"] == docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 14 != 0)
+        & (F.col("doc_id") % 13 != 0)).count()
     assert stats["skipped"] > 0  # unchanged re-arrivals short-circuit
 
     merged = eng.docs
@@ -447,3 +454,99 @@ def test_rerank_interactive_equals_spark(spark):
         a = [r.asDict() for r in batch.rerank_search(q, 5).collect()]
         b = [r.asDict() for r in inter.rerank_search(q, 5).collect()]
         assert a == b, q
+
+
+def test_upsert_past_bound_releases_interactive_tiers(spark):
+    """An upsert that grows the corpus past the interactive row bound
+    must RELEASE every driver-resident tier (no stale pre-upsert
+    snapshot) and fall back to Spark paths serving the merged corpus."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    eng = HybridEngine(spark, docs)
+    assert eng.enable_interactive(max_driver_rows=n)
+    assert eng.interactive_enabled and eng._doc_rows is not None
+    incoming = (docs.limit(5)
+                .withColumn("doc_id", F.col("doc_id") + 900_000)
+                .withColumn("text", F.concat(F.col("text"), F.lit(" grown"))))
+    eng.upsert_documents(incoming)
+    assert not eng.interactive_enabled
+    assert eng._lex is None and eng._fwd is None
+    assert eng._doc_rows is None and eng._docs_view is None
+    fresh = HybridEngine(spark, eng.docs)
+    a = [r.asDict() for r in eng.hybrid_search("patience", 10).collect()]
+    b = [r.asDict() for r in fresh.hybrid_search("patience", 10).collect()]
+    assert a == b
+    # the grown corpus is actually served (new doc reachable)
+    new_id = incoming.select("doc_id").first()[0]
+    assert eng.get_document(new_id).count() == 1
+    # a shrinking batch re-enables under the original bounds
+    eng.upsert_documents(
+        eng.docs.limit(0),
+        removed_ids=eng.docs.select("doc_id").limit(6))
+    assert eng.interactive_enabled
+
+
+def test_reenable_crossing_postings_bound_clears_lexical_tier(spark):
+    """A re-enable whose postings newly exceed the lexical bound must
+    drop the resident impact arrays (leg degrades to Spark), not keep
+    serving the pre-upsert arrays."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eng = HybridEngine(spark, docs)
+    n_post = eng.index.scoring_view().count()
+    assert eng.enable_interactive(max_driver_postings=n_post)
+    assert eng._lex is not None and eng._fwd is not None
+    incoming = (docs.limit(3)
+                .withColumn("doc_id", F.col("doc_id") + 900_000))
+    eng.upsert_documents(incoming)
+    assert eng.interactive_enabled  # vector tier still fits
+    assert eng._lex is None and eng._fwd is None
+    batch = HybridEngine(spark, eng.docs)
+    a = [r.asDict() for r in batch.fts_match(terms=["data"], k=10).collect()]
+    b = [r.asDict() for r in eng.fts_match(terms=["data"], k=10).collect()]
+    assert a == b
+
+
+def test_upsert_counts_removal_wins_and_force(spark):
+    """Count semantics: a doc in both incoming and removed_ids is ONLY
+    removed; force reprocesses checksum-unchanged docs (updated, not
+    skipped)."""
+    rows = [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    eng = HybridEngine(spark, docs)
+    eng.index
+    incoming = spark.createDataFrame(
+        [(1, "alpha beta"),        # unchanged -> skip
+         (2, "gamma delta CHANGED"),  # update, but also removed below
+         (9, "brand new")],        # insert
+        "doc_id int, text string")
+    removed = spark.createDataFrame([(2,), (3,)], "doc_id int")
+    st = eng.upsert_documents(incoming, removed)
+    assert st == {"processed": 3, "inserted": 1, "updated": 0,
+                  "skipped": 1, "removed": 2}
+    assert sorted(r.doc_id for r in eng.docs.collect()) == [1, 9]
+    # force: the unchanged re-arrival is genuinely reprocessed
+    st2 = eng.upsert_documents(
+        spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string"),
+        force=True)
+    assert st2 == {"processed": 1, "inserted": 0, "updated": 1,
+                   "skipped": 0, "removed": 0}
+
+
+def test_get_document_null_text_tier_identity(spark):
+    """NULL-text rows must render identically (NULL preview) from the
+    zero-job doc map and the Spark filter path."""
+    rows = [(1, "some text here"), (2, None)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    assert inter._doc_rows is not None
+    for did in (1, 2):
+        a = [r.asDict() for r in batch.get_document(did).collect()]
+        b = [r.asDict() for r in inter.get_document(did).collect()]
+        assert a == b, did
+    assert inter.get_document(2).first().preview is None

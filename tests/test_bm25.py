@@ -264,3 +264,22 @@ def test_refresh_index_randomized_rebuild_equivalence(spark):
             spark.createDataFrame(list(corpus.items()),
                                   "doc_id long, text string"))
         _assert_index_equiv(idx, rebuilt)
+
+
+def test_refresh_index_chained_plans_stay_flat(spark):
+    """Chained refreshes must not stack anti-join/union towers: every
+    refreshed frame is (lazily) checkpointed, so the NEXT refresh's base
+    plans are flat LogicalRDD scans — O(1) plan depth per batch, the
+    property that makes per-micro-batch / repeated-upsert maintenance
+    viable (an unpinned chain replays every earlier batch on each use)."""
+    docs = spark.createDataFrame(REFRESH_CORPUS, "doc_id long, text string")
+    idx = bm25.build_index(docs)
+    idx.scoring_view()
+    for i in range(3):
+        changed = spark.createDataFrame([(100 + i, f"chained doc {i} data")],
+                                        "doc_id long, text string")
+        idx = bm25.refresh_index(idx, changed)
+    for name in ("postings", "doc_len", "term_df"):
+        plan = getattr(idx, name)._jdf.queryExecution().analyzed().toString()
+        assert "Union" not in plan and "Join" not in plan, (name, plan)
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan, (name, plan)
