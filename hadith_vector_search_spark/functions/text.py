@@ -238,81 +238,108 @@ def snippet_positional(text: Column | str, terms: list[str],
     entirely JVM-side, no shuffle — a map over the scan."""
     t = F.col(text) if isinstance(text, str) else text
     ltext = F.lower(t)
-    toks = tokenize(t)
-    n_toks = F.size(toks)
     terms_arr = F.array(*[F.lit(x) for x in sorted(set(terms))])
 
     def matched(w: Column) -> Column:
         return F.filter(w, lambda x: F.array_contains(terms_arr, x))
 
-    starts = F.sequence(F.lit(0), F.greatest(n_toks - n_tokens, F.lit(0)))
-    # Materialize each window's matched-token array ONCE (zip_with binds
-    # it like a let-expression); computing it separately for the distinct
-    # and total counts doubled the dominant filter pass.
-    marr = F.transform(
-        starts, lambda i: matched(F.slice(toks, i + 1, n_tokens)))
-    scored = F.zip_with(
-        starts, marr,
-        lambda i, m: F.struct(
-            F.size(F.array_distinct(m)).alias("d"),
-            F.size(m).alias("m"),
-            (-i).alias("ni")))
-    best = F.array_max(scored)   # struct compare: d, then m, then -start
-    bi = -best.getField("ni")
-    bw = F.slice(toks, bi + 1, n_tokens)
+    def let(body, **bindings):
+        # Column expressions are TREES, not DAGs: every reference to a
+        # subexpression DUPLICATES it, and Spark's interpreted
+        # higher-order-function path re-EVALUATES each duplicate per row.
+        # The first cut of this function referenced the O(L) span fold
+        # ~70 times through the rendering lambdas and ran ~0.4 s/row.
+        # Standard let-encoding — transform over a one-element struct
+        # array — binds each expensive intermediate exactly once; body
+        # references become variable reads (the same trick zip_with
+        # plays below for the per-window match arrays).
+        names = list(bindings)
+        bound = F.array(F.struct(*[bindings[n].alias(n) for n in names]))
+        return F.element_at(
+            F.transform(bound, lambda v: body(
+                **{n: v.getField(n) for n in names})), 1)
 
-    # Character spans: fold the token stream, carrying the search cursor;
-    # span = (s: 1-based char start, e: 1-based char end inclusive).
-    spans_acc = F.aggregate(
-        toks,
-        F.struct(F.lit(0).cast("int").alias("p"),
-                 F.expr("array()").cast(
-                     "array<struct<s:int,e:int>>").alias("sp")),
-        lambda acc, tok: F.struct(
-            (F.call_function("locate", tok, ltext, acc.getField("p") + 1)
-             + F.length(tok) - 1).cast("int").alias("p"),
-            F.concat(acc.getField("sp"), F.array(F.struct(
-                F.call_function("locate", tok, ltext,
-                                acc.getField("p") + 1).cast("int")
-                .alias("s"),
-                (F.call_function("locate", tok, ltext,
-                                 acc.getField("p") + 1)
-                 + F.length(tok) - 1).cast("int").alias("e"))))
-            .alias("sp")))
-    win_spans = F.slice(spans_acc.getField("sp"), bi + 1, n_tokens)
-    n_win = F.size(win_spans)
-    # Render token k from its raw span (bracketed when matched), then the
-    # raw gap up to token k+1 (nothing after the last window token).
-    # sequence(0, -1) would count DOWN for a token-free doc — filter to
-    # the real index range so the empty window renders as empty.
-    idxs = F.filter(F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(0))),
-                    lambda k: k < n_win)
-    pieces = F.transform(idxs, lambda k: F.concat(
-        F.when(F.array_contains(terms_arr, F.element_at(bw, k + 1)),
-               F.concat(
-                   F.lit(mark_open),
-                   t.substr(F.element_at(win_spans, k + 1).getField("s"),
-                            F.element_at(win_spans, k + 1).getField("e")
-                            - F.element_at(win_spans, k + 1).getField("s")
-                            + 1),
-                   F.lit(mark_close)))
-        .otherwise(
-            t.substr(F.element_at(win_spans, k + 1).getField("s"),
-                     F.element_at(win_spans, k + 1).getField("e")
-                     - F.element_at(win_spans, k + 1).getField("s") + 1)),
-        F.when(k < n_win - 1,
-               t.substr(F.element_at(win_spans, k + 1).getField("e") + 1,
-                        F.element_at(win_spans, k + 2).getField("s")
-                        - F.element_at(win_spans, k + 1).getField("e") - 1))
-        .otherwise(F.lit(""))))
-    rendered = F.array_join(pieces, "")
-    snip = F.concat(
-        F.when(bi > 0, F.lit(ellipsis)).otherwise(F.lit("")),
-        rendered,
-        F.when(bi + n_tokens < n_toks, F.lit(ellipsis)).otherwise(F.lit("")))
-    return F.struct(snip.alias("snippet"),
-                    best.getField("m").alias("n_matched"),
-                    bi.alias("start"))
+    def with_toks(toks):
+        n_toks = F.size(toks)
+        starts = F.sequence(F.lit(0),
+                            F.greatest(n_toks - n_tokens, F.lit(0)))
+        # Materialize each window's matched-token array ONCE (zip_with
+        # binds it like a let-expression); computing it separately for
+        # the distinct and total counts doubled the dominant filter pass.
+        marr = F.transform(
+            starts, lambda i: matched(F.slice(toks, i + 1, n_tokens)))
+        scored = F.zip_with(
+            starts, marr,
+            lambda i, m: F.struct(
+                F.size(F.array_distinct(m)).alias("d"),
+                F.size(m).alias("m"),
+                (-i).alias("ni")))
+        best = F.array_max(scored)  # struct compare: d, then m, then -start
+
+        # Character spans: fold the token stream, carrying the search
+        # cursor; span = (s: 1-based char start, e: 1-based inclusive end).
+        spans_acc = F.aggregate(
+            toks,
+            F.struct(F.lit(0).cast("int").alias("p"),
+                     F.expr("array()").cast(
+                         "array<struct<s:int,e:int>>").alias("sp")),
+            lambda acc, tok: F.struct(
+                (F.call_function("locate", tok, ltext, acc.getField("p") + 1)
+                 + F.length(tok) - 1).cast("int").alias("p"),
+                F.concat(acc.getField("sp"), F.array(F.struct(
+                    F.call_function("locate", tok, ltext,
+                                    acc.getField("p") + 1).cast("int")
+                    .alias("s"),
+                    (F.call_function("locate", tok, ltext,
+                                     acc.getField("p") + 1)
+                     + F.length(tok) - 1).cast("int").alias("e"))))
+                .alias("sp")))
+        return let(with_best, toks=toks, n_toks=n_toks, best=best,
+                   spans=spans_acc.getField("sp"))
+
+    def with_best(toks, n_toks, best, spans):
+        bi = -best.getField("ni")
+        return let(render, bi=bi, n_toks=n_toks,
+                   n_matched=best.getField("m"),
+                   bw=F.slice(toks, bi + 1, n_tokens),
+                   win_spans=F.slice(spans, bi + 1, n_tokens))
+
+    def render(bi, n_toks, n_matched, bw, win_spans):
+        n_win = F.size(win_spans)
+        # Render token k from its raw span (bracketed when matched), then
+        # the raw gap up to token k+1 (nothing after the last window
+        # token). sequence(0, -1) would count DOWN for a token-free doc —
+        # filter to the real index range so the empty window renders as
+        # empty.
+        idxs = F.filter(
+            F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(0))),
+            lambda k: k < n_win)
+
+        def piece(k):
+            sp = F.element_at(win_spans, k + 1)
+            raw = t.substr(sp.getField("s"),
+                           sp.getField("e") - sp.getField("s") + 1)
+            return F.concat(
+                F.when(F.array_contains(terms_arr, F.element_at(bw, k + 1)),
+                       F.concat(F.lit(mark_open), raw, F.lit(mark_close)))
+                .otherwise(raw),
+                F.when(k < n_win - 1,
+                       t.substr(sp.getField("e") + 1,
+                                F.element_at(win_spans, k + 2).getField("s")
+                                - sp.getField("e") - 1))
+                .otherwise(F.lit("")))
+
+        rendered = F.array_join(F.transform(idxs, piece), "")
+        snip = F.concat(
+            F.when(bi > 0, F.lit(ellipsis)).otherwise(F.lit("")),
+            rendered,
+            F.when(bi + n_tokens < n_toks,
+                   F.lit(ellipsis)).otherwise(F.lit("")))
+        return F.struct(snip.alias("snippet"),
+                        n_matched.alias("n_matched"),
+                        bi.alias("start"))
+
+    return let(with_toks, toks=tokenize(t))
 
 
 def snippet(text: Column | str, first_term: Column | str, width: int = 120) -> Column:
