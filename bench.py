@@ -173,11 +173,17 @@ def main() -> None:
                 if t.name.startswith("stream_") and tok in t.name:
                     spark.catalog.dropTempView(t.name)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Key order matters for consumers that keep only the TAIL of stdout
+    # (the per-round BENCH artifact stores the last 2000 chars): with 141
+    # per-query timings the line runs ~5 KB, so the headline fields go
+    # LAST to survive front-truncation. JSON object key order is
+    # semantically irrelevant; any by-name parser is unaffected.
     print(json.dumps({
+        "queries": timings,
+        "n_queries": len(timings),
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
     }))
 
