@@ -414,6 +414,95 @@ FROM (SELECT *, CAST(0 AS BIGINT) AS duplicates_filtered FROM ({scored}))
 ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         return self.spark.sql(sql, args=args)
 
+    def _interactive_scored_local(self, items: list, terms: list[str],
+                                  w, phrase: str | None, dedupe: bool,
+                                  n_results: int) -> DataFrame | None:
+        """The scoring tail computed entirely driver-side over the
+        resident doc map — ZERO Spark jobs for a hybrid call when every
+        tier is resident (the result returns as a VALUES LocalRelation,
+        like get_document). A strict python twin of
+        `_interactive_scored_sql`, expression-for-expression: same
+        greatest/least clamps, same raw-vs-rounded usage, same dedup key
+        (space-trimmed 120-char preview, id-string fallback), same
+        (score desc, id asc) tie-breaks, same global duplicates_filtered
+        algebra. Rounding uses Decimal HALF_UP on the exact binary
+        double — bit-identical to Spark's round(x, 6) (both convert the
+        exact double to decimal, then HALF_UP at 6 places), so this twin
+        is NOT in the np.round accepted-risk class. Row-identity with
+        the batch path is pinned by
+        test_interactive_mode_equals_batch_path (this path serves it
+        whenever the doc map is resident). Returns None when a candidate
+        id is missing from the doc map (cannot mirror the inner join
+        against a FRESHER corpus) — the caller falls through to the
+        one-job SQL tail."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
+
+        phrase_l = phrase.lower() if phrase else None
+        scored = []
+        for rid, (fts, vs) in items:
+            row = self._doc_rows.get(rid)
+            if row is None:
+                return None
+            txt = row[self.text_col]
+            ltxt = txt.lower() if txt is not None else None
+            _vs = min(1.0, max(0.0, vs))
+            _fs = max(0.0, fts) / (max(0.0, fts) + 1.0)
+            _cv = (float(sum(1 for x in terms if x in ltxt))
+                   / float(len(terms))
+                   if terms and ltxt is not None else 0.0)
+            _ph = (w.phrase if phrase_l and ltxt is not None
+                   and phrase_l in ltxt else 0.0)
+            total = min(1.0, max(
+                0.0, _vs * w.vector + _fs * w.fts + _cv * w.coverage
+                + _ph + 0.0))
+            prev = txt[:120] if txt is not None else None
+            scored.append((rid, r6(total), r6(_vs), r6(_fs), r6(_cv),
+                           r6(_ph), prev))
+        n_tot = len(scored)
+        scored.sort(key=lambda s: (-s[1], s[0]))
+        dropped = 0
+        if dedupe:
+            seen: set = set()
+            survivors = []
+            for s in scored:
+                key = (s[6] or "").strip(" ") or str(s[0])
+                if key not in seen:
+                    seen.add(key)
+                    survivors.append(s)
+            dropped = n_tot - len(survivors)
+            scored = survivors
+        top = scored[:int(n_results)]
+        if not top:
+            return None
+        q = lambda c: f"`{c}`"  # noqa: E731
+        id_t = self.docs.schema[self.id_col].dataType.simpleString()
+
+        def fmt_id(v) -> str:
+            return self._sql_str(v) if isinstance(v, str) else str(v)
+
+        def dbl(x: float) -> str:
+            return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+        vals = ", ".join(
+            "({}, {}, {}, {}, {}, {}, CAST('0.0' AS DOUBLE), {}, {})"
+            .format(fmt_id(rid), dbl(sc), dbl(v), dbl(f), dbl(c), dbl(p),
+                    int(dropped),
+                    "CAST(NULL AS STRING)" if prev is None
+                    else self._sql_str(prev))
+            for rid, sc, v, f, c, p, prev in top)
+        return self.spark.sql(
+            f"SELECT CAST(col1 AS {id_t}) AS {q(self.id_col)}, "
+            f"col2 AS score, col3 AS vec_signal, col4 AS fts_sig, "
+            f"col5 AS coverage, col6 AS phrase_bonus, "
+            f"col7 AS proximity_bonus, "
+            f"CAST(col8 AS BIGINT) AS duplicates_filtered, "
+            f"col9 AS preview FROM VALUES {vals}")
+
     def _vec_topk_interactive(self, qvec: list[float], k: int) -> list:
         """Driver-side exact cosine top-k over the resident matrix:
         one BLAS matvec + argsort by (rounded sim desc, id asc) — the
@@ -643,14 +732,24 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 for rid, s in self._vec_topk_interactive(qvec, k):
                     fused_map.setdefault(rid, [0.0, 0.0])[1] = s
             if fused_map and not synonym_groups:
-                # Single-statement tail: one py4j call builds the whole
-                # scoring plan (see _interactive_scored_sql); the
-                # synonym-groups path needs the proximity probe join and
-                # stays on the shared Column build below. None = an id
-                # the delimited-string transport can't carry safely.
-                out = self._interactive_scored_sql(
-                    sorted(fused_map.items()), terms, w, intent.phrase,
-                    dedupe, n_results)
+                # Zero-job tail first: with the doc map resident the
+                # scoring runs fully driver-side and the result is a
+                # VALUES LocalRelation (no Spark job at all — the
+                # reference's in-process latency class). Falls through to
+                # the single-statement SQL tail (one job) when the map is
+                # absent or can't mirror the corpus join; the SQL tail
+                # returns None for ids its delimited-string transport
+                # can't carry safely. All three tails are row-identical
+                # (test_interactive_mode_equals_batch_path).
+                out = None
+                if self._doc_rows is not None:
+                    out = self._interactive_scored_local(
+                        sorted(fused_map.items()), terms, w, intent.phrase,
+                        dedupe, n_results)
+                if out is None:
+                    out = self._interactive_scored_sql(
+                        sorted(fused_map.items()), terms, w, intent.phrase,
+                        dedupe, n_results)
                 if out is not None:
                     return out
             fused = self._fused_literal_df(sorted(fused_map.items()))
