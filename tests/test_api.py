@@ -550,3 +550,24 @@ def test_get_document_null_text_tier_identity(spark):
         b = [r.asDict() for r in inter.get_document(did).collect()]
         assert a == b, did
     assert inter.get_document(2).first().preview is None
+
+
+def test_hybrid_local_tail_launches_no_spark_jobs(spark):
+    """The serving claim SERVING_LATENCY.md makes for the driver-local
+    scoring tail, pinned: with every interactive tier resident, a full
+    hybrid_search call (route, both legs, fusion, scoring, dedup,
+    collect) must launch ZERO Spark jobs."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eng = HybridEngine(spark, docs)
+    assert eng.enable_interactive()
+    assert eng._doc_rows is not None and eng._lex is not None
+    # warm call absorbs any lazy first-use materialization
+    assert eng.hybrid_search("patience and prayer", 10).collect()
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    rows = eng.hybrid_search("window merge sort batch", 10).collect()
+    after = set(tracker.getJobIdsForGroup())
+    assert rows
+    assert after == before, f"launched jobs: {sorted(after - before)}"
