@@ -571,3 +571,39 @@ def test_hybrid_local_tail_launches_no_spark_jobs(spark):
     after = set(tracker.getJobIdsForGroup())
     assert rows
     assert after == before, f"launched jobs: {sorted(after - before)}"
+
+
+def test_local_tail_adversarial_corpus_equals_batch(spark):
+    """The driver-local scoring tail re-enters results as SQL VALUES
+    literals — drive it over a corpus built to break that transport and
+    the dedup/tie-break algebra: quotes, backslashes, newlines, unicode,
+    empty and NULL texts, exact duplicate texts (dedup groups), and
+    identical non-duplicate score ties. Must stay row-identical to the
+    batch Column build."""
+    rows = [
+        (1, "it's a 'quoted' text about patience and prayer"),
+        (2, "back\\slash C:\\path\\to\\file with patience"),
+        (3, "line one\nline two about prayer\nline three"),
+        (4, "unicode \u0635\u0628\u0631 patience caf\u00e9 na\u00efve"),
+        (5, "it's a 'quoted' text about patience and prayer"),  # dup of 1
+        (6, ""),                                # empty text
+        (7, None),                              # NULL text
+        (8, "patience prayer patience prayer"),
+        (9, "patience prayer patience prayer extra tail words here"),
+        (10, "   leading spaces then patience and prayer text   "),
+        (11, "tabs\tand\ttabs with prayer"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    assert inter._doc_rows is not None and inter._lex is not None
+    for q in ["patience and prayer", '"patience prayer" tail',
+              "quoted text", "zzz nothing matches this"]:
+        for kw in [{}, {"dedupe": False}, {"coverage": 3.0},
+                   {"vector_available": False}]:
+            a = [r.asDict() for r in
+                 batch.hybrid_search(q, n_results=8, **kw).collect()]
+            b = [r.asDict() for r in
+                 inter.hybrid_search(q, n_results=8, **kw).collect()]
+            assert a == b, (q, kw)
