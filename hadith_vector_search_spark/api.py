@@ -257,28 +257,28 @@ class HybridEngine:
             return (self.docs.select(self.id_col).limit(0)
                     .withColumn(score_col, F.lit(0.0)))
         id_t = self.docs.schema[self.id_col].dataType.simpleString()
-
-        def fmt_id(v) -> str:
-            return self._sql_str(v) if isinstance(v, str) else str(v)
-
         vals = ", ".join(
-            f"({fmt_id(i)}, CAST('{float(s)!r}' AS DOUBLE))"
+            f"({self._fmt_id(i)}, {self._sql_atom(float(s), 'DOUBLE')})"
             for i, s in hits)
         return self.spark.sql(
             f"SELECT CAST(col1 AS {id_t}) AS `{self.id_col}`, "
             f"col2 AS {score_col} FROM VALUES {vals}")
+
+    def _fmt_id(self, v) -> str:
+        """An id value as a SQL literal for the VALUES fast paths —
+        string ids through _sql_str escaping, integral ids verbatim
+        (every path CASTs to the id column's type around it). The ONE
+        definition all VALUES builders share."""
+        return self._sql_str(v) if isinstance(v, str) else str(v)
 
     def _values_clause(self, items: list) -> str:
         """(id, fts_score, vector_sim) rows as a VALUES clause. Doubles
         travel as CAST('repr' AS DOUBLE) (bare decimal literals parse as
         DECIMAL in Spark SQL; the string cast round-trips the exact
         double)."""
-        def fmt_id(v) -> str:
-            return self._sql_str(v) if isinstance(v, str) else str(v)
-
         return ", ".join(
-            f"({fmt_id(rid)}, CAST('{float(fs)!r}' AS DOUBLE), "
-            f"CAST('{float(vs)!r}' AS DOUBLE))"
+            f"({self._fmt_id(rid)}, {self._sql_atom(float(fs), 'DOUBLE')}, "
+            f"{self._sql_atom(float(vs), 'DOUBLE')})"
             for rid, (fs, vs) in items)
 
     def _interactive_scored_sql(self, items: list, terms: list[str],
@@ -425,11 +425,16 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         greatest/least clamps, same raw-vs-rounded usage, same dedup key
         (space-trimmed 120-char preview, id-string fallback), same
         (score desc, id asc) tie-breaks, same global duplicates_filtered
-        algebra. Rounding uses Decimal HALF_UP on the exact binary
-        double — bit-identical to Spark's round(x, 6) (both convert the
-        exact double to decimal, then HALF_UP at 6 places), so this twin
-        is NOT in the np.round accepted-risk class. Row-identity with
-        the batch path is pinned by
+        algebra. Rounding: Spark's round(x, 6) rounds the SHORTEST
+        decimal repr of the double (BigDecimal.valueOf = Double.toString),
+        not its exact binary expansion — Decimal(repr(x)) reproduces that
+        (Python repr is also shortest-round-trip; verified against Spark
+        on half-way values like 0.9050355, where the exact expansion
+        ...49999 rounds DOWN but both engines round UP). Residual
+        divergence needs a double where Java 17's Double.toString emits a
+        non-shortest repr AND the 6-dp boundary falls inside the extra
+        digits — vanishingly rarer than the np.round class. Row-identity
+        with the batch path is pinned by
         test_interactive_mode_equals_batch_path (this path serves it
         whenever the doc map is resident). Returns None when a candidate
         id is missing from the doc map (cannot mirror the inner join
@@ -437,10 +442,13 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         one-job SQL tail."""
         from decimal import ROUND_HALF_UP, Decimal
 
+        if int(n_results) < 0:
+            return None  # let the SQL tail raise, as the batch path does
+
         q6 = Decimal("0.000001")
 
         def r6(x: float) -> float:
-            return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
+            return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
 
         phrase_l = phrase.lower() if phrase else None
         scored = []
@@ -479,24 +487,17 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         top = scored[:int(n_results)]
         if not top:
             return None
-        q = lambda c: f"`{c}`"  # noqa: E731
         id_t = self.docs.schema[self.id_col].dataType.simpleString()
-
-        def fmt_id(v) -> str:
-            return self._sql_str(v) if isinstance(v, str) else str(v)
-
-        def dbl(x: float) -> str:
-            return f"CAST('{float(x)!r}' AS DOUBLE)"
-
+        dbl = lambda x: self._sql_atom(float(x), "DOUBLE")  # noqa: E731
         vals = ", ".join(
             "({}, {}, {}, {}, {}, {}, CAST('0.0' AS DOUBLE), {}, {})"
-            .format(fmt_id(rid), dbl(sc), dbl(v), dbl(f), dbl(c), dbl(p),
-                    int(dropped),
+            .format(self._fmt_id(rid), dbl(sc), dbl(v), dbl(f), dbl(c),
+                    dbl(p), int(dropped),
                     "CAST(NULL AS STRING)" if prev is None
                     else self._sql_str(prev))
             for rid, sc, v, f, c, p, prev in top)
         return self.spark.sql(
-            f"SELECT CAST(col1 AS {id_t}) AS {q(self.id_col)}, "
+            f"SELECT CAST(col1 AS {id_t}) AS `{self.id_col}`, "
             f"col2 AS score, col3 AS vec_signal, col4 AS fts_sig, "
             f"col5 AS coverage, col6 AS phrase_bonus, "
             f"col7 AS proximity_bonus, "
@@ -942,12 +943,9 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                         .withColumn("bm25", F.lit(0.0))
                         .withColumn("matched", F.lit(0).cast("int")))
             id_t = self.docs.schema[self.id_col].dataType.simpleString()
-
-            def fmt_id(v) -> str:
-                return self._sql_str(v) if isinstance(v, str) else str(v)
-
             vals = ", ".join(
-                f"({fmt_id(i)}, CAST('{float(s)!r}' AS DOUBLE), {int(c)})"
+                f"({self._fmt_id(i)}, "
+                f"{self._sql_atom(float(s), 'DOUBLE')}, {int(c)})"
                 for i, s, c in hits)
             return self.spark.sql(
                 f"SELECT CAST(col1 AS {id_t}) AS `{self.id_col}`, "

@@ -607,3 +607,33 @@ def test_local_tail_adversarial_corpus_equals_batch(spark):
             b = [r.asDict() for r in
                  inter.hybrid_search(q, n_results=8, **kw).collect()]
             assert a == b, (q, kw)
+
+
+def test_local_and_sql_scoring_tails_agree_on_rounding_boundaries(spark):
+    """Spark's round(x, 6) rounds the SHORTEST decimal repr of the
+    double (BigDecimal.valueOf), not its exact binary expansion — e.g.
+    0.9050355 (exactly 0.90503549999... in binary) rounds UP. The local
+    tail must agree on exactly these half-way values (it once used the
+    exact expansion and scored 0.905035 where every Spark tail said
+    0.905036)."""
+    from dataclasses import replace
+
+    from hadith_vector_search_spark.operators import fusion
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body") for i in range(1, 9)],
+        "doc_id int, text string")
+    eng = HybridEngine(spark, docs)
+    assert eng.enable_interactive()
+    w = replace(fusion.resolve_weights("balanced", True, True),
+                vector=1.0, fts=0.0, coverage=0.0, phrase=0.0)
+    boundary = [0.9050355, 0.1234565, 0.2500005, 0.7772435,
+                3.15e-05, 0.9999995, 1.0 / 3, 0.123456749999]
+    items = sorted((i + 1, (0.0, v)) for i, v in enumerate(boundary))
+    for dedupe in (True, False):
+        a = [r.asDict() for r in eng._interactive_scored_local(
+            items, [], w, None, dedupe, 10).collect()]
+        b = [r.asDict() for r in eng._interactive_scored_sql(
+            items, [], w, None, dedupe, 10).collect()]
+        assert a == b, dedupe
+    assert any(r["score"] == 0.905036 for r in a)  # the half-way case
