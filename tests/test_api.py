@@ -637,3 +637,25 @@ def test_local_and_sql_scoring_tails_agree_on_rounding_boundaries(spark):
             items, [], w, None, dedupe, 10).collect()]
         assert a == b, dedupe
     assert any(r["score"] == 0.905036 for r in a)  # the half-way case
+
+
+def test_sql_tail_still_serves_without_doc_map(spark):
+    """With the doc map absent (e.g. a non-atomic corpus column blocks
+    it), the hybrid call must fall back to the one-job generated-SQL
+    tail and stay row-identical to the batch path end-to-end — keeps the
+    middle tail covered now that the local tail serves by default."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    inter._doc_rows = None  # simulate the doc-map tier being unavailable
+    for q, kw in [("patience and prayer", {}),
+                  ('"window data" stream', {}),
+                  ("patience and prayer", {"dedupe": False})]:
+        a = [r.asDict() for r in
+             batch.hybrid_search(q, n_results=10, **kw).collect()]
+        b = [r.asDict() for r in
+             inter.hybrid_search(q, n_results=10, **kw).collect()]
+        assert a == b, (q, kw)
