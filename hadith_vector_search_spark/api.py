@@ -76,6 +76,7 @@ class HybridEngine:
         self._lex = None   # per-term (ids, impacts) arrays (interactive mode)
         self._fwd = None   # doc-sorted forward arrays (interactive mode)
         self._doc_rows = None   # id -> row dict (interactive mode)
+        self._lex_vocab = None  # sorted vocab keys of _lex
         self._docs_view = None  # serving temp view name (interactive mode)
         self._interactive_bounds = None  # set once enable_interactive runs
 
@@ -127,6 +128,7 @@ class HybridEngine:
         # crosses a per-tier bound degrades that tier to the Spark path
         # instead of serving stale arrays.
         self._lex = self._fwd = self._doc_rows = None
+        self._lex_vocab = None
         rows = self.emb.select(self.id_col, "embedding").collect()
         self._ids = np.array([r[0] for r in rows])
         self._mat = np.array([list(r[1]) for r in rows])
@@ -175,6 +177,10 @@ class HybridEngine:
             self._lex = {terms[s]: (pids[s:e], impact[s:e],
                                     tf[s:e], dl[s:e])
                          for s, e in zip(bounds, ends)}
+            # keys were inserted in term-sorted order (the arrays are
+            # sorted above), so this list is sorted — prefix queries
+            # bisect an O(log V) range instead of scanning the vocab
+            self._lex_vocab = list(self._lex)
             # doc-sorted forward view for MoreLikeThis seed mining
             # (searchsorted slice -> the seed's term rows)
             df = df[order]
@@ -205,6 +211,7 @@ class HybridEngine:
             self._docs_serving = None
         self._ids = self._mat = None
         self._lex = self._fwd = self._doc_rows = None
+        self._lex_vocab = None
 
     @property
     def interactive_enabled(self) -> bool:
@@ -622,8 +629,14 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 m = cnt == len(ts)
                 legs.append(dict(zip(uids[m].tolist(), tot[m])))
         if prefix:
-            members = [self._lex[t] for t in self._lex
-                       if t.startswith(prefix)]
+            from bisect import bisect_left
+
+            vocab = self._lex_vocab
+            members = []
+            for i in range(bisect_left(vocab, prefix), len(vocab)):
+                if not vocab[i].startswith(prefix):
+                    break
+                members.append(self._lex[vocab[i]])
             if not members:
                 legs.append({})
             else:
