@@ -655,9 +655,16 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         out = legs[0]
         for leg in legs[1:]:
             out = {i: out[i] + leg[i] for i in out.keys() & leg.keys()}
-        ranked = sorted(((i, float(np.round(s, 6))) for i, s in out.items()),
-                        key=lambda t: (-t[1], t[0]))[:k]
-        return ranked
+        if not out:
+            return []
+        # Vectorized ranking: per-scalar np.round cost ~6 µs x corpus-many
+        # matched docs (23 ms/call profiled at sf0.1) — one array round +
+        # lexsort is the same contract (round 6 AFTER the leg sum,
+        # score desc, id asc) at array speed.
+        uids = np.array(list(out.keys()))
+        tot = np.fromiter(out.values(), dtype=float, count=len(out))
+        tot, order = self._ranked_topk(uids, tot, k)
+        return [(uids[i].item(), float(tot[i])) for i in order]
 
     # -- derived state (lazy, pinned once) ---------------------------------
 
