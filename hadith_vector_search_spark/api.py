@@ -421,9 +421,33 @@ FROM (SELECT *, CAST(0 AS BIGINT) AS duplicates_filtered FROM ({scored}))
 ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         return self.spark.sql(sql, args=args)
 
+    @staticmethod
+    def _min_pair_distance_py(toks: list[str], ga: set, gb: set):
+        """Driver twin of `proximity.min_pair_distance` over one doc's
+        kept-token stream: the closest cross-group pair is always
+        adjacent in the merged position order (the identity the Spark
+        lag() pass exploits), so one scan over group hits suffices. A
+        token in BOTH groups labels as group a, matching the Spark
+        when(isin(a)).when(isin(b)) precedence. Returns min distance or
+        None when either group never hits."""
+        best = prev_pos = prev_grp = None
+        for pos, t in enumerate(toks):
+            grp = "a" if t in ga else ("b" if t in gb else None)
+            if grp is None:
+                continue
+            if prev_grp is not None and grp != prev_grp:
+                d = pos - prev_pos
+                if best is None or d < best:
+                    best = d
+            prev_grp, prev_pos = grp, pos
+        return best
+
     def _interactive_scored_local(self, items: list, terms: list[str],
                                   w, phrase: str | None, dedupe: bool,
-                                  n_results: int) -> DataFrame | None:
+                                  n_results: int,
+                                  synonym_groups: list[list[str]] | None
+                                  = None,
+                                  near_window: int = 5) -> DataFrame | None:
         """The scoring tail computed entirely driver-side over the
         resident doc map — ZERO Spark jobs for a hybrid call when every
         tier is resident (the result returns as a VALUES LocalRelation,
@@ -446,7 +470,15 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         whenever the doc map is resident). Returns None when a candidate
         id is missing from the doc map (cannot mirror the inner join
         against a FRESHER corpus) — the caller falls through to the
-        one-job SQL tail."""
+        one-job SQL tail.
+
+        With `synonym_groups` this also twins the reference's group
+        scorer (the Column path's only remaining serving use): coverage
+        is per-group any-member SUBSTRING containment, and the proximity
+        bonus fires when the first two groups' TOKENS co-occur within
+        `near_window` kept-token positions (`_min_pair_distance_py`,
+        mirroring operators/proximity.min_pair_distance over
+        py_tokenize — the tested driver twin of `tokenize`)."""
         from decimal import ROUND_HALF_UP, Decimal
 
         if int(n_results) < 0:
@@ -458,6 +490,13 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
 
         phrase_l = phrase.lower() if phrase else None
+        groups_l = ([[m.lower() for m in grp] for grp in synonym_groups]
+                    if synonym_groups else None)
+        prox_on = synonym_groups is not None and len(synonym_groups) >= 2
+        if prox_on:
+            ga = set(groups_l[0])
+            gb = set(groups_l[1])
+            thresh = max(1, near_window)
         scored = []
         for rid, (fts, vs) in items:
             row = self._doc_rows.get(rid)
@@ -467,17 +506,28 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             ltxt = txt.lower() if txt is not None else None
             _vs = min(1.0, max(0.0, vs))
             _fs = max(0.0, fts) / (max(0.0, fts) + 1.0)
-            _cv = (float(sum(1 for x in terms if x in ltxt))
-                   / float(len(terms))
-                   if terms and ltxt is not None else 0.0)
+            if groups_l is not None:
+                _cv = (float(sum(1 for grp in groups_l
+                                 if any(m in ltxt for m in grp)))
+                       / float(len(groups_l))
+                       if ltxt is not None else 0.0)
+            else:
+                _cv = (float(sum(1 for x in terms if x in ltxt))
+                       / float(len(terms))
+                       if terms and ltxt is not None else 0.0)
             _ph = (w.phrase if phrase_l and ltxt is not None
                    and phrase_l in ltxt else 0.0)
+            _px = 0.0
+            if prox_on and txt is not None:
+                d = self._min_pair_distance_py(py_tokenize(txt), ga, gb)
+                if d is not None and d <= thresh:
+                    _px = w.proximity
             total = min(1.0, max(
                 0.0, _vs * w.vector + _fs * w.fts + _cv * w.coverage
-                + _ph + 0.0))
+                + _ph + _px))
             prev = txt[:120] if txt is not None else None
             scored.append((rid, r6(total), r6(_vs), r6(_fs), r6(_cv),
-                           r6(_ph), prev))
+                           r6(_ph), r6(_px), prev))
         n_tot = len(scored)
         scored.sort(key=lambda s: (-s[1], s[0]))
         dropped = 0
@@ -485,7 +535,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             seen: set = set()
             survivors = []
             for s in scored:
-                key = (s[6] or "").strip(" ") or str(s[0])
+                key = (s[7] or "").strip(" ") or str(s[0])
                 if key not in seen:
                     seen.add(key)
                     survivors.append(s)
@@ -497,12 +547,12 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         id_t = self.docs.schema[self.id_col].dataType.simpleString()
         dbl = lambda x: self._sql_atom(float(x), "DOUBLE")  # noqa: E731
         vals = ", ".join(
-            "({}, {}, {}, {}, {}, {}, CAST('0.0' AS DOUBLE), {}, {})"
+            "({}, {}, {}, {}, {}, {}, {}, {}, {})"
             .format(self._fmt_id(rid), dbl(sc), dbl(v), dbl(f), dbl(c),
-                    dbl(p), int(dropped),
+                    dbl(p), dbl(px), int(dropped),
                     "CAST(NULL AS STRING)" if prev is None
                     else self._sql_str(prev))
-            for rid, sc, v, f, c, p, prev in top)
+            for rid, sc, v, f, c, p, px, prev in top)
         return self.spark.sql(
             f"SELECT CAST(col1 AS {id_t}) AS `{self.id_col}`, "
             f"col2 AS score, col3 AS vec_signal, col4 AS fts_sig, "
@@ -752,12 +802,14 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 qvec = encode_query(intent.normalized, self.dim)
                 for rid, s in self._vec_topk_interactive(qvec, k):
                     fused_map.setdefault(rid, [0.0, 0.0])[1] = s
-            if fused_map and not synonym_groups:
+            if fused_map:
                 # Zero-job tail first: with the doc map resident the
                 # scoring runs fully driver-side and the result is a
                 # VALUES LocalRelation (no Spark job at all — the
-                # reference's in-process latency class). Falls through to
-                # the single-statement SQL tail (one job) when the map is
+                # reference's in-process latency class); it also twins
+                # the synonym-group scorer (group coverage + token
+                # proximity). Falls through to the single-statement SQL
+                # tail (one job, no synonym support) when the map is
                 # absent or can't mirror the corpus join; the SQL tail
                 # returns None for ids its delimited-string transport
                 # can't carry safely. All three tails are row-identical
@@ -766,8 +818,9 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 if self._doc_rows is not None:
                     out = self._interactive_scored_local(
                         sorted(fused_map.items()), terms, w, intent.phrase,
-                        dedupe, n_results)
-                if out is None:
+                        dedupe, n_results, synonym_groups=synonym_groups,
+                        near_window=near_window)
+                if out is None and not synonym_groups:
                     out = self._interactive_scored_sql(
                         sorted(fused_map.items()), terms, w, intent.phrase,
                         dedupe, n_results)

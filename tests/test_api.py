@@ -659,3 +659,48 @@ def test_sql_tail_still_serves_without_doc_map(spark):
         b = [r.asDict() for r in
              inter.hybrid_search(q, n_results=10, **kw).collect()]
         assert a == b, (q, kw)
+
+
+def test_synonym_groups_local_twin_equals_batch(spark):
+    """The zero-job tail's synonym scorer must match the Column path on
+    the tricky distinctions: coverage counts a member appearing as a
+    SUBSTRING of a longer word, but proximity needs exact TOKEN hits;
+    window edge inclusive; first-two-groups-only proximity; single
+    group disables the bonus."""
+    rows = [
+        (1, "patience word word word word prayer close together"),   # d=5
+        (2, "patience one two three four five six prayer far apart"),
+        (3, "impatiences and prayerful only substrings here"),       # cov only
+        (4, "prayer then patience reversed order nearby"),
+        (5, "patience alone no second group member"),
+        (6, "worship immediately patience adjacent tokens"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    assert inter._doc_rows is not None
+    cases = [
+        dict(synonym_groups=[["patience"], ["prayer", "worship"]]),
+        dict(synonym_groups=[["patience"], ["prayer"]], near_window=2),
+        dict(synonym_groups=[["patience"], ["prayer"]], near_window=5),
+        dict(synonym_groups=[["impatiences"], ["prayerful"]]),
+        dict(synonym_groups=[["patience", "prayer"]]),        # one group
+        dict(synonym_groups=[["patience"], ["prayer"]], dedupe=False),
+    ]
+    for kw in cases:
+        a = [r.asDict() for r in
+             batch.hybrid_search("patience prayer", n_results=10,
+                                 **kw).collect()]
+        b = [r.asDict() for r in
+             inter.hybrid_search("patience prayer", n_results=10,
+                                 **kw).collect()]
+        assert a == b, kw
+    out = {r.doc_id: r for r in inter.hybrid_search(
+        "patience prayer", n_results=10,
+        synonym_groups=[["patience"], ["prayer", "worship"]]).collect()}
+    assert out[1].proximity_bonus > 0       # within default window 5
+    assert out[2].proximity_bonus == 0.0    # 7 tokens apart
+    assert out[3].coverage == 1.0           # substrings count for coverage
+    assert out[3].proximity_bonus == 0.0    # but not for token proximity
+    assert out[6].proximity_bonus > 0       # second group member, adjacent
