@@ -34,6 +34,33 @@ from .operators.router import route_one
 OVERFETCH_FLOOR = 50   # max(50, 5*n) per the reference (tools.py:87,93)
 
 
+def _round6_arr(arr):
+    """Vectorized Spark-equivalent round(x, 6): np.round for the bulk,
+    with the half-way class corrected to HALF_UP on the SHORTEST decimal
+    repr (BigDecimal.valueOf semantics — the same contract
+    `_interactive_scored_local` pins scalar-side with Decimal(repr(x))).
+    np.round's binary ties-to-even diverges from Spark only when x·1e6
+    sits (within float error) on a half-integer, so candidates are
+    detected vectorized and only those few pay the Decimal path —
+    O(n) numpy + O(half-way hits) Python, never per-scalar over the
+    whole array."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=float)
+    out = np.round(arr, 6)
+    scaled = np.abs(arr) * 1e6
+    frac = scaled - np.floor(scaled)
+    cand = np.abs(frac - 0.5) < 1e-4
+    if cand.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        for i in np.nonzero(cand)[0]:
+            out[i] = float(Decimal(repr(float(arr[i])))
+                           .quantize(q6, rounding=ROUND_HALF_UP))
+    return out
+
+
 def configure_interactive(spark: SparkSession,
                           shuffle_partitions: int = 8) -> None:
     """Tune a session for the INTERACTIVE serving path (one query per
@@ -145,7 +172,12 @@ class HybridEngine:
             # serving copy — a leaked temp view would pin the OLD corpus
             # checkpoint for the life of the session.
             self.spark.catalog.dropTempView(self._docs_view)
-        n_parts = max(1, int(n_docs_bound // 250_000) + 1)
+        # The corpus frame can be LARGER than the embeddings frame the
+        # row bound was checked on (user-supplied partial embeddings), so
+        # the doc-map tier and the serving-view sizing bound on the DOCS
+        # count — max_driver_rows is a promise about every driver copy.
+        n_corpus = self.docs.count()
+        n_parts = max(1, int(max(n_docs_bound, n_corpus) // 250_000) + 1)
         self._docs_serving = (self.docs.select(self.id_col, self.text_col)
                               .coalesce(n_parts).localCheckpoint())
         self._docs_view = f"serving_docs_{uuid.uuid4().hex[:12]}"
@@ -192,9 +224,10 @@ class HybridEngine:
         # max_driver_rows bound the vector matrix already passed) — only
         # when every column is an atomic SQL type the literal return path
         # can round-trip.
-        if all(not f.dataType.simpleString().startswith(
-                ("array", "map", "struct", "binary"))
-               for f in self.docs.schema.fields):
+        if n_corpus <= max_driver_rows and all(
+                not f.dataType.simpleString().startswith(
+                    ("array", "map", "struct", "binary"))
+                for f in self.docs.schema.fields):
             self._doc_rows = {r[self.id_col]: r.asDict()
                               for r in self.docs.collect()}
         return True
@@ -571,7 +604,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         tests/test_api.py on the real corpus)."""
         import numpy as np
 
-        sims = np.round(self._mat @ np.asarray(qvec), 6)
+        sims = _round6_arr(self._mat @ np.asarray(qvec))
         order = np.lexsort((self._ids, -sims))[:k]
         return [(self._ids[i].item(), float(sims[i])) for i in order]
 
@@ -594,11 +627,14 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
     @staticmethod
     def _ranked_topk(uids, tot, k):
         """The shared ranking contract of the Spark legs: round 6 AFTER
-        the sum, rank (score desc, id asc), top k. Returns (rounded
-        totals, order indices) so callers carry extra payloads along."""
+        the sum (Spark HALF_UP-on-shortest-repr semantics via
+        `_round6_arr` — rounding BEFORE the sort so half-way corrections
+        participate in the ranking exactly as F.round does), rank
+        (score desc, id asc), top k. Returns (rounded totals, order
+        indices) so callers carry extra payloads along."""
         import numpy as np
 
-        tot = np.round(tot, 6)
+        tot = _round6_arr(tot)
         return tot, np.lexsort((uids, -tot))[:k]
 
     def _lex_topk_interactive(self, terms: list[str], k: int) -> list:
@@ -634,7 +670,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             return []
         n_docs, avgdl = self.index.stats_literals()
         idf = np.log(1.0 + (n_docs - df[lo:hi] + 0.5) / (df[lo:hi] + 0.5))
-        w = np.round((tf[lo:hi] / dl[lo:hi]) * idf, 6)
+        w = _round6_arr((tf[lo:hi] / dl[lo:hi]) * idf)
         seed_terms = terms_a[lo:hi]
         order = np.lexsort((seed_terms, -w))[:n_terms]
         mined = [seed_terms[i] for i in order]
@@ -909,6 +945,11 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         combination; at least one of terms/prefix required."""
         if not terms and not prefix:
             raise ValueError("need terms and/or prefix")
+        if k < 0:
+            # Both tiers must fail identically: the Spark path's .limit(k)
+            # raises on a negative k, while numpy's [:k] would silently
+            # drop the TAIL |k| rows — a masked caller bug on one tier.
+            raise ValueError(f"k must be >= 0, got {k}")
         if self._lex is not None and not (field and value is not None):
             # Interactive tier: both legs compute on the resident impact
             # arrays and the ranked hits return as a LocalRelation —
@@ -964,6 +1005,11 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         test_rerank_interactive_equals_spark."""
         from .operators.reranker import pair_score
 
+        if n_results < 0:
+            # Tier parity: the batch path's .limit(n) raises on negative n
+            # (INVALID_LIMIT_LIKE_EXPRESSION); numpy's [:n] would silently
+            # tail-truncate on the interactive tier instead.
+            raise ValueError(f"n_results must be >= 0, got {n_results}")
         k = first_stage_k or max(OVERFETCH_FLOOR, 5 * n_results)
         cands = self.hybrid_search(query, n_results=k,
                                    scoring_mode=scoring_mode)
@@ -977,9 +1023,15 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             scorer = get_pair_scorer(self.dim, backend)
             texts = [(self._doc_rows.get(r[self.id_col]) or {})
                      .get(self.text_col) or "" for r in rows]
-            ces = np.round(scorer.score_batch([query] * len(rows), texts), 6)
+            ces = _round6_arr(scorer.score_batch([query] * len(rows), texts))
             ranked = sorted(zip(rows, ces.tolist()),
                             key=lambda t: (-t[1], t[0][self.id_col]))
+            if not ranked[:n_results]:
+                # n_results <= 0 (or fewer survivors than requested after
+                # a non-positive cap): an empty VALUES clause would be a
+                # ParseException — return the same empty shape the batch
+                # path's .limit() produces.
+                return cands.withColumn("ce_score", F.lit(0.0)).limit(0)
             fields = ([(f.name, f.dataType.simpleString())
                        for f in cands.schema.fields]
                       + [("ce_score", "double")])

@@ -704,3 +704,81 @@ def test_synonym_groups_local_twin_equals_batch(spark):
     assert out[3].coverage == 1.0           # substrings count for coverage
     assert out[3].proximity_bonus == 0.0    # but not for token proximity
     assert out[6].proximity_bonus > 0       # second group member, adjacent
+
+
+def test_rerank_nonpositive_n_results_tier_parity(spark):
+    """n_results == 0 returns an EMPTY frame with the ce_score column on
+    both tiers (the interactive VALUES builder must not emit an empty
+    clause — r7 ADVICE: ParseException); negative n_results raises
+    ValueError on both tiers (the Spark path's .limit(n) raises, numpy's
+    [:n] would silently tail-truncate)."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    assert inter._doc_rows is not None
+    for eng in (batch, inter):
+        out = eng.rerank_search("patience and prayer", n_results=0,
+                                backend="hash")
+        assert out.count() == 0
+        assert "ce_score" in out.columns
+        with pytest.raises(ValueError, match="n_results"):
+            eng.rerank_search("patience and prayer", n_results=-1,
+                              backend="hash")
+
+
+def test_fts_match_negative_k_raises_both_tiers(spark):
+    """A negative k is a caller bug; both tiers must fail identically
+    (r7 ADVICE: the interactive tier's [:k] silently dropped the tail)."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    for eng in (batch, inter):
+        with pytest.raises(ValueError, match="k must be"):
+            eng.fts_match(terms=["patience"], k=-3)
+
+
+def test_doc_map_bounded_by_corpus_count(spark):
+    """max_driver_rows is a promise about EVERY driver copy: with a
+    user-supplied embeddings frame smaller than the corpus, the doc-map
+    tier must degrade (stay on Spark) when the DOCS count exceeds the
+    bound, even though the embeddings count passes (r7 ADVICE)."""
+    from hadith_vector_search_spark.operators.embedder import embed_column
+
+    rows = [(i, f"patience and prayer document number {i}")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    emb = docs.limit(2).select(
+        "doc_id", embed_column(F.col("text")).alias("embedding"))
+    eng = HybridEngine(spark, docs, embeddings=emb)
+    assert eng.enable_interactive(max_driver_rows=3)
+    assert eng._mat is not None        # vector tier: 2 vectors <= 3
+    assert eng._doc_rows is None       # doc map: 6 docs > 3 -> degraded
+    # degraded tiers still serve correct results via the Spark paths
+    assert eng.get_document(4).count() == 1
+    assert eng.hybrid_search("patience", n_results=3).count() > 0
+
+
+def test_round6_arr_matches_spark_round_on_boundaries(spark):
+    """The vectorized interactive rounding helper must reproduce Spark's
+    round(x, 6) — HALF_UP on the SHORTEST decimal repr — including the
+    half-way class where np.round's binary ties-to-even diverges
+    (r7 ADVICE: the np.round class in the lexical/vector/rerank legs)."""
+    import numpy as np
+
+    from hadith_vector_search_spark.api import _round6_arr
+
+    xs = [0.9050355, 0.1234565, 0.0000005, 1.0000015, -0.9050355,
+          2.7182818, 0.25, 123.4567895, 1e-7, -1e-7, 0.9999995]
+    got = _round6_arr(np.array(xs)).tolist()
+    vals = ", ".join(f"(CAST('{x!r}' AS DOUBLE))" for x in xs)
+    want = [r[0] for r in spark.sql(
+        f"SELECT round(col1, 6) FROM VALUES {vals}").collect()]
+    assert got == want
+    # at least one of these is a genuine np.round divergence
+    assert np.round(np.array(xs), 6).tolist() != want
