@@ -58,6 +58,8 @@ class LexicalIndex:
     term_df: DataFrame    # term, df — per-term document frequency
     _stats_lit: tuple | None = None  # (n_docs, avgdl) collected once
     _scoring: DataFrame | None = None  # denormalized scoring view, lazy
+    _doc_norm: DataFrame | None = None  # (doc_id, dnorm) tf-idf L2, lazy
+    _norm_base: tuple | None = None  # (base doc_norm, base n_docs, affected)
 
     def cache(self) -> "LexicalIndex":
         self.postings.cache()
@@ -84,6 +86,43 @@ class LexicalIndex:
                              .select("doc_id", "term", "tf", "dl", "df")
                              .localCheckpoint())
         return self._scoring
+
+    def doc_norm(self) -> DataFrame:
+        """(doc_id, dnorm) — per-document TF-IDF L2 norm over the doc's
+        FULL term vector, w_dt = tf·ln(N/df): the length normalizer
+        classic vector-space scoring divides by (`plans.lexical.
+        tfidf_topk`). Query-independent, so it is index state — built
+        lazily from the scoring view (ONE narrow agg over postings-shaped
+        rows, never the corpus text) and pinned; at lake scale it
+        persists next to doc_len (sources.index_store publishes it).
+
+        Refresh maintenance (`refresh_index` hands the inputs over via
+        `_norm_base`): ln(N/df) bakes the GLOBAL doc count into every
+        row, so a batch that changes N invalidates every norm — the
+        rebuild is the same single narrow agg. A batch that preserves N
+        (pure updates) delta-merges instead: only dropped/changed docs
+        and docs containing a df-shifted term recompute; everything else
+        passes through an anti-join untouched."""
+        if self._doc_norm is None:
+            n_docs, _ = self.stats_literals()
+            w = F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
+            agg = F.sqrt(F.sum(w * w)).alias("dnorm")
+            if self._norm_base is not None:
+                base_norm, base_n, affected = self._norm_base
+                if n_docs == base_n:
+                    kept = base_norm.join(F.broadcast(affected),
+                                          "doc_id", "left_anti")
+                    rebuilt = (self.scoring_view()
+                               .join(F.broadcast(affected),
+                                     "doc_id", "left_semi")
+                               .groupBy("doc_id").agg(agg))
+                    self._doc_norm = (kept.unionByName(rebuilt)
+                                      .localCheckpoint(eager=False))
+                    return self._doc_norm
+            self._doc_norm = (self.scoring_view()
+                              .groupBy("doc_id").agg(agg)
+                              .localCheckpoint(eager=False))
+        return self._doc_norm
 
     def stats_literals(self) -> tuple[float, float]:
         """(n_docs, avgdl) as Python floats, collected ONCE per index and
@@ -272,6 +311,21 @@ def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
                       .select("doc_id", "term", "tf", "dl", "df"))
         sc = kept_sc.unionByName(rebuilt_sc)
         out._scoring = sc.localCheckpoint() if pin else sc
+
+    if index._doc_norm is not None:
+        # Hand doc_norm maintenance inputs to the new snapshot WITHOUT
+        # running anything now (a refresh whose norms are never read
+        # costs nothing): docs needing recompute are the dropped/changed
+        # set plus docs containing a df-shifted term. Whether the delta
+        # path is valid (n_docs preserved) is decided lazily at first
+        # doc_norm() call — see LexicalIndex.doc_norm.
+        affected = (drop.unionByName(
+            new_post.join(F.broadcast(delta.select("term")),
+                          "term", "left_semi")
+            .select("doc_id"))
+            .distinct())
+        out._norm_base = (index._doc_norm, index.stats_literals()[0],
+                          affected)
     return out
 
 

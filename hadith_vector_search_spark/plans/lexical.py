@@ -903,29 +903,27 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = Σ w_dt·w_qt / (|d|·|q|). The other classical lexical model —
     length-normalized where BM25 saturates — offered because a user of
     any lexical engine expects both. Plan shape: matched-postings join on
-    the query's term list (index-lookup moral equivalent), one agg per
-    doc over matched terms, the norm table derived from postings with one
-    more agg (at lake scale it persists next to doc_len); top-k fuses to
-    TakeOrderedAndProject."""
+    the query's term list (index-lookup moral equivalent) over the
+    denormalized scoring view, one agg per doc over matched terms; the
+    document L2 norm is INDEX STATE (`LexicalIndex.doc_norm` — built
+    once, delta-maintained by refresh_index, persisted next to doc_len
+    by sources.index_store), not re-derived from the full postings table
+    per query; top-k fuses to TakeOrderedAndProject."""
     idx = get_index(spark, sf_dir)
     terms = sorted(set(py_tokenize(BM25_QUERY)))
     qterms = spark.createDataFrame([(t,) for t in terms], "term string")
-    w = (idx.postings
-         .join(idx.term_df, "term")
-         .crossJoin(F.broadcast(idx.stats))
+    n_docs, _ = idx.stats_literals()
+    w = (idx.scoring_view()
          .select("doc_id", "term",
-                 (F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+                 (F.col("tf") * F.log(F.lit(n_docs) / F.col("df")))
                  .alias("w")))
-    dnorm = (w.groupBy("doc_id")
-             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")))
     qw = (idx.term_df.join(F.broadcast(qterms), "term")
-          .crossJoin(F.broadcast(idx.stats))
-          .select("term", F.log(F.col("n_docs") / F.col("df")).alias("wq")))
+          .select("term", F.log(F.lit(n_docs) / F.col("df")).alias("wq")))
     qnorm = qw.agg(F.sqrt(F.sum(F.col("wq") * F.col("wq"))).alias("qnorm"))
     return (w.join(F.broadcast(qw), "term")
             .groupBy("doc_id")
             .agg(F.sum(F.col("w") * F.col("wq")).alias("_dp"))
-            .join(dnorm, "doc_id")
+            .join(idx.doc_norm(), "doc_id")
             .crossJoin(F.broadcast(qnorm))
             .select("doc_id",
                     F.round(F.col("_dp") / (F.col("dnorm") * F.col("qnorm")),

@@ -111,6 +111,13 @@ def _assert_index_equiv(refreshed, rebuilt):
     _frames_equal(refreshed.stats, rebuilt.stats, ["n_docs", "avgdl"])
     _frames_equal(refreshed.scoring_view(), rebuilt.scoring_view(),
                   ["doc_id", "term", "tf", "dl", "df"])
+    # doc_norm is a true float sum: compare at 9 dp (aggregation order is
+    # not fixed, so last-ulp drift is legitimate; 9 dp is far tighter
+    # than the 6-dp display contract every query rounds to)
+    a = {r.doc_id: round(r.dnorm, 9)
+         for r in refreshed.doc_norm().collect()}
+    b = {r.doc_id: round(r.dnorm, 9) for r in rebuilt.doc_norm().collect()}
+    assert a == b
 
 
 def test_refresh_index_equals_rebuild(spark):
@@ -121,6 +128,8 @@ def test_refresh_index_equals_rebuild(spark):
     docs = spark.createDataFrame(REFRESH_CORPUS, "doc_id long, text string")
     base = bm25.build_index(docs)
     base.scoring_view()
+    base.doc_norm()  # force, so the refresh hands over _norm_base — this
+    # batch preserves n_docs (1 insert, 1 remove), so the DELTA path runs
     changed = spark.createDataFrame(
         [(2, "window data revised join"),          # update: drops 'window' x2
          (7, "fresh doc about stream windows")],   # insert: new doc
