@@ -97,14 +97,15 @@ def _publish_table(df: DataFrame, table_path: str) -> None:
 
 
 def _fts_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None:
-    """Derived FTS postings table (term, doc_id, tf) — the parquet
-    analogue of the reference's SQLite FTS5 rebuild (fts.py)."""
-    from .operators.bm25 import doc_tokens
+    """Publish the FULL LexicalIndex artifact (term-bucketed postings +
+    scoring view, doc_len, term_df, stats, doc_norm) — the parquet
+    analogue of the reference's SQLite FTS5 rebuild (fts.py), now the
+    same layout `plans.lexical.get_index` reopens across sessions."""
+    from .operators.bm25 import build_index
+    from .sources.index_store import publish_index
 
     docs = spark.read.parquet(table_path)
-    postings = (doc_tokens(docs)
-                .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf")))
-    postings.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+    publish_index(build_index(docs), out_dir)
 
 
 def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None:
@@ -117,16 +118,48 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
     emb.write.mode("overwrite").parquet(os.path.join(out_dir, "vectors"))
 
 
+def _vector_manifest(table_path: str, n_rows: int) -> IndexManifest:
+    return IndexManifest(model_name=f"hash-embedder-{EMBED_DIM}",
+                         dim=EMBED_DIM, n_rows=n_rows,
+                         source_files=source_fingerprint([table_path]))
+
+
+def _vector_index_delta(spark: SparkSession, table_path: str, out_dir: str,
+                        changed: DataFrame) -> None:
+    """Vector-index delta: re-embed ONLY the changed rows (the expensive
+    part tracks the batch), anti-join them out of the published table,
+    union, rewrite. The write is whole-table here because the table is
+    one narrow parquet dir; at lake scale vectors partition by an id
+    bucket and this becomes the same dynamic partition overwrite the
+    lexical postings use. Re-stamps the manifest against the merged
+    corpus."""
+    vec_path = os.path.join(out_dir, "vectors")
+    old = spark.read.parquet(vec_path)
+    ids = changed.select("doc_id").distinct()
+    fresh = changed.select(
+        "doc_id",
+        embed_column("text", EMBED_DIM, backend="hash").alias("embedding"))
+    merged = (old.join(F.broadcast(ids), "doc_id", "left_anti")
+              .unionByName(fresh)
+              .localCheckpoint())  # materialize before overwriting a source
+    merged.write.mode("overwrite").parquet(vec_path)
+    write_manifest(out_dir, _vector_manifest(
+        table_path, spark.read.parquet(table_path).count()))
+
+
 def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
                    force: bool = False) -> dict[str, list[str]]:
     """Refresh both derived indexes behind the staleness manifest. Returns
     {index_name: rebuild reasons} ([] == reused). ``force`` rebuilds
     unconditionally, the reference's --force-index-refresh."""
+    from .sources.index_store import DEFAULT_BUCKETS, LEXICAL_MODEL
+
     n_rows = spark.read.parquet(table_path).count()
     fp = source_fingerprint([table_path])
     out: dict[str, list[str]] = {}
     for name, model, dim, build in (
-            ("fts", "fts-postings-v1", 0, _fts_index_build),
+            ("fts", f"{LEXICAL_MODEL}-b{DEFAULT_BUCKETS}", 0,
+             _fts_index_build),
             ("vector", f"hash-embedder-{EMBED_DIM}", EMBED_DIM,
              _vector_index_build)):
         idx_dir = os.path.join(index_dir, name)
@@ -169,10 +202,31 @@ def run_ingestion(spark: SparkSession, data_dir: str, table_path: str,
             classified.filter(F.col("action") != "skip").drop("action"))
 
     n_changed = totals["n_insert"] + totals["n_update"]
+    idx_root = index_dir or f"{table_path}_indexes"
+    # Incremental eligibility must be judged BEFORE the merge rewrites the
+    # corpus table: the delta is only sound against an index that was
+    # fresh w.r.t. the PRE-merge corpus.
+    can_delta = False
+    if (do_update_indexes and not force_index and n_changed
+            and existing is not None):
+        from .sources.index_store import index_is_fresh
+        from .sources.manifest import read_manifest, staleness_reasons
+        old_n = existing.count()
+        can_delta = (
+            index_is_fresh(os.path.join(idx_root, "fts"), table_path, old_n)
+            and not staleness_reasons(
+                read_manifest(os.path.join(idx_root, "vector")),
+                _vector_manifest(table_path, old_n)))
+    incoming_all = None
     if n_changed:
         incoming_all = changed_frames[0]
         for f in changed_frames[1:]:
             incoming_all = incoming_all.unionByName(f)
+        if can_delta:
+            # The delta path reads the OLD corpus-backed index tables
+            # lazily while the merge below swaps the table out — pin the
+            # batch first so nothing replays across the swap.
+            incoming_all = incoming_all.localCheckpoint()
         merged = (merge_upsert(existing, incoming_all)
                   if existing is not None else incoming_all)
         # Swap-publish requires the merged frame fully staged first; the
@@ -184,13 +238,31 @@ def run_ingestion(spark: SparkSession, data_dir: str, table_path: str,
 
     if do_update_indexes or force_index:
         t0 = time.time()
-        reasons = update_indexes(spark, table_path,
-                                 index_dir or f"{table_path}_indexes",
-                                 force=force_index)
-        log("Index update summary:")
-        for name, why in reasons.items():
-            state = f"rebuilt ({'; '.join(why)})" if why else "reused (fresh)"
-            log(f"  {name} index -> {state}, duration: {time.time() - t0:.2f}s")
+        if can_delta:
+            # Index cost tracks the BATCH: bm25.refresh_index delta with
+            # bucket-level write-back for the lexical index; re-embed of
+            # only the changed rows for the vector table.
+            from .sources.index_store import write_refresh
+            write_refresh(spark, os.path.join(idx_root, "fts"),
+                          incoming_all.select("doc_id", "text"),
+                          corpus_path=table_path)
+            _vector_index_delta(spark, table_path,
+                                os.path.join(idx_root, "vector"),
+                                incoming_all)
+            log("Index update summary:")
+            for name in ("fts", "vector"):
+                log(f"  {name} index -> delta-refreshed "
+                    f"({n_changed} changed row(s)), "
+                    f"duration: {time.time() - t0:.2f}s")
+        else:
+            reasons = update_indexes(spark, table_path, idx_root,
+                                     force=force_index)
+            log("Index update summary:")
+            for name, why in reasons.items():
+                state = (f"rebuilt ({'; '.join(why)})" if why
+                         else "reused (fresh)")
+                log(f"  {name} index -> {state}, "
+                    f"duration: {time.time() - t0:.2f}s")
     log("Ingestion totals -> "
         + ", ".join(f"{k[2:]}: {v}" for k, v in totals.items()))
     return totals

@@ -60,6 +60,12 @@ class LexicalIndex:
     _scoring: DataFrame | None = None  # denormalized scoring view, lazy
     _doc_norm: DataFrame | None = None  # (doc_id, dnorm) tf-idf L2, lazy
     _norm_base: tuple | None = None  # (base doc_norm, base n_docs, affected)
+    # terms -> scoring-view rows for those terms, scanned with the
+    # published layout's term_bucket partition predicate (set by
+    # sources.index_store.open_index; None for in-session indexes, whose
+    # pinned frames have no partition dirs to prune). Same 5-col schema
+    # as scoring_view().
+    prune: object | None = None
 
     def cache(self) -> "LexicalIndex":
         self.postings.cache()
@@ -456,7 +462,14 @@ def score_terms(spark: SparkSession, index: LexicalIndex, terms: list[str],
         raise ValueError("empty term list")
     terms = sorted(set(terms))
     n_docs, avgdl = index.stats_literals()
-    matched = index.scoring_view().filter(F.col("term").isin(list(terms)))
+    if index.prune is not None:
+        # Published layout: scan only the query terms' bucket directories
+        # (PartitionFilters prune at planning time — the inverted-index
+        # lookup moral equivalent) plus the pushed term filter.
+        matched = index.prune(terms)
+    else:
+        matched = index.scoring_view().filter(
+            F.col("term").isin(list(terms)))
     per_doc = (
         matched.groupBy("doc_id")
         .agg(

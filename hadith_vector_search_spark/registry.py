@@ -64,6 +64,7 @@ QUERIES: dict[str, QueryFn] = {
     # lexical leg (SURVEY §2.7/§4.2)
     "term_doc_frequency": lexical.term_doc_frequency,
     "incremental_postings_refresh": lexical.incremental_postings_refresh,
+    "published_index_reopened": lexical.published_index_reopened,
     "bm25_topk": lexical.bm25_topk,
     "bm25_disjunctive": lexical.bm25_disjunctive,
     "bm25_topk_batch": lexical.bm25_topk_batch,
@@ -202,6 +203,10 @@ QUERIES: dict[str, QueryFn] = {
 # BM25 oracles are generated from the same fixed query strings the Spark
 # plans embed, guaranteeing the term lists can never drift apart.
 oracle("bm25_topk", lexical.bm25_oracle_sql(lexical.BM25_QUERY, conjunctive=True))
+# same oracle, different physical path: the reopened PUBLISHED index must
+# land on hash-identical results to the in-session build
+oracle("published_index_reopened",
+       lexical.bm25_oracle_sql(lexical.BM25_QUERY, conjunctive=True))
 oracle("tfidf_topk", lexical.tfidf_topk_oracle())
 oracle("bm25_disjunctive", lexical.bm25_oracle_sql(lexical.BM25_OR_QUERY, conjunctive=False))
 oracle("bm25_topk_batch", lexical.bm25_batch_oracle_sql(

@@ -1,0 +1,293 @@
+"""Published on-disk index store — the lexical + vector indexes as
+DURABLE artifacts that outlive the Spark session.
+
+The reference persists its indexes and reopens them at startup: SQLite
+FTS5 at ``data/indexes/fts.db`` (/root/reference/mcp_server/apps/
+fts.py:263-312 rebuilds only when stale) and the Chroma embedding dir
+(/root/reference/mcp_server/apps/embeddings.py:224-255). The in-session
+``bm25.build_index`` pin is the right shape for an engine embedded in one
+process, but the expensive derived state (postings, doc_len, term_df,
+stats, the denormalized scoring view, the tf-idf doc norms) died with the
+session. This module makes the FULL ``LexicalIndex`` (and the vector
+table) a parquet artifact behind the staleness manifest
+(`sources.manifest.ensure_index`), so a second session REOPENS instead of
+rebuilding — and `bm25.refresh_index` deltas write BACK, overwriting only
+the term buckets they touched.
+
+Layout under ``<index_dir>/``::
+
+    _layout.json               {"n_buckets": N}
+    _index_manifest.json       staleness manifest (sources.manifest)
+    postings/term_bucket=K/    (doc_id, term, tf), term-sorted in-file
+    scoring/term_bucket=K/     (doc_id, term, tf, dl, df), term-sorted
+    doc_len/                   (doc_id, dl)
+    term_df/                   (term, df)
+    stats/                     (n_docs, avgdl) single row
+    doc_norm/                  (doc_id, dnorm)
+
+Scale design (100 TB):
+- ``term_bucket = crc32(term) % n_buckets`` is a Hive-style partition
+  column, NOT catalog bucketing: plain parquet paths reopen in any
+  session with zero metastore state, directory-level pruning fires on the
+  bucket predicate (PartitionFilters — asserted by tests/PLAN_AUDIT),
+  and a refresh overwrites only touched bucket directories via dynamic
+  partition overwrite. crc32 (not Murmur hash) because the SAME bucket
+  function is computable driver-side (`zlib.crc32`) — the query path
+  derives its bucket predicate without a Spark job.
+- In-file ``term`` sort gives parquet row-group min/max stats, so the
+  pushed term filter skips row groups WITHIN the surviving buckets —
+  two-level pruning, the moral equivalent of the FTS5 term b-tree.
+- doc_len / term_df / doc_norm are narrow corpus-vocabulary-sized tables
+  rewritten whole on refresh here; on a lake they would be partitioned by
+  doc-id/term range and delta-overwritten the same way as postings. The
+  df/dl/norm VALUES a refresh produces are delta-merged (bm25.refresh_
+  index) — only the write is whole-table.
+- An opened index serves queries straight off parquet: scans carry
+  PushedFilters + PartitionFilters instead of re-tokenizing the corpus,
+  which is the point — build once per corpus, query from any session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import zlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import bm25
+from .manifest import (IndexManifest, ensure_index, read_manifest,
+                       source_fingerprint, write_manifest)
+
+DEFAULT_BUCKETS = 16  # sized for the test SFs; a lake uses 1024+
+LAYOUT_NAME = "_layout.json"
+LEXICAL_MODEL = "lexical-index-v2"
+
+
+def bucket_of(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the published bucket function — MUST stay
+    bit-identical to the Column expression in `_bucket_col` (zlib.crc32
+    and Spark's crc32 both implement CRC-32/ISO-HDLC over UTF-8 bytes)."""
+    return zlib.crc32(str(term).encode("utf-8")) % n_buckets
+
+
+def _bucket_col(col: Column | str, n_buckets: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.crc32(F.encode(c.cast("string"), "UTF-8")),
+                  F.lit(n_buckets)).cast("int")
+
+
+def _write_layout(index_dir: str, n_buckets: int) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, f".{LAYOUT_NAME}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"n_buckets": n_buckets}, fh)
+    os.replace(tmp, os.path.join(index_dir, LAYOUT_NAME))
+
+
+def read_layout(index_dir: str) -> int:
+    with open(os.path.join(index_dir, LAYOUT_NAME)) as fh:
+        return int(json.load(fh)["n_buckets"])
+
+
+def _write_bucketed(df: DataFrame, path: str, n_buckets: int,
+                    sort_col: str = "term", dynamic: bool = False) -> None:
+    """One partition-dir per term bucket, rows sorted by `sort_col`
+    in-file (row-group min/max pruning). `dynamic` switches the writer to
+    dynamic partition overwrite: only the bucket dirs PRESENT in `df` are
+    replaced — the refresh write-back path."""
+    w = (df.repartition("term_bucket")
+         .sortWithinPartitions("term_bucket", sort_col)
+         .write.mode("overwrite"))
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy("term_bucket").parquet(path)
+
+
+def publish_index(index: bm25.LexicalIndex, index_dir: str,
+                  n_buckets: int = DEFAULT_BUCKETS) -> None:
+    """Write every LexicalIndex table (incl. the denormalized scoring
+    view and the tf-idf doc norms) as the partitioned parquet layout
+    documented in the module docstring. Full overwrite — the build path;
+    `write_refresh` is the delta path."""
+    _write_layout(index_dir, n_buckets)
+    bkt = _bucket_col("term", n_buckets).alias("term_bucket")
+    _write_bucketed(index.postings.select("doc_id", "term", "tf", bkt),
+                    os.path.join(index_dir, "postings"), n_buckets)
+    _write_bucketed(
+        index.scoring_view().select("doc_id", "term", "tf", "dl", "df", bkt),
+        os.path.join(index_dir, "scoring"), n_buckets)
+    index.doc_len.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "doc_len"))
+    index.term_df.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "term_df"))
+    index.stats.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "stats"))
+    index.doc_norm().write.mode("overwrite").parquet(
+        os.path.join(index_dir, "doc_norm"))
+
+
+def open_index(spark: SparkSession, index_dir: str) -> bm25.LexicalIndex:
+    """Reopen a published index — NO corpus scan, no tokenization, no
+    shuffle: every frame is a parquet read, the scoring view included
+    (set directly so `scoring_view()` never rebuilds the joins). The
+    returned index carries a `prune` hook mapping a query's term list to
+    its bucket predicate, so `bm25.score_terms` scans only the term
+    buckets the query can match (PartitionFilters at planning time)."""
+    n_buckets = read_layout(index_dir)
+
+    def rd(name: str, *cols: str) -> DataFrame:
+        return (spark.read.parquet(os.path.join(index_dir, name))
+                .select(*cols))
+
+    idx = bm25.LexicalIndex(
+        postings=rd("postings", "doc_id", "term", "tf"),
+        doc_len=rd("doc_len", "doc_id", "dl"),
+        stats=rd("stats", "n_docs", "avgdl"),
+        term_df=rd("term_df", "term", "df"),
+    )
+    idx._scoring = rd("scoring", "doc_id", "term", "tf", "dl", "df")
+    idx._doc_norm = rd("doc_norm", "doc_id", "dnorm")
+    scoring_path = os.path.join(index_dir, "scoring")
+
+    def prune(terms):
+        terms = sorted(set(terms))
+        buckets = sorted({bucket_of(t, n_buckets) for t in terms})
+        return (spark.read.parquet(scoring_path)
+                .filter(F.col("term_bucket").isin(buckets))
+                .filter(F.col("term").isin(terms))
+                .select("doc_id", "term", "tf", "dl", "df"))
+
+    idx.prune = prune
+    return idx
+
+
+def lexical_manifest(corpus_path: str, n_rows: int,
+                     n_buckets: int = DEFAULT_BUCKETS) -> IndexManifest:
+    """Staleness identity of a published lexical index: the tokenizer/
+    layout version + bucket count stand where the embedding model name
+    stands for the vector index; the corpus fingerprint catches in-place
+    rewrites the row count cannot see."""
+    return IndexManifest(
+        model_name=f"{LEXICAL_MODEL}-b{n_buckets}", dim=0, n_rows=n_rows,
+        source_files=source_fingerprint([corpus_path]))
+
+
+def ensure_lexical_index(spark: SparkSession, corpus: DataFrame,
+                         corpus_path: str, index_dir: str,
+                         n_buckets: int = DEFAULT_BUCKETS,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         ) -> tuple[bm25.LexicalIndex, list[str]]:
+    """Build-or-reuse entry (the analogue of the reference reopening
+    fts.db at startup): publishes a fresh index iff the manifest says the
+    corpus drifted, then opens the published artifact either way.
+    Returns (opened index, staleness reasons) — reasons == [] means a
+    prior session's index was reused byte-for-byte."""
+    current = lexical_manifest(corpus_path, corpus.count(), n_buckets)
+    reasons = ensure_index(
+        index_dir, current,
+        lambda: publish_index(
+            bm25.build_index(corpus, text_col, id_col), index_dir,
+            n_buckets))
+    return open_index(spark, index_dir), reasons
+
+
+def write_refresh(spark: SparkSession, index_dir: str,
+                  changed_docs: DataFrame,
+                  removed_ids: DataFrame | None = None,
+                  corpus_path: str | None = None, n_rows: int | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ) -> bm25.LexicalIndex:
+    """Incremental write-back: apply `bm25.refresh_index` to the OPENED
+    published index and persist the delta — postings/scoring rewrite ONLY
+    the term buckets touched by the batch (terms of dropped + reinserted
+    docs; df can only shift for those terms, and dl only for changed docs
+    whose rows live there too, so untouched bucket dirs are byte-invariant
+    — asserted by tests), via dynamic partition overwrite. Buckets
+    emptied by the batch are removed explicitly (dynamic overwrite only
+    replaces partitions PRESENT in the frame). The narrow global tables
+    (doc_len, term_df, stats, doc_norm) rewrite whole from their
+    delta-merged values. Re-stamps the manifest when the caller passes
+    the post-merge corpus identity (corpus_path [+ n_rows]).
+
+    Returns the reopened index. Rebuild-equivalence with a from-scratch
+    publish over the merged corpus is pinned by
+    tests/test_index_store.py."""
+    base = open_index(spark, index_dir)
+    n_buckets = read_layout(index_dir)
+    refreshed = bm25.refresh_index(base, changed_docs, removed_ids,
+                                   text_col=text_col, id_col=id_col)
+
+    drop = changed_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    if removed_ids is not None:
+        drop = drop.unionByName(
+            removed_ids.select(F.col(removed_ids.columns[0])
+                               .alias("doc_id"))).distinct()
+    touched_terms = (base.postings
+                     .join(F.broadcast(drop), "doc_id", "left_semi")
+                     .select("term")
+                     .unionByName(bm25.doc_tokens(changed_docs, text_col,
+                                                  id_col).select("term"))
+                     .distinct())
+    touched = sorted({bucket_of(r.term, n_buckets)
+                      for r in touched_terms.collect()})
+
+    # EVERY output frame is eagerly materialized (localCheckpoint) BEFORE
+    # the first byte is written: the refreshed plans lazily read the
+    # published parquet files this function is about to overwrite, so an
+    # unstaged write would feed a later output its own half-applied
+    # delta. (A lake writes new files + commits a snapshot instead; the
+    # checkpoint is the single-node stand-in for that isolation.)
+    bkt = _bucket_col("term", n_buckets).alias("term_bucket")
+    new_post = (refreshed.postings
+                .select("doc_id", "term", "tf", bkt)
+                .filter(F.col("term_bucket").isin(touched))
+                .localCheckpoint()) if touched else None
+    new_sc = (refreshed.scoring_view()
+              .select("doc_id", "term", "tf", "dl", "df", bkt)
+              .filter(F.col("term_bucket").isin(touched))
+              .localCheckpoint()) if touched else None
+    narrow = [("doc_len", refreshed.doc_len.localCheckpoint()),
+              ("term_df", refreshed.term_df.localCheckpoint()),
+              ("stats", refreshed.stats.localCheckpoint()),
+              ("doc_norm", refreshed.doc_norm().localCheckpoint())]
+
+    if touched:
+        # Buckets the batch EMPTIED: dynamic overwrite cannot delete a
+        # partition it writes no rows for — drop those dirs driver-side
+        # (on a lake: a metadata-only REPLACE/partition drop).
+        still = {r.term_bucket for r in
+                 new_post.select("term_bucket").distinct().collect()}
+        for b in touched:
+            if b not in still:
+                for tbl in ("postings", "scoring"):
+                    shutil.rmtree(os.path.join(index_dir, tbl,
+                                               f"term_bucket={b}"),
+                                  ignore_errors=True)
+        if still:
+            _write_bucketed(new_post, os.path.join(index_dir, "postings"),
+                            n_buckets, dynamic=True)
+            _write_bucketed(new_sc, os.path.join(index_dir, "scoring"),
+                            n_buckets, dynamic=True)
+
+    for name, df in narrow:
+        df.write.mode("overwrite").parquet(os.path.join(index_dir, name))
+
+    if corpus_path is not None:
+        if n_rows is None:
+            n_rows = int(dict(narrow)["stats"].first().n_docs)
+        write_manifest(index_dir,
+                       lexical_manifest(corpus_path, n_rows, n_buckets))
+    return open_index(spark, index_dir)
+
+
+def index_is_fresh(index_dir: str, corpus_path: str, n_rows: int,
+                   n_buckets: int = DEFAULT_BUCKETS) -> bool:
+    """True iff the published index would be reused as-is (manifest
+    matches the current corpus identity)."""
+    from .manifest import staleness_reasons
+    return not staleness_reasons(
+        read_manifest(index_dir),
+        lexical_manifest(corpus_path, n_rows, n_buckets))

@@ -129,3 +129,45 @@ def test_book_selection_and_cli_main(spark, corpus, capsys):
     assert "Ingestion totals" in out
     rc_bad = main(["--data-dir", data, "--table", table, "--book", "77"])
     assert rc_bad == 1
+
+
+def test_ingest_delta_refresh_equals_rebuild(spark, corpus):
+    """When the published indexes are FRESH w.r.t. the pre-merge corpus,
+    a changed batch takes the DELTA path (bucket-level lexical write-back
+    + changed-rows-only re-embed) — and the on-disk result must equal a
+    forced full rebuild over the merged corpus."""
+    from hadith_vector_search_spark.sources import index_store
+
+    data, table = corpus
+    run_ingestion(spark, data, table, do_update_indexes=True,
+                  log=lambda *_: None)
+    _write_book(os.path.join(data, "book_2.jsonl"),
+                [{"doc_id": 100, "text": "gamma delta doc 0", "lang": "en",
+                  "source": "b2"},
+                 {"doc_id": 101, "text": "CHANGED epsilon text",
+                  "lang": "en", "source": "b2"},
+                 {"doc_id": 103, "text": "brand new zeta", "lang": "en",
+                  "source": "b2"}])
+    logs = []
+    run_ingestion(spark, data, table, books=["2"], do_update_indexes=True,
+                  log=logs.append)
+    assert any("delta-refreshed" in line for line in logs), logs
+
+    idx = f"{table}_indexes"
+    delta_idx = index_store.open_index(spark, os.path.join(idx, "fts"))
+    delta_post = sorted((r.doc_id, r.term, r.tf)
+                        for r in delta_idx.postings.collect())
+    delta_vecs = {r.doc_id: list(r.embedding) for r in spark.read.parquet(
+        os.path.join(idx, "vector", "vectors")).collect()}
+
+    from hadith_vector_search_spark.ingest import update_indexes
+    update_indexes(spark, table, idx, force=True)
+    full_idx = index_store.open_index(spark, os.path.join(idx, "fts"))
+    assert delta_post == sorted((r.doc_id, r.term, r.tf)
+                                for r in full_idx.postings.collect())
+    full_vecs = {r.doc_id: list(r.embedding) for r in spark.read.parquet(
+        os.path.join(idx, "vector", "vectors")).collect()}
+    assert delta_vecs == full_vecs
+    # and the delta re-stamped the manifest: a third no-change run reuses
+    third = update_indexes(spark, table, idx)
+    assert third == {"fts": [], "vector": []}
