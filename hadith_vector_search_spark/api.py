@@ -1212,6 +1212,29 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 .select("*", snippet(F.col(self.text_col),
                                      F.lit("")).alias("preview")))
 
+    def get_document_row(self, doc_id) -> dict | None:
+        """The reference's in-process point lookup as an in-process call:
+        the corpus row + head preview as a plain dict straight from the
+        resident doc map — no DataFrame, no py4j round trip, no Spark
+        job. The <5 ms target (HADITH_SEARCH_SPEC.md:553) is a statement
+        about THIS shape (the reference returns a dict from a loaded
+        corpus map); `get_document` keeps the composable DataFrame face,
+        whose ~9 ms floor is the collect round trip itself, not work.
+        Serving transports prefer this path. Falls back to collecting the
+        Spark path when the map tier is absent; None == no such doc.
+        Value-identity with get_document is pinned by
+        test_get_document_row_equals_frame."""
+        if self._doc_rows is not None:
+            row = self._doc_rows.get(doc_id)
+            if row is None:
+                return None
+            out = dict(row)
+            txt = row[self.text_col]
+            out["preview"] = None if txt is None else txt[:120]
+            return out
+        rows = self.get_document(doc_id).collect()
+        return rows[0].asDict() if rows else None
+
     def vector_index_status(self) -> DataFrame:
         """The reference's `vector_index_status` tool
         (/root/reference/mcp_server/tools.py:14-27): embedding-index

@@ -62,6 +62,8 @@ def _make_handler(dispatch: StdioServer):
             self.wfile.write(body)
 
         def _rows(self, df) -> list[dict]:
+            if isinstance(df, list):  # pre-materialized rows (dicts)
+                return df
             return [r.asDict(recursive=True) for r in df.collect()]
 
         def do_GET(self) -> None:  # noqa: N802 (stdlib naming)

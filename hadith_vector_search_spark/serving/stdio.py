@@ -143,7 +143,12 @@ class StdioServer:
                 field=args.get("field"), value=args.get("value"),
                 k=int(args.get("limit", 10)))
         if name == "get_document":
-            return self.engine.get_document(args["doc_id"])
+            # In-process row path: dict straight from the resident doc
+            # map (the reference's <5 ms lookup shape) — no DataFrame
+            # collect round trip. Returned as a plain rows list, which
+            # _rows_json passes through.
+            row = self.engine.get_document_row(args["doc_id"])
+            return [] if row is None else [row]
         if name == "rerank_search":
             return self.engine.rerank_search(
                 args["query"], n_results=int(args.get("n_results", 10)),
@@ -162,6 +167,8 @@ class StdioServer:
 
     @staticmethod
     def _rows_json(df) -> str:
+        if isinstance(df, list):  # pre-materialized rows (dict per row)
+            return json.dumps(df, ensure_ascii=False, default=str)
         return json.dumps([row.asDict(recursive=True) for row in df.collect()],
                           ensure_ascii=False, default=str)
 

@@ -56,6 +56,10 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
             terms=[QUERIES[i % len(QUERIES)].split()[0]], k=10).collect(),
         "get_document": lambda i: engine.get_document(
             doc_ids[i % len(doc_ids)]).collect(),
+        # the serving transports' actual lookup path (dict from the
+        # resident map — the shape the reference's <5 ms target measures)
+        "get_document_row": lambda i: engine.get_document_row(
+            doc_ids[i % len(doc_ids)]),
         "hybrid_synonyms": lambda i: engine.hybrid_search(
             QUERIES[i % len(QUERIES)], n_results=10,
             synonym_groups=[["window", "pane"],

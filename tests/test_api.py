@@ -782,3 +782,28 @@ def test_round6_arr_matches_spark_round_on_boundaries(spark):
     assert got == want
     # at least one of these is a genuine np.round divergence
     assert np.round(np.array(xs), 6).tolist() != want
+
+
+def test_get_document_row_equals_frame(spark):
+    """The in-process row path (dict, no DataFrame round trip) must be
+    value-identical to collecting get_document — map tier resident or
+    not — including the miss and NULL-text cases."""
+    rows = [(1, "alpha beta text"), (2, None), (3, "x" * 300)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    assert inter._doc_rows is not None
+    batch = HybridEngine(spark, docs)
+    for eng in (batch, inter):
+        for did in (1, 2, 3):
+            frame = [r.asDict() for r in eng.get_document(did).collect()]
+            assert eng.get_document_row(did) == frame[0], (did,)
+        assert eng.get_document_row(999) is None
+        assert eng.get_document(999).count() == 0
+    # the resident path really is zero Spark jobs
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    inter.get_document_row(3)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after
