@@ -187,38 +187,12 @@ class HybridEngine:
         if sc.count() <= max_driver_postings:
             n_docs, avgdl = self.index.stats_literals()
             srows = sc.collect()
-            terms = np.array([r["term"] for r in srows])
-            pids = np.array([r["doc_id"] for r in srows])
-            tf = np.array([r["tf"] for r in srows])
-            dl = np.array([r["dl"] for r in srows])
-            df = np.array([r["df"] for r in srows])
-            # Mirror the JVM expression op-for-op (np.log(1 + x), not
-            # log1p): any residual difference is libm-vs-Math.log last-ulp,
-            # the same accepted class as the BLAS note on _vec_topk, and
-            # pinned by test_interactive_mode_equals_batch_path.
-            idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-            impact = idf * (tf * (bm25.K1 + 1.0)) / (
-                tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / avgdl))
-            order = np.argsort(terms, kind="stable")
-            terms, pids, impact = terms[order], pids[order], impact[order]
-            tf, dl = tf[order], dl[order]
-            bounds = np.searchsorted(terms, np.unique(terms), side="left")
-            ends = np.append(bounds[1:], len(terms))
-            # raw tf/dl ride along for the prefix pseudo-term (its summed
-            # tf and member-df can't be recombined from impacts)
-            self._lex = {terms[s]: (pids[s:e], impact[s:e],
-                                    tf[s:e], dl[s:e])
-                         for s, e in zip(bounds, ends)}
-            # keys were inserted in term-sorted order (the arrays are
-            # sorted above), so this list is sorted — prefix queries
-            # bisect an O(log V) range instead of scanning the vocab
-            self._lex_vocab = list(self._lex)
-            # doc-sorted forward view for MoreLikeThis seed mining
-            # (searchsorted slice -> the seed's term rows)
-            df = df[order]
-            dorder = np.argsort(pids, kind="stable")
-            self._fwd = (pids[dorder], terms[dorder], tf[dorder],
-                         dl[dorder], df[dorder])
+            self._install_lex_tiers(
+                np.array([r["term"] for r in srows]),
+                np.array([r["doc_id"] for r in srows]),
+                np.array([r["tf"] for r in srows]),
+                np.array([r["dl"] for r in srows]),
+                n_docs, avgdl)
 
         # Point-lookup tier: the full corpus rows as a driver dict (same
         # max_driver_rows bound the vector matrix already passed) — only
@@ -230,6 +204,177 @@ class HybridEngine:
                 for f in self.docs.schema.fields):
             self._doc_rows = {r[self.id_col]: r.asDict()
                               for r in self.docs.collect()}
+        return True
+
+    def _install_lex_tiers(self, terms, pids, tf, dl,
+                           n_docs: float, avgdl: float) -> None:
+        """Build and install the driver-resident lexical tiers from raw
+        postings-shaped arrays (any row order): per-term document
+        frequency is the term-segment length (each (doc, term) row is
+        unique, so segment length == df — exactly the index's term_df
+        values), impacts are the query-independent idf(df)·sat(tf, dl)
+        factors. ONE implementation shared by enable-time collection and
+        the upsert delta path, so the two can never drift.
+
+        FP note: mirrors the JVM expression op-for-op (np.log(1 + x),
+        not log1p) — any residual difference is libm-vs-Math.log
+        last-ulp, the accepted class pinned by
+        test_interactive_mode_equals_batch_path."""
+        import numpy as np
+
+        order = np.argsort(terms, kind="stable")
+        terms, pids = terms[order], pids[order]
+        tf, dl = tf[order], dl[order]
+        bounds = np.searchsorted(terms, np.unique(terms), side="left")
+        ends = np.append(bounds[1:], len(terms))
+        df = np.repeat((ends - bounds).astype(float), ends - bounds)
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        impact = idf * (tf * (bm25.K1 + 1.0)) / (
+            tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / avgdl))
+        # raw tf/dl ride along for the prefix pseudo-term (its summed
+        # tf and member-df can't be recombined from impacts)
+        self._lex = {terms[s]: (pids[s:e], impact[s:e],
+                                tf[s:e], dl[s:e])
+                     for s, e in zip(bounds, ends)}
+        # keys were inserted in term-sorted order (the arrays are
+        # sorted above), so this list is sorted — prefix queries
+        # bisect an O(log V) range instead of scanning the vocab
+        self._lex_vocab = list(self._lex)
+        # doc-sorted forward view for MoreLikeThis seed mining
+        # (searchsorted slice -> the seed's term rows)
+        dorder = np.argsort(pids, kind="stable")
+        self._fwd = (pids[dorder], terms[dorder], tf[dorder],
+                     dl[dorder], df[dorder])
+
+    def _apply_interactive_delta(self, changed: DataFrame,
+                                 removed_ids: DataFrame | None,
+                                 fresh_emb: DataFrame | None) -> bool:
+        """Apply an upsert batch to the RESIDENT interactive tiers in
+        place — the O(batch) alternative to `enable_interactive`'s full
+        re-collect. `changed` carries the corpus-schema changed/new rows
+        (removal-wins already applied), `fresh_emb` their embeddings;
+        both are batch-sized checkpointed frames, so the only Spark work
+        here is two O(batch) collects.
+
+        Per tier: vector matrix/doc map drop the batch's rows and append
+        the fresh ones; the lexical tier drops the batch's postings from
+        the raw forward arrays, appends postings tokenized driver-side
+        with `py_tokenize` (the tested twin of the index tokenizer), and
+        re-derives df/impacts through `_install_lex_tiers` — the SAME
+        builder enable-time collection uses, because BM25's global
+        n_docs/avgdl/df factors make per-posting impacts globally
+        sensitive to any batch (recompute is one vectorized numpy pass
+        over ≤max_driver_postings rows, no Spark job). n_docs/avgdl come
+        exactly from the doc-level dl values (integer-valued doubles:
+        sums are exact, the division matches Spark's avg). The serving
+        corpus view delta-merges lazily (anti-join ∪ batch, lazy
+        checkpoint) so engines that never hit the generated-SQL tail
+        never pay for it.
+
+        Bound discipline mirrors enable_interactive: vector/doc-map rows
+        over `max_driver_rows` → False (caller re-enables, which refuses
+        and releases); postings over `max_driver_postings` → the lexical
+        tier alone degrades to the Spark leg. Returns True when the
+        resident tiers now serve the post-upsert corpus. Row-identity
+        with a fresh enable is pinned by
+        test_upsert_delta_equals_fresh_enable."""
+        from collections import Counter
+
+        import numpy as np
+
+        if self._mat is None or fresh_emb is None:
+            return False
+        max_rows, max_post = self._interactive_bounds
+        changed_rows = [r.asDict() for r in changed.collect()]
+        removed = ([r[0] for r in removed_ids.collect()]
+                   if removed_ids is not None else [])
+        drop = set(removed) | {r[self.id_col] for r in changed_rows}
+        drop_arr = np.array(sorted(drop)) if drop else None
+
+        # --- vector tier (bound: total resident vectors) ---------------
+        keep = (~np.isin(self._ids, drop_arr) if drop_arr is not None
+                else np.ones(len(self._ids), dtype=bool))
+        fresh_rows = fresh_emb.collect()
+        if int(keep.sum()) + len(fresh_rows) > max_rows:
+            return False
+        ids2, mat2 = self._ids[keep], self._mat[keep]
+        if fresh_rows:
+            ids2 = np.concatenate(
+                [ids2, np.array([r[0] for r in fresh_rows])])
+            mat2 = np.vstack(
+                [mat2.reshape(-1, self._mat.shape[1]),
+                 np.array([list(r[1]) for r in fresh_rows])])
+
+        # --- doc-map tier (bound: corpus rows; degrades alone) ---------
+        new_map = None
+        if self._doc_rows is not None:
+            new_map = {k: v for k, v in self._doc_rows.items()
+                       if k not in drop}
+            for r in changed_rows:
+                new_map[r[self.id_col]] = r
+            if len(new_map) > max_rows:
+                new_map = None
+
+        # --- lexical tier (bound: postings; degrades alone) ------------
+        lex_arrays = None
+        if self._fwd is not None:
+            pids, terms, tf, dl, _ = self._fwd
+            if drop_arr is not None:
+                m = ~np.isin(pids, drop_arr)
+                pids, terms, tf, dl = pids[m], terms[m], tf[m], dl[m]
+            a_ids, a_terms, a_tf, a_dl = [], [], [], []
+            for r in changed_rows:
+                toks = py_tokenize(r[self.text_col] or "")
+                if not toks:
+                    continue  # token-less docs have no index presence
+                length = float(len(toks))
+                for t, n in Counter(toks).items():
+                    a_ids.append(r[self.id_col])
+                    a_terms.append(t)
+                    a_tf.append(float(n))
+                    a_dl.append(length)
+            if a_ids:
+                pids = np.concatenate([pids, np.array(a_ids)])
+                terms = np.concatenate([terms, np.array(a_terms)])
+                tf = np.concatenate([tf, np.array(a_tf)])
+                dl = np.concatenate([dl, np.array(a_dl)])
+            if len(pids) <= max_post:
+                if len(pids):
+                    uniq, first = np.unique(pids, return_index=True)
+                    n_docs = float(len(uniq))
+                    avgdl = float(dl[first].sum()) / n_docs
+                else:
+                    n_docs, avgdl = 0.0, 1.0
+                lex_arrays = (terms, pids, tf, dl, n_docs, avgdl)
+
+        # --- all bounds verified: install -----------------------------
+        self._ids, self._mat = ids2, mat2
+        self._doc_rows = new_map
+        if lex_arrays is not None:
+            self._install_lex_tiers(*lex_arrays)
+        else:
+            self._lex = self._fwd = None
+            self._lex_vocab = None
+
+        # --- serving corpus view: lazy delta-merge --------------------
+        if self._docs_view is not None and self._docs_serving is not None:
+            batch_ids = changed.select(self.id_col)
+            if removed_ids is not None:
+                batch_ids = batch_ids.unionByName(
+                    removed_ids.select(F.col(removed_ids.columns[0])
+                                       .alias(self.id_col)))
+            n_parts = max(1, len(ids2) // 250_000 + 1)
+            self._docs_serving = (
+                self._docs_serving
+                .join(F.broadcast(batch_ids.distinct()), self.id_col,
+                      "left_anti")
+                .unionByName(changed.select(self.id_col, self.text_col))
+                .coalesce(n_parts)
+                # lazy: materializes (and flattens) only if the SQL tail
+                # actually reads it — repeated upserts before first use
+                # stack a batch-deep lazy tower, paid once then truncated
+                .localCheckpoint(eager=False))
+            self._docs_serving.createOrReplaceTempView(self._docs_view)
         return True
 
     def disable_interactive(self) -> None:
@@ -1156,6 +1301,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             self._index = bm25.refresh_index(
                 self._index, changed, removed_ids,
                 text_col=self.text_col, id_col=self.id_col)
+        fresh = None
         if self._emb is not None:
             drop = changed.select(self.id_col)
             if removed_ids is not None:
@@ -1165,17 +1311,23 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             fresh = changed.select(
                 F.col(self.id_col),
                 embed_column(F.col(self.text_col), self.dim)
-                .alias("embedding"))
+                .alias("embedding")).localCheckpoint()
             self._emb = kept.unionByName(fresh).localCheckpoint()
         if self._interactive_bounds is not None:
-            # Interactive was requested at some point: rebuild the tiers
-            # under the same bounds. A refusal (corpus grew past a bound)
-            # RELEASES every resident tier (enable_interactive's contract)
-            # so nothing serves the pre-upsert snapshot; a batch that
-            # shrinks the corpus back under the bounds re-enables. Check
-            # `interactive_enabled` after bulk loads to see which side
-            # you're on.
-            self.enable_interactive(*self._interactive_bounds)
+            # Interactive was requested at some point. With tiers resident
+            # the batch delta-applies IN PLACE (O(batch) work — no
+            # enable-time corpus re-collect; job census pinned by
+            # test_upsert_delta_skips_recollect). Fall back to a full
+            # re-enable when no tiers are live, or when the batch pushes
+            # the row bound: enable then refuses and RELEASES every tier
+            # (its contract) so nothing serves the pre-upsert snapshot; a
+            # batch that shrinks the corpus back under the bounds
+            # re-enables. Check `interactive_enabled` after bulk loads to
+            # see which side you're on.
+            if not (self.interactive_enabled
+                    and self._apply_interactive_delta(changed, removed_ids,
+                                                      fresh)):
+                self.enable_interactive(*self._interactive_bounds)
         ins, upd, skp = int(st.ins or 0), int(st.upd or 0), int(st.skp or 0)
         if force:
             upd, skp = upd + skp, 0

@@ -807,3 +807,95 @@ def test_get_document_row_equals_frame(spark):
     inter.get_document_row(3)
     after = set(tracker.getJobIdsForGroup(None) or [])
     assert before == after
+
+
+def _serving_snapshot(eng, seed_doc):
+    out = {}
+    out["hybrid"] = [r.asDict() for r in eng.hybrid_search(
+        "patience and prayer", n_results=10).collect()]
+    out["fts"] = [r.asDict() for r in eng.fts_match(
+        terms=["patience"], k=10).collect()]
+    out["fts_prefix"] = [r.asDict() for r in eng.fts_match(
+        prefix="pra", k=10).collect()]
+    out["mlt"] = [r.asDict() for r in eng.more_like_this(
+        seed_doc, n_results=10).collect()]
+    out["doc"] = eng.get_document_row(seed_doc)
+    return out
+
+
+def test_upsert_delta_equals_fresh_enable(spark):
+    """After an upsert batch (update + insert + remove), the delta-updated
+    resident tiers must serve ROW-IDENTICAL results to a fresh engine
+    enabled over the merged corpus — every interactive surface (hybrid,
+    conjunctive/prefix fts, MLT, point lookup)."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eng = HybridEngine(spark, docs)
+    assert eng.enable_interactive()
+    assert eng._lex is not None and eng._doc_rows is not None
+
+    incoming = spark.createDataFrame(
+        [(0, "patience rewritten with prayer and charity", *r[2:])
+         for r in [docs.filter(F.col("doc_id") == 0).first()]]
+        + [(900001, "brand new doc about patience and windows",
+            *[docs.first()[c] for c in docs.columns[2:]])],
+        docs.schema)
+    removed = spark.createDataFrame([(3,)], "doc_id long")
+    eng.upsert_documents(incoming, removed_ids=removed)
+    assert eng.interactive_enabled and eng._lex is not None
+
+    fresh = HybridEngine(spark, eng.docs)
+    assert fresh.enable_interactive()
+    a = _serving_snapshot(eng, 900001)
+    b = _serving_snapshot(fresh, 900001)
+    assert a == b
+    # removed doc is gone from every tier
+    assert eng.get_document_row(3) is None
+    assert all(r["doc_id"] != 3 for r in a["hybrid"])
+    # the lazily delta-merged serving VIEW is correct too: force the
+    # generated-SQL tail (doc map off) on both engines
+    eng._doc_rows = None
+    fresh._doc_rows = None
+    a2 = [r.asDict() for r in eng.hybrid_search(
+        "patience and prayer", n_results=10).collect()]
+    b2 = [r.asDict() for r in fresh.hybrid_search(
+        "patience and prayer", n_results=10).collect()]
+    assert a2 == b2
+
+
+def test_upsert_delta_skips_recollect(spark):
+    """A small upsert against live tiers must NOT rerun the enable-time
+    corpus collection — the delta applies in place (enable_interactive
+    not called); a batch crossing the row bound falls back to the full
+    path, which refuses and releases."""
+    from hadith_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eng = HybridEngine(spark, docs)
+    assert eng.enable_interactive()
+    calls = []
+    orig = eng.enable_interactive
+    eng.enable_interactive = lambda *a, **k: (calls.append(a),
+                                              orig(*a, **k))[1]
+
+    row0 = docs.first()
+    incoming = spark.createDataFrame(
+        [(0, "small delta update", *[row0[c] for c in docs.columns[2:]])],
+        docs.schema)
+    out = eng.upsert_documents(incoming)
+    assert out["updated"] == 1
+    assert calls == []                      # delta path, no re-enable
+    assert eng.interactive_enabled
+
+    # crossing the row bound: delta refuses -> full enable -> release
+    n = docs.count()
+    eng2 = HybridEngine(spark, docs)
+    assert eng2.enable_interactive(max_driver_rows=n)
+    big = spark.createDataFrame(
+        [(900100 + i, f"overflow doc {i}",
+          *[row0[c] for c in docs.columns[2:]]) for i in range(3)],
+        docs.schema)
+    eng2.upsert_documents(big)
+    assert not eng2.interactive_enabled     # released, Spark paths serve
+    assert eng2.hybrid_search("patience", n_results=3).count() > 0
