@@ -150,7 +150,8 @@ class LexicalIndex:
 
 
 def build_index(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id", pin: bool = True) -> LexicalIndex:
+                id_col: str = "doc_id", pin: bool = True,
+                plan_probe=None) -> LexicalIndex:
     """Build the derived lexical-index tables. Replaces FTS5 index build
     (/root/reference/mcp_server/apps/fts.py:280-290) with partial-agg
     shuffles over the token stream.
@@ -162,9 +163,15 @@ def build_index(docs: DataFrame, text_col: str = "text",
     (4 full scans observed in the hybrid plan). On a lake deployment the
     pinned frame is the persisted postings table itself — build once,
     query many — so pinning is the faithful single-job analogue. Pass
-    pin=False when composing into a plan that materializes differently."""
+    pin=False when composing into a plan that materializes differently.
+
+    `plan_probe(tag, df)` — optional — is handed the postings frame right
+    before the eager checkpoint, so pin sites can capture the build plan
+    the checkpoint would otherwise hide (plans.pin_audit)."""
     toks = doc_tokens(docs, text_col, id_col)
     postings = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    if plan_probe is not None:
+        plan_probe("lexical_postings", postings)
     if pin:
         postings = postings.localCheckpoint()
     # dl == token count == sum of per-term tfs; deriving it from `postings`

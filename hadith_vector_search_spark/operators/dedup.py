@@ -242,10 +242,18 @@ def _collapsed_shingles(docs: DataFrame, text_col: str, id_col: str,
 
     Returns (doc_id, shingles, gkey) for docs with non-empty shingle
     sets."""
+    return _collapsed_shingles_lazy(docs, text_col, id_col,
+                                    w).localCheckpoint()
+
+
+def _collapsed_shingles_lazy(docs: DataFrame, text_col: str, id_col: str,
+                             w: int = SHINGLE_W) -> DataFrame:
+    """The un-checkpointed build plan of `_collapsed_shingles` — split out
+    so pin sites can capture the plan that actually runs at pin time
+    (plans.pin_audit) before the checkpoint hides it."""
     return (shingle_array(docs, text_col, id_col, w)
             .filter(F.size("shingles") > 0)
-            .withColumn("gkey", _set_gkey(F.col("shingles")))
-            .localCheckpoint())
+            .withColumn("gkey", _set_gkey(F.col("shingles"))))
 
 
 def _dup_groups(per_doc: DataFrame) -> DataFrame | None:

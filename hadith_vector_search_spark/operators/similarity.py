@@ -597,11 +597,14 @@ class VectorLshIndex:
 
 def build_vector_lsh_index(emb: DataFrame, n_bands: int, band_bits: int,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> VectorLshIndex:
+                           vec_col: str = "embedding",
+                           plan_probe=None) -> VectorLshIndex:
     """Stages 0-1 of `similar_pairs_lsh` (exact-vector collapse + band
     signatures), split out so the expensive prefix builds once and serves
     every consumer (the near-dup query, the recall report, repeated
-    API calls)."""
+    API calls). `plan_probe(tag, df)` — optional — is handed each frame
+    about to be checkpointed, so pin sites can capture the build plans
+    the checkpoints would otherwise hide (plans.pin_audit)."""
     n_planes = n_bands * band_bits
     planes = data_planes(emb, n_planes, id_col, vec_col)
     tagged = (emb.select(F.col(id_col).cast("long").alias("vid"),
@@ -609,8 +612,10 @@ def build_vector_lsh_index(emb: DataFrame, n_bands: int, band_bits: int,
                          F.struct(
                              F.xxhash64(F.col(vec_col)).alias("h1"),
                              F.xxhash64(F.lit(7), F.col(vec_col)).alias("h2"))
-                         .alias("gkey"))
-              .localCheckpoint())
+                         .alias("gkey")))
+    if plan_probe is not None:
+        plan_probe("vlsh_tagged", tagged)
+    tagged = tagged.localCheckpoint()
     groups = (tagged.groupBy("gkey")
               .agg(F.min("vid").alias("rep_id"),
                    F.count(F.lit(1)).alias("members"))
@@ -633,7 +638,10 @@ def build_vector_lsh_index(emb: DataFrame, n_bands: int, band_bits: int,
         signed.groupBy("vid", "band")
         .agg(F.concat_ws("", F.array_sort(
             F.collect_list(F.struct("plane_id", "bit"))).bit).alias("bucket"))
-    ).localCheckpoint(eager=False)
+    )
+    if plan_probe is not None:
+        plan_probe("vlsh_sigs", sigs)
+    sigs = sigs.localCheckpoint(eager=False)
     return VectorLshIndex(tagged, groups, reps, sigs)
 
 

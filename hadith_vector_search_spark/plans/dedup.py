@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..sources import load_table
+from . import pin_audit
 
 _INDEX_CACHE: dict[tuple, DataFrame] = {}
 
@@ -36,7 +37,12 @@ def get_shingle_index(spark: SparkSession, sf_dir: str,
     key = _cache_key(spark, sf_dir, "shingles", w)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _INDEX_CACHE[key] = dedup._collapsed_shingles(docs, "text", "doc_id", w)
+        # capture the build plan before the checkpoint hides it
+        # (pin-time hygiene, tests/test_plan_hygiene.py)
+        lazy = pin_audit.record(
+            "dedup_shingles", sf_dir,
+            dedup._collapsed_shingles_lazy(docs, "text", "doc_id", w))
+        _INDEX_CACHE[key] = lazy.localCheckpoint()
     return _INDEX_CACHE[key]
 
 
@@ -46,8 +52,9 @@ def get_simhash_index(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFram
     key = _cache_key(spark, sf_dir, "simhash", n_bits)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _INDEX_CACHE[key] = dedup.simhash_long(
-            docs, n_bits=n_bits).localCheckpoint()
+        _INDEX_CACHE[key] = pin_audit.record(
+            "dedup_simhash", sf_dir,
+            dedup.simhash_long(docs, n_bits=n_bits)).localCheckpoint()
     return _INDEX_CACHE[key]
 
 
@@ -69,8 +76,10 @@ def get_winnow_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         sel = dedup._winnow_selected(
             docs, dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE, "text", "doc_id")
-        pinned = (sel.select("doc_id", "n_windows", "_sel")
-                  .distinct().localCheckpoint())
+        pinned = pin_audit.record(
+            "dedup_winnow", sf_dir,
+            sel.select("doc_id", "n_windows", "_sel")
+            .distinct()).localCheckpoint()
         # Tag the selection with the constants it was built under so the
         # consumers can refuse a mismatched (w, guarantee) hand-off
         # instead of silently producing wrong pairs.
@@ -115,10 +124,12 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _cache_key(spark, sf_dir, "neardup_pairs")
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _INDEX_CACHE[key] = dedup.near_dup_minhash(
-            docs, n_hashes=N_HASHES, band_size=BAND_SIZE,
-            threshold=JACCARD_THRESHOLD,
-            sharr=get_shingle_index(spark, sf_dir)).localCheckpoint()
+        _INDEX_CACHE[key] = pin_audit.record(
+            "dedup_neardup_pairs", sf_dir,
+            dedup.near_dup_minhash(
+                docs, n_hashes=N_HASHES, band_size=BAND_SIZE,
+                threshold=JACCARD_THRESHOLD,
+                sharr=get_shingle_index(spark, sf_dir))).localCheckpoint()
     return _INDEX_CACHE[key]
 
 
@@ -208,7 +219,11 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _cache_key(spark, sf_dir, "neardup_clusters")
     if key not in _INDEX_CACHE:
         pairs = near_dup_minhash(spark, sf_dir)
-        _INDEX_CACHE[key] = dedup.connected_components(pairs).localCheckpoint()
+        # the captured plan is the FINAL propagation round's (earlier
+        # rounds materialize mid-iteration by design)
+        _INDEX_CACHE[key] = pin_audit.record(
+            "dedup_neardup_clusters", sf_dir,
+            dedup.connected_components(pairs)).localCheckpoint()
     return _INDEX_CACHE[key]
 
 
@@ -231,7 +246,9 @@ def get_window_index(spark: SparkSession, sf_dir: str,
     key = _cache_key(spark, sf_dir, "windows", w)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _INDEX_CACHE[key] = dedup.window_index(docs, w).localCheckpoint()
+        _INDEX_CACHE[key] = pin_audit.record(
+            "dedup_window_index", sf_dir,
+            dedup.window_index(docs, w)).localCheckpoint()
     return _INDEX_CACHE[key]
 
 

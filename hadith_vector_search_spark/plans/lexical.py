@@ -79,16 +79,18 @@ def get_index(spark: SparkSession, sf_dir: str) -> bm25.LexicalIndex:
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         corpus = load_table(spark, sf_dir, "documents")
+        from .pin_audit import record
+        probe = lambda tag, df: record(tag, sf_dir, df)  # noqa: E731
         try:
             from ..sources import index_store
             token = sf_dir.strip("/").replace("/", "_")
             idx, _ = index_store.ensure_lexical_index(
                 spark, corpus, os.path.join(sf_dir, "documents.parquet"),
-                os.path.join(_index_root(), token))
+                os.path.join(_index_root(), token), plan_probe=probe)
         except OSError:
             # Read-only/unwritable index root: keep serving from the
             # in-session build (same results, no durable artifact).
-            idx = bm25.build_index(corpus)
+            idx = bm25.build_index(corpus, plan_probe=probe)
         _INDEX_CACHE[key] = idx
         while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
             _INDEX_CACHE.popitem(last=False)

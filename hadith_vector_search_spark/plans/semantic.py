@@ -41,9 +41,13 @@ def _pinned(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
     the same result from raw vectors each gate pass. First consumer in a
     session pays the build; the pinned sets are O(k)/O(pairs) rows."""
     import os as _os
+
+    from .pin_audit import record
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), tag)
     if key not in _PIN_CACHE:
-        _PIN_CACHE[key] = build().localCheckpoint()
+        # record() captures the BUILD plan before the checkpoint hides it
+        # behind a LogicalRDD (pin-time hygiene, tests/test_plan_hygiene)
+        _PIN_CACHE[key] = record(tag, sf_dir, build()).localCheckpoint()
     return _PIN_CACHE[key]
 
 
@@ -109,9 +113,11 @@ def get_vector_lsh_index(spark: SparkSession, sf_dir: str,
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
            n_bands, band_bits)
     if key not in _VLSH_CACHE:
+        from .pin_audit import record
         emb = load_table(spark, sf_dir, "embeddings")
         _VLSH_CACHE[key] = similarity.build_vector_lsh_index(
-            emb, n_bands, band_bits)
+            emb, n_bands, band_bits,
+            plan_probe=lambda tag, df: record(tag, sf_dir, df))
     return _VLSH_CACHE[key]
 
 

@@ -47,6 +47,28 @@ def main() -> int:
         pushed = [p for p in re.findall(r"PushedFilters: \[(.*?)\]", plan) if p]
         print(f"{name:34} {shuffles:>8} {bcast:>5} {reused:>6} {cols:>9}  "
               f"{pushed if pushed else '-'}")
+
+    # Pin-time plans: every pin site (plans.semantic._pinned, the dedup
+    # index caches, the vector-LSH index, lexical-postings publishes)
+    # records the BUILD plan it materialized (plans.pin_audit) — the
+    # checkpoint facade shows the registry sweep above a flat LogicalRDD,
+    # so this section is the only place those plans are visible.
+    from hadith_vector_search_spark.plans.pin_audit import PIN_PLANS  # noqa: E402
+    if PIN_PLANS:
+        print()
+        print("# pin-time build plans (hidden behind LogicalRDD above)")
+        print(f"{'pin tag':34} {'shuffles':>8} {'bcast':>5} {'reused':>6} "
+              f"{'arrow':>5} {'cart':>4}")
+        for (tag, _sf), plan in sorted(PIN_PLANS.items()):
+            shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+            bcast = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M))
+            reused = len(re.findall(r"^\(\d+\) ReusedExchange", plan, re.M))
+            arrow = sum(plan.count(m) > 0 for m in (
+                "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
+                "PythonMapInArrow"))
+            cart = "CartesianProduct" in plan
+            print(f"{tag:34} {shuffles:>8} {bcast:>5} {reused:>6} "
+                  f"{arrow:>5} {str(cart):>4}")
     return 0
 
 

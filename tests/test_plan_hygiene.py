@@ -36,29 +36,55 @@ def _plan_of(spark, fn):
     return df._jdf.queryExecution().explainString(mode)
 
 
-def test_no_row_at_a_time_python_and_no_cartesian(spark):
-    offenders_py, offenders_arrow, offenders_cart, errors = [], [], [], []
-    for name, fn in sorted(get_queries().items()):
-        try:
-            plan = _plan_of(spark, fn)
-        except Exception as e:  # noqa: BLE001
-            errors.append((name, str(e)[:120]))
-            continue
-        if "BatchEvalPython" in plan:
-            offenders_py.append(name)
-        if ("ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan
-                or "MapInPandas" in plan or "PythonMapInArrow" in plan):
-            if name not in ARROW_ALLOWED:
-                offenders_arrow.append(name)
-        if "CartesianProduct" in plan:
-            offenders_cart.append(name)
-    assert not errors, errors
+# Pin-build plans where Arrow-batched Python is the operator (same
+# rationale as ARROW_ALLOWED, keyed by pin tag): the all-pairs sets run
+# the blocked numpy matmul (applyInPandas / mapInPandas), and the
+# compressed-vector scorers (int8 round-trip, PQ ADC) are numpy BLAS by
+# design — interpreted HOF trees would recompute the per-vector scale per
+# element (see operators/similarity.py:403-410).
+PIN_ARROW_ALLOWED = {
+    "exact_pairs", "lsh_pairs", "int8_topk5", "pq_topk5",
+}
+
+
+def _assert_hygiene(plans: dict[str, str], arrow_allowed: set[str]):
+    offenders_py = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    offenders_arrow = [
+        n for n, p in plans.items()
+        if n not in arrow_allowed
+        and ("ArrowEvalPython" in p or "FlatMapGroupsInPandas" in p
+             or "MapInPandas" in p or "PythonMapInArrow" in p)]
+    offenders_cart = [n for n, p in plans.items() if "CartesianProduct" in p]
     assert not offenders_py, f"row-at-a-time Python UDFs in: {offenders_py}"
     assert not offenders_arrow, (
         f"unexpected Arrow-Python stages in: {offenders_arrow} — "
-        "either JVM-ify the operator or add it to ARROW_ALLOWED with a "
+        "either JVM-ify the operator or add it to the allowed set with a "
         "reason it must be Python")
     assert not offenders_cart, f"Cartesian products in: {offenders_cart}"
+
+
+def test_no_row_at_a_time_python_and_no_cartesian(spark):
+    plans, errors = {}, []
+    for name, fn in sorted(get_queries().items()):
+        try:
+            plans[name] = _plan_of(spark, fn)
+        except Exception as e:  # noqa: BLE001
+            errors.append((name, str(e)[:120]))
+    assert not errors, errors
+    _assert_hygiene(plans, ARROW_ALLOWED)
+
+    # Pin-time plans: the registry sweep above populated every session
+    # pin, and each pin site recorded the BUILD plan it materialized
+    # (plans.pin_audit) — the checkpoint facade can't hide a
+    # BatchEvalPython or Cartesian from this sweep.
+    from hadith_vector_search_spark.plans.pin_audit import PIN_PLANS
+    pin_plans = {tag: plan for (tag, sf), plan in PIN_PLANS.items()
+                 if sf == SF}
+    assert pin_plans, "registry sweep should have populated session pins"
+    # the big pinned derived indexes must all have been captured
+    assert {"dedup_shingles", "vlsh_sigs"} <= set(pin_plans), (
+        sorted(pin_plans))
+    _assert_hygiene(pin_plans, PIN_ARROW_ALLOWED)
 
 
 def test_mmr_pair_build_is_broadcast_and_bounded(spark):
