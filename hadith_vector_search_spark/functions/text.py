@@ -111,10 +111,30 @@ def extract_narrator_query(col: Column | str) -> Column:
 
 
 def is_exact_reference(col: Column | str) -> Column:
-    """F6: reference-shaped query, e.g. 'book 1:12', 'bk 3', '680'.
-    Reference: router.py:21,71-72."""
+    """F6: reference-shaped query — bare refs ('book 1:12', 'bk 3', '680')
+    plus the golden-corpus forms ('Riyad as-Salihin 680', 'Book 1, Hadith
+    10', 'find hadith 1511', 'reference: Introduction 8' —
+    TEST_QUERIES.md §1). The query must consist ONLY of reference
+    vocabulary (polite fillers, collection names, book/hadith words) and
+    the number(s): the shipped router's bare digit SEARCH
+    (router.py:21,71-72) would misroute thematic queries with incidental
+    numbers ('the person who killed 99 people', TEST_QUERIES.md 9.2), so
+    this follows the spec's named-pattern rule
+    (HADITH_SEARCH_SPEC.md:262-264) generalized to the §1 vocabulary."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(F.lower(c), r"^\s*(?:book|kitab|bk)?\s*\d+(?:[:\-/]\d+)?\s*$", 0) != ""
+    return F.regexp_extract(F.lower(c), EXACT_REF_PATTERN, 0) != ""
+
+
+# Shared between the Column form, the driver-side twin
+# (operators/router.py) and the DuckDB oracle (plans/routing.py builds the
+# RE2 spelling from the same pieces). Java \s is ASCII-only, like the
+# twins' explicit classes.
+_REF_VOCAB = ("find|show|me|get|reference|hadith|number|no|riyadussalihin"
+              "|riyad|as-salihin|as|salihin|bukhari|muslim|tirmidhi"
+              "|introduction|book|kitab|bk")
+EXACT_REF_PATTERN = (
+    r"^\s*(?:(?:" + _REF_VOCAB + r")[\s,.:]*)*"
+    r"\d+(?:\s*[:\-/,]\s*(?:hadith\s+)?\d+)?[\s.]*$")
 
 
 def arabic_ratio(col: Column | str) -> Column:

@@ -71,8 +71,12 @@ _PY_NARRATOR_EN = re.compile(
     r"[ \t\n\x0b\f\r]+(.+)$")
 _PY_NARRATOR_AR = re.compile("عن[ \\t\\n\\x0b\\f\\r]+(.+)$")
 _PY_EXACT_REF = re.compile(
-    r"^[ \t\n\x0b\f\r]*(?:book|kitab|bk)?[ \t\n\x0b\f\r]*"
-    r"[0-9]+(?:[:\-/][0-9]+)?[ \t\n\x0b\f\r]*$")
+    r"^[ \t\n\x0b\f\r]*"
+    r"(?:(?:find|show|me|get|reference|hadith|number|no|riyadussalihin"
+    r"|riyad|as-salihin|as|salihin|bukhari|muslim|tirmidhi|introduction"
+    r"|book|kitab|bk)[ \t\n\x0b\f\r,.:]*)*"
+    r"[0-9]+(?:[ \t\n\x0b\f\r]*[:\-/,][ \t\n\x0b\f\r]*"
+    r"(?:hadith[ \t\n\x0b\f\r]+)?[0-9]+)?[ \t\n\x0b\f\r.]*$")
 _PY_ARABIC = re.compile("[؀-ۿ]")
 
 

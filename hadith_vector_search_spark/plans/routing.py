@@ -28,6 +28,14 @@ QUERY_BATCH: list[tuple[int, str]] = [
     (11, "the importance of sincerity in deeds"),
     (12, "xyzzy"),
     (13, "الصبر والصلاة"),  # Arabic-dominant thematic -> contextual_arabic (F26)
+    # Golden-corpus exact-reference forms (TEST_QUERIES.md §1) + a
+    # negative control a bare digit-SEARCH would misroute.
+    (14, "Riyad as-Salihin 680"),
+    (15, "Book 1, Hadith 10"),
+    (16, "find hadith 1511"),
+    (17, "reference: Introduction 8"),
+    (18, "hadith number 682"),
+    (19, "prohibition in Book 17"),  # thematic, NOT a reference
 ]
 
 
@@ -53,7 +61,7 @@ q(query_id, query_text) AS (VALUES {values}),
 feat AS (
   SELECT query_id, query_text,
     regexp_matches(lower(query_text),
-      '^\\s*(book|kitab|bk)?\\s*\\d+([:\\-/]\\d+)?\\s*$') AS is_ref,
+      '^\\s*((find|show|me|get|reference|hadith|number|no|riyadussalihin|riyad|as-salihin|as|salihin|bukhari|muslim|tirmidhi|introduction|book|kitab|bk)[\\s,.:]*)*\\d+(\\s*[:\\-/,]\\s*(hadith\\s+)?\\d+)?[\\s.]*$') AS is_ref,
     NULLIF(regexp_extract(query_text, '"([^"]{{3,}})"', 1), '') AS dq,
     NULLIF(regexp_extract(query_text, '''([^'']{{3,}})''', 1), '') AS sq,
     NULLIF(regexp_extract(lower(query_text),

@@ -132,10 +132,46 @@ def main() -> None:
     rows.append(("router classification", ">95%",
                  f"{100*routed_ok/n_routed:.0f}%"))
 
+    # --- FULL golden corpus (every TEST_QUERIES.md item) ------------------
+    # Imported from tests/test_golden_corpus.py (same source as the CI
+    # assertions): per-id pinned intents + per-category accepted sets.
+    from test_golden_corpus import ACCEPTED, GOLDEN
+    routed_all = {r.qid: r.intent for r in route(spark.createDataFrame(
+        [(qid, q) for qid, q, _ in GOLDEN],
+        "qid string, query_text string")).collect()}
+    pinned_ok = corpus_ok = 0
+    per_cat: dict[str, list[bool]] = {}
+    for qid, q, expected in GOLDEN:
+        intent = routed_all[qid]
+        pinned_ok += intent == expected
+        cat = qid.split(".", 1)[0]
+        per_cat.setdefault(cat, []).append(intent in ACCEPTED[cat])
+    corpus_ok = sum(ok for oks in per_cat.values() for ok in oks)
+    rows.append((f"full-corpus pinned intents ({len(GOLDEN)} queries)",
+                 "100%", f"{100*pinned_ok/len(GOLDEN):.0f}%"))
+    rows.append(("full-corpus router classification", ">95%",
+                 f"{100*corpus_ok/len(GOLDEN):.0f}%"))
+
     print("| category | reference target | measured |")
     print("|---|---|---|")
     for name, target, got in rows:
         print(f"| {name} | {target} | {got} |")
+
+    print()
+    print("Full-corpus per-category classification (accepted-intent sets,")
+    print("see tests/test_golden_corpus.py docstring for the parity notes):")
+    print()
+    print("| category | queries | classified correctly |")
+    print("|---|---|---|")
+    names = {"1": "exact references", "2": "narrator-based",
+             "3": "English thematic", "4": "Arabic thematic",
+             "5": "keyword & phrase", "6": "mixed/cross-lingual",
+             "7": "complex & compound", "8": "edge cases",
+             "9": "story & narrative", "10": "question-based"}
+    for cat in sorted(per_cat, key=lambda c: int(c)):
+        oks = per_cat[cat]
+        print(f"| {cat}. {names[cat]} | {len(oks)} | "
+              f"{100*sum(oks)/len(oks):.0f}% |")
 
 
 if __name__ == "__main__":

@@ -23,6 +23,13 @@ EXPECTED_INTENTS = {
     11: "thematic",
     12: "mixed",
     13: "contextual_arabic",
+    # golden-corpus exact-reference forms (TEST_QUERIES.md §1)
+    14: "exact_reference",
+    15: "exact_reference",
+    16: "exact_reference",
+    17: "exact_reference",
+    18: "exact_reference",
+    19: "thematic",  # incidental number, NOT a reference
 }
 
 
