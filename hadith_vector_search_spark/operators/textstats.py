@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import normalize_whitespace, tokenize
 
@@ -283,15 +284,22 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
         F.zip_with(t, F.slice(t, 2, F.size(t)),
                    lambda a, b: F.concat_ws(" ", a, b)),
         1, F.greatest(F.size(t) - 1, F.lit(0)))
-    bigrams = (toks_df.select("doc_id", F.explode(bg_arr).alias("bg"))
-               .withColumn("w1", F.split(F.col("bg"), " ").getItem(0)))
-    c2 = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bigrams = toks_df.select("doc_id", F.explode(bg_arr).alias("bg"))
+    # The (bg, c2, c1) table IS the trained model, vocab²-bounded: prefix
+    # counts derive from the bigram counts by a window over the SMALL
+    # count table (occurrence count grouped by w1 == sum of per-bigram
+    # counts grouped by w1 — exact long arithmetic, no FP re-association)
+    # instead of a second corpus-wide tokenize+explode pass. One consumer,
+    # one subtree: three corpus passes total (scoring stream, counts,
+    # vocab), down from four, with no materialization barrier.
+    w1_of = F.split(F.col("bg"), " ").getItem(0)
+    model = (bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+             .withColumn("c1", F.sum("c2").over(
+                 Window.partitionBy(w1_of))))
     vocab = (toks_df.select(F.explode("_toks").alias("tok"))
              .agg(F.countDistinct("tok").alias("v")))
     scored = (bigrams
-              .join(c2, "bg")
-              .join(c1, "w1")
+              .join(F.broadcast(model), "bg")
               .crossJoin(F.broadcast(vocab))
               .withColumn("_lp", F.log2((F.col("c2") + 1)
                                         / (F.col("c1") + F.col("v")))))
