@@ -158,6 +158,21 @@ def contains_phrase(text: Column | str, phrase: Column | str) -> Column:
     return F.instr(F.lower(t), F.lower(p)) > 0
 
 
+def grading_boost(col: Column | str) -> Column:
+    """Authenticity-grading quality boost: Sahih 0.15 > Hasan 0.10 > else
+    0.0, matched case-folded anywhere in the grading string (gradings are
+    lists like "Sahih, Mutawatir"). Spec'd by the reference
+    (HADITH_SEARCH_SPEC.md:352-356, TEST_QUERIES.md §7.2 expected
+    behavior) but never shipped in its scorer (scoring.py has no grading
+    input) — implemented here so graded corpora rank Sahih above Hasan at
+    equal relevance."""
+    c = F.col(col) if isinstance(col, str) else col
+    g = F.lower(F.coalesce(c, F.lit("")))
+    return (F.when(g.contains("sahih"), F.lit(0.15))
+            .when(g.contains("hasan"), F.lit(0.10))
+            .otherwise(F.lit(0.0)))
+
+
 def term_coverage(tokens_col: Column, text_lower: Column) -> Column:
     """F11: fraction of query tokens present in the (lowercased) text.
     Higher-order filter keeps it JVM-side. Reference: scoring.py:57-70."""

@@ -114,21 +114,33 @@ def fuse(fts_hits: DataFrame, vec_hits: DataFrame,
 def score(fused: DataFrame, w: Weights,
           coverage_col: Column | None = None,
           phrase_hit_col: Column | None = None,
-          proximity_hit_col: Column | None = None) -> DataFrame:
+          proximity_hit_col: Column | None = None,
+          grading_col: Column | None = None) -> DataFrame:
     """F17 weighted linear fusion with a per-hit breakdown (Q6). Emits flat
     signal columns, a nested `breakdown` struct (the reference's
     ScoreBreakdown, /root/reference/mcp_server/apps/scoring.py:11-18), and
     `score`; callers sort/limit (T3). The total is clamped to [0,1] like the
     reference (scoring.py:96-97). Flat columns stay the oracle-comparable
-    surface — the struct is the API parity item."""
+    surface — the struct is the API parity item.
+
+    `grading_col` (opt-in, for corpora that carry an authenticity grading
+    string) adds the spec'd quality boost (functions.text.grading_boost,
+    HADITH_SEARCH_SPEC.md:352-356) into the total and a flat
+    `grading_bonus` column; when absent the output schema is unchanged
+    (the shipped reference scorer has no grading input either)."""
+    from ..functions.text import grading_boost
     cov = coverage_col if coverage_col is not None else F.lit(0.0)
     phr = (F.when(phrase_hit_col, w.phrase).otherwise(0.0)
            if phrase_hit_col is not None else F.lit(0.0))
     prox = (F.when(proximity_hit_col, w.proximity).otherwise(0.0)
             if proximity_hit_col is not None else F.lit(0.0))
+    grad = grading_boost(grading_col) if grading_col is not None else None
     fsig = fts_signal(F.col("fts_score"))
     vsig = vec_signal(F.col("vector_sim"))
-    total = clamp01(w.vector * vsig + w.fts * fsig + w.coverage * cov + phr + prox)
+    total = clamp01(w.vector * vsig + w.fts * fsig + w.coverage * cov + phr
+                    + prox + (grad if grad is not None else F.lit(0.0)))
+    grad_cols = ([F.round(grad, 6).alias("grading_bonus")]
+                 if grad is not None else [])
     return fused.select(
         "*",
         F.round(vsig, 6).alias("vec_signal"),
@@ -136,6 +148,7 @@ def score(fused: DataFrame, w: Weights,
         F.round(cov, 6).alias("coverage"),
         F.round(phr, 6).alias("phrase_bonus"),
         F.round(prox, 6).alias("proximity_bonus"),
+        *grad_cols,
         F.round(total, 6).alias("score"),
     ).withColumn(
         "breakdown",

@@ -72,6 +72,7 @@ QUERIES: dict[str, QueryFn] = {
     "phrase_match": lexical.phrase_match,
     "snippet_positional": lexical.snippet_positional_preview,
     "bm25_prf_topk": lexical.bm25_prf_topk,
+    "graded_search": lexical.graded_search,
     "cross_encoder_rerank": lexical.cross_encoder_rerank,
     "more_like_this": lexical.more_like_this,
     "percolate_matches": lexical.percolate_matches,
@@ -292,6 +293,7 @@ oracle("streaming_neardup_ingest", dedup_plans.near_dup_incremental_oracle())
 oracle("phrase_match_positional", dedup_plans.phrase_match_positional_oracle())
 oracle("snippet_positional", lexical.snippet_positional_oracle())
 oracle("bm25_prf_topk", lexical.bm25_prf_oracle())
+oracle("graded_search", lexical.graded_search_oracle())
 oracle("cross_encoder_rerank", lexical.cross_encoder_rerank_oracle())
 oracle("more_like_this", lexical.more_like_this_oracle())
 # the delta-merged index must equal a from-scratch build (rebuild equivalence)

@@ -325,6 +325,29 @@ def test_category_rollup(routed_all):
         assert all(oks), f"category {cat}: {oks}"
 
 
+def test_grading_boost_ranks_sahih_first(spark):
+    """§7.2 expected behavior: grading_boost favors Sahih (0.15) > Hasan
+    (0.10) > ungraded — two docs of identical text flip rank on grading
+    alone, and the boost values are the spec's exact constants
+    (HADITH_SEARCH_SPEC.md:352-356)."""
+    from hadith_vector_search_spark.operators import fusion
+
+    fused = spark.createDataFrame(
+        [("d_hasan", 2.0, 0.0, "Hasan"),
+         ("d_sahih", 2.0, 0.0, "Sahih, Mutawatir"),
+         ("d_none", 2.0, 0.0, None)],
+        "doc_id string, fts_score double, vector_sim double, grading string")
+    rows = (fusion.score(fused, fusion.resolve_weights("fts"),
+                         grading_col=F.col("grading"))
+            .orderBy("doc_id").collect())
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id["d_sahih"].grading_bonus == pytest.approx(0.15)
+    assert by_id["d_hasan"].grading_bonus == pytest.approx(0.10)
+    assert by_id["d_none"].grading_bonus == 0.0
+    ranked = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+    assert [r.doc_id for r in ranked] == ["d_sahih", "d_hasan", "d_none"]
+
+
 def test_phrase_bonus_fires_for_present_phrases(engine):
     """§5's scoring criterion on the fixture corpus: where the quoted
     phrase exists verbatim in a document, the top result is that document
