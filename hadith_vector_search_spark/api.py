@@ -29,7 +29,7 @@ from .functions.text import py_tokenize, snippet, term_coverage
 from .operators import bm25, fusion, proximity, similarity
 from .operators import dedup as dedup_ops
 from .operators.embedder import DEFAULT_DIM, embed_column, encode_query
-from .operators.router import route_one
+from .operators.router import INTENT_EXACT, route_one
 
 OVERFETCH_FLOOR = 50   # max(50, 5*n) per the reference (tools.py:87,93)
 
@@ -933,6 +933,66 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
 
     # -- the reference's tool surface --------------------------------------
 
+    def _exact_reference_lookup(self, query: str, n_results: int) -> DataFrame:
+        """Point lookup for a reference-shaped query (§1): resolve the
+        LAST number in the query against the id column — the batch exact
+        leg's semantics (plans/routed.py) — and return it as a 1-row
+        hybrid result (score 1.0, zeroed signals, 120-char preview).
+        Unresolvable references (no such id; a non-integral id column
+        that cannot carry the number; a number past bigint) return the
+        EMPTY frame rather than falling back to fuzzy retrieval — the
+        reference's single-exact-match contract (TEST_QUERIES.md:48-53).
+        With the doc map resident the hit returns as a VALUES
+        LocalRelation (zero Spark jobs, the <5ms class); otherwise one
+        pushed-filter scan."""
+        import re as _re
+
+        if int(n_results) < 0:
+            raise ValueError(f"n_results must be >= 0, got {n_results}")
+        num = _re.search(r"([0-9]+)[^0-9]*$", query).group(1)
+        id_t = self.docs.schema[self.id_col].dataType.simpleString()
+        integral = id_t in ("tinyint", "smallint", "int", "bigint")
+        # A number past bigint can match nothing in an integral id column
+        # (and would overflow the literal under ANSI); resolve to empty.
+        resolvable = not (integral and len(num) > 18)
+        key = int(num) if integral and resolvable else num
+
+        def spark_path() -> DataFrame:
+            preview = F.substring(F.col(self.text_col), 1, 120)
+            matched = (F.col(self.id_col) == F.lit(key) if resolvable
+                       else F.lit(False))
+            return (self.docs
+                    .filter(matched)
+                    .select(F.col(self.id_col),
+                            F.lit(1.0).alias("score"),
+                            F.lit(0.0).alias("vec_signal"),
+                            F.lit(0.0).alias("fts_sig"),
+                            F.lit(0.0).alias("coverage"),
+                            F.lit(0.0).alias("phrase_bonus"),
+                            F.lit(0.0).alias("proximity_bonus"),
+                            F.lit(0).cast("long").alias("duplicates_filtered"),
+                            preview.alias("preview"))
+                    .limit(n_results))
+
+        if self._doc_rows is None or not resolvable:
+            return spark_path()
+        row = self._doc_rows.get(key)
+        if row is None or n_results == 0:
+            return spark_path()  # empty either way; rare path, one tiny job
+        txt = row[self.text_col]
+        prev = ("CAST(NULL AS STRING)" if txt is None
+                else self._sql_str(txt[:120]))
+        return self.spark.sql(
+            f"SELECT CAST(col1 AS {id_t}) AS `{self.id_col}`, "
+            f"CAST(1.0 AS DOUBLE) AS score, "
+            f"CAST(0.0 AS DOUBLE) AS vec_signal, "
+            f"CAST(0.0 AS DOUBLE) AS fts_sig, "
+            f"CAST(0.0 AS DOUBLE) AS coverage, "
+            f"CAST(0.0 AS DOUBLE) AS phrase_bonus, "
+            f"CAST(0.0 AS DOUBLE) AS proximity_bonus, "
+            f"CAST(0 AS BIGINT) AS duplicates_filtered, "
+            f"col2 AS preview FROM VALUES ({self._fmt_id(key)}, {prev})")
+
     def hybrid_search(self, query: str, n_results: int = 10,
                       scoring_mode: str = "balanced",
                       fts_available: bool = True, vector_available: bool = True,
@@ -955,6 +1015,15 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         # a 1-row Spark job costs ~400 ms of scheduler overhead per request
         # (route_one is equivalence-tested against the column router).
         intent = route_one(query)
+        if intent.intent == INTENT_EXACT:
+            # §1 dispatch: a reference-shaped query goes straight to point
+            # lookup, never the retrieval legs (TEST_QUERIES.md:48-53
+            # "Use FTS5 direct lookup, not vector search" — the shipped
+            # reference computes this intent but nothing dispatches on
+            # it). Same last-number semantics as the batch exact leg
+            # (plans/routed.py); same result schema as every other hybrid
+            # return.
+            return self._exact_reference_lookup(query, n_results)
         terms = sorted(set(py_tokenize(intent.normalized)))
         k = max(OVERFETCH_FLOOR, 5 * n_results)
 

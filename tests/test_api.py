@@ -899,3 +899,55 @@ def test_upsert_delta_skips_recollect(spark):
     eng2.upsert_documents(big)
     assert not eng2.interactive_enabled     # released, Spark paths serve
     assert eng2.hybrid_search("patience", n_results=3).count() > 0
+
+
+def test_exact_reference_dispatches_to_point_lookup(spark):
+    """Reference-shaped queries go straight to point lookup
+    (TEST_QUERIES.md:48-53 'direct lookup, not vector search' — the
+    shipped reference computes the intent but never dispatches on it):
+    single exact match at score 1.0 in the stable hybrid schema,
+    batch/interactive tiers row-identical, ZERO Spark jobs with the doc
+    map resident, and a miss returns EMPTY, never fuzzy retrieval."""
+    rows = [(i, f"document number {i} about patience and prayer")
+            for i in range(1, 21)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+
+    cols = ["doc_id", "score", "vec_signal", "fts_sig", "coverage",
+            "phrase_bonus", "proximity_bonus", "duplicates_filtered",
+            "preview"]
+    for q in ("Riyad as-Salihin 7", "book 7", "find hadith 7", "7",
+              "Book 1, Hadith 7"):
+        got_b = batch.hybrid_search(q, n_results=3).collect()
+        got_i = inter.hybrid_search(q, n_results=3).collect()
+        assert [tuple(r) for r in got_b] == [tuple(r) for r in got_i], q
+        assert len(got_b) == 1 and got_b[0].doc_id == 7, q
+        assert got_b[0].score == 1.0
+        assert got_b[0].preview.startswith("document number 7 ")
+        assert list(got_b[0].asDict()) == cols
+
+    # miss -> empty result, never a fallback to fuzzy retrieval
+    assert batch.hybrid_search("hadith number 999", 3).collect() == []
+    assert inter.hybrid_search("hadith number 999", 3).collect() == []
+    # a number past bigint resolves empty instead of overflowing the plan
+    assert inter.hybrid_search("hadith " + "9" * 25, 3).collect() == []
+    # n_results contract matches the other tiers
+    with pytest.raises(ValueError):
+        inter.hybrid_search("book 7", n_results=-1)
+    assert inter.hybrid_search("book 7", n_results=0).collect() == []
+
+    # zero Spark jobs with the doc map resident
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    hit = inter.hybrid_search("book 12", n_results=3).collect()
+    after = set(tracker.getJobIdsForGroup())
+    assert hit[0].doc_id == 12
+    assert after == before, f"launched jobs: {sorted(after - before)}"
+
+    # string-id corpora: the number cannot resolve -> empty, no error
+    sdocs = spark.createDataFrame(
+        [("riyad:1:1", "string keyed corpus row")], "doc_id string, text string")
+    assert HybridEngine(spark, sdocs).hybrid_search(
+        "Riyad as-Salihin 680", 3).collect() == []
