@@ -64,6 +64,11 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
             QUERIES[i % len(QUERIES)], n_results=10,
             synonym_groups=[["window", "pane"],
                             ["stream", "flow"]]).collect(),
+        # reference-shaped query through the full hybrid entry: routed to
+        # the point-lookup dispatch (TEST_QUERIES.md §1's <5 ms class)
+        "hybrid_exact_ref": lambda i: engine.hybrid_search(
+            f"hadith number {doc_ids[i % len(doc_ids)]}",
+            n_results=1).collect(),
     }
     out = {}
     for name, call in calls.items():
