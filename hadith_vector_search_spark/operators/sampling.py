@@ -115,3 +115,46 @@ def contamination(docs: DataFrame, bench: list[tuple[int, str]],
                 .alias("containment"))
         .filter(F.col("containment") >= min_containment)
     )
+
+
+# Deterministic training-order shuffle + sharding -------------------------
+
+SHARD_SEED = "epoch0"
+
+
+def shuffle_key(id_col: str = "doc_id", seed: str = SHARD_SEED) -> F.Column:
+    """Content-addressed shuffle key: sha256(seed || CAST(id AS STRING)).
+    The training-order randomizer every LLM data pipeline needs, with the
+    same properties as `split_label`: rerun- and backfill-stable (a row's
+    position never moves unless the seed does), no RNG state, map-only,
+    and a new epoch is just a new seed string. Identical hex in Spark,
+    DuckDB, and Python."""
+    return F.sha2(F.concat(F.lit(seed), F.col(id_col).cast("string")), 256)
+
+
+def shard_bounds(n_shards: int) -> list[str]:
+    """Equal hex-range boundaries over the first 2 hex chars (256
+    buckets) — `n_shards` must divide 256 so every shard covers exactly
+    256/n buckets. Returned bounds are the EXCLUSIVE upper edges of
+    shards 0..n-2 (shard n-1 takes the rest); lexicographic comparison
+    on lowercase hex is identical in Spark, DuckDB, and Python."""
+    if 256 % n_shards:
+        raise ValueError(f"n_shards must divide 256, got {n_shards}")
+    step = 256 // n_shards
+    return [format(k * step, "02x") for k in range(1, n_shards)]
+
+
+def with_shard(docs: DataFrame, n_shards: int, id_col: str = "doc_id",
+               seed: str = SHARD_SEED) -> DataFrame:
+    """Attach (shuffle_key, shard) to every row: shard = the key prefix's
+    hex range. Map-only; writing the shuffled corpus is then ONE exchange
+    (repartition by shard, sortWithinPartitions by key) regardless of
+    corpus size, and at lake scale shards number in the thousands so that
+    exchange is balanced by construction."""
+    key = shuffle_key(id_col, seed)
+    prefix = F.substring(key, 1, 2)
+    expr = F.lit(n_shards - 1)
+    for i, b in reversed(list(enumerate(shard_bounds(n_shards)))):
+        expr = F.when(prefix < F.lit(b), F.lit(i)).otherwise(expr)
+    return docs.select("*", key.alias("shuffle_key"),
+                       expr.cast("int").alias("shard"))

@@ -644,3 +644,61 @@ SELECT lang,
 FROM k
 GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# training_shard_manifest — deterministic shuffle + shard manifest
+# ---------------------------------------------------------------------------
+
+TRAIN_SHARDS = 8
+
+
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'materialize the training order' step: every doc gets a
+    content-addressed shuffle key (sha256(seed||id) —
+    `sampling.shuffle_key`; rerun-stable, new epoch = new seed) and a
+    shard from the key's hex range; the manifest reports per shard the
+    doc/char totals and the order's endpoints (first/last key + the docs
+    holding them), which is what a training loader checks before reading
+    a shard sequentially in key order. One map pass + one 8-group agg;
+    writing the shards themselves is one repartition+sortWithinPartitions
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = sampling.with_shard(docs, TRAIN_SHARDS)
+    return (sharded.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars"),
+                 F.min("shuffle_key").alias("min_key"),
+                 F.max("shuffle_key").alias("max_key"),
+                 F.min_by("doc_id", F.col("shuffle_key")).alias("first_doc"),
+                 F.max_by("doc_id", F.col("shuffle_key")).alias("last_doc"))
+            .orderBy("shard"))
+
+
+def training_shard_manifest_oracle() -> str:
+    bounds = sampling.shard_bounds(TRAIN_SHARDS)
+    cases = " ".join(
+        f"WHEN substr(k, 1, 2) < '{b}' THEN {i}"
+        for i, b in enumerate(bounds))
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         sha256(concat('{sampling.SHARD_SEED}', CAST(doc_id AS VARCHAR))) AS k
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_chars,
+         CASE {cases} ELSE {TRAIN_SHARDS - 1} END::INT AS shard, k
+  FROM keyed
+)
+SELECT shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars,
+       min(k) AS min_key,
+       max(k) AS max_key,
+       arg_min(doc_id, k) AS first_doc,
+       arg_max(doc_id, k) AS last_doc
+FROM sharded
+GROUP BY shard
+ORDER BY shard
+"""

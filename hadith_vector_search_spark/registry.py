@@ -179,6 +179,7 @@ QUERIES: dict[str, QueryFn] = {
     "mix_sample_realization": pipeline_plans.mix_sample_realization,
     "sequence_packing_estimate": pipeline_plans.sequence_packing_estimate,
     "cleaning_decisions": pipeline_plans.cleaning_decisions,
+    "training_shard_manifest": pipeline_plans.training_shard_manifest,
     "decontamination_spans": pipeline_plans.decontamination_spans,
     # profiling, sketch-bound checks, sampling, window ops, packing
     "table_profile": profile_plans.table_profile,
@@ -237,6 +238,8 @@ oracle("dedup_removal_list", dedup_plans.dedup_removal_list_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
 oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())
 oracle("contamination_check", pipeline_plans.contamination_check_oracle())
+oracle("training_shard_manifest",
+       pipeline_plans.training_shard_manifest_oracle())
 oracle("cleaning_decisions", pipeline_plans.cleaning_decisions_oracle())
 oracle("decontamination_spans", pipeline_plans.decontamination_spans_oracle())
 oracle("quality_filter_funnel", pipeline_plans.quality_filter_funnel_oracle())

@@ -259,3 +259,31 @@ def test_mix_sample_realization_consistency(spark, sf_dir):
             assert r.realized_tokens == plan[lang].available_tokens
         if r.sampling_rate == 0.0:
             assert r.n_sampled == 0 and r.realized_tokens == 0
+
+
+def test_with_shard_deterministic_and_complete(spark):
+    """Training-order shuffle invariants: shard in [0, n); the same id
+    lands in the same shard with the same key across calls (rerun-
+    stability); a different seed produces a different order; shard totals
+    cover the corpus exactly; n_shards must divide 256."""
+    import pytest as _pytest
+
+    from hadith_vector_search_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string")
+    a = sampling.with_shard(docs, 8).select("doc_id", "shuffle_key", "shard")
+    b = sampling.with_shard(docs, 8).select("doc_id", "shuffle_key", "shard")
+    ra, rb = a.collect(), b.collect()
+    assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
+    assert all(0 <= r.shard < 8 for r in ra)
+    assert sum(1 for _ in ra) == 200
+    # hex-prefix ranges: shard == prefix // 32 for 8 shards
+    for r in ra:
+        assert r.shard == int(r.shuffle_key[:2], 16) // 32
+    # a new epoch (seed) permutes the order
+    c = sampling.with_shard(docs, 8, seed="epoch1").collect()
+    keys_a = {r.doc_id: r.shuffle_key for r in ra}
+    assert any(keys_a[r.doc_id] != r.shuffle_key for r in c)
+    with _pytest.raises(ValueError):
+        sampling.shard_bounds(7)
