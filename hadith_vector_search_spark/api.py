@@ -91,9 +91,18 @@ class HybridEngine:
     def __init__(self, spark: SparkSession, docs: DataFrame,
                  embeddings: DataFrame | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
-                 dim: int = DEFAULT_DIM) -> None:
+                 dim: int = DEFAULT_DIM,
+                 narrator_col: str | None = None) -> None:
+        """`narrator_col` (opt-in): name of a narrator/author column in
+        `docs`; when set, hybrid_search applies the spec's
+        narrator_match_bonus (Weights.narrator, 0.4 when any query term
+        appears case-folded in that field — HADITH_SEARCH_SPEC.md:330-332)
+        and results gain a flat `narrator_bonus` column."""
         self.spark = spark
         self.text_col, self.id_col, self.dim = text_col, id_col, dim
+        if narrator_col is not None and narrator_col not in docs.columns:
+            raise ValueError(f"narrator_col {narrator_col!r} not in docs")
+        self.narrator_col = narrator_col
         self.docs = docs.localCheckpoint()
         self._index: bm25.LexicalIndex | None = None
         self._emb: DataFrame | None = (
@@ -700,12 +709,19 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 d = self._min_pair_distance_py(py_tokenize(txt), ga, gb)
                 if d is not None and d <= thresh:
                     _px = w.proximity
+            _nb = 0.0
+            if self.narrator_col is not None and terms:
+                # twin of the batch tail's narrator_hit (spec:330-332)
+                nval = row.get(self.narrator_col)
+                nlow = nval.lower() if nval is not None else ""
+                if any(t in nlow for t in terms):
+                    _nb = w.narrator
             total = min(1.0, max(
                 0.0, _vs * w.vector + _fs * w.fts + _cv * w.coverage
-                + _ph + _px))
+                + _ph + _px + _nb))
             prev = txt[:120] if txt is not None else None
             scored.append((rid, r6(total), r6(_vs), r6(_fs), r6(_cv),
-                           r6(_ph), r6(_px), prev))
+                           r6(_ph), r6(_px), r6(_nb), prev))
         n_tot = len(scored)
         scored.sort(key=lambda s: (-s[1], s[0]))
         dropped = 0
@@ -713,7 +729,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             seen: set = set()
             survivors = []
             for s in scored:
-                key = (s[7] or "").strip(" ") or str(s[0])
+                key = (s[8] or "").strip(" ") or str(s[0])
                 if key not in seen:
                     seen.add(key)
                     survivors.append(s)
@@ -724,20 +740,25 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             return None
         id_t = self.docs.schema[self.id_col].dataType.simpleString()
         dbl = lambda x: self._sql_atom(float(x), "DOUBLE")  # noqa: E731
+        with_nar = self.narrator_col is not None
         vals = ", ".join(
-            "({}, {}, {}, {}, {}, {}, {}, {}, {})"
+            "({}, {}, {}, {}, {}, {}, {}, {}{}, {})"
             .format(self._fmt_id(rid), dbl(sc), dbl(v), dbl(f), dbl(c),
-                    dbl(p), dbl(px), int(dropped),
+                    dbl(p), dbl(px),
+                    f"{dbl(nb)}, " if with_nar else "",
+                    int(dropped),
                     "CAST(NULL AS STRING)" if prev is None
                     else self._sql_str(prev))
-            for rid, sc, v, f, c, p, px, prev in top)
+            for rid, sc, v, f, c, p, px, nb, prev in top)
+        nar_sel = "col8 AS narrator_bonus, " if with_nar else ""
+        c_dropped, c_prev = ("col9", "col10") if with_nar else ("col8", "col9")
         return self.spark.sql(
             f"SELECT CAST(col1 AS {id_t}) AS `{self.id_col}`, "
             f"col2 AS score, col3 AS vec_signal, col4 AS fts_sig, "
             f"col5 AS coverage, col6 AS phrase_bonus, "
-            f"col7 AS proximity_bonus, "
-            f"CAST(col8 AS BIGINT) AS duplicates_filtered, "
-            f"col9 AS preview FROM VALUES {vals}")
+            f"col7 AS proximity_bonus, {nar_sel}"
+            f"CAST({c_dropped} AS BIGINT) AS duplicates_filtered, "
+            f"{c_prev} AS preview FROM VALUES {vals}")
 
     def _vec_topk_interactive(self, qvec: list[float], k: int) -> list:
         """Driver-side exact cosine top-k over the resident matrix:
@@ -957,6 +978,9 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         resolvable = not (integral and len(num) > 18)
         key = int(num) if integral and resolvable else num
 
+        nar_lit = ([F.lit(0.0).alias("narrator_bonus")]
+                   if self.narrator_col else [])
+
         def spark_path() -> DataFrame:
             preview = F.substring(F.col(self.text_col), 1, 120)
             matched = (F.col(self.id_col) == F.lit(key) if resolvable
@@ -970,6 +994,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                             F.lit(0.0).alias("coverage"),
                             F.lit(0.0).alias("phrase_bonus"),
                             F.lit(0.0).alias("proximity_bonus"),
+                            *nar_lit,
                             F.lit(0).cast("long").alias("duplicates_filtered"),
                             preview.alias("preview"))
                     .limit(n_results))
@@ -982,6 +1007,8 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         txt = row[self.text_col]
         prev = ("CAST(NULL AS STRING)" if txt is None
                 else self._sql_str(txt[:120]))
+        nar_sql = ("CAST(0.0 AS DOUBLE) AS narrator_bonus, "
+                   if self.narrator_col else "")
         return self.spark.sql(
             f"SELECT CAST(col1 AS {id_t}) AS `{self.id_col}`, "
             f"CAST(1.0 AS DOUBLE) AS score, "
@@ -989,7 +1016,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             f"CAST(0.0 AS DOUBLE) AS fts_sig, "
             f"CAST(0.0 AS DOUBLE) AS coverage, "
             f"CAST(0.0 AS DOUBLE) AS phrase_bonus, "
-            f"CAST(0.0 AS DOUBLE) AS proximity_bonus, "
+            f"CAST(0.0 AS DOUBLE) AS proximity_bonus, {nar_sql}"
             f"CAST(0 AS BIGINT) AS duplicates_filtered, "
             f"col2 AS preview FROM VALUES ({self._fmt_id(key)}, {prev})")
 
@@ -1070,7 +1097,11 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                         sorted(fused_map.items()), terms, w, intent.phrase,
                         dedupe, n_results, synonym_groups=synonym_groups,
                         near_window=near_window)
-                if out is None and not synonym_groups:
+                # (the single-statement SQL tail has no narrator-bonus
+                # expression; narrator engines fall through to the batch
+                # Column tail instead, which has it)
+                if out is None and not synonym_groups \
+                        and self.narrator_col is None:
                     out = self._interactive_scored_sql(
                         sorted(fused_map.items()), terms, w, intent.phrase,
                         dedupe, n_results)
@@ -1092,8 +1123,10 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         # INNER join: candidates come from this engine's own index and
         # embeddings, so every id resolves; the reference likewise skips
         # hits with no corpus entry (quran_mcp/search.py:219-221).
+        doc_cols = [self.id_col, self.text_col] + (
+            [self.narrator_col] if self.narrator_col else [])
         with_text = F.broadcast(fused).join(
-            self.docs.select(self.id_col, self.text_col), self.id_col)
+            self.docs.select(*doc_cols), self.id_col)
         if synonym_groups and len(synonym_groups) >= 2:
             # Pin the O(k) candidates only when the proximity probe will
             # consume them a second time (probe + join-back); the default
@@ -1132,9 +1165,20 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
 
         phrase_hit = (F.instr(text_lower, intent.phrase.lower()) > 0
                       if intent.phrase else None)
+        narrator_hit = None
+        if self.narrator_col and terms:
+            # spec:330-332 — ANY query term, case-folded, in the narrator
+            # field (same containment the coverage term check uses).
+            nl = F.lower(F.coalesce(F.col(self.narrator_col), F.lit("")))
+            narrator_hit = F.exists(
+                F.array(*[F.lit(t) for t in terms]),
+                lambda t: F.instr(nl, t) > 0)
         scored = fusion.score(with_text, w, coverage_col=cov,
                               phrase_hit_col=phrase_hit,
-                              proximity_hit_col=prox_hit)
+                              proximity_hit_col=prox_hit,
+                              narrator_hit_col=narrator_hit)
+        if self.narrator_col and narrator_hit is None:
+            scored = scored.withColumn("narrator_bonus", F.lit(0.0))
         preview = F.substring(F.col(self.text_col), 1, 120)
         if dedupe:
             scored = dedup_ops.fused_result_dedup(scored, preview,
@@ -1142,9 +1186,11 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         else:
             scored = scored.withColumn("duplicates_filtered",
                                        F.lit(0).cast("long"))
+        nar_cols = ["narrator_bonus"] if self.narrator_col else []
         return (
             scored.select(self.id_col, "score", "vec_signal", "fts_sig",
                           "coverage", "phrase_bonus", "proximity_bonus",
+                          *nar_cols,
                           "duplicates_filtered", preview.alias("preview"))
             .orderBy(F.desc("score"), F.asc(self.id_col))
             .limit(n_results)

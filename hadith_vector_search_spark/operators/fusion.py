@@ -26,12 +26,17 @@ from ..functions.text import clamp01
 @dataclass(frozen=True)
 class Weights:
     """Fusion weights (SURVEY Q2). Defaults = the reference's balanced
-    preset (/root/reference/mcp_server/apps/scoring.py:21-34)."""
+    preset (/root/reference/mcp_server/apps/scoring.py:21-34); `narrator`
+    is the spec's narrator_match_bonus (HADITH_SEARCH_SPEC.md:330-332,
+    0.4 when any query term appears in the narrator field — spec'd but
+    never shipped in the reference's scorer), applied only by callers
+    that pass a narrator hit column."""
     vector: float = 0.6
     fts: float = 0.4
     coverage: float = 0.2
     phrase: float = 0.05
     proximity: float = 0.10
+    narrator: float = 0.40
 
 
 BALANCED = Weights()
@@ -115,7 +120,8 @@ def score(fused: DataFrame, w: Weights,
           coverage_col: Column | None = None,
           phrase_hit_col: Column | None = None,
           proximity_hit_col: Column | None = None,
-          grading_col: Column | None = None) -> DataFrame:
+          grading_col: Column | None = None,
+          narrator_hit_col: Column | None = None) -> DataFrame:
     """F17 weighted linear fusion with a per-hit breakdown (Q6). Emits flat
     signal columns, a nested `breakdown` struct (the reference's
     ScoreBreakdown, /root/reference/mcp_server/apps/scoring.py:11-18), and
@@ -126,8 +132,10 @@ def score(fused: DataFrame, w: Weights,
     `grading_col` (opt-in, for corpora that carry an authenticity grading
     string) adds the spec'd quality boost (functions.text.grading_boost,
     HADITH_SEARCH_SPEC.md:352-356) into the total and a flat
-    `grading_bonus` column; when absent the output schema is unchanged
-    (the shipped reference scorer has no grading input either)."""
+    `grading_bonus` column; `narrator_hit_col` (opt-in, boolean) adds the
+    spec's narrator_match_bonus (w.narrator, spec:330-332) and a flat
+    `narrator_bonus` column. When absent the output schema is unchanged
+    (the shipped reference scorer has neither input)."""
     from ..functions.text import grading_boost
     cov = coverage_col if coverage_col is not None else F.lit(0.0)
     phr = (F.when(phrase_hit_col, w.phrase).otherwise(0.0)
@@ -135,12 +143,18 @@ def score(fused: DataFrame, w: Weights,
     prox = (F.when(proximity_hit_col, w.proximity).otherwise(0.0)
             if proximity_hit_col is not None else F.lit(0.0))
     grad = grading_boost(grading_col) if grading_col is not None else None
+    narr = (F.when(narrator_hit_col, w.narrator).otherwise(0.0)
+            if narrator_hit_col is not None else None)
     fsig = fts_signal(F.col("fts_score"))
     vsig = vec_signal(F.col("vector_sim"))
     total = clamp01(w.vector * vsig + w.fts * fsig + w.coverage * cov + phr
-                    + prox + (grad if grad is not None else F.lit(0.0)))
-    grad_cols = ([F.round(grad, 6).alias("grading_bonus")]
-                 if grad is not None else [])
+                    + prox + (grad if grad is not None else F.lit(0.0))
+                    + (narr if narr is not None else F.lit(0.0)))
+    extra_cols = []
+    if narr is not None:
+        extra_cols.append(F.round(narr, 6).alias("narrator_bonus"))
+    if grad is not None:
+        extra_cols.append(F.round(grad, 6).alias("grading_bonus"))
     return fused.select(
         "*",
         F.round(vsig, 6).alias("vec_signal"),
@@ -148,7 +162,7 @@ def score(fused: DataFrame, w: Weights,
         F.round(cov, 6).alias("coverage"),
         F.round(phr, 6).alias("phrase_bonus"),
         F.round(prox, 6).alias("proximity_bonus"),
-        *grad_cols,
+        *extra_cols,
         F.round(total, 6).alias("score"),
     ).withColumn(
         "breakdown",
@@ -161,3 +175,32 @@ def score(fused: DataFrame, w: Weights,
             F.col("score").alias("total"),
         ),
     )
+
+
+def explain_ranking(row: dict) -> str:
+    """Human-readable ranking explanation — the reference's spec'd
+    `_explain_ranking` (HADITH_SEARCH_SPEC.md:487-496), never shipped in
+    its code. Tier order is the spec's: exact phrase > narrator match >
+    high term coverage (>= 0.8) > grading quality > semantic fallback.
+    Operates on a collected result row dict; bonus keys absent from the
+    row (they are schema-opt-in) read as 0. The coverage percentage uses
+    the same shortest-repr HALF_UP rounding discipline as the engine's
+    displayed signals."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def g(k: str) -> float:
+        v = row.get(k)
+        return float(v) if v is not None else 0.0
+
+    cov = g("coverage")
+    pct = int(Decimal(repr(cov * 100)).quantize(
+        Decimal("1"), rounding=ROUND_HALF_UP))
+    if g("phrase_bonus") > 0:
+        return "🎯 Perfect: Contains your exact phrase"
+    if g("narrator_bonus") > 0:
+        return f"⭐ Excellent: Matches narrator and {pct}% of terms"
+    if cov >= 0.8:
+        return f"✅ Good: Contains {pct}% of your terms"
+    if g("grading_bonus") > 0:
+        return "📚 Relevant: High-quality hadith with semantic match"
+    return "🔄 Semantic: Similar meaning, different wording"

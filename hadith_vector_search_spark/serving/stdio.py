@@ -134,9 +134,17 @@ class StdioServer:
             weights = {k: args[k] for k in
                        ("weight_vector", "weight_fts", "weight_term_coverage",
                         "bonus_phrase") if k in args}
-            return self.engine.hybrid_search(
+            df = self.engine.hybrid_search(
                 args["query"], n_results=int(args.get("n_results", 10)),
                 scoring_mode=args.get("scoring_mode", "balanced"), **weights)
+            # Attach the spec'd human-readable explanation per hit
+            # (HADITH_SEARCH_SPEC.md:487-496 — the reference's designed
+            # output format, TEST_QUERIES.md:445-468, never shipped).
+            from ..operators.fusion import explain_ranking
+            rows = [r.asDict(recursive=True) for r in df.collect()]
+            for r in rows:
+                r["explanation"] = explain_ranking(r)
+            return rows
         if name == "fts_match":
             return self.engine.fts_match(
                 terms=args.get("terms"), prefix=args.get("prefix"),

@@ -951,3 +951,49 @@ def test_exact_reference_dispatches_to_point_lookup(spark):
         [("riyad:1:1", "string keyed corpus row")], "doc_id string, text string")
     assert HybridEngine(spark, sdocs).hybrid_search(
         "Riyad as-Salihin 680", 3).collect() == []
+
+
+def test_narrator_bonus_favors_matching_narrator(spark):
+    """Spec'd narrator_match_bonus (HADITH_SEARCH_SPEC.md:330-332, 0.4
+    when any query term appears case-folded in the narrator field —
+    spec'd but never shipped in the reference's scorer): opt-in via
+    narrator_col; results gain a narrator_bonus column, the matching
+    narrator's doc outranks an otherwise-identical competitor, and the
+    interactive local tail is row-identical to the batch Column tail."""
+    rows = [
+        (1, "patience and prayer during hardship and trials", "Abu Huraira"),
+        (2, "patience and prayer during hardship and difficulty",
+         "Umar bin Al-Khattab"),
+        (3, "patience and prayer when traveling at night", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, narrator string")
+    q = "huraira patience prayer"
+
+    plain = HybridEngine(spark, docs)
+    got_plain = plain.hybrid_search(q, n_results=3).collect()
+    assert "narrator_bonus" not in got_plain[0].asDict()  # schema opt-in
+
+    batch = HybridEngine(spark, docs, narrator_col="narrator")
+    inter = HybridEngine(spark, docs, narrator_col="narrator")
+    assert inter.enable_interactive()
+    got_b = batch.hybrid_search(q, n_results=3).collect()
+    got_i = inter.hybrid_search(q, n_results=3).collect()
+    assert [tuple(r) for r in got_b] == [tuple(r) for r in got_i]
+    cols = list(got_b[0].asDict())
+    assert cols == ["doc_id", "score", "vec_signal", "fts_sig", "coverage",
+                    "phrase_bonus", "proximity_bonus", "narrator_bonus",
+                    "duplicates_filtered", "preview"]
+    by_id = {r.doc_id: r for r in got_b}
+    assert by_id[1].narrator_bonus == pytest.approx(0.4)
+    assert by_id[2].narrator_bonus == 0.0
+    assert by_id[3].narrator_bonus == 0.0  # NULL narrator never matches
+    assert got_b[0].doc_id == 1            # the boost decides the ranking
+
+    # exact-reference dispatch keeps the narrator-engine schema
+    ref = inter.hybrid_search("hadith number 2", n_results=1).collect()
+    assert list(ref[0].asDict()) == cols and ref[0].narrator_bonus == 0.0
+    ref_b = batch.hybrid_search("hadith number 2", n_results=1).collect()
+    assert [tuple(r) for r in ref_b] == [tuple(r) for r in ref]
+
+    with pytest.raises(ValueError):
+        HybridEngine(spark, docs, narrator_col="no_such_column")

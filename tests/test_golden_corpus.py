@@ -360,3 +360,26 @@ def test_phrase_bonus_fires_for_present_phrases(engine):
         rows = engine.hybrid_search(q, n_results=3).collect()
         assert rows[0].doc_id == want
         assert rows[0].phrase_bonus > 0
+
+
+def test_explanation_tiers_match_spec():
+    """Spec'd explanation generator (HADITH_SEARCH_SPEC.md:487-496),
+    tier by tier, including the precedence order and the coverage
+    percentage rounding."""
+    from hadith_vector_search_spark.operators.fusion import explain_ranking
+
+    assert explain_ranking(
+        {"phrase_bonus": 0.05, "narrator_bonus": 0.4, "coverage": 1.0}
+    ) == "🎯 Perfect: Contains your exact phrase"
+    assert explain_ranking(
+        {"phrase_bonus": 0.0, "narrator_bonus": 0.4, "coverage": 0.666667}
+    ) == "⭐ Excellent: Matches narrator and 67% of terms"
+    assert explain_ranking(
+        {"coverage": 0.8}) == "✅ Good: Contains 80% of your terms"
+    assert explain_ranking(
+        {"coverage": 0.25, "grading_bonus": 0.15}
+    ) == "📚 Relevant: High-quality hadith with semantic match"
+    assert explain_ranking(
+        {"coverage": 0.25}) == "🔄 Semantic: Similar meaning, different wording"
+    # absent keys (schema-opt-in bonuses) read as zero
+    assert explain_ranking({}) == "🔄 Semantic: Similar meaning, different wording"

@@ -89,6 +89,12 @@ def test_stdio_session_end_to_end(server, spark, sf_dir):
     assert [r["doc_id"] for r in served] == [r["doc_id"] for r in direct]
     for s, d in zip(served, direct):
         assert s["score"] == pytest.approx(d["score"])
+        # the spec'd per-hit explanation rides the served payload
+        # (HADITH_SEARCH_SPEC.md:487-496) and matches the row's signals
+        from hadith_vector_search_spark.operators.fusion import (
+            explain_ranking,
+        )
+        assert s["explanation"] == explain_ranking(d)
 
     # the long-lived session reuses the built index: a second call works
     served2 = _tool_rows(server.request("tools/call", {
