@@ -177,6 +177,34 @@ def score(fused: DataFrame, w: Weights,
     )
 
 
+def explanation_col(coverage: Column | None = None,
+                    phrase_bonus: Column | None = None,
+                    narrator_bonus: Column | None = None,
+                    grading_bonus: Column | None = None) -> Column:
+    """Column twin of `explain_ranking` — the spec's 5-tier explanation
+    (HADITH_SEARCH_SPEC.md:487-496) as one CASE expression, so batch
+    plans emit the explanation in-plan and a SQL oracle can replay it.
+    Absent signals read as 0 (their tier can never fire). The coverage
+    percentage rounds HALF_UP on the shortest repr, matching the python
+    twin's Decimal(repr(x)) discipline (equality is test-pinned)."""
+    zero = F.lit(0.0)
+    cov = coverage if coverage is not None else zero
+    phr = phrase_bonus if phrase_bonus is not None else zero
+    nar = narrator_bonus if narrator_bonus is not None else zero
+    grd = grading_bonus if grading_bonus is not None else zero
+    pct = F.round(cov * 100, 0).cast("int").cast("string")
+    return (
+        F.when(phr > 0, F.lit("🎯 Perfect: Contains your exact phrase"))
+        .when(nar > 0, F.concat(
+            F.lit("⭐ Excellent: Matches narrator and "), pct,
+            F.lit("% of terms")))
+        .when(cov >= 0.8, F.concat(
+            F.lit("✅ Good: Contains "), pct, F.lit("% of your terms")))
+        .when(grd > 0, F.lit(
+            "📚 Relevant: High-quality hadith with semantic match"))
+        .otherwise(F.lit("🔄 Semantic: Similar meaning, different wording")))
+
+
 def explain_ranking(row: dict) -> str:
     """Human-readable ranking explanation — the reference's spec'd
     `_explain_ranking` (HADITH_SEARCH_SPEC.md:487-496), never shipped in

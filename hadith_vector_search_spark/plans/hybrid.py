@@ -108,6 +108,32 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid(spark, sf_dir, "balanced")
 
 
+def hybrid_search_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced hybrid with the spec'd per-hit explanation emitted
+    IN-PLAN (`fusion.explanation_col`, HADITH_SEARCH_SPEC.md:487-496 —
+    the reference designed the string but never shipped the generator);
+    the oracle replays the tier CASE over the same fused signals. The
+    narrator/grading tiers are exercised by `graded_search`'s
+    explanation and the engine/serving tests — this plan's corpus
+    carries neither column."""
+    base = _hybrid(spark, sf_dir, "balanced")
+    return base.withColumn("explanation", fusion.explanation_col(
+        coverage=F.col("coverage"), phrase_bonus=F.col("phrase_bonus")))
+
+
+def hybrid_explained_oracle_sql() -> str:
+    pct = "CAST(round(coverage * 100, 0) AS INT)::VARCHAR"
+    return f"""
+SELECT *, CASE
+  WHEN phrase_bonus > 0 THEN '🎯 Perfect: Contains your exact phrase'
+  WHEN coverage >= 0.8
+    THEN concat('✅ Good: Contains ', {pct}, '% of your terms')
+  ELSE '🔄 Semantic: Similar meaning, different wording'
+END AS explanation
+FROM ({hybrid_oracle_sql("balanced")})
+"""
+
+
 def hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-of-queries hybrid search: N queries routed through BOTH legs,
     fused, scored, and ranked per query in ONE DataFrame plan — the

@@ -269,8 +269,10 @@ def graded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("grading")))
     w = fusion.resolve_weights("fts")
     scored = fusion.score(base, w, grading_col=F.col("grading"))
+    explanation = fusion.explanation_col(
+        grading_bonus=F.col("grading_bonus"))
     return (scored.select("doc_id", "grading", "fts_sig", "grading_bonus",
-                          "score")
+                          "score", explanation.alias("explanation"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(GRADED_K))
 
 
@@ -311,7 +313,11 @@ boosted AS (
                            ELSE 0.0 END)), 6) AS score
   FROM graded
 )
-SELECT doc_id, grading, fts_sig, grading_bonus, score
+SELECT doc_id, grading, fts_sig, grading_bonus, score,
+       CASE WHEN grading_bonus > 0
+            THEN '📚 Relevant: High-quality hadith with semantic match'
+            ELSE '🔄 Semantic: Similar meaning, different wording'
+       END AS explanation
 FROM boosted
 ORDER BY score DESC, doc_id ASC
 LIMIT {GRADED_K}

@@ -73,6 +73,7 @@ QUERIES: dict[str, QueryFn] = {
     "snippet_positional": lexical.snippet_positional_preview,
     "bm25_prf_topk": lexical.bm25_prf_topk,
     "graded_search": lexical.graded_search,
+    "hybrid_search_explained": hybrid.hybrid_search_explained,
     "cross_encoder_rerank": lexical.cross_encoder_rerank,
     "more_like_this": lexical.more_like_this,
     "percolate_matches": lexical.percolate_matches,
@@ -271,6 +272,7 @@ oracle("top_orders_per_segment", relational.top_orders_per_segment_oracle())
 oracle("sliding_event_rate", relational.sliding_event_rate_oracle())
 oracle("routed_search_batch", routed.routed_search_batch_oracle())
 oracle("hybrid_search", hybrid.hybrid_oracle_sql("balanced"))
+oracle("hybrid_search_explained", hybrid.hybrid_explained_oracle_sql())
 oracle("hybrid_search_term_priority", hybrid.hybrid_oracle_sql("term-priority"))
 oracle("hybrid_search_semantic", hybrid.hybrid_oracle_sql("semantic"))
 oracle("hybrid_search_fts", hybrid.hybrid_oracle_sql("fts"))

@@ -383,3 +383,26 @@ def test_explanation_tiers_match_spec():
         {"coverage": 0.25}) == "🔄 Semantic: Similar meaning, different wording"
     # absent keys (schema-opt-in bonuses) read as zero
     assert explain_ranking({}) == "🔄 Semantic: Similar meaning, different wording"
+
+
+def test_explanation_col_equals_python_twin(spark):
+    """The in-plan explanation CASE and the serving-side python generator
+    must agree on every tier and on percentage rounding."""
+    from hadith_vector_search_spark.operators.fusion import (
+        explain_ranking,
+        explanation_col,
+    )
+    rows = [
+        (1.0, 0.05, 0.4, 0.15), (0.666667, 0.0, 0.4, 0.0),
+        (0.8, 0.0, 0.0, 0.0), (0.799999, 0.0, 0.0, 0.15),
+        (0.25, 0.0, 0.0, 0.0), (0.0, 0.0, 0.0, 0.0),
+        (0.833333, 0.0, 0.0, 0.1), (0.5, 0.2, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "coverage double, phrase_bonus double, "
+              "narrator_bonus double, grading_bonus double")
+    got = df.withColumn("e", explanation_col(
+        F.col("coverage"), F.col("phrase_bonus"),
+        F.col("narrator_bonus"), F.col("grading_bonus"))).collect()
+    for r in got:
+        assert r.e == explain_ranking(r.asDict()), r
