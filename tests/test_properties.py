@@ -118,6 +118,19 @@ def test_route_one_matches_column_router_everywhere(spark):
     ]
     router_shapes += ["narrated by someone\r", "said by x\r\n", "12\r",
                       "'quoted'\r", "tab\tsep\nnewline\rcarriage"]
+    # reference-vocabulary exact-ref shapes (golden §1 rule) + near-misses
+    router_shapes += [
+        "Riyad as-Salihin 680", "riyad as salihin 7", "RIYADUSSALIHIN 99",
+        "Book 1, Hadith 10", "introduction, hadith 25.", "find hadith 1511",
+        "show me riyad as-salihin 993", "hadith number 682",
+        "reference: introduction 8", "muslim 5", "bukhari1",
+        "introductions 5",            # vocab word + stray suffix: NOT a ref
+        "prohibition in book 17",     # non-vocab word: NOT a ref
+        "hadith " + "9" * 25,         # number past bigint, still routes ref
+        "find hadith",                # vocab but no number: NOT a ref
+        "no. 12", "me me me 3", "hadith 1, hadith 2",
+        "book ١٢ hadith 3",           # Arabic-Indic digits inside
+    ]
     texts = EDGE_CASES + router_shapes + _random_corpus(seed=7)
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "i int, query_text string")
