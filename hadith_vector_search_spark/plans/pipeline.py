@@ -702,3 +702,115 @@ FROM sharded
 GROUP BY shard
 ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# curriculum_sample_plan — quality-tiered deterministic sampling
+# ---------------------------------------------------------------------------
+
+CURRICULUM_Q_HIGH = 0.79
+CURRICULUM_Q_MID = 0.73
+# tier -> deterministic sampling rate: high-quality text trains at full
+# rate, mid-quality is thinned, low-quality kept at a trickle (the
+# standard quality-classifier gating, e.g. GPT-3's CommonCrawl
+# filtering). Thresholds sit inside the synthetic corpus's quality
+# range (0.6-0.95, median ~0.78) so every tier is live at test scale.
+CURRICULUM_RATES = {"high": 1.0, "mid": 0.5, "low": 0.1}
+
+
+def curriculum_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum sampling: docs are tiered on the composite
+    quality score (the same oracle-checked signal the cleaning funnel
+    gates on) and each tier samples at its own deterministic rate via the
+    content-addressed hex-threshold membership `mix_sample_realization`
+    uses — rerun/backfill-stable, seedless, map-only. Because the rates
+    are per-TIER constants, the thresholds fold into one CASE (no join,
+    no hex->int arithmetic anywhere). Reports per tier what the
+    curriculum realizes: docs kept and the tokens they carry."""
+    docs = load_table(spark, sf_dir, "documents")
+    qm = textstats.quality_metrics(docs)
+    q = F.col("quality")
+    tier = (F.when(q >= CURRICULUM_Q_HIGH, F.lit("high"))
+            .when(q >= CURRICULUM_Q_MID, F.lit("mid"))
+            .otherwise(F.lit("low")))
+    rate = (F.when(q >= CURRICULUM_Q_HIGH,
+                   F.lit(CURRICULUM_RATES["high"]))
+            .when(q >= CURRICULUM_Q_MID, F.lit(CURRICULUM_RATES["mid"]))
+            .otherwise(F.lit(CURRICULUM_RATES["low"])))
+    thr = (F.when(q >= CURRICULUM_Q_HIGH,
+                  F.lit(_hex_rate(CURRICULUM_RATES["high"])))
+           .when(q >= CURRICULUM_Q_MID,
+                 F.lit(_hex_rate(CURRICULUM_RATES["mid"])))
+           .otherwise(F.lit(_hex_rate(CURRICULUM_RATES["low"]))))
+    prefix = F.substring(F.sha2(F.col("doc_id").cast("string"), 256),
+                         1, _MIX_HEX_DIGITS)
+    keep = (rate >= 1.0) | (prefix < thr)
+    return (qm.select(tier.alias("tier"), rate.alias("sampling_rate"),
+                      "n_tokens", keep.alias("_k"))
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.col("_k").cast("long")).alias("n_sampled"),
+                 F.sum(F.when(F.col("_k"), F.col("n_tokens"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("realized_tokens"),
+                 F.max("sampling_rate").alias("sampling_rate"))
+            .orderBy("tier"))
+
+
+def _hex_rate(rate: float) -> str:
+    """printf('%06x', floor(rate * 16^6)) precomputed driver-side —
+    fixed-width lowercase hex, the exact string both engines compare
+    the sha prefix against."""
+    return format(int(rate * _MIX_HEX_SPACE), "06x")
+
+
+def curriculum_sample_plan_oracle() -> str:
+    h, m = CURRICULUM_Q_HIGH, CURRICULUM_Q_MID
+    rh, rm, rl = (CURRICULUM_RATES["high"], CURRICULUM_RATES["mid"],
+                  CURRICULUM_RATES["low"])
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars_txt,
+         len(ts) AS n_tokens,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         {_hits('en')} AS s_en
+  FROM (SELECT *, {_TOKS} AS ts FROM documents)
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         round((least(1.0, n_tokens / 20.0)
+                + (1.0 - least(1.0, (n_punct / greatest(n_chars_txt, 1)::DOUBLE) * 5.0))
+                + (1.0 - least(1.0, (n_digit / greatest(n_chars_txt, 1)::DOUBLE) * 5.0))
+                + least(1.0, (s_en / greatest(n_tokens, 1)::DOUBLE) * 4.0)) / 4.0,
+               6) AS quality,
+         substr(sha256(CAST(doc_id AS VARCHAR)), 1, {_MIX_HEX_DIGITS}) AS pfx
+  FROM base
+),
+t AS (
+  SELECT n_tokens, pfx,
+         CASE WHEN quality >= {h} THEN 'high'
+              WHEN quality >= {m} THEN 'mid' ELSE 'low' END AS tier,
+         CASE WHEN quality >= {h} THEN {rh}
+              WHEN quality >= {m} THEN {rm} ELSE {rl} END AS sampling_rate,
+         CASE WHEN quality >= {h} THEN '{_hex_rate(rh)}'
+              WHEN quality >= {m} THEN '{_hex_rate(rm)}'
+              ELSE '{_hex_rate(rl)}' END AS thr
+  FROM q
+),
+k AS (
+  SELECT tier, sampling_rate, n_tokens,
+         (sampling_rate >= 1.0 OR pfx < thr) AS keep
+  FROM t
+)
+SELECT tier,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS realized_tokens,
+       max(sampling_rate) AS sampling_rate
+FROM k
+GROUP BY tier
+ORDER BY tier
+"""

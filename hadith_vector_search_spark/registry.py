@@ -181,6 +181,7 @@ QUERIES: dict[str, QueryFn] = {
     "sequence_packing_estimate": pipeline_plans.sequence_packing_estimate,
     "cleaning_decisions": pipeline_plans.cleaning_decisions,
     "training_shard_manifest": pipeline_plans.training_shard_manifest,
+    "curriculum_sample_plan": pipeline_plans.curriculum_sample_plan,
     "decontamination_spans": pipeline_plans.decontamination_spans,
     # profiling, sketch-bound checks, sampling, window ops, packing
     "table_profile": profile_plans.table_profile,
@@ -241,6 +242,8 @@ oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())
 oracle("contamination_check", pipeline_plans.contamination_check_oracle())
 oracle("training_shard_manifest",
        pipeline_plans.training_shard_manifest_oracle())
+oracle("curriculum_sample_plan",
+       pipeline_plans.curriculum_sample_plan_oracle())
 oracle("cleaning_decisions", pipeline_plans.cleaning_decisions_oracle())
 oracle("decontamination_spans", pipeline_plans.decontamination_spans_oracle())
 oracle("quality_filter_funnel", pipeline_plans.quality_filter_funnel_oracle())
