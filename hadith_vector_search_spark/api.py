@@ -29,7 +29,7 @@ from .functions.text import py_tokenize, snippet, term_coverage
 from .operators import bm25, fusion, proximity, similarity
 from .operators import dedup as dedup_ops
 from .operators.embedder import DEFAULT_DIM, embed_column, encode_query
-from .operators.router import INTENT_EXACT, route_one
+from .operators.router import INTENT_EXACT, INTENT_NARRATOR, route_one
 
 OVERFETCH_FLOOR = 50   # max(50, 5*n) per the reference (tools.py:87,93)
 
@@ -103,6 +103,7 @@ class HybridEngine:
         if narrator_col is not None and narrator_col not in docs.columns:
             raise ValueError(f"narrator_col {narrator_col!r} not in docs")
         self.narrator_col = narrator_col
+        self._nar_index: bm25.LexicalIndex | None = None
         self.docs = docs.localCheckpoint()
         self._index: bm25.LexicalIndex | None = None
         self._emb: DataFrame | None = (
@@ -941,6 +942,30 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         return (self.docs.select(self.id_col).limit(0)
                 .withColumn(score_col, F.lit(0.0)))
 
+    def _narrator_index(self) -> bm25.LexicalIndex:
+        """Lexical index over the NARRATOR field (the reference's separate
+        FTS-indexed narrator column, fts.py schema) — built lazily and
+        pinned once per engine; narrator vocabulary is names-sized, so
+        this index is tiny next to the text index."""
+        if self._nar_index is None:
+            self._nar_index = bm25.build_index(
+                self.docs, text_col=self.narrator_col, id_col=self.id_col)
+        return self._nar_index
+
+    def _narrator_leg(self, narrator_query: str, k: int) -> DataFrame | None:
+        """The narrator-intent lexical leg: the reference routes narrator
+        queries to a narrator-FIELD prefix-AND match
+        (`narrator:t1* AND narrator:t2*`, router.py:93-99 consumed at
+        tools.py:84-88) instead of scoring the document text. Returns
+        None when the narrator phrase yields no tokens (the caller falls
+        back to the plain lexical leg, like the reference's
+        `if not toks: toks = intent.tokens`)."""
+        toks = py_tokenize(narrator_query)[:6]
+        if not toks:
+            return None
+        return (bm25.prefix_and_match(self._narrator_index(), toks, k=k)
+                .withColumnRenamed("doc_id", self.id_col))
+
     def _spark_lex_leg(self, terms: list[str], k: int) -> DataFrame:
         """The Spark lexical leg: disjunctive BM25 over the scoring view,
         rounded, ranked (bm25 desc, id asc), over-fetched to k — the
@@ -1053,6 +1078,14 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             return self._exact_reference_lookup(query, n_results)
         terms = sorted(set(py_tokenize(intent.normalized)))
         k = max(OVERFETCH_FLOOR, 5 * n_results)
+        # Narrator intent + a narrator field: the lexical leg is the
+        # reference's narrator-FIELD prefix-AND match, not text BM25
+        # (router.py:93-99 via tools.py:84-88). None (no narrator tokens)
+        # falls back to the plain leg below.
+        nar_leg = (self._narrator_leg(intent.narrator_query, k)
+                   if (intent.intent == INTENT_NARRATOR
+                       and self.narrator_col is not None
+                       and intent.narrator_query) else None)
 
         if self._mat is not None:
             # Interactive fast path (enable_interactive): the lexical leg
@@ -1068,7 +1101,12 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             # batch path.
             fused_map: dict = {}
             if fts_available and terms:
-                if self._lex is not None:
+                if nar_leg is not None:
+                    # narrator-field leg (one Spark job; the narrator
+                    # index has no resident impact arrays)
+                    lex_pairs = [(r[0], float(r[1]))
+                                 for r in nar_leg.collect()]
+                elif self._lex is not None:
                     lex_pairs = self._lex_topk_interactive(terms, k)
                 else:
                     lex_pairs = [(r[0], float(r[1])) for r in
@@ -1109,7 +1147,9 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                     return out
             fused = self._fused_literal_df(sorted(fused_map.items()))
         else:
-            fts = (self._spark_lex_leg(terms, k) if fts_available and terms
+            fts = (nar_leg if nar_leg is not None and fts_available
+                   else self._spark_lex_leg(terms, k)
+                   if fts_available and terms
                    else self._empty_leg("bm25"))
             if vector_available:
                 qvec = encode_query(intent.normalized, self.dim)

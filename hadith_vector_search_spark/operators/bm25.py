@@ -571,6 +571,29 @@ def score_prefix(index: LexicalIndex, prefix: str,
     )
 
 
+def prefix_and_match(index: LexicalIndex, prefixes: list[str],
+                     k: int = 10) -> DataFrame:
+    """AND of prefix pseudo-terms over an index — the reference router's
+    narrator MATCH shape (`narrator:t1* AND narrator:t2*`,
+    /root/reference/mcp_server/apps/router.py:93-99, consumed by the
+    hybrid tool's lexical leg, tools.py:84-88): each token is an FTS5
+    prefix query (`t*`, one pseudo-term per `score_prefix`), conjunctive
+    via inner joins, scored by the summed prefix BM25. The reference caps
+    at the first 6 tokens; callers pass the capped list. Returns
+    (doc_id, bm25) ranked with deterministic tie-break."""
+    if not prefixes:
+        raise ValueError("empty prefix list")
+    joined = None
+    for i, p in enumerate(prefixes):
+        leg = score_prefix(index, p).withColumnRenamed("score", f"_s{i}")
+        joined = leg if joined is None else joined.join(leg, "doc_id")
+    total = sum((F.col(f"_s{i}") for i in range(1, len(prefixes))),
+                F.col("_s0"))
+    return (joined.select("doc_id", F.round(total, 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(k))
+
+
 def compiled_match_topk(spark: SparkSession, docs: DataFrame, terms: list[str],
                         prefix: str, field_col: str, field_value: str,
                         k: int = 10, text_col: str = "text",

@@ -997,3 +997,40 @@ def test_narrator_bonus_favors_matching_narrator(spark):
 
     with pytest.raises(ValueError):
         HybridEngine(spark, docs, narrator_col="no_such_column")
+
+
+def test_narrator_intent_uses_narrator_field_leg(spark):
+    """Narrator-intent queries route the lexical leg to a narrator-FIELD
+    prefix-AND match (the reference's `narrator:t1* AND narrator:t2*`,
+    router.py:93-99 consumed at tools.py:84-88) instead of text BM25: a
+    doc merely MENTIONING the narrator in its text gets no lexical
+    signal, prefix semantics match truncated name tokens, and the
+    batch/interactive tiers stay row-identical."""
+    rows = [
+        (1, "whoever is patient will be rewarded greatly", "Abu Huraira"),
+        (2, "abu huraira said patience is light in hard times",
+         "Umar bin Al-Khattab"),
+        (3, "charity does not decrease wealth at all", "Abu Huraira"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, narrator string")
+    batch = HybridEngine(spark, docs, narrator_col="narrator")
+    inter = HybridEngine(spark, docs, narrator_col="narrator")
+    assert inter.enable_interactive()
+
+    for q in ("narrated by Abu Huraira", "narrated by Abu Hurair"):  # prefix
+        got_b = batch.hybrid_search(q, n_results=3).collect()
+        got_i = inter.hybrid_search(q, n_results=3).collect()
+        assert [tuple(r) for r in got_b] == [tuple(r) for r in got_i], q
+        by_id = {r.doc_id: r for r in got_b}
+        # narrator-field match: docs 1 and 3 carry lexical signal...
+        assert by_id[1].fts_sig > 0 and by_id[3].fts_sig > 0, q
+        # ...doc 2 only MENTIONS the narrator in text: no lexical signal
+        if 2 in by_id:
+            assert by_id[2].fts_sig == 0.0, q
+        # the spec'd narrator bonus stacks on the field-matched docs
+        assert by_id[1].narrator_bonus == pytest.approx(0.4)
+        assert got_b[0].doc_id in (1, 3)
+
+    # a thematic query on the same engine still uses the text leg
+    th = batch.hybrid_search("rewarded greatly patience light", 3).collect()
+    assert {r.doc_id for r in th if r.fts_sig > 0} >= {1, 2}
