@@ -113,6 +113,28 @@ def test_narrator_accuracy_and_coverage(spark, corpus):
     assert avg_coverage > 0.8                # target: >80%
 
 
+def test_narrator_accuracy_end_to_end_engine(spark, corpus):
+    """The same narrator batteries through the FULL engine path with a
+    narrator column: the narrator-field lexical leg + the spec'd 0.4
+    bonus must rank exactly the narrator's docs first — 100% narrator
+    accuracy measured on hybrid_search output, not a manual filter."""
+    from hadith_vector_search_spark.api import HybridEngine
+    expected = {
+        "narrated by Abu Huraira": {"riyad:1:2", "riyad:2:6", "riyad:4:12"},
+        "narrated by Aisha": {"riyad:2:5", "riyad:5:20"},
+        "narrated by Anas bin Malik": {"riyad:3:9"},
+        "narrated by Umar bin Al-Khattab": {"riyad:1:1", "riyad:4:13"},
+    }
+    eng = HybridEngine(spark, corpus, narrator_col="narrator")
+    correct = 0
+    for q, want in expected.items():
+        rows = eng.hybrid_search(q, n_results=len(want)).collect()
+        got = {r.doc_id for r in rows}
+        assert all(r.narrator_bonus == 0.4 for r in rows), q
+        correct += got == want
+    assert correct / len(expected) == 1.0    # target: 100%, end to end
+
+
 def test_thematic_relevance(engine):
     """Target: relevance > 90% — the topical doc must appear in the top 2
     hybrid results for every thematic query."""
