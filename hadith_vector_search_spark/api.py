@@ -635,7 +635,9 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                                   n_results: int,
                                   synonym_groups: list[list[str]] | None
                                   = None,
-                                  near_window: int = 5) -> DataFrame | None:
+                                  near_window: int = 5,
+                                  filters: dict | None = None
+                                  ) -> DataFrame | None:
         """The scoring tail computed entirely driver-side over the
         resident doc map — ZERO Spark jobs for a hybrid call when every
         tier is resident (the result returns as a VALUES LocalRelation,
@@ -690,6 +692,11 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             row = self._doc_rows.get(rid)
             if row is None:
                 return None
+            if filters and any(row.get(c) != v for c, v in filters.items()):
+                # metadata filter: dropped BEFORE scoring/dedup, exactly
+                # where the batch tail's with_text filter drops it (a
+                # NULL column value never matches, like Spark's ==)
+                continue
             txt = row[self.text_col]
             ltxt = txt.lower() if txt is not None else None
             _vs = min(1.0, max(0.0, vs))
@@ -979,7 +986,8 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
 
     # -- the reference's tool surface --------------------------------------
 
-    def _exact_reference_lookup(self, query: str, n_results: int) -> DataFrame:
+    def _exact_reference_lookup(self, query: str, n_results: int,
+                                filters: dict | None = None) -> DataFrame:
         """Point lookup for a reference-shaped query (§1): resolve the
         LAST number in the query against the id column — the batch exact
         leg's semantics (plans/routed.py) — and return it as a 1-row
@@ -1010,6 +1018,8 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             preview = F.substring(F.col(self.text_col), 1, 120)
             matched = (F.col(self.id_col) == F.lit(key) if resolvable
                        else F.lit(False))
+            for col, val in (filters or {}).items():
+                matched = matched & (F.col(col) == F.lit(val))
             return (self.docs
                     .filter(matched)
                     .select(F.col(self.id_col),
@@ -1027,6 +1037,9 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         if self._doc_rows is None or not resolvable:
             return spark_path()
         row = self._doc_rows.get(key)
+        if filters and row is not None and any(
+                row.get(c) != v for c, v in filters.items()):
+            row = None  # filtered out — same NULL-never-matches semantics
         if row is None or n_results == 0:
             return spark_path()  # empty either way; rare path, one tiny job
         txt = row[self.text_col]
@@ -1050,6 +1063,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                       fts_available: bool = True, vector_available: bool = True,
                       synonym_groups: list[list[str]] | None = None,
                       near_window: int = 5, dedupe: bool = True,
+                      filters: dict | None = None,
                       **weight_overrides: float) -> DataFrame:
         """Route → both legs (over-fetched) → fuse → score → dedup → top-n,
         with per-call weight overrides (tools.py:58-82) and Q4 degradation
@@ -1058,11 +1072,20 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         `near_window` tokens earn the proximity bonus (scoring.py:57-93).
         `dedupe` collapses hits sharing a text-preview block and reports
         `duplicates_filtered` (quran_mcp/search.py:262-278).
+        `filters` is the spec's metadata filter (HADITH_SEARCH_SPEC.md:420,
+        Chroma's `where=` in the reference): {column: value} equality
+        predicates ANDed over the candidate set before scoring (NULL never
+        matches), applied identically on every tier; a selective filter
+        can return fewer than n_results, like a selective `where` does.
         Returns (id, score, vec_signal, fts_sig, coverage, phrase_bonus,
         proximity_bonus, duplicates_filtered, preview)."""
         w = fusion.resolve_weights(scoring_mode, fts_available, vector_available)
         if weight_overrides:
             w = replace(w, **weight_overrides)
+        if filters:
+            bad = sorted(set(filters) - set(self.docs.columns))
+            if bad:
+                raise ValueError(f"filter columns not in docs: {bad}")
         # Driver-side router twin: one serving call routes ONE string, and
         # a 1-row Spark job costs ~400 ms of scheduler overhead per request
         # (route_one is equivalence-tested against the column router).
@@ -1075,7 +1098,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             # it). Same last-number semantics as the batch exact leg
             # (plans/routed.py); same result schema as every other hybrid
             # return.
-            return self._exact_reference_lookup(query, n_results)
+            return self._exact_reference_lookup(query, n_results, filters)
         terms = sorted(set(py_tokenize(intent.normalized)))
         k = max(OVERFETCH_FLOOR, 5 * n_results)
         # Narrator intent + a narrator field: the lexical leg is the
@@ -1134,12 +1157,12 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                     out = self._interactive_scored_local(
                         sorted(fused_map.items()), terms, w, intent.phrase,
                         dedupe, n_results, synonym_groups=synonym_groups,
-                        near_window=near_window)
-                # (the single-statement SQL tail has no narrator-bonus
-                # expression; narrator engines fall through to the batch
-                # Column tail instead, which has it)
+                        near_window=near_window, filters=filters)
+                # (the single-statement SQL tail has no narrator-bonus or
+                # filter expressions; those engines/calls fall through to
+                # the batch Column tail instead, which has both)
                 if out is None and not synonym_groups \
-                        and self.narrator_col is None:
+                        and self.narrator_col is None and not filters:
                     out = self._interactive_scored_sql(
                         sorted(fused_map.items()), terms, w, intent.phrase,
                         dedupe, n_results)
@@ -1165,8 +1188,13 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         # hits with no corpus entry (quran_mcp/search.py:219-221).
         doc_cols = [self.id_col, self.text_col] + (
             [self.narrator_col] if self.narrator_col else [])
+        doc_cols += [c for c in (filters or {})
+                     if c not in doc_cols]
         with_text = F.broadcast(fused).join(
             self.docs.select(*doc_cols), self.id_col)
+        if filters:
+            for col, val in filters.items():
+                with_text = with_text.filter(F.col(col) == F.lit(val))
         if synonym_groups and len(synonym_groups) >= 2:
             # Pin the O(k) candidates only when the proximity probe will
             # consume them a second time (probe + join-back); the default

@@ -136,7 +136,8 @@ class StdioServer:
                         "bonus_phrase") if k in args}
             df = self.engine.hybrid_search(
                 args["query"], n_results=int(args.get("n_results", 10)),
-                scoring_mode=args.get("scoring_mode", "balanced"), **weights)
+                scoring_mode=args.get("scoring_mode", "balanced"),
+                filters=args.get("filters"), **weights)
             # Attach the spec'd human-readable explanation per hit
             # (HADITH_SEARCH_SPEC.md:487-496 — the reference's designed
             # output format, TEST_QUERIES.md:445-468, never shipped).

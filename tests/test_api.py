@@ -1034,3 +1034,48 @@ def test_narrator_intent_uses_narrator_field_leg(spark):
     # a thematic query on the same engine still uses the text leg
     th = batch.hybrid_search("rewarded greatly patience light", 3).collect()
     assert {r.doc_id for r in th if r.fts_sig > 0} >= {1, 2}
+
+
+def test_metadata_filters_restrict_candidates_on_every_tier(spark):
+    """The spec's metadata filter (HADITH_SEARCH_SPEC.md:420, the
+    reference's Chroma `where=`): {column: value} equality predicates
+    restrict the candidate set before scoring, identically on the batch
+    Column tail, the driver-local tail, and the exact-reference
+    dispatch; NULL column values never match; unknown columns raise."""
+    rows = [
+        (1, "patience and prayer during hardship", "sahih", "bk1"),
+        (2, "patience and prayer during travel", "daif", "bk1"),
+        (3, "patience and prayer at night time", "sahih", "bk2"),
+        (4, "patience and prayer in the morning", None, "bk2"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, grade string, book string")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    q = "patience prayer hardship travel"
+
+    for flt, want in (
+        ({"grade": "sahih"}, {1, 3}),
+        ({"grade": "sahih", "book": "bk2"}, {3}),
+        ({"book": "bk1"}, {1, 2}),
+        ({"grade": "missing"}, set()),       # no match -> empty, no error
+    ):
+        got_b = batch.hybrid_search(q, n_results=4, filters=flt).collect()
+        got_i = inter.hybrid_search(q, n_results=4, filters=flt).collect()
+        assert [tuple(r) for r in got_b] == [tuple(r) for r in got_i], flt
+        assert {r.doc_id for r in got_b} == want, flt
+
+    # unfiltered call unchanged; NULL grade doc present there
+    assert {r.doc_id for r in
+            batch.hybrid_search(q, n_results=4).collect()} == {1, 2, 3, 4}
+
+    # exact-reference dispatch respects the filter on both tiers
+    for eng in (batch, inter):
+        hit = eng.hybrid_search("hadith 3", 2, filters={"grade": "sahih"})
+        assert [r.doc_id for r in hit.collect()] == [3]
+        miss = eng.hybrid_search("hadith 2", 2, filters={"grade": "sahih"})
+        assert miss.collect() == []
+
+    with pytest.raises(ValueError):
+        batch.hybrid_search(q, 3, filters={"nope": 1})
