@@ -635,9 +635,7 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                                   n_results: int,
                                   synonym_groups: list[list[str]] | None
                                   = None,
-                                  near_window: int = 5,
-                                  filters: dict | None = None
-                                  ) -> DataFrame | None:
+                                  near_window: int = 5) -> DataFrame | None:
         """The scoring tail computed entirely driver-side over the
         resident doc map — ZERO Spark jobs for a hybrid call when every
         tier is resident (the result returns as a VALUES LocalRelation,
@@ -692,11 +690,6 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             row = self._doc_rows.get(rid)
             if row is None:
                 return None
-            if filters and any(row.get(c) != v for c, v in filters.items()):
-                # metadata filter: dropped BEFORE scoring/dedup, exactly
-                # where the batch tail's with_text filter drops it (a
-                # NULL column value never matches, like Spark's ==)
-                continue
             txt = row[self.text_col]
             ltxt = txt.lower() if txt is not None else None
             _vs = min(1.0, max(0.0, vs))
@@ -959,29 +952,51 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 self.docs, text_col=self.narrator_col, id_col=self.id_col)
         return self._nar_index
 
-    def _narrator_leg(self, narrator_query: str, k: int) -> DataFrame | None:
+    def _narrator_leg(self, narrator_query: str, k: int,
+                      allowed: DataFrame | None = None) -> DataFrame | None:
         """The narrator-intent lexical leg: the reference routes narrator
         queries to a narrator-FIELD prefix-AND match
         (`narrator:t1* AND narrator:t2*`, router.py:93-99 consumed at
         tools.py:84-88) instead of scoring the document text. Returns
         None when the narrator phrase yields no tokens (the caller falls
         back to the plain lexical leg, like the reference's
-        `if not toks: toks = intent.tokens`)."""
+        `if not toks: toks = intent.tokens`). `allowed` restricts before
+        the top-k cutoff, like `_spark_lex_leg`."""
         toks = py_tokenize(narrator_query)[:6]
         if not toks:
             return None
-        return (bm25.prefix_and_match(self._narrator_index(), toks, k=k)
+        allowed_did = (allowed.withColumnRenamed(self.id_col, "doc_id")
+                       if allowed is not None else None)
+        return (bm25.prefix_and_match(self._narrator_index(), toks, k=k,
+                                      allowed=allowed_did)
                 .withColumnRenamed("doc_id", self.id_col))
 
-    def _spark_lex_leg(self, terms: list[str], k: int) -> DataFrame:
+    def _allowed_ids(self, filters: dict | None) -> DataFrame | None:
+        """The metadata filter's allowed-id set (NULL never matches —
+        Spark `==` semantics), or None when unfiltered."""
+        if not filters:
+            return None
+        allowed = self.docs
+        for col, val in filters.items():
+            allowed = allowed.filter(F.col(col) == F.lit(val))
+        return allowed.select(self.id_col)
+
+    def _spark_lex_leg(self, terms: list[str], k: int,
+                       allowed: DataFrame | None = None) -> DataFrame:
         """The Spark lexical leg: disjunctive BM25 over the scoring view,
         rounded, ranked (bm25 desc, id asc), over-fetched to k — the
-        contract `_lex_topk_interactive` mirrors driver-side."""
-        return (bm25.score_terms(self.spark, self.index, terms,
-                                 conjunctive=False)
-                .withColumnRenamed("doc_id", self.id_col)
-                .select(F.col(self.id_col),
-                        F.round("score", 6).alias("bm25"))
+        contract `_lex_topk_interactive` mirrors driver-side. `allowed`
+        (the metadata filter's id set) restricts BEFORE the top-k cutoff,
+        like the reference's Chroma `where=` restricts the search space —
+        filtering after the cutoff would silently lose matching docs that
+        score below the global top-k."""
+        leg = (bm25.score_terms(self.spark, self.index, terms,
+                                conjunctive=False)
+               .withColumnRenamed("doc_id", self.id_col))
+        if allowed is not None:
+            leg = leg.join(F.broadcast(allowed), self.id_col, "left_semi")
+        return (leg.select(F.col(self.id_col),
+                           F.round("score", 6).alias("bm25"))
                 .orderBy(F.desc("bm25"), F.asc(self.id_col)).limit(k))
 
     # -- the reference's tool surface --------------------------------------
@@ -1038,8 +1053,12 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             return spark_path()
         row = self._doc_rows.get(key)
         if filters and row is not None and any(
-                row.get(c) != v for c, v in filters.items()):
-            row = None  # filtered out — same NULL-never-matches semantics
+                v is None or row.get(c) is None or row.get(c) != v
+                for c, v in filters.items()):
+            # Spark's `==` semantics exactly: a NULL on EITHER side never
+            # matches (so a {col: None} filter matches nothing, like the
+            # batch path's F.lit(None) predicate)
+            row = None
         if row is None or n_results == 0:
             return spark_path()  # empty either way; rare path, one tiny job
         txt = row[self.text_col]
@@ -1101,16 +1120,24 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             return self._exact_reference_lookup(query, n_results, filters)
         terms = sorted(set(py_tokenize(intent.normalized)))
         k = max(OVERFETCH_FLOOR, 5 * n_results)
+        # Metadata filters restrict the SEARCH SPACE (each leg semi-joins
+        # the allowed-id set before its top-k cutoff — the reference's
+        # Chroma `where=` semantics; a post-cutoff filter would silently
+        # lose matching docs that score below the global top-k). Filtered
+        # calls therefore take the batch legs even on interactive
+        # engines: the resident tiers rank over the whole corpus.
+        allowed = self._allowed_ids(filters)
         # Narrator intent + a narrator field: the lexical leg is the
         # reference's narrator-FIELD prefix-AND match, not text BM25
         # (router.py:93-99 via tools.py:84-88). None (no narrator tokens)
         # falls back to the plain leg below.
-        nar_leg = (self._narrator_leg(intent.narrator_query, k)
+        nar_leg = (self._narrator_leg(intent.narrator_query, k, allowed)
                    if (intent.intent == INTENT_NARRATOR
                        and self.narrator_col is not None
+                       and fts_available
                        and intent.narrator_query) else None)
 
-        if self._mat is not None:
+        if self._mat is not None and allowed is None:
             # Interactive fast path (enable_interactive): the lexical leg
             # comes from the resident impact arrays when the tier is
             # built (no Spark job) or from collecting the O(k) Spark leg
@@ -1157,12 +1184,12 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                     out = self._interactive_scored_local(
                         sorted(fused_map.items()), terms, w, intent.phrase,
                         dedupe, n_results, synonym_groups=synonym_groups,
-                        near_window=near_window, filters=filters)
-                # (the single-statement SQL tail has no narrator-bonus or
-                # filter expressions; those engines/calls fall through to
-                # the batch Column tail instead, which has both)
+                        near_window=near_window)
+                # (the single-statement SQL tail has no narrator-bonus
+                # expression; narrator engines fall through to the batch
+                # Column tail instead, which has it)
                 if out is None and not synonym_groups \
-                        and self.narrator_col is None and not filters:
+                        and self.narrator_col is None:
                     out = self._interactive_scored_sql(
                         sorted(fused_map.items()), terms, w, intent.phrase,
                         dedupe, n_results)
@@ -1170,14 +1197,18 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                     return out
             fused = self._fused_literal_df(sorted(fused_map.items()))
         else:
-            fts = (nar_leg if nar_leg is not None and fts_available
-                   else self._spark_lex_leg(terms, k)
+            fts = (nar_leg if nar_leg is not None
+                   else self._spark_lex_leg(terms, k, allowed)
                    if fts_available and terms
                    else self._empty_leg("bm25"))
             if vector_available:
                 qvec = encode_query(intent.normalized, self.dim)
-                vec = (similarity.cosine_scores(self.emb, qvec, self.id_col)
-                       .select(self.id_col, F.round("sim", 6).alias("sim"))
+                vec = similarity.cosine_scores(self.emb, qvec, self.id_col)
+                if allowed is not None:
+                    vec = vec.join(F.broadcast(allowed), self.id_col,
+                                   "left_semi")
+                vec = (vec.select(self.id_col,
+                                  F.round("sim", 6).alias("sim"))
                        .orderBy(F.desc("sim"), F.asc(self.id_col)).limit(k))
             else:
                 vec = self._empty_leg("sim")
@@ -1188,13 +1219,8 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         # hits with no corpus entry (quran_mcp/search.py:219-221).
         doc_cols = [self.id_col, self.text_col] + (
             [self.narrator_col] if self.narrator_col else [])
-        doc_cols += [c for c in (filters or {})
-                     if c not in doc_cols]
         with_text = F.broadcast(fused).join(
             self.docs.select(*doc_cols), self.id_col)
-        if filters:
-            for col, val in filters.items():
-                with_text = with_text.filter(F.col(col) == F.lit(val))
         if synonym_groups and len(synonym_groups) >= 2:
             # Pin the O(k) candidates only when the proximity probe will
             # consume them a second time (probe + join-back); the default

@@ -572,7 +572,8 @@ def score_prefix(index: LexicalIndex, prefix: str,
 
 
 def prefix_and_match(index: LexicalIndex, prefixes: list[str],
-                     k: int = 10) -> DataFrame:
+                     k: int = 10,
+                     allowed: DataFrame | None = None) -> DataFrame:
     """AND of prefix pseudo-terms over an index — the reference router's
     narrator MATCH shape (`narrator:t1* AND narrator:t2*`,
     /root/reference/mcp_server/apps/router.py:93-99, consumed by the
@@ -587,6 +588,10 @@ def prefix_and_match(index: LexicalIndex, prefixes: list[str],
     for i, p in enumerate(prefixes):
         leg = score_prefix(index, p).withColumnRenamed("score", f"_s{i}")
         joined = leg if joined is None else joined.join(leg, "doc_id")
+    if allowed is not None:
+        # metadata restriction BEFORE the top-k cutoff (a post-cutoff
+        # filter would lose allowed docs scoring below the global top-k)
+        joined = joined.join(F.broadcast(allowed), "doc_id", "left_semi")
     total = sum((F.col(f"_s{i}") for i in range(1, len(prefixes))),
                 F.col("_s0"))
     return (joined.select("doc_id", F.round(total, 6).alias("bm25"))

@@ -155,6 +155,13 @@ def score(fused: DataFrame, w: Weights,
         extra_cols.append(F.round(narr, 6).alias("narrator_bonus"))
     if grad is not None:
         extra_cols.append(F.round(grad, 6).alias("grading_bonus"))
+    # the opt-in bonuses also join the breakdown struct, so
+    # breakdown.total always equals the sum of the struct's components
+    extra_struct = []
+    if narr is not None:
+        extra_struct.append(F.col("narrator_bonus").alias("narrator_bonus"))
+    if grad is not None:
+        extra_struct.append(F.col("grading_bonus").alias("grading_bonus"))
     return fused.select(
         "*",
         F.round(vsig, 6).alias("vec_signal"),
@@ -172,6 +179,7 @@ def score(fused: DataFrame, w: Weights,
             F.col("phrase_bonus").alias("phrase_bonus"),
             F.col("proximity_bonus").alias("proximity_bonus"),
             F.col("coverage").alias("term_coverage"),
+            *extra_struct,
             F.col("score").alias("total"),
         ),
     )

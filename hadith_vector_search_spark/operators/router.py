@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    _REF_VOCAB,
     arabic_ratio,
     extract_narrator_query,
     extract_quoted_phrase,
@@ -70,11 +71,12 @@ _PY_NARRATOR_EN = re.compile(
     r"(?:^|(?<=[^a-z0-9_]))(?:narrated by|reported by|said by)"
     r"[ \t\n\x0b\f\r]+(.+)$")
 _PY_NARRATOR_AR = re.compile("عن[ \\t\\n\\x0b\\f\\r]+(.+)$")
+# Derived from the ONE vocabulary in functions/text.py (the column form
+# and the DuckDB oracle spell the same pieces), with \s replaced by the
+# explicit ASCII class so the twin matches Java byte-for-byte.
 _PY_EXACT_REF = re.compile(
     r"^[ \t\n\x0b\f\r]*"
-    r"(?:(?:find|show|me|get|reference|hadith|number|no|riyadussalihin"
-    r"|riyad|as-salihin|as|salihin|bukhari|muslim|tirmidhi|introduction"
-    r"|book|kitab|bk)[ \t\n\x0b\f\r,.:]*)*"
+    r"(?:(?:" + _REF_VOCAB + r")[ \t\n\x0b\f\r,.:]*)*"
     r"[0-9]+(?:[ \t\n\x0b\f\r]*[:\-/,][ \t\n\x0b\f\r]*"
     r"(?:hadith[ \t\n\x0b\f\r]+)?[0-9]+)?[ \t\n\x0b\f\r.]*$")
 _PY_ARABIC = re.compile("[؀-ۿ]")

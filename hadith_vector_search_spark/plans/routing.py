@@ -54,14 +54,17 @@ def intent_feat_cte(batch: list[tuple[int, str]]) -> str:
     """Shared oracle CTE fragment: the router's feature extraction + intent
     CASE over a literal query batch, ending with an `intents` relation
     (query_id, query_text, intent, phrase, narrator_query, n_tokens,
-    ar_ratio). Same regexes, same precedence as `route()`, RE2 syntax."""
+    ar_ratio). Same regexes, same precedence as `route()`, RE2 syntax;
+    the exact-reference vocabulary interpolates from the ONE definition
+    in functions/text.py so the three spellings cannot desync."""
+    from ..functions.text import _REF_VOCAB as ref_vocab
     values = ", ".join(f"({i}, '{_esc(q)}')" for i, q in batch)
     return f"""
 q(query_id, query_text) AS (VALUES {values}),
 feat AS (
   SELECT query_id, query_text,
     regexp_matches(lower(query_text),
-      '^\\s*((find|show|me|get|reference|hadith|number|no|riyadussalihin|riyad|as-salihin|as|salihin|bukhari|muslim|tirmidhi|introduction|book|kitab|bk)[\\s,.:]*)*\\d+(\\s*[:\\-/,]\\s*(hadith\\s+)?\\d+)?[\\s.]*$') AS is_ref,
+      '^\\s*(({ref_vocab})[\\s,.:]*)*\\d+(\\s*[:\\-/,]\\s*(hadith\\s+)?\\d+)?[\\s.]*$') AS is_ref,
     NULLIF(regexp_extract(query_text, '"([^"]{{3,}})"', 1), '') AS dq,
     NULLIF(regexp_extract(query_text, '''([^'']{{3,}})''', 1), '') AS sq,
     NULLIF(regexp_extract(lower(query_text),

@@ -131,9 +131,13 @@ class StdioServer:
 
     def call_tool(self, name: str, args: dict[str, Any]):
         if name == "hybrid_search":
-            weights = {k: args[k] for k in
-                       ("weight_vector", "weight_fts", "weight_term_coverage",
-                        "bonus_phrase") if k in args}
+            # tool-arg names (the reference's HybridScorer kwargs,
+            # tools.py:75-82) -> fusion.Weights field names
+            _w_map = {"weight_vector": "vector", "weight_fts": "fts",
+                      "weight_term_coverage": "coverage",
+                      "bonus_phrase": "phrase"}
+            weights = {field: float(args[arg])
+                       for arg, field in _w_map.items() if arg in args}
             df = self.engine.hybrid_search(
                 args["query"], n_results=int(args.get("n_results", 10)),
                 scoring_mode=args.get("scoring_mode", "balanced"),

@@ -1060,6 +1060,7 @@ def test_metadata_filters_restrict_candidates_on_every_tier(spark):
         ({"grade": "sahih", "book": "bk2"}, {3}),
         ({"book": "bk1"}, {1, 2}),
         ({"grade": "missing"}, set()),       # no match -> empty, no error
+        ({"grade": None}, set()),            # NULL never matches (Spark ==)
     ):
         got_b = batch.hybrid_search(q, n_results=4, filters=flt).collect()
         got_i = inter.hybrid_search(q, n_results=4, filters=flt).collect()
@@ -1076,6 +1077,21 @@ def test_metadata_filters_restrict_candidates_on_every_tier(spark):
         assert [r.doc_id for r in hit.collect()] == [3]
         miss = eng.hybrid_search("hadith 2", 2, filters={"grade": "sahih"})
         assert miss.collect() == []
+        # {col: None} matches nothing, even rows whose value IS NULL
+        assert eng.hybrid_search("hadith 4", 2,
+                                 filters={"grade": None}).collect() == []
+
+    # a filter-only doc below the UNFILTERED global top-k still surfaces:
+    # the allowed-id set restricts BEFORE the top-k cutoff (Chroma where=)
+    many = [(100 + i, f"patience prayer filler {i} " + "pad " * i, "sahih",
+             "bulk") for i in range(60)]
+    big = spark.createDataFrame(rows + many,
+                                "doc_id int, text string, grade string, "
+                                "book string")
+    eng_big = HybridEngine(spark, big)
+    got = eng_big.hybrid_search("patience prayer", n_results=5,
+                                filters={"book": "bk2"}).collect()
+    assert {r.doc_id for r in got} == {3, 4}
 
     with pytest.raises(ValueError):
         batch.hybrid_search(q, 3, filters={"nope": 1})

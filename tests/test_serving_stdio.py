@@ -146,3 +146,23 @@ def test_index_status_tools(spark, sf_dir):
     assert f1["built"] is True and f1["n_docs"] == n_docs
     assert f1["n_terms"] > 0 and f1["n_postings"] >= f1["n_terms"]
     assert f1["avgdl"] > 0
+
+
+def test_weight_overrides_through_the_tool_surface(server, spark, sf_dir):
+    """The hybrid_search tool's advertised weight args (the reference's
+    HybridScorer kwargs, tools.py:75-82) must map onto fusion.Weights
+    fields — a weight-customized call serves results instead of raising,
+    and the override demonstrably changes scores."""
+    base = _tool_rows(server.request("tools/call", {
+        "name": "hybrid_search",
+        "arguments": {"query": QUERY, "n_results": N_RESULTS}}))
+    overridden = _tool_rows(server.request("tools/call", {
+        "name": "hybrid_search",
+        "arguments": {"query": QUERY, "n_results": N_RESULTS,
+                      "weight_vector": 0.9, "weight_fts": 0.1,
+                      "weight_term_coverage": 0.5, "bonus_phrase": 0.2}}))
+    assert base and overridden
+    b = {r["doc_id"]: r["score"] for r in base}
+    o = {r["doc_id"]: r["score"] for r in overridden}
+    shared = set(b) & set(o)
+    assert shared and any(abs(b[d] - o[d]) > 1e-6 for d in shared)
