@@ -41,6 +41,12 @@ TOOL_DEFINITIONS: tuple[dict[str, Any], ...] = (
                 "weight_fts": {"type": "number"},
                 "weight_term_coverage": {"type": "number"},
                 "bonus_phrase": {"type": "number"},
+                "filters": {
+                    "type": "object",
+                    "description": "metadata equality filters "
+                                   "({column: value}, ANDed; restricts "
+                                   "the search space before top-k)",
+                },
             },
             "required": ["query"],
         },
