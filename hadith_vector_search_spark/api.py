@@ -1340,7 +1340,8 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
     def rerank_search(self, query: str, n_results: int = 10,
                       first_stage_k: int | None = None,
                       scoring_mode: str = "balanced",
-                      backend: str = "auto") -> DataFrame:
+                      backend: str = "auto",
+                      filters: dict | None = None) -> DataFrame:
         """Retrieve-then-rerank on the product surface: the hybrid
         pipeline over-fetches `first_stage_k` candidates (default
         max(50, 5·n)), then a cross-encoder-shaped pair scorer
@@ -1365,8 +1366,12 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             # tail-truncate on the interactive tier instead.
             raise ValueError(f"n_results must be >= 0, got {n_results}")
         k = first_stage_k or max(OVERFETCH_FLOOR, 5 * n_results)
+        # `filters` restricts the first-stage retrieval (hybrid_search's
+        # Chroma where= semantics); the reranker only ever sees allowed
+        # candidates.
         cands = self.hybrid_search(query, n_results=k,
-                                   scoring_mode=scoring_mode)
+                                   scoring_mode=scoring_mode,
+                                   filters=filters)
         if self._doc_rows is not None:
             import numpy as np
 

@@ -171,7 +171,8 @@ class StdioServer:
         if name == "rerank_search":
             return self.engine.rerank_search(
                 args["query"], n_results=int(args.get("n_results", 10)),
-                scoring_mode=args.get("scoring_mode", "balanced"))
+                scoring_mode=args.get("scoring_mode", "balanced"),
+                filters=args.get("filters"))
         if name == "more_like_this":
             return self.engine.more_like_this(
                 args["doc_id"], n_results=int(args.get("n_results", 10)),

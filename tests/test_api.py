@@ -1095,3 +1095,22 @@ def test_metadata_filters_restrict_candidates_on_every_tier(spark):
 
     with pytest.raises(ValueError):
         batch.hybrid_search(q, 3, filters={"nope": 1})
+
+
+def test_rerank_search_respects_filters(spark):
+    """Filters restrict rerank_search's FIRST-STAGE retrieval: the
+    reranker only sees allowed candidates, on both tiers."""
+    rows = [
+        (1, "patience and prayer during hardship", "bk1"),
+        (2, "patience and prayer during travel", "bk2"),
+        (3, "patience and prayer at night", "bk1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, book string")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    for eng in (batch, inter):
+        got = eng.rerank_search("patience prayer", n_results=3,
+                                filters={"book": "bk1"}).collect()
+        assert {r.doc_id for r in got} == {1, 3}
+        assert "ce_score" in got[0].asDict()
