@@ -102,3 +102,31 @@ SELECT query_id, intent, phrase, narrator_query,
        round(ar_ratio, 4) AS arabic_ratio
 FROM intents
 """
+
+
+def golden_intent_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE golden corpus (all 118 enumerated TEST_QUERIES.md
+    items, hadith_vector_search_spark/golden.py) through the column
+    router, oracle-replayed by DuckDB feature-for-feature — the driver's
+    gate thereby checks routing over every golden query, not a sample.
+    (The per-id pinned-intent assertions and the end-to-end engine runs
+    live in tests/test_golden_corpus.py.)"""
+    from ..golden import GOLDEN
+    queries = spark.createDataFrame(
+        [(i, q) for i, (_qid, q, _want) in enumerate(GOLDEN)],
+        "query_id int, query_text string")
+    return (route(queries)
+            .select("query_id", "intent", "phrase", "narrator_query",
+                    "n_tokens", "arabic_ratio"))
+
+
+def golden_intent_router_oracle_sql() -> str:
+    from ..golden import GOLDEN
+    batch = [(i, q) for i, (_qid, q, _want) in enumerate(GOLDEN)]
+    return f"""
+WITH {intent_feat_cte(batch)}
+SELECT query_id, intent, phrase, narrator_query,
+       CAST(n_tokens AS INT) AS n_tokens,
+       round(ar_ratio, 4) AS arabic_ratio
+FROM intents
+"""

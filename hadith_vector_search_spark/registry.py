@@ -74,6 +74,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_prf_topk": lexical.bm25_prf_topk,
     "graded_search": lexical.graded_search,
     "hybrid_search_explained": hybrid.hybrid_search_explained,
+    "golden_intent_router": routing.golden_intent_router,
     "cross_encoder_rerank": lexical.cross_encoder_rerank,
     "more_like_this": lexical.more_like_this,
     "percolate_matches": lexical.percolate_matches,
@@ -238,6 +239,7 @@ oracle("semantic_dedup_list", semantic.semantic_dedup_list_oracle())
 oracle("mmr_rerank", semantic.mmr_rerank_oracle())
 oracle("dedup_removal_list", dedup_plans.dedup_removal_list_oracle())
 oracle("intent_router", routing.intent_router_oracle_sql())
+oracle("golden_intent_router", routing.golden_intent_router_oracle_sql())
 oracle("corpus_split_summary", pipeline_plans.corpus_split_summary_oracle())
 oracle("contamination_check", pipeline_plans.contamination_check_oracle())
 oracle("training_shard_manifest",
