@@ -92,14 +92,25 @@ class HybridEngine:
                  embeddings: DataFrame | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
                  dim: int = DEFAULT_DIM,
-                 narrator_col: str | None = None) -> None:
+                 narrator_col: str | None = None,
+                 exact_ref_fallback: bool = False) -> None:
         """`narrator_col` (opt-in): name of a narrator/author column in
         `docs`; when set, hybrid_search applies the spec's
         narrator_match_bonus (Weights.narrator, 0.4 when any query term
         appears case-folded in that field — HADITH_SEARCH_SPEC.md:330-332)
-        and results gain a flat `narrator_bonus` column."""
+        and results gain a flat `narrator_bonus` column.
+
+        `exact_ref_fallback` (opt-in): a reference-shaped query whose
+        number resolves to NO document falls back to normal retrieval
+        instead of returning the empty frame. The default (False) keeps
+        the spec's single-exact-match contract (TEST_QUERIES.md:48-53
+        "direct lookup") — a deliberate divergence from the SHIPPED
+        reference, which computes the exact intent but never dispatches
+        on it and so always runs hybrid search; True restores the shipped
+        behavior for unresolvable references."""
         self.spark = spark
         self.text_col, self.id_col, self.dim = text_col, id_col, dim
+        self.exact_ref_fallback = bool(exact_ref_fallback)
         if narrator_col is not None and narrator_col not in docs.columns:
             raise ValueError(f"narrator_col {narrator_col!r} not in docs")
         self.narrator_col = narrator_col
@@ -1010,9 +1021,12 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         Unresolvable references (no such id; a non-integral id column
         that cannot carry the number; a number past bigint) return the
         EMPTY frame rather than falling back to fuzzy retrieval — the
-        reference's single-exact-match contract (TEST_QUERIES.md:48-53).
-        With the doc map resident the hit returns as a VALUES
-        LocalRelation (zero Spark jobs, the <5ms class); otherwise one
+        spec's single-exact-match contract (TEST_QUERIES.md:48-53);
+        construct the engine with `exact_ref_fallback=True` to fall back
+        to retrieval instead (the SHIPPED reference's behavior, which
+        never dispatches this intent). With the doc map resident an
+        UNFILTERED hit returns as a VALUES LocalRelation (zero Spark
+        jobs, the <5ms class); filtered or cold lookups pay one
         pushed-filter scan."""
         import re as _re
 
@@ -1049,16 +1063,15 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                             preview.alias("preview"))
                     .limit(n_results))
 
-        if self._doc_rows is None or not resolvable:
+        # Filtered lookups take the Spark path UNCONDITIONALLY: the filter
+        # predicate must be Spark's Column `==` (type-coercing, NULL never
+        # matches) on every tier, and a driver-side Python `!=` twin
+        # diverges on coercible pairs (e.g. {"book_id": "1"} against an
+        # int column matches under Column ==, not under Python ==) — the
+        # same reason filtered hybrid calls use the batch legs.
+        if self._doc_rows is None or not resolvable or filters:
             return spark_path()
         row = self._doc_rows.get(key)
-        if filters and row is not None and any(
-                v is None or row.get(c) is None or row.get(c) != v
-                for c, v in filters.items()):
-            # Spark's `==` semantics exactly: a NULL on EITHER side never
-            # matches (so a {col: None} filter matches nothing, like the
-            # batch path's F.lit(None) predicate)
-            row = None
         if row is None or n_results == 0:
             return spark_path()  # empty either way; rare path, one tiny job
         txt = row[self.text_col]
@@ -1116,8 +1129,13 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             # reference computes this intent but nothing dispatches on
             # it). Same last-number semantics as the batch exact leg
             # (plans/routed.py); same result schema as every other hybrid
-            # return.
-            return self._exact_reference_lookup(query, n_results, filters)
+            # return. With `exact_ref_fallback` a MISS (empty lookup)
+            # falls through to the retrieval legs below — the shipped
+            # reference's behavior for unresolvable references — at the
+            # cost of one tiny probe job on the miss path only.
+            hit = self._exact_reference_lookup(query, n_results, filters)
+            if not self.exact_ref_fallback or n_results == 0 or hit.take(1):
+                return hit
         terms = sorted(set(py_tokenize(intent.normalized)))
         k = max(OVERFETCH_FLOOR, 5 * n_results)
         # Metadata filters restrict the SEARCH SPACE (each leg semi-joins

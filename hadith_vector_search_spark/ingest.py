@@ -125,7 +125,7 @@ def _vector_manifest(table_path: str, n_rows: int) -> IndexManifest:
 
 
 def _vector_index_delta(spark: SparkSession, table_path: str, out_dir: str,
-                        changed: DataFrame) -> None:
+                        changed: DataFrame, n_rows: int | None = None) -> None:
     """Vector-index delta: re-embed ONLY the changed rows (the expensive
     part tracks the batch), anti-join them out of the published table,
     union, rewrite. The write is whole-table here because the table is
@@ -143,8 +143,9 @@ def _vector_index_delta(spark: SparkSession, table_path: str, out_dir: str,
               .unionByName(fresh)
               .localCheckpoint())  # materialize before overwriting a source
     merged.write.mode("overwrite").parquet(vec_path)
-    write_manifest(out_dir, _vector_manifest(
-        table_path, spark.read.parquet(table_path).count()))
+    if n_rows is None:
+        n_rows = spark.read.parquet(table_path).count()
+    write_manifest(out_dir, _vector_manifest(table_path, n_rows))
 
 
 def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
@@ -243,12 +244,18 @@ def run_ingestion(spark: SparkSession, data_dir: str, table_path: str,
             # bucket-level write-back for the lexical index; re-embed of
             # only the changed rows for the vector table.
             from .sources.index_store import write_refresh
+            # Both manifests must stamp the FULL post-merge corpus row
+            # count (what ensure_lexical_index / update_indexes compare
+            # against next run) — write_refresh's stats.n_docs default
+            # counts only docs with >=1 token, and any token-less row
+            # would permanently desync the manifest into full rebuilds.
+            new_n = spark.read.parquet(table_path).count()
             write_refresh(spark, os.path.join(idx_root, "fts"),
                           incoming_all.select("doc_id", "text"),
-                          corpus_path=table_path)
+                          corpus_path=table_path, n_rows=new_n)
             _vector_index_delta(spark, table_path,
                                 os.path.join(idx_root, "vector"),
-                                incoming_all)
+                                incoming_all, n_rows=new_n)
             log("Index update summary:")
             for name in ("fts", "vector"):
                 log(f"  {name} index -> delta-refreshed "

@@ -1114,3 +1114,59 @@ def test_rerank_search_respects_filters(spark):
                                 filters={"book": "bk1"}).collect()
         assert {r.doc_id for r in got} == {1, 3}
         assert "ce_score" in got[0].asDict()
+
+
+def test_exact_reference_filter_type_coercion_tier_identity(spark):
+    """Filtered exact lookups take the Spark path on EVERY tier, so the
+    filter predicate is Column `==` (type-coercing) everywhere: a
+    {"book": "1"} filter against an int column matches on the
+    interactive tier exactly as it does on the batch tier — a driver-side
+    Python `!=` twin would reject the coercible pair and desync the
+    tiers."""
+    rows = [(1, "doc one text body", 1), (2, "doc two text body", 2)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, book int")
+    batch = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+    for flt, want in (({"book": "1"}, [1]),  # string literal, int column
+                      ({"book": 1}, [1]),
+                      ({"book": "2"}, [])):
+        got_b = [r.doc_id for r in
+                 batch.hybrid_search("hadith 1", 2, filters=flt).collect()]
+        got_i = [r.doc_id for r in
+                 inter.hybrid_search("hadith 1", 2, filters=flt).collect()]
+        assert got_b == got_i == want, flt
+
+
+def test_exact_ref_fallback_opt_in(spark):
+    """`exact_ref_fallback=True`: a reference whose number resolves to NO
+    document falls back to normal retrieval — the SHIPPED reference's
+    behavior (it computes the exact intent but never dispatches on it) —
+    while a resolvable reference still takes the point lookup. The
+    default engine keeps the spec's empty-frame contract."""
+    rows = [(i, f"document number {i} about patience and prayer")
+            for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    strict = HybridEngine(spark, docs)
+    fb = HybridEngine(spark, docs, exact_ref_fallback=True)
+
+    # resolvable: both engines return the identical single exact match
+    a = strict.hybrid_search("hadith 3", 2).collect()
+    b = fb.hybrid_search("hadith 3", 2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(b) == 1 and b[0].doc_id == 3 and b[0].score == 1.0
+
+    # miss: strict stays empty; fallback runs the retrieval legs
+    assert strict.hybrid_search("hadith number 999", 3).collect() == []
+    got = fb.hybrid_search("hadith number 999", 3).collect()
+    assert got, "fallback engine must retrieve on an unresolvable ref"
+    assert all(r.score < 1.0 for r in got)  # fuzzy scores, not the 1.0 pin
+
+    # n_results == 0 short-circuits without a probe job on either engine
+    assert fb.hybrid_search("hadith number 999", 0).collect() == []
+
+    # the interactive tier honors the same fallback
+    fbi = HybridEngine(spark, docs, exact_ref_fallback=True)
+    assert fbi.enable_interactive()
+    got_i = fbi.hybrid_search("hadith number 999", 3).collect()
+    assert [tuple(r) for r in got_i] == [tuple(r) for r in got]

@@ -171,3 +171,36 @@ def test_ingest_delta_refresh_equals_rebuild(spark, corpus):
     # and the delta re-stamped the manifest: a third no-change run reuses
     third = update_indexes(spark, table, idx)
     assert third == {"fts": [], "vector": []}
+
+
+def test_ingest_delta_manifest_counts_tokenless_docs(spark, corpus):
+    """The delta path must stamp both manifests with the FULL post-merge
+    corpus row count, not the index's stats.n_docs (docs with >=1 token):
+    a token-less row in the batch would otherwise desync the lexical
+    manifest forever, turning every later no-change run into a full
+    rebuild (lost incrementality, never wrong results)."""
+    from hadith_vector_search_spark.ingest import update_indexes
+    from hadith_vector_search_spark.sources import index_store
+
+    data, table = corpus
+    run_ingestion(spark, data, table, do_update_indexes=True,
+                  log=lambda *_: None)
+    _write_book(os.path.join(data, "book_2.jsonl"),
+                [{"doc_id": 100, "text": "gamma delta doc 0", "lang": "en",
+                  "source": "b2"},
+                 {"doc_id": 101, "text": "gamma delta doc 1", "lang": "en",
+                  "source": "b2"},
+                 {"doc_id": 102, "text": "gamma delta doc 2", "lang": "en",
+                  "source": "b2"},
+                 # valid row, zero tokens after tokenization
+                 {"doc_id": 104, "text": "", "lang": "en", "source": "b2"}])
+    logs = []
+    run_ingestion(spark, data, table, books=["2"], do_update_indexes=True,
+                  log=logs.append)
+    assert any("delta-refreshed" in line for line in logs), logs
+
+    n_rows = spark.read.parquet(table).count()
+    assert index_store.index_is_fresh(
+        os.path.join(f"{table}_indexes", "fts"), table, n_rows)
+    third = update_indexes(spark, table, f"{table}_indexes")
+    assert third == {"fts": [], "vector": []}
