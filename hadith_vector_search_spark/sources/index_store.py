@@ -30,8 +30,8 @@ Scale design (100 TB):
   column, NOT catalog bucketing: plain parquet paths reopen in any
   session with zero metastore state, directory-level pruning fires on the
   bucket predicate (PartitionFilters — asserted by tests/PLAN_AUDIT),
-  and a refresh overwrites only touched bucket directories via dynamic
-  partition overwrite. crc32 (not Murmur hash) because the SAME bucket
+  and a refresh replaces only touched bucket directories via the staged
+  journal commit (see `recover`). crc32 (not Murmur hash) because the SAME bucket
   function is computable driver-side (`zlib.crc32`) — the query path
   derives its bucket predicate without a Spark job.
 - In-file ``term`` sort gives parquet row-group min/max stats, so the
@@ -58,12 +58,81 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import bm25
-from .manifest import (IndexManifest, ensure_index, read_manifest,
-                       source_fingerprint, write_manifest)
+from .manifest import (MANIFEST_NAME, IndexManifest, ensure_index,
+                       read_manifest, source_fingerprint)
 
 DEFAULT_BUCKETS = 16  # sized for the test SFs; a lake uses 1024+
 LAYOUT_NAME = "_layout.json"
 LEXICAL_MODEL = "lexical-index-v2"
+JOURNAL_NAME = "_commit.json"
+STAGING_NAME = ".refresh-staging"
+
+
+# ---------------------------------------------------------------------------
+# Crash-safe refresh commit protocol (the staged-write + commit-point
+# pattern proven by streaming.ingest.stream_merge_jsonl): a refresh stages
+# EVERY new file under <index_dir>/.refresh-staging first, then atomically
+# publishes a journal (_commit.json) listing the rename/delete ops, then
+# replays it. A kill BEFORE the journal lands leaves the live tree
+# untouched (staging is garbage, removed on next open); a kill DURING the
+# replay leaves the journal, and the next open rolls FORWARD (every op is
+# idempotent). A reopen therefore sees either the wholly-old or the
+# wholly-new index, never a mix — asserted by the kill-mid-refresh tests.
+# On a lake the journal is the table format's snapshot commit; this is the
+# single-node stand-in with the same either/or visibility.
+# ---------------------------------------------------------------------------
+
+def _apply_op(index_dir: str, op: dict) -> None:
+    """One journal op; each is idempotent so a partial replay can rerun.
+    swap_* consume their staging source (a missing source == already
+    applied); remove_dir is naturally idempotent."""
+    dst = os.path.join(index_dir, op["dst"])
+    if op["op"] == "remove_dir":
+        shutil.rmtree(dst, ignore_errors=True)
+        return
+    src = os.path.join(index_dir, op["src"])
+    if op["op"] == "swap_dir":
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+    elif op["op"] == "swap_file":
+        if os.path.exists(src):
+            os.replace(src, dst)
+
+
+def _apply_ops(index_dir: str, ops: list[dict]) -> None:
+    for op in ops:
+        _apply_op(index_dir, op)
+
+
+def _write_journal(index_dir: str, ops: list[dict]) -> None:
+    """THE commit point: the atomic appearance of _commit.json flips the
+    refresh from roll-back (ignore staging) to roll-forward (replay)."""
+    tmp = os.path.join(index_dir, f".{JOURNAL_NAME}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"ops": ops}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(index_dir, JOURNAL_NAME))
+
+
+def recover(index_dir: str) -> str | None:
+    """Settle any interrupted refresh before reading or writing the store.
+    Journal present -> roll FORWARD (replay the idempotent ops, then drop
+    the journal); no journal -> any staging dir is a pre-commit orphan,
+    roll BACK by deleting it. Returns 'forward'/'back'/None for tests."""
+    action = None
+    journal = os.path.join(index_dir, JOURNAL_NAME)
+    if os.path.exists(journal):
+        with open(journal) as fh:
+            _apply_ops(index_dir, json.load(fh)["ops"])
+        os.remove(journal)
+        action = "forward"
+    staging = os.path.join(index_dir, STAGING_NAME)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+        action = action or "back"
+    return action
 
 
 def bucket_of(term: str, n_buckets: int) -> int:
@@ -92,18 +161,24 @@ def read_layout(index_dir: str) -> int:
         return int(json.load(fh)["n_buckets"])
 
 
+def _bucket_dirs(path: str) -> set[str]:
+    """term_bucket=K partition dirs under a table path ({} if none/absent)."""
+    if not os.path.isdir(path):
+        return set()
+    return {d for d in os.listdir(path) if d.startswith("term_bucket=")}
+
+
 def _write_bucketed(df: DataFrame, path: str, n_buckets: int,
-                    sort_col: str = "term", dynamic: bool = False) -> None:
+                    sort_col: str = "term") -> None:
     """One partition-dir per term bucket, rows sorted by `sort_col`
-    in-file (row-group min/max pruning). `dynamic` switches the writer to
-    dynamic partition overwrite: only the bucket dirs PRESENT in `df` are
-    replaced — the refresh write-back path."""
-    w = (df.repartition("term_bucket")
-         .sortWithinPartitions("term_bucket", sort_col)
-         .write.mode("overwrite"))
-    if dynamic:
-        w = w.option("partitionOverwriteMode", "dynamic")
-    w.partitionBy("term_bucket").parquet(path)
+    in-file (row-group min/max pruning). Refresh deltas also come through
+    here — into the STAGING dir, whose bucket dirs the commit journal
+    then swaps/deletes one-by-one (the crash-safe replacement for dynamic
+    partition overwrite)."""
+    (df.repartition("term_bucket")
+     .sortWithinPartitions("term_bucket", sort_col)
+     .write.mode("overwrite")
+     .partitionBy("term_bucket").parquet(path))
 
 
 def publish_index(index: bm25.LexicalIndex, index_dir: str,
@@ -135,7 +210,9 @@ def open_index(spark: SparkSession, index_dir: str) -> bm25.LexicalIndex:
     (set directly so `scoring_view()` never rebuilds the joins). The
     returned index carries a `prune` hook mapping a query's term list to
     its bucket predicate, so `bm25.score_terms` scans only the term
-    buckets the query can match (PartitionFilters at planning time)."""
+    buckets the query can match (PartitionFilters at planning time).
+    Settles any interrupted refresh first (see `recover`)."""
+    recover(index_dir)
     n_buckets = read_layout(index_dir)
 
     def rd(name: str, *cols: str) -> DataFrame:
@@ -189,6 +266,8 @@ def ensure_lexical_index(spark: SparkSession, corpus: DataFrame,
     — optional — captures the postings build plan when a publish actually
     runs (plans.pin_audit); a byte-for-byte reuse never builds, so no
     plan is recorded."""
+    if os.path.isdir(index_dir):
+        recover(index_dir)  # settle a crashed refresh before staleness
     current = lexical_manifest(corpus_path, corpus.count(), n_buckets)
     reasons = ensure_index(
         index_dir, current,
@@ -210,16 +289,26 @@ def write_refresh(spark: SparkSession, index_dir: str,
     the term buckets touched by the batch (terms of dropped + reinserted
     docs; df can only shift for those terms, and dl only for changed docs
     whose rows live there too, so untouched bucket dirs are byte-invariant
-    — asserted by tests), via dynamic partition overwrite. Buckets
-    emptied by the batch are removed explicitly (dynamic overwrite only
-    replaces partitions PRESENT in the frame). The narrow global tables
-    (doc_len, term_df, stats, doc_norm) rewrite whole from their
-    delta-merged values. Re-stamps the manifest when the caller passes
-    the post-merge corpus identity (corpus_path [+ n_rows]).
+    — asserted by tests). The narrow global tables (doc_len, term_df,
+    stats, doc_norm) rewrite whole from their delta-merged values.
+    Re-stamps the manifest when the caller passes the post-merge corpus
+    identity (corpus_path [+ n_rows]).
+
+    CRASH-SAFE: every new file is staged under `.refresh-staging/` while
+    the live tree still serves the old index, then a journal of
+    rename/delete ops commits atomically and replays — a kill at any
+    point leaves a reopen seeing either the old or the new index, never a
+    mix (see `recover`; kill-mid-refresh tested). Degenerate shapes that
+    bucket-level swaps cannot express — a batch that empties EVERY
+    surviving bucket, or a refresh on top of such an emptied store — fall
+    back to whole-table swaps, leaving an empty-but-schema'd placeholder
+    file so the store stays openable (ADVICE r8: an all-emptied store
+    previously lost its last data file and failed schema inference).
 
     Returns the reopened index. Rebuild-equivalence with a from-scratch
     publish over the merged corpus is pinned by
     tests/test_index_store.py."""
+    recover(index_dir)
     base = open_index(spark, index_dir)
     n_buckets = read_layout(index_dir)
     refreshed = bm25.refresh_index(base, changed_docs, removed_ids,
@@ -239,52 +328,79 @@ def write_refresh(spark: SparkSession, index_dir: str,
     touched = sorted({bucket_of(r.term, n_buckets)
                       for r in touched_terms.collect()})
 
-    # EVERY output frame is eagerly materialized (localCheckpoint) BEFORE
-    # the first byte is written: the refreshed plans lazily read the
-    # published parquet files this function is about to overwrite, so an
-    # unstaged write would feed a later output its own half-applied
-    # delta. (A lake writes new files + commits a snapshot instead; the
-    # checkpoint is the single-node stand-in for that isolation.)
+    # STAGE: all writes land under .refresh-staging while the live tree
+    # (which the refreshed plans lazily read) stays untouched — no
+    # checkpoint needed, no read-while-overwrite hazard by construction.
+    staging = os.path.join(index_dir, STAGING_NAME)
+    shutil.rmtree(staging, ignore_errors=True)
+    stg = lambda name: os.path.join(staging, name)  # noqa: E731
     bkt = _bucket_col("term", n_buckets).alias("term_bucket")
-    new_post = (refreshed.postings
-                .select("doc_id", "term", "tf", bkt)
-                .filter(F.col("term_bucket").isin(touched))
-                .localCheckpoint()) if touched else None
-    new_sc = (refreshed.scoring_view()
-              .select("doc_id", "term", "tf", "dl", "df", bkt)
-              .filter(F.col("term_bucket").isin(touched))
-              .localCheckpoint()) if touched else None
-    narrow = [("doc_len", refreshed.doc_len.localCheckpoint()),
-              ("term_df", refreshed.term_df.localCheckpoint()),
-              ("stats", refreshed.stats.localCheckpoint()),
-              ("doc_norm", refreshed.doc_norm().localCheckpoint())]
-
+    ops: list[dict] = []
     if touched:
-        # Buckets the batch EMPTIED: dynamic overwrite cannot delete a
-        # partition it writes no rows for — drop those dirs driver-side
-        # (on a lake: a metadata-only REPLACE/partition drop).
-        still = {r.term_bucket for r in
-                 new_post.select("term_bucket").distinct().collect()}
-        for b in touched:
-            if b not in still:
-                for tbl in ("postings", "scoring"):
-                    shutil.rmtree(os.path.join(index_dir, tbl,
-                                               f"term_bucket={b}"),
-                                  ignore_errors=True)
-        if still:
-            _write_bucketed(new_post, os.path.join(index_dir, "postings"),
-                            n_buckets, dynamic=True)
-            _write_bucketed(new_sc, os.path.join(index_dir, "scoring"),
-                            n_buckets, dynamic=True)
-
-    for name, df in narrow:
-        df.write.mode("overwrite").parquet(os.path.join(index_dir, name))
+        new_post = (refreshed.postings
+                    .select("doc_id", "term", "tf", bkt)
+                    .filter(F.col("term_bucket").isin(touched)))
+        new_sc = (refreshed.scoring_view()
+                  .select("doc_id", "term", "tf", "dl", "df", bkt)
+                  .filter(F.col("term_bucket").isin(touched)))
+        _write_bucketed(new_post, stg("postings"), n_buckets)
+        _write_bucketed(new_sc, stg("scoring"), n_buckets)
+        still = _bucket_dirs(stg("postings"))
+        existing = _bucket_dirs(os.path.join(index_dir, "postings"))
+        emptied = ({f"term_bucket={b}" for b in touched} & existing) - still
+        if existing and (existing - emptied or still):
+            # Delta shape: swap the touched bucket dirs that survive,
+            # delete the ones the batch emptied (a lake does the same as
+            # a metadata-only partition REPLACE/DROP in one snapshot).
+            for tbl in ("postings", "scoring"):
+                ops += [{"op": "swap_dir", "src": f"{STAGING_NAME}/{tbl}/{d}",
+                         "dst": f"{tbl}/{d}"} for d in sorted(still)]
+                ops += [{"op": "remove_dir", "dst": f"{tbl}/{d}"}
+                        for d in sorted(emptied)]
+        else:
+            # Whole-table shape: either the base store holds no bucket
+            # dirs (an earlier all-emptied refresh left the placeholder —
+            # its root data files cannot mix with partition dirs), or
+            # this batch empties every surviving bucket. In both cases
+            # the touched-filtered frames ARE the complete tables (every
+            # refreshed posting's term came from a dropped doc or the
+            # batch, so its bucket is in `touched`).
+            if not still:
+                # empty-but-schema'd placeholder: partitioned writes of
+                # zero rows produce no files and the store would stop
+                # inferring a schema — write one empty non-partitioned
+                # file instead (term_bucket becomes a data column, which
+                # reads and prunes identically).
+                new_post.limit(0).write.mode("overwrite").parquet(
+                    stg("postings"))
+                new_sc.limit(0).write.mode("overwrite").parquet(
+                    stg("scoring"))
+            ops += [{"op": "swap_dir", "src": f"{STAGING_NAME}/{tbl}",
+                     "dst": tbl} for tbl in ("postings", "scoring")]
+    for name, df in (("doc_len", refreshed.doc_len),
+                     ("term_df", refreshed.term_df),
+                     ("stats", refreshed.stats),
+                     ("doc_norm", refreshed.doc_norm())):
+        df.write.mode("overwrite").parquet(stg(name))
+        ops.append({"op": "swap_dir", "src": f"{STAGING_NAME}/{name}",
+                    "dst": name})
 
     if corpus_path is not None:
         if n_rows is None:
-            n_rows = int(dict(narrow)["stats"].first().n_docs)
-        write_manifest(index_dir,
-                       lexical_manifest(corpus_path, n_rows, n_buckets))
+            n_rows = int(spark.read.parquet(stg("stats")).first().n_docs)
+        os.makedirs(staging, exist_ok=True)
+        with open(stg(MANIFEST_NAME), "w") as fh:
+            fh.write(lexical_manifest(corpus_path, n_rows,
+                                      n_buckets).to_json())
+        ops.append({"op": "swap_file", "src": f"{STAGING_NAME}/{MANIFEST_NAME}",
+                    "dst": MANIFEST_NAME})
+
+    # COMMIT: journal lands atomically, then the idempotent replay; a kill
+    # anywhere in between is rolled forward by the next recover().
+    _write_journal(index_dir, ops)
+    _apply_ops(index_dir, ops)
+    os.remove(os.path.join(index_dir, JOURNAL_NAME))
+    shutil.rmtree(staging, ignore_errors=True)
     return open_index(spark, index_dir)
 
 
@@ -293,6 +409,8 @@ def index_is_fresh(index_dir: str, corpus_path: str, n_rows: int,
     """True iff the published index would be reused as-is (manifest
     matches the current corpus identity)."""
     from .manifest import staleness_reasons
+    if os.path.isdir(index_dir):
+        recover(index_dir)  # a crashed refresh may hold the newer manifest
     return not staleness_reasons(
         read_manifest(index_dir),
         lexical_manifest(corpus_path, n_rows, n_buckets))

@@ -202,3 +202,163 @@ def test_write_refresh_emptied_bucket_dir_removed(spark, tmp_path):
                                           f"term_bucket={b}"))
     _assert_same_index(refreshed,
                        bm25.build_index(_docs(spark, [(2, "data stream")])))
+
+
+def _merged_after_refresh():
+    return ([r for r in CORPUS if r[0] not in (2, 4)]
+            + [(2, "window data revised join"), (7, "fresh stream doc")])
+
+
+def _refresh_args(spark):
+    changed = spark.createDataFrame(
+        [(2, "window data revised join"), (7, "fresh stream doc")],
+        "doc_id long, text string")
+    removed = spark.createDataFrame([(4,)], "doc_id long")
+    return changed, removed
+
+
+def test_write_refresh_crash_before_commit_rolls_back(spark, tmp_path,
+                                                      monkeypatch):
+    """A kill at ANY point before the journal lands must leave a reopen
+    serving the OLD index byte-for-byte: all staging writes are invisible
+    until _commit.json appears."""
+    corpus_path = str(tmp_path / "corpus.parquet")
+    _docs(spark).write.parquet(corpus_path)
+    idx_dir = str(tmp_path / "lexidx")
+    index_store.publish_index(bm25.build_index(_docs(spark)), idx_dir,
+                              n_buckets=8)
+    before = _file_states(idx_dir)
+    changed, removed = _refresh_args(spark)
+
+    def killed(index_dir, ops):
+        raise RuntimeError("killed before commit point")
+
+    monkeypatch.setattr(index_store, "_write_journal", killed)
+    with pytest.raises(RuntimeError):
+        index_store.write_refresh(spark, idx_dir, changed, removed,
+                                  corpus_path=corpus_path)
+    monkeypatch.undo()
+
+    assert index_store.recover(idx_dir) == "back"  # staging orphan dropped
+    after = {k: v for k, v in _file_states(idx_dir).items()
+             if not k.startswith(index_store.STAGING_NAME)}
+    assert after == before, "pre-commit kill must not touch the live tree"
+    _assert_same_index(index_store.open_index(spark, idx_dir),
+                       bm25.build_index(_docs(spark)))
+
+
+def test_write_refresh_crash_mid_commit_rolls_forward(spark, tmp_path,
+                                                      monkeypatch):
+    """A kill DURING the journal replay (some ops applied, some not) must
+    leave the journal behind, and the next open must roll FORWARD to the
+    complete NEW index — never a mixed tree."""
+    corpus_path = str(tmp_path / "corpus.parquet")
+    _docs(spark).write.parquet(corpus_path)
+    idx_dir = str(tmp_path / "lexidx")
+    index_store.publish_index(bm25.build_index(_docs(spark)), idx_dir,
+                              n_buckets=8)
+    changed, removed = _refresh_args(spark)
+
+    def partial(index_dir, ops):
+        assert len(ops) > 1
+        index_store._apply_op(index_dir, ops[0])  # first op lands...
+        raise RuntimeError("killed mid-commit")   # ...then the process dies
+
+    monkeypatch.setattr(index_store, "_apply_ops", partial)
+    with pytest.raises(RuntimeError):
+        index_store.write_refresh(spark, idx_dir, changed, removed,
+                                  corpus_path=corpus_path)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(idx_dir, index_store.JOURNAL_NAME))
+
+    # "next session": open_index recovers (replays the remaining ops)
+    reopened = index_store.open_index(spark, idx_dir)
+    assert not os.path.exists(os.path.join(idx_dir, index_store.JOURNAL_NAME))
+    merged = bm25.build_index(_docs(spark, _merged_after_refresh()))
+    _assert_same_index(reopened, merged)
+    # and the manifest committed with the rest: the store is fresh w.r.t.
+    # the merged corpus row count
+    _docs(spark, _merged_after_refresh()).write.mode("overwrite").parquet(
+        corpus_path)
+    # (corpus rewritten -> fingerprint drifts; only the count assertion
+    # below is meaningful for the journal's manifest op)
+    m = index_store.read_manifest(idx_dir)
+    assert m is not None and m.n_rows == len(_merged_after_refresh())
+
+
+def test_write_refresh_all_buckets_emptied_keeps_store_openable(spark,
+                                                                tmp_path):
+    """A batch that removes EVERY doc empties every bucket dir; the store
+    must stay openable (empty-but-schema'd placeholder, ADVICE r8), and a
+    later refresh on top of the emptied store must rebuild real bucket
+    dirs and serve queries again."""
+    idx_dir = str(tmp_path / "lexidx")
+    index_store.publish_index(bm25.build_index(_docs(spark)), idx_dir,
+                              n_buckets=4)
+    empty_batch = spark.createDataFrame([], "doc_id long, text string")
+    all_ids = spark.createDataFrame([(i,) for i, _ in CORPUS], "doc_id long")
+
+    emptied = index_store.write_refresh(spark, idx_dir, empty_batch, all_ids)
+    assert emptied.postings.count() == 0
+    # a NEW session can still open and query the emptied store
+    reopened = index_store.open_index(spark, idx_dir)
+    assert reopened.postings.count() == 0
+    assert reopened.prune(["data"]).count() == 0
+    assert not os.path.isdir(os.path.join(idx_dir, index_store.STAGING_NAME))
+
+    # refresh ON TOP of the placeholder store: whole-table swap rebuilds
+    # real partition dirs (root placeholder file must not mix with them)
+    rows = [(10, "data stream window"), (11, "salt skew join")]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    refreshed = index_store.write_refresh(spark, idx_dir, batch)
+    _assert_same_index(refreshed, bm25.build_index(_docs(spark, rows)))
+    again = index_store.open_index(spark, idx_dir)
+    _assert_same_index(again, bm25.build_index(_docs(spark, rows)))
+    pf = partition_filters(again.prune(["data"]))
+    assert pf and any("term_bucket" in line for line in pf), pf
+
+
+def test_refresh_published_doc_norm_serves_tfidf(spark, tmp_path):
+    """Store-layer rebuild equivalence for doc_norm (r8 task 8): after a
+    delta write_refresh, the PUBLISHED doc_norm/ dir — reopened cold, as
+    tfidf_topk consumes it — must equal a from-scratch publish over the
+    merged corpus, and tf-idf cosine scores off both stores must agree."""
+    corpus_path = str(tmp_path / "corpus.parquet")
+    _docs(spark).write.parquet(corpus_path)
+    idx_dir = str(tmp_path / "lexidx")
+    index_store.publish_index(bm25.build_index(_docs(spark)), idx_dir,
+                              n_buckets=8)
+    changed, removed = _refresh_args(spark)
+    index_store.write_refresh(spark, idx_dir, changed, removed,
+                              corpus_path=corpus_path)
+
+    scratch_dir = str(tmp_path / "scratch")
+    merged = _docs(spark, _merged_after_refresh())
+    index_store.publish_index(bm25.build_index(merged), scratch_dir,
+                              n_buckets=8)
+
+    refreshed = index_store.open_index(spark, idx_dir)      # cold reopen
+    scratch = index_store.open_index(spark, scratch_dir)
+    norm_a = {r.doc_id: round(r.dnorm, 9)
+              for r in refreshed.doc_norm().collect()}
+    norm_b = {r.doc_id: round(r.dnorm, 9)
+              for r in scratch.doc_norm().collect()}
+    assert norm_a == norm_b
+
+    def tfidf(idx, terms):
+        # the tfidf_topk consumption shape: idf'd impacts joined to the
+        # published norms (plans/lexical.py:1028)
+        sc = idx.scoring_view().filter(F.col("term").isin(terms))
+        n_docs = idx.stats.select("n_docs")
+        scored = (sc.crossJoin(F.broadcast(n_docs))
+                  .withColumn("w", F.col("tf") * F.log(
+                      (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)))
+                  .groupBy("doc_id").agg(F.sum("w").alias("dot"))
+                  .join(idx.doc_norm(), "doc_id")
+                  .select("doc_id",
+                          F.round(F.col("dot") / F.col("dnorm"), 6)
+                          .alias("s")))
+        return sorted((r.doc_id, r.s) for r in scored.collect())
+
+    terms = ["data", "window", "fresh"]
+    assert tfidf(refreshed, terms) == tfidf(scratch, terms)
