@@ -173,19 +173,53 @@ def main() -> None:
                 if t.name.startswith("stream_") and tok in t.name:
                     spark.catalog.dropTempView(t.name)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # Key order matters for consumers that keep only the TAIL of stdout
-    # (the per-round BENCH artifact stores the last 2000 chars): with 141
-    # per-query timings the line runs ~5 KB, so the headline fields go
-    # LAST to survive front-truncation. JSON object key order is
-    # semantically irrelevant; any by-name parser is unaffected.
-    print(json.dumps({
+    # The driver's per-round BENCH artifact keeps only the last 2000
+    # chars of stdout and tries to parse them as JSON — a full 147-query
+    # map runs ~5 KB, which left BENCH_rNN.json's `parsed` null since r5.
+    # So stdout carries ONE line guaranteed to fit the tail: the headline
+    # fields plus a compact {name: sec} map of the SLOWEST queries
+    # (rounded to 0.01 s, greedily added until the line would pass ~1900
+    # chars; the omitted fast tail is summarized by count + summed
+    # seconds). The COMPLETE map still goes to stderr for the committed
+    # BENCH_LOCAL artifact; set SPARK_GRAFT_BENCH_FULL=1 to print it on
+    # stdout instead (local diffing).
+    full = {
         "queries": timings,
         "n_queries": len(timings),
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "sf": sf,
-    }))
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1":
+        print(json.dumps(full))
+        return
+    print("bench-full: " + json.dumps(full), file=sys.stderr)
+    compact: dict[str, float] = {}
+    omitted, omitted_sec = 0, 0.0
+    base = {
+        "n_queries": len(timings),
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+    }
+    budget = 1900 - len(json.dumps(
+        {"queries": {}, "queries_omitted": len(timings),
+         "omitted_sec": total, **base}))
+    used = 0
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        entry = len(name) + 12  # quotes, colon, comma, 0.01-rounded value
+        if used + entry <= budget:
+            compact[name] = round(t, 2)
+            used += entry
+        else:
+            omitted += 1
+            omitted_sec += max(t, 0.0)
+    line = json.dumps({"queries": compact, "queries_omitted": omitted,
+                       "omitted_sec": round(omitted_sec, 2), **base})
+    assert len(line) <= 2000, len(line)
+    print(line)
 
 
 if __name__ == "__main__":

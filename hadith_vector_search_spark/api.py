@@ -678,10 +678,31 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         `near_window` kept-token positions (`_min_pair_distance_py`,
         mirroring operators/proximity.min_pair_distance over
         py_tokenize — the tested driver twin of `tokenize`)."""
-        from decimal import ROUND_HALF_UP, Decimal
-
         if int(n_results) < 0:
             return None  # let the SQL tail raise, as the batch path does
+        scored = self._score_local_py(items, terms, w, phrase, dedupe,
+                                      n_results,
+                                      synonym_groups=synonym_groups,
+                                      near_window=near_window)
+        if scored is None:
+            return None
+        top, dropped = scored
+        if not top:
+            return None
+        return self._scored_values_df([(None, top, dropped)])
+
+    def _score_local_py(self, items: list, terms: list[str], w,
+                        phrase: str | None, dedupe: bool, n_results: int,
+                        synonym_groups: list[list[str]] | None = None,
+                        near_window: int = 5
+                        ) -> tuple[list[tuple], int] | None:
+        """The pure-Python scoring tail shared by the single-query local
+        path and the batch serving tier: returns (top rows, dropped
+        count), or None when a candidate id is missing from the doc map
+        (the caller must fall through to a Spark tail). Each row is
+        (id, score, vec, fts, cov, phrase, prox, narrator, preview),
+        all already HALF_UP-rounded to 6 dp."""
+        from decimal import ROUND_HALF_UP, Decimal
 
         q6 = Decimal("0.000001")
 
@@ -747,28 +768,41 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                     survivors.append(s)
             dropped = n_tot - len(survivors)
             scored = survivors
-        top = scored[:int(n_results)]
-        if not top:
-            return None
+        return scored[:int(n_results)], dropped
+
+    def _scored_values_df(self, groups: list[tuple]) -> DataFrame:
+        """Render locally-scored rows as ONE VALUES LocalRelation (zero
+        Spark jobs). `groups` is [(query_idx | None, top_rows, dropped)]
+        — a single (None, ...) group emits the plain hybrid schema; the
+        batch tier passes N indexed groups and gains a leading
+        `query_idx` column, paying ONE statement parse for the whole
+        batch instead of one per query."""
         id_t = self.docs.schema[self.id_col].dataType.simpleString()
         dbl = lambda x: self._sql_atom(float(x), "DOUBLE")  # noqa: E731
         with_nar = self.narrator_col is not None
+        with_qidx = groups[0][0] is not None
         vals = ", ".join(
-            "({}, {}, {}, {}, {}, {}, {}, {}{}, {})"
-            .format(self._fmt_id(rid), dbl(sc), dbl(v), dbl(f), dbl(c),
+            "({}{}, {}, {}, {}, {}, {}, {}, {}{}, {})"
+            .format(f"{int(qidx)}, " if with_qidx else "",
+                    self._fmt_id(rid), dbl(sc), dbl(v), dbl(f), dbl(c),
                     dbl(p), dbl(px),
                     f"{dbl(nb)}, " if with_nar else "",
                     int(dropped),
                     "CAST(NULL AS STRING)" if prev is None
                     else self._sql_str(prev))
+            for qidx, top, dropped in groups
             for rid, sc, v, f, c, p, px, nb, prev in top)
-        nar_sel = "col8 AS narrator_bonus, " if with_nar else ""
-        c_dropped, c_prev = ("col9", "col10") if with_nar else ("col8", "col9")
+        off = 1 if with_qidx else 0
+        c = lambda i: f"col{i + off}"  # noqa: E731
+        qidx_sel = (f"CAST(col1 AS INT) AS query_idx, " if with_qidx else "")
+        nar_sel = f"{c(8)} AS narrator_bonus, " if with_nar else ""
+        c_dropped, c_prev = (c(9), c(10)) if with_nar else (c(8), c(9))
         return self.spark.sql(
-            f"SELECT CAST(col1 AS {id_t}) AS `{self.id_col}`, "
-            f"col2 AS score, col3 AS vec_signal, col4 AS fts_sig, "
-            f"col5 AS coverage, col6 AS phrase_bonus, "
-            f"col7 AS proximity_bonus, {nar_sel}"
+            f"SELECT {qidx_sel}"
+            f"CAST({c(1)} AS {id_t}) AS `{self.id_col}`, "
+            f"{c(2)} AS score, {c(3)} AS vec_signal, {c(4)} AS fts_sig, "
+            f"{c(5)} AS coverage, {c(6)} AS phrase_bonus, "
+            f"{c(7)} AS proximity_bonus, {nar_sel}"
             f"CAST({c_dropped} AS BIGINT) AS duplicates_filtered, "
             f"{c_prev} AS preview FROM VALUES {vals}")
 

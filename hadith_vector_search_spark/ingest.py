@@ -108,18 +108,30 @@ def _fts_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None
     publish_index(build_index(docs), out_dir)
 
 
+VECTOR_CELLS = 8  # IVF cells at ingest scale; a lake sizes this in 1000s
+_EMBED_MODEL = f"hash-embedder-{EMBED_DIM}-ivf{VECTOR_CELLS}"
+
+
 def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None:
-    """Derived embedding table (doc_id, embedding array<double>) via the
-    Arrow pandas-UDF encoder, hash backend (deterministic; the real
-    sentence-transformer backend drops in via operators.embedder)."""
+    """Published cell-partitioned vector index (sources.vector_store):
+    (doc_id, embedding) via the Arrow pandas-UDF encoder, hash backend
+    (deterministic; the real sentence-transformer backend drops in via
+    operators.embedder), written as `vectors/cell=K/` IVF partition dirs
+    + codebook sidecar so a query session's probe list prunes
+    directories instead of re-reading a flat table."""
+    from .sources.vector_store import data_codebook, publish_vector_index
+
     docs = spark.read.parquet(table_path)
     emb = docs.select("doc_id", embed_column("text", EMBED_DIM,
                                              backend="hash").alias("embedding"))
-    emb.write.mode("overwrite").parquet(os.path.join(out_dir, "vectors"))
+    publish_vector_index(emb, out_dir,
+                         centroids=data_codebook(emb, VECTOR_CELLS,
+                                                 id_col="doc_id"),
+                         id_col="doc_id")
 
 
 def _vector_manifest(table_path: str, n_rows: int) -> IndexManifest:
-    return IndexManifest(model_name=f"hash-embedder-{EMBED_DIM}",
+    return IndexManifest(model_name=_EMBED_MODEL,
                          dim=EMBED_DIM, n_rows=n_rows,
                          source_files=source_fingerprint([table_path]))
 
@@ -127,25 +139,19 @@ def _vector_manifest(table_path: str, n_rows: int) -> IndexManifest:
 def _vector_index_delta(spark: SparkSession, table_path: str, out_dir: str,
                         changed: DataFrame, n_rows: int | None = None) -> None:
     """Vector-index delta: re-embed ONLY the changed rows (the expensive
-    part tracks the batch), anti-join them out of the published table,
-    union, rewrite. The write is whole-table here because the table is
-    one narrow parquet dir; at lake scale vectors partition by an id
-    bucket and this becomes the same dynamic partition overwrite the
-    lexical postings use. Re-stamps the manifest against the merged
-    corpus."""
-    vec_path = os.path.join(out_dir, "vectors")
-    old = spark.read.parquet(vec_path)
-    ids = changed.select("doc_id").distinct()
+    part tracks the batch), then rewrite only the IVF cell directories
+    the batch touches (vector_store.write_vector_refresh — crash-safe
+    staged-journal commit, codebook untouched). Re-stamps the manifest
+    against the merged corpus."""
+    from .sources.vector_store import write_vector_refresh
+
     fresh = changed.select(
         "doc_id",
         embed_column("text", EMBED_DIM, backend="hash").alias("embedding"))
-    merged = (old.join(F.broadcast(ids), "doc_id", "left_anti")
-              .unionByName(fresh)
-              .localCheckpoint())  # materialize before overwriting a source
-    merged.write.mode("overwrite").parquet(vec_path)
     if n_rows is None:
         n_rows = spark.read.parquet(table_path).count()
-    write_manifest(out_dir, _vector_manifest(table_path, n_rows))
+    write_vector_refresh(spark, out_dir, fresh, source_path=table_path,
+                         n_rows=n_rows, model_name=_EMBED_MODEL)
 
 
 def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
@@ -161,8 +167,7 @@ def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
     for name, model, dim, build in (
             ("fts", f"{LEXICAL_MODEL}-b{DEFAULT_BUCKETS}", 0,
              _fts_index_build),
-            ("vector", f"hash-embedder-{EMBED_DIM}", EMBED_DIM,
-             _vector_index_build)):
+            ("vector", _EMBED_MODEL, EMBED_DIM, _vector_index_build)):
         idx_dir = os.path.join(index_dir, name)
         manifest = IndexManifest(model_name=model, dim=dim, n_rows=n_rows,
                                  source_files=fp)

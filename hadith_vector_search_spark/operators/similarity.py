@@ -248,6 +248,33 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int,
             for i, c in enumerate(model.clusterCenters())]
 
 
+def cell_structs(centroids: list[tuple[int, list[float]]],
+                 vec_col: str = "embedding") -> Column:
+    """The IVF cell-assignment arithmetic, shared (single source of
+    truth) by `ivf_topk`'s in-session scan, its probe selection, and the
+    PUBLISHED vector store's partition-column writer
+    (`sources.vector_store`) — the three must agree bit-for-bit or a
+    published index would prune different cells than the oracle scores.
+
+    The codebook is tiny by construction — inline it as literals so cell
+    assignment is a NARROW projection: array of (cd, -cent_id) structs,
+    argmax via array_max (struct compare = cd first, then -cent_id, i.e.
+    ties go to the LOWEST centroid id)."""
+    from ..functions.vector import vector_lit
+
+    return F.array(*[
+        F.struct(F.round(dot(F.col(vec_col), vector_lit(cvec)), 6).alias("cd"),
+                 F.lit(-cid).alias("ncid"))
+        for cid, cvec in centroids
+    ])
+
+
+def cell_of(centroids: list[tuple[int, list[float]]],
+            vec_col: str = "embedding") -> Column:
+    """Nearest-centroid cell id as a column (see `cell_structs`)."""
+    return (-F.array_max(cell_structs(centroids, vec_col))["ncid"]).cast("int")
+
+
 def ivf_topk(emb: DataFrame, query_id: int, n_centroids: int = 8,
              n_probe: int = 2, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -259,28 +286,18 @@ def ivf_topk(emb: DataFrame, query_id: int, n_centroids: int = 8,
     (`ann_topk_lsh`): cells adapt to data density where hyperplane buckets
     are oblivious. Scan cost drops to ~n_probe/n_centroids of the corpus;
     with cell-partitioned parquet the pruning happens at the file level."""
-    from ..functions.vector import vector_lit
-
-    # The codebook is tiny by construction — inline it as literals so cell
-    # assignment is a NARROW projection: array of (cd, -cent_id) structs,
-    # argmax via array_max (struct compare = cd first, then -cent_id, i.e.
-    # ties go to the LOWEST centroid id). Probe selection reuses the same
-    # expression on the 1-row query side (identical arithmetic to the
-    # oracle); the final query is one shuffle-free scan + top-k.
     if centroids is None:
         centroids = [(r.cent_id, r.cvec) for r in sorted(
             data_centroids(emb, n_centroids, id_col, vec_col).collect(),
             key=lambda r: r.cent_id)]
-    cells = F.array(*[
-        F.struct(F.round(dot(F.col(vec_col), vector_lit(cvec)), 6).alias("cd"),
-                 F.lit(-cid).alias("ncid"))
-        for cid, cvec in centroids
-    ])
+    cells = cell_structs(centroids, vec_col)
     probe_top = (emb.filter(F.col(id_col) == query_id)
                  .select(F.slice(F.reverse(F.array_sort(cells)), 1, n_probe)
                          .alias("top"),
                          F.col(vec_col).alias("qvec"))
                  .collect()[0])
+    from ..functions.vector import vector_lit
+
     probes = [-s["ncid"] for s in probe_top["top"]]
     qvec = vector_lit(probe_top["qvec"])
     scan = (emb.select(F.col(id_col), F.col(vec_col),

@@ -222,6 +222,40 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                ANN_K, allowed=allowed))
 
 
+def ann_topk_ivf_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable-VECTOR-index proof (the vector twin of
+    `lexical.published_index_reopened`): answer an IVF ANN query from a
+    REOPENED published cell-partitioned index — not a session pin, not an
+    in-session assignment recompute. `ensure_vector_index` publishes the
+    `vectors/cell=K/` layout + codebook sidecar iff the manifest says the
+    embeddings table drifted (second and later runs reuse the bytes on
+    disk — the reference reopening its persistent Chroma dir at startup,
+    /root/reference/mcp_server/apps/embeddings.py:224-255), then the
+    query runs off a FRESH `open_vector_index` handle whose scan carries
+    the probe list as a PARTITION predicate (directory pruning, asserted
+    by tests/PLAN_AUDIT). Hash-equality with the in-session
+    `ann_topk_ivf` build is exactly what the shared oracle pins."""
+    import os as _os
+
+    from ..sources import vector_store
+    from .lexical import _index_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    token = sf_dir.strip("/").replace("/", "_")
+    idx_dir = _os.path.join(_index_root(), f"{token}_vec")
+    try:
+        vector_store.ensure_vector_index(
+            spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
+            idx_dir, n_cells=IVF_CENTROIDS)
+        vidx = vector_store.open_vector_index(spark, idx_dir)  # reopen
+        return vidx.ivf_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K)
+    except OSError:
+        # Read-only/unwritable index root: same results, no durable
+        # artifact (the lexical get_index fallback discipline).
+        return similarity.ivf_topk(emb, QUERY_VEC_ID, IVF_CENTROIDS,
+                                   IVF_PROBE, ANN_K)
+
+
 def ann_topk_filtered_oracle() -> str:
     return f"""
 WITH {_PAIR_DOT},

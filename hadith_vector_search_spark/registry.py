@@ -95,6 +95,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_lsh": semantic.ann_topk_lsh,
     "ann_topk_lsh_multiprobe": semantic.ann_topk_lsh_multiprobe,
     "ann_topk_ivf": semantic.ann_topk_ivf,
+    "ann_topk_ivf_published": semantic.ann_topk_ivf_published,
     "ann_recall_report": semantic.ann_recall_report,
     # iterative algorithm — no SQL oracle (driver rows-only check)
     "ann_topk_ivf_kmeans": semantic.ann_topk_ivf_kmeans,
@@ -230,6 +231,10 @@ oracle("similar_pairs_lsh", semantic.similar_pairs_lsh_oracle())
 oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
 oracle("ann_topk_lsh_multiprobe", semantic.ann_topk_lsh_multiprobe_oracle())
 oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
+# same oracle, different physical path: the reopened PUBLISHED vector
+# index (cell-partition pruning) must land on hash-identical results to
+# the in-session IVF build
+oracle("ann_topk_ivf_published", semantic.ann_topk_ivf_oracle())
 oracle("ann_recall_report", semantic.ann_recall_report_oracle())
 oracle("ann_topk_ivf_kmeans", semantic.ann_topk_ivf_kmeans_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())

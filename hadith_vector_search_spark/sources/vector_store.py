@@ -1,0 +1,344 @@
+"""Published on-disk VECTOR index — the ANN side of the durable-store
+pair (`sources.index_store` is the lexical side), mirroring the
+reference's persistent Chroma directory that a new process reopens
+instead of re-embedding (/root/reference/mcp_server/apps/embeddings.py:
+224-255 opens `data/indexes/embeddings/` and rebuilds only when the
+metadata gate says the corpus drifted).
+
+Layout under ``<index_dir>/``::
+
+    _vlayout.json              {"n_cells", "dim", "id_col", "vec_col"}
+    _index_manifest.json       staleness manifest (sources.manifest)
+    centroids/                 (cent_id int, cvec array<double>) — the
+                               IVF codebook, config-sized sidecar state
+    vectors/cell=K/            (id, embedding), id-sorted in-file,
+                               partitioned by nearest-centroid cell
+
+Scale design (100 TB):
+- ``cell`` is a Hive-style partition column computed with the SAME
+  arithmetic `similarity.ivf_topk` scores with
+  (`similarity.cell_of`, single source of truth) — so a query's probe
+  list becomes a partition predicate and the scan touches only
+  ~n_probe/n_cells of the data files at PLANNING time (PartitionFilters,
+  asserted by tests) — the vector analogue of the lexical store's
+  term-bucket pruning, and of FAISS's IVF inverted lists as directories.
+- The codebook is immutable under delta refresh: a changed/removed batch
+  rewrites ONLY the cell directories it touches (old cells of dropped
+  ids + assigned cells of new vectors); retraining centroids is a
+  staleness rebuild (different model identity), never an in-place edit,
+  because every stored cell id depends on it.
+- In-file id sort gives parquet row-group min/max stats on the id, so
+  point lookups (fetch the query vector by id) skip row groups inside
+  the surviving files.
+- Writes go through the shared staged-journal commit protocol
+  (`sources.commit`): a reopen sees either the wholly-old or wholly-new
+  index, never a mix, and a kill mid-refresh is settled by `recover`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot, vector_lit
+from ..operators import similarity
+from .commit import (JOURNAL_NAME, STAGING_NAME,  # noqa: F401 (test hooks)
+                     _apply_op, _apply_ops, _write_journal, recover)
+from .manifest import (MANIFEST_NAME, IndexManifest, ensure_index,
+                       read_manifest, source_fingerprint, staleness_reasons)
+
+DEFAULT_CELLS = 8   # sized for the test SFs; a lake uses thousands
+VLAYOUT_NAME = "_vlayout.json"
+VECTOR_MODEL = "ivf-store-v1"
+
+
+def _write_vlayout(index_dir: str, layout: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, f".{VLAYOUT_NAME}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(layout, fh)
+    os.replace(tmp, os.path.join(index_dir, VLAYOUT_NAME))
+
+
+def read_vlayout(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, VLAYOUT_NAME)) as fh:
+        return json.load(fh)
+
+
+def _cell_dirs(path: str) -> set[str]:
+    """cell=K partition dirs under the vectors table ({} if none/absent)."""
+    if not os.path.isdir(path):
+        return set()
+    return {d for d in os.listdir(path) if d.startswith("cell=")}
+
+
+def data_codebook(emb: DataFrame, n_cells: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  ) -> list[tuple[int, list[float]]]:
+    """Deterministic data-derived codebook: the vectors of the lowest
+    `n_cells` ids (== `similarity.data_centroids` for contiguous 0-based
+    ids, which keeps the published index replayable by the same DuckDB
+    oracle as the in-session `ann_topk_ivf`). A k-means codebook
+    (`similarity.kmeans_centroids`) drops in unchanged."""
+    rows = (emb.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.asc(id_col)).limit(n_cells).collect())
+    return [(i, list(r[1])) for i, r in enumerate(rows)]
+
+
+def _write_celled(df: DataFrame, path: str, id_col: str) -> None:
+    """One partition-dir per IVF cell, id-sorted in-file."""
+    (df.repartition("cell")
+     .sortWithinPartitions("cell", id_col)
+     .write.mode("overwrite")
+     .partitionBy("cell").parquet(path))
+
+
+def publish_vector_index(emb: DataFrame, index_dir: str,
+                         centroids: list[tuple[int, list[float]]]
+                         | None = None,
+                         n_cells: int = DEFAULT_CELLS,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> None:
+    """Full overwrite publish: assign every vector to its nearest-centroid
+    cell (`similarity.cell_of` — the exact arithmetic queries probe with)
+    and write the cell-partitioned table + the codebook sidecar.
+    `write_vector_refresh` is the delta path."""
+    if centroids is None:
+        centroids = data_codebook(emb, n_cells, id_col, vec_col)
+    dim = len(centroids[0][1]) if centroids else 0
+    _write_vlayout(index_dir, {"n_cells": len(centroids), "dim": dim,
+                               "id_col": id_col, "vec_col": vec_col})
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cent_id int, cvec array<double>")
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids"))
+    tagged = emb.select(F.col(id_col), F.col(vec_col),
+                        similarity.cell_of(centroids, vec_col).alias("cell"))
+    _write_celled(tagged, os.path.join(index_dir, "vectors"), id_col)
+
+
+class PublishedVectorIndex:
+    """A reopened vector index: the cell-partitioned vectors frame, the
+    collected codebook, and the probe-pruned ANN entry points. Every
+    query scans parquet with the probe list as a PARTITION predicate —
+    no per-session rebuild, no assignment recompute."""
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        recover(index_dir)
+        self.spark, self.index_dir = spark, index_dir
+        lay = read_vlayout(index_dir)
+        self.n_cells, self.dim = int(lay["n_cells"]), int(lay["dim"])
+        self.id_col, self.vec_col = lay["id_col"], lay["vec_col"]
+        self.vectors_path = os.path.join(index_dir, "vectors")
+        self.centroids = [(int(r.cent_id), list(r.cvec)) for r in sorted(
+            spark.read.parquet(os.path.join(index_dir, "centroids"))
+            .collect(), key=lambda r: r.cent_id)]
+
+    @property
+    def vectors(self) -> DataFrame:
+        return self.spark.read.parquet(self.vectors_path)
+
+    def probe_scan(self, probes: list[int]) -> DataFrame:
+        """The probe list as a partition predicate: directory-level
+        pruning at planning time (the vector analogue of the lexical
+        store's term-bucket `In` filters)."""
+        return self.vectors.filter(F.col("cell").isin([int(p)
+                                                       for p in probes]))
+
+    def query_vector(self, query_id) -> list[float]:
+        """Point-fetch the query's stored vector (pushed id filter +
+        in-file id sort -> row-group skipping)."""
+        rows = (self.vectors.filter(F.col(self.id_col) == query_id)
+                .select(self.vec_col).take(1))
+        if not rows:
+            raise KeyError(f"no vector for id {query_id!r}")
+        return list(rows[0][0])
+
+    def probes_for(self, qvec: list[float], n_probe: int) -> list[int]:
+        """Top-`n_probe` nearest cells, via the SAME column arithmetic
+        the stored assignments were computed with (one 1-row local
+        relation, no table scan)."""
+        cells = similarity.cell_structs(self.centroids, "qv")
+        row = (self.spark.range(1)
+               .select(vector_lit([float(x) for x in qvec]).alias("qv"))
+               .select(F.slice(F.reverse(F.array_sort(cells)), 1, n_probe)
+                       .alias("top"))
+               .collect()[0])
+        return [-s["ncid"] for s in row["top"]]
+
+    def ivf_topk(self, query_id, n_probe: int = 2, k: int = 5,
+                 allowed: DataFrame | None = None) -> DataFrame:
+        """IVF ANN off the published artifact — same semantics (and same
+        DuckDB oracle) as `similarity.ivf_topk`, but the cell scan is
+        directory-pruned parquet instead of a full-table assignment
+        recompute. `allowed` restricts candidates (not probes), exactly
+        as the in-session operator does."""
+        qvec = self.query_vector(query_id)
+        probes = self.probes_for(qvec, n_probe)
+        scan = self.probe_scan(probes)
+        if allowed is not None:
+            scan = scan.join(allowed.select(F.col(self.id_col)),
+                             self.id_col, "left_semi")
+        return (scan.select(
+                    F.col(self.id_col),
+                    F.round(dot(F.col(self.vec_col), vector_lit(qvec)), 6)
+                    .alias("sim"))
+                .orderBy(F.desc("sim"), F.asc(self.id_col))
+                .limit(k))
+
+
+def open_vector_index(spark: SparkSession,
+                      index_dir: str) -> PublishedVectorIndex:
+    return PublishedVectorIndex(spark, index_dir)
+
+
+def vector_manifest(source_path: str, n_rows: int, dim: int,
+                    n_cells: int = DEFAULT_CELLS,
+                    model_name: str | None = None) -> IndexManifest:
+    """Staleness identity of a published vector index: embedding-model
+    name + layout version + cell count, the vector geometry, the row
+    count, and the source fingerprint (catches in-place rewrites)."""
+    model = model_name or f"{VECTOR_MODEL}-c{n_cells}"
+    return IndexManifest(model_name=model, dim=dim, n_rows=n_rows,
+                         source_files=source_fingerprint([source_path]))
+
+
+def ensure_vector_index(spark: SparkSession, emb: DataFrame,
+                        source_path: str, index_dir: str,
+                        n_cells: int = DEFAULT_CELLS,
+                        centroids: list[tuple[int, list[float]]]
+                        | None = None,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        model_name: str | None = None,
+                        ) -> tuple[PublishedVectorIndex, list[str]]:
+    """Build-or-reuse entry (the analogue of the reference reopening its
+    Chroma dir at startup): publishes iff the manifest says the source
+    drifted, then opens the published artifact either way. Returns
+    (opened index, staleness reasons) — [] means a prior session's index
+    was reused byte-for-byte."""
+    if os.path.isdir(index_dir):
+        recover(index_dir)
+    sample = emb.select(vec_col).take(1)
+    dim = len(sample[0][0]) if sample else 0
+    current = vector_manifest(source_path, emb.count(), dim, n_cells,
+                              model_name)
+    reasons = ensure_index(
+        index_dir, current,
+        lambda: publish_vector_index(emb, index_dir, centroids, n_cells,
+                                     id_col, vec_col))
+    return open_vector_index(spark, index_dir), reasons
+
+
+def vector_index_is_fresh(index_dir: str, source_path: str, n_rows: int,
+                          dim: int, n_cells: int = DEFAULT_CELLS,
+                          model_name: str | None = None) -> bool:
+    if os.path.isdir(index_dir):
+        recover(index_dir)
+    return not staleness_reasons(
+        read_manifest(index_dir),
+        vector_manifest(source_path, n_rows, dim, n_cells, model_name))
+
+
+def write_vector_refresh(spark: SparkSession, index_dir: str,
+                         changed: DataFrame,
+                         removed_ids: DataFrame | None = None,
+                         source_path: str | None = None,
+                         n_rows: int | None = None,
+                         model_name: str | None = None,
+                         ) -> PublishedVectorIndex:
+    """Incremental write-back: `changed` carries (id, embedding) rows
+    already re-embedded (the expensive part tracks the batch). Rewrites
+    ONLY the cell directories the batch touches — the stored cells of
+    dropped/replaced ids plus the assigned cells of the new vectors; the
+    codebook never moves under a refresh (a retrain is a rebuild, see
+    module docstring), so untouched cell dirs are byte-invariant
+    (asserted by tests). Degenerate shapes (every surviving cell emptied,
+    or a refresh on top of such an emptied store) fall back to
+    whole-table swaps with an empty-but-schema'd placeholder, exactly as
+    the lexical store does. Commits through the shared staged-journal
+    protocol — kill-safe at any point. Re-stamps the manifest when
+    `source_path` (+ `n_rows`) is given."""
+    recover(index_dir)
+    vidx = open_vector_index(spark, index_dir)
+    id_col, vec_col = vidx.id_col, vidx.vec_col
+
+    drop = changed.select(F.col(id_col)).distinct()
+    if removed_ids is not None:
+        drop = drop.unionByName(
+            removed_ids.select(F.col(removed_ids.columns[0])
+                               .alias(id_col))).distinct()
+    old_cells = {int(r.cell) for r in
+                 vidx.vectors.join(F.broadcast(drop), id_col, "left_semi")
+                 .select("cell").distinct().collect()}
+    # Pin the batch's assignments (batch-sized) so the embedding isn't
+    # recomputed between the touched-cell probe and the staged write.
+    new_assign = changed.select(
+        F.col(id_col), F.col(vec_col),
+        similarity.cell_of(vidx.centroids, vec_col).alias("cell")
+    ).localCheckpoint()
+    new_cells = {int(r.cell) for r in
+                 new_assign.select("cell").distinct().collect()}
+    # Touched = stored cells of dropped/replaced ids PLUS the cells the
+    # new vectors land in: a staged cell dir REPLACES the live one, so
+    # every touched cell's surviving old rows must ride along — a new
+    # vector landing in a previously-untouched cell would otherwise wipe
+    # that cell's residents (caught by test_ingest_delta_refresh_...).
+    touched_cells = sorted(old_cells | new_cells)
+    survivors_old = (vidx.vectors
+                     .filter(F.col("cell").isin(touched_cells))
+                     .join(F.broadcast(drop), id_col, "left_anti")
+                     .select(id_col, vec_col, "cell")) if touched_cells \
+        else None
+    content = (new_assign if survivors_old is None
+               else survivors_old.unionByName(new_assign))
+
+    staging = os.path.join(index_dir, STAGING_NAME)
+    shutil.rmtree(staging, ignore_errors=True)
+    stg = lambda name: os.path.join(staging, name)  # noqa: E731
+    _write_celled(content, stg("vectors"), id_col)
+
+    still = _cell_dirs(stg("vectors"))
+    existing = _cell_dirs(vidx.vectors_path)
+    touched = ({f"cell={c}" for c in touched_cells} | still)
+    emptied = (touched & existing) - still
+    ops: list[dict] = []
+    if existing and (existing - emptied or still):
+        ops += [{"op": "swap_dir", "src": f"{STAGING_NAME}/vectors/{d}",
+                 "dst": f"vectors/{d}"} for d in sorted(still)]
+        ops += [{"op": "remove_dir", "dst": f"vectors/{d}"}
+                for d in sorted(emptied)]
+    else:
+        # Whole-table shape: the base store holds no cell dirs (an earlier
+        # all-emptied refresh left the placeholder) or this batch empties
+        # every surviving cell — `content` IS the complete table in both
+        # cases (old store empty, or every surviving row sits in a
+        # touched cell).
+        if not still:
+            content.limit(0).write.mode("overwrite").parquet(stg("vectors"))
+        ops.append({"op": "swap_dir", "src": f"{STAGING_NAME}/vectors",
+                    "dst": "vectors"})
+
+    if source_path is not None:
+        if n_rows is None:
+            kept = (vidx.vectors.join(F.broadcast(drop), id_col,
+                                      "left_anti").count())
+            n_rows = kept + changed.select(id_col).distinct().count()
+        os.makedirs(staging, exist_ok=True)
+        with open(stg(MANIFEST_NAME), "w") as fh:
+            fh.write(vector_manifest(source_path, n_rows, vidx.dim,
+                                     vidx.n_cells, model_name).to_json())
+        ops.append({"op": "swap_file",
+                    "src": f"{STAGING_NAME}/{MANIFEST_NAME}",
+                    "dst": MANIFEST_NAME})
+
+    _write_journal(index_dir, ops)
+    _apply_ops(index_dir, ops)
+    os.remove(os.path.join(index_dir, JOURNAL_NAME))
+    shutil.rmtree(staging, ignore_errors=True)
+    return open_vector_index(spark, index_dir)

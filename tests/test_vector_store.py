@@ -1,0 +1,223 @@
+"""Published on-disk VECTOR index (sources/vector_store.py): publish/
+reopen equivalence against the in-session IVF operator, manifest reuse
+across sessions, cell-partition directory pruning at planning time,
+cell-level incremental write-back, and crash safety through the shared
+staged-journal commit protocol."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadith_vector_search_spark.operators import similarity
+from hadith_vector_search_spark.sources import vector_store
+from hadith_vector_search_spark.sources.layout import partition_filters
+
+DIM = 6
+N_CELLS = 4
+
+
+def _vec(seed: int) -> list[float]:
+    """Deterministic unit vector; distinct seeds give distinct angles."""
+    raw = [math.sin(seed * 2.7 + i * 1.3) + 0.01 * i for i in range(DIM)]
+    n = math.sqrt(sum(x * x for x in raw))
+    return [x / n for x in raw]
+
+
+def _emb(spark, ids):
+    return spark.createDataFrame([(i, _vec(i)) for i in ids],
+                                 "vec_id long, embedding array<double>")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _vec_rows(df, id_col="vec_id", vec_col="embedding"):
+    return sorted((r[id_col], tuple(round(x, 12) for x in r[vec_col]))
+                  for r in df.collect())
+
+
+def _file_states(root):
+    out = {}
+    for d, _, files in os.walk(root):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(d, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+IDS = list(range(20))
+
+
+def test_publish_then_open_matches_in_session_ivf(spark, tmp_path):
+    idx_dir = str(tmp_path / "vecidx")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+
+    # stored cell assignments == the operator's assignment arithmetic
+    codebook = vidx.centroids
+    expected = _rows(emb.select("vec_id",
+                                similarity.cell_of(codebook).alias("cell")))
+    assert _rows(vidx.vectors.select("vec_id", "cell")) == expected
+
+    # the published top-k equals the in-session ivf_topk for every probe
+    for qid in (0, 7, 13):
+        got = _rows(vidx.ivf_topk(qid, n_probe=2, k=5))
+        want = _rows(similarity.ivf_topk(emb, qid, N_CELLS, 2, 5,
+                                         centroids=codebook))
+        assert got == want, qid
+
+    # probe scan prunes at PLANNING time: PartitionFilters on `cell`
+    pf = partition_filters(vidx.probe_scan([0, 2]))
+    assert pf and any("cell" in line for line in pf), pf
+    assert _vec_rows(vidx.probe_scan([0, 2]).select("vec_id", "embedding")) \
+        == _vec_rows(vidx.vectors.filter(F.col("cell").isin([0, 2]))
+                     .select("vec_id", "embedding"))
+
+
+def test_ensure_reuses_across_sessions(spark, tmp_path):
+    """Second ensure over the same embeddings reuses the published bytes
+    (reasons == [], not one file rewritten) — the vector analogue of the
+    reference reopening its Chroma dir at startup."""
+    src = str(tmp_path / "emb.parquet")
+    _emb(spark, IDS).write.parquet(src)
+    idx_dir = str(tmp_path / "vecidx")
+    emb = spark.read.parquet(src)
+
+    _, reasons1 = vector_store.ensure_vector_index(
+        spark, emb, src, idx_dir, n_cells=N_CELLS)
+    assert reasons1 == ["no manifest"]
+    before = _file_states(idx_dir)
+    assert before
+
+    vidx2, reasons2 = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx_dir, n_cells=N_CELLS)
+    assert reasons2 == []
+    assert _file_states(idx_dir) == before  # byte-for-byte reuse
+    assert _rows(vidx2.ivf_topk(0, 2, 5)) == _rows(
+        similarity.ivf_topk(emb, 0, N_CELLS, 2, 5,
+                            centroids=vidx2.centroids))
+
+    # source drift (rewrite in place) invalidates
+    _emb(spark, IDS + [99]).write.mode("overwrite").parquet(src)
+    _, reasons3 = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx_dir, n_cells=N_CELLS)
+    assert reasons3
+
+
+def test_refresh_touches_only_affected_cells(spark, tmp_path):
+    """Cell-level delta: the refreshed store equals a from-scratch publish
+    over the merged vectors (same codebook), and cell directories the
+    batch never touches keep their part files byte-invariant."""
+    idx_dir = str(tmp_path / "vecidx")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    codebook = vidx.centroids
+
+    changed = spark.createDataFrame(
+        [(7, _vec(107)), (50, _vec(50))],  # one replaced, one new
+        "vec_id long, embedding array<double>")
+    removed = spark.createDataFrame([(13,)], "vec_id long")
+    before = _file_states(idx_dir)
+
+    refreshed = vector_store.write_vector_refresh(spark, idx_dir, changed,
+                                                  removed)
+
+    merged = [(i, _vec(i)) for i in IDS if i not in (7, 13)] \
+        + [(7, _vec(107)), (50, _vec(50))]
+    merged_df = spark.createDataFrame(merged,
+                                      "vec_id long, embedding array<double>")
+    scratch_dir = str(tmp_path / "scratch")
+    vector_store.publish_vector_index(merged_df, scratch_dir,
+                                      centroids=codebook)
+    scratch = vector_store.open_vector_index(spark, scratch_dir)
+    assert _vec_rows(refreshed.vectors.select("vec_id", "embedding")) \
+        == _vec_rows(scratch.vectors.select("vec_id", "embedding"))
+    assert _rows(refreshed.vectors.select("vec_id", "cell")) == \
+        _rows(scratch.vectors.select("vec_id", "cell"))
+    assert _rows(refreshed.ivf_topk(0, 2, 5)) == _rows(scratch.ivf_topk(0, 2, 5))
+
+    # untouched cells byte-invariant
+    tag = similarity.cell_of(codebook)
+    touched = {r.cell for r in spark.createDataFrame(
+        [(7, _vec(7)), (7, _vec(107)), (50, _vec(50)), (13, _vec(13))],
+        "vec_id long, embedding array<double>")
+        .select(tag.alias("cell")).distinct().collect()}
+    after = _file_states(idx_dir)
+    for rel, st in before.items():
+        if not rel.startswith("vectors"):
+            continue
+        cell = int(rel.split("cell=")[1].split(os.sep)[0])
+        if cell not in touched:
+            assert after.get(rel) == st, f"untouched cell rewritten: {rel}"
+
+
+def test_refresh_crash_mid_commit_rolls_forward(spark, tmp_path,
+                                                monkeypatch):
+    """Kill during the journal replay: the next open rolls FORWARD to the
+    complete new store — the shared commit protocol, proven on the
+    vector layout too."""
+    idx_dir = str(tmp_path / "vecidx")
+    vector_store.publish_vector_index(_emb(spark, IDS), idx_dir,
+                                      n_cells=N_CELLS)
+    codebook = vector_store.open_vector_index(spark, idx_dir).centroids
+    changed = spark.createDataFrame([(7, _vec(107))],
+                                    "vec_id long, embedding array<double>")
+
+    def partial(store_dir, ops):
+        assert ops
+        vector_store._apply_op(store_dir, ops[0])
+        raise RuntimeError("killed mid-commit")
+
+    monkeypatch.setattr(vector_store, "_apply_ops", partial)
+    with pytest.raises(RuntimeError):
+        vector_store.write_vector_refresh(spark, idx_dir, changed)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(idx_dir, vector_store.JOURNAL_NAME))
+
+    reopened = vector_store.open_vector_index(spark, idx_dir)  # recovers
+    assert not os.path.exists(os.path.join(idx_dir,
+                                           vector_store.JOURNAL_NAME))
+    merged = [(i, _vec(i)) for i in IDS if i != 7] + [(7, _vec(107))]
+    scratch_dir = str(tmp_path / "scratch")
+    vector_store.publish_vector_index(
+        spark.createDataFrame(merged, "vec_id long, embedding array<double>"),
+        scratch_dir, centroids=codebook)
+    scratch = vector_store.open_vector_index(spark, scratch_dir)
+    assert _vec_rows(reopened.vectors.select("vec_id", "embedding")) == \
+        _vec_rows(scratch.vectors.select("vec_id", "embedding"))
+
+
+def test_refresh_all_cells_emptied_keeps_store_openable(spark, tmp_path):
+    """Removing every vector leaves an empty-but-schema'd placeholder
+    (never a schema-less dir), and a later refresh on top of it rebuilds
+    real cell dirs."""
+    idx_dir = str(tmp_path / "vecidx")
+    vector_store.publish_vector_index(_emb(spark, IDS), idx_dir,
+                                      n_cells=N_CELLS)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    all_ids = spark.createDataFrame([(i,) for i in IDS], "vec_id long")
+
+    emptied = vector_store.write_vector_refresh(spark, idx_dir, empty,
+                                                all_ids)
+    assert emptied.vectors.count() == 0
+    reopened = vector_store.open_vector_index(spark, idx_dir)
+    assert reopened.vectors.count() == 0
+    assert reopened.probe_scan([0, 1]).count() == 0
+
+    batch = spark.createDataFrame([(30, _vec(30)), (31, _vec(31))],
+                                  "vec_id long, embedding array<double>")
+    refreshed = vector_store.write_vector_refresh(spark, idx_dir, batch)
+    assert {r.vec_id for r in refreshed.vectors.collect()} == {30, 31}
+    again = vector_store.open_vector_index(spark, idx_dir)
+    pf = partition_filters(again.probe_scan([0, 1, 2, 3]))
+    assert pf and any("cell" in line for line in pf), pf
