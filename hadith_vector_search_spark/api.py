@@ -55,9 +55,10 @@ def _round6_arr(arr):
         from decimal import ROUND_HALF_UP, Decimal
 
         q6 = Decimal("0.000001")
-        for i in np.nonzero(cand)[0]:
-            out[i] = float(Decimal(repr(float(arr[i])))
-                           .quantize(q6, rounding=ROUND_HALF_UP))
+        for idx in zip(*np.nonzero(cand)):  # dimension-agnostic (the
+            # batch tier rounds a 2-D docs x queries sim matrix)
+            out[idx] = float(Decimal(repr(float(arr[idx])))
+                             .quantize(q6, rounding=ROUND_HALF_UP))
     return out
 
 
@@ -1341,6 +1342,126 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             .orderBy(F.desc("score"), F.asc(self.id_col))
             .limit(n_results)
         )
+
+    def _exact_local_rows(self, query: str, n_results: int) -> list[tuple]:
+        """Driver twin of `_exact_reference_lookup` for the batch fast
+        path (doc map resident, no filters): the 0/1-row top list in
+        `_score_local_py`'s row shape. Same last-number / integral-id /
+        past-bigint resolution rules."""
+        import re as _re
+
+        num = _re.search(r"([0-9]+)[^0-9]*$", query).group(1)
+        id_t = self.docs.schema[self.id_col].dataType.simpleString()
+        integral = id_t in ("tinyint", "smallint", "int", "bigint")
+        resolvable = not (integral and len(num) > 18)
+        key = int(num) if integral and resolvable else num
+        row = self._doc_rows.get(key) if resolvable else None
+        if row is None or int(n_results) == 0:
+            return []
+        txt = row[self.text_col]
+        prev = txt[:120] if txt is not None else None
+        return [(key, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, prev)]
+
+    def hybrid_search_batch(self, queries: list[str], n_results: int = 10,
+                            scoring_mode: str = "balanced",
+                            fts_available: bool = True,
+                            vector_available: bool = True,
+                            synonym_groups: list[list[str]] | None = None,
+                            near_window: int = 5, dedupe: bool = True,
+                            filters: dict | None = None,
+                            **weight_overrides: float) -> DataFrame:
+        """Batch-of-queries serving tier: N queries in, ONE frame out —
+        the hybrid_search schema with a leading `query_idx` column, rows
+        for query i row-identical to `hybrid_search(queries[i], ...)`
+        (pinned by tests). The reference serves one query per tool call;
+        this is the amortized shape SCALE.md prescribes for offline
+        evaluation and agent fan-out.
+
+        Fast path (every interactive tier resident, no filters, no
+        narrator-leg queries): ONE BLAS matmul scores every query's
+        vector leg against the resident matrix, lexical legs gather from
+        the resident impact arrays, exact-reference queries resolve off
+        the doc map, scoring runs driver-side, and the whole batch
+        re-enters as a SINGLE VALUES LocalRelation — zero Spark jobs and
+        one statement parse for the batch, amortizing the per-call
+        overhead that dominates single-query p50 (SERVING_LATENCY.md).
+        Anything needing the Spark path (filters, a narrator-field leg,
+        missing tiers, a doc-map gap) degrades the call to a union of
+        single-query plans — same rows, Spark-side cost."""
+        from functools import reduce
+
+        if not queries:
+            raise ValueError("queries must be a non-empty list")
+        if int(n_results) < 0:
+            raise ValueError(f"n_results must be >= 0, got {n_results}")
+        intents = [route_one(q) for q in queries]
+        fast = (self._mat is not None and self._doc_rows is not None
+                and self._lex is not None and not filters)
+        if fast and self.narrator_col is not None and fts_available:
+            # the narrator-FIELD leg runs a Spark job per query
+            fast = not any(it.intent == INTENT_NARRATOR
+                           and it.narrator_query for it in intents)
+        groups: list[tuple] = []
+        if fast:
+            import numpy as np
+
+            w = fusion.resolve_weights(scoring_mode, fts_available,
+                                       vector_available)
+            if weight_overrides:
+                w = replace(w, **weight_overrides)
+            k = max(OVERFETCH_FLOOR, 5 * n_results)
+            sims_all = None
+            if vector_available:
+                qmat = np.stack([encode_query(it.normalized, self.dim)
+                                 for it in intents], axis=1)
+                sims_all = _round6_arr(self._mat @ qmat)  # one matmul
+            for i, it in enumerate(intents):
+                if it.intent == INTENT_EXACT:
+                    rows = self._exact_local_rows(queries[i], n_results)
+                    if rows or not self.exact_ref_fallback \
+                            or n_results == 0:
+                        groups.append((i, rows, 0))
+                        continue
+                    # exact_ref_fallback: unresolvable ref -> retrieval
+                fused_map: dict = {}
+                terms = sorted(set(py_tokenize(it.normalized)))
+                if fts_available and terms:
+                    for rid, s in self._lex_topk_interactive(terms, k):
+                        fused_map[rid] = [s, 0.0]
+                if sims_all is not None:
+                    sims = sims_all[:, i]
+                    order = np.lexsort((self._ids, -sims))[:k]
+                    for j in order:
+                        fused_map.setdefault(self._ids[j].item(),
+                                             [0.0, 0.0])[1] = float(sims[j])
+                scored = self._score_local_py(
+                    sorted(fused_map.items()), terms, w, it.phrase, dedupe,
+                    n_results, synonym_groups=synonym_groups,
+                    near_window=near_window) if fused_map else ([], 0)
+                if scored is None:  # doc-map gap: mirror the corpus join
+                    groups = []     # on Spark instead (rare; stale map)
+                    fast = False
+                    break
+                groups.append((i, scored[0], scored[1]))
+        if fast:
+            if not any(top for _, top, _ in groups):
+                nar = ("narrator_bonus double, " if self.narrator_col
+                       else "")
+                id_t = self.docs.schema[self.id_col].dataType.simpleString()
+                return self.spark.createDataFrame([], (
+                    f"query_idx int, `{self.id_col}` {id_t}, score double, "
+                    f"vec_signal double, fts_sig double, coverage double, "
+                    f"phrase_bonus double, proximity_bonus double, {nar}"
+                    f"duplicates_filtered bigint, preview string"))
+            return self._scored_values_df(groups)
+        frames = [
+            self.hybrid_search(q, n_results, scoring_mode, fts_available,
+                               vector_available, synonym_groups,
+                               near_window, dedupe, filters,
+                               **weight_overrides)
+            .select(F.lit(i).cast("int").alias("query_idx"), "*")
+            for i, q in enumerate(queries)]
+        return reduce(lambda a, b: a.unionByName(b), frames)
 
     def fts_match(self, terms: list[str] | None = None, prefix: str | None = None,
                   field: str | None = None, value: str | None = None,

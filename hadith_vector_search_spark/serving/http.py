@@ -120,6 +120,13 @@ def _make_handler(dispatch: StdioServer):
                         return
                     rows = self._rows(dispatch.call_tool("hybrid_search", payload))
                     self._send(200, rows)
+                elif self.path == "/api/search/hybrid_batch":
+                    if not payload.get("queries"):
+                        self._send(400, {"error": "Missing 'queries'"})
+                        return
+                    rows = self._rows(
+                        dispatch.call_tool("hybrid_search_batch", payload))
+                    self._send(200, rows)
                 elif self.path == "/api/match/fts":
                     rows = self._rows(dispatch.call_tool("fts_match", payload))
                     self._send(200, rows)

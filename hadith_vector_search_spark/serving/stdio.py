@@ -52,6 +52,31 @@ TOOL_DEFINITIONS: tuple[dict[str, Any], ...] = (
         },
     },
     {
+        "name": "hybrid_search_batch",
+        "description": "Batch hybrid search: N queries in one call, "
+                       "rows tagged by query_idx (amortized per-query "
+                       "latency on the resident tiers)",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "queries": {"type": "array", "items": {"type": "string"},
+                            "minItems": 1},
+                "n_results": {"type": "integer", "default": 10, "minimum": 1},
+                "scoring_mode": {
+                    "type": "string",
+                    "enum": ["balanced", "term-priority", "semantic", "fts"],
+                },
+                "filters": {
+                    "type": "object",
+                    "description": "metadata equality filters "
+                                   "({column: value}, ANDed; restricts "
+                                   "the search space before top-k)",
+                },
+            },
+            "required": ["queries"],
+        },
+    },
+    {
         "name": "fts_match",
         "description": "Compiled FTS match: AND terms, prefix*, field:value scope",
         "inputSchema": {
@@ -151,6 +176,17 @@ class StdioServer:
             # Attach the spec'd human-readable explanation per hit
             # (HADITH_SEARCH_SPEC.md:487-496 — the reference's designed
             # output format, TEST_QUERIES.md:445-468, never shipped).
+            from ..operators.fusion import explain_ranking
+            rows = [r.asDict(recursive=True) for r in df.collect()]
+            for r in rows:
+                r["explanation"] = explain_ranking(r)
+            return rows
+        if name == "hybrid_search_batch":
+            df = self.engine.hybrid_search_batch(
+                list(args["queries"]),
+                n_results=int(args.get("n_results", 10)),
+                scoring_mode=args.get("scoring_mode", "balanced"),
+                filters=args.get("filters"))
             from ..operators.fusion import explain_ranking
             rows = [r.asDict(recursive=True) for r in df.collect()]
             for r in rows:

@@ -69,6 +69,12 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
         "hybrid_exact_ref": lambda i: engine.hybrid_search(
             f"hadith number {doc_ids[i % len(doc_ids)]}",
             n_results=1).collect(),
+        # batch serving tier: 8 queries per call (one matmul + one VALUES
+        # re-entry on the resident tiers). The row is the WHOLE-CALL
+        # latency; divide by 8 for the amortized per-query number.
+        "hybrid_batch8": lambda i: engine.hybrid_search_batch(
+            [QUERIES[(i + j) % len(QUERIES)] for j in range(8)],
+            n_results=10).collect(),
     }
     out = {}
     for name, call in calls.items():

@@ -1170,3 +1170,92 @@ def test_exact_ref_fallback_opt_in(spark):
     assert fbi.enable_interactive()
     got_i = fbi.hybrid_search("hadith number 999", 3).collect()
     assert [tuple(r) for r in got_i] == [tuple(r) for r in got]
+
+
+def test_hybrid_search_batch_tier_matches_single_calls(spark):
+    """The batch serving tier: N queries -> one frame with a leading
+    query_idx, rows per query ROW-IDENTICAL to the single-query call on
+    the same engine — on the Spark path (union of plans) and on the
+    interactive fast path (one matmul + one VALUES re-entry), where the
+    whole batch costs ZERO Spark jobs. Exact-reference queries, misses,
+    duplicates, filters, and error contracts all ride along."""
+    rows = [
+        (1, "patience and prayer during hardship and trials"),
+        (2, "patience and prayer during hardship and trials"),  # dup text
+        (3, "charity and kindness toward neighbors matters"),
+        (4, "fasting in the month of ramadan brings reward"),
+        (5, "document number five about prayer at night"),
+        (6, "seeking knowledge is a duty for everyone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    queries = ["patience prayer hardship", "hadith 5", "charity kindness",
+               "hadith number 999", "knowledge duty"]
+    batch_eng = HybridEngine(spark, docs)
+    inter = HybridEngine(spark, docs)
+    assert inter.enable_interactive()
+
+    for eng in (batch_eng, inter):
+        got = eng.hybrid_search_batch(queries, n_results=3)
+        assert got.columns[0] == "query_idx"
+        by_q: dict = {}
+        for r in got.collect():
+            by_q.setdefault(r.query_idx, []).append(tuple(r)[1:])
+        for i, q in enumerate(queries):
+            single = [tuple(r) for r in eng.hybrid_search(q, 3).collect()]
+            assert by_q.get(i, []) == single, (i, q)
+
+    # fast path: zero Spark jobs with every tier resident
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    res = inter.hybrid_search_batch(queries, n_results=3).collect()
+    after = set(tracker.getJobIdsForGroup())
+    assert after == before, f"launched jobs: {sorted(after - before)}"
+    assert res
+
+    # error contracts match the single-query surface
+    with pytest.raises(ValueError):
+        batch_eng.hybrid_search_batch([], 3)
+    with pytest.raises(ValueError):
+        inter.hybrid_search_batch(["x"], n_results=-1)
+
+    # filters force the Spark path; rows still identical per query
+    fdocs = spark.createDataFrame(
+        [(1, "patience and prayer", "bk1"), (2, "patience travel", "bk2"),
+         (3, "prayer at night time", "bk1")],
+        "doc_id int, text string, book string")
+    feng = HybridEngine(spark, fdocs)
+    fqueries = ["patience prayer", "hadith 2"]
+    gb = feng.hybrid_search_batch(fqueries, 3, filters={"book": "bk1"})
+    by_q = {}
+    for r in gb.collect():
+        by_q.setdefault(r.query_idx, []).append(tuple(r)[1:])
+    for i, q in enumerate(fqueries):
+        single = [tuple(r) for r in
+                  feng.hybrid_search(q, 3, filters={"book": "bk1"}).collect()]
+        assert by_q.get(i, []) == single, (i, q)
+
+    # narrator engines (narrator-intent queries need the Spark leg):
+    # identical per query on both tiers
+    ndocs = spark.createDataFrame(
+        [(1, "patience and prayer during hardship", "Abu Huraira"),
+         (2, "patience and prayer during travel", "Umar bin Al-Khattab")],
+        "doc_id int, text string, narrator string")
+    neng = HybridEngine(spark, ndocs, narrator_col="narrator")
+    ninter = HybridEngine(spark, ndocs, narrator_col="narrator")
+    assert ninter.enable_interactive()
+    nq = ["narrated by Abu Huraira patience", "huraira patience prayer"]
+    for eng in (neng, ninter):
+        by_q = {}
+        for r in eng.hybrid_search_batch(nq, 2).collect():
+            by_q.setdefault(r.query_idx, []).append(tuple(r)[1:])
+        for i, q in enumerate(nq):
+            single = [tuple(r) for r in eng.hybrid_search(q, 2).collect()]
+            assert by_q.get(i, []) == single, (i, q)
+
+    # an all-miss batch returns the EMPTY frame with the full schema
+    empty = inter.hybrid_search_batch(["hadith 999", "hadith 998"], 3)
+    assert empty.collect() == []
+    assert empty.columns == ["query_idx", "doc_id", "score", "vec_signal",
+                             "fts_sig", "coverage", "phrase_bonus",
+                             "proximity_bonus", "duplicates_filtered",
+                             "preview"]

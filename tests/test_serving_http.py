@@ -167,3 +167,21 @@ def test_http_rerank_route(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/api/search/rerank", {})
     assert e.value.code == 400
+
+
+def test_http_hybrid_batch_route(served):
+    server, engine = served
+    payload = {"queries": [QUERY, "hadith 3"], "n_results": 3}
+    rows = _post(server, "/api/search/hybrid_batch", payload)
+    assert isinstance(rows, list) and rows
+    direct = [r.asDict() for r in engine.hybrid_search_batch(
+        [QUERY, "hadith 3"], n_results=3).collect()]
+    assert [(r["query_idx"], r["doc_id"]) for r in rows] == \
+        [(r["query_idx"], r["doc_id"]) for r in direct]
+    for s, d in zip(rows, direct):
+        assert s["score"] == pytest.approx(d["score"])
+    assert all("explanation" in r for r in rows)
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(server, "/api/search/hybrid_batch", {})
+    assert exc.value.code == 400

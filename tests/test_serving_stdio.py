@@ -166,3 +166,23 @@ def test_weight_overrides_through_the_tool_surface(server, spark, sf_dir):
     o = {r["doc_id"]: r["score"] for r in overridden}
     shared = set(b) & set(o)
     assert shared and any(abs(b[d] - o[d]) > 1e-6 for d in shared)
+
+
+def test_stdio_hybrid_batch_tool(server, spark, sf_dir):
+    """The batch tool serves N queries in one call, rows tagged by
+    query_idx and identical to engine-direct."""
+    tools = {t["name"] for t in server.request("tools/list")["result"]["tools"]}
+    assert "hybrid_search_batch" in tools
+    served = _tool_rows(server.request("tools/call", {
+        "name": "hybrid_search_batch",
+        "arguments": {"queries": [QUERY, "hadith 3"],
+                      "n_results": N_RESULTS}}))
+    from hadith_vector_search_spark.api import HybridEngine
+    from hadith_vector_search_spark.sources import load_table
+    engine = HybridEngine(spark, load_table(spark, sf_dir, "documents"))
+    direct = [r.asDict() for r in engine.hybrid_search_batch(
+        [QUERY, "hadith 3"], n_results=N_RESULTS).collect()]
+    assert [(r["query_idx"], r["doc_id"]) for r in served] == \
+        [(r["query_idx"], r["doc_id"]) for r in direct]
+    for s, d in zip(served, direct):
+        assert s["score"] == pytest.approx(d["score"])
