@@ -282,3 +282,57 @@ def test_eval_semantic_quality_script_runs_when_model_available(
     assert "cross-lingual semantic recall (real model)" in out
     assert "| category | reference target | measured |" in out
     assert "CrossEncoder weights unavailable" in out
+
+
+@pytest.mark.skipif(not embedder.real_model_available(),
+                    reason="sentence-transformers not installed "
+                           "(env-gated real-model rehearsal; see README "
+                           "'Real model weights')")
+def test_real_model_publish_reopen_search_rehearsal(spark, tmp_path):
+    """The SWAP rehearsal (r8 VERDICT task 4): with the real
+    all-MiniLM-L6-v2 weights installed, run the full deployment path the
+    hash stand-in contract-tests — embed the corpus with backend='st',
+    publish the cell-partitioned vector index behind the staleness
+    manifest, REOPEN it byte-for-byte in a second ensure, answer an IVF
+    query off the reopened artifact, and serve a hybrid_search whose
+    query vector comes from the same real model. Complements
+    scripts/eval_semantic_quality.py (quality thresholds); this pins the
+    PLUMBING end-to-end under the real geometry."""
+    from hadith_vector_search_spark.api import HybridEngine
+    from hadith_vector_search_spark.sources import vector_store
+
+    rows = [
+        (1, "patience and prayer during hardship and trials"),
+        (2, "controlling anger shows true strength"),
+        (3, "charity given in secret does not decrease wealth"),
+        (4, "seeking knowledge is a duty for every person"),
+        (5, "kindness to neighbors and travelers is rewarded"),
+        (6, "deeds are judged by their intentions"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    emb = docs.select(
+        "doc_id",
+        embedder.embed_column("text", 384, backend="st").alias("embedding"))
+
+    idx_dir = str(tmp_path / "vecidx")
+    model_tag = "all-MiniLM-L6-v2-ivf4"
+    _, reasons = vector_store.ensure_vector_index(
+        spark, emb, src, idx_dir, n_cells=4, id_col="doc_id",
+        model_name=model_tag)
+    assert reasons == ["no manifest"]
+    _, reasons2 = vector_store.ensure_vector_index(
+        spark, emb, src, idx_dir, n_cells=4, id_col="doc_id",
+        model_name=model_tag)
+    assert reasons2 == []  # second session: reopened, not rebuilt
+
+    reopened = vector_store.open_vector_index(spark, idx_dir)
+    assert reopened.dim == 384
+    topk = reopened.ivf_topk(1, n_probe=2, k=3).collect()
+    assert topk and topk[0][0] == 1 and topk[0].sim == pytest.approx(1.0)
+
+    engine = HybridEngine(spark, docs, embeddings=emb, dim=384)
+    hits = engine.hybrid_search("restraining rage and anger", 3).collect()
+    assert hits, "real-model hybrid search returned nothing"
+    assert hits[0].doc_id == 2  # semantic match, partial token overlap
