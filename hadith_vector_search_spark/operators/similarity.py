@@ -615,15 +615,20 @@ class VectorLshIndex:
 def build_vector_lsh_index(emb: DataFrame, n_bands: int, band_bits: int,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           plan_probe=None) -> VectorLshIndex:
+                           plan_probe=None,
+                           planes: DataFrame | None = None) -> VectorLshIndex:
     """Stages 0-1 of `similar_pairs_lsh` (exact-vector collapse + band
     signatures), split out so the expensive prefix builds once and serves
     every consumer (the near-dup query, the recall report, repeated
     API calls). `plan_probe(tag, df)` — optional — is handed each frame
     about to be checkpointed, so pin sites can capture the build plans
-    the checkpoints would otherwise hide (plans.pin_audit)."""
+    the checkpoints would otherwise hide (plans.pin_audit). `planes`
+    overrides the data-derived hyperplanes — a SAMPLE of the corpus must
+    band with the FULL corpus's planes to produce the full index's band
+    keys (the sampled recall audit)."""
     n_planes = n_bands * band_bits
-    planes = data_planes(emb, n_planes, id_col, vec_col)
+    if planes is None:
+        planes = data_planes(emb, n_planes, id_col, vec_col)
     tagged = (emb.select(F.col(id_col).cast("long").alias("vid"),
                          F.col(vec_col).alias("vec"),
                          F.struct(

@@ -581,6 +581,100 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ["id_a", "id_b"])))
 
 
+PAIR_SAMPLE_BOUND = "40"  # sha256 2-hex prefix < '40' keeps 64/256 = 25%
+
+
+def ann_recall_report_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH for the recall audit's one quadratic leg
+    (measured: the exact all-pairs ground truth made `ann_recall_report`
+    35.9x slower at 10x the vectors, SCALE.md round-9 curves — every
+    other leg is top-k-shaped and near-flat). Estimate pair recall on a
+    DETERMINISTIC sample of ids (sha256-prefix membership, the
+    `operators.sampling.hash_sample` discipline the split/mix plans
+    already oracle-check): exact pairs are computed ONLY within the
+    sample (25% of ids -> ~6% of the pair work here; a lake shrinks the
+    bound so the SAMPLE is fixed-size — recall is a proportion, so a
+    10k-id sample yields a fixed-width confidence interval no matter how
+    large the corpus grows), and the banded-LSH pairs are filtered to
+    the same id set. Content-addressed sampling keeps the audit
+    reproducible run-to-run and SQL-replayable — this query carries its
+    own DuckDB oracle, unlike a rand()-sampled audit."""
+    from ..operators.sampling import hash_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = hash_sample(emb, PAIR_SAMPLE_BOUND, id_col="vec_id")
+    epairs = _pinned(
+        spark, sf_dir, "exact_pairs_sampled",
+        lambda: similarity.similar_pairs(sample, PAIR_THRESHOLD)
+        .select("id_a", "id_b"))
+    # Band the SAMPLE directly — with the FULL corpus's hyperplanes, so
+    # band keys match the full index's. Bucket membership is per-vector,
+    # so the candidate pairs with both ends in the sample are EXACTLY the
+    # full run's pairs filtered to the sample (no pair appears or
+    # disappears; the oracle replays the full-banding-then-filter form) —
+    # but the join cost is sample-sized, never corpus-sized.
+    planes = similarity.data_planes(emb, NEARDUP_BANDS * NEARDUP_BAND_BITS)
+    lpairs = _pinned(
+        spark, sf_dir, "lsh_pairs_sampled",
+        lambda: similarity.similar_pairs_lsh(
+            sample, PAIR_THRESHOLD, NEARDUP_BANDS, NEARDUP_BAND_BITS,
+            index=similarity.build_vector_lsh_index(
+                sample, NEARDUP_BANDS, NEARDUP_BAND_BITS, planes=planes))
+        .select("id_a", "id_b"))
+    hits = (lpairs.join(epairs, ["id_a", "id_b"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits")))
+    expected = epairs.agg(F.count(F.lit(1)).alias("expected"))
+    return (hits.crossJoin(F.broadcast(expected))
+            .select(F.lit("similar_pairs_lsh_sampled").alias("method"),
+                    "hits", "expected",
+                    F.round(F.col("hits") / F.col("expected"), 6)
+                    .alias("recall")))
+
+
+def ann_recall_report_sampled_oracle() -> str:
+    n_planes = NEARDUP_BANDS * NEARDUP_BAND_BITS
+    return f"""
+WITH {_PAIR_DOT},
+s AS (
+  SELECT vec_id FROM embeddings
+  WHERE substr(sha256(CAST(vec_id AS VARCHAR)), 1, 2) < '{PAIR_SAMPLE_BOUND}'
+),
+epairs AS (
+  SELECT p.ia AS id_a, p.ib AS id_b
+  FROM pair_dot p
+  JOIN s a ON p.ia = a.vec_id
+  JOIN s b ON p.ib = b.vec_id
+  WHERE p.ia < p.ib AND round(p.d, 6) > {PAIR_THRESHOLD}
+),
+sigs AS (
+  SELECT ia AS vid, ib // {NEARDUP_BAND_BITS} AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY ib) AS bucket
+  FROM pair_dot WHERE ib < {n_planes}
+  GROUP BY ia, ib // {NEARDUP_BAND_BITS}
+),
+cands AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vid < b.vid
+),
+lpairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN pair_dot p ON p.ia = c.id_a AND p.ib = c.id_b
+  JOIN s a ON c.id_a = a.vec_id
+  JOIN s b ON c.id_b = b.vec_id
+  WHERE round(p.d, 6) > {PAIR_THRESHOLD}
+)
+SELECT 'similar_pairs_lsh_sampled' AS method,
+       (SELECT count(*) FROM lpairs l
+        JOIN epairs e ON l.id_a = e.id_a AND l.id_b = e.id_b) AS hits,
+       (SELECT count(*) FROM epairs) AS expected,
+       round((SELECT count(*) FROM lpairs l
+              JOIN epairs e ON l.id_a = e.id_a AND l.id_b = e.id_b)
+             / (SELECT count(*) FROM epairs), 6) AS recall
+"""
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL generators (DuckDB). Dot products are computed by positional
 # parallel unnest with explicit DOUBLE casts — the same arithmetic the Spark

@@ -97,6 +97,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivf": semantic.ann_topk_ivf,
     "ann_topk_ivf_published": semantic.ann_topk_ivf_published,
     "ann_recall_report": semantic.ann_recall_report,
+    "ann_recall_report_sampled": semantic.ann_recall_report_sampled,
     # iterative algorithm — no SQL oracle (driver rows-only check)
     "ann_topk_ivf_kmeans": semantic.ann_topk_ivf_kmeans,
     "ann_topk_int8": semantic.ann_topk_int8,
@@ -236,6 +237,8 @@ oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 # the in-session IVF build
 oracle("ann_topk_ivf_published", semantic.ann_topk_ivf_oracle())
 oracle("ann_recall_report", semantic.ann_recall_report_oracle())
+oracle("ann_recall_report_sampled",
+       semantic.ann_recall_report_sampled_oracle())
 oracle("ann_topk_ivf_kmeans", semantic.ann_topk_ivf_kmeans_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
