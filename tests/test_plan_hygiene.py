@@ -20,6 +20,7 @@ ARROW_ALLOWED = {
     "embed_documents_preview", "embed_and_search", "embed_chunks_preview",
     "streaming_embed_merge",
     "similar_pairs", "similar_pairs_lsh", "ann_recall_report",
+    "ann_recall_report_sampled",
     "semantic_dedup_list", "ann_topk_ivf_kmeans",
     "multimodal_metadata", "multimodal_frames", "multimodal_frame_features",
     "greedy_pack_assignments",
@@ -44,6 +45,10 @@ def _plan_of(spark, fn):
 # element (see operators/similarity.py:403-410).
 PIN_ARROW_ALLOWED = {
     "exact_pairs", "lsh_pairs", "int8_topk5", "pq_topk5",
+    # the sampled recall audit's legs are the same blocked-BLAS pair
+    # operators over the sha-sampled id set (plans/semantic.py:
+    # ann_recall_report_sampled)
+    "exact_pairs_sampled", "lsh_pairs_sampled",
 }
 
 
