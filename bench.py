@@ -177,7 +177,7 @@ def main() -> None:
                     spark.catalog.dropTempView(t.name)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # The driver's per-round BENCH artifact keeps only the last 2000
-    # chars of stdout and tries to parse them as JSON — a full 147-query
+    # chars of stdout and tries to parse them as JSON — a full registry-wide
     # map runs ~5 KB, which left BENCH_rNN.json's `parsed` null since r5.
     # So stdout carries ONE line guaranteed to fit the tail: the headline
     # fields plus a compact {name: sec} map of the SLOWEST queries

@@ -1166,8 +1166,10 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             # (plans/routed.py); same result schema as every other hybrid
             # return. With `exact_ref_fallback` a MISS (empty lookup)
             # falls through to the retrieval legs below — the shipped
-            # reference's behavior for unresolvable references — at the
-            # cost of one tiny probe job on the miss path only.
+            # reference's behavior for unresolvable references. The
+            # take(1) emptiness probe costs one tiny extra job on
+            # SPARK-PATH lookups (filters / no doc map) whether they hit
+            # or miss; doc-map lookups stay zero-job (LocalRelation).
             hit = self._exact_reference_lookup(query, n_results, filters)
             if not self.exact_ref_fallback or n_results == 0 or hit.take(1):
                 return hit

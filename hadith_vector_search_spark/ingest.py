@@ -124,8 +124,16 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
     docs = spark.read.parquet(table_path)
     emb = docs.select("doc_id", embed_column("text", EMBED_DIM,
                                              backend="hash").alias("embedding"))
+    # Codebook = the lowest-N ids' vectors: restrict to those N DOCS
+    # before embedding so the codebook probe never re-runs the encoder
+    # over the corpus (the encoder is the build's dominant cost with a
+    # real model; the celled write below is the single full pass).
+    cb_emb = (docs.orderBy(F.asc("doc_id")).limit(VECTOR_CELLS)
+              .select("doc_id", embed_column("text", EMBED_DIM,
+                                             backend="hash")
+                      .alias("embedding")))
     publish_vector_index(emb, out_dir,
-                         centroids=data_codebook(emb, VECTOR_CELLS,
+                         centroids=data_codebook(cb_emb, VECTOR_CELLS,
                                                  id_col="doc_id"),
                          id_col="doc_id")
 

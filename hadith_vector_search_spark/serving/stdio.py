@@ -66,6 +66,10 @@ TOOL_DEFINITIONS: tuple[dict[str, Any], ...] = (
                     "type": "string",
                     "enum": ["balanced", "term-priority", "semantic", "fts"],
                 },
+                "weight_vector": {"type": "number"},
+                "weight_fts": {"type": "number"},
+                "weight_term_coverage": {"type": "number"},
+                "bonus_phrase": {"type": "number"},
                 "filters": {
                     "type": "object",
                     "description": "metadata equality filters "
@@ -182,11 +186,18 @@ class StdioServer:
                 r["explanation"] = explain_ranking(r)
             return rows
         if name == "hybrid_search_batch":
+            # same per-call weight-override mapping as the single tool —
+            # a batch of the same requests must score identically
+            _w_map = {"weight_vector": "vector", "weight_fts": "fts",
+                      "weight_term_coverage": "coverage",
+                      "bonus_phrase": "phrase"}
+            weights = {field: float(args[arg])
+                       for arg, field in _w_map.items() if arg in args}
             df = self.engine.hybrid_search_batch(
                 list(args["queries"]),
                 n_results=int(args.get("n_results", 10)),
                 scoring_mode=args.get("scoring_mode", "balanced"),
-                filters=args.get("filters"))
+                filters=args.get("filters"), **weights)
             from ..operators.fusion import explain_ranking
             rows = [r.asDict(recursive=True) for r in df.collect()]
             for r in rows:

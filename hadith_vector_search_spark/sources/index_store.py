@@ -66,10 +66,11 @@ LAYOUT_NAME = "_layout.json"
 LEXICAL_MODEL = "lexical-index-v2"
 
 # The crash-safe staged-write + commit-journal protocol lives in
-# sources.commit (shared with the published vector store); the names are
-# module globals here so the kill-mid-refresh tests can intercept them.
+# sources.commit (ONE implementation, shared with the published vector
+# store); kill-mid-refresh tests intercept the hooks on the commit
+# module, which `commit` resolves at call time.
 from .commit import (JOURNAL_NAME, STAGING_NAME,  # noqa: E402
-                     _apply_op, _apply_ops, _write_journal, recover)
+                     commit, recover)
 
 
 def bucket_of(term: str, n_buckets: int) -> int:
@@ -123,7 +124,12 @@ def publish_index(index: bm25.LexicalIndex, index_dir: str,
     """Write every LexicalIndex table (incl. the denormalized scoring
     view and the tf-idf doc norms) as the partitioned parquet layout
     documented in the module docstring. Full overwrite — the build path;
-    `write_refresh` is the delta path."""
+    `write_refresh` is the delta path. Settles any crashed refresh FIRST:
+    a stale _commit.json left by a killed refresh would otherwise be
+    replayed by the next open ON TOP of this fresh publish, splicing the
+    dead refresh's staged dirs into a rebuilt index (r9 review)."""
+    if os.path.isdir(index_dir):
+        recover(index_dir)
     _write_layout(index_dir, n_buckets)
     bkt = _bucket_col("term", n_buckets).alias("term_bucket")
     _write_bucketed(index.postings.select("doc_id", "term", "tf", bkt),
@@ -334,10 +340,7 @@ def write_refresh(spark: SparkSession, index_dir: str,
 
     # COMMIT: journal lands atomically, then the idempotent replay; a kill
     # anywhere in between is rolled forward by the next recover().
-    _write_journal(index_dir, ops)
-    _apply_ops(index_dir, ops)
-    os.remove(os.path.join(index_dir, JOURNAL_NAME))
-    shutil.rmtree(staging, ignore_errors=True)
+    commit(index_dir, ops)
     return open_index(spark, index_dir)
 
 

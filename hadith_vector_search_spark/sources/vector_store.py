@@ -46,8 +46,8 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import dot, vector_lit
 from ..operators import similarity
-from .commit import (JOURNAL_NAME, STAGING_NAME,  # noqa: F401 (test hooks)
-                     _apply_op, _apply_ops, _write_journal, recover)
+from .commit import (JOURNAL_NAME, STAGING_NAME,  # noqa: F401
+                     commit, recover)
 from .manifest import (MANIFEST_NAME, IndexManifest, ensure_index,
                        read_manifest, source_fingerprint, staleness_reasons)
 
@@ -106,7 +106,11 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
     """Full overwrite publish: assign every vector to its nearest-centroid
     cell (`similarity.cell_of` — the exact arithmetic queries probe with)
     and write the cell-partitioned table + the codebook sidecar.
-    `write_vector_refresh` is the delta path."""
+    `write_vector_refresh` is the delta path. Settles any crashed
+    refresh FIRST — a stale _commit.json would otherwise be replayed
+    over this fresh publish by the next open (r9 review)."""
+    if os.path.isdir(index_dir):
+        recover(index_dir)
     if centroids is None:
         centroids = data_codebook(emb, n_cells, id_col, vec_col)
     dim = len(centroids[0][1]) if centroids else 0
@@ -337,8 +341,5 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
                     "src": f"{STAGING_NAME}/{MANIFEST_NAME}",
                     "dst": MANIFEST_NAME})
 
-    _write_journal(index_dir, ops)
-    _apply_ops(index_dir, ops)
-    os.remove(os.path.join(index_dir, JOURNAL_NAME))
-    shutil.rmtree(staging, ignore_errors=True)
+    commit(index_dir, ops)
     return open_vector_index(spark, index_dir)

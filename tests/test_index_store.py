@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hadith_vector_search_spark.operators import bm25
+from hadith_vector_search_spark.sources import commit as commitlog
 from hadith_vector_search_spark.sources import index_store
 from hadith_vector_search_spark.sources.layout import partition_filters
 
@@ -233,7 +234,7 @@ def test_write_refresh_crash_before_commit_rolls_back(spark, tmp_path,
     def killed(index_dir, ops):
         raise RuntimeError("killed before commit point")
 
-    monkeypatch.setattr(index_store, "_write_journal", killed)
+    monkeypatch.setattr(commitlog, "_write_journal", killed)
     with pytest.raises(RuntimeError):
         index_store.write_refresh(spark, idx_dir, changed, removed,
                                   corpus_path=corpus_path)
@@ -261,10 +262,10 @@ def test_write_refresh_crash_mid_commit_rolls_forward(spark, tmp_path,
 
     def partial(index_dir, ops):
         assert len(ops) > 1
-        index_store._apply_op(index_dir, ops[0])  # first op lands...
+        commitlog._apply_op(index_dir, ops[0])  # first op lands...
         raise RuntimeError("killed mid-commit")   # ...then the process dies
 
-    monkeypatch.setattr(index_store, "_apply_ops", partial)
+    monkeypatch.setattr(commitlog, "_apply_ops", partial)
     with pytest.raises(RuntimeError):
         index_store.write_refresh(spark, idx_dir, changed, removed,
                                   corpus_path=corpus_path)
@@ -362,3 +363,34 @@ def test_refresh_published_doc_norm_serves_tfidf(spark, tmp_path):
 
     terms = ["data", "window", "fresh"]
     assert tfidf(refreshed, terms) == tfidf(scratch, terms)
+
+
+def test_publish_after_crashed_refresh_discards_stale_journal(
+        spark, tmp_path, monkeypatch):
+    """A journal left by a killed refresh must NOT be replayed on top of
+    a LATER full rebuild (r9 review): publish settles the crashed
+    refresh first, so what a reopen serves is exactly the fresh publish
+    — never the dead refresh's staged dirs spliced into it."""
+    idx_dir = str(tmp_path / "lexidx")
+    index_store.publish_index(bm25.build_index(_docs(spark)), idx_dir,
+                              n_buckets=8)
+    changed, removed = _refresh_args(spark)
+
+    def partial(store_dir, ops):
+        commitlog._apply_op(store_dir, ops[0])
+        raise RuntimeError("killed mid-commit")
+
+    monkeypatch.setattr(commitlog, "_apply_ops", partial)
+    with pytest.raises(RuntimeError):
+        index_store.write_refresh(spark, idx_dir, changed, removed)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(idx_dir, index_store.JOURNAL_NAME))
+
+    # full rebuild over a DIFFERENT corpus while the stale journal sits
+    # there — the path update_indexes takes when the manifest is stale
+    rows2 = [(30, "entirely new corpus row"), (31, "data stream salt")]
+    index_store.publish_index(bm25.build_index(_docs(spark, rows2)),
+                              idx_dir, n_buckets=8)
+    assert not os.path.exists(os.path.join(idx_dir, index_store.JOURNAL_NAME))
+    reopened = index_store.open_index(spark, idx_dir)
+    _assert_same_index(reopened, bm25.build_index(_docs(spark, rows2)))

@@ -186,3 +186,28 @@ def test_stdio_hybrid_batch_tool(server, spark, sf_dir):
         [(r["query_idx"], r["doc_id"]) for r in direct]
     for s, d in zip(served, direct):
         assert s["score"] == pytest.approx(d["score"])
+
+
+def test_stdio_hybrid_batch_weight_overrides(server):
+    """The batch tool maps the same weight-override args as the single
+    tool (r9 review: they were silently dropped): an override changes
+    scores, and the batch rows equal the single tool's rows under the
+    SAME override."""
+    args = {"weight_vector": 0.9, "weight_fts": 0.1,
+            "weight_term_coverage": 0.5, "bonus_phrase": 0.2}
+    base = _tool_rows(server.request("tools/call", {
+        "name": "hybrid_search_batch",
+        "arguments": {"queries": [QUERY], "n_results": N_RESULTS}}))
+    over = _tool_rows(server.request("tools/call", {
+        "name": "hybrid_search_batch",
+        "arguments": {"queries": [QUERY], "n_results": N_RESULTS, **args}}))
+    single = _tool_rows(server.request("tools/call", {
+        "name": "hybrid_search",
+        "arguments": {"query": QUERY, "n_results": N_RESULTS, **args}}))
+    assert base and over and single
+    b = {r["doc_id"]: r["score"] for r in base}
+    o = {r["doc_id"]: r["score"] for r in over}
+    shared = set(b) & set(o)
+    assert shared and any(abs(b[d] - o[d]) > 1e-6 for d in shared)
+    assert [(r["doc_id"], r["score"]) for r in over] == \
+        [(r["doc_id"], r["score"]) for r in single]

@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hadith_vector_search_spark.operators import similarity
+from hadith_vector_search_spark.sources import commit as commitlog
 from hadith_vector_search_spark.sources import vector_store
 from hadith_vector_search_spark.sources.layout import partition_filters
 
@@ -175,10 +176,10 @@ def test_refresh_crash_mid_commit_rolls_forward(spark, tmp_path,
 
     def partial(store_dir, ops):
         assert ops
-        vector_store._apply_op(store_dir, ops[0])
+        commitlog._apply_op(store_dir, ops[0])
         raise RuntimeError("killed mid-commit")
 
-    monkeypatch.setattr(vector_store, "_apply_ops", partial)
+    monkeypatch.setattr(commitlog, "_apply_ops", partial)
     with pytest.raises(RuntimeError):
         vector_store.write_vector_refresh(spark, idx_dir, changed)
     monkeypatch.undo()
@@ -221,3 +222,32 @@ def test_refresh_all_cells_emptied_keeps_store_openable(spark, tmp_path):
     again = vector_store.open_vector_index(spark, idx_dir)
     pf = partition_filters(again.probe_scan([0, 1, 2, 3]))
     assert pf and any("cell" in line for line in pf), pf
+
+
+def test_publish_after_crashed_refresh_discards_stale_journal(
+        spark, tmp_path, monkeypatch):
+    """Vector twin of the stale-journal guard (r9 review): a later full
+    publish settles a crashed refresh's journal instead of letting the
+    next open replay it over the fresh store."""
+    idx_dir = str(tmp_path / "vecidx")
+    vector_store.publish_vector_index(_emb(spark, IDS), idx_dir,
+                                      n_cells=N_CELLS)
+    changed = spark.createDataFrame([(7, _vec(107))],
+                                    "vec_id long, embedding array<double>")
+
+    def partial(store_dir, ops):
+        commitlog._apply_op(store_dir, ops[0])
+        raise RuntimeError("killed mid-commit")
+
+    monkeypatch.setattr(commitlog, "_apply_ops", partial)
+    with pytest.raises(RuntimeError):
+        vector_store.write_vector_refresh(spark, idx_dir, changed)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(idx_dir, vector_store.JOURNAL_NAME))
+
+    fresh = _emb(spark, [40, 41, 42])
+    vector_store.publish_vector_index(fresh, idx_dir, n_cells=2)
+    assert not os.path.exists(os.path.join(idx_dir,
+                                           vector_store.JOURNAL_NAME))
+    reopened = vector_store.open_vector_index(spark, idx_dir)
+    assert {r.vec_id for r in reopened.vectors.collect()} == {40, 41, 42}
