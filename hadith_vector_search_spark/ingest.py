@@ -167,8 +167,18 @@ def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
     """Refresh both derived indexes behind the staleness manifest. Returns
     {index_name: rebuild reasons} ([] == reused). ``force`` rebuilds
     unconditionally, the reference's --force-index-refresh."""
+    from .sources.commit import recover
     from .sources.index_store import DEFAULT_BUCKETS, LEXICAL_MODEL
 
+    # Settle any crashed refresh BEFORE the staleness decision: the
+    # journal may hold the newer manifest, and rolling it forward here
+    # turns a would-be full rebuild into a reuse (publish_* also
+    # recovers, so this is an incrementality optimization, not a
+    # correctness requirement).
+    for name in ("fts", "vector"):
+        d = os.path.join(index_dir, name)
+        if os.path.isdir(d):
+            recover(d)
     n_rows = spark.read.parquet(table_path).count()
     fp = source_fingerprint([table_path])
     out: dict[str, list[str]] = {}

@@ -612,6 +612,28 @@ class VectorLshIndex:
             tagged, groups, reps, sigs
 
 
+def scaled_band_bits(n_rows: int, target_bucket: int = 128,
+                     min_bits: int = 4, max_bits: int = 16) -> int:
+    """Size sign-LSH band bits to the corpus: bits ≈ log2(n/target) keeps
+    expected bucket occupancy near `target_bucket` at ANY corpus size —
+    the knob the sf1 slope study showed must scale (SCALE.md round-9
+    curves: a FIXED 4 bits = 16 buckets forever, so bucket occupancy
+    grows linearly with the corpus and candidate verification
+    quadratically; 346 s at 20k vectors vs 16.8 s once bits=8). The
+    registered queries keep their driver-SF constants (the DuckDB
+    oracles replay static banding); a deployment sizes bits with THIS at
+    index-build time — note the formula lands on exactly those measured
+    points: 4 bits at 2k vectors (the sf0.1 constant), 8 at 20k (the
+    measured near-linear setting). Recall lost to extra bits is bought
+    back by raising n_bands."""
+    import math
+
+    if n_rows <= target_bucket:
+        return min_bits
+    return max(min_bits,
+               min(max_bits, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def build_vector_lsh_index(emb: DataFrame, n_bands: int, band_bits: int,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",

@@ -293,3 +293,26 @@ def test_mmr_first_pick_is_top_relevance_and_scores_decrease_in_rank(spark, sf_d
     # each pick's relevance never exceeds the previous pick's by rank-1
     # construction on a sorted candidate list
     assert rows[0].simq == max(r.simq for r in rows)
+
+
+def test_scaled_band_bits_tracks_corpus_size():
+    """The banding knob sizes bits ~ log2(n/target): reproduces the
+    driver-SF constant (4 bits at 2k vectors) and the sf1-measured
+    near-linear setting (8 bits at 20k), saturates at the floor for tiny
+    corpora and the cap for huge ones (SCALE.md round-9 curves)."""
+    from hadith_vector_search_spark.operators.similarity import (
+        scaled_band_bits,
+    )
+
+    assert scaled_band_bits(100) == 4       # <= target: floor
+    assert scaled_band_bits(500) == 4       # sf0.01-scale: floor
+    assert scaled_band_bits(2_000) == 4     # sf0.1 constant reproduced
+    assert scaled_band_bits(20_000) == 8    # the measured sf1 fix
+    assert scaled_band_bits(200_000) == 11
+    assert scaled_band_bits(10**10) == 16   # cap
+    # monotone non-decreasing in n
+    prev = 0
+    for n in (1, 10, 100, 1000, 10**4, 10**5, 10**6, 10**7):
+        b = scaled_band_bits(n)
+        assert b >= prev
+        prev = b
