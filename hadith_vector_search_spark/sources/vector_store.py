@@ -122,8 +122,13 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
         "cent_id int, cvec array<double>")
     cent_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids"))
-    tagged = emb.select(F.col(id_col), F.col(vec_col),
-                        similarity.cell_of(centroids, vec_col).alias("cell"))
+    # EVERY input column rides into the celled files (id + vector +
+    # any metadata columns): filtered ANN at lake scale wants the filter
+    # column IN the index files, so a metadata predicate pushes into the
+    # already-cell-pruned scan (PushedFilters inside PartitionFilters —
+    # asserted by tests) instead of paying a join against the corpus.
+    tagged = emb.select("*", similarity.cell_of(centroids, vec_col)
+                        .alias("cell"))
     _write_celled(tagged, os.path.join(index_dir, "vectors"), id_col)
 
 
@@ -177,15 +182,23 @@ class PublishedVectorIndex:
         return [-s["ncid"] for s in row["top"]]
 
     def ivf_topk(self, query_id, n_probe: int = 2, k: int = 5,
-                 allowed: DataFrame | None = None) -> DataFrame:
+                 allowed: DataFrame | None = None,
+                 where: dict | None = None) -> DataFrame:
         """IVF ANN off the published artifact — same semantics (and same
         DuckDB oracle) as `similarity.ivf_topk`, but the cell scan is
         directory-pruned parquet instead of a full-table assignment
         recompute. `allowed` restricts candidates (not probes), exactly
-        as the in-session operator does."""
+        as the in-session operator does. `where` ({column: value}
+        equality over metadata columns published INTO the index files)
+        is the lake-scale filtered-ANN shape: the predicate pushes into
+        the already-cell-pruned scan (PushedFilters inside
+        PartitionFilters, asserted by tests) — no join against the
+        corpus table at query time."""
         qvec = self.query_vector(query_id)
         probes = self.probes_for(qvec, n_probe)
         scan = self.probe_scan(probes)
+        for col, val in (where or {}).items():
+            scan = scan.filter(F.col(col) == F.lit(val))
         if allowed is not None:
             scan = scan.join(allowed.select(F.col(self.id_col)),
                              self.id_col, "left_semi")
@@ -282,9 +295,11 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
                  .select("cell").distinct().collect()}
     # Pin the batch's assignments (batch-sized) so the embedding isn't
     # recomputed between the touched-cell probe and the staged write.
+    # the batch must carry the SAME columns the store holds (id, vector,
+    # metadata); assignment appends the cell
+    cols = [c for c in vidx.vectors.columns if c != "cell"]
     new_assign = changed.select(
-        F.col(id_col), F.col(vec_col),
-        similarity.cell_of(vidx.centroids, vec_col).alias("cell")
+        *cols, similarity.cell_of(vidx.centroids, vec_col).alias("cell")
     ).localCheckpoint()
     new_cells = {int(r.cell) for r in
                  new_assign.select("cell").distinct().collect()}
@@ -297,7 +312,7 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
     survivors_old = (vidx.vectors
                      .filter(F.col("cell").isin(touched_cells))
                      .join(F.broadcast(drop), id_col, "left_anti")
-                     .select(id_col, vec_col, "cell")) if touched_cells \
+                     .select(*cols, "cell")) if touched_cells \
         else None
     content = (new_assign if survivors_old is None
                else survivors_old.unionByName(new_assign))

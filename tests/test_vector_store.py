@@ -251,3 +251,47 @@ def test_publish_after_crashed_refresh_discards_stale_journal(
                                            vector_store.JOURNAL_NAME))
     reopened = vector_store.open_vector_index(spark, idx_dir)
     assert {r.vec_id for r in reopened.vectors.collect()} == {40, 41, 42}
+
+
+def test_published_metadata_filter_pushes_into_pruned_scan(spark, tmp_path):
+    """Filtered ANN at lake scale: metadata columns published INTO the
+    celled index files let a {column: value} predicate push into the
+    already-cell-pruned scan — PushedFilters INSIDE PartitionFilters,
+    no corpus join at query time — and the result equals brute-force
+    cosine over the metadata-filtered vectors in the probed cells."""
+    idx_dir = str(tmp_path / "vecidx")
+    emb = spark.createDataFrame(
+        [(i, _vec(i), "en" if i % 3 else "ar") for i in IDS],
+        "vec_id long, embedding array<double>, lang string")
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    assert "lang" in vidx.vectors.columns  # metadata rode into the files
+
+    got = vidx.ivf_topk(1, n_probe=2, k=5, where={"lang": "en"})
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "PushedFilters" in plan and "lang" in plan.split(
+        "PushedFilters")[1][:200], plan[:2000]
+
+    # equivalence: brute-force cosine over the filtered probed cells
+    qvec = vidx.query_vector(1)
+    probes = vidx.probes_for(qvec, 2)
+    from hadith_vector_search_spark.functions.vector import dot, vector_lit
+    want = (vidx.vectors
+            .filter(F.col("cell").isin(probes) & (F.col("lang") == "en"))
+            .select("vec_id",
+                    F.round(dot(F.col("embedding"), vector_lit(qvec)), 6)
+                    .alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("vec_id")).limit(5))
+    assert _rows(got) == _rows(want)
+    assert all(r.vec_id % 3 != 0 for r in got.collect())  # 'ar' excluded
+
+    # delta refresh preserves the metadata column (batch carries it)
+    batch = spark.createDataFrame([(7, _vec(107), "en")],
+                                  "vec_id long, embedding array<double>, "
+                                  "lang string")
+    refreshed = vector_store.write_vector_refresh(spark, idx_dir, batch)
+    row = {r.vec_id: r.lang for r in refreshed.vectors.collect()}
+    assert row[7] == "en" and row[3] == "ar" and len(row) == len(IDS)
