@@ -1259,3 +1259,33 @@ def test_hybrid_search_batch_tier_matches_single_calls(spark):
                              "fts_sig", "coverage", "phrase_bonus",
                              "proximity_bonus", "duplicates_filtered",
                              "preview"]
+
+
+def test_hybrid_search_batch_synonyms_and_fallback(spark):
+    """Batch fast path under the two remaining per-query modes: synonym
+    groups (group coverage + token proximity in the python twin) and
+    exact_ref_fallback (a miss inside a batch falls through to
+    retrieval) — rows stay identical to the single-query calls."""
+    rows = [(i, f"document number {i} about patience and prayer window")
+            for i in range(1, 8)]
+    rows += [(8, "stream and window merge under pressure")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    groups = [["window", "pane"], ["stream", "flow"]]
+
+    for enable in (False, True):
+        eng = HybridEngine(spark, docs, exact_ref_fallback=True)
+        if enable:
+            assert eng.enable_interactive()
+        queries = ["patience window stream", "hadith 3", "hadith 999"]
+        got = eng.hybrid_search_batch(queries, n_results=3,
+                                      synonym_groups=groups)
+        by_q: dict = {}
+        for r in got.collect():
+            by_q.setdefault(r.query_idx, []).append(tuple(r)[1:])
+        for i, q in enumerate(queries):
+            single = [tuple(r) for r in
+                      eng.hybrid_search(q, 3, synonym_groups=groups)
+                      .collect()]
+            assert by_q.get(i, []) == single, (enable, i, q)
+        # the fallback engine retrieved on the miss (999 -> results)
+        assert by_q.get(2), "exact_ref_fallback must retrieve in batch"
