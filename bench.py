@@ -141,6 +141,45 @@ def main() -> None:
         mem = jsc.getExecutorMemoryStatus().toString()
         return f"rdds={rdds} heap={used_mb:.0f}MB mem={mem[:120]}"
 
+    def sentinels() -> dict[str, float]:
+        """Three fixed-cost probes whose true cost never changes run to
+        run — an in-artifact noise calibration (r9 burned a day
+        re-attributing shared-host drift with fresh-session re-timings;
+        now every BENCH artifact carries its own). `select_1` = driver
+        round-trip latency, `numpy_matmul` = raw host CPU (pure local
+        BLAS, no Spark), `codegen_sum` = JVM whole-stage-codegen
+        throughput over 100M generated rows. Median of 3 so one
+        scheduler hiccup doesn't misread as drift."""
+        import statistics
+
+        import numpy as np
+
+        out: dict[str, float] = {}
+
+        def med(tag: str, fn) -> None:
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                fn()
+                ts.append(time.time() - t0)
+            out[tag] = round(statistics.median(ts), 4)
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((1024, 1024))
+        med("select_1", lambda: spark.range(1).collect())
+        med("numpy_matmul", lambda: a @ a)
+        med("codegen_sum", lambda: spark.range(100_000_000)
+            .selectExpr("sum(id)").write.mode("overwrite")
+            .format("noop").save())
+        return out
+
+    # Calibrate before AND after the timed pass: a clean host shows both
+    # snapshots at the committed reference values (SCALE.md); inflation in
+    # either snapshot attributes an inflated total to the host, not code.
+    sentinels_pre = sentinels()
+    print(f"bench: sentinels pre {json.dumps(sentinels_pre)}",
+          file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name, fn in sorted(get_queries().items()):
         if only and name not in only:
@@ -176,6 +215,7 @@ def main() -> None:
                 if t.name.startswith("stream_") and tok in t.name:
                     spark.catalog.dropTempView(t.name)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sentinel_map = {"pre": sentinels_pre, "post": sentinels()}
     # The driver's per-round BENCH artifact keeps only the last 2000
     # chars of stdout and tries to parse them as JSON — a full registry-wide
     # map runs ~5 KB, which left BENCH_rNN.json's `parsed` null since r5.
@@ -193,6 +233,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "sentinels": sentinel_map,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1":
         print(json.dumps(full))
@@ -206,6 +247,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "sentinels": sentinel_map,
     }
     budget = 1900 - len(json.dumps(
         {"queries": {}, "queries_omitted": len(timings),
