@@ -45,10 +45,11 @@ def _plan_of(spark, fn):
 # element (see operators/similarity.py:403-410).
 PIN_ARROW_ALLOWED = {
     "exact_pairs", "lsh_pairs", "int8_topk5", "pq_topk5",
-    # the sampled recall audit's legs are the same blocked-BLAS pair
+    # the sampled recall audits' legs are the same blocked-BLAS pair
     # operators over the sha-sampled id set (plans/semantic.py:
-    # ann_recall_report_sampled)
+    # ann_recall_report_sampled / the scale-safe ann_recall_report)
     "exact_pairs_sampled", "lsh_pairs_sampled",
+    "exact_pairs_audit", "lsh_pairs_audit",
 }
 
 

@@ -254,10 +254,67 @@ def test_recall_report_covers_every_ann_variant(spark, sf_dir):
     rows = {r.method: r for r in ann_recall_report(spark, sf_dir).collect()}
     assert set(rows) == {"ann_topk_lsh", "ann_topk_ivf", "ann_topk_int8",
                          "ann_topk_pq", "ann_topk_filtered",
-                         "similar_pairs_lsh"}
+                         "similar_pairs_lsh_scaled"}
     for r in rows.values():
         assert 0.0 <= r.recall <= 1.0
         assert r.hits <= r.expected
+
+
+def test_recall_report_scaled_equals_full_form_at_covered_sf(spark, sf_dir):
+    """At SFs where the corpus is at/below RECALL_SAMPLE_TARGET the
+    fixed-size sample covers every id and scaled_band_bits equals the
+    static constant — so the scale-safe registered audit's pair row must
+    EQUAL the round-9 full form's (the rebuild-equivalence anchor the
+    verdict asked the demoted full form to serve as)."""
+    from hadith_vector_search_spark.plans.semantic import (
+        RECALL_SAMPLE_TARGET,
+        ann_recall_report,
+        ann_recall_report_full,
+        get_recall_geometry,
+    )
+
+    n, bits, bound = get_recall_geometry(spark, sf_dir)
+    assert n <= RECALL_SAMPLE_TARGET and bound is None and bits == 4, \
+        "test SF drifted above the sample target; pick a smaller SF"
+    scaled = {r.method: r for r
+              in ann_recall_report(spark, sf_dir).collect()}
+    full = {r.method: r for r
+            in ann_recall_report_full(spark, sf_dir).collect()}
+    s, f = scaled["similar_pairs_lsh_scaled"], full["similar_pairs_lsh"]
+    assert (s.hits, s.expected, s.recall) == (f.hits, f.expected, f.recall)
+
+
+def test_recall_geometry_matches_oracle_params_cte():
+    """The Python geometry (`get_recall_geometry` arithmetic) and the
+    oracle's in-SQL `params` CTE must derive identical (bits, bound) from
+    the same count — sweep corpus sizes across both boundaries and the
+    power-of-two FP edges."""
+    import math
+
+    import duckdb
+
+    from hadith_vector_search_spark.operators.similarity import \
+        scaled_band_bits
+    from hadith_vector_search_spark.plans.semantic import (
+        RECALL_BUCKET_TARGET,
+        RECALL_SAMPLE_TARGET,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 20, 128, 129, 500, 512, 513, 1024, 2000, 2048, 20000,
+              1 << 20, 1 << 31]:
+        got = con.execute(f"""
+            SELECT CASE WHEN n <= {RECALL_BUCKET_TARGET} THEN 4
+                        ELSE GREATEST(4, LEAST(16, CAST(CEIL(LOG2(
+                            n / {RECALL_BUCKET_TARGET}.0)) AS INT))) END,
+                   CASE WHEN n <= {RECALL_SAMPLE_TARGET} THEN 65536
+                        ELSE CAST(CEIL(65536.0 * {RECALL_SAMPLE_TARGET} / n)
+                                  AS INT) END
+            FROM (SELECT {n}::BIGINT AS n)""").fetchone()
+        bits = scaled_band_bits(n, RECALL_BUCKET_TARGET)
+        bound = (65536 if n <= RECALL_SAMPLE_TARGET
+                 else math.ceil(65536.0 * RECALL_SAMPLE_TARGET / n))
+        assert got == (bits, bound), (n, got, (bits, bound))
 
 
 def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
