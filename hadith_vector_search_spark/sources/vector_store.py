@@ -100,22 +100,37 @@ def _write_celled(df: DataFrame, path: str, id_col: str) -> None:
 def publish_vector_index(emb: DataFrame, index_dir: str,
                          centroids: list[tuple[int, list[float]]]
                          | None = None,
-                         n_cells: int = DEFAULT_CELLS,
+                         n_cells: int | None = DEFAULT_CELLS,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> None:
+                         vec_col: str = "embedding",
+                         geometry: dict | None = None) -> None:
     """Full overwrite publish: assign every vector to its nearest-centroid
     cell (`similarity.cell_of` — the exact arithmetic queries probe with)
     and write the cell-partitioned table + the codebook sidecar.
+    `n_cells=None` derives the cell count from corpus stats at publish
+    time (`similarity.index_geometry`, the ~sqrt(N) rule) and stamps the
+    full geometry into `_vlayout.json` so a reopened index queries with
+    the values it was built at; an explicit n_cells (the driver-SF
+    oracle-replayable path) is stamped as an override.
     `write_vector_refresh` is the delta path. Settles any crashed
     refresh FIRST — a stale _commit.json would otherwise be replayed
     over this fresh publish by the next open (r9 review)."""
     if os.path.isdir(index_dir):
         recover(index_dir)
+    if geometry is not None:
+        n_cells = geometry["n_cells"]
+    elif n_cells is None and centroids is None:
+        geometry = dict(similarity.index_geometry(emb.count()),
+                        derived=True)
+        n_cells = geometry["n_cells"]
     if centroids is None:
         centroids = data_codebook(emb, n_cells, id_col, vec_col)
     dim = len(centroids[0][1]) if centroids else 0
+    if geometry is None:
+        geometry = {"n_cells": len(centroids), "derived": False}
     _write_vlayout(index_dir, {"n_cells": len(centroids), "dim": dim,
-                               "id_col": id_col, "vec_col": vec_col})
+                               "id_col": id_col, "vec_col": vec_col,
+                               "geometry": geometry})
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in centroids],
@@ -144,6 +159,9 @@ class PublishedVectorIndex:
         lay = read_vlayout(index_dir)
         self.n_cells, self.dim = int(lay["n_cells"]), int(lay["dim"])
         self.id_col, self.vec_col = lay["id_col"], lay["vec_col"]
+        # build-time geometry stamp (absent on pre-r10 artifacts): a
+        # reopened index always probes with the values it was built at
+        self.geometry = lay.get("geometry")
         self.vectors_path = os.path.join(index_dir, "vectors")
         self.centroids = [(int(r.cent_id), list(r.cvec)) for r in sorted(
             spark.read.parquet(os.path.join(index_dir, "centroids"))
@@ -228,7 +246,7 @@ def vector_manifest(source_path: str, n_rows: int, dim: int,
 
 def ensure_vector_index(spark: SparkSession, emb: DataFrame,
                         source_path: str, index_dir: str,
-                        n_cells: int = DEFAULT_CELLS,
+                        n_cells: int | None = DEFAULT_CELLS,
                         centroids: list[tuple[int, list[float]]]
                         | None = None,
                         id_col: str = "vec_id", vec_col: str = "embedding",
@@ -238,25 +256,36 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
     Chroma dir at startup): publishes iff the manifest says the source
     drifted, then opens the published artifact either way. Returns
     (opened index, staleness reasons) — [] means a prior session's index
-    was reused byte-for-byte."""
+    was reused byte-for-byte. `n_cells=None` derives the cell count from
+    the corpus count (`similarity.index_geometry`); the derived value is
+    part of the manifest's model identity, so a corpus growing across a
+    sqrt(N) geometry boundary is a STALENESS REBUILD at the new
+    geometry, never a silently mis-sized reuse."""
     if os.path.isdir(index_dir):
         recover(index_dir)
     sample = emb.select(vec_col).take(1)
     dim = len(sample[0][0]) if sample else 0
-    current = vector_manifest(source_path, emb.count(), dim, n_cells,
+    n_rows = emb.count()
+    geometry = None
+    if n_cells is None and centroids is None:
+        geometry = dict(similarity.index_geometry(n_rows), derived=True)
+        n_cells = geometry["n_cells"]
+    current = vector_manifest(source_path, n_rows, dim, n_cells,
                               model_name)
     reasons = ensure_index(
         index_dir, current,
         lambda: publish_vector_index(emb, index_dir, centroids, n_cells,
-                                     id_col, vec_col))
+                                     id_col, vec_col, geometry))
     return open_vector_index(spark, index_dir), reasons
 
 
 def vector_index_is_fresh(index_dir: str, source_path: str, n_rows: int,
-                          dim: int, n_cells: int = DEFAULT_CELLS,
+                          dim: int, n_cells: int | None = DEFAULT_CELLS,
                           model_name: str | None = None) -> bool:
     if os.path.isdir(index_dir):
         recover(index_dir)
+    if n_cells is None:
+        n_cells = similarity.index_geometry(n_rows)["n_cells"]
     return not staleness_reasons(
         read_manifest(index_dir),
         vector_manifest(source_path, n_rows, dim, n_cells, model_name))

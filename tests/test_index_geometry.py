@@ -1,0 +1,133 @@
+"""Publish-time index geometry derived from corpus stats (round-10
+verdict item 2): `similarity.index_geometry` picks IVF n_cells (~sqrt N)
+and LSH band bits (~log2 N), publish paths stamp it into the layout and
+manifest, and a REOPENED index queries with the stored values."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadith_vector_search_spark.operators import similarity
+from hadith_vector_search_spark.sources import vector_store
+
+
+def test_index_geometry_rule():
+    g = similarity.index_geometry
+    # min clamp: tiny corpora keep the floor cell count
+    assert g(0)["n_cells"] == 8
+    assert g(64)["n_cells"] == 8
+    # sqrt(N) class above the floor; integer isqrt, exact at squares
+    assert g(100)["n_cells"] == 10
+    assert g(101)["n_cells"] == 11
+    assert g(10_000)["n_cells"] == 100
+    assert g(1_000_000)["n_cells"] == 1000
+    # max clamp bounds the codebook sidecar
+    assert g(10**12)["n_cells"] == 65536
+    # band bits follow the measured log2 rule (SCALE.md)
+    assert g(2_000)["band_bits"] == 4
+    assert g(20_000)["band_bits"] == 8
+    # monotone non-decreasing in N (no geometry flapping on growth)
+    last = (0, 0)
+    for n in [0, 10, 100, 1000, 10_000, 100_000, 10**7, 10**10]:
+        cur = (g(n)["n_cells"], g(n)["band_bits"])
+        assert cur >= last
+        last = cur
+
+
+def _emb(spark, n: int, dim: int = 4):
+    return (spark.range(n)
+            .select(F.col("id").alias("vec_id"),
+                    F.array(*[(F.col("id") * (i + 1) % 17).cast("double")
+                              for i in range(dim)]).alias("embedding")))
+
+
+def test_publish_derives_and_stamps_geometry(spark, tmp_path):
+    """Publishing with n_cells=None at two corpus sizes yields DIFFERENT
+    derived geometry, the layout/manifest record it, and the reopened
+    index probes with the stored value."""
+    sizes = {"small": 100, "big": 5000}
+    got = {}
+    for tag, n in sizes.items():
+        emb = _emb(spark, n)
+        src = str(tmp_path / f"{tag}.parquet")
+        emb.write.parquet(src)
+        idx = str(tmp_path / f"idx_{tag}")
+        vidx, reasons = vector_store.ensure_vector_index(
+            spark, spark.read.parquet(src), src, idx, n_cells=None)
+        assert reasons  # first publish
+        expect = similarity.index_geometry(n)["n_cells"]
+        assert vidx.n_cells == expect
+        assert vidx.geometry["derived"] is True
+        assert vidx.geometry["n_cells"] == expect
+        assert vidx.geometry["n_rows"] == n
+        assert "band_bits" in vidx.geometry  # stamped for LSH sidecars
+        # geometry is part of the manifest's model identity
+        from hadith_vector_search_spark.sources.manifest import \
+            read_manifest
+        assert f"-c{expect}" in read_manifest(idx).model_name
+        got[tag] = expect
+        # a NEW handle (fresh session analogue) uses the stored value and
+        # the probe-pruned query still answers
+        reopened = vector_store.open_vector_index(spark, idx)
+        assert reopened.n_cells == expect
+        assert reopened.geometry == vidx.geometry
+        top = reopened.ivf_topk(1, n_probe=2, k=3).collect()
+        assert len(top) == 3
+        sims = [r.sim for r in top]
+        assert sims == sorted(sims, reverse=True)
+        # derived geometry is FRESH for the same corpus...
+        assert vector_store.vector_index_is_fresh(
+            idx, src, n, dim=4, n_cells=None)
+    assert got["small"] != got["big"]
+    # ...and a corpus-size jump across the sqrt boundary is STALE
+    small_idx = str(tmp_path / "idx_small")
+    assert not vector_store.vector_index_is_fresh(
+        small_idx, str(tmp_path / "small.parquet"), 5000, dim=4,
+        n_cells=None)
+
+
+def test_explicit_n_cells_stamped_as_override(spark, tmp_path):
+    emb = _emb(spark, 200)
+    src = str(tmp_path / "o.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "idx_o")
+    vidx, _ = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx, n_cells=8)
+    assert vidx.n_cells == 8
+    assert vidx.geometry == {"n_cells": 8, "derived": False}
+
+
+def test_lsh_builder_derives_geometry_from_count(spark):
+    emb = _emb(spark, 300)
+    idx = similarity.build_vector_lsh_index(emb)
+    g = similarity.index_geometry(300)
+    assert (idx.n_bands, idx.band_bits) == (g["n_bands"], g["band_bits"])
+    # explicit override still wins (the oracle-replayable path)
+    idx2 = similarity.build_vector_lsh_index(emb, 6, 4)
+    assert (idx2.n_bands, idx2.band_bits) == (6, 4)
+    # signature band count matches the derived geometry
+    bands = idx.sigs.select("band").distinct().count()
+    assert bands == g["n_bands"]
+
+
+def test_derived_geometry_refresh_keeps_store_consistent(spark, tmp_path):
+    """Delta refresh on a derived-geometry store: the codebook (and the
+    stamped geometry) never move under refresh; only touched cells
+    rewrite."""
+    emb = _emb(spark, 400)
+    src = str(tmp_path / "r.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "idx_r")
+    vidx, _ = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx, n_cells=None)
+    before = vidx.geometry
+    changed = _emb(spark, 3).withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(0.5)))
+    after = vector_store.write_vector_refresh(spark, idx, changed)
+    assert after.geometry == before
+    assert after.n_cells == vidx.n_cells
+    rows = {r.vec_id: list(r.embedding)
+            for r in after.vectors.filter(F.col("vec_id") < 3).collect()}
+    assert rows[1] == pytest.approx([x + 0.5 for x in
+                                     [1 % 17, 2 % 17, 3 % 17, 4 % 17]])
