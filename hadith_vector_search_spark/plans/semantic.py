@@ -339,6 +339,150 @@ def kmeans_ann_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ANN_K, centroids=cents)
 
 
+def _kmeans_recall_report(method: str, ann: DataFrame,
+                          exact: DataFrame) -> DataFrame:
+    """The deterministic-report wrapper both kmeans-codebook queries
+    share: (method, k, exact_ids, recall_ok) — see `ann_topk_ivf_kmeans`
+    for why a trained codebook's hit set can't itself be SQL-replayed but
+    its recall floor can."""
+    hits = (ann.join(exact, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits")))
+    exact_ids = exact.agg(
+        F.array_join(F.transform(F.array_sort(F.collect_list("vec_id")),
+                                 lambda x: x.cast("string")), ",")
+        .alias("exact_ids"))
+    return (exact_ids.crossJoin(F.broadcast(hits))
+            .select(F.lit(method).alias("method"),
+                    F.lit(ANN_K).alias("k"),
+                    "exact_ids",
+                    (F.col("hits") >= KMEANS_RECALL_FLOOR_HITS)
+                    .alias("recall_ok")))
+
+
+def get_kmeans_published_vector_index(spark: SparkSession, sf_dir: str):
+    """Ensure-and-reopen the published vector store with a TRAINED
+    (k-means) codebook — the quality default a deployment publishes with
+    (round-9 verdict item 3: `data_codebook`'s arbitrary first-k-ids
+    centroids make IVF recall and cell balance data-dependent at scale).
+    Separate artifact dir from the data-codebook store (`_veck`), its
+    own manifest model identity. Training is gated behind the staleness
+    manifest: a FRESH store reopens with its STORED centroids sidecar
+    and never re-trains (MLlib's fit is the once-per-corpus-snapshot
+    cost; the reference's analogue is Chroma's one-off collection build,
+    /root/reference/mcp_server/apps/embeddings.py:224-255). Returns None
+    when the index root is unwritable (the get_index fallback
+    discipline)."""
+    import os as _os
+
+    from ..sources import vector_store
+    from .lexical import _index_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    token = sf_dir.strip("/").replace("/", "_")
+    idx_dir = _os.path.join(_index_root(), f"{token}_veck")
+    model = f"ivf-kmeans-v1-c{IVF_CENTROIDS}"
+    try:
+        sample = emb.select("embedding").take(1)
+        dim = len(sample[0][0]) if sample else 0
+        if not vector_store.vector_index_is_fresh(
+                idx_dir, src, emb.count(), dim, IVF_CENTROIDS, model):
+            vector_store.ensure_vector_index(
+                spark, emb, src, idx_dir, IVF_CENTROIDS,
+                centroids=get_kmeans_codebook(spark, sf_dir),
+                model_name=model)
+        return vector_store.open_vector_index(spark, idx_dir)
+    except OSError:
+        return None
+
+
+def ann_topk_ivf_kmeans_published(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """k-means-codebook ANN off the REOPENED published store: the probe
+    list is a partition predicate over `vectors/cell=K/` dirs assigned
+    by the TRAINED centroids read back from the codebook sidecar — no
+    retraining, no assignment recompute (`get_kmeans_published_vector_
+    index`). Same recall-bound report shape (and floor) as the
+    in-session `ann_topk_ivf_kmeans`, so the trained-codebook published
+    path is oracle-checked end-to-end: the oracle recomputes the exact
+    top-k and asserts the measured recall clears the floor."""
+    vidx = get_kmeans_published_vector_index(spark, sf_dir)
+    if vidx is None:
+        ann = kmeans_ann_rows(spark, sf_dir).select("vec_id")
+    else:
+        ann = vidx.ivf_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K).select("vec_id")
+    exact = (cosine_topk(spark, sf_dir)
+             .orderBy(F.desc("sim"), F.asc("vec_id")).limit(ANN_K)
+             .select("vec_id"))
+    return _kmeans_recall_report("ann_topk_ivf_kmeans_published", ann, exact)
+
+
+def ann_topk_ivf_kmeans_published_oracle() -> str:
+    return f"""
+WITH {_PAIR_DOT},
+exact5 AS (
+  SELECT ib AS vec_id FROM pair_dot WHERE ia = {QUERY_VEC_ID}
+  ORDER BY round(d, 6) DESC, ib ASC LIMIT {ANN_K}
+)
+SELECT 'ann_topk_ivf_kmeans_published' AS method,
+       {ANN_K} AS k,
+       (SELECT string_agg(vec_id::VARCHAR, ',' ORDER BY vec_id)
+        FROM exact5) AS exact_ids,
+       TRUE AS recall_ok
+"""
+
+
+def vector_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy histogram of the PUBLISHED vector store — the
+    operational balance report for an IVF artifact (a hot cell is a slow
+    probe: per-query work is the occupancy of the probed cells, so skew
+    here is the capacity-planning number; round-9 verdict item 3 flagged
+    cell balance as unmeasured). Reads the `cell=K` partition column off
+    the published dirs (directory listing + counts, no assignment
+    recompute); the DuckDB oracle recomputes every assignment from raw
+    vectors, so the published partitioning itself is what gets
+    hash-checked. One row per occupied cell: (cell, n_vecs, share)."""
+    vidx = get_published_vector_index(spark, sf_dir)
+    if vidx is not None:
+        vecs = vidx.vectors.select(F.col("cell").cast("int").alias("cell"))
+    else:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = [(r.cent_id, r.cvec) for r in sorted(
+            similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+            key=lambda r: r.cent_id)]
+        vecs = emb.select(similarity.cell_of(cents).alias("cell"))
+    total = vecs.agg(F.count(F.lit(1)).alias("total"))
+    return (vecs.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+            .crossJoin(F.broadcast(total))
+            .select("cell", "n_vecs",
+                    F.round(F.col("n_vecs") / F.col("total"), 6)
+                    .alias("share"))
+            .orderBy("cell"))
+
+
+def vector_index_cells_oracle() -> str:
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+)
+SELECT cent_id AS cell, count(*) AS n_vecs,
+       round(count(*) / (SELECT count(*) FROM embeddings), 6) AS share
+FROM assign GROUP BY cent_id
+ORDER BY cell
+"""
+
+
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means-IVF ANN as a RECALL-BOUND REPORT with a real SQL oracle.
 
@@ -362,18 +506,7 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (cosine_topk(spark, sf_dir)
              .orderBy(F.desc("sim"), F.asc("vec_id")).limit(ANN_K)
              .select("vec_id"))
-    hits = (ann.join(exact, "vec_id", "left_semi")
-            .agg(F.count(F.lit(1)).alias("hits")))
-    exact_ids = exact.agg(
-        F.array_join(F.transform(F.array_sort(F.collect_list("vec_id")),
-                                 lambda x: x.cast("string")), ",")
-        .alias("exact_ids"))
-    return (exact_ids.crossJoin(F.broadcast(hits))
-            .select(F.lit("ann_topk_ivf_kmeans").alias("method"),
-                    F.lit(ANN_K).alias("k"),
-                    "exact_ids",
-                    (F.col("hits") >= KMEANS_RECALL_FLOOR_HITS)
-                    .alias("recall_ok")))
+    return _kmeans_recall_report("ann_topk_ivf_kmeans", ann, exact)
 
 
 def ann_topk_ivf_kmeans_oracle() -> str:

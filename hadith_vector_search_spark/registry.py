@@ -100,6 +100,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall_report_sampled": semantic.ann_recall_report_sampled,
     # iterative algorithm — no SQL oracle (driver rows-only check)
     "ann_topk_ivf_kmeans": semantic.ann_topk_ivf_kmeans,
+    "ann_topk_ivf_kmeans_published": semantic.ann_topk_ivf_kmeans_published,
+    "vector_index_cells": semantic.vector_index_cells,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
@@ -240,6 +242,15 @@ oracle("ann_recall_report", semantic.ann_recall_report_oracle())
 oracle("ann_recall_report_sampled",
        semantic.ann_recall_report_sampled_oracle())
 oracle("ann_topk_ivf_kmeans", semantic.ann_topk_ivf_kmeans_oracle())
+# trained-codebook PUBLISHED store: same recall-bound report discipline
+# (the hit set of an iterative codebook isn't SQL-replayable; the exact
+# top-k and the recall floor are)
+oracle("ann_topk_ivf_kmeans_published",
+       semantic.ann_topk_ivf_kmeans_published_oracle())
+# cell-occupancy histogram of the published store: the oracle recomputes
+# every IVF assignment from raw vectors, hash-checking the published
+# partitioning itself
+oracle("vector_index_cells", semantic.vector_index_cells_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())

@@ -317,6 +317,62 @@ def test_recall_geometry_matches_oracle_params_cte():
         assert got == (bits, bound), (n, got, (bits, bound))
 
 
+def test_kmeans_published_store_reopens_without_retraining(
+        spark, sf_dir, monkeypatch):
+    """A FRESH kmeans-published store must answer from its STORED
+    centroid sidecar — reopening may never re-fit (training is the
+    once-per-corpus-snapshot cost)."""
+    from hadith_vector_search_spark.plans import semantic
+
+    first = semantic.get_kmeans_published_vector_index(spark, sf_dir)
+    assert first is not None
+    # second entry: poison the training path — a fresh manifest must
+    # short-circuit straight to open_vector_index
+    def boom(*a, **k):
+        raise AssertionError("retrained a fresh store")
+    monkeypatch.setattr(semantic, "get_kmeans_codebook", boom)
+    again = semantic.get_kmeans_published_vector_index(spark, sf_dir)
+    assert again is not None
+    assert again.centroids == first.centroids
+    rows = again.ivf_topk(0, n_probe=2, k=3).collect()
+    assert len(rows) == 3
+
+
+def test_kmeans_published_report_shape_and_floor(spark, sf_dir):
+    from hadith_vector_search_spark.plans.semantic import \
+        ann_topk_ivf_kmeans_published
+
+    row = ann_topk_ivf_kmeans_published(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.method == "ann_topk_ivf_kmeans_published" and r.k == 5
+    assert r.recall_ok, "trained-codebook published recall under floor"
+
+
+def test_vector_index_cells_matches_in_session_assignment(spark, sf_dir):
+    """The histogram read off the published partition dirs must equal
+    the in-session nearest-centroid assignment (same `cell_of`
+    arithmetic) — and shares sum to 1."""
+    from hadith_vector_search_spark.operators import similarity
+    from hadith_vector_search_spark.plans.semantic import (
+        IVF_CENTROIDS,
+        vector_index_cells,
+    )
+    from hadith_vector_search_spark.sources.tables import load_table
+
+    rows = vector_index_cells(spark, sf_dir).collect()
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [(r.cent_id, r.cvec) for r in sorted(
+        similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+        key=lambda r: r.cent_id)]
+    insess = {r.cell: r.n for r in
+              emb.select(similarity.cell_of(cents).alias("cell"))
+              .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r.cell: r.n_vecs for r in rows} == insess
+    assert sum(insess.values()) == emb.count()
+
+
 def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
     """Multi-probe candidates are a superset of the single-bucket scan, so
     its recall@k vs exact can never be lower."""
