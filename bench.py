@@ -111,9 +111,12 @@ def main() -> None:
         # index offline; training it here keeps MLlib's 2-7s fit out of
         # the timed kmeans probe (the probe itself still runs live)
         sem_plans.get_kmeans_codebook(spark, sf_dir)
-        # the published IVF vector store is likewise a per-corpus-snapshot
-        # artifact (publish iff the manifest says the table drifted)
+        # the published vector stores are likewise per-corpus-snapshot
+        # artifacts (publish iff the manifest says the table drifted):
+        # IVF cells, the kmeans-codebook twin, and the LSH bucket store
         sem_plans.get_published_vector_index(spark, sf_dir)
+        sem_plans.get_kmeans_published_vector_index(spark, sf_dir)
+        sem_plans.get_published_lsh_index(spark, sf_dir)
         print(f"bench: derived index build {time.time() - t0:.1f}s",
               file=sys.stderr)
     except Exception as e:  # noqa: BLE001

@@ -117,6 +117,24 @@ def data_planes(emb: DataFrame, n_planes: int,
     )
 
 
+def sign_bucket_expr(plane_rows, vec_col: str = "embedding") -> Column:
+    """The sign-LSH bucket string ('1'/'0' per hyperplane, plane-id
+    order) as a narrow JVM projection — the single source of truth
+    shared by the in-session operators (`ann_topk_lsh`, multiprobe) and
+    the PUBLISHED bucket-partitioned store
+    (`sources.vector_store.publish_lsh_index`): writer and prober must
+    agree bit-for-bit or a published store would prune different
+    directories than a query probes (the `cell_structs` discipline,
+    LSH twin)."""
+    from ..functions.vector import vector_lit
+
+    return F.concat(*[
+        F.when(dot(F.col(vec_col), vector_lit(r.pvec)) >= 0, F.lit("1"))
+         .otherwise(F.lit("0"))
+        for r in plane_rows
+    ])
+
+
 def ann_topk_lsh(emb: DataFrame, query_id: int, n_planes: int = 6, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: restrict exact scoring to the query's LSH bucket.
@@ -133,11 +151,7 @@ def ann_topk_lsh(emb: DataFrame, query_id: int, n_planes: int = 6, k: int = 5,
 
     plane_rows = sorted(data_planes(emb, n_planes, id_col, vec_col).collect(),
                         key=lambda r: r.plane_id)
-    bucket = F.concat(*[
-        F.when(dot(F.col(vec_col), vector_lit(r.pvec)) >= 0, F.lit("1"))
-         .otherwise(F.lit("0"))
-        for r in plane_rows
-    ])
+    bucket = sign_bucket_expr(plane_rows, vec_col)
     with_bucket = emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
     qrow = with_bucket.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qvec"))
@@ -181,11 +195,7 @@ def ann_topk_lsh_multiprobe(emb: DataFrame, query_id: int,
     for _, i in flip_order[:n_flip]:
         probes.append(base[:i] + ("0" if base[i] == "1" else "1")
                       + base[i + 1:])
-    bucket = F.concat(*[
-        F.when(dot(F.col(vec_col), vector_lit(r.pvec)) >= 0, F.lit("1"))
-         .otherwise(F.lit("0"))
-        for r in plane_rows
-    ])
+    bucket = sign_bucket_expr(plane_rows, vec_col)
     qvec = vector_lit(q["qvec"])
     return (
         emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))

@@ -93,7 +93,10 @@ QUERIES: dict[str, QueryFn] = {
     "similar_pairs": semantic.similar_pairs,
     "similar_pairs_lsh": semantic.similar_pairs_lsh,
     "ann_topk_lsh": semantic.ann_topk_lsh,
+    "ann_topk_lsh_published": semantic.ann_topk_lsh_published,
     "ann_topk_lsh_multiprobe": semantic.ann_topk_lsh_multiprobe,
+    "ann_topk_lsh_multiprobe_published":
+        semantic.ann_topk_lsh_multiprobe_published,
     "ann_topk_ivf": semantic.ann_topk_ivf,
     "ann_topk_ivf_published": semantic.ann_topk_ivf_published,
     "ann_recall_report": semantic.ann_recall_report,
@@ -233,6 +236,12 @@ oracle("similar_pairs", semantic.similar_pairs_oracle())
 oracle("similar_pairs_lsh", semantic.similar_pairs_lsh_oracle())
 oracle("ann_topk_lsh", semantic.ann_topk_lsh_oracle())
 oracle("ann_topk_lsh_multiprobe", semantic.ann_topk_lsh_multiprobe_oracle())
+# same oracles, different physical path: the reopened PUBLISHED
+# bucket-partitioned LSH store (partition pruning on bucket dirs) must
+# land on hash-identical results to the in-session banding
+oracle("ann_topk_lsh_published", semantic.ann_topk_lsh_oracle())
+oracle("ann_topk_lsh_multiprobe_published",
+       semantic.ann_topk_lsh_multiprobe_oracle())
 oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 # same oracle, different physical path: the reopened PUBLISHED vector
 # index (cell-partition pruning) must land on hash-identical results to

@@ -291,6 +291,170 @@ def vector_index_is_fresh(index_dir: str, source_path: str, n_rows: int,
         vector_manifest(source_path, n_rows, dim, n_cells, model_name))
 
 
+# ---------------------------------------------------------------------------
+# Published sign-LSH store — the bucket-partitioned twin of the IVF cells
+# (round-9 verdict item 8: the LSH family rebuilt per-session pins while
+# IVF had a durable artifact). Layout under ``<index_dir>/``::
+#
+#     _lshlayout.json        {"n_planes", "dim", "id_col", "vec_col"}
+#     _index_manifest.json   staleness manifest (sources.manifest)
+#     planes/                (plane_id int, pvec array<double>) sidecar
+#     sigs/bucket=B/         (id, vector, metadata...), id-sorted in-file,
+#                            partitioned by the sign-LSH bucket string
+#
+# A query's probe bucket(s) — single or multiprobe flips — become a
+# PARTITION predicate over `bucket=B/` dirs: directory pruning at
+# planning time, scan ~N*(1+n_flip)/2^planes. Bucket assignment uses the
+# SAME `similarity.sign_bucket_expr` arithmetic queries probe with.
+# ---------------------------------------------------------------------------
+
+LSH_LAYOUT_NAME = "_lshlayout.json"
+LSH_MODEL = "lsh-store-v2"  # v2: bucket partition values are 'b'+bits
+
+
+def read_lsh_layout(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, LSH_LAYOUT_NAME)) as fh:
+        return json.load(fh)
+
+
+def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      planes: list | None = None) -> None:
+    """Full overwrite publish of the bucket-partitioned LSH store.
+    `planes` (a collected [(plane_id, pvec)] list) overrides the
+    deterministic data-derived hyperplanes; every input column rides into
+    the bucketed files (the filtered-ANN argument from the IVF store).
+    Settles any crashed refresh first, as `publish_vector_index`."""
+    if os.path.isdir(index_dir):
+        recover(index_dir)
+    if planes is None:
+        plane_rows = sorted(
+            similarity.data_planes(emb, n_planes, id_col, vec_col).collect(),
+            key=lambda r: r.plane_id)
+        planes = [(int(r.plane_id), list(r.pvec)) for r in plane_rows]
+    else:
+        planes = [(int(p), [float(x) for x in v]) for p, v in planes]
+    dim = len(planes[0][1]) if planes else 0
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, f".{LSH_LAYOUT_NAME}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"n_planes": len(planes), "dim": dim,
+                   "id_col": id_col, "vec_col": vec_col}, fh)
+    os.replace(tmp, os.path.join(index_dir, LSH_LAYOUT_NAME))
+    spark = emb.sparkSession
+    (spark.createDataFrame(planes, "plane_id int, pvec array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(index_dir, "planes")))
+
+    class _R:  # similarity.sign_bucket_expr consumes .pvec rows
+        def __init__(self, pvec):
+            self.pvec = pvec
+
+    bucket = similarity.sign_bucket_expr([_R(v) for _, v in planes], vec_col)
+    # partition VALUE is 'b'+bits: Hive partition-type inference would
+    # otherwise coerce the bit string to an int, dropping leading zeros
+    # ('0010' -> 10) — the prefix pins the column to string at any read
+    tagged = emb.select("*", F.concat(F.lit("b"), bucket).alias("bucket"))
+    (tagged.repartition("bucket")
+     .sortWithinPartitions("bucket", id_col)
+     .write.mode("overwrite")
+     .partitionBy("bucket").parquet(os.path.join(index_dir, "sigs")))
+
+
+class PublishedLshIndex:
+    """A reopened sign-LSH store: collected hyperplane sidecar + the
+    bucket-partitioned signatures frame. Probe buckets become partition
+    predicates; no per-session banding rebuild."""
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        recover(index_dir)
+        self.spark, self.index_dir = spark, index_dir
+        lay = read_lsh_layout(index_dir)
+        self.n_planes, self.dim = int(lay["n_planes"]), int(lay["dim"])
+        self.id_col, self.vec_col = lay["id_col"], lay["vec_col"]
+        self.sigs_path = os.path.join(index_dir, "sigs")
+        self.planes = [(int(r.plane_id), list(r.pvec)) for r in sorted(
+            spark.read.parquet(os.path.join(index_dir, "planes"))
+            .collect(), key=lambda r: r.plane_id)]
+
+    @property
+    def sigs(self) -> DataFrame:
+        return self.spark.read.parquet(self.sigs_path)
+
+    def _query_state(self, query_id) -> tuple[list[float], str, list[float]]:
+        """(qvec, bucket, per-plane margins) for the stored query row —
+        one pushed-id point lookup; sign/margin arithmetic is the SAME
+        column expression the store was written with."""
+        qsel = [F.col(self.vec_col).alias("qvec")]
+        for pid, pvec in self.planes:
+            d = dot(F.col(self.vec_col), vector_lit(pvec))
+            qsel.append((d >= 0).alias(f"s{pid}"))
+            qsel.append(F.round(d, 6).alias(f"m{pid}"))
+        rows = (self.sigs.filter(F.col(self.id_col) == query_id)
+                .select(*qsel).take(1))
+        if not rows:
+            raise KeyError(f"no vector for id {query_id!r}")
+        q = rows[0]
+        bucket = "".join("1" if q[f"s{p}"] else "0"
+                         for p, _ in self.planes)
+        margins = [q[f"m{p}"] for p, _ in self.planes]
+        return list(q["qvec"]), bucket, margins
+
+    def lsh_topk(self, query_id, k: int = 5, n_flip: int = 0) -> DataFrame:
+        """Single-bucket (n_flip=0) or multiprobe ANN off the published
+        store — same semantics (and same DuckDB oracles) as
+        `similarity.ann_topk_lsh`/`ann_topk_lsh_multiprobe`, but the
+        bucket scan is directory-pruned parquet (PartitionFilters on
+        `bucket`, asserted by tests) instead of a full-corpus bucket
+        recompute. Flip order: lowest |margin| first, ties on plane id —
+        identical to the in-session operator."""
+        qvec, base, margins = self._query_state(query_id)
+        probes = [base]
+        flip_order = sorted((abs(m), i) for i, m in enumerate(margins))
+        for _, i in flip_order[:n_flip]:
+            probes.append(base[:i] + ("0" if base[i] == "1" else "1")
+                          + base[i + 1:])
+        probes = [f"b{p}" for p in probes]  # stored as 'b'+bits, see publish
+        return (self.sigs.filter(F.col("bucket").isin(probes))
+                .select(F.col(self.id_col),
+                        F.round(dot(F.col(self.vec_col), vector_lit(qvec)),
+                                6).alias("sim"))
+                .orderBy(F.desc("sim"), F.asc(self.id_col))
+                .limit(k))
+
+
+def open_lsh_index(spark: SparkSession, index_dir: str) -> PublishedLshIndex:
+    return PublishedLshIndex(spark, index_dir)
+
+
+def lsh_manifest(source_path: str, n_rows: int, dim: int, n_planes: int,
+                 model_name: str | None = None) -> IndexManifest:
+    model = model_name or f"{LSH_MODEL}-p{n_planes}"
+    return IndexManifest(model_name=model, dim=dim, n_rows=n_rows,
+                         source_files=source_fingerprint([source_path]))
+
+
+def ensure_lsh_index(spark: SparkSession, emb: DataFrame, source_path: str,
+                     index_dir: str, n_planes: int = 6,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     model_name: str | None = None,
+                     ) -> tuple[PublishedLshIndex, list[str]]:
+    """Build-or-reuse for the LSH store (the `ensure_vector_index`
+    discipline): publishes iff the manifest says the source drifted,
+    opens the artifact either way."""
+    if os.path.isdir(index_dir):
+        recover(index_dir)
+    sample = emb.select(vec_col).take(1)
+    dim = len(sample[0][0]) if sample else 0
+    current = lsh_manifest(source_path, emb.count(), dim, n_planes,
+                           model_name)
+    reasons = ensure_index(
+        index_dir, current,
+        lambda: publish_lsh_index(emb, index_dir, n_planes, id_col,
+                                  vec_col))
+    return open_lsh_index(spark, index_dir), reasons
+
+
 def write_vector_refresh(spark: SparkSession, index_dir: str,
                          changed: DataFrame,
                          removed_ids: DataFrame | None = None,

@@ -295,3 +295,66 @@ def test_published_metadata_filter_pushes_into_pruned_scan(spark, tmp_path):
     refreshed = vector_store.write_vector_refresh(spark, idx_dir, batch)
     row = {r.vec_id: r.lang for r in refreshed.vectors.collect()}
     assert row[7] == "en" and row[3] == "ar" and len(row) == len(IDS)
+
+
+# ---------------------------------------------------------------------------
+# Published sign-LSH store (bucket-partitioned twin of the IVF cells)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 4
+
+
+def test_lsh_publish_then_open_matches_in_session_operators(spark, tmp_path):
+    idx_dir = str(tmp_path / "lshidx")
+    emb = _emb(spark, IDS)
+    vector_store.publish_lsh_index(emb, idx_dir, n_planes=N_PLANES)
+    lidx = vector_store.open_lsh_index(spark, idx_dir)
+
+    # stored bucket assignments == the shared sign_bucket_expr arithmetic
+    plane_rows = sorted(similarity.data_planes(emb, N_PLANES).collect(),
+                        key=lambda r: r.plane_id)
+    expected = _rows(emb.select(
+        "vec_id", F.concat(F.lit("b"),  # stored as 'b'+bits, see publish
+                           similarity.sign_bucket_expr(plane_rows))
+        .alias("bucket")))
+    assert _rows(lidx.sigs.select("vec_id", "bucket")) == expected
+
+    # published single-bucket and multiprobe equal the in-session forms
+    for qid in (0, 7, 13):
+        assert _rows(lidx.lsh_topk(qid, k=5)) == _rows(
+            similarity.ann_topk_lsh(emb, qid, N_PLANES, 5)), qid
+        assert _rows(lidx.lsh_topk(qid, k=5, n_flip=2)) == _rows(
+            similarity.ann_topk_lsh_multiprobe(emb, qid, N_PLANES, 5, 2)), qid
+
+    # probe scan prunes at PLANNING time: PartitionFilters on `bucket`
+    pf = partition_filters(lidx.lsh_topk(0, k=5, n_flip=2))
+    assert pf and any("bucket" in line for line in pf), pf
+
+
+def test_lsh_ensure_reuses_across_sessions(spark, tmp_path):
+    """Second ensure over the same embeddings reuses the published bytes
+    (reasons == [], not one file rewritten) — the no-rebuild
+    second-session proof, mirroring ann_topk_ivf_published's."""
+    src = str(tmp_path / "emb.parquet")
+    _emb(spark, IDS).write.parquet(src)
+    idx_dir = str(tmp_path / "lshidx")
+    emb = spark.read.parquet(src)
+
+    _, reasons1 = vector_store.ensure_lsh_index(
+        spark, emb, src, idx_dir, n_planes=N_PLANES)
+    assert reasons1 == ["no manifest"]
+    before = _file_states(idx_dir)
+    assert before
+
+    lidx, reasons2 = vector_store.ensure_lsh_index(
+        spark, emb, src, idx_dir, n_planes=N_PLANES)
+    assert reasons2 == []
+    assert _file_states(idx_dir) == before  # byte-for-byte reuse
+    assert len(lidx.lsh_topk(0, k=5).collect()) >= 1
+
+    # geometry change = staleness rebuild, never a mis-probed reuse
+    _, reasons3 = vector_store.ensure_lsh_index(
+        spark, emb, src, idx_dir, n_planes=N_PLANES + 2)
+    assert reasons3, "plane-count change must rebuild"
+    assert vector_store.open_lsh_index(spark, idx_dir).n_planes \
+        == N_PLANES + 2
