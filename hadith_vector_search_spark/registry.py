@@ -38,6 +38,8 @@ from .streaming import (
     streaming_merge_jsonl,
     streaming_user_sessions,
     streaming_user_totals_stateful,
+    streaming_vector_refresh,
+    streaming_vector_refresh_oracle,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -176,6 +178,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_neardup_ingest": streaming_neardup_ingest,
     "streaming_percolate": streaming_percolate,
     "streaming_postings_refresh": streaming_postings_refresh,
+    "streaming_vector_refresh": streaming_vector_refresh,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -365,6 +368,10 @@ WHERE abs(date_diff('microsecond', e.ts, c.ts))
       <= {relational.CORR_TOLERANCE_US}
 """)
 
+# drained published-vector-store content equals a from-scratch publish of
+# the merged corpus under the immutable base codebook (assignment
+# recomputed from raw vectors in SQL)
+oracle("streaming_vector_refresh", streaming_vector_refresh_oracle())
 oracle("streaming_merge_jsonl", lifecycle.incremental_merge_preview_oracle())
 oracle("streaming_embed_merge", lifecycle.streaming_embed_merge_oracle())
 oracle("near_dup_ngram_jaccard", dedup_plans.near_dup_ngram_jaccard_oracle())

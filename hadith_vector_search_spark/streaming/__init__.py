@@ -9,4 +9,6 @@ from .ingest import (  # noqa: F401
     streaming_postings_refresh,
     streaming_user_sessions,
     streaming_user_totals_stateful,
+    streaming_vector_refresh,
+    streaming_vector_refresh_oracle,
 )

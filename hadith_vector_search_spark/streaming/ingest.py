@@ -636,3 +636,138 @@ def streaming_postings_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return state["idx"].scoring_view()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+VECREF_NEW_ID_OFFSET = 1_000_000
+
+
+def streaming_vector_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published-VECTOR-store maintenance AT INGEST — the streaming twin
+    of `ingest._vector_index_delta` and the vector analogue of
+    `streaming_postings_refresh` (round-9 verdict item 4: the CLI ingest
+    delta maintained the published cells, but a streaming corpus left
+    them stale until the next batch ingest).
+
+    A base store is published from the raw embeddings table into a
+    workdir (data codebook = the first-IVF_CENTROIDS ids, so the whole
+    run is SQL-replayable), then a synthetic change feed — revised %5
+    vectors (negated: float-exact, replayable), new %11 vectors under an
+    id offset, deletions of %13 — streams in several parquet
+    micro-batches (`maxFilesPerTrigger=1`; parquet feed because JSON
+    would round-trip the float payload lossily), each delta-merged into
+    the store by `sources.vector_store.write_vector_refresh` inside
+    `foreachBatch`: only the touched cell directories rewrite, the
+    codebook never moves, and every write goes through the crash-safe
+    staged-journal commit. Refresh is a MERGE by id (delete + reinsert),
+    so a retried micro-batch (foreachBatch's at-least-once contract) is
+    idempotent, and since every id appears exactly once across the feed
+    the drained store is batch-order independent — it must equal a
+    from-scratch publish of the merged corpus under the SAME codebook,
+    which is exactly what the oracle replays (assignment recomputed from
+    raw vectors, the `vector_index_cells` discipline). Emits the final
+    store content exploded as (vec_id, cell, dim, value)."""
+    import tempfile
+
+    from ..plans.semantic import IVF_CENTROIDS
+    from ..sources import load_table, vector_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="stream_vecref_")
+    store = os.path.join(work, "store")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        vector_store.publish_vector_index(emb, store,
+                                          n_cells=IVF_CENTROIDS)
+        vid = F.col("vec_id")
+        upd = (emb.filter((vid % 5 == 0) & (vid % 13 != 0))
+               .select("vec_id",
+                       F.transform("embedding", lambda x: -x)
+                       .alias("embedding"),
+                       "label", F.lit("upsert").alias("action")))
+        fresh = (emb.filter(vid % 11 == 0)
+                 .select((vid + VECREF_NEW_ID_OFFSET).alias("vec_id"),
+                         "embedding", "label",
+                         F.lit("upsert").alias("action")))
+        dels = (emb.filter(vid % 13 == 0)
+                .select("vec_id",
+                        F.lit(None).cast("array<float>").alias("embedding"),
+                        F.lit(None).cast("int").alias("label"),
+                        F.lit("delete").alias("action")))
+        feed = upd.unionByName(fresh).unionByName(dels)
+        feed.repartition(3).write.mode("overwrite").parquet(src)
+
+        stream = (spark.readStream.schema(feed.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            ups = (batch_df.filter(F.col("action") == "upsert")
+                   .select("vec_id", "embedding", "label"))
+            rms = (batch_df.filter(F.col("action") == "delete")
+                   .select("vec_id"))
+            vector_store.write_vector_refresh(spark, store, ups, rms)
+
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        vidx = vector_store.open_vector_index(spark, store)
+        return (vidx.vectors
+                .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                        F.posexplode(F.transform(
+                            "embedding",
+                            lambda x: F.round(x.cast("double"), 6)))
+                        .alias("dim", "value"))
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_vector_refresh_oracle() -> str:
+    """From-scratch replay: merge the change feed over the raw table in
+    SQL, recompute every IVF assignment against the IMMUTABLE base
+    codebook (the first-IVF_CENTROIDS ids' ORIGINAL vectors — refresh
+    never retrains), explode the merged vectors per dimension."""
+    from ..plans.semantic import IVF_CENTROIDS
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < {IVF_CENTROIDS}
+),
+merged AS (
+  SELECT vec_id, list_transform(embedding, x -> -x) AS v
+  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 13 <> 0
+  UNION ALL
+  SELECT vec_id + {VECREF_NEW_ID_OFFSET}, embedding
+  FROM embeddings WHERE vec_id % 11 = 0
+  UNION ALL
+  SELECT vec_id, embedding
+  FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 13 <> 0
+),
+cd AS (
+  SELECT vec_id, cent_id, round(sum(mv * cv), 6) AS cd
+  FROM (
+    SELECT m.vec_id, c.cent_id,
+           CAST(unnest(m.v) AS DOUBLE) AS mv,
+           CAST(unnest(c.cvec) AS DOUBLE) AS cv
+    FROM merged m CROSS JOIN cents c
+  )
+  GROUP BY vec_id, cent_id
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+g AS (SELECT unnest(range(0, 4096)) AS j)
+SELECT a.vec_id, a.cent_id AS cell, g.j AS dim,
+       round(CAST(m.v[g.j + 1] AS DOUBLE), 6) AS value
+FROM assign a
+JOIN merged m ON a.vec_id = m.vec_id
+JOIN g ON g.j < len(m.v)
+"""
