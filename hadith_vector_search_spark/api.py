@@ -116,6 +116,7 @@ class HybridEngine:
             raise ValueError(f"narrator_col {narrator_col!r} not in docs")
         self.narrator_col = narrator_col
         self._nar_index: bm25.LexicalIndex | None = None
+        self._nar_tier = None  # narrator-field driver tier (lazy; False = over bound)
         self.docs = docs.localCheckpoint()
         self._index: bm25.LexicalIndex | None = None
         self._emb: DataFrame | None = (
@@ -178,6 +179,7 @@ class HybridEngine:
         # instead of serving stale arrays.
         self._lex = self._fwd = self._doc_rows = None
         self._lex_vocab = None
+        self._nar_tier = None  # lazy; rebuilt on first narrator leg
         rows = self.emb.select(self.id_col, "embedding").collect()
         self._ids = np.array([r[0] for r in rows])
         self._mat = np.array([list(r[1]) for r in rows])
@@ -412,6 +414,7 @@ class HybridEngine:
         self._ids = self._mat = None
         self._lex = self._fwd = self._doc_rows = None
         self._lex_vocab = None
+        self._nar_tier = None
 
     @property
     def interactive_enabled(self) -> bool:
@@ -850,11 +853,15 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         tot = _round6_arr(tot)
         return tot, np.lexsort((uids, -tot))[:k]
 
-    def _lex_topk_interactive(self, terms: list[str], k: int) -> list:
+    def _lex_topk_interactive(self, terms: list[str], k: int,
+                              allowed: set | None = None) -> list:
         """Driver-side disjunctive BM25 top-k over the resident per-term
         impact arrays: gather the query terms' postings, one grouped sum,
         round 6, rank by (score desc, id asc) — the exact contract of the
-        Spark leg (`bm25.score_terms` + round + orderBy + limit)."""
+        Spark leg (`bm25.score_terms` + round + orderBy + limit).
+        `allowed` (a driver id set, see `_fast_allowed_ids`) restricts
+        BEFORE the top-k cutoff, mirroring `_spark_lex_leg`'s semi-join
+        placement."""
         import numpy as np
 
         parts = [self._lex[t] for t in terms if t in self._lex]
@@ -863,6 +870,11 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         uids, tot, _, _ = self._group_sum(
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]))
+        if allowed is not None:
+            keep = np.array([i in allowed for i in uids.tolist()])
+            uids, tot = uids[keep], tot[keep]
+            if not len(uids):
+                return []
         tot, order = self._ranked_topk(uids, tot, k)
         return [(uids[i].item(), float(tot[i])) for i in order]
 
@@ -908,11 +920,10 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         conjunctive leg = per-doc impact sum where the doc matched EVERY
         term; prefix leg = score_prefix's pseudo-term (summed member tf
         per doc, df = count of docs containing any member) recomputed
-        from the raw tf/dl arrays; legs AND-combined by id intersection
-        with scores added, rounded 6 AFTER the sum, ranked
-        (bm25 desc, id asc), top k. Returns [(id, bm25)]."""
-        import math
-
+        from the raw tf/dl arrays (`_prefix_leg_local`, shared with the
+        narrator tier); legs AND-combined by id intersection with scores
+        added, rounded 6 AFTER the sum, ranked (bm25 desc, id asc),
+        top k. Returns [(id, bm25)]."""
         import numpy as np
 
         legs = []
@@ -928,29 +939,11 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 m = cnt == len(ts)
                 legs.append(dict(zip(uids[m].tolist(), tot[m])))
         if prefix:
-            from bisect import bisect_left
-
-            vocab = self._lex_vocab
-            members = []
-            for i in range(bisect_left(vocab, prefix), len(vocab)):
-                if not vocab[i].startswith(prefix):
-                    break
-                members.append(self._lex[vocab[i]])
-            if not members:
-                legs.append({})
-            else:
-                dl = np.concatenate([p[3] for p in members])
-                uids, tfs, _, inv = self._group_sum(
-                    np.concatenate([p[0] for p in members]),
-                    np.concatenate([p[2] for p in members]))
-                dls = np.zeros(len(uids))
-                dls[inv] = dl  # same doc, same dl — any member row's value
-                n_docs, avgdl = self.index.stats_literals()
-                df = float(len(uids))
-                idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                score = idf * (tfs * (bm25.K1 + 1.0)) / (
-                    tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl))
-                legs.append(dict(zip(uids.tolist(), score)))
+            n_docs, avgdl = self.index.stats_literals()
+            legs.append(self._prefix_leg_local(
+                [(p[0], p[2], p[3]) for p in self._lex_members(
+                    self._lex, self._lex_vocab, prefix)],
+                n_docs, avgdl))
         out = legs[0]
         for leg in legs[1:]:
             out = {i: out[i] + leg[i] for i in out.keys() & leg.keys()}
@@ -964,6 +957,146 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         tot = np.fromiter(out.values(), dtype=float, count=len(out))
         tot, order = self._ranked_topk(uids, tot, k)
         return [(uids[i].item(), float(tot[i])) for i in order]
+
+    @staticmethod
+    def _lex_members(lex: dict, vocab: list, prefix: str) -> list:
+        """Resident-vocab prefix range scan: the sorted vocab bisects to
+        the members starting with `prefix` (O(log V) + range)."""
+        from bisect import bisect_left
+
+        members = []
+        for i in range(bisect_left(vocab, prefix), len(vocab)):
+            if not vocab[i].startswith(prefix):
+                break
+            members.append(lex[vocab[i]])
+        return members
+
+    @staticmethod
+    def _prefix_leg_local(members: list, n_docs: float,
+                          avgdl: float) -> dict:
+        """`bm25.score_prefix`'s pseudo-term recomputed driver-side from
+        raw (pids, tf, dl) member arrays: summed member tf per doc,
+        df = count of docs containing any member, one BM25 expression —
+        shared by `_fts_match_interactive`'s prefix leg and the narrator
+        tier so the two can never drift. Returns {id: unrounded score}
+        ({} when the prefix matches no vocab term — the empty inner-join
+        leg)."""
+        import math
+
+        import numpy as np
+
+        if not members:
+            return {}
+        dl = np.concatenate([m[2] for m in members])
+        uids, tfs, _, inv = HybridEngine._group_sum(
+            np.concatenate([m[0] for m in members]),
+            np.concatenate([m[1] for m in members]))
+        dls = np.zeros(len(uids))
+        dls[inv] = dl  # same doc, same dl — any member row's value
+        df = float(len(uids))
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        score = idf * (tfs * (bm25.K1 + 1.0)) / (
+            tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl))
+        return dict(zip(uids.tolist(), score))
+
+    def _narrator_tier(self):
+        """Driver-resident NARRATOR-field tier — (per-term (pids, tf, dl)
+        arrays, sorted vocab, (n_docs, avgdl)) over the narrator index,
+        the round-9 verdict item 5: narrator-leg queries degraded every
+        batch call to a union of per-query Spark plans because the
+        narrator index had no resident arrays. Built lazily once per
+        corpus snapshot (narrator vocabulary is names-sized) under the
+        SAME postings bound interactive enabling promised; invalidated
+        with `_nar_index` on upsert. Returns None when interactive tiers
+        are not resident, there is no narrator column, or the bound is
+        exceeded (callers fall back to the Spark narrator leg)."""
+        if (self.narrator_col is None or self._mat is None
+                or self._interactive_bounds is None):
+            return None
+        if self._nar_tier is None:
+            import numpy as np
+
+            sc = self._narrator_index().scoring_view()
+            if sc.count() > self._interactive_bounds[1]:
+                self._nar_tier = False  # over bound: stay on Spark
+            else:
+                rows = sc.collect()
+                terms = np.array([r["term"] for r in rows])
+                pids = np.array([r["doc_id"] for r in rows])
+                tf = np.array([r["tf"] for r in rows], dtype=float)
+                dl = np.array([r["dl"] for r in rows], dtype=float)
+                order = np.argsort(terms, kind="stable")
+                terms, pids = terms[order], pids[order]
+                tf, dl = tf[order], dl[order]
+                bounds = np.searchsorted(terms, np.unique(terms),
+                                         side="left")
+                ends = np.append(bounds[1:], len(terms))
+                lex = {terms[s]: (pids[s:e], tf[s:e], dl[s:e])
+                       for s, e in zip(bounds, ends)}
+                self._nar_tier = (lex, list(lex),
+                                  self._narrator_index().stats_literals())
+        return self._nar_tier or None
+
+    def _narrator_topk_interactive(self, toks: list[str], k: int,
+                                   allowed: set | None = None) -> list:
+        """Driver twin of `_narrator_leg` (`bm25.prefix_and_match` over
+        the narrator index): each token is a prefix pseudo-term
+        (`_prefix_leg_local`), conjunctive via id-set intersection with
+        scores summed, `allowed` restricting before the cutoff, rounded 6
+        AFTER the total, ranked (bm25 desc, id asc), top k."""
+        import numpy as np
+
+        lex, vocab, (n_docs, avgdl) = self._narrator_tier()
+        out = None
+        for p in toks:
+            leg = self._prefix_leg_local(
+                self._lex_members(lex, vocab, p), n_docs, avgdl)
+            out = leg if out is None else {
+                i: out[i] + leg[i] for i in out.keys() & leg.keys()}
+            if not out:
+                return []
+        if allowed is not None:
+            out = {i: s for i, s in out.items() if i in allowed}
+        if not out:
+            return []
+        uids = np.array(list(out.keys()))
+        tot = np.fromiter(out.values(), dtype=float, count=len(out))
+        tot, order = self._ranked_topk(uids, tot, k)
+        return [(uids[i].item(), float(tot[i])) for i in order]
+
+    def _fast_allowed_ids(self, filters: dict | None):
+        """Metadata filters as a DRIVER id set for the batch fast path —
+        WITHOUT re-implementing Spark's comparison coercion (the round-8
+        review hazard: a Python `==` twin diverges from Column `==` on
+        coercible pairs like {"book_id": "1"} against an int column).
+        The dodge is STRICT typing: the driver path is taken only when
+        the filter value's Python type matches the column's Spark type
+        exactly (str↔string, int↔integral with bool excluded — True == 1
+        in Python but not a type match — bool↔boolean), where Python and
+        Column equality provably agree and NULL never matches either
+        way. Anything else (floats, coercible mismatches, unknown
+        columns, no resident doc map) returns the DEGRADE sentinel and
+        the call takes the Spark union path, preserving exact Column
+        semantics. Returns None (no filters), a set (restrict to these
+        ids), or `NotImplemented` (degrade)."""
+        if not filters:
+            return None
+        if self._doc_rows is None:
+            return NotImplemented
+        strict = {"string": str, "tinyint": int, "smallint": int,
+                  "int": int, "bigint": int, "boolean": bool}
+        types = {f.name: f.dataType.simpleString()
+                 for f in self.docs.schema.fields}
+        for col, val in filters.items():
+            py = strict.get(types.get(col, ""))
+            if py is None or val is None or type(val) is not py:
+                return NotImplemented
+            if py is int and not -2**63 <= val < 2**63:
+                # a past-bigint literal ERRORS on the Spark path under
+                # ANSI; degrade so the two paths cannot diverge
+                return NotImplemented
+        return {rid for rid, row in self._doc_rows.items()
+                if all(row[c] == v for c, v in filters.items())}
 
     # -- derived state (lazy, pinned once) ---------------------------------
 
@@ -1184,13 +1317,14 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         allowed = self._allowed_ids(filters)
         # Narrator intent + a narrator field: the lexical leg is the
         # reference's narrator-FIELD prefix-AND match, not text BM25
-        # (router.py:93-99 via tools.py:84-88). None (no narrator tokens)
-        # falls back to the plain leg below.
-        nar_leg = (self._narrator_leg(intent.narrator_query, k, allowed)
-                   if (intent.intent == INTENT_NARRATOR
-                       and self.narrator_col is not None
-                       and fts_available
-                       and intent.narrator_query) else None)
+        # (router.py:93-99 via tools.py:84-88). Empty narrator tokens
+        # fall back to the plain leg below (the reference's
+        # `if not toks: toks = intent.tokens`).
+        nar_toks = (py_tokenize(intent.narrator_query)[:6]
+                    if (intent.intent == INTENT_NARRATOR
+                        and self.narrator_col is not None
+                        and fts_available
+                        and intent.narrator_query) else None) or None
 
         if self._mat is not None and allowed is None:
             # Interactive fast path (enable_interactive): the lexical leg
@@ -1206,11 +1340,16 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             # batch path.
             fused_map: dict = {}
             if fts_available and terms:
-                if nar_leg is not None:
-                    # narrator-field leg (one Spark job; the narrator
-                    # index has no resident impact arrays)
-                    lex_pairs = [(r[0], float(r[1]))
-                                 for r in nar_leg.collect()]
+                if nar_toks and self._narrator_tier() is not None:
+                    # narrator-field leg off the resident narrator tier
+                    # (zero Spark jobs, pinned row-identical to the
+                    # Spark prefix_and_match leg)
+                    lex_pairs = self._narrator_topk_interactive(nar_toks, k)
+                elif nar_toks:
+                    # narrator tier over bound: one Spark job
+                    lex_pairs = [(r[0], float(r[1])) for r in
+                                 self._narrator_leg(intent.narrator_query,
+                                                    k, allowed).collect()]
                 elif self._lex is not None:
                     lex_pairs = self._lex_topk_interactive(terms, k)
                 else:
@@ -1252,7 +1391,8 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                     return out
             fused = self._fused_literal_df(sorted(fused_map.items()))
         else:
-            fts = (nar_leg if nar_leg is not None
+            fts = (self._narrator_leg(intent.narrator_query, k, allowed)
+                   if nar_toks
                    else self._spark_lex_leg(terms, k, allowed)
                    if fts_available and terms
                    else self._empty_leg("bm25"))
@@ -1379,17 +1519,22 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         this is the amortized shape SCALE.md prescribes for offline
         evaluation and agent fan-out.
 
-        Fast path (every interactive tier resident, no filters, no
-        narrator-leg queries): ONE BLAS matmul scores every query's
-        vector leg against the resident matrix, lexical legs gather from
-        the resident impact arrays, exact-reference queries resolve off
-        the doc map, scoring runs driver-side, and the whole batch
-        re-enters as a SINGLE VALUES LocalRelation — zero Spark jobs and
-        one statement parse for the batch, amortizing the per-call
-        overhead that dominates single-query p50 (SERVING_LATENCY.md).
-        Anything needing the Spark path (filters, a narrator-field leg,
-        missing tiers, a doc-map gap) degrades the call to a union of
-        single-query plans — same rows, Spark-side cost."""
+        Fast path (every interactive tier resident): ONE BLAS matmul
+        scores every query's vector leg against the resident matrix,
+        lexical legs gather from the resident impact arrays,
+        narrator-intent queries gather from the resident NARRATOR-field
+        tier (`_narrator_tier` — prefix-AND pseudo-terms driver-side),
+        exact-reference queries resolve off the doc map, metadata
+        filters restrict every leg BEFORE its cutoff via a driver id set
+        (`_fast_allowed_ids` — strict-type equality only, so Column `==`
+        semantics are never re-implemented), scoring runs driver-side,
+        and the whole batch re-enters as a SINGLE VALUES LocalRelation —
+        zero Spark jobs and one statement parse for the batch,
+        amortizing the per-call overhead that dominates single-query p50
+        (SERVING_LATENCY.md). Anything the resident tiers can't mirror
+        exactly (coercible filter types, a narrator tier over its
+        postings bound, missing tiers, a doc-map gap) degrades the call
+        to a union of single-query plans — same rows, Spark-side cost."""
         from functools import reduce
 
         if not queries:
@@ -1397,12 +1542,15 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         if int(n_results) < 0:
             raise ValueError(f"n_results must be >= 0, got {n_results}")
         intents = [route_one(q) for q in queries]
+        allowed = self._fast_allowed_ids(filters)
         fast = (self._mat is not None and self._doc_rows is not None
-                and self._lex is not None and not filters)
+                and self._lex is not None and allowed is not NotImplemented)
         if fast and self.narrator_col is not None and fts_available:
-            # the narrator-FIELD leg runs a Spark job per query
-            fast = not any(it.intent == INTENT_NARRATOR
-                           and it.narrator_query for it in intents)
+            # narrator-FIELD legs need the resident narrator tier; over
+            # its bound the leg is a Spark job per query — degrade
+            fast = (self._narrator_tier() is not None
+                    or not any(it.intent == INTENT_NARRATOR
+                               and it.narrator_query for it in intents))
         groups: list[tuple] = []
         if fast:
             import numpy as np
@@ -1413,13 +1561,25 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                 w = replace(w, **weight_overrides)
             k = max(OVERFETCH_FLOOR, 5 * n_results)
             sims_all = None
+            ids_f = self._ids
             if vector_available:
                 qmat = np.stack([encode_query(it.normalized, self.dim)
                                  for it in intents], axis=1)
                 sims_all = _round6_arr(self._mat @ qmat)  # one matmul
+                if allowed is not None:
+                    # restrict BEFORE the per-query top-k cutoff — the
+                    # semi-join placement of the Spark vector leg
+                    keep = np.array([i in allowed
+                                     for i in self._ids.tolist()])
+                    ids_f = self._ids[keep]
+                    sims_all = sims_all[keep]
             for i, it in enumerate(intents):
                 if it.intent == INTENT_EXACT:
                     rows = self._exact_local_rows(queries[i], n_results)
+                    if allowed is not None:
+                        # filtered exact = id match AND the row passes
+                        # the filters (the allowed set IS that test)
+                        rows = [r for r in rows if r[0] in allowed]
                     if rows or not self.exact_ref_fallback \
                             or n_results == 0:
                         groups.append((i, rows, 0))
@@ -1427,14 +1587,23 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
                     # exact_ref_fallback: unresolvable ref -> retrieval
                 fused_map: dict = {}
                 terms = sorted(set(py_tokenize(it.normalized)))
+                nar_toks = (py_tokenize(it.narrator_query)[:6]
+                            if (it.intent == INTENT_NARRATOR
+                                and self.narrator_col is not None
+                                and fts_available
+                                and it.narrator_query) else None) or None
                 if fts_available and terms:
-                    for rid, s in self._lex_topk_interactive(terms, k):
+                    lex_pairs = (
+                        self._narrator_topk_interactive(nar_toks, k, allowed)
+                        if nar_toks
+                        else self._lex_topk_interactive(terms, k, allowed))
+                    for rid, s in lex_pairs:
                         fused_map[rid] = [s, 0.0]
-                if sims_all is not None:
+                if sims_all is not None and len(ids_f):
                     sims = sims_all[:, i]
-                    order = np.lexsort((self._ids, -sims))[:k]
+                    order = np.lexsort((ids_f, -sims))[:k]
                     for j in order:
-                        fused_map.setdefault(self._ids[j].item(),
+                        fused_map.setdefault(ids_f[j].item(),
                                              [0.0, 0.0])[1] = float(sims[j])
                 scored = self._score_local_py(
                     sorted(fused_map.items()), terms, w, it.phrase, dedupe,
@@ -1685,6 +1854,12 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         if removed_ids is not None:
             merged = merged.join(removed_ids, self.id_col, "left_anti")
         self.docs = merged.localCheckpoint()
+        # The narrator-field index (and its driver tier) is derived from
+        # self.docs — invalidate so the next narrator leg rebuilds against
+        # the merged corpus instead of serving the pre-upsert snapshot
+        # (the lazily-built _nar_index previously survived upserts stale).
+        self._nar_index = None
+        self._nar_tier = None
 
         if self._index is not None:
             self._index = bm25.refresh_index(

@@ -40,10 +40,17 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
     from hadith_vector_search_spark.api import HybridEngine
     from hadith_vector_search_spark.sources import load_table
 
-    engine = HybridEngine(spark, load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    engine = HybridEngine(spark, docs)
     engine.enable_interactive()
     doc_ids = [r.doc_id for r in
                engine.docs.select("doc_id").limit(200).collect()]
+    # narrator-shaped engine for the mixed-batch row: the `source` column
+    # plays the narrator field (names-sized vocabulary, same tier shape)
+    nar_engine = HybridEngine(spark, docs, narrator_col="source")
+    nar_engine.enable_interactive()
+    narrators = [r.source for r in
+                 docs.select("source").distinct().limit(8).collect()]
 
     calls = {
         "hybrid_search": lambda i: engine.hybrid_search(
@@ -75,6 +82,20 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
         "hybrid_batch8": lambda i: engine.hybrid_search_batch(
             [QUERIES[(i + j) % len(QUERIES)] for j in range(8)],
             n_results=10).collect(),
+        # round-10 fast-path extensions: a mixed batch (narrator-intent +
+        # exact-ref + thematic) on a narrator engine, and a filtered
+        # batch (strict-type equality via the driver id set) — both stay
+        # zero-job on the resident tiers instead of degrading to a
+        # per-query Spark union.
+        "hybrid_batch8_mixed": lambda i: nar_engine.hybrid_search_batch(
+            [f"narrated by {narrators[(i + j) % len(narrators)]} patience"
+             if j % 3 == 0 else
+             f"hadith number {doc_ids[(i + j) % len(doc_ids)]}"
+             if j % 3 == 1 else QUERIES[(i + j) % len(QUERIES)]
+             for j in range(8)], n_results=10).collect(),
+        "hybrid_batch8_filtered": lambda i: engine.hybrid_search_batch(
+            [QUERIES[(i + j) % len(QUERIES)] for j in range(8)],
+            n_results=10, filters={"lang": "en"}).collect(),
     }
     out = {}
     for name, call in calls.items():

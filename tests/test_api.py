@@ -1289,3 +1289,83 @@ def test_hybrid_search_batch_synonyms_and_fallback(spark):
             assert by_q.get(i, []) == single, (enable, i, q)
         # the fallback engine retrieved on the miss (999 -> results)
         assert by_q.get(2), "exact_ref_fallback must retrieve in batch"
+
+
+def test_batch_fast_path_mixed_narrator_filtered_zero_jobs(spark):
+    """Round-10: a batch MIXING narrator-intent, filtered, exact, and
+    thematic queries stays on the zero-job fast path — the narrator leg
+    gathers from the resident narrator-field tier and strict-type
+    equality filters restrict every leg via the driver id set — with
+    rows identical to the single-query calls."""
+    docs = spark.createDataFrame(
+        [(1, "patience and prayer during hardship", "Abu Huraira", "bk1"),
+         (2, "patience and prayer during travel", "Umar bin Al-Khattab",
+          "bk2"),
+         (3, "charity and patience at night", "Abu Huraira", "bk1"),
+         (4, "fasting brings reward and patience", "Aisha", "bk1")],
+        "doc_id int, text string, narrator string, book string")
+    spark_eng = HybridEngine(spark, docs, narrator_col="narrator")
+    inter = HybridEngine(spark, docs, narrator_col="narrator")
+    assert inter.enable_interactive()
+
+    queries = ["narrated by Abu Huraira patience", "hadith 3",
+               "charity patience", "narrated by Aisha fasting"]
+    cases = [None, {"book": "bk1"}, {"doc_id": 3}]
+    for filters in cases:
+        for eng in (spark_eng, inter):
+            by_q: dict = {}
+            for r in eng.hybrid_search_batch(queries, 3,
+                                             filters=filters).collect():
+                by_q.setdefault(r.query_idx, []).append(tuple(r)[1:])
+            for i, q in enumerate(queries):
+                single = [tuple(r) for r in
+                          eng.hybrid_search(q, 3, filters=filters).collect()]
+                assert by_q.get(i, []) == single, (filters, i, q)
+
+    # zero Spark jobs once the narrator tier is resident (built above)
+    tracker = spark.sparkContext.statusTracker()
+    for filters in cases:
+        before = set(tracker.getJobIdsForGroup())
+        res = inter.hybrid_search_batch(queries, 3,
+                                        filters=filters).collect()
+        after = set(tracker.getJobIdsForGroup())
+        assert after == before, (filters, sorted(after - before))
+        assert res
+
+    # coercible filter types DEGRADE to the Spark union path (the
+    # round-8 hazard: a Python == twin diverges from Column == there);
+    # rows still match the single calls, which coerce identically
+    by_q = {}
+    got = inter.hybrid_search_batch(queries, 3, filters={"doc_id": "3"})
+    for r in got.collect():
+        by_q.setdefault(r.query_idx, []).append(tuple(r)[1:])
+    for i, q in enumerate(queries):
+        single = [tuple(r) for r in
+                  inter.hybrid_search(q, 3,
+                                      filters={"doc_id": "3"}).collect()]
+        assert by_q.get(i, []) == single, (i, q)
+
+
+def test_narrator_leg_fresh_after_upsert(spark):
+    """The narrator-field index (and its resident tier) must serve the
+    POST-upsert corpus: before round 10 the lazily-built _nar_index
+    survived upserts stale, so a narrator query could neither see new
+    narrators nor forget removed ones."""
+    docs = spark.createDataFrame(
+        [(1, "patience and prayer during hardship", "Abu Huraira"),
+         (2, "patience during travel and fasting", "Umar bin Al-Khattab")],
+        "doc_id int, text string, narrator string")
+    for enable in (False, True):
+        eng = HybridEngine(spark, docs, narrator_col="narrator")
+        if enable:
+            assert eng.enable_interactive()
+        # warm the narrator leg so the lazy index/tier is resident
+        assert eng.hybrid_search("narrated by Abu Huraira patience",
+                                 3).collect()
+        incoming = spark.createDataFrame(
+            [(3, "charity and patience all night", "Malik ibn Anas")],
+            "doc_id int, text string, narrator string")
+        eng.upsert_documents(incoming)
+        hits = [r.doc_id for r in
+                eng.hybrid_search("narrated by Malik charity", 3).collect()]
+        assert 3 in hits, ("post-upsert narrator invisible", enable)
