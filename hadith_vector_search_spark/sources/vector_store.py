@@ -69,11 +69,11 @@ def read_vlayout(index_dir: str) -> dict:
         return json.load(fh)
 
 
-def _cell_dirs(path: str) -> set[str]:
-    """cell=K partition dirs under the vectors table ({} if none/absent)."""
+def _part_dirs(path: str, part_col: str) -> set[str]:
+    """`part_col=V` partition dirs under a store table ({} if absent)."""
     if not os.path.isdir(path):
         return set()
-    return {d for d in os.listdir(path) if d.startswith("cell=")}
+    return {d for d in os.listdir(path) if d.startswith(f"{part_col}=")}
 
 
 def data_codebook(emb: DataFrame, n_cells: int,
@@ -89,12 +89,14 @@ def data_codebook(emb: DataFrame, n_cells: int,
     return [(i, list(r[1])) for i, r in enumerate(rows)]
 
 
-def _write_celled(df: DataFrame, path: str, id_col: str) -> None:
-    """One partition-dir per IVF cell, id-sorted in-file."""
-    (df.repartition("cell")
-     .sortWithinPartitions("cell", id_col)
+def _write_parted(df: DataFrame, path: str, part_col: str,
+                  id_col: str) -> None:
+    """One directory per partition value, id-sorted in-file (row-group
+    min/max stats on the id for point-lookup skipping)."""
+    (df.repartition(part_col)
+     .sortWithinPartitions(part_col, id_col)
      .write.mode("overwrite")
-     .partitionBy("cell").parquet(path))
+     .partitionBy(part_col).parquet(path))
 
 
 def publish_vector_index(emb: DataFrame, index_dir: str,
@@ -144,7 +146,8 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
     # asserted by tests) instead of paying a join against the corpus.
     tagged = emb.select("*", similarity.cell_of(centroids, vec_col)
                         .alias("cell"))
-    _write_celled(tagged, os.path.join(index_dir, "vectors"), id_col)
+    _write_parted(tagged, os.path.join(index_dir, "vectors"),
+                  "cell", id_col)
 
 
 class PublishedVectorIndex:
@@ -476,36 +479,57 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
     `source_path` (+ `n_rows`) is given."""
     recover(index_dir)
     vidx = open_vector_index(spark, index_dir)
-    id_col, vec_col = vidx.id_col, vidx.vec_col
+    _partitioned_refresh(
+        spark, index_dir, table="vectors", part_col="cell",
+        live=vidx.vectors, live_path=vidx.vectors_path,
+        assign=similarity.cell_of(vidx.centroids, vidx.vec_col),
+        id_col=vidx.id_col, changed=changed, removed_ids=removed_ids,
+        manifest=(None if source_path is None else
+                  lambda n: vector_manifest(source_path, n, vidx.dim,
+                                            vidx.n_cells, model_name)),
+        n_rows=n_rows)
+    return open_vector_index(spark, index_dir)
 
+
+def _partitioned_refresh(spark: SparkSession, index_dir: str, table: str,
+                         part_col: str, live: DataFrame, live_path: str,
+                         assign, id_col: str, changed: DataFrame,
+                         removed_ids: DataFrame | None,
+                         manifest, n_rows: int | None) -> None:
+    """The partition-level delta-refresh core both published stores
+    share (IVF `vectors/cell=K/`, LSH `sigs/bucket=B/`): rewrite ONLY
+    the partition directories the batch touches — the stored partitions
+    of dropped/replaced ids plus the partitions the new rows are
+    assigned to (`assign`, the store's own immutable assignment
+    expression) — through the staged-journal commit, kill-safe at any
+    point. A staged partition dir REPLACES the live one, so every
+    touched partition's surviving old rows ride along; degenerate
+    shapes (every surviving partition emptied, or a refresh on top of
+    such an emptied store) fall back to whole-table swaps with an
+    empty-but-schema'd placeholder. `manifest(n_rows) -> IndexManifest`
+    (optional) re-stamps the staleness identity in the same commit."""
     drop = changed.select(F.col(id_col)).distinct()
     if removed_ids is not None:
         drop = drop.unionByName(
             removed_ids.select(F.col(removed_ids.columns[0])
                                .alias(id_col))).distinct()
-    old_cells = {int(r.cell) for r in
-                 vidx.vectors.join(F.broadcast(drop), id_col, "left_semi")
-                 .select("cell").distinct().collect()}
-    # Pin the batch's assignments (batch-sized) so the embedding isn't
-    # recomputed between the touched-cell probe and the staged write.
-    # the batch must carry the SAME columns the store holds (id, vector,
-    # metadata); assignment appends the cell
-    cols = [c for c in vidx.vectors.columns if c != "cell"]
-    new_assign = changed.select(
-        *cols, similarity.cell_of(vidx.centroids, vec_col).alias("cell")
-    ).localCheckpoint()
-    new_cells = {int(r.cell) for r in
-                 new_assign.select("cell").distinct().collect()}
-    # Touched = stored cells of dropped/replaced ids PLUS the cells the
-    # new vectors land in: a staged cell dir REPLACES the live one, so
-    # every touched cell's surviving old rows must ride along — a new
-    # vector landing in a previously-untouched cell would otherwise wipe
-    # that cell's residents (caught by test_ingest_delta_refresh_...).
-    touched_cells = sorted(old_cells | new_cells)
-    survivors_old = (vidx.vectors
-                     .filter(F.col("cell").isin(touched_cells))
+    old_parts = {r[0] for r in
+                 live.join(F.broadcast(drop), id_col, "left_semi")
+                 .select(part_col).distinct().collect()}
+    # Pin the batch's assignments (batch-sized) so upstream work (e.g.
+    # re-embedding) isn't recomputed between the touched-partition probe
+    # and the staged write. The batch must carry the SAME columns the
+    # store holds (id, vector, metadata); assignment appends part_col.
+    cols = [c for c in live.columns if c != part_col]
+    new_assign = changed.select(*cols,
+                                assign.alias(part_col)).localCheckpoint()
+    new_parts = {r[0] for r in
+                 new_assign.select(part_col).distinct().collect()}
+    touched_parts = sorted(old_parts | new_parts)
+    survivors_old = (live
+                     .filter(F.col(part_col).isin(touched_parts))
                      .join(F.broadcast(drop), id_col, "left_anti")
-                     .select(*cols, "cell")) if touched_cells \
+                     .select(*cols, part_col)) if touched_parts \
         else None
     content = (new_assign if survivors_old is None
                else survivors_old.unionByName(new_assign))
@@ -513,41 +537,71 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
     staging = os.path.join(index_dir, STAGING_NAME)
     shutil.rmtree(staging, ignore_errors=True)
     stg = lambda name: os.path.join(staging, name)  # noqa: E731
-    _write_celled(content, stg("vectors"), id_col)
+    _write_parted(content, stg(table), part_col, id_col)
 
-    still = _cell_dirs(stg("vectors"))
-    existing = _cell_dirs(vidx.vectors_path)
-    touched = ({f"cell={c}" for c in touched_cells} | still)
+    still = _part_dirs(stg(table), part_col)
+    existing = _part_dirs(live_path, part_col)
+    touched = ({f"{part_col}={p}" for p in touched_parts} | still)
     emptied = (touched & existing) - still
     ops: list[dict] = []
     if existing and (existing - emptied or still):
-        ops += [{"op": "swap_dir", "src": f"{STAGING_NAME}/vectors/{d}",
-                 "dst": f"vectors/{d}"} for d in sorted(still)]
-        ops += [{"op": "remove_dir", "dst": f"vectors/{d}"}
+        ops += [{"op": "swap_dir", "src": f"{STAGING_NAME}/{table}/{d}",
+                 "dst": f"{table}/{d}"} for d in sorted(still)]
+        ops += [{"op": "remove_dir", "dst": f"{table}/{d}"}
                 for d in sorted(emptied)]
     else:
-        # Whole-table shape: the base store holds no cell dirs (an earlier
-        # all-emptied refresh left the placeholder) or this batch empties
-        # every surviving cell — `content` IS the complete table in both
-        # cases (old store empty, or every surviving row sits in a
-        # touched cell).
+        # Whole-table shape: the base store holds no partition dirs (an
+        # earlier all-emptied refresh left the placeholder) or this batch
+        # empties every surviving partition — `content` IS the complete
+        # table in both cases (old store empty, or every surviving row
+        # sits in a touched partition).
         if not still:
-            content.limit(0).write.mode("overwrite").parquet(stg("vectors"))
-        ops.append({"op": "swap_dir", "src": f"{STAGING_NAME}/vectors",
-                    "dst": "vectors"})
+            content.limit(0).write.mode("overwrite").parquet(stg(table))
+        ops.append({"op": "swap_dir", "src": f"{STAGING_NAME}/{table}",
+                    "dst": table})
 
-    if source_path is not None:
+    if manifest is not None:
         if n_rows is None:
-            kept = (vidx.vectors.join(F.broadcast(drop), id_col,
-                                      "left_anti").count())
+            kept = (live.join(F.broadcast(drop), id_col,
+                              "left_anti").count())
             n_rows = kept + changed.select(id_col).distinct().count()
         os.makedirs(staging, exist_ok=True)
         with open(stg(MANIFEST_NAME), "w") as fh:
-            fh.write(vector_manifest(source_path, n_rows, vidx.dim,
-                                     vidx.n_cells, model_name).to_json())
+            fh.write(manifest(n_rows).to_json())
         ops.append({"op": "swap_file",
                     "src": f"{STAGING_NAME}/{MANIFEST_NAME}",
                     "dst": MANIFEST_NAME})
 
     commit(index_dir, ops)
-    return open_vector_index(spark, index_dir)
+
+
+def write_lsh_refresh(spark: SparkSession, index_dir: str,
+                      changed: DataFrame,
+                      removed_ids: DataFrame | None = None,
+                      source_path: str | None = None,
+                      n_rows: int | None = None,
+                      model_name: str | None = None) -> PublishedLshIndex:
+    """Incremental write-back for the published LSH store — the bucket
+    twin of `write_vector_refresh` (same `_partitioned_refresh` core,
+    same staged-journal kill-safety): rewrites ONLY the `bucket=B` dirs
+    the batch touches; the hyperplane sidecar never moves under a
+    refresh (every stored bucket depends on it — a plane change is a
+    staleness rebuild, exactly the codebook rule)."""
+    recover(index_dir)
+    lidx = open_lsh_index(spark, index_dir)
+
+    class _R:
+        def __init__(self, pvec):
+            self.pvec = pvec
+
+    bucket = F.concat(F.lit("b"), similarity.sign_bucket_expr(
+        [_R(v) for _, v in lidx.planes], lidx.vec_col))
+    _partitioned_refresh(
+        spark, index_dir, table="sigs", part_col="bucket",
+        live=lidx.sigs, live_path=lidx.sigs_path, assign=bucket,
+        id_col=lidx.id_col, changed=changed, removed_ids=removed_ids,
+        manifest=(None if source_path is None else
+                  lambda n: lsh_manifest(source_path, n, lidx.dim,
+                                         lidx.n_planes, model_name)),
+        n_rows=n_rows)
+    return open_lsh_index(spark, index_dir)

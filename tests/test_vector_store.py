@@ -358,3 +358,92 @@ def test_lsh_ensure_reuses_across_sessions(spark, tmp_path):
     assert reasons3, "plane-count change must rebuild"
     assert vector_store.open_lsh_index(spark, idx_dir).n_planes \
         == N_PLANES + 2
+
+
+def test_lsh_refresh_equals_rebuild_and_untouched_buckets_invariant(
+        spark, tmp_path):
+    """Delta refresh on the LSH store (the shared _partitioned_refresh
+    core): result equals a from-scratch publish with the SAME planes,
+    and bucket dirs the batch never touches keep their part files
+    byte-invariant."""
+    idx_dir = str(tmp_path / "lshidx")
+    emb = _emb(spark, IDS)
+    vector_store.publish_lsh_index(emb, idx_dir, n_planes=N_PLANES)
+    lidx = vector_store.open_lsh_index(spark, idx_dir)
+    planes = lidx.planes
+    before = _file_states(idx_dir)
+
+    changed = spark.createDataFrame(
+        [(7, _vec(107)), (50, _vec(50))],  # one replaced, one new
+        "vec_id long, embedding array<double>")
+    removed = spark.createDataFrame([(13,)], "vec_id long")
+    refreshed = vector_store.write_lsh_refresh(spark, idx_dir, changed,
+                                               removed)
+
+    merged = [(i, _vec(i)) for i in IDS if i not in (7, 13)] \
+        + [(7, _vec(107)), (50, _vec(50))]
+    merged_df = spark.createDataFrame(merged,
+                                      "vec_id long, embedding array<double>")
+    scratch_dir = str(tmp_path / "scratch")
+    vector_store.publish_lsh_index(merged_df, scratch_dir, planes=planes)
+    scratch = vector_store.open_lsh_index(spark, scratch_dir)
+    assert _rows(refreshed.sigs.select("vec_id", "bucket")) == \
+        _rows(scratch.sigs.select("vec_id", "bucket"))
+    for qid in (0, 5, 50):
+        assert _rows(refreshed.lsh_topk(qid, k=5, n_flip=2)) == \
+            _rows(scratch.lsh_topk(qid, k=5, n_flip=2)), qid
+
+    # untouched buckets byte-invariant
+
+    class _R:
+        def __init__(self, pvec):
+            self.pvec = pvec
+
+    bexpr = F.concat(F.lit("b"), similarity.sign_bucket_expr(
+        [_R(v) for _, v in planes]))
+    touched = {r.b for r in spark.createDataFrame(
+        [(7, _vec(7)), (7, _vec(107)), (50, _vec(50)), (13, _vec(13))],
+        "vec_id long, embedding array<double>")
+        .select(bexpr.alias("b")).distinct().collect()}
+    after = _file_states(idx_dir)
+    for rel, st in before.items():
+        if not rel.startswith("sigs"):
+            continue
+        b = rel.split("bucket=")[1].split(os.sep)[0]
+        if b not in touched:
+            assert after.get(rel) == st, f"untouched bucket rewritten: {rel}"
+
+
+def test_lsh_refresh_crash_mid_commit_rolls_forward(spark, tmp_path,
+                                                    monkeypatch):
+    """Kill during journal replay on the LSH store: the next open rolls
+    FORWARD — the shared commit protocol, proven on the bucket layout."""
+    idx_dir = str(tmp_path / "lshidx")
+    vector_store.publish_lsh_index(_emb(spark, IDS), idx_dir,
+                                   n_planes=N_PLANES)
+    planes = vector_store.open_lsh_index(spark, idx_dir).planes
+    changed = spark.createDataFrame([(7, _vec(107))],
+                                    "vec_id long, embedding array<double>")
+
+    def partial(store_dir, ops):
+        assert ops
+        commitlog._apply_op(store_dir, ops[0])
+        raise RuntimeError("killed mid-commit")
+
+    monkeypatch.setattr(commitlog, "_apply_ops", partial)
+    with pytest.raises(RuntimeError):
+        vector_store.write_lsh_refresh(spark, idx_dir, changed)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(idx_dir, vector_store.JOURNAL_NAME))
+
+    reopened = vector_store.open_lsh_index(spark, idx_dir)  # recovers
+    assert not os.path.exists(os.path.join(idx_dir,
+                                           vector_store.JOURNAL_NAME))
+    merged = [(i, _vec(i)) for i in IDS if i != 7] + [(7, _vec(107))]
+    scratch_dir = str(tmp_path / "scratch")
+    vector_store.publish_lsh_index(
+        spark.createDataFrame(merged, "vec_id long, embedding array<double>"),
+        scratch_dir, planes=planes)
+    scratch = vector_store.open_lsh_index(spark, scratch_dir)
+    assert _rows(reopened.sigs.select("vec_id", "bucket")) == \
+        _rows(scratch.sigs.select("vec_id", "bucket"))
