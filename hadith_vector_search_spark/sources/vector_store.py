@@ -55,6 +55,38 @@ DEFAULT_CELLS = 8   # sized for the test SFs; a lake uses thousands
 VLAYOUT_NAME = "_vlayout.json"
 VECTOR_MODEL = "ivf-store-v1"
 
+# Codebooks up to this size inline as Catalyst literals (`cell_of` /
+# `cell_structs` — narrow projections, zero joins, the driver-SF plans
+# the oracles pin). Above it, assignment and probe selection go
+# RELATIONAL: the literal expression tree grows O(n_cells * dim) and
+# Catalyst planning dominates wall time long before data does (measured
+# at sf1: a derived 142-cell store scanned 17x fewer rows per query but
+# ran 14x SLOWER through the literal path — 23.6 s/query of pure
+# expression planning vs 0.35 s relational; SCALE.md round 10). Both
+# paths compute the identical round(dot,6) / ties-to-lowest-cent-id
+# arithmetic, so results are bit-equal either way.
+LITERAL_CODEBOOK_BOUND = 64
+
+
+def _cent_df(spark: SparkSession, centroids) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cent_id int, cvec array<double>")
+
+
+def _tag_cells(emb: DataFrame, centroids, id_col: str,
+               vec_col: str) -> DataFrame:
+    """Append the nearest-centroid `cell` column: literal-inlined for
+    config-sized codebooks, broadcast-join + window (the
+    `similarity.ivf_cell_assignments` relational form, identical
+    arithmetic) for large ones."""
+    if len(centroids) <= LITERAL_CODEBOOK_BOUND:
+        return emb.select("*", similarity.cell_of(centroids, vec_col)
+                          .alias("cell"))
+    assign = similarity.ivf_cell_assignments(
+        emb, _cent_df(emb.sparkSession, centroids), id_col, vec_col)
+    return emb.join(assign.withColumnRenamed("cent_id", "cell"), id_col)
+
 
 def _write_vlayout(index_dir: str, layout: dict) -> None:
     os.makedirs(index_dir, exist_ok=True)
@@ -134,18 +166,14 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
                                "id_col": id_col, "vec_col": vec_col,
                                "geometry": geometry})
     spark = emb.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in centroids],
-        "cent_id int, cvec array<double>")
-    cent_df.coalesce(1).write.mode("overwrite").parquet(
+    _cent_df(spark, centroids).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids"))
     # EVERY input column rides into the celled files (id + vector +
     # any metadata columns): filtered ANN at lake scale wants the filter
     # column IN the index files, so a metadata predicate pushes into the
     # already-cell-pruned scan (PushedFilters inside PartitionFilters —
     # asserted by tests) instead of paying a join against the corpus.
-    tagged = emb.select("*", similarity.cell_of(centroids, vec_col)
-                        .alias("cell"))
+    tagged = _tag_cells(emb, centroids, id_col, vec_col)
     _write_parted(tagged, os.path.join(index_dir, "vectors"),
                   "cell", id_col)
 
@@ -191,16 +219,28 @@ class PublishedVectorIndex:
         return list(rows[0][0])
 
     def probes_for(self, qvec: list[float], n_probe: int) -> list[int]:
-        """Top-`n_probe` nearest cells, via the SAME column arithmetic
-        the stored assignments were computed with (one 1-row local
-        relation, no table scan)."""
-        cells = similarity.cell_structs(self.centroids, "qv")
-        row = (self.spark.range(1)
-               .select(vector_lit([float(x) for x in qvec]).alias("qv"))
-               .select(F.slice(F.reverse(F.array_sort(cells)), 1, n_probe)
-                       .alias("top"))
-               .collect()[0])
-        return [-s["ncid"] for s in row["top"]]
+        """Top-`n_probe` nearest cells, via the SAME round(dot,6) /
+        ties-to-lowest-cent-id arithmetic the stored assignments were
+        computed with. Config-sized codebooks run the literal-inlined
+        1-row relation; above LITERAL_CODEBOOK_BOUND the codebook scores
+        as a LOCAL relation (n_cells rows, one tiny job) because the
+        literal expression tree is O(n_cells * dim) and its planning
+        cost dwarfs the work (measured, SCALE.md round 10)."""
+        if len(self.centroids) <= LITERAL_CODEBOOK_BOUND:
+            cells = similarity.cell_structs(self.centroids, "qv")
+            row = (self.spark.range(1)
+                   .select(vector_lit([float(x) for x in qvec]).alias("qv"))
+                   .select(F.slice(F.reverse(F.array_sort(cells)), 1,
+                                   n_probe).alias("top"))
+                   .collect()[0])
+            return [-s["ncid"] for s in row["top"]]
+        q = vector_lit([float(x) for x in qvec])
+        rows = (_cent_df(self.spark, self.centroids)
+                .select("cent_id", F.round(dot(F.col("cvec"), q), 6)
+                        .alias("cd"))
+                .orderBy(F.desc("cd"), F.asc("cent_id")).limit(n_probe)
+                .collect())
+        return [int(r.cent_id) for r in rows]
 
     def ivf_topk(self, query_id, n_probe: int = 2, k: int = 5,
                  allowed: DataFrame | None = None,
@@ -482,7 +522,8 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
     _partitioned_refresh(
         spark, index_dir, table="vectors", part_col="cell",
         live=vidx.vectors, live_path=vidx.vectors_path,
-        assign=similarity.cell_of(vidx.centroids, vidx.vec_col),
+        tag=lambda df: _tag_cells(df, vidx.centroids, vidx.id_col,
+                                  vidx.vec_col),
         id_col=vidx.id_col, changed=changed, removed_ids=removed_ids,
         manifest=(None if source_path is None else
                   lambda n: vector_manifest(source_path, n, vidx.dim,
@@ -493,7 +534,7 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
 
 def _partitioned_refresh(spark: SparkSession, index_dir: str, table: str,
                          part_col: str, live: DataFrame, live_path: str,
-                         assign, id_col: str, changed: DataFrame,
+                         tag, id_col: str, changed: DataFrame,
                          removed_ids: DataFrame | None,
                          manifest, n_rows: int | None) -> None:
     """The partition-level delta-refresh core both published stores
@@ -519,10 +560,10 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str, table: str,
     # Pin the batch's assignments (batch-sized) so upstream work (e.g.
     # re-embedding) isn't recomputed between the touched-partition probe
     # and the staged write. The batch must carry the SAME columns the
-    # store holds (id, vector, metadata); assignment appends part_col.
+    # store holds (id, vector, metadata); `tag` appends part_col.
     cols = [c for c in live.columns if c != part_col]
-    new_assign = changed.select(*cols,
-                                assign.alias(part_col)).localCheckpoint()
+    new_assign = (tag(changed.select(*cols)).select(*cols, part_col)
+                  .localCheckpoint())
     new_parts = {r[0] for r in
                  new_assign.select(part_col).distinct().collect()}
     touched_parts = sorted(old_parts | new_parts)
@@ -598,7 +639,8 @@ def write_lsh_refresh(spark: SparkSession, index_dir: str,
         [_R(v) for _, v in lidx.planes], lidx.vec_col))
     _partitioned_refresh(
         spark, index_dir, table="sigs", part_col="bucket",
-        live=lidx.sigs, live_path=lidx.sigs_path, assign=bucket,
+        live=lidx.sigs, live_path=lidx.sigs_path,
+        tag=lambda df: df.select("*", bucket.alias("bucket")),
         id_col=lidx.id_col, changed=changed, removed_ids=removed_ids,
         manifest=(None if source_path is None else
                   lambda n: lsh_manifest(source_path, n, lidx.dim,

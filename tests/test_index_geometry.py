@@ -131,3 +131,44 @@ def test_derived_geometry_refresh_keeps_store_consistent(spark, tmp_path):
             for r in after.vectors.filter(F.col("vec_id") < 3).collect()}
     assert rows[1] == pytest.approx([x + 0.5 for x in
                                      [1 % 17, 2 % 17, 3 % 17, 4 % 17]])
+
+
+def test_relational_assignment_and_probes_equal_literal_path(spark):
+    """Above LITERAL_CODEBOOK_BOUND the store assigns cells and selects
+    probes relationally (the literal expression tree is O(n_cells*dim)
+    and planning dominates — SCALE.md round 10); both paths must be
+    BIT-EQUAL: same round(dot,6), same ties-to-lowest-cent-id."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, 300, dim=4)
+    cents = [(i, list(r[1])) for i, r in enumerate(
+        emb.orderBy(F.asc("vec_id")).limit(70).collect())]
+    assert len(cents) > vector_store.LITERAL_CODEBOOK_BOUND
+
+    lit = sorted((r.vec_id, r.cell) for r in emb.select(
+        "vec_id", similarity.cell_of(cents).alias("cell")).collect())
+    rel = sorted((r.vec_id, r.cell) for r in vector_store._tag_cells(
+        emb, cents, "vec_id", "embedding")
+        .select("vec_id", "cell").collect())
+    assert lit == rel
+
+    # probe selection parity through a published 70-cell store
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        vector_store.publish_vector_index(emb, d, centroids=cents)
+        vidx = vector_store.open_vector_index(spark, d)
+        assert vidx.n_cells == 70
+        qvec = vidx.query_vector(5)
+        got = vidx.probes_for(qvec, 4)  # relational (70 > bound)
+        from hadith_vector_search_spark.functions.vector import vector_lit
+        cells = similarity.cell_structs(cents, "qv")
+        row = (spark.range(1)
+               .select(vector_lit(qvec).alias("qv"))
+               .select(F.slice(F.reverse(F.array_sort(cells)), 1, 4)
+                       .alias("top")).collect()[0])
+        want = [-s["ncid"] for s in row["top"]]
+        assert got == want
+        # and the pruned query answers with descending sims
+        top = vidx.ivf_topk(5, n_probe=4, k=3).collect()
+        sims = [r.sim for r in top]
+        assert len(top) == 3 and sims == sorted(sims, reverse=True)
