@@ -1544,13 +1544,32 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         intents = [route_one(q) for q in queries]
         allowed = self._fast_allowed_ids(filters)
         fast = (self._mat is not None and self._doc_rows is not None
-                and self._lex is not None and allowed is not NotImplemented)
-        if fast and self.narrator_col is not None and fts_available:
-            # narrator-FIELD legs need the resident narrator tier; over
-            # its bound the leg is a Spark job per query — degrade
-            fast = (self._narrator_tier() is not None
-                    or not any(it.intent == INTENT_NARRATOR
-                               and it.narrator_query for it in intents))
+                and allowed is not NotImplemented)
+        if fast and fts_available:
+            def _is_narrator(it) -> bool:
+                return (it.intent == INTENT_NARRATOR
+                        and self.narrator_col is not None
+                        and bool(it.narrator_query)
+                        and bool(py_tokenize(it.narrator_query)[:6]))
+
+            def _needs_text_lex(it) -> bool:
+                if it.intent == INTENT_EXACT:
+                    # a hit never touches the lexical leg; a miss only
+                    # falls through to retrieval under the fallback flag
+                    return self.exact_ref_fallback
+                return not _is_narrator(it)
+
+            # the TEXT lexical tier is required only by queries that
+            # actually take the text leg (narrator-only / exact-only
+            # batches stay fast with _lex unresident — the single-query
+            # path's altitude); narrator legs need the narrator tier,
+            # which is built lazily HERE and only when a narrator query
+            # is actually present (never eagerly for thematic batches)
+            if self._lex is None and any(_needs_text_lex(it)
+                                         for it in intents):
+                fast = False
+            if fast and any(_is_narrator(it) for it in intents):
+                fast = self._narrator_tier() is not None
         groups: list[tuple] = []
         if fast:
             import numpy as np

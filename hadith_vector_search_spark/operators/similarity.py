@@ -117,7 +117,7 @@ def data_planes(emb: DataFrame, n_planes: int,
     )
 
 
-def sign_bucket_expr(plane_rows, vec_col: str = "embedding") -> Column:
+def sign_bucket_expr(planes, vec_col: str = "embedding") -> Column:
     """The sign-LSH bucket string ('1'/'0' per hyperplane, plane-id
     order) as a narrow JVM projection — the single source of truth
     shared by the in-session operators (`ann_topk_lsh`, multiprobe) and
@@ -125,13 +125,16 @@ def sign_bucket_expr(plane_rows, vec_col: str = "embedding") -> Column:
     (`sources.vector_store.publish_lsh_index`): writer and prober must
     agree bit-for-bit or a published store would prune different
     directories than a query probes (the `cell_structs` discipline,
-    LSH twin)."""
+    LSH twin). `planes` is plane-id-ordered: `data_planes` Rows or
+    plain (plane_id, pvec) tuples — the stores keep their sidecars as
+    tuples."""
     from ..functions.vector import vector_lit
 
+    vecs = [r[1] if isinstance(r, tuple) else r.pvec for r in planes]
     return F.concat(*[
-        F.when(dot(F.col(vec_col), vector_lit(r.pvec)) >= 0, F.lit("1"))
+        F.when(dot(F.col(vec_col), vector_lit(v)) >= 0, F.lit("1"))
          .otherwise(F.lit("0"))
-        for r in plane_rows
+        for v in vecs
     ])
 
 

@@ -79,21 +79,30 @@ def _tag_cells(emb: DataFrame, centroids, id_col: str,
     """Append the nearest-centroid `cell` column: literal-inlined for
     config-sized codebooks, broadcast-join + window (the
     `similarity.ivf_cell_assignments` relational form, identical
-    arithmetic) for large ones."""
+    arithmetic) for large ones. The relational form joins the input
+    against an assignment DERIVED FROM the same input, so the input is
+    pinned first — otherwise a non-deterministic upstream (a live
+    encoder projection) could store a vector in one evaluation and its
+    cell from ANOTHER, a silently mis-probed row (round-10 review); a
+    lake-scale publish reads from the persisted embedding-cache table,
+    which is the same pin by other means."""
     if len(centroids) <= LITERAL_CODEBOOK_BOUND:
         return emb.select("*", similarity.cell_of(centroids, vec_col)
                           .alias("cell"))
+    emb = emb.localCheckpoint()
     assign = similarity.ivf_cell_assignments(
         emb, _cent_df(emb.sparkSession, centroids), id_col, vec_col)
     return emb.join(assign.withColumnRenamed("cent_id", "cell"), id_col)
 
 
-def _write_vlayout(index_dir: str, layout: dict) -> None:
+def _write_json_sidecar(index_dir: str, name: str, payload: dict) -> None:
+    """Atomic config-sized sidecar write (tmp + rename), shared by the
+    IVF and LSH layout files."""
     os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, f".{VLAYOUT_NAME}.tmp")
+    tmp = os.path.join(index_dir, f".{name}.tmp")
     with open(tmp, "w") as fh:
-        json.dump(layout, fh)
-    os.replace(tmp, os.path.join(index_dir, VLAYOUT_NAME))
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(index_dir, name))
 
 
 def read_vlayout(index_dir: str) -> dict:
@@ -162,9 +171,10 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
     dim = len(centroids[0][1]) if centroids else 0
     if geometry is None:
         geometry = {"n_cells": len(centroids), "derived": False}
-    _write_vlayout(index_dir, {"n_cells": len(centroids), "dim": dim,
-                               "id_col": id_col, "vec_col": vec_col,
-                               "geometry": geometry})
+    _write_json_sidecar(index_dir, VLAYOUT_NAME,
+                        {"n_cells": len(centroids), "dim": dim,
+                         "id_col": id_col, "vec_col": vec_col,
+                         "geometry": geometry})
     spark = emb.sparkSession
     _cent_df(spark, centroids).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids"))
@@ -378,30 +388,20 @@ def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
     else:
         planes = [(int(p), [float(x) for x in v]) for p, v in planes]
     dim = len(planes[0][1]) if planes else 0
-    os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, f".{LSH_LAYOUT_NAME}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"n_planes": len(planes), "dim": dim,
-                   "id_col": id_col, "vec_col": vec_col}, fh)
-    os.replace(tmp, os.path.join(index_dir, LSH_LAYOUT_NAME))
+    _write_json_sidecar(index_dir, LSH_LAYOUT_NAME,
+                        {"n_planes": len(planes), "dim": dim,
+                         "id_col": id_col, "vec_col": vec_col})
     spark = emb.sparkSession
     (spark.createDataFrame(planes, "plane_id int, pvec array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_dir, "planes")))
 
-    class _R:  # similarity.sign_bucket_expr consumes .pvec rows
-        def __init__(self, pvec):
-            self.pvec = pvec
-
-    bucket = similarity.sign_bucket_expr([_R(v) for _, v in planes], vec_col)
+    bucket = similarity.sign_bucket_expr(planes, vec_col)
     # partition VALUE is 'b'+bits: Hive partition-type inference would
     # otherwise coerce the bit string to an int, dropping leading zeros
     # ('0010' -> 10) — the prefix pins the column to string at any read
     tagged = emb.select("*", F.concat(F.lit("b"), bucket).alias("bucket"))
-    (tagged.repartition("bucket")
-     .sortWithinPartitions("bucket", id_col)
-     .write.mode("overwrite")
-     .partitionBy("bucket").parquet(os.path.join(index_dir, "sigs")))
+    _write_parted(tagged, os.path.join(index_dir, "sigs"), "bucket", id_col)
 
 
 class PublishedLshIndex:
@@ -630,13 +630,8 @@ def write_lsh_refresh(spark: SparkSession, index_dir: str,
     staleness rebuild, exactly the codebook rule)."""
     recover(index_dir)
     lidx = open_lsh_index(spark, index_dir)
-
-    class _R:
-        def __init__(self, pvec):
-            self.pvec = pvec
-
     bucket = F.concat(F.lit("b"), similarity.sign_bucket_expr(
-        [_R(v) for _, v in lidx.planes], lidx.vec_col))
+        lidx.planes, lidx.vec_col))
     _partitioned_refresh(
         spark, index_dir, table="sigs", part_col="bucket",
         live=lidx.sigs, live_path=lidx.sigs_path,

@@ -46,11 +46,17 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
     doc_ids = [r.doc_id for r in
                engine.docs.select("doc_id").limit(200).collect()]
     # narrator-shaped engine for the mixed-batch row: the `source` column
-    # plays the narrator field (names-sized vocabulary, same tier shape)
+    # plays the narrator field (names-sized vocabulary, same tier shape).
+    # Assert the fast path is actually resident — a silent False here
+    # would benchmark the degraded Spark union while the committed table
+    # labels the row zero-job (round-10 review).
     nar_engine = HybridEngine(spark, docs, narrator_col="source")
-    nar_engine.enable_interactive()
+    assert nar_engine.enable_interactive(), "mixed-batch row needs tiers"
+    assert engine.interactive_enabled, "batch rows need resident tiers"
     narrators = [r.source for r in
-                 docs.select("source").distinct().limit(8).collect()]
+                 docs.select("source").distinct().limit(8).collect()
+                 if r.source is not None]
+    assert narrators
 
     calls = {
         "hybrid_search": lambda i: engine.hybrid_search(

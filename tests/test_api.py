@@ -1369,3 +1369,45 @@ def test_narrator_leg_fresh_after_upsert(spark):
         hits = [r.doc_id for r in
                 eng.hybrid_search("narrated by Malik charity", 3).collect()]
         assert 3 in hits, ("post-upsert narrator invisible", enable)
+
+
+def test_batch_gate_lazy_narrator_tier_and_lexless_narrator_batches(spark):
+    """Round-10 review pins: (a) a thematic-only batch on a narrator
+    engine must NOT build the narrator tier (it is lazy — built only
+    when a narrator-intent query is present); (b) a narrator-only batch
+    stays on the fast path even with the TEXT lexical tier unresident
+    (the single-query path's altitude)."""
+    docs = spark.createDataFrame(
+        [(1, "patience and prayer during hardship", "Abu Huraira"),
+         (2, "charity and patience at night", "Umar bin Al-Khattab"),
+         (3, "fasting brings reward and patience", "Aisha")],
+        "doc_id int, text string, narrator string")
+    eng = HybridEngine(spark, docs, narrator_col="narrator")
+    assert eng.enable_interactive()
+
+    # (a) thematic batch: poison the narrator index build — the gate
+    # must never reach it
+    def boom(*a, **k):
+        raise AssertionError("narrator tier built for a thematic batch")
+    orig = eng._narrator_index
+    eng._narrator_index = boom
+    got = eng.hybrid_search_batch(["charity patience", "hadith 2"], 3)
+    assert got.collect()
+    eng._narrator_index = orig
+
+    # (b) narrator-only batch with the text tier degraded to Spark
+    eng._lex = None
+    eng._lex_vocab = None
+    nq = ["narrated by Abu Huraira patience", "narrated by Aisha fasting"]
+    by_q: dict = {}
+    for r in eng.hybrid_search_batch(nq, 2).collect():
+        by_q.setdefault(r.query_idx, []).append(tuple(r)[1:])
+    for i, q in enumerate(nq):
+        single = [tuple(r) for r in eng.hybrid_search(q, 2).collect()]
+        assert by_q.get(i, []) == single, (i, q)
+    # zero jobs once the narrator tier is resident (built above)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    assert eng.hybrid_search_batch(nq, 2).collect()
+    after = set(tracker.getJobIdsForGroup())
+    assert after == before, sorted(after - before)
