@@ -167,6 +167,70 @@ def _vector_manifest(table_path: str, n_rows: int) -> IndexManifest:
                          source_files=source_fingerprint([table_path]))
 
 
+def _lsh_model_p(n_planes: int) -> str:
+    return f"hash-embedder-{EMBED_DIM}-lshp{n_planes}"
+
+
+def _lsh_model_n(n_rows: int) -> str:
+    """Plane count derives from corpus size at publish time
+    (`scaled_band_bits` — expected bucket occupancy stays near the
+    target at any N), and it is part of the model identity: a corpus
+    growing across a log2 boundary makes the store STALE, so the next
+    update republishes at the new geometry instead of silently serving
+    over-full buckets."""
+    from .operators.similarity import scaled_band_bits
+
+    return _lsh_model_p(scaled_band_bits(n_rows))
+
+
+def _lsh_manifest(table_path: str, n_rows: int) -> IndexManifest:
+    return IndexManifest(model_name=_lsh_model_n(n_rows),
+                         dim=EMBED_DIM, n_rows=n_rows,
+                         source_files=source_fingerprint([table_path]))
+
+
+def _lsh_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None:
+    """Published bucket-partitioned sign-LSH index over the ingested
+    corpus (sources.vector_store.publish_lsh_index) — the third durable
+    store the ingest command maintains (fts term buckets, IVF cells,
+    LSH buckets), so a query session's probe bucket prunes directories
+    without any per-session banding rebuild. Plane count scales with the
+    corpus (`_lsh_model_n`). With a real encoder the embedding pass
+    would be shared with the vector build via the embedding-cache table
+    (plans.embedding); the hash backend makes the extra pass cheap."""
+    from .operators.similarity import scaled_band_bits
+    from .sources.vector_store import publish_lsh_index
+
+    docs = spark.read.parquet(table_path)
+    emb = docs.select("doc_id", embed_column("text", EMBED_DIM,
+                                             backend="hash")
+                      .alias("embedding")).localCheckpoint()
+    publish_lsh_index(emb, out_dir, n_planes=scaled_band_bits(emb.count()),
+                      id_col="doc_id")
+
+
+def _lsh_index_delta(spark: SparkSession, table_path: str, out_dir: str,
+                     changed: DataFrame, n_rows: int | None = None) -> None:
+    """LSH-store delta: re-embed only the changed rows, rewrite only the
+    touched bucket dirs (vector_store.write_lsh_refresh — crash-safe,
+    planes untouched). The manifest stamps the STORE's plane count, not
+    the post-merge corpus size's: the stored buckets were signed at
+    publish-time geometry, and stamping anything else would either mask
+    a needed geometry rebuild or force a spurious one — the next
+    update_indexes compares against the corpus-derived model and
+    republishes exactly when the corpus crossed a plane boundary."""
+    from .sources.vector_store import open_lsh_index, write_lsh_refresh
+
+    fresh = changed.select(
+        "doc_id",
+        embed_column("text", EMBED_DIM, backend="hash").alias("embedding"))
+    if n_rows is None:
+        n_rows = spark.read.parquet(table_path).count()
+    model = _lsh_model_p(open_lsh_index(spark, out_dir).n_planes)
+    write_lsh_refresh(spark, out_dir, fresh, source_path=table_path,
+                      n_rows=n_rows, model_name=model)
+
+
 def _vector_index_delta(spark: SparkSession, table_path: str, out_dir: str,
                         changed: DataFrame, n_rows: int | None = None) -> None:
     """Vector-index delta: re-embed ONLY the changed rows (the expensive
@@ -187,7 +251,8 @@ def _vector_index_delta(spark: SparkSession, table_path: str, out_dir: str,
 
 def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
                    force: bool = False) -> dict[str, list[str]]:
-    """Refresh both derived indexes behind the staleness manifest. Returns
+    """Refresh the three derived index stores (fts term buckets, IVF
+    vector cells, LSH buckets) behind their staleness manifests. Returns
     {index_name: rebuild reasons} ([] == reused). ``force`` rebuilds
     unconditionally, the reference's --force-index-refresh."""
     from .sources.commit import recover
@@ -198,7 +263,7 @@ def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
     # turns a would-be full rebuild into a reuse (publish_* also
     # recovers, so this is an incrementality optimization, not a
     # correctness requirement).
-    for name in ("fts", "vector"):
+    for name in ("fts", "vector", "lsh"):
         d = os.path.join(index_dir, name)
         if os.path.isdir(d):
             recover(d)
@@ -208,7 +273,8 @@ def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
     for name, model, dim, build in (
             ("fts", f"{LEXICAL_MODEL}-b{DEFAULT_BUCKETS}", 0,
              _fts_index_build),
-            ("vector", _EMBED_MODEL, EMBED_DIM, _vector_index_build)):
+            ("vector", _EMBED_MODEL, EMBED_DIM, _vector_index_build),
+            ("lsh", _lsh_model_n(n_rows), EMBED_DIM, _lsh_index_build)):
         idx_dir = os.path.join(index_dir, name)
         manifest = IndexManifest(model_name=model, dim=dim, n_rows=n_rows,
                                  source_files=fp)
@@ -263,7 +329,10 @@ def run_ingestion(spark: SparkSession, data_dir: str, table_path: str,
             index_is_fresh(os.path.join(idx_root, "fts"), table_path, old_n)
             and not staleness_reasons(
                 read_manifest(os.path.join(idx_root, "vector")),
-                _vector_manifest(table_path, old_n)))
+                _vector_manifest(table_path, old_n))
+            and not staleness_reasons(
+                read_manifest(os.path.join(idx_root, "lsh")),
+                _lsh_manifest(table_path, old_n)))
     incoming_all = None
     if n_changed:
         incoming_all = changed_frames[0]
@@ -302,8 +371,11 @@ def run_ingestion(spark: SparkSession, data_dir: str, table_path: str,
             _vector_index_delta(spark, table_path,
                                 os.path.join(idx_root, "vector"),
                                 incoming_all, n_rows=new_n)
+            _lsh_index_delta(spark, table_path,
+                             os.path.join(idx_root, "lsh"),
+                             incoming_all, n_rows=new_n)
             log("Index update summary:")
-            for name in ("fts", "vector"):
+            for name in ("fts", "vector", "lsh"):
                 log(f"  {name} index -> delta-refreshed "
                     f"({n_changed} changed row(s)), "
                     f"duration: {time.time() - t0:.2f}s")

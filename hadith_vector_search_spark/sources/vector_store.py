@@ -396,7 +396,10 @@ def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_dir, "planes")))
 
-    bucket = similarity.sign_bucket_expr(planes, vec_col)
+    # empty-corpus publish: no planes to sign (F.concat of zero columns
+    # is unconstructible); the store is 0 rows either way
+    bucket = (similarity.sign_bucket_expr(planes, vec_col) if planes
+              else F.lit(""))
     # partition VALUE is 'b'+bits: Hive partition-type inference would
     # otherwise coerce the bit string to an int, dropping leading zeros
     # ('0010' -> 10) — the prefix pins the column to string at any read

@@ -53,7 +53,7 @@ def test_ingest_end_to_end_and_idempotent_rerun(spark, corpus):
     assert set(rows) == set(range(5)) | {100, 101, 102}
     assert rows[0].n_chars == len("alpha beta doc 0")
     # derived indexes exist with manifests
-    for name in ("fts", "vector"):
+    for name in ("fts", "vector", "lsh"):
         assert os.path.exists(os.path.join(f"{table}_indexes", name,
                                            "_index_manifest.json"))
 
@@ -91,11 +91,15 @@ def test_index_manifest_gating_and_force(spark, corpus):
     run_ingestion(spark, data, table, log=lambda *_: None)
     idx = f"{table}_indexes"
     first = update_indexes(spark, table, idx)
-    assert all(first[n] for n in ("fts", "vector")), "first build has reasons"
+    assert all(first[n] for n in ("fts", "vector", "lsh")), \
+        "first build has reasons"
     second = update_indexes(spark, table, idx)
-    assert second == {"fts": [], "vector": []}, "fresh manifests -> reuse"
+    assert second == {"fts": [], "vector": [], "lsh": []}, \
+        "fresh manifests -> reuse"
     forced = update_indexes(spark, table, idx, force=True)
-    assert forced == {"fts": ["forced refresh"], "vector": ["forced refresh"]}
+    assert forced == {"fts": ["forced refresh"],
+                      "vector": ["forced refresh"],
+                      "lsh": ["forced refresh"]}
     vecs = spark.read.parquet(os.path.join(idx, "vector", "vectors"))
     assert vecs.count() == 8 and len(vecs.first().embedding) == 384
 
@@ -159,6 +163,8 @@ def test_ingest_delta_refresh_equals_rebuild(spark, corpus):
                         for r in delta_idx.postings.collect())
     delta_vecs = {r.doc_id: list(r.embedding) for r in spark.read.parquet(
         os.path.join(idx, "vector", "vectors")).collect()}
+    delta_sigs = sorted((r.doc_id, r.bucket) for r in spark.read.parquet(
+        os.path.join(idx, "lsh", "sigs")).collect())
 
     from hadith_vector_search_spark.ingest import update_indexes
     update_indexes(spark, table, idx, force=True)
@@ -168,9 +174,12 @@ def test_ingest_delta_refresh_equals_rebuild(spark, corpus):
     full_vecs = {r.doc_id: list(r.embedding) for r in spark.read.parquet(
         os.path.join(idx, "vector", "vectors")).collect()}
     assert delta_vecs == full_vecs
+    assert delta_sigs == sorted(
+        (r.doc_id, r.bucket) for r in spark.read.parquet(
+            os.path.join(idx, "lsh", "sigs")).collect())
     # and the delta re-stamped the manifest: a third no-change run reuses
     third = update_indexes(spark, table, idx)
-    assert third == {"fts": [], "vector": []}
+    assert third == {"fts": [], "vector": [], "lsh": []}
 
 
 def test_ingest_delta_manifest_counts_tokenless_docs(spark, corpus):
@@ -203,4 +212,4 @@ def test_ingest_delta_manifest_counts_tokenless_docs(spark, corpus):
     assert index_store.index_is_fresh(
         os.path.join(f"{table}_indexes", "fts"), table, n_rows)
     third = update_indexes(spark, table, f"{table}_indexes")
-    assert third == {"fts": [], "vector": []}
+    assert third == {"fts": [], "vector": [], "lsh": []}
