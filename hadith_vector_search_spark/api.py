@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import py_tokenize, snippet, term_coverage
+from .functions.vector import round6_arr
 from .operators import bm25, fusion, proximity, similarity
 from .operators import dedup as dedup_ops
 from .operators.embedder import DEFAULT_DIM, embed_column, encode_query
@@ -34,32 +35,9 @@ from .operators.router import INTENT_EXACT, INTENT_NARRATOR, route_one
 OVERFETCH_FLOOR = 50   # max(50, 5*n) per the reference (tools.py:87,93)
 
 
-def _round6_arr(arr):
-    """Vectorized Spark-equivalent round(x, 6): np.round for the bulk,
-    with the half-way class corrected to HALF_UP on the SHORTEST decimal
-    repr (BigDecimal.valueOf semantics — the same contract
-    `_interactive_scored_local` pins scalar-side with Decimal(repr(x))).
-    np.round's binary ties-to-even diverges from Spark only when x·1e6
-    sits (within float error) on a half-integer, so candidates are
-    detected vectorized and only those few pay the Decimal path —
-    O(n) numpy + O(half-way hits) Python, never per-scalar over the
-    whole array."""
-    import numpy as np
-
-    arr = np.asarray(arr, dtype=float)
-    out = np.round(arr, 6)
-    scaled = np.abs(arr) * 1e6
-    frac = scaled - np.floor(scaled)
-    cand = np.abs(frac - 0.5) < 1e-4
-    if cand.any():
-        from decimal import ROUND_HALF_UP, Decimal
-
-        q6 = Decimal("0.000001")
-        for idx in zip(*np.nonzero(cand)):  # dimension-agnostic (the
-            # batch tier rounds a 2-D docs x queries sim matrix)
-            out[idx] = float(Decimal(repr(float(arr[idx])))
-                             .quantize(q6, rounding=ROUND_HALF_UP))
-    return out
+# the HALF_UP-on-shortest-repr rounding twin lives with the vector
+# helpers so the store-side BLAS paths share one implementation
+_round6_arr = round6_arr
 
 
 def configure_interactive(spark: SparkSession,

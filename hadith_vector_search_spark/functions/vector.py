@@ -55,3 +55,31 @@ def vector_lit(vec: list[float]) -> Column:
     """A literal query vector (SURVEY V2's single-query embed becomes a
     constant-folded array literal)."""
     return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def round6_arr(arr):
+    """Vectorized Spark-equivalent round(x, 6): np.round for the bulk,
+    with the half-way class corrected to HALF_UP on the SHORTEST decimal
+    repr (BigDecimal.valueOf semantics). np.round's binary ties-to-even
+    diverges from Spark only when x*1e6 sits (within float error) on a
+    half-integer, so candidates are detected vectorized and only those
+    few pay the Decimal path — O(n) numpy + O(half-way hits) Python,
+    never per-scalar over the whole array. Shared by the serving tiers
+    (api._round6_arr) and the blocked-BLAS IVF assignment
+    (operators.similarity.ivf_cell_assignments_blas)."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=float)
+    out = np.round(arr, 6)
+    scaled = np.abs(arr) * 1e6
+    frac = scaled - np.floor(scaled)
+    cand = np.abs(frac - 0.5) < 1e-4
+    if cand.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        for idx in zip(*np.nonzero(cand)):  # dimension-agnostic (the
+            # batch tier rounds a 2-D docs x queries sim matrix)
+            out[idx] = float(Decimal(repr(float(arr[idx])))
+                             .quantize(q6, rounding=ROUND_HALF_UP))
+    return out

@@ -229,6 +229,46 @@ def ivf_cell_assignments(emb: DataFrame, centroids: DataFrame,
             .select(F.col(id_col), F.col("cent_id")))
 
 
+def ivf_cell_assignments_blas(emb: DataFrame,
+                              centroids: list[tuple[int, list[float]]],
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Blocked-BLAS IVF assignment for LARGE codebooks — the third
+    assignment tier (after literal inlining and the crossJoin+window
+    relational form): `mapInPandas`, one (batch x n_cells) matmul per
+    Arrow batch against the broadcast codebook matrix, NO row
+    replication. The relational form replicates every row n_cells times
+    through the join — fine at hundreds of cells, catastrophic at the
+    thousands a 100 TB corpus derives (sqrt(N) rule): 1B rows x 4096
+    cells would shuffle 4T intermediate rows, while this path streams
+    each partition once and the matmul is the work. Scores round to 6
+    with the shared HALF_UP twin (`functions.vector.round6_arr`) and
+    ties break to the LOWEST cent_id (centroid columns ordered by id;
+    np.argmax returns the first maximum) — the same contract as
+    `cell_of`/`ivf_cell_assignments`, equality pinned by test. Residual
+    FP class: BLAS pairwise summation vs the JVM fold can differ at
+    ~1e-16, visible only when a dot sits exactly on a 5e-7 rounding
+    boundary — the accepted class every serving twin documents."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(centroids, key=lambda c: c[0])
+    cids = np.array([int(c) for c, _ in order], dtype=np.int64)
+    cmat = np.array([v for _, v in order], dtype=float).T  # dim x cells
+    out_id_field = emb.schema[id_col]
+
+    def assign(batches):
+        from ..functions.vector import round6_arr
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype=float)
+            cd = round6_arr(vecs @ cmat)          # batch x cells
+            best = cids[np.argmax(cd, axis=1)]    # first max = lowest id
+            yield pd.DataFrame({id_col: pdf[id_col], "cent_id": best})
+
+    schema = f"`{id_col}` {out_id_field.dataType.simpleString()}, cent_id int"
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
 def data_centroids(emb: DataFrame, n_centroids: int,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic IVF 'codebook': the first n_centroids vectors. A

@@ -66,6 +66,11 @@ VECTOR_MODEL = "ivf-store-v1"
 # paths compute the identical round(dot,6) / ties-to-lowest-cent-id
 # arithmetic, so results are bit-equal either way.
 LITERAL_CODEBOOK_BOUND = 64
+# The relational form replicates every row n_cells times through the
+# broadcast crossJoin — past this bound assignment goes blocked-BLAS
+# (`ivf_cell_assignments_blas`: one matmul per Arrow batch, no
+# replication; same rounding/tie contract, equality pinned by test).
+RELATIONAL_CODEBOOK_BOUND = 1024
 
 
 def _cent_df(spark: SparkSession, centroids) -> DataFrame:
@@ -90,8 +95,12 @@ def _tag_cells(emb: DataFrame, centroids, id_col: str,
         return emb.select("*", similarity.cell_of(centroids, vec_col)
                           .alias("cell"))
     emb = emb.localCheckpoint()
-    assign = similarity.ivf_cell_assignments(
-        emb, _cent_df(emb.sparkSession, centroids), id_col, vec_col)
+    if len(centroids) <= RELATIONAL_CODEBOOK_BOUND:
+        assign = similarity.ivf_cell_assignments(
+            emb, _cent_df(emb.sparkSession, centroids), id_col, vec_col)
+    else:
+        assign = similarity.ivf_cell_assignments_blas(
+            emb, centroids, id_col, vec_col)
     return emb.join(assign.withColumnRenamed("cent_id", "cell"), id_col)
 
 
@@ -244,6 +253,19 @@ class PublishedVectorIndex:
                                    n_probe).alias("top"))
                    .collect()[0])
             return [-s["ncid"] for s in row["top"]]
+        if len(self.centroids) > RELATIONAL_CODEBOOK_BOUND:
+            # huge codebooks were ASSIGNED by the BLAS tier — select
+            # probes with the same numpy arithmetic for consistency
+            # (round6_arr + ties to the lowest cent_id)
+            import numpy as np
+
+            from ..functions.vector import round6_arr
+            order = sorted(self.centroids, key=lambda c: c[0])
+            cids = np.array([int(c) for c, _ in order])
+            cd = round6_arr(np.array([v for _, v in order], dtype=float)
+                            @ np.asarray(qvec, dtype=float))
+            top = np.lexsort((cids, -cd))[:n_probe]
+            return [int(cids[i]) for i in top]
         q = vector_lit([float(x) for x in qvec])
         rows = (_cent_df(self.spark, self.centroids)
                 .select("cent_id", F.round(dot(F.col("cvec"), q), 6)

@@ -172,3 +172,49 @@ def test_relational_assignment_and_probes_equal_literal_path(spark):
         top = vidx.ivf_topk(5, n_probe=4, k=3).collect()
         sims = [r.sim for r in top]
         assert len(top) == 3 and sims == sorted(sims, reverse=True)
+
+
+def test_blas_assignment_equals_relational_and_literal(spark):
+    """The third (blocked-BLAS) assignment tier — mapInPandas matmul, no
+    row replication — must agree with both the literal and relational
+    forms on the deterministic corpus: same round(dot,6), same
+    ties-to-lowest-cent-id (np.argmax first-max over id-ordered
+    columns)."""
+    emb = _emb(spark, 300, dim=4)
+    cents = [(i, list(r[1])) for i, r in enumerate(
+        emb.orderBy(F.asc("vec_id")).limit(70).collect())]
+
+    lit = sorted((r.vec_id, r.cell) for r in emb.select(
+        "vec_id", similarity.cell_of(cents).alias("cell")).collect())
+    blas = sorted((r.vec_id, r.cent_id) for r in
+                  similarity.ivf_cell_assignments_blas(emb, cents).collect())
+    rel = sorted((r.vec_id, r.cent_id) for r in
+                 similarity.ivf_cell_assignments(
+                     emb, vector_store._cent_df(spark, cents)).collect())
+    assert lit == blas == rel
+
+    # the store picks the BLAS tier above RELATIONAL_CODEBOOK_BOUND and
+    # probe selection switches to the consistent numpy arithmetic
+    import tempfile
+
+    big = [(i, list(r[1])) for i, r in enumerate(
+        _emb(spark, 1100, dim=4).orderBy(F.asc("vec_id"))
+        .limit(vector_store.RELATIONAL_CODEBOOK_BOUND + 6).collect())]
+    with tempfile.TemporaryDirectory() as d:
+        vector_store.publish_vector_index(_emb(spark, 1200, dim=4), d,
+                                          centroids=big)
+        vidx = vector_store.open_vector_index(spark, d)
+        assert vidx.n_cells > vector_store.RELATIONAL_CODEBOOK_BOUND
+        # stored assignments equal the direct BLAS operator's
+        stored = sorted((r.vec_id, r.cell)
+                        for r in vidx.vectors.select("vec_id", "cell")
+                        .collect())
+        direct = sorted((r.vec_id, r.cent_id) for r in
+                        similarity.ivf_cell_assignments_blas(
+                            _emb(spark, 1200, dim=4), big).collect())
+        assert stored == direct
+        probes = vidx.probes_for(vidx.query_vector(7), 3)
+        assert len(probes) == 3
+        top = vidx.ivf_topk(7, n_probe=3, k=5).collect()
+        sims = [r.sim for r in top]
+        assert len(top) == 5 and sims == sorted(sims, reverse=True)
