@@ -108,10 +108,21 @@ def _fts_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None
     publish_index(build_index(docs), out_dir)
 
 
-VECTOR_CELLS = 8  # IVF cells at ingest scale; a lake sizes this in 1000s
-# `ivfkm` = trained (k-means) codebook, part of the model identity so
-# stores published with the old first-k-ids codebook rebuild as stale
-_EMBED_MODEL = f"hash-embedder-{EMBED_DIM}-ivfkm{VECTOR_CELLS}"
+# `ivfkm` = trained (k-means) codebook; the cell count derives from the
+# corpus (`similarity.index_geometry`, the sqrt(N) rule — floor 8 at
+# ingest scale, thousands on a lake) and is part of the model identity,
+# so growth across a sqrt boundary republishes at the new geometry and
+# stores published under older schemes rebuild as stale.
+
+
+def _vec_model_k(n_cells: int) -> str:
+    return f"hash-embedder-{EMBED_DIM}-ivfkm{n_cells}"
+
+
+def _vec_model_n(n_rows: int) -> str:
+    from .operators.similarity import index_geometry
+
+    return _vec_model_k(index_geometry(n_rows)["n_cells"])
 
 
 def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None:
@@ -137,18 +148,23 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
     encoder pass — the encoder is the build's dominant cost with a real
     model (a lake-scale build persists this to the cache table instead;
     the embedding-cache plan in plans.embedding is exactly that)."""
-    from .operators.similarity import kmeans_centroids
+    from .operators.similarity import index_geometry, kmeans_centroids
     from .sources.vector_store import publish_vector_index
 
     docs = spark.read.parquet(table_path)
     emb = docs.select("doc_id", embed_column("text", EMBED_DIM,
                                              backend="hash")
                       .alias("embedding")).localCheckpoint()
-    # k is capped by the DISTINCT vector count — MLlib's aggregator
-    # indexes past its center array when k exceeds it (duplicate texts
-    # make this reachable: hash embeddings collapse). xxhash64 distinct
-    # is one map-side-combined agg, not a vector-wide shuffle.
-    k = min(VECTOR_CELLS,
+    # Cell count = corpus-derived geometry (the manifest's model carries
+    # the same value via _vec_model_n, so geometry and identity agree),
+    # capped by the DISTINCT vector count — MLlib's aggregator indexes
+    # past its center array when k exceeds it (duplicate texts make this
+    # reachable: hash embeddings collapse). xxhash64 distinct is one
+    # map-side-combined agg, not a vector-wide shuffle. When duplicates
+    # cap k below the geometry request, the manifest still records the
+    # REQUEST — identity stays a pure function of the corpus count, so
+    # reuse decisions are stable run to run.
+    k = min(index_geometry(emb.count())["n_cells"],
             emb.select(F.xxhash64("embedding")).distinct().count())
     if k >= 2:
         centroids = kmeans_centroids(emb, k)
@@ -162,7 +178,7 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
 
 
 def _vector_manifest(table_path: str, n_rows: int) -> IndexManifest:
-    return IndexManifest(model_name=_EMBED_MODEL,
+    return IndexManifest(model_name=_vec_model_n(n_rows),
                          dim=EMBED_DIM, n_rows=n_rows,
                          source_files=source_fingerprint([table_path]))
 
@@ -245,8 +261,16 @@ def _vector_index_delta(spark: SparkSession, table_path: str, out_dir: str,
         embed_column("text", EMBED_DIM, backend="hash").alias("embedding"))
     if n_rows is None:
         n_rows = spark.read.parquet(table_path).count()
+    # PRESERVE the publish-time model identity (same rule as the LSH
+    # delta): the stored cells were assigned at publish geometry, and if
+    # the merge crossed a sqrt boundary the preserved-vs-derived
+    # mismatch is exactly what makes the next update_indexes republish —
+    # stamping the post-merge derivation here would MASK that rebuild
+    # and leave a mis-sized store serving forever
+    from .sources.manifest import read_manifest
+    model = read_manifest(out_dir).model_name
     write_vector_refresh(spark, out_dir, fresh, source_path=table_path,
-                         n_rows=n_rows, model_name=_EMBED_MODEL)
+                         n_rows=n_rows, model_name=model)
 
 
 def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
@@ -273,7 +297,8 @@ def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
     for name, model, dim, build in (
             ("fts", f"{LEXICAL_MODEL}-b{DEFAULT_BUCKETS}", 0,
              _fts_index_build),
-            ("vector", _EMBED_MODEL, EMBED_DIM, _vector_index_build),
+            ("vector", _vec_model_n(n_rows), EMBED_DIM,
+             _vector_index_build),
             ("lsh", _lsh_model_n(n_rows), EMBED_DIM, _lsh_index_build)):
         idx_dir = os.path.join(index_dir, name)
         manifest = IndexManifest(model_name=model, dim=dim, n_rows=n_rows,
