@@ -501,6 +501,144 @@ def int8_topk(emb: DataFrame, query_id: int, k: int = 5,
     )
 
 
+def pq_bounds(dim: int) -> list[tuple[int, int]]:
+    """The two half-space subvector slices PQ encodes over (m=2). More
+    subspaces are the same arithmetic with more slices; 2 keeps every
+    oracle's positional-unnest replay tractable."""
+    return [(0, dim // 2), (dim // 2, dim)]
+
+
+def _pq_codes_np(X: "np.ndarray", subbooks: list["np.ndarray"],
+                 bounds: list[tuple[int, int]]) -> list["np.ndarray"]:
+    """Per-subspace PQ code assignment — THE single-source contract shared
+    by `pq_topk`'s in-pass encode, `pq_encode` (the published store's
+    writer), and every DuckDB oracle replay: elementwise sum((x-c)^2)
+    (not the expanded-norm form, whose different FP error could flip a
+    knife-edge assignment) rounded to 6 before argmin, which takes the
+    FIRST minimum = lowest cent id, matching the oracle's
+    (d2 ASC, cid ASC) tie-break."""
+    codes = []
+    for (lo, hi), Bm in zip(bounds, subbooks):
+        Xm = X[:, lo:hi]
+        d2 = np.round(((Xm[:, None, :] - Bm[None, :, :]) ** 2).sum(-1), 6)
+        codes.append(d2.argmin(1))
+    return codes
+
+
+def pq_subbooks(emb: DataFrame, n_cents: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> list["np.ndarray"]:
+    """Data-derived PQ sub-codebooks: the half-space slices of the vectors
+    with the `n_cents` lowest ids (the `data_codebook` discipline —
+    deterministic and oracle-replayable; k-means sub-codebooks trained
+    per subspace drop in with the same list-of-(n_cents x dim/2) shape)."""
+    rows = (emb.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.asc(id_col)).limit(n_cents).collect())
+    B = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return [B[:, lo:hi] for lo, hi in pq_bounds(B.shape[1])]
+
+
+def pq_encode(df: DataFrame, subbooks: list["np.ndarray"],
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Arrow-batched PQ encoder: (id, keep..., code_0, code_1) with the
+    `_pq_codes_np` assignment contract. This is the publish-time map pass
+    that turns d floats/vector into m small ints — the compression step
+    that makes a 100 TB raw-vector corpus a ~1-2 TB code table. Map-only:
+    no shuffle, codebooks ride in the closure (config-sized)."""
+    dim = sum(Bm.shape[1] for Bm in subbooks)
+    bounds = pq_bounds(dim)
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            codes = _pq_codes_np(X, subbooks, bounds)
+            out = {id_col: pdf[id_col]}
+            for kc in keep_cols:
+                out[kc] = pdf[kc]
+            for m, cm in enumerate(codes):
+                out[f"code_{m}"] = cm.astype("int32")
+            yield pd.DataFrame(out)
+
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols)
+    code_schema = "".join(f", code_{m} int" for m in range(len(subbooks)))
+    id_type = df.schema[id_col].dataType.simpleString()
+    return (df.select(id_col, vec_col, *keep_cols)
+            .mapInPandas(enc,
+                         schema=f"{id_col} {id_type}{keep_schema}"
+                                f"{code_schema}"))
+
+
+def pq_adc_luts(subbooks: list["np.ndarray"],
+                qvec: list[float]) -> list["np.ndarray"]:
+    """Per-subspace ADC lookup tables for one query: lut[m][c] =
+    dot(B_m[c], q_m) — numpy matvec, the same per-row dot `pq_topk`'s
+    `Bm[codes] @ qm` computes. m * n_cents doubles per query: the table
+    inlines as Catalyst literals so published-store ADC scoring is a pure
+    JVM projection over the (id, code_0, code_1) scan — no Python on the
+    corpus-sized path at query time."""
+    q = np.asarray(qvec, dtype=np.float64)
+    return [Bm @ q[lo:hi]
+            for (lo, hi), Bm in zip(pq_bounds(len(q)), subbooks)]
+
+
+def pq_adc_expr(luts: list["np.ndarray"]) -> Column:
+    """ADC similarity as a column over code_0/code_1: round-6 of the
+    two-term LUT sum — the JVM twin of `pq_topk`'s per-row
+    `adc += Bm[codes] @ qm` accumulation (two IEEE double adds either
+    way)."""
+    terms = [F.element_at(F.array(*[F.lit(float(x)) for x in lut]),
+                          F.col(f"code_{m}") + 1)
+             for m, lut in enumerate(luts)]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return F.round(total, 6)
+
+
+def ivfpq_topk(emb: DataFrame, query_id: int,
+               centroids: list[tuple[int, list[float]]],
+               subbooks: list["np.ndarray"], n_probe: int = 2, k: int = 5,
+               rerank: int = 20, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVFADC in-session compose (FAISS's billion-scale IVF+PQ shape):
+    IVF cell restriction (the `ivf_topk` probe/assign arithmetic) picks
+    ~n_probe/n_cells of the corpus, PQ ADC ranks ONLY those candidates
+    from their codes (via `pq_adc_expr` — JVM LUT projection), and the
+    ADC top-`rerank` are re-scored exactly for the final top-k. Returns
+    (id, adc_sim, sim). The published store's `ivfpq_topk` answers the
+    same query from its celled CODES artifact instead of encoding
+    in-pass; this form is the storeless twin the tests pin it against."""
+    from ..functions.vector import vector_lit
+
+    cells = cell_structs(centroids, vec_col)
+    probe_top = (emb.filter(F.col(id_col) == query_id)
+                 .select(F.slice(F.reverse(F.array_sort(cells)), 1, n_probe)
+                         .alias("top"),
+                         F.col(vec_col).alias("qvec"))
+                 .collect()[0])
+    probes = [-s["ncid"] for s in probe_top["top"]]
+    qvec = [float(x) for x in probe_top["qvec"]]
+    scan = (emb.select(F.col(id_col), F.col(vec_col),
+                       (-F.array_max(cells)["ncid"]).alias("cent_id"))
+            .filter(F.col("cent_id").isin(probes)))
+    coded = pq_encode(scan, subbooks, id_col, vec_col)
+    cands = (coded.select(F.col(id_col),
+                          pq_adc_expr(pq_adc_luts(subbooks, qvec))
+                          .alias("adc_sim"))
+             .orderBy(F.desc("adc_sim"), F.asc(id_col))
+             .limit(rerank))
+    return (scan.join(F.broadcast(cands), id_col)
+            .select(F.col(id_col), F.col("adc_sim"),
+                    F.round(dot(F.col(vec_col), vector_lit(qvec)), 6)
+                    .alias("sim"))
+            .orderBy(F.desc("sim"), F.asc(id_col))
+            .limit(k))
+
+
 def pq_topk(emb: DataFrame, query_id: int, n_cents: int = 4, k: int = 5,
             rerank: int = 20,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -540,19 +678,10 @@ def pq_topk(emb: DataFrame, query_id: int, n_cents: int = 4, k: int = 5,
                 continue
             X = np.array([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
+            codes = _pq_codes_np(X, subbooks, bounds)
             adc = np.zeros(len(X))
-            for (lo, hi), Bm, qm in zip(bounds, subbooks, qsubs):
-                Xm = X[:, lo:hi]
-                # Elementwise sum((x-c)^2) — same arithmetic the oracle's
-                # positional unnest performs (not the expanded-norm form,
-                # whose different FP error could flip a knife-edge
-                # assignment); rounded to 6 before argmin, which takes the
-                # FIRST minimum = lowest cent id, matching the oracle's
-                # (d2 ASC, cid ASC) tie-break.
-                d2 = np.round(
-                    ((Xm[:, None, :] - Bm[None, :, :]) ** 2).sum(-1), 6)
-                codes = d2.argmin(1)
-                adc += Bm[codes] @ qm
+            for cm, Bm, qm in zip(codes, subbooks, qsubs):
+                adc += Bm[cm] @ qm
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "adc_sim": np.round(adc, 6)})
 

@@ -701,6 +701,142 @@ LIMIT {ANN_K}
 """
 
 
+def get_ivfpq_published_index(spark: SparkSession, sf_dir: str):
+    """Ensure-and-reopen the published IVFADC store for this SF — the
+    same celled layout as `get_published_vector_index` plus the
+    `codes/cell=K/` PQ table and sub-codebook sidecar (pq_cents in the
+    manifest identity, so the IVF-only artifact is never silently
+    reused). Own artifact dir (`_vecpq`) keeps the IVF-only store's
+    bytes stable for its reuse tests; a deployment publishes ONE store
+    with pq_cents set."""
+    import os as _os
+
+    from ..sources import vector_store
+    from .lexical import _index_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    token = sf_dir.strip("/").replace("/", "_")
+    idx_dir = _os.path.join(_index_root(), f"{token}_vecpq")
+    try:
+        vector_store.ensure_vector_index(
+            spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
+            idx_dir, n_cells=IVF_CENTROIDS, pq_cents=PQ_CENTS)
+        return vector_store.open_vector_index(spark, idx_dir)
+    except OSError:
+        return None
+
+
+def ann_topk_ivfpq_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC off the published store — FAISS's billion-scale IVF+PQ
+    serving shape (cf. the HNSW recall/rerank trade the reference
+    delegates to Chroma, /root/reference/mcp_server/apps/embeddings.py:
+    277-321) as pure Spark planning: the probe list partition-prunes the
+    CODES scan (id + 2 small ints per row — at lake scale the
+    ~50x-smaller hot set raw vectors never pay), ADC ranks it with the
+    query's LUT inlined as literals (JVM projection, no Python on the
+    corpus-sized path), and only the ADC top-`PQ_RERANK` survivors touch
+    raw vectors inside the same probed cells. The DuckDB oracle replays
+    encode → cell restriction → ADC → exact rerank end to end."""
+    vidx = get_ivfpq_published_index(spark, sf_dir)
+    if vidx is None:
+        # Read-only index root: same results through the storeless
+        # compose (encode-in-pass over the probed cells).
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+            similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+            key=lambda r: r.cent_id)]
+        subbooks = similarity.pq_subbooks(emb, PQ_CENTS)
+        return similarity.ivfpq_topk(emb, QUERY_VEC_ID, cents, subbooks,
+                                     IVF_PROBE, ANN_K, PQ_RERANK)
+    return vidx.ivfpq_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K, PQ_RERANK)
+
+
+def ann_topk_ivfpq_published_oracle() -> str:
+    """The `ann_topk_pq` replay with the IVF cell restriction composed
+    in: doc codes/ADC are computed only for vectors assigned to the
+    query's probed cells (exactly what the published store's pruned
+    codes scan holds), then the ADC top-`PQ_RERANK` rerank exactly."""
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id
+  FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cent_id
+  FROM cent_dot WHERE vec_id = {QUERY_VEC_ID}
+  ORDER BY cd DESC, cent_id ASC
+  LIMIT {IVF_PROBE}
+),
+ivf_cands AS (
+  SELECT a.vec_id FROM assign a JOIN probes p ON a.cent_id = p.cent_id
+),
+halves AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1),
+sub AS (
+  SELECT vec_id, m,
+         CASE WHEN m = 0 THEN embedding[1:h]
+              ELSE embedding[h+1:len(embedding)] END AS sv
+  FROM embeddings, halves, (VALUES (0), (1)) AS mm(m)
+),
+cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {PQ_CENTS}),
+dist AS (
+  SELECT vec_id, m, cid, round(sum((av - bv) * (av - bv)), 6) AS d2
+  FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           CAST(unnest(s.sv) AS DOUBLE) AS av,
+           CAST(unnest(c.cv) AS DOUBLE) AS bv
+    FROM sub s
+    JOIN ivf_cands ic ON s.vec_id = ic.vec_id
+    JOIN cb c ON s.m = c.m
+  )
+  GROUP BY vec_id, m, cid
+),
+code AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+qsub AS (SELECT m, sv FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+adc_terms AS (
+  SELECT k.vec_id, k.m, sum(qv * cv) AS t
+  FROM (
+    SELECT code.vec_id, code.m,
+           CAST(unnest(q.sv) AS DOUBLE) AS qv,
+           CAST(unnest(c.cv) AS DOUBLE) AS cv
+    FROM code
+    JOIN cb c ON c.m = code.m AND c.cid = code.cid
+    JOIN qsub q ON q.m = code.m
+  ) k
+  GROUP BY k.vec_id, k.m
+),
+adc AS (
+  SELECT vec_id, round(sum(t), 6) AS adc_sim
+  FROM adc_terms GROUP BY vec_id
+),
+cands AS (
+  SELECT vec_id, adc_sim FROM adc
+  ORDER BY adc_sim DESC, vec_id ASC LIMIT {PQ_RERANK}
+)
+SELECT c.vec_id, c.adc_sim, round(p.d, 6) AS sim
+FROM cands c
+JOIN pair_dot p ON p.ia = {QUERY_VEC_ID} AND p.ib = c.vec_id
+ORDER BY sim DESC, c.vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
 RECALL_SAMPLE_TARGET = 512   # fixed-size pair-audit sample (ids)
 RECALL_BUCKET_TARGET = 128   # scaled_band_bits occupancy target
 

@@ -53,6 +53,7 @@ from .manifest import (MANIFEST_NAME, IndexManifest, ensure_index,
 
 DEFAULT_CELLS = 8   # sized for the test SFs; a lake uses thousands
 VLAYOUT_NAME = "_vlayout.json"
+PQ_LAYOUT_NAME = "_pqlayout.json"
 VECTOR_MODEL = "ivf-store-v1"
 
 # Codebooks up to this size inline as Catalyst literals (`cell_of` /
@@ -155,7 +156,8 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
                          n_cells: int | None = DEFAULT_CELLS,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         geometry: dict | None = None) -> None:
+                         geometry: dict | None = None,
+                         pq_cents: int | None = None) -> None:
     """Full overwrite publish: assign every vector to its nearest-centroid
     cell (`similarity.cell_of` — the exact arithmetic queries probe with)
     and write the cell-partitioned table + the codebook sidecar.
@@ -195,6 +197,51 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
     tagged = _tag_cells(emb, centroids, id_col, vec_col)
     _write_parted(tagged, os.path.join(index_dir, "vectors"),
                   "cell", id_col)
+    if pq_cents:
+        publish_pq_codes(spark, index_dir, pq_cents, emb=emb)
+
+
+def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
+                     emb: DataFrame | None = None) -> None:
+    """Attach the IVFADC code table to a published vector store: PQ
+    sub-codebooks (derived from `emb` or, by default, from the store's
+    own vectors — the `data_codebook` discipline) as the `pq_centroids/`
+    sidecar, plus `codes/cell=K/` — every vector as m small ints,
+    partitioned by the SAME IVF cell as its raw row, so a query's probe
+    list prunes the CODE scan exactly as it prunes the raw scan. Codes
+    are encoded from the WRITTEN vectors table (not the publish input),
+    so a code row can never disagree with its stored vector (the pinned-
+    input rule `_tag_cells` documents, by stronger means). At 100 TB the
+    codes table is the ~50x-smaller hot set ADC ranking scans; raw
+    vectors are touched only for the top-`rerank` survivors."""
+    lay = read_vlayout(index_dir)
+    id_col, vec_col = lay["id_col"], lay["vec_col"]
+    stored = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    subbooks = similarity.pq_subbooks(emb if emb is not None else stored,
+                                      pq_cents, id_col, vec_col)
+    dim = sum(Bm.shape[1] for Bm in subbooks)
+    _write_json_sidecar(index_dir, PQ_LAYOUT_NAME,
+                        {"n_cents": pq_cents, "m": len(subbooks),
+                         "dim": dim})
+    (spark.createDataFrame(
+        [(m, c, [float(x) for x in Bm[c]])
+         for m, Bm in enumerate(subbooks) for c in range(Bm.shape[0])],
+        "m int, cent_id int, cvec array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(index_dir, "pq_centroids")))
+    codes = similarity.pq_encode(stored, subbooks, id_col, vec_col,
+                                 keep_cols=("cell",))
+    _write_parted(codes, os.path.join(index_dir, "codes"), "cell", id_col)
+
+
+def _load_pq_subbooks(spark: SparkSession, index_dir: str, m: int,
+                      ) -> list:
+    import numpy as np
+    rows = sorted(spark.read.parquet(os.path.join(index_dir,
+                                                  "pq_centroids")).collect(),
+                  key=lambda r: (r.m, r.cent_id))
+    return [np.array([list(r.cvec) for r in rows if r.m == mi],
+                     dtype=float) for mi in range(m)]
 
 
 class PublishedVectorIndex:
@@ -216,6 +263,25 @@ class PublishedVectorIndex:
         self.centroids = [(int(r.cent_id), list(r.cvec)) for r in sorted(
             spark.read.parquet(os.path.join(index_dir, "centroids"))
             .collect(), key=lambda r: r.cent_id)]
+        # Optional IVFADC sidecar (see `publish_pq_codes`): the celled
+        # PQ-code table + sub-codebooks. Lazily loaded — an IVF-only
+        # store never reads them.
+        pq_path = os.path.join(index_dir, PQ_LAYOUT_NAME)
+        self.pq = json.load(open(pq_path)) if os.path.exists(pq_path) \
+            else None
+        self.codes_path = os.path.join(index_dir, "codes")
+        self._pq_subbooks = None
+
+    @property
+    def pq_subbooks(self) -> list:
+        if self._pq_subbooks is None:
+            self._pq_subbooks = _load_pq_subbooks(self.spark, self.index_dir,
+                                                  int(self.pq["m"]))
+        return self._pq_subbooks
+
+    @property
+    def codes(self) -> DataFrame:
+        return self.spark.read.parquet(self.codes_path)
 
     @property
     def vectors(self) -> DataFrame:
@@ -302,6 +368,39 @@ class PublishedVectorIndex:
                 .orderBy(F.desc("sim"), F.asc(self.id_col))
                 .limit(k))
 
+    def ivfpq_topk(self, query_id, n_probe: int = 2, k: int = 5,
+                   rerank: int = 20) -> DataFrame:
+        """IVFADC off the published artifact — same semantics as
+        `similarity.ivfpq_topk` (and the same DuckDB oracle), but both
+        stages run off the store's celled tables: ADC ranks the
+        directory-pruned CODES scan (id + m small ints — at lake scale
+        the ~50x-smaller hot set; PartitionFilters on `cell`, the
+        ADC LUT inlined as literals so scoring is a pure JVM projection),
+        and only the ADC top-`rerank` survivors touch raw vectors (a
+        broadcast-candidate join into the SAME probe-pruned raw scan —
+        candidates live in probed cells by construction, so the rerank
+        never widens the IO). This is FAISS's IVF+PQ serving shape
+        re-expressed as partition pruning + column pruning + a literal
+        projection — nothing the planner can't see."""
+        if self.pq is None:
+            raise ValueError(f"store at {self.index_dir} has no PQ codes; "
+                             "publish with pq_cents or publish_pq_codes()")
+        qvec = self.query_vector(query_id)
+        probes = self.probes_for(qvec, n_probe)
+        luts = similarity.pq_adc_luts(self.pq_subbooks, qvec)
+        cands = (self.codes
+                 .filter(F.col("cell").isin([int(p) for p in probes]))
+                 .select(F.col(self.id_col),
+                         similarity.pq_adc_expr(luts).alias("adc_sim"))
+                 .orderBy(F.desc("adc_sim"), F.asc(self.id_col))
+                 .limit(rerank))
+        return (self.probe_scan(probes).join(F.broadcast(cands), self.id_col)
+                .select(F.col(self.id_col), F.col("adc_sim"),
+                        F.round(dot(F.col(self.vec_col), vector_lit(qvec)),
+                                6).alias("sim"))
+                .orderBy(F.desc("sim"), F.asc(self.id_col))
+                .limit(k))
+
 
 def open_vector_index(spark: SparkSession,
                       index_dir: str) -> PublishedVectorIndex:
@@ -310,11 +409,16 @@ def open_vector_index(spark: SparkSession,
 
 def vector_manifest(source_path: str, n_rows: int, dim: int,
                     n_cells: int = DEFAULT_CELLS,
-                    model_name: str | None = None) -> IndexManifest:
+                    model_name: str | None = None,
+                    pq_cents: int | None = None) -> IndexManifest:
     """Staleness identity of a published vector index: embedding-model
-    name + layout version + cell count, the vector geometry, the row
-    count, and the source fingerprint (catches in-place rewrites)."""
-    model = model_name or f"{VECTOR_MODEL}-c{n_cells}"
+    name + layout version + cell count (+ PQ sub-codebook size when the
+    IVFADC code table is attached — a store published without codes is
+    STALE for a pq-expecting consumer, never silently reused), the
+    vector geometry, the row count, and the source fingerprint (catches
+    in-place rewrites)."""
+    model = model_name or (f"{VECTOR_MODEL}-c{n_cells}"
+                           + (f"-pq{pq_cents}" if pq_cents else ""))
     return IndexManifest(model_name=model, dim=dim, n_rows=n_rows,
                          source_files=source_fingerprint([source_path]))
 
@@ -326,6 +430,7 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
                         | None = None,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         model_name: str | None = None,
+                        pq_cents: int | None = None,
                         ) -> tuple[PublishedVectorIndex, list[str]]:
     """Build-or-reuse entry (the analogue of the reference reopening its
     Chroma dir at startup): publishes iff the manifest says the source
@@ -346,11 +451,11 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
         geometry = dict(similarity.index_geometry(n_rows), derived=True)
         n_cells = geometry["n_cells"]
     current = vector_manifest(source_path, n_rows, dim, n_cells,
-                              model_name)
+                              model_name, pq_cents)
     reasons = ensure_index(
         index_dir, current,
         lambda: publish_vector_index(emb, index_dir, centroids, n_cells,
-                                     id_col, vec_col, geometry))
+                                     id_col, vec_col, geometry, pq_cents))
     return open_vector_index(spark, index_dir), reasons
 
 
@@ -544,92 +649,129 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
     `source_path` (+ `n_rows`) is given."""
     recover(index_dir)
     vidx = open_vector_index(spark, index_dir)
+
+    def cell_tag(df: DataFrame) -> DataFrame:
+        return _tag_cells(df, vidx.centroids, vidx.id_col, vidx.vec_col)
+
+    specs = [{"table": "vectors", "live": vidx.vectors,
+              "live_path": vidx.vectors_path, "tag": cell_tag}]
+    if vidx.pq is not None:
+        # IVFADC stores refresh the code table IN THE SAME COMMIT: the
+        # journal covers both tables, so a reopen never sees codes from
+        # one epoch and vectors from another. Sub-codebooks are immutable
+        # under refresh for the same reason the IVF codebook is — every
+        # stored code depends on them.
+        subbooks = vidx.pq_subbooks
+        specs.append({
+            "table": "codes", "live": vidx.codes,
+            "live_path": vidx.codes_path,
+            "tag": lambda df: similarity.pq_encode(
+                cell_tag(df), subbooks, vidx.id_col, vidx.vec_col,
+                keep_cols=("cell",))})
     _partitioned_refresh(
-        spark, index_dir, table="vectors", part_col="cell",
-        live=vidx.vectors, live_path=vidx.vectors_path,
-        tag=lambda df: _tag_cells(df, vidx.centroids, vidx.id_col,
-                                  vidx.vec_col),
+        spark, index_dir, part_col="cell", specs=specs,
         id_col=vidx.id_col, changed=changed, removed_ids=removed_ids,
         manifest=(None if source_path is None else
-                  lambda n: vector_manifest(source_path, n, vidx.dim,
-                                            vidx.n_cells, model_name)),
+                  lambda n: vector_manifest(
+                      source_path, n, vidx.dim, vidx.n_cells, model_name,
+                      pq_cents=(vidx.pq or {}).get("n_cents"))),
         n_rows=n_rows)
     return open_vector_index(spark, index_dir)
 
 
-def _partitioned_refresh(spark: SparkSession, index_dir: str, table: str,
-                         part_col: str, live: DataFrame, live_path: str,
-                         tag, id_col: str, changed: DataFrame,
+def _partitioned_refresh(spark: SparkSession, index_dir: str,
+                         part_col: str, specs: list[dict], id_col: str,
+                         changed: DataFrame,
                          removed_ids: DataFrame | None,
                          manifest, n_rows: int | None) -> None:
-    """The partition-level delta-refresh core both published stores
-    share (IVF `vectors/cell=K/`, LSH `sigs/bucket=B/`): rewrite ONLY
-    the partition directories the batch touches — the stored partitions
-    of dropped/replaced ids plus the partitions the new rows are
-    assigned to (`assign`, the store's own immutable assignment
-    expression) — through the staged-journal commit, kill-safe at any
-    point. A staged partition dir REPLACES the live one, so every
-    touched partition's surviving old rows ride along; degenerate
+    """The partition-level delta-refresh core the published stores share
+    (IVF `vectors/cell=K/` [+ IVFADC `codes/cell=K/`], LSH
+    `sigs/bucket=B/`): rewrite ONLY the partition directories the batch
+    touches — the stored partitions of dropped/replaced ids plus the
+    partitions the new rows are assigned to (each spec's `tag`, the
+    store's own immutable assignment expression) — through the
+    staged-journal commit, kill-safe at any point. `specs` is one or
+    more derived tables sharing the SAME partition assignment
+    ({table, live, live_path, tag}); every table stages under the one
+    journal, so multi-table stores (raw vectors + PQ codes) move between
+    epochs ATOMICALLY. A staged partition dir REPLACES the live one, so
+    every touched partition's surviving old rows ride along; degenerate
     shapes (every surviving partition emptied, or a refresh on top of
     such an emptied store) fall back to whole-table swaps with an
     empty-but-schema'd placeholder. `manifest(n_rows) -> IndexManifest`
     (optional) re-stamps the staleness identity in the same commit."""
+    # Pin the batch ONCE so every spec's tag derives from the same rows —
+    # a non-deterministic upstream (a live encoder projection) must not
+    # give the vectors table one evaluation and the codes table another.
+    changed = changed.localCheckpoint()
     drop = changed.select(F.col(id_col)).distinct()
     if removed_ids is not None:
         drop = drop.unionByName(
             removed_ids.select(F.col(removed_ids.columns[0])
                                .alias(id_col))).distinct()
-    old_parts = {r[0] for r in
-                 live.join(F.broadcast(drop), id_col, "left_semi")
-                 .select(part_col).distinct().collect()}
-    # Pin the batch's assignments (batch-sized) so upstream work (e.g.
-    # re-embedding) isn't recomputed between the touched-partition probe
-    # and the staged write. The batch must carry the SAME columns the
-    # store holds (id, vector, metadata); `tag` appends part_col.
-    cols = [c for c in live.columns if c != part_col]
-    new_assign = (tag(changed.select(*cols)).select(*cols, part_col)
-                  .localCheckpoint())
-    new_parts = {r[0] for r in
-                 new_assign.select(part_col).distinct().collect()}
+    # Touched partitions are computed across ALL specs (they agree by
+    # construction — same ids, same assignment — the union is defensive)
+    old_parts: set = set()
+    new_parts: set = set()
+    staged: list[tuple[dict, list[str], DataFrame]] = []
+    for spec in specs:
+        live = spec["live"]
+        old_parts |= {r[0] for r in
+                      live.join(F.broadcast(drop), id_col, "left_semi")
+                      .select(part_col).distinct().collect()}
+        # Pin each spec's assignments (batch-sized) so upstream work
+        # (re-embedding, encoding) isn't recomputed between the
+        # touched-partition probe and the staged write. The batch carries
+        # the VECTOR shape; `tag` maps it to the spec's columns+part_col.
+        cols = [c for c in live.columns if c != part_col]
+        new_assign = (spec["tag"](changed).select(*cols, part_col)
+                      .localCheckpoint())
+        new_parts |= {r[0] for r in
+                      new_assign.select(part_col).distinct().collect()}
+        staged.append((spec, cols, new_assign))
     touched_parts = sorted(old_parts | new_parts)
-    survivors_old = (live
-                     .filter(F.col(part_col).isin(touched_parts))
-                     .join(F.broadcast(drop), id_col, "left_anti")
-                     .select(*cols, part_col)) if touched_parts \
-        else None
-    content = (new_assign if survivors_old is None
-               else survivors_old.unionByName(new_assign))
 
     staging = os.path.join(index_dir, STAGING_NAME)
     shutil.rmtree(staging, ignore_errors=True)
     stg = lambda name: os.path.join(staging, name)  # noqa: E731
-    _write_parted(content, stg(table), part_col, id_col)
-
-    still = _part_dirs(stg(table), part_col)
-    existing = _part_dirs(live_path, part_col)
-    touched = ({f"{part_col}={p}" for p in touched_parts} | still)
-    emptied = (touched & existing) - still
     ops: list[dict] = []
-    if existing and (existing - emptied or still):
-        ops += [{"op": "swap_dir", "src": f"{STAGING_NAME}/{table}/{d}",
-                 "dst": f"{table}/{d}"} for d in sorted(still)]
-        ops += [{"op": "remove_dir", "dst": f"{table}/{d}"}
-                for d in sorted(emptied)]
-    else:
-        # Whole-table shape: the base store holds no partition dirs (an
-        # earlier all-emptied refresh left the placeholder) or this batch
-        # empties every surviving partition — `content` IS the complete
-        # table in both cases (old store empty, or every surviving row
-        # sits in a touched partition).
-        if not still:
-            content.limit(0).write.mode("overwrite").parquet(stg(table))
-        ops.append({"op": "swap_dir", "src": f"{STAGING_NAME}/{table}",
-                    "dst": table})
+    for spec, cols, new_assign in staged:
+        live, table = spec["live"], spec["table"]
+        survivors_old = (live
+                         .filter(F.col(part_col).isin(touched_parts))
+                         .join(F.broadcast(drop), id_col, "left_anti")
+                         .select(*cols, part_col)) if touched_parts \
+            else None
+        content = (new_assign if survivors_old is None
+                   else survivors_old.unionByName(new_assign))
+        _write_parted(content, stg(table), part_col, id_col)
+
+        still = _part_dirs(stg(table), part_col)
+        existing = _part_dirs(spec["live_path"], part_col)
+        touched = ({f"{part_col}={p}" for p in touched_parts} | still)
+        emptied = (touched & existing) - still
+        if existing and (existing - emptied or still):
+            ops += [{"op": "swap_dir",
+                     "src": f"{STAGING_NAME}/{table}/{d}",
+                     "dst": f"{table}/{d}"} for d in sorted(still)]
+            ops += [{"op": "remove_dir", "dst": f"{table}/{d}"}
+                    for d in sorted(emptied)]
+        else:
+            # Whole-table shape: the base store holds no partition dirs
+            # (an earlier all-emptied refresh left the placeholder) or
+            # this batch empties every surviving partition — `content`
+            # IS the complete table in both cases (old store empty, or
+            # every surviving row sits in a touched partition).
+            if not still:
+                content.limit(0).write.mode("overwrite").parquet(
+                    stg(table))
+            ops.append({"op": "swap_dir",
+                        "src": f"{STAGING_NAME}/{table}", "dst": table})
 
     if manifest is not None:
         if n_rows is None:
-            kept = (live.join(F.broadcast(drop), id_col,
-                              "left_anti").count())
+            kept = (specs[0]["live"].join(F.broadcast(drop), id_col,
+                                          "left_anti").count())
             n_rows = kept + changed.select(id_col).distinct().count()
         os.makedirs(staging, exist_ok=True)
         with open(stg(MANIFEST_NAME), "w") as fh:
@@ -658,9 +800,10 @@ def write_lsh_refresh(spark: SparkSession, index_dir: str,
     bucket = F.concat(F.lit("b"), similarity.sign_bucket_expr(
         lidx.planes, lidx.vec_col))
     _partitioned_refresh(
-        spark, index_dir, table="sigs", part_col="bucket",
-        live=lidx.sigs, live_path=lidx.sigs_path,
-        tag=lambda df: df.select("*", bucket.alias("bucket")),
+        spark, index_dir, part_col="bucket",
+        specs=[{"table": "sigs", "live": lidx.sigs,
+                "live_path": lidx.sigs_path,
+                "tag": lambda df: df.select("*", bucket.alias("bucket"))}],
         id_col=lidx.id_col, changed=changed, removed_ids=removed_ids,
         manifest=(None if source_path is None else
                   lambda n: lsh_manifest(source_path, n, lidx.dim,

@@ -447,3 +447,167 @@ def test_lsh_refresh_crash_mid_commit_rolls_forward(spark, tmp_path,
     scratch = vector_store.open_lsh_index(spark, scratch_dir)
     assert _rows(reopened.sigs.select("vec_id", "bucket")) == \
         _rows(scratch.sigs.select("vec_id", "bucket"))
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: the published PQ-code table (codes/cell=K/) next to raw vectors
+# ---------------------------------------------------------------------------
+
+PQ_CENTS = 3
+
+
+def test_ivfpq_publish_then_open_matches_in_session_compose(spark, tmp_path):
+    """Publishing with pq_cents attaches codes/cell=K/ + the sub-codebook
+    sidecar; the reopened ivfpq_topk equals the storeless
+    `similarity.ivfpq_topk` compose, ADC ranks a partition-pruned CODES
+    scan, and stored codes equal a fresh encode of the stored vectors."""
+    idx_dir = str(tmp_path / "vecpq")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS,
+                                      pq_cents=PQ_CENTS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    assert vidx.pq == {"n_cents": PQ_CENTS, "m": 2, "dim": DIM}
+
+    # codes live in the same cell dirs as their raw rows
+    assert _rows(vidx.codes.select("vec_id", "cell")) == \
+        _rows(vidx.vectors.select("vec_id", "cell"))
+    # stored codes == the single-source encode contract over stored rows
+    expected_codes = similarity.pq_encode(vidx.vectors, vidx.pq_subbooks,
+                                          keep_cols=("cell",))
+    assert _rows(vidx.codes.select("vec_id", "code_0", "code_1")) == \
+        _rows(expected_codes.select("vec_id", "code_0", "code_1"))
+
+    subbooks = similarity.pq_subbooks(emb, PQ_CENTS)
+    for qid in (0, 7, 13):
+        got = _rows(vidx.ivfpq_topk(qid, n_probe=2, k=5, rerank=8))
+        want = _rows(similarity.ivfpq_topk(emb, qid, vidx.centroids,
+                                           subbooks, 2, 5, 8))
+        assert got == want, qid
+
+    # the ADC candidate scan prunes at PLANNING time (codes partitions)
+    pf = partition_filters(vidx.codes.filter(F.col("cell").isin([0, 2])))
+    assert pf and any("cell" in line for line in pf), pf
+
+
+def test_ivfpq_store_without_codes_raises_and_manifest_distinguishes(
+        spark, tmp_path):
+    """An IVF-only store refuses ivfpq_topk, and the manifest identity
+    separates pq from non-pq publishes — a code-less artifact is STALE
+    for a pq-expecting consumer, never silently reused."""
+    src = str(tmp_path / "emb.parquet")
+    _emb(spark, IDS).write.parquet(src)
+    idx_dir = str(tmp_path / "vecidx")
+    emb = spark.read.parquet(src)
+
+    vidx, _ = vector_store.ensure_vector_index(spark, emb, src, idx_dir,
+                                               n_cells=N_CELLS)
+    assert vidx.pq is None
+    with pytest.raises(ValueError):
+        vidx.ivfpq_topk(0)
+
+    _, reasons = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx_dir, n_cells=N_CELLS,
+        pq_cents=PQ_CENTS)
+    assert reasons  # rebuilt at the pq identity
+    vidx2, reasons2 = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx_dir, n_cells=N_CELLS,
+        pq_cents=PQ_CENTS)
+    assert reasons2 == []  # pq store reused byte-for-byte
+    assert vidx2.pq is not None
+    assert vidx2.ivfpq_topk(0, 2, 5, 8).count() == 5
+
+
+def test_ivfpq_refresh_updates_both_tables_in_one_commit(spark, tmp_path):
+    """A delta refresh on an IVFADC store rewrites vectors AND codes for
+    the touched cells in ONE staged-journal commit: the refreshed store
+    equals a from-scratch publish (both tables), codes never disagree
+    with their vectors, and untouched cell dirs stay byte-invariant in
+    BOTH tables."""
+    idx_dir = str(tmp_path / "vecpq")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS,
+                                      pq_cents=PQ_CENTS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    codebook, subbooks = vidx.centroids, vidx.pq_subbooks
+    before = _file_states(idx_dir)
+
+    changed = spark.createDataFrame(
+        [(7, _vec(107)), (50, _vec(50))],
+        "vec_id long, embedding array<double>")
+    removed = spark.createDataFrame([(13,)], "vec_id long")
+    refreshed = vector_store.write_vector_refresh(spark, idx_dir, changed,
+                                                  removed)
+
+    merged = [(i, _vec(i)) for i in IDS if i not in (7, 13)] \
+        + [(7, _vec(107)), (50, _vec(50))]
+    merged_df = spark.createDataFrame(merged,
+                                      "vec_id long, embedding array<double>")
+    scratch_dir = str(tmp_path / "scratch")
+    vector_store.publish_vector_index(merged_df, scratch_dir,
+                                      centroids=codebook,
+                                      pq_cents=PQ_CENTS)
+    scratch = vector_store.open_vector_index(spark, scratch_dir)
+    # scratch derives sub-codebooks from ITS vectors' lowest ids; the
+    # refreshed store keeps the publish-time books — same ids 0..2 here,
+    # so the codes must match row-for-row
+    assert _rows(refreshed.codes) == _rows(scratch.codes)
+    assert _vec_rows(refreshed.vectors.select("vec_id", "embedding")) == \
+        _vec_rows(scratch.vectors.select("vec_id", "embedding"))
+    # codes always re-derivable from the stored vectors (consistent pair)
+    re_enc = similarity.pq_encode(refreshed.vectors, subbooks,
+                                  keep_cols=("cell",))
+    assert _rows(refreshed.codes.select("vec_id", "code_0", "code_1")) == \
+        _rows(re_enc.select("vec_id", "code_0", "code_1"))
+    assert _rows(refreshed.ivfpq_topk(0, 2, 5, 8)) == \
+        _rows(scratch.ivfpq_topk(0, 2, 5, 8))
+
+    # untouched cells byte-invariant in BOTH tables
+    tag = similarity.cell_of(codebook)
+    touched = {r.cell for r in spark.createDataFrame(
+        [(7, _vec(7)), (7, _vec(107)), (50, _vec(50)), (13, _vec(13))],
+        "vec_id long, embedding array<double>")
+        .select(tag.alias("cell")).distinct().collect()}
+    after = _file_states(idx_dir)
+    for rel, st in before.items():
+        if not (rel.startswith("vectors") or rel.startswith("codes")):
+            continue
+        cell = int(rel.split("cell=")[1].split(os.sep)[0])
+        if cell not in touched:
+            assert after.get(rel) == st, f"untouched dir rewritten: {rel}"
+
+
+def test_ivfpq_refresh_crash_mid_commit_recovers_consistent_pair(
+        spark, tmp_path, monkeypatch):
+    """Kill mid-commit on an IVFADC store: recovery rolls BOTH tables
+    forward together — a reopen never sees vectors from one epoch and
+    codes from another."""
+    idx_dir = str(tmp_path / "vecpq")
+    vector_store.publish_vector_index(_emb(spark, IDS), idx_dir,
+                                      n_cells=N_CELLS, pq_cents=PQ_CENTS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    subbooks = vidx.pq_subbooks
+    changed = spark.createDataFrame([(7, _vec(107))],
+                                    "vec_id long, embedding array<double>")
+
+    def partial(store_dir, ops):
+        assert len(ops) > 1  # vectors + codes ops share the journal
+        commitlog._apply_op(store_dir, ops[0])
+        raise RuntimeError("killed mid-commit")
+
+    monkeypatch.setattr(commitlog, "_apply_ops", partial)
+    with pytest.raises(RuntimeError):
+        vector_store.write_vector_refresh(spark, idx_dir, changed)
+    monkeypatch.undo()
+
+    reopened = vector_store.open_vector_index(spark, idx_dir)  # recovers
+    assert not os.path.exists(os.path.join(idx_dir,
+                                           vector_store.JOURNAL_NAME))
+    # the pair is CONSISTENT: codes re-derive exactly from stored vectors
+    re_enc = similarity.pq_encode(reopened.vectors, subbooks,
+                                  keep_cols=("cell",))
+    assert _rows(reopened.codes.select("vec_id", "code_0", "code_1")) == \
+        _rows(re_enc.select("vec_id", "code_0", "code_1"))
+    # and it is the NEW epoch (roll-forward)
+    got = {r.vec_id: r.embedding for r in reopened.vectors.collect()}
+    assert [round(x, 9) for x in got[7]] == \
+        [round(x, 9) for x in _vec(107)]
