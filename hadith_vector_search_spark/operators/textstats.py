@@ -130,6 +130,76 @@ def quality_metrics(docs: DataFrame, text_col: str = "text",
     )
 
 
+NB_QUALITY_THRESH = 0.78  # weak-label split on the composite quality
+# score — ~45-49% positive at every test SF (measured); a deployment
+# derives it from the corpus quality distribution (e.g. the median).
+
+
+def nb_quality_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      thresh: float = NB_QUALITY_THRESH) -> DataFrame:
+    """Classifier-based quality filtering — the GPT-3/LLaMA pipeline step
+    the heuristic gates feed: train a text classifier on WEAK labels (the
+    composite heuristic quality score thresholded at `thresh`) and score
+    the corpus with it, so documents that *read like* the high-quality
+    slice rank high even where an individual heuristic misfires.
+
+    Naive Bayes (token unigrams, add-one smoothing over the corpus
+    vocabulary) because its training is CLOSED FORM: per-(class, token)
+    occurrence counts plus class totals — two map-side-combined
+    aggregations, no iteration — which keeps train AND score one
+    declarative plan a DuckDB oracle replays exactly (the same
+    determinism argument as the data-derived IVF codebook; a trained
+    logistic/fastText model swaps in at deployment with the same
+    join-against-weights scoring shape).
+
+    Scale: the training shuffle carries one row per distinct token
+    (vocabulary-sized, Heaps-law sublinear); the per-token log-likelihood
+    ratio table is vocabulary-sized and joins the token stream —
+    AQE-broadcast at test SF, a bucketed join on `tok` on a lake — then
+    one per-doc partial agg. Nothing is corpus x corpus.
+
+    Output per doc: the weak label it trained on, `nb_logodds` (class
+    prior + summed per-token log-likelihood ratios, round-6),
+    `nb_score` (length-normalized per-token ratio sum — comparable
+    across lengths, the ranking/filter signal), and `predicted_pos`
+    (decided on the ROUNDED log-odds in both engines)."""
+    qm = quality_metrics(docs, text_col, id_col)
+    labels = qm.select(F.col(id_col), F.col("n_tokens"),
+                       (F.col("quality") >= thresh).alias("weak_pos"))
+    toks = docs.select(F.col(id_col),
+                       F.explode(tokenize(F.col(text_col))).alias("tok"))
+    tl = toks.join(labels.select(id_col, "weak_pos"), id_col)
+    counts = tl.groupBy("tok").agg(
+        F.sum(F.when(F.col("weak_pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("weak_pos"), 0).otherwise(1)).alias("c_neg"))
+    tot = counts.agg(F.sum("c_pos").alias("t_pos"),
+                     F.sum("c_neg").alias("t_neg"),
+                     F.count(F.lit(1)).alias("v"))
+    dc = labels.agg(
+        F.sum(F.when(F.col("weak_pos"), 1).otherwise(0)).alias("d_pos"),
+        F.count(F.lit(1)).alias("d_all"))
+    llr = (counts.crossJoin(F.broadcast(tot))
+           .select("tok",
+                   (F.log((F.col("c_pos") + 1).cast("double")
+                          / (F.col("t_pos") + F.col("v")))
+                    - F.log((F.col("c_neg") + 1).cast("double")
+                            / (F.col("t_neg") + F.col("v")))).alias("llr")))
+    per_doc = toks.join(llr, "tok").groupBy(id_col).agg(
+        F.sum("llr").alias("sum_llr"))
+    prior = F.log(F.col("d_pos").cast("double")
+                  / (F.col("d_all") - F.col("d_pos")))
+    logodds = F.round(prior + F.coalesce(F.col("sum_llr"), F.lit(0.0)), 6)
+    return (labels.join(per_doc, id_col, "left")
+            .crossJoin(F.broadcast(dc))
+            .select(F.col(id_col), F.col("n_tokens"), F.col("weak_pos"),
+                    logodds.alias("nb_logodds"),
+                    F.round(F.coalesce(F.col("sum_llr"), F.lit(0.0))
+                            / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                    .alias("nb_score"),
+                    (logodds > 0).alias("predicted_pos")))
+
+
 def token_counts(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  keep: tuple[str, ...] = ()) -> DataFrame:

@@ -132,6 +132,74 @@ FROM m
 """
 
 
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering: naive Bayes trained in-plan on
+    the heuristic quality gate's weak labels, scored back over the corpus
+    (see operators/textstats.nb_quality_scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.nb_quality_scores(docs)
+
+
+def nb_quality_classifier_oracle() -> str:
+    """Replays weak labelling (the quality composite, thresholded on the
+    round-6 value), closed-form NB training (per-(class, token) counts +
+    add-one smoothing over the vocabulary), and per-doc scoring."""
+    en_hits = _hits("en")
+    thresh = textstats.NB_QUALITY_THRESH
+    return f"""
+WITH base AS (
+  SELECT doc_id, ts,
+         length(text) AS n_chars,
+         len(ts) AS n_tokens,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         {en_hits} AS sw
+  FROM (SELECT doc_id, text, {_TOKS} AS ts FROM documents)
+),
+labels AS (
+  SELECT doc_id, ts, n_tokens,
+         round((least(1.0, n_tokens / 20.0)
+                + (1.0 - least(1.0, n_punct / greatest(n_chars, 1)::DOUBLE * 5.0))
+                + (1.0 - least(1.0, n_digit / greatest(n_chars, 1)::DOUBLE * 5.0))
+                + least(1.0, sw / greatest(n_tokens, 1)::DOUBLE * 4.0)) / 4.0,
+               6) >= {thresh} AS weak_pos
+  FROM base
+),
+toks AS (SELECT doc_id, unnest(ts) AS tok FROM labels),
+tl AS (SELECT t.tok, l.weak_pos
+       FROM toks t JOIN labels l ON t.doc_id = l.doc_id),
+counts AS (
+  SELECT tok,
+         sum(CASE WHEN weak_pos THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN weak_pos THEN 0 ELSE 1 END) AS c_neg
+  FROM tl GROUP BY tok
+),
+tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+               count(*) AS v FROM counts),
+dc AS (SELECT sum(CASE WHEN weak_pos THEN 1 ELSE 0 END) AS d_pos,
+              count(*) AS d_all FROM labels),
+llr AS (
+  SELECT tok,
+         ln(CAST(c_pos + 1 AS DOUBLE) / (t_pos + v))
+         - ln(CAST(c_neg + 1 AS DOUBLE) / (t_neg + v)) AS llr
+  FROM counts, tot
+),
+per_doc AS (
+  SELECT t.doc_id, sum(llr.llr) AS sum_llr
+  FROM toks t JOIN llr ON t.tok = llr.tok
+  GROUP BY t.doc_id
+)
+SELECT l.doc_id, l.n_tokens, l.weak_pos,
+       round(ln(CAST(d_pos AS DOUBLE) / (d_all - d_pos))
+             + coalesce(p.sum_llr, 0.0), 6) AS nb_logodds,
+       round(coalesce(p.sum_llr, 0.0) / greatest(l.n_tokens, 1), 6)
+         AS nb_score,
+       round(ln(CAST(d_pos AS DOUBLE) / (d_all - d_pos))
+             + coalesce(p.sum_llr, 0.0), 6) > 0 AS predicted_pos
+FROM labels l LEFT JOIN per_doc p ON l.doc_id = p.doc_id, dc
+"""
+
+
 def token_count_stats_oracle() -> str:
     return """
 SELECT source,

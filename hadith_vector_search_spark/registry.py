@@ -156,6 +156,7 @@ QUERIES: dict[str, QueryFn] = {
     "length_quantile_profile": textstats_plans.length_quantile_profile,
     "chunk_preview": textstats_plans.chunk_preview,
     "lm_perplexity_scores": textstats_plans.lm_perplexity_scores,
+    "nb_quality_classifier": textstats_plans.nb_quality_classifier,
     "token_frequency_spectrum": textstats_plans.token_frequency_spectrum,
     "domain_kl_divergence": textstats_plans.domain_kl_divergence,
     "binary_metadata": textstats_plans.binary_metadata,
@@ -441,6 +442,7 @@ oracle("length_quantile_profile",
 oracle("chunk_preview", textstats_plans.chunk_preview_oracle())
 oracle("embed_chunks_preview", embedding_plans.embed_chunks_preview_oracle())
 oracle("lm_perplexity_scores", textstats_plans.lm_perplexity_scores_oracle())
+oracle("nb_quality_classifier", textstats_plans.nb_quality_classifier_oracle())
 oracle("token_frequency_spectrum",
        textstats_plans.token_frequency_spectrum_oracle())
 oracle("domain_kl_divergence", textstats_plans.domain_kl_divergence_oracle())

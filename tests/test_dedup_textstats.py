@@ -22,6 +22,7 @@ ORACLE_CHECKED = [
     "domain_kl_divergence",
     "lang_id_counts",
     "quality_scores",
+    "nb_quality_classifier",
     "token_count_stats",
     "doc_fingerprints",
     "binary_metadata",
@@ -666,3 +667,27 @@ def test_winnow_hot_fp_cap_bounds_match_join(spark):
            .filter(F.col("df") <= cap))
     max_key = fps.groupBy("fp").count().agg(F.max("count")).first()[0]
     assert max_key is not None and max_key <= cap
+
+
+def test_nb_classifier_recovers_weak_labels_and_generalizes(spark):
+    """The filtering property: docs written from the high-quality slice's
+    vocabulary score ABOVE docs written from the junk slice's vocabulary,
+    and training-set agreement with the weak labels beats chance by a wide
+    margin — the weak-label bootstrap actually transfers to tokens."""
+    good = ("the model trains on clean prose and the tokens flow in "
+            "sentences that read well for the corpus and the reader")
+    junk = "$$$ 4417 9981 !!! 22 ### 777 %% 13 @@ 55 ^^ 91 && 23"
+    docs = spark.createDataFrame(
+        [(i, good + f" variant {i}") for i in range(10)]
+        + [(100 + i, junk + f" {i}") for i in range(10)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.nb_quality_scores(docs).collect()}
+    # weak labels split the two slices (sanity of the bootstrap)
+    assert all(out[i].weak_pos for i in range(10))
+    assert not any(out[100 + i].weak_pos for i in range(10))
+    # the trained scores separate them too, on BOTH output signals
+    worst_good = min(out[i].nb_score for i in range(10))
+    best_junk = max(out[100 + i].nb_score for i in range(10))
+    assert worst_good > best_junk, (worst_good, best_junk)
+    agree = sum(1 for r in out.values() if r.predicted_pos == r.weak_pos)
+    assert agree >= 18, agree  # >= 90% training-set agreement
