@@ -641,6 +641,30 @@ def streaming_postings_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 VECREF_NEW_ID_OFFSET = 1_000_000
 
 
+def _vector_change_feed(emb: DataFrame) -> DataFrame:
+    """The synthetic embedding change feed the published-store streaming
+    twins share (vector cells AND LSH buckets — both must drain to the
+    same merged corpus their oracles replay): revised %5 vectors
+    (negated — float-exact, replayable), new %11 vectors under an id
+    offset, deletions of %13."""
+    vid = F.col("vec_id")
+    upd = (emb.filter((vid % 5 == 0) & (vid % 13 != 0))
+           .select("vec_id",
+                   F.transform("embedding", lambda x: -x)
+                   .alias("embedding"),
+                   "label", F.lit("upsert").alias("action")))
+    fresh = (emb.filter(vid % 11 == 0)
+             .select((vid + VECREF_NEW_ID_OFFSET).alias("vec_id"),
+                     "embedding", "label",
+                     F.lit("upsert").alias("action")))
+    dels = (emb.filter(vid % 13 == 0)
+            .select("vec_id",
+                    F.lit(None).cast("array<float>").alias("embedding"),
+                    F.lit(None).cast("int").alias("label"),
+                    F.lit("delete").alias("action")))
+    return upd.unionByName(fresh).unionByName(dels)
+
+
 def streaming_vector_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Published-VECTOR-store maintenance AT INGEST — the streaming twin
     of `ingest._vector_index_delta` and the vector analogue of
@@ -679,25 +703,10 @@ def streaming_vector_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         vector_store.publish_vector_index(emb, store,
                                           n_cells=IVF_CENTROIDS)
-        vid = F.col("vec_id")
-        upd = (emb.filter((vid % 5 == 0) & (vid % 13 != 0))
-               .select("vec_id",
-                       F.transform("embedding", lambda x: -x)
-                       .alias("embedding"),
-                       "label", F.lit("upsert").alias("action")))
-        fresh = (emb.filter(vid % 11 == 0)
-                 .select((vid + VECREF_NEW_ID_OFFSET).alias("vec_id"),
-                         "embedding", "label",
-                         F.lit("upsert").alias("action")))
-        dels = (emb.filter(vid % 13 == 0)
-                .select("vec_id",
-                        F.lit(None).cast("array<float>").alias("embedding"),
-                        F.lit(None).cast("int").alias("label"),
-                        F.lit("delete").alias("action")))
-        feed = upd.unionByName(fresh).unionByName(dels)
-        feed.repartition(3).write.mode("overwrite").parquet(src)
+        _vector_change_feed(emb).repartition(3).write.mode(
+            "overwrite").parquet(src)
 
-        stream = (spark.readStream.schema(feed.schema)
+        stream = (spark.readStream.schema(_vector_change_feed(emb).schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -769,5 +778,113 @@ SELECT a.vec_id, a.cent_id AS cell, g.j AS dim,
        round(CAST(m.v[g.j + 1] AS DOUBLE), 6) AS value
 FROM assign a
 JOIN merged m ON a.vec_id = m.vec_id
+JOIN g ON g.j < len(m.v)
+"""
+
+
+def streaming_lsh_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published-LSH-store maintenance AT INGEST — the bucket twin of
+    `streaming_vector_refresh`, closing the streaming x durable-store
+    matrix (lexical postings, IVF cells, and now LSH buckets all stay
+    fresh under a streaming corpus; the CLI ingest already maintained
+    all three in batch).
+
+    A base `sigs/bucket=B/` store is published from the raw embeddings
+    (hyperplanes = the first-LSH_PLANES ids, immutable under refresh —
+    every stored bucket depends on them), then the SAME synthetic change
+    feed as the vector twin streams in micro-batches, each delta-merged
+    by `sources.vector_store.write_lsh_refresh` inside `foreachBatch`:
+    only touched bucket directories rewrite, through the crash-safe
+    staged-journal commit, idempotent under micro-batch retry (MERGE by
+    id). The drained store must equal a from-scratch publish of the
+    merged corpus under the same planes — the oracle recomputes every
+    sign bucket from raw vectors. Emits the final store content exploded
+    as (vec_id, bucket, dim, value)."""
+    import tempfile
+
+    from ..plans.semantic import LSH_PLANES
+    from ..sources import load_table, vector_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="stream_lshref_")
+    store = os.path.join(work, "store")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        vector_store.publish_lsh_index(emb, store, n_planes=LSH_PLANES)
+        _vector_change_feed(emb).repartition(3).write.mode(
+            "overwrite").parquet(src)
+
+        schema = _vector_change_feed(emb).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            ups = (batch_df.filter(F.col("action") == "upsert")
+                   .select("vec_id", "embedding", "label"))
+            rms = (batch_df.filter(F.col("action") == "delete")
+                   .select("vec_id"))
+            vector_store.write_lsh_refresh(spark, store, ups, rms)
+
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        lidx = vector_store.open_lsh_index(spark, store)
+        return (lidx.sigs
+                .select("vec_id", F.col("bucket").cast("string")
+                        .alias("bucket"),
+                        F.posexplode(F.transform(
+                            "embedding",
+                            lambda x: F.round(x.cast("double"), 6)))
+                        .alias("dim", "value"))
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_lsh_refresh_oracle() -> str:
+    """From-scratch replay: merge the change feed in SQL, recompute every
+    sign bucket against the IMMUTABLE base planes (the first-LSH_PLANES
+    ids' ORIGINAL vectors), explode the merged vectors per dimension."""
+    from ..plans.semantic import LSH_PLANES
+
+    return f"""
+WITH planes AS (
+  SELECT vec_id AS plane_id, embedding AS pvec FROM embeddings
+  WHERE vec_id < {LSH_PLANES}
+),
+merged AS (
+  SELECT vec_id, list_transform(embedding, x -> -x) AS v
+  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 13 <> 0
+  UNION ALL
+  SELECT vec_id + {VECREF_NEW_ID_OFFSET}, embedding
+  FROM embeddings WHERE vec_id % 11 = 0
+  UNION ALL
+  SELECT vec_id, embedding
+  FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 13 <> 0
+),
+pd AS (
+  SELECT vec_id, plane_id, sum(mv * pv) AS d
+  FROM (
+    SELECT m.vec_id, p.plane_id,
+           CAST(unnest(m.v) AS DOUBLE) AS mv,
+           CAST(unnest(p.pvec) AS DOUBLE) AS pv
+    FROM merged m CROSS JOIN planes p
+  )
+  GROUP BY vec_id, plane_id
+),
+buckets AS (
+  SELECT vec_id,
+         'b' || string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY plane_id) AS bucket
+  FROM pd GROUP BY vec_id
+),
+g AS (SELECT unnest(range(0, 4096)) AS j)
+SELECT b.vec_id, b.bucket, g.j AS dim,
+       round(CAST(m.v[g.j + 1] AS DOUBLE), 6) AS value
+FROM buckets b
+JOIN merged m ON b.vec_id = m.vec_id
 JOIN g ON g.j < len(m.v)
 """
