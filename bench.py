@@ -117,6 +117,7 @@ def main() -> None:
         sem_plans.get_published_vector_index(spark, sf_dir)
         sem_plans.get_ivfpq_published_index(spark, sf_dir)
         sem_plans.get_kmeans_published_vector_index(spark, sf_dir)
+        sem_plans.get_ivfpq_kmeans_published_index(spark, sf_dir)
         sem_plans.get_published_lsh_index(spark, sf_dir)
         print(f"bench: derived index build {time.time() - t0:.1f}s",
               file=sys.stderr)

@@ -484,6 +484,81 @@ SELECT 'ann_topk_ivf_kmeans_published' AS method,
 """
 
 
+def get_ivfpq_kmeans_published_index(spark: SparkSession, sf_dir: str):
+    """Ensure-and-reopen the FULLY-TRAINED published IVFADC store:
+    k-means IVF codebook (cell geometry tracks density) AND per-subspace
+    k-means PQ sub-codebooks (reconstruction error tracks the subvector
+    distribution) — the quality configuration a deployment publishes
+    with, vs `get_ivfpq_published_index`'s all-data-derived twin that
+    the raw-value oracle replays. Both trainings are gated behind the
+    staleness manifest: a FRESH store reopens its stored centroid AND
+    sub-codebook sidecars, never re-fits (pinned by test)."""
+    import os as _os
+
+    from ..sources import vector_store
+    from .lexical import _index_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    token = sf_dir.strip("/").replace("/", "_")
+    idx_dir = _os.path.join(_index_root(), f"{token}_vecpqk")
+    model = f"ivfpq-kmeans-v1-c{IVF_CENTROIDS}-pq{PQ_CENTS}"
+    try:
+        sample = emb.select("embedding").take(1)
+        dim = len(sample[0][0]) if sample else 0
+        if not vector_store.vector_index_is_fresh(
+                idx_dir, src, emb.count(), dim, IVF_CENTROIDS, model):
+            vector_store.ensure_vector_index(
+                spark, emb, src, idx_dir, IVF_CENTROIDS,
+                centroids=get_kmeans_codebook(spark, sf_dir),
+                model_name=model, pq_cents=PQ_CENTS,
+                pq_subbooks=similarity.kmeans_subbooks(emb, PQ_CENTS))
+        return vector_store.open_vector_index(spark, idx_dir)
+    except OSError:
+        return None
+
+
+def ann_topk_ivfpq_kmeans_published(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Trained IVFADC off the REOPENED published store: probe pruning by
+    the k-means cell dirs, ADC over the celled codes encoded with the
+    k-means sub-codebooks read back from the sidecar, exact rerank —
+    no retraining, no assignment recompute. Trained quantizers are
+    iterative/FP-order dependent, so the registered query is the
+    recall-bound REPORT both kmeans paths use (exact leg + floor; raw
+    rows remain available on the index handle)."""
+    vidx = get_ivfpq_kmeans_published_index(spark, sf_dir)
+    if vidx is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        ann = similarity.ivfpq_topk(
+            emb, QUERY_VEC_ID, get_kmeans_codebook(spark, sf_dir),
+            similarity.kmeans_subbooks(emb, PQ_CENTS), IVF_PROBE, ANN_K,
+            PQ_RERANK).select("vec_id")
+    else:
+        ann = (vidx.ivfpq_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K, PQ_RERANK)
+               .select("vec_id"))
+    exact = (cosine_topk(spark, sf_dir)
+             .orderBy(F.desc("sim"), F.asc("vec_id")).limit(ANN_K)
+             .select("vec_id"))
+    return _kmeans_recall_report("ann_topk_ivfpq_kmeans_published", ann,
+                                 exact)
+
+
+def ann_topk_ivfpq_kmeans_published_oracle() -> str:
+    return f"""
+WITH {_PAIR_DOT},
+exact5 AS (
+  SELECT ib AS vec_id FROM pair_dot WHERE ia = {QUERY_VEC_ID}
+  ORDER BY round(d, 6) DESC, ib ASC LIMIT {ANN_K}
+)
+SELECT 'ann_topk_ivfpq_kmeans_published' AS method,
+       {ANN_K} AS k,
+       (SELECT string_agg(vec_id::VARCHAR, ',' ORDER BY vec_id)
+        FROM exact5) AS exact_ids,
+       TRUE AS recall_ok
+"""
+
+
 def vector_index_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-occupancy histogram of the PUBLISHED vector store — the
     operational balance report for an IVF artifact (a hot cell is a slow

@@ -109,6 +109,8 @@ QUERIES: dict[str, QueryFn] = {
     # iterative algorithm — no SQL oracle (driver rows-only check)
     "ann_topk_ivf_kmeans": semantic.ann_topk_ivf_kmeans,
     "ann_topk_ivf_kmeans_published": semantic.ann_topk_ivf_kmeans_published,
+    "ann_topk_ivfpq_kmeans_published":
+        semantic.ann_topk_ivfpq_kmeans_published,
     "vector_index_cells": semantic.vector_index_cells,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_filtered": semantic.ann_topk_filtered,
@@ -265,6 +267,8 @@ oracle("ann_topk_ivf_kmeans", semantic.ann_topk_ivf_kmeans_oracle())
 # top-k and the recall floor are)
 oracle("ann_topk_ivf_kmeans_published",
        semantic.ann_topk_ivf_kmeans_published_oracle())
+oracle("ann_topk_ivfpq_kmeans_published",
+       semantic.ann_topk_ivfpq_kmeans_published_oracle())
 # cell-occupancy histogram of the published store: the oracle recomputes
 # every IVF assignment from raw vectors, hash-checking the published
 # partitioning itself

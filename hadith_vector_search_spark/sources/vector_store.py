@@ -157,7 +157,8 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          geometry: dict | None = None,
-                         pq_cents: int | None = None) -> None:
+                         pq_cents: int | None = None,
+                         pq_subbooks: list | None = None) -> None:
     """Full overwrite publish: assign every vector to its nearest-centroid
     cell (`similarity.cell_of` — the exact arithmetic queries probe with)
     and write the cell-partitioned table + the codebook sidecar.
@@ -198,11 +199,13 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
     _write_parted(tagged, os.path.join(index_dir, "vectors"),
                   "cell", id_col)
     if pq_cents:
-        publish_pq_codes(spark, index_dir, pq_cents, emb=emb)
+        publish_pq_codes(spark, index_dir, pq_cents, emb=emb,
+                         subbooks=pq_subbooks)
 
 
 def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
-                     emb: DataFrame | None = None) -> None:
+                     emb: DataFrame | None = None,
+                     subbooks: list | None = None) -> None:
     """Attach the IVFADC code table to a published vector store: PQ
     sub-codebooks (derived from `emb` or, by default, from the store's
     own vectors — the `data_codebook` discipline) as the `pq_centroids/`
@@ -217,8 +220,11 @@ def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
     lay = read_vlayout(index_dir)
     id_col, vec_col = lay["id_col"], lay["vec_col"]
     stored = spark.read.parquet(os.path.join(index_dir, "vectors"))
-    subbooks = similarity.pq_subbooks(emb if emb is not None else stored,
-                                      pq_cents, id_col, vec_col)
+    if subbooks is None:
+        # data-derived default; a TRAINED set (similarity.kmeans_subbooks)
+        # passes through unchanged — same list-of-arrays contract
+        subbooks = similarity.pq_subbooks(emb if emb is not None else stored,
+                                          pq_cents, id_col, vec_col)
     dim = sum(Bm.shape[1] for Bm in subbooks)
     _write_json_sidecar(index_dir, PQ_LAYOUT_NAME,
                         {"n_cents": pq_cents, "m": len(subbooks),
@@ -431,6 +437,7 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         model_name: str | None = None,
                         pq_cents: int | None = None,
+                        pq_subbooks: list | None = None,
                         ) -> tuple[PublishedVectorIndex, list[str]]:
     """Build-or-reuse entry (the analogue of the reference reopening its
     Chroma dir at startup): publishes iff the manifest says the source
@@ -455,7 +462,8 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
     reasons = ensure_index(
         index_dir, current,
         lambda: publish_vector_index(emb, index_dir, centroids, n_cells,
-                                     id_col, vec_col, geometry, pq_cents))
+                                     id_col, vec_col, geometry, pq_cents,
+                                     pq_subbooks))
     return open_vector_index(spark, index_dir), reasons
 
 

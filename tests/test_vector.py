@@ -429,3 +429,41 @@ def test_scaled_band_bits_tracks_corpus_size():
         b = scaled_band_bits(n)
         assert b >= prev
         prev = b
+
+
+def test_ivfpq_kmeans_published_store_reopens_without_retraining(
+        spark, sf_dir, monkeypatch):
+    """A FRESH fully-trained IVFADC store must answer from its STORED
+    centroid AND sub-codebook sidecars — reopening may never re-fit
+    either quantizer."""
+    import numpy as np
+
+    from hadith_vector_search_spark.operators import similarity
+    from hadith_vector_search_spark.plans import semantic
+
+    first = semantic.get_ivfpq_kmeans_published_index(spark, sf_dir)
+    assert first is not None and first.pq is not None
+    books_before = [b.copy() for b in first.pq_subbooks]
+
+    def boom(*a, **k):
+        raise AssertionError("retrained a fresh store")
+    monkeypatch.setattr(semantic, "get_kmeans_codebook", boom)
+    monkeypatch.setattr(similarity, "kmeans_subbooks", boom)
+    again = semantic.get_ivfpq_kmeans_published_index(spark, sf_dir)
+    assert again is not None
+    assert again.centroids == first.centroids
+    for b0, b1 in zip(books_before, again.pq_subbooks):
+        assert np.array_equal(b0, b1)
+    rows = again.ivfpq_topk(0, n_probe=2, k=3, rerank=10).collect()
+    assert len(rows) == 3
+
+
+def test_ivfpq_kmeans_published_report_shape_and_floor(spark, sf_dir):
+    from hadith_vector_search_spark.plans.semantic import \
+        ann_topk_ivfpq_kmeans_published
+
+    row = ann_topk_ivfpq_kmeans_published(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.method == "ann_topk_ivfpq_kmeans_published" and r.k == 5
+    assert r.recall_ok, "trained IVFADC published recall under floor"
