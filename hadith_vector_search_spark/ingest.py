@@ -115,14 +115,31 @@ def _fts_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None
 # stores published under older schemes rebuild as stale.
 
 
-def _vec_model_k(n_cells: int) -> str:
-    return f"hash-embedder-{EMBED_DIM}-ivfkm{n_cells}"
+PQ_SUBCENTS = 256   # requested PQ sub-codebook size (the FAISS-standard
+# 8-bit book); tiny corpora cap the REQUEST at the cell-geometry class
+# (see _pq_request) and duplicates may cap the FIT below the request.
+
+
+def _pq_request(n_rows: int) -> str | int:
+    """Requested PQ sub-codebook size — a pure, geometry-STABLE function
+    of the corpus count (the `n_cells` sqrt class, capped at the
+    standard 256): identity must not flip on every small row-count
+    change or each delta would force a rebuild on the next run (the
+    `_vector_index_delta` preserved-model rule)."""
+    from .operators.similarity import index_geometry
+
+    return min(PQ_SUBCENTS, index_geometry(n_rows)["n_cells"])
+
+
+def _vec_model_k(n_cells: int, pq_req: int) -> str:
+    return f"hash-embedder-{EMBED_DIM}-ivfkm{n_cells}-pq{pq_req}"
 
 
 def _vec_model_n(n_rows: int) -> str:
     from .operators.similarity import index_geometry
 
-    return _vec_model_k(index_geometry(n_rows)["n_cells"])
+    return _vec_model_k(index_geometry(n_rows)["n_cells"],
+                        _pq_request(n_rows))
 
 
 def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None:
@@ -164,8 +181,9 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
     # cap k below the geometry request, the manifest still records the
     # REQUEST — identity stays a pure function of the corpus count, so
     # reuse decisions are stable run to run.
-    k = min(index_geometry(emb.count())["n_cells"],
-            emb.select(F.xxhash64("embedding")).distinct().count())
+    n = emb.count()
+    distinct_full = emb.select(F.xxhash64("embedding")).distinct().count()
+    k = min(index_geometry(n)["n_cells"], distinct_full)
     if k >= 2:
         centroids = kmeans_centroids(emb, k)
     else:
@@ -173,8 +191,22 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
         # a single data-derived centroid is exact here anyway
         from .sources.vector_store import data_codebook
         centroids = data_codebook(emb, k, id_col="doc_id")
+    # IVFADC code table: trained per-subspace PQ sub-codebooks (the same
+    # duplicate-cap rule as the cell codebook, per HALF-slice — hash
+    # embeddings collapse per subspace too); below 2 distinct subvectors
+    # the data-derived books encode exactly. The REQUEST (geometry-stable,
+    # see _pq_request) rides in the manifest identity; the fit may sit
+    # below it.
+    from .operators.similarity import kmeans_subbooks, pq_bounds
+    pq_k = min(
+        _pq_request(n),
+        *[emb.select(F.xxhash64(F.slice("embedding", lo + 1, hi - lo)))
+          .distinct().count() for lo, hi in pq_bounds(EMBED_DIM)]) \
+        if n else 0
+    subbooks = kmeans_subbooks(emb, pq_k) if pq_k >= 2 else None
     publish_vector_index(emb, out_dir, centroids=centroids,
-                         id_col="doc_id")
+                         id_col="doc_id", pq_cents=pq_k,
+                         pq_subbooks=subbooks)
 
 
 def _vector_manifest(table_path: str, n_rows: int) -> IndexManifest:

@@ -213,3 +213,47 @@ def test_ingest_delta_manifest_counts_tokenless_docs(spark, corpus):
         os.path.join(f"{table}_indexes", "fts"), table, n_rows)
     third = update_indexes(spark, table, f"{table}_indexes")
     assert third == {"fts": [], "vector": [], "lsh": []}
+
+
+def test_ingest_store_carries_consistent_ivfadc_codes(spark, corpus):
+    """The CLI-maintained vector store is a full IVFADC artifact: codes
+    ride next to the raw cells, stay re-derivable from the stored
+    vectors + stored sub-codebooks (consistent pair) AFTER a delta
+    refresh, and the delta preserves the publish-time sub-books (the
+    codebook-immutability rule)."""
+    import numpy as np
+
+    from hadith_vector_search_spark.operators import similarity
+    from hadith_vector_search_spark.sources import vector_store
+
+    data, table = corpus
+    run_ingestion(spark, data, table, do_update_indexes=True,
+                  log=lambda *_: None)
+    idx = os.path.join(f"{table}_indexes", "vector")
+    vidx = vector_store.open_vector_index(spark, idx)
+    assert vidx.pq is not None
+    books_before = [b.copy() for b in vidx.pq_subbooks]
+
+    _write_book(os.path.join(data, "book_2.jsonl"),
+                [{"doc_id": 100, "text": "gamma delta doc 0", "lang": "en",
+                  "source": "b2"},
+                 {"doc_id": 101, "text": "REVISED epsilon body",
+                  "lang": "en", "source": "b2"},
+                 {"doc_id": 105, "text": "fresh zeta entry", "lang": "en",
+                  "source": "b2"}])
+    run_ingestion(spark, data, table, books=["2"], do_update_indexes=True,
+                  log=lambda *_: None)
+
+    after = vector_store.open_vector_index(spark, idx)
+    for b0, b1 in zip(books_before, after.pq_subbooks):
+        assert np.array_equal(b0, b1)  # delta never retrains the books
+    re_enc = similarity.pq_encode(after.vectors, after.pq_subbooks,
+                                  id_col="doc_id", keep_cols=("cell",))
+    code_cols = [c for c in after.codes.columns if c.startswith("code_")]
+    assert sorted(tuple(r) for r in
+                  after.codes.select("doc_id", "cell", *code_cols)
+                  .collect()) == \
+        sorted(tuple(r) for r in
+               re_enc.select("doc_id", "cell", *code_cols).collect())
+    assert {r.doc_id for r in after.codes.select("doc_id").collect()} == \
+        {r.doc_id for r in after.vectors.select("doc_id").collect()}
