@@ -966,7 +966,8 @@ def _recall_row(method: str, approx: DataFrame, exact: DataFrame,
 
 
 def _topk_recall_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The five top-k recall legs (LSH/IVF/int8/PQ/filtered vs exact) —
+    """The six top-k recall legs (LSH/IVF/int8/PQ/IVFADC/filtered vs
+    exact) —
     every leg a PINNED derived output (see `_pinned`): the audit reads
     the same persisted top-k tables the individual queries publish —
     which is exactly what a deployed recall audit does — instead of
@@ -982,6 +983,7 @@ def _topk_recall_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf5 = ann_topk_ivf(spark, sf_dir).select("vec_id")
     int85 = ann_topk_int8(spark, sf_dir).select("vec_id")
     pq5 = ann_topk_pq(spark, sf_dir).select("vec_id")
+    ivfpq5 = ann_topk_ivfpq_published(spark, sf_dir).select("vec_id")
     filt5 = ann_topk_filtered(spark, sf_dir).select("vec_id")
 
     def _exact_filtered():
@@ -1011,6 +1013,8 @@ def _topk_recall_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(_recall_row("ann_topk_int8", int85, exact5,
                                      ["vec_id"]))
             .unionByName(_recall_row("ann_topk_pq", pq5, exact5,
+                                     ["vec_id"]))
+            .unionByName(_recall_row("ann_topk_ivfpq", ivfpq5, exact5,
                                      ["vec_id"]))
             .unionByName(_recall_row("ann_topk_filtered", filt5, exactf5,
                                      ["vec_id"])))
@@ -1468,6 +1472,16 @@ pq5 AS (
   WHERE p.ia = {QUERY_VEC_ID}
   ORDER BY round(p.d, 6) DESC, p.ib ASC LIMIT {ANN_K}
 ),
+ivfpq_cands AS (
+  SELECT a.vec_id FROM adc a JOIN ivf_c c ON a.vec_id = c.vec_id
+  ORDER BY a.adc_sim DESC, a.vec_id ASC LIMIT {PQ_RERANK}
+),
+ivfpq5 AS (
+  SELECT p.ib AS vec_id
+  FROM pair_dot p JOIN ivfpq_cands c ON p.ib = c.vec_id
+  WHERE p.ia = {QUERY_VEC_ID}
+  ORDER BY round(p.d, 6) DESC, p.ib ASC LIMIT {ANN_K}
+),
 exactf5 AS (
   SELECT p.ib AS vec_id
   FROM pair_dot p JOIN documents dd ON p.ib = dd.doc_id
@@ -1497,6 +1511,10 @@ rows_ AS (
   UNION ALL
   SELECT 'ann_topk_pq',
          (SELECT count(*) FROM pq5 JOIN exact5 USING (vec_id)),
+         (SELECT count(*) FROM exact5)
+  UNION ALL
+  SELECT 'ann_topk_ivfpq',
+         (SELECT count(*) FROM ivfpq5 JOIN exact5 USING (vec_id)),
          (SELECT count(*) FROM exact5)
   UNION ALL
   SELECT 'ann_topk_filtered',

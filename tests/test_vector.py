@@ -253,8 +253,8 @@ def test_recall_report_covers_every_ann_variant(spark, sf_dir):
 
     rows = {r.method: r for r in ann_recall_report(spark, sf_dir).collect()}
     assert set(rows) == {"ann_topk_lsh", "ann_topk_ivf", "ann_topk_int8",
-                         "ann_topk_pq", "ann_topk_filtered",
-                         "similar_pairs_lsh_scaled"}
+                         "ann_topk_pq", "ann_topk_ivfpq",
+                         "ann_topk_filtered", "similar_pairs_lsh_scaled"}
     for r in rows.values():
         assert 0.0 <= r.recall <= 1.0
         assert r.hits <= r.expected
