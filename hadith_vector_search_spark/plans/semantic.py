@@ -322,6 +322,104 @@ def ann_topk_ivf_published(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vidx.ivf_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K)
 
 
+def ann_topk_ivf_batch_published(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Batched ANN off the published store — the serving-scale shape for
+    N concurrent queries (the vector twin of `bm25_topk_batch` /
+    `hybrid_search_batch`): ONE directory-pruned scan of the UNION of
+    every query's probe cells instead of N separate scans, the query
+    batch broadcast as a literal relation carrying each query's own
+    probe list, candidates restricted per query by
+    `array_contains(probes, cell)` (broadcast NLJ against a 5-row
+    side), exact JVM dot, per-query window top-k. IO is
+    |union of probes| / n_cells of the corpus REGARDLESS of N — at
+    1000 executors the batch amortizes planning and scan setup exactly
+    as the lexical batch does. Probe selection per query is driver-side
+    planning arithmetic (`vector_store.select_probes`, the shared
+    three-tier implementation)."""
+    from ..sources.vector_store import select_probes
+
+    vidx = get_published_vector_index(spark, sf_dir)
+    if vidx is not None:
+        centroids = vidx.centroids
+        scan = vidx.vectors          # cell = partition column (pruned)
+    else:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = [(r.cent_id, list(r.cvec)) for r in sorted(
+            similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+            key=lambda r: r.cent_id)]
+        scan = emb.select("vec_id", "embedding",
+                          similarity.cell_of(centroids).alias("cell"))
+    qrows = sorted(scan.filter(F.col("vec_id") < KNN_QUERIES)
+                   .select("vec_id", "embedding").collect(),
+                   key=lambda r: r[0])
+    batch = []
+    for r in qrows:
+        qv = [float(x) for x in r[1]]
+        batch.append((int(r[0]), qv,
+                      [int(p) for p in select_probes(spark, centroids, qv,
+                                                     IVF_PROBE)]))
+    union_probes = sorted({p for _, _, ps in batch for p in ps})
+    bdf = spark.createDataFrame(
+        batch, "query_id long, qvec array<double>, probes array<int>")
+    pruned = (scan.filter(F.col("cell").isin(union_probes))
+              .select("vec_id", "embedding",
+                      F.col("cell").cast("int").alias("cell")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("vec_id"))
+    return (pruned.join(F.broadcast(bdf),
+                        F.array_contains(F.col("probes"), F.col("cell")))
+            .select("query_id", "vec_id",
+                    F.round(dot(F.col("embedding"), F.col("qvec")), 6)
+                    .alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= ANN_K)
+            .select("query_id", "vec_id", "sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def ann_topk_ivf_batch_published_oracle() -> str:
+    """Per-query replay of the batched form: each query's probes from
+    the shared codebook, candidates = assignments in those probes,
+    per-query rank on the exact rounded dot."""
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+qprobes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot WHERE vec_id < {KNN_QUERIES}
+  ) WHERE rn <= {IVF_PROBE}
+),
+cands AS (
+  SELECT qp.query_id, a.vec_id
+  FROM qprobes qp JOIN assign a ON a.cent_id = qp.cent_id
+),
+ranked AS (
+  SELECT c.query_id, p.ib AS vec_id, round(p.d, 6) AS sim,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY round(p.d, 6) DESC, p.ib ASC) AS rank
+  FROM cands c JOIN pair_dot p ON p.ia = c.query_id AND p.ib = c.vec_id
+)
+SELECT query_id, vec_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def ann_topk_filtered_oracle() -> str:
     return f"""
 WITH {_PAIR_DOT},

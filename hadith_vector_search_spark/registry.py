@@ -104,6 +104,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivf": semantic.ann_topk_ivf,
     "ann_topk_ivf_published": semantic.ann_topk_ivf_published,
     "ann_topk_ivfpq_published": semantic.ann_topk_ivfpq_published,
+    "ann_topk_ivf_batch_published": semantic.ann_topk_ivf_batch_published,
     "ann_recall_report": semantic.ann_recall_report,
     "ann_recall_report_sampled": semantic.ann_recall_report_sampled,
     # iterative algorithm — no SQL oracle (driver rows-only check)
@@ -258,6 +259,8 @@ oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 # the in-session IVF build
 oracle("ann_topk_ivf_published", semantic.ann_topk_ivf_oracle())
 oracle("ann_topk_ivfpq_published", semantic.ann_topk_ivfpq_published_oracle())
+oracle("ann_topk_ivf_batch_published",
+       semantic.ann_topk_ivf_batch_published_oracle())
 oracle("ann_recall_report", semantic.ann_recall_report_oracle())
 oracle("ann_recall_report_sampled",
        semantic.ann_recall_report_sampled_oracle())

@@ -250,6 +250,46 @@ def _load_pq_subbooks(spark: SparkSession, index_dir: str, m: int,
                      dtype=float) for mi in range(m)]
 
 
+def select_probes(spark: SparkSession,
+                  centroids: list[tuple[int, list[float]]],
+                  qvec: list[float], n_probe: int) -> list[int]:
+    """Top-`n_probe` nearest cells for one query vector, via the SAME
+    round(dot,6) / ties-to-lowest-cent-id arithmetic stored assignments
+    were computed with — shared by the published index handle and the
+    batched/storeless ANN plans. Config-sized codebooks run the
+    literal-inlined 1-row relation; above LITERAL_CODEBOOK_BOUND the
+    codebook scores as a LOCAL relation (n_cells rows, one tiny job)
+    because the literal expression tree is O(n_cells * dim) and its
+    planning cost dwarfs the work (measured, SCALE.md round 10); above
+    RELATIONAL_CODEBOOK_BOUND probes come from the same numpy arithmetic
+    the BLAS assignment tier used."""
+    if len(centroids) <= LITERAL_CODEBOOK_BOUND:
+        cells = similarity.cell_structs(centroids, "qv")
+        row = (spark.range(1)
+               .select(vector_lit([float(x) for x in qvec]).alias("qv"))
+               .select(F.slice(F.reverse(F.array_sort(cells)), 1,
+                               n_probe).alias("top"))
+               .collect()[0])
+        return [-s["ncid"] for s in row["top"]]
+    if len(centroids) > RELATIONAL_CODEBOOK_BOUND:
+        import numpy as np
+
+        from ..functions.vector import round6_arr
+        order = sorted(centroids, key=lambda c: c[0])
+        cids = np.array([int(c) for c, _ in order])
+        cd = round6_arr(np.array([v for _, v in order], dtype=float)
+                        @ np.asarray(qvec, dtype=float))
+        top = np.lexsort((cids, -cd))[:n_probe]
+        return [int(cids[i]) for i in top]
+    q = vector_lit([float(x) for x in qvec])
+    rows = (_cent_df(spark, centroids)
+            .select("cent_id", F.round(dot(F.col("cvec"), q), 6)
+                    .alias("cd"))
+            .orderBy(F.desc("cd"), F.asc("cent_id")).limit(n_probe)
+            .collect())
+    return [int(r.cent_id) for r in rows]
+
+
 class PublishedVectorIndex:
     """A reopened vector index: the cell-partitioned vectors frame, the
     collected codebook, and the probe-pruned ANN entry points. Every
@@ -310,41 +350,9 @@ class PublishedVectorIndex:
         return list(rows[0][0])
 
     def probes_for(self, qvec: list[float], n_probe: int) -> list[int]:
-        """Top-`n_probe` nearest cells, via the SAME round(dot,6) /
-        ties-to-lowest-cent-id arithmetic the stored assignments were
-        computed with. Config-sized codebooks run the literal-inlined
-        1-row relation; above LITERAL_CODEBOOK_BOUND the codebook scores
-        as a LOCAL relation (n_cells rows, one tiny job) because the
-        literal expression tree is O(n_cells * dim) and its planning
-        cost dwarfs the work (measured, SCALE.md round 10)."""
-        if len(self.centroids) <= LITERAL_CODEBOOK_BOUND:
-            cells = similarity.cell_structs(self.centroids, "qv")
-            row = (self.spark.range(1)
-                   .select(vector_lit([float(x) for x in qvec]).alias("qv"))
-                   .select(F.slice(F.reverse(F.array_sort(cells)), 1,
-                                   n_probe).alias("top"))
-                   .collect()[0])
-            return [-s["ncid"] for s in row["top"]]
-        if len(self.centroids) > RELATIONAL_CODEBOOK_BOUND:
-            # huge codebooks were ASSIGNED by the BLAS tier — select
-            # probes with the same numpy arithmetic for consistency
-            # (round6_arr + ties to the lowest cent_id)
-            import numpy as np
-
-            from ..functions.vector import round6_arr
-            order = sorted(self.centroids, key=lambda c: c[0])
-            cids = np.array([int(c) for c, _ in order])
-            cd = round6_arr(np.array([v for _, v in order], dtype=float)
-                            @ np.asarray(qvec, dtype=float))
-            top = np.lexsort((cids, -cd))[:n_probe]
-            return [int(cids[i]) for i in top]
-        q = vector_lit([float(x) for x in qvec])
-        rows = (_cent_df(self.spark, self.centroids)
-                .select("cent_id", F.round(dot(F.col("cvec"), q), 6)
-                        .alias("cd"))
-                .orderBy(F.desc("cd"), F.asc("cent_id")).limit(n_probe)
-                .collect())
-        return [int(r.cent_id) for r in rows]
+        """Top-`n_probe` nearest cells (see `select_probes` — the shared
+        three-tier implementation)."""
+        return select_probes(self.spark, self.centroids, qvec, n_probe)
 
     def ivf_topk(self, query_id, n_probe: int = 2, k: int = 5,
                  allowed: DataFrame | None = None,

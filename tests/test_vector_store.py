@@ -611,3 +611,50 @@ def test_ivfpq_refresh_crash_mid_commit_recovers_consistent_pair(
     got = {r.vec_id: r.embedding for r in reopened.vectors.collect()}
     assert [round(x, 9) for x in got[7]] == \
         [round(x, 9) for x in _vec(107)]
+
+
+def test_ivf_batch_equals_per_query_singles(spark, tmp_path):
+    """The batched form is an amortization, not a semantics change: each
+    query's rows equal its single-query `ivf_topk` answer, and the one
+    scan is pruned to the UNION of probe cells at planning time."""
+    from hadith_vector_search_spark.sources.vector_store import \
+        select_probes
+
+    idx_dir = str(tmp_path / "vecidx")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+
+    qids = [0, 3, 7]
+    batch = []
+    for qid in qids:
+        qv = vidx.query_vector(qid)
+        batch.append((qid, qv, select_probes(spark, vidx.centroids, qv, 2)))
+    union_probes = sorted({p for _, _, ps in batch for p in ps})
+    bdf = spark.createDataFrame(
+        batch, "query_id long, qvec array<double>, probes array<int>")
+
+    from hadith_vector_search_spark.functions.vector import dot
+    from pyspark.sql.window import Window
+    pruned = (vidx.probe_scan(union_probes)
+              .select("vec_id", "embedding",
+                      F.col("cell").cast("int").alias("cell")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("vec_id"))
+    got = (pruned.join(F.broadcast(bdf),
+                       F.array_contains(F.col("probes"), F.col("cell")))
+           .select("query_id", "vec_id",
+                   F.round(dot(F.col("embedding"), F.col("qvec")), 6)
+                   .alias("sim"))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 5))
+    by_query = {}
+    for r in got.collect():
+        by_query.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.sim))
+    for qid in qids:
+        single = [(i + 1, r.vec_id, r.sim) for i, r in
+                  enumerate(vidx.ivf_topk(qid, n_probe=2, k=5).collect())]
+        assert sorted(by_query[qid]) == single, qid
+
+    pf = partition_filters(pruned)
+    assert pf and any("cell" in line for line in pf), pf
