@@ -240,15 +240,33 @@ def dedup_removal_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def get_window_index(spark: SparkSession, sf_dir: str,
                      w: int = dedup.DUPSPAN_W) -> DataFrame:
-    """Session-scoped positional token-window index over `documents`
-    (eager-checkpointed): consumed twice per span-dedup pass, persisted
-    as a table on a lake."""
+    """Positional token-window index over `documents`, served from the
+    PUBLISHED doc-bucket-partitioned store (`sources.window_store` —
+    publish iff the manifest says the corpus drifted, reopen the bytes
+    otherwise; a second session never re-tokenizes the corpus). The
+    round-5 session pin remains the fallback when the index root is
+    unwritable (the `get_index` discipline), and both paths stay
+    continuously oracle-checked: every consumer's DuckDB oracle rebuilds
+    from raw text each gate pass."""
+    import os as _os
+
+    from ..sources import window_store
+    from .lexical import _index_root
+
     key = _cache_key(spark, sf_dir, "windows", w)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _INDEX_CACHE[key] = pin_audit.record(
-            "dedup_window_index", sf_dir,
-            dedup.window_index(docs, w)).localCheckpoint()
+        token = sf_dir.strip("/").replace("/", "_")
+        idx_dir = _os.path.join(_index_root(), f"{token}_win")
+        try:
+            widx, _ = window_store.ensure_window_index(
+                spark, docs, _os.path.join(sf_dir, "documents.parquet"),
+                idx_dir, w)
+            _INDEX_CACHE[key] = widx.windows
+        except OSError:
+            _INDEX_CACHE[key] = pin_audit.record(
+                "dedup_window_index", sf_dir,
+                dedup.window_index(docs, w)).localCheckpoint()
     return _INDEX_CACHE[key]
 
 

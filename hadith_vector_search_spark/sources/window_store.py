@@ -1,0 +1,185 @@
+"""Published on-disk WINDOW index — the substring-dedup side of the
+durable-store family (`index_store` = lexical postings, `vector_store` =
+IVF cells / LSH buckets / IVFADC codes). The positional w-token window
+index (Lee et al. 2022 span dedup; `operators/dedup.window_index`) is the
+most expensive derivation the dedup family shares: SCALE.md has promised
+"persisted parquet index tables bucketed by doc_id" since round 5 — this
+module is that table, behind the same staleness manifest and crash-safe
+staged-journal commit as the other stores.
+
+Layout under ``<index_dir>/``::
+
+    _wlayout.json              {"w", "n_buckets", "id_col"}
+    _index_manifest.json       staleness manifest (sources.manifest)
+    windows/dbucket=K/         (doc_id, pos, _h1, _h2), doc-sorted
+                               in-file, partitioned by hash(doc_id)
+
+Partitioning choice: queries over this index are CORPUS-WIDE key
+aggregations (duplicate-key counts, semi joins back on the key) — no
+partition predicate helps them, so pruning is not the goal. MAINTENANCE
+is: a changed/removed doc's rows live in exactly ONE `dbucket` dir, so
+the delta refresh (`write_window_refresh`, the shared
+`_partitioned_refresh` core) rewrites only the buckets the batch's doc
+ids hash to — the cost tracks the batch, the in-file doc_id sort gives
+row-group pruning for per-doc reads, and at 100 TB the bucket count is
+the write-parallelism knob. (Key-partitioned dirs would invert both
+properties: every doc scatters over all key buckets, making the delta a
+full rewrite.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from .commit import recover
+from .manifest import (IndexManifest, ensure_index, read_manifest,
+                       source_fingerprint, staleness_reasons)
+from .vector_store import (_partitioned_refresh, _write_json_sidecar,
+                           _write_parted)
+
+WLAYOUT_NAME = "_wlayout.json"
+WINDOW_MODEL = "window-index-v1"
+DEFAULT_DBUCKETS = 16   # doc-hash partition dirs; a lake uses thousands
+
+
+def _dbucket(id_col: str, n_buckets: int):
+    """Stable doc-hash partition value. Writer and refresher must agree
+    (the value is stored data, recorded in the layout); no oracle ever
+    reads it, so the hash needs stability, not cross-engine parity."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+
+
+def read_wlayout(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, WLAYOUT_NAME)) as fh:
+        return json.load(fh)
+
+
+def publish_window_index(docs: DataFrame, index_dir: str,
+                         w: int = dedup.DUPSPAN_W,
+                         n_buckets: int = DEFAULT_DBUCKETS,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> None:
+    """Full overwrite publish: derive the positional window index once
+    (`dedup.window_index` — the narrow zip-with accumulation) and write
+    it doc-bucket-partitioned. Settles any crashed refresh first (the
+    stale-journal guard every store publish carries)."""
+    if os.path.isdir(index_dir):
+        recover(index_dir)
+    _write_json_sidecar(index_dir, WLAYOUT_NAME,
+                        {"w": w, "n_buckets": n_buckets, "id_col": id_col})
+    wins = (dedup.window_index(docs, w, text_col, id_col)
+            .select("*", _dbucket("doc_id", n_buckets).alias("dbucket")))
+    _write_parted(wins, os.path.join(index_dir, "windows"), "dbucket",
+                  "doc_id")
+
+
+class PublishedWindowIndex:
+    """A reopened window index: the doc-bucket-partitioned (doc_id, pos,
+    _h1, _h2) frame. Consumers run their own key aggregations over it —
+    no per-session tokenize/accumulate/explode rebuild."""
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        recover(index_dir)
+        self.spark, self.index_dir = spark, index_dir
+        lay = read_wlayout(index_dir)
+        self.w = int(lay["w"])
+        self.n_buckets = int(lay["n_buckets"])
+        self.id_col = lay["id_col"]
+        self.windows_path = os.path.join(index_dir, "windows")
+
+    @property
+    def windows(self) -> DataFrame:
+        return (self.spark.read.parquet(self.windows_path)
+                .select("doc_id", "pos", "_h1", "_h2"))
+
+
+def open_window_index(spark: SparkSession,
+                      index_dir: str) -> PublishedWindowIndex:
+    return PublishedWindowIndex(spark, index_dir)
+
+
+def window_manifest(source_path: str, n_docs: int, w: int,
+                    n_buckets: int) -> IndexManifest:
+    """Staleness identity: window width + bucket layout + doc count +
+    source fingerprint. `dim` carries w (the only geometry number)."""
+    return IndexManifest(model_name=f"{WINDOW_MODEL}-w{w}-b{n_buckets}",
+                         dim=w, n_rows=n_docs,
+                         source_files=source_fingerprint([source_path]))
+
+
+def ensure_window_index(spark: SparkSession, docs: DataFrame,
+                        source_path: str, index_dir: str,
+                        w: int = dedup.DUPSPAN_W,
+                        n_buckets: int = DEFAULT_DBUCKETS,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        ) -> tuple[PublishedWindowIndex, list[str]]:
+    """Build-or-reuse: publishes iff the manifest says the corpus
+    drifted, opens the artifact either way (the `ensure_vector_index`
+    discipline)."""
+    if os.path.isdir(index_dir):
+        recover(index_dir)
+    current = window_manifest(source_path, docs.count(), w, n_buckets)
+    reasons = ensure_index(
+        index_dir, current,
+        lambda: publish_window_index(docs, index_dir, w, n_buckets,
+                                     id_col, text_col))
+    return open_window_index(spark, index_dir), reasons
+
+
+def window_index_is_fresh(index_dir: str, source_path: str, n_docs: int,
+                          w: int = dedup.DUPSPAN_W,
+                          n_buckets: int = DEFAULT_DBUCKETS) -> bool:
+    if os.path.isdir(index_dir):
+        recover(index_dir)
+    return not staleness_reasons(
+        read_manifest(index_dir),
+        window_manifest(source_path, n_docs, w, n_buckets))
+
+
+def write_window_refresh(spark: SparkSession, index_dir: str,
+                         changed_docs: DataFrame,
+                         removed_ids: DataFrame | None = None,
+                         source_path: str | None = None,
+                         n_docs: int | None = None,
+                         ) -> PublishedWindowIndex:
+    """Incremental write-back: changed docs' window rows replace their
+    old rows; only the `dbucket` dirs the batch's doc ids hash to are
+    rewritten (the `write_vector_refresh` delta discipline on the
+    doc-hash partitioning), through the shared staged-journal commit —
+    kill-safe at any point. The in-session
+    `dedup.refresh_window_index` remains the storeless twin; rebuild
+    equivalence for BOTH is pinned by tests."""
+    if source_path is not None and n_docs is None:
+        raise ValueError("write_window_refresh needs n_docs alongside "
+                         "source_path: the manifest's n_rows counts DOCS "
+                         "and the generic refresh core would count index "
+                         "rows")
+    recover(index_dir)
+    widx = open_window_index(spark, index_dir)
+
+    def tag(df: DataFrame) -> DataFrame:
+        return (dedup.window_index(df, widx.w, "text", widx.id_col)
+                .select("*", _dbucket("doc_id", widx.n_buckets)
+                        .alias("dbucket")))
+
+    _partitioned_refresh(
+        spark, index_dir, part_col="dbucket",
+        specs=[{"table": "windows",
+                "live": spark.read.parquet(widx.windows_path),
+                "live_path": widx.windows_path, "tag": tag}],
+        id_col="doc_id",
+        changed=changed_docs.select(F.col(widx.id_col).alias("doc_id"),
+                                    "text"),
+        removed_ids=removed_ids,
+        manifest=(None if source_path is None else
+                  lambda n: window_manifest(source_path,
+                                            n_docs if n_docs is not None
+                                            else n, widx.w,
+                                            widx.n_buckets)),
+        n_rows=n_docs)
+    return open_window_index(spark, index_dir)
