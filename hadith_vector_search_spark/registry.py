@@ -42,6 +42,8 @@ from .streaming import (
     streaming_vector_refresh_oracle,
     streaming_lsh_refresh,
     streaming_lsh_refresh_oracle,
+    streaming_window_refresh,
+    streaming_window_refresh_oracle,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -187,6 +189,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_postings_refresh": streaming_postings_refresh,
     "streaming_vector_refresh": streaming_vector_refresh,
     "streaming_lsh_refresh": streaming_lsh_refresh,
+    "streaming_window_refresh": streaming_window_refresh,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -386,6 +389,7 @@ WHERE abs(date_diff('microsecond', e.ts, c.ts))
 # recomputed from raw vectors in SQL)
 oracle("streaming_vector_refresh", streaming_vector_refresh_oracle())
 oracle("streaming_lsh_refresh", streaming_lsh_refresh_oracle())
+oracle("streaming_window_refresh", streaming_window_refresh_oracle())
 oracle("streaming_merge_jsonl", lifecycle.incremental_merge_preview_oracle())
 oracle("streaming_embed_merge", lifecycle.streaming_embed_merge_oracle())
 oracle("near_dup_ngram_jaccard", dedup_plans.near_dup_ngram_jaccard_oracle())

@@ -888,3 +888,128 @@ FROM buckets b
 JOIN merged m ON b.vec_id = m.vec_id
 JOIN g ON g.j < len(m.v)
 """
+
+
+def streaming_window_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published-WINDOW-index maintenance AT INGEST — the substring-dedup
+    member of the streaming x durable-store matrix (postings, IVF cells,
+    LSH buckets, and now the span-dedup window store all stay fresh
+    under a streaming corpus).
+
+    A base doc-bucket-partitioned window store is published from the
+    documents table, then the lexical change feed (revised %5 docs, new
+    %11 docs above an id offset, deletions of %13) streams in JSON
+    micro-batches, each delta-merged by
+    `sources.window_store.write_window_refresh` inside `foreachBatch`:
+    only the `dbucket` dirs the batch's doc ids hash to rewrite, through
+    the crash-safe staged-journal commit, idempotent under micro-batch
+    retry (delete + reinsert by doc id). Every doc id appears once in
+    the feed, so the drained store equals a from-scratch window index of
+    the merged corpus. Emits the SPAN REPORT computed off the drained
+    store — the consumer-visible result — which the oracle replays from
+    the merged raw text (windowing + duplication + island merge)."""
+    import tempfile
+
+    from ..operators import dedup as dedup_ops
+    from ..plans.lexical import REFRESH_NEW_ID_OFFSET
+    from ..sources import load_table, window_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="stream_winref_")
+    store = os.path.join(work, "store")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        window_store.publish_window_index(docs, store)
+        upd = (docs.filter((F.col("doc_id") % 5 == 0)
+                           & (F.col("doc_id") % 13 != 0))
+               .select("doc_id",
+                       F.concat(F.col("text"), F.lit(" [rev2]"))
+                       .alias("text"),
+                       F.lit("upsert").alias("action")))
+        fresh = (docs.filter(F.col("doc_id") % 11 == 0)
+                 .select((F.col("doc_id") + REFRESH_NEW_ID_OFFSET)
+                         .alias("doc_id"),
+                         "text", F.lit("upsert").alias("action")))
+        dels = (docs.filter(F.col("doc_id") % 13 == 0)
+                .select("doc_id", F.lit(None).cast("string").alias("text"),
+                        F.lit("delete").alias("action")))
+        feed = upd.unionByName(fresh).unionByName(dels)
+        feed.repartition(3).write.mode("overwrite").json(src)
+
+        schema = spark.createDataFrame(
+            [], "doc_id long, text string, action string").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(src))
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            ups = (batch_df.filter(F.col("action") == "upsert")
+                   .select("doc_id", "text"))
+            rms = (batch_df.filter(F.col("action") == "delete")
+                   .select("doc_id"))
+            window_store.write_window_refresh(spark, store, ups, rms)
+
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        drained = window_store.open_window_index(spark, store)
+        return (dedup_ops.duplicated_spans(docs,
+                                           windows=drained.windows)
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_window_refresh_oracle() -> str:
+    """From-scratch replay: apply the change feed to the raw corpus in
+    SQL, then the `duplicated_span_report` windowing + duplication +
+    island-merge replay over the MERGED text."""
+    from ..operators import dedup as dedup_ops
+    from ..plans.lexical import REFRESH_NEW_ID_OFFSET
+
+    w = dedup_ops.DUPSPAN_W
+    return f"""
+WITH merged AS (
+  SELECT doc_id, text || ' [rev2]' AS text
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + {REFRESH_NEW_ID_OFFSET}, text
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, text
+  FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 13 <> 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM merged
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(ts[i:i+{w}-1], 'string_agg', ' ') AS wstr
+  FROM toks, unnest(range(1, len(ts) - {w} + 2)) AS r(i)
+  WHERE len(ts) >= {w}
+),
+dup AS (
+  SELECT wstr FROM win GROUP BY wstr HAVING count(DISTINCT doc_id) >= 2
+),
+marked AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wstr)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos = lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+              THEN 0 ELSE 1 END AS b
+  FROM marked
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM brk
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) - min(pos) + {w} AS span_len,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, gid
+"""
