@@ -658,3 +658,19 @@ def test_ivf_batch_equals_per_query_singles(spark, tmp_path):
 
     pf = partition_filters(pruned)
     assert pf and any("cell" in line for line in pf), pf
+
+
+def test_ivfpq_probing_all_cells_degenerates_to_flat_pq(spark, tmp_path):
+    """Invariant: with n_probe = n_cells the IVF restriction admits the
+    whole corpus, so IVFADC must return EXACTLY the flat `pq_topk`
+    answer (same ADC ranking, same rerank) — pinning that cell pruning
+    is pure candidate restriction, never a scoring change."""
+    idx_dir = str(tmp_path / "vecpq")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS,
+                                      pq_cents=PQ_CENTS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    for qid in (0, 7, 13):
+        got = _rows(vidx.ivfpq_topk(qid, n_probe=N_CELLS, k=5, rerank=8))
+        flat = _rows(similarity.pq_topk(emb, qid, PQ_CENTS, 5, 8))
+        assert got == flat, qid

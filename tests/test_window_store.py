@@ -161,3 +161,25 @@ def test_refresh_requires_doc_count_with_source_path(spark, tmp_path):
         window_store.write_window_refresh(
             spark, idx_dir, _docs(spark, [(1, "x y z w v")]),
             source_path="/tmp/whatever")
+
+
+def test_refresh_all_docs_removed_keeps_store_openable(spark, tmp_path):
+    """Removing every doc leaves an empty-but-schema'd placeholder, and
+    a later refresh on top of it rebuilds real bucket dirs (the vector
+    store's degenerate-shape discipline on the window layout)."""
+    idx_dir = str(tmp_path / "winidx")
+    docs = _corpus(spark, 6)
+    window_store.publish_window_index(docs, idx_dir, w=W, n_buckets=4)
+    empty = _docs(spark, [])
+    all_ids = spark.createDataFrame([(i,) for i in range(6)],
+                                    "doc_id long")
+    emptied = window_store.write_window_refresh(spark, idx_dir, empty,
+                                                all_ids)
+    assert emptied.windows.count() == 0
+    reopened = window_store.open_window_index(spark, idx_dir)
+    assert reopened.windows.count() == 0
+
+    batch = _docs(spark, [(30, "fresh alpha beta gamma delta body"),
+                          (31, "fresh alpha beta gamma delta body")])
+    refreshed = window_store.write_window_refresh(spark, idx_dir, batch)
+    assert _rows(refreshed.windows) == _rows(dedup.window_index(batch, W))
