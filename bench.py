@@ -116,6 +116,7 @@ def main() -> None:
         # IVF cells, the kmeans-codebook twin, and the LSH bucket store
         sem_plans.get_published_vector_index(spark, sf_dir)
         sem_plans.get_ivfpq_published_index(spark, sf_dir)
+        sem_plans.get_ivfpq_residual_published_index(spark, sf_dir)
         sem_plans.get_kmeans_published_vector_index(spark, sf_dir)
         sem_plans.get_ivfpq_kmeans_published_index(spark, sf_dir)
         sem_plans.get_published_lsh_index(spark, sf_dir)

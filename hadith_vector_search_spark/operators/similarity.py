@@ -571,14 +571,30 @@ def kmeans_subbooks(emb: DataFrame, n_cents: int = 4,
 
 def pq_encode(df: DataFrame, subbooks: list["np.ndarray"],
               id_col: str = "vec_id", vec_col: str = "embedding",
-              keep_cols: tuple[str, ...] = ()) -> DataFrame:
+              keep_cols: tuple[str, ...] = (),
+              residual_centroids: list[tuple[int, list[float]]]
+              | None = None,
+              cell_col: str = "cell") -> DataFrame:
     """Arrow-batched PQ encoder: (id, keep..., code_0, code_1) with the
     `_pq_codes_np` assignment contract. This is the publish-time map pass
     that turns d floats/vector into m small ints — the compression step
     that makes a 100 TB raw-vector corpus a ~1-2 TB code table. Map-only:
-    no shuffle, codebooks ride in the closure (config-sized)."""
+    no shuffle, codebooks ride in the closure (config-sized).
+
+    `residual_centroids` switches to the RESIDUAL form (FAISS IVFADC
+    proper): each row's assigned IVF centroid (looked up from the row's
+    `cell_col`) is subtracted BEFORE coding, so the sub-codebooks
+    quantize the much-smaller residual distribution — the standard
+    accuracy win over coding raw vectors. float->double subtraction is
+    exact and identical in both engines, so the whole residual path
+    stays oracle-replayable."""
     dim = sum(Bm.shape[1] for Bm in subbooks)
     bounds = pq_bounds(dim)
+    cmap = (None if residual_centroids is None else
+            {int(c): np.asarray(v, dtype=np.float64)
+             for c, v in residual_centroids})
+    extra = ((cell_col,) if cmap is not None
+             and cell_col not in keep_cols else ())
 
     def enc(batches):
         for pdf in batches:
@@ -586,6 +602,9 @@ def pq_encode(df: DataFrame, subbooks: list["np.ndarray"],
                 continue
             X = np.array([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
+            if cmap is not None:
+                C = np.array([cmap[int(c)] for c in pdf[cell_col]])
+                X = X - C
             codes = _pq_codes_np(X, subbooks, bounds)
             out = {id_col: pdf[id_col]}
             for kc in keep_cols:
@@ -598,7 +617,7 @@ def pq_encode(df: DataFrame, subbooks: list["np.ndarray"],
         f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols)
     code_schema = "".join(f", code_{m} int" for m in range(len(subbooks)))
     id_type = df.schema[id_col].dataType.simpleString()
-    return (df.select(id_col, vec_col, *keep_cols)
+    return (df.select(id_col, vec_col, *keep_cols, *extra)
             .mapInPandas(enc,
                          schema=f"{id_col} {id_type}{keep_schema}"
                                 f"{code_schema}"))
@@ -617,17 +636,24 @@ def pq_adc_luts(subbooks: list["np.ndarray"],
             for (lo, hi), Bm in zip(pq_bounds(len(q)), subbooks)]
 
 
-def pq_adc_expr(luts: list["np.ndarray"]) -> Column:
+def pq_adc_expr(luts: list["np.ndarray"],
+                cell_term: Column | None = None) -> Column:
     """ADC similarity as a column over code_0/code_1: round-6 of the
     two-term LUT sum — the JVM twin of `pq_topk`'s per-row
     `adc += Bm[codes] @ qm` accumulation (two IEEE double adds either
-    way)."""
+    way). For residual stores `cell_term` carries dot(q, centroid_cell)
+    and the association is `qc + (t0 + t1)` — the ORACLE sums the two
+    residual terms first and adds the cell dot outside the aggregate, so
+    both engines associate identically (FP addition is commutative but
+    not associative; this is a contract, not pedantry)."""
     terms = [F.element_at(F.array(*[F.lit(float(x)) for x in lut]),
                           F.col(f"code_{m}") + 1)
              for m, lut in enumerate(luts)]
     total = terms[0]
     for t in terms[1:]:
         total = total + t
+    if cell_term is not None:
+        total = cell_term + total
     return F.round(total, 6)
 
 
@@ -635,7 +661,8 @@ def ivfpq_topk(emb: DataFrame, query_id: int,
                centroids: list[tuple[int, list[float]]],
                subbooks: list["np.ndarray"], n_probe: int = 2, k: int = 5,
                rerank: int = 20, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding", residual: bool = False
+               ) -> DataFrame:
     """IVFADC in-session compose (FAISS's billion-scale IVF+PQ shape):
     IVF cell restriction (the `ivf_topk` probe/assign arithmetic) picks
     ~n_probe/n_cells of the corpus, PQ ADC ranks ONLY those candidates
@@ -657,10 +684,26 @@ def ivfpq_topk(emb: DataFrame, query_id: int,
     scan = (emb.select(F.col(id_col), F.col(vec_col),
                        (-F.array_max(cells)["ncid"]).alias("cent_id"))
             .filter(F.col("cent_id").isin(probes)))
-    coded = pq_encode(scan, subbooks, id_col, vec_col)
-    cands = (coded.select(F.col(id_col),
-                          pq_adc_expr(pq_adc_luts(subbooks, qvec))
-                          .alias("adc_sim"))
+    luts = pq_adc_luts(subbooks, qvec)
+    if residual:
+        # IVFADC residual form: codes quantize v - centroid(cell); ADC
+        # adds dot(q, centroid_cell) back per candidate's cell.
+        coded = pq_encode(scan, subbooks, id_col, vec_col,
+                          keep_cols=("cent_id",),
+                          residual_centroids=centroids,
+                          cell_col="cent_id")
+        q = np.asarray(qvec, dtype=np.float64)
+        qc = F.map_from_arrays(
+            F.array(*[F.lit(int(p)) for p in probes]),
+            F.array(*[F.lit(float(
+                np.asarray(dict(centroids)[p], dtype=np.float64) @ q))
+                for p in probes]))
+        adc = pq_adc_expr(luts, cell_term=F.element_at(
+            qc, F.col("cent_id")))
+    else:
+        coded = pq_encode(scan, subbooks, id_col, vec_col)
+        adc = pq_adc_expr(luts)
+    cands = (coded.select(F.col(id_col), adc.alias("adc_sim"))
              .orderBy(F.desc("adc_sim"), F.asc(id_col))
              .limit(rerank))
     return (scan.join(F.broadcast(cands), id_col)

@@ -322,6 +322,152 @@ def ann_topk_ivf_published(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vidx.ivf_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K)
 
 
+def get_ivfpq_residual_published_index(spark: SparkSession, sf_dir: str):
+    """Ensure-and-reopen the RESIDUAL IVFADC store — FAISS's IVFPQ
+    proper: codes quantize `v - centroid(cell)` (the residual
+    distribution is far tighter than raw vectors, so the same code
+    budget reconstructs better), ADC adds dot(q, centroid_cell) back per
+    candidate. Data-derived residual sub-books keep the whole path
+    raw-value oracle-replayable (float->double subtraction is exact and
+    identical in both engines). Own artifact dir (`_vecpqr`), own
+    manifest identity (`-pqr` tag — a raw-coded store is STALE for a
+    residual consumer)."""
+    import os as _os
+
+    from ..sources import vector_store
+    from .lexical import _index_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    token = sf_dir.strip("/").replace("/", "_")
+    idx_dir = _os.path.join(_index_root(), f"{token}_vecpqr")
+    try:
+        vector_store.ensure_vector_index(
+            spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
+            idx_dir, n_cells=IVF_CENTROIDS, pq_cents=PQ_CENTS,
+            pq_residual=True)
+        return vector_store.open_vector_index(spark, idx_dir)
+    except OSError:
+        return None
+
+
+def ann_topk_ivfpq_residual_published(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Residual-coded IVFADC off the published store: probe-pruned CODE
+    scan, ADC = per-probe cell dot (a tiny literal map) + residual LUT
+    terms, exact rerank inside the probed raw cells. The DuckDB oracle
+    replays assignment → residuals → residual sub-codebooks → codes →
+    cell-term ADC → rerank end to end."""
+    import numpy as np
+
+    vidx = get_ivfpq_residual_published_index(spark, sf_dir)
+    if vidx is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+            similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+            key=lambda r: r.cent_id)]
+        cmap = {c: np.asarray(v, dtype=np.float64) for c, v in cents}
+        rows = (emb.select("vec_id", "embedding",
+                           similarity.cell_of(cents).alias("cell"))
+                .orderBy(F.asc("vec_id")).limit(PQ_CENTS).collect())
+        R = np.array([np.asarray(r[1], dtype=np.float64)
+                      - cmap[int(r[2])] for r in rows])
+        subbooks = [R[:, lo:hi]
+                    for lo, hi in similarity.pq_bounds(R.shape[1])]
+        return similarity.ivfpq_topk(emb, QUERY_VEC_ID, cents, subbooks,
+                                     IVF_PROBE, ANN_K, PQ_RERANK,
+                                     residual=True)
+    return vidx.ivfpq_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K, PQ_RERANK)
+
+
+def ann_topk_ivfpq_residual_published_oracle() -> str:
+    """Residual-IVFADC replay: per-doc residuals w.r.t. the assigned
+    cell, residual sub-codebooks from the lowest ids, code assignment on
+    residual L2^2, ADC = dot(q, centroid_cell) + residual LUT terms
+    (associated `qc + (t0 + t1)` exactly as the Spark expression), exact
+    rerank."""
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cent_id FROM cent_dot WHERE vec_id = {QUERY_VEC_ID}
+  ORDER BY cd DESC, cent_id ASC LIMIT {IVF_PROBE}
+),
+ivf_cands AS (
+  SELECT a.vec_id FROM assign a JOIN probes p ON a.cent_id = p.cent_id
+),
+halves AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1),
+dims AS (SELECT unnest(range(1, 4097)) AS i),
+rd AS (
+  SELECT e.vec_id, d.i,
+         CAST(e.embedding[d.i] AS DOUBLE)
+         - CAST(c.embedding[d.i] AS DOUBLE) AS rv
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN embeddings c ON c.vec_id = a.cent_id
+  JOIN dims d ON d.i <= len(e.embedding)
+  WHERE e.vec_id < {PQ_CENTS}
+     OR e.vec_id IN (SELECT vec_id FROM ivf_cands)
+),
+dist AS (
+  SELECT d.vec_id,
+         CASE WHEN d.i <= h THEN 0 ELSE 1 END AS m,
+         c.vec_id AS cid,
+         round(sum((d.rv - c.rv) * (d.rv - c.rv)), 6) AS d2
+  FROM rd d
+  JOIN ivf_cands ic ON d.vec_id = ic.vec_id
+  JOIN rd c ON c.vec_id < {PQ_CENTS} AND c.i = d.i
+  CROSS JOIN halves
+  GROUP BY d.vec_id, CASE WHEN d.i <= h THEN 0 ELSE 1 END, c.vec_id
+),
+code AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+adc_terms AS (
+  SELECT code.vec_id, code.m, sum(qq.qv * c.rv) AS t
+  FROM code
+  JOIN rd c ON c.vec_id = code.cid
+  CROSS JOIN halves
+  JOIN (SELECT d.i, CAST(q.embedding[d.i] AS DOUBLE) AS qv
+        FROM embeddings q JOIN dims d ON d.i <= len(q.embedding)
+        WHERE q.vec_id = {QUERY_VEC_ID}) qq ON qq.i = c.i
+  WHERE (CASE WHEN c.i <= h THEN 0 ELSE 1 END) = code.m
+  GROUP BY code.vec_id, code.m
+),
+adc AS (
+  SELECT t.vec_id, round(pd.d + sum(t.t), 6) AS adc_sim
+  FROM adc_terms t
+  JOIN assign a ON a.vec_id = t.vec_id
+  JOIN pair_dot pd ON pd.ia = {QUERY_VEC_ID} AND pd.ib = a.cent_id
+  GROUP BY t.vec_id, pd.d
+),
+cands AS (
+  SELECT vec_id, adc_sim FROM adc
+  ORDER BY adc_sim DESC, vec_id ASC LIMIT {PQ_RERANK}
+)
+SELECT c.vec_id, c.adc_sim, round(p.d, 6) AS sim
+FROM cands c
+JOIN pair_dot p ON p.ia = {QUERY_VEC_ID} AND p.ib = c.vec_id
+ORDER BY sim DESC, c.vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
 def ann_topk_ivf_batch_published(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Batched ANN off the published store — the serving-scale shape for

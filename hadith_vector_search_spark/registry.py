@@ -106,6 +106,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivf": semantic.ann_topk_ivf,
     "ann_topk_ivf_published": semantic.ann_topk_ivf_published,
     "ann_topk_ivfpq_published": semantic.ann_topk_ivfpq_published,
+    "ann_topk_ivfpq_residual_published":
+        semantic.ann_topk_ivfpq_residual_published,
     "ann_topk_ivf_batch_published": semantic.ann_topk_ivf_batch_published,
     "ann_recall_report": semantic.ann_recall_report,
     "ann_recall_report_sampled": semantic.ann_recall_report_sampled,
@@ -262,6 +264,8 @@ oracle("ann_topk_ivf", semantic.ann_topk_ivf_oracle())
 # the in-session IVF build
 oracle("ann_topk_ivf_published", semantic.ann_topk_ivf_oracle())
 oracle("ann_topk_ivfpq_published", semantic.ann_topk_ivfpq_published_oracle())
+oracle("ann_topk_ivfpq_residual_published",
+       semantic.ann_topk_ivfpq_residual_published_oracle())
 oracle("ann_topk_ivf_batch_published",
        semantic.ann_topk_ivf_batch_published_oracle())
 oracle("ann_recall_report", semantic.ann_recall_report_oracle())

@@ -158,7 +158,8 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
                          vec_col: str = "embedding",
                          geometry: dict | None = None,
                          pq_cents: int | None = None,
-                         pq_subbooks: list | None = None) -> None:
+                         pq_subbooks: list | None = None,
+                         pq_residual: bool = False) -> None:
     """Full overwrite publish: assign every vector to its nearest-centroid
     cell (`similarity.cell_of` — the exact arithmetic queries probe with)
     and write the cell-partitioned table + the codebook sidecar.
@@ -200,12 +201,13 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
                   "cell", id_col)
     if pq_cents:
         publish_pq_codes(spark, index_dir, pq_cents, emb=emb,
-                         subbooks=pq_subbooks)
+                         subbooks=pq_subbooks, residual=pq_residual)
 
 
 def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
                      emb: DataFrame | None = None,
-                     subbooks: list | None = None) -> None:
+                     subbooks: list | None = None,
+                     residual: bool = False) -> None:
     """Attach the IVFADC code table to a published vector store: PQ
     sub-codebooks (derived from `emb` or, by default, from the store's
     own vectors — the `data_codebook` discipline) as the `pq_centroids/`
@@ -217,10 +219,28 @@ def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
     input rule `_tag_cells` documents, by stronger means). At 100 TB the
     codes table is the ~50x-smaller hot set ADC ranking scans; raw
     vectors are touched only for the top-`rerank` survivors."""
+    import numpy as np
+
     lay = read_vlayout(index_dir)
     id_col, vec_col = lay["id_col"], lay["vec_col"]
     stored = spark.read.parquet(os.path.join(index_dir, "vectors"))
-    if subbooks is None:
+    centroids = None
+    if residual:
+        centroids = [(int(r.cent_id), list(r.cvec)) for r in sorted(
+            spark.read.parquet(os.path.join(index_dir, "centroids"))
+            .collect(), key=lambda r: r.cent_id)]
+    if subbooks is None and residual:
+        # data-derived residual books: residuals of the lowest-id STORED
+        # rows w.r.t. their own assigned cells (the data_codebook
+        # discipline applied to the residual distribution)
+        rows = (stored.select(id_col, vec_col, "cell")
+                .orderBy(F.asc(id_col)).limit(pq_cents).collect())
+        cmap = {c: np.asarray(v, dtype=np.float64) for c, v in centroids}
+        R = np.array([np.asarray(r[1], dtype=np.float64) - cmap[int(r[2])]
+                      for r in rows])
+        subbooks = [R[:, lo:hi]
+                    for lo, hi in similarity.pq_bounds(R.shape[1])]
+    elif subbooks is None:
         # data-derived default; a TRAINED set (similarity.kmeans_subbooks)
         # passes through unchanged — same list-of-arrays contract
         subbooks = similarity.pq_subbooks(emb if emb is not None else stored,
@@ -228,7 +248,7 @@ def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
     dim = sum(Bm.shape[1] for Bm in subbooks)
     _write_json_sidecar(index_dir, PQ_LAYOUT_NAME,
                         {"n_cents": pq_cents, "m": len(subbooks),
-                         "dim": dim})
+                         "dim": dim, "residual": bool(residual)})
     (spark.createDataFrame(
         [(m, c, [float(x) for x in Bm[c]])
          for m, Bm in enumerate(subbooks) for c in range(Bm.shape[0])],
@@ -236,7 +256,8 @@ def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_dir, "pq_centroids")))
     codes = similarity.pq_encode(stored, subbooks, id_col, vec_col,
-                                 keep_cols=("cell",))
+                                 keep_cols=("cell",),
+                                 residual_centroids=centroids)
     _write_parted(codes, os.path.join(index_dir, "codes"), "cell", id_col)
 
 
@@ -402,10 +423,25 @@ class PublishedVectorIndex:
         qvec = self.query_vector(query_id)
         probes = self.probes_for(qvec, n_probe)
         luts = similarity.pq_adc_luts(self.pq_subbooks, qvec)
+        cell_term = None
+        if self.pq.get("residual"):
+            # residual store: ADC = dot(q, centroid_cell) + LUT terms —
+            # the cell dot is a tiny per-probe literal map
+            import numpy as np
+            q = np.asarray(qvec, dtype=np.float64)
+            cmap = {int(c): np.asarray(v, dtype=np.float64)
+                    for c, v in self.centroids}
+            cell_term = F.element_at(
+                F.map_from_arrays(
+                    F.array(*[F.lit(int(p)) for p in probes]),
+                    F.array(*[F.lit(float(cmap[int(p)] @ q))
+                              for p in probes])),
+                F.col("cell").cast("int"))
         cands = (self.codes
                  .filter(F.col("cell").isin([int(p) for p in probes]))
                  .select(F.col(self.id_col),
-                         similarity.pq_adc_expr(luts).alias("adc_sim"))
+                         similarity.pq_adc_expr(luts, cell_term)
+                         .alias("adc_sim"))
                  .orderBy(F.desc("adc_sim"), F.asc(self.id_col))
                  .limit(rerank))
         return (self.probe_scan(probes).join(F.broadcast(cands), self.id_col)
@@ -424,15 +460,17 @@ def open_vector_index(spark: SparkSession,
 def vector_manifest(source_path: str, n_rows: int, dim: int,
                     n_cells: int = DEFAULT_CELLS,
                     model_name: str | None = None,
-                    pq_cents: int | None = None) -> IndexManifest:
+                    pq_cents: int | None = None,
+                    pq_residual: bool = False) -> IndexManifest:
     """Staleness identity of a published vector index: embedding-model
     name + layout version + cell count (+ PQ sub-codebook size when the
     IVFADC code table is attached — a store published without codes is
     STALE for a pq-expecting consumer, never silently reused), the
     vector geometry, the row count, and the source fingerprint (catches
     in-place rewrites)."""
+    tag = "pqr" if pq_residual else "pq"
     model = model_name or (f"{VECTOR_MODEL}-c{n_cells}"
-                           + (f"-pq{pq_cents}" if pq_cents else ""))
+                           + (f"-{tag}{pq_cents}" if pq_cents else ""))
     return IndexManifest(model_name=model, dim=dim, n_rows=n_rows,
                          source_files=source_fingerprint([source_path]))
 
@@ -446,6 +484,7 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
                         model_name: str | None = None,
                         pq_cents: int | None = None,
                         pq_subbooks: list | None = None,
+                        pq_residual: bool = False,
                         ) -> tuple[PublishedVectorIndex, list[str]]:
     """Build-or-reuse entry (the analogue of the reference reopening its
     Chroma dir at startup): publishes iff the manifest says the source
@@ -466,12 +505,12 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
         geometry = dict(similarity.index_geometry(n_rows), derived=True)
         n_cells = geometry["n_cells"]
     current = vector_manifest(source_path, n_rows, dim, n_cells,
-                              model_name, pq_cents)
+                              model_name, pq_cents, pq_residual)
     reasons = ensure_index(
         index_dir, current,
         lambda: publish_vector_index(emb, index_dir, centroids, n_cells,
                                      id_col, vec_col, geometry, pq_cents,
-                                     pq_subbooks))
+                                     pq_subbooks, pq_residual))
     return open_vector_index(spark, index_dir), reasons
 
 
@@ -678,19 +717,21 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
         # under refresh for the same reason the IVF codebook is — every
         # stored code depends on them.
         subbooks = vidx.pq_subbooks
+        res_cents = vidx.centroids if vidx.pq.get("residual") else None
         specs.append({
             "table": "codes", "live": vidx.codes,
             "live_path": vidx.codes_path,
             "tag": lambda df: similarity.pq_encode(
                 cell_tag(df), subbooks, vidx.id_col, vidx.vec_col,
-                keep_cols=("cell",))})
+                keep_cols=("cell",), residual_centroids=res_cents)})
     _partitioned_refresh(
         spark, index_dir, part_col="cell", specs=specs,
         id_col=vidx.id_col, changed=changed, removed_ids=removed_ids,
         manifest=(None if source_path is None else
                   lambda n: vector_manifest(
                       source_path, n, vidx.dim, vidx.n_cells, model_name,
-                      pq_cents=(vidx.pq or {}).get("n_cents"))),
+                      pq_cents=(vidx.pq or {}).get("n_cents"),
+                      pq_residual=bool((vidx.pq or {}).get("residual")))),
         n_rows=n_rows)
     return open_vector_index(spark, index_dir)
 

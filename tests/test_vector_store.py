@@ -674,3 +674,43 @@ def test_ivfpq_probing_all_cells_degenerates_to_flat_pq(spark, tmp_path):
         got = _rows(vidx.ivfpq_topk(qid, n_probe=N_CELLS, k=5, rerank=8))
         flat = _rows(similarity.pq_topk(emb, qid, PQ_CENTS, 5, 8))
         assert got == flat, qid
+
+
+def test_ivfpq_residual_store_matches_in_session_and_refreshes(
+        spark, tmp_path):
+    """Residual IVFADC (FAISS IVFPQ proper): the reopened store's
+    answers equal the storeless residual compose, codes differ from the
+    raw-coded store (the residual form is a different quantizer), and a
+    delta refresh re-encodes with the STORED residual books + centroids
+    so the pair stays consistent."""
+    import numpy as np
+
+    idx_dir = str(tmp_path / "vecpqr")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS,
+                                      pq_cents=PQ_CENTS, pq_residual=True)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    assert vidx.pq["residual"] is True
+
+    cents = vidx.centroids
+    cmap = {c: np.asarray(v, dtype=float) for c, v in cents}
+    rows = (vidx.vectors.select("vec_id", "embedding", "cell")
+            .orderBy(F.asc("vec_id")).limit(PQ_CENTS).collect())
+    R = np.array([np.asarray(r[1], dtype=float) - cmap[int(r[2])]
+                  for r in rows])
+    subbooks = [R[:, lo:hi] for lo, hi in similarity.pq_bounds(R.shape[1])]
+    for qid in (0, 7, 13):
+        got = _rows(vidx.ivfpq_topk(qid, n_probe=2, k=5, rerank=8))
+        want = _rows(similarity.ivfpq_topk(emb, qid, cents, subbooks,
+                                           2, 5, 8, residual=True))
+        assert got == want, qid
+
+    # refresh keeps the consistent pair under the residual contract
+    changed = spark.createDataFrame([(7, _vec(107))],
+                                    "vec_id long, embedding array<double>")
+    refreshed = vector_store.write_vector_refresh(spark, idx_dir, changed)
+    re_enc = similarity.pq_encode(refreshed.vectors, subbooks,
+                                  keep_cols=("cell",),
+                                  residual_centroids=cents)
+    assert _rows(refreshed.codes.select("vec_id", "code_0", "code_1")) == \
+        _rows(re_enc.select("vec_id", "code_0", "code_1"))
