@@ -466,7 +466,8 @@ def test_ivfpq_publish_then_open_matches_in_session_compose(spark, tmp_path):
     vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS,
                                       pq_cents=PQ_CENTS)
     vidx = vector_store.open_vector_index(spark, idx_dir)
-    assert vidx.pq == {"n_cents": PQ_CENTS, "m": 2, "dim": DIM}
+    assert vidx.pq == {"n_cents": PQ_CENTS, "m": 2, "dim": DIM,
+                       "residual": False}
 
     # codes live in the same cell dirs as their raw rows
     assert _rows(vidx.codes.select("vec_id", "cell")) == \
