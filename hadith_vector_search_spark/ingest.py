@@ -181,9 +181,21 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
     # cap k below the geometry request, the manifest still records the
     # REQUEST — identity stays a pure function of the corpus count, so
     # reuse decisions are stable run to run.
-    n = emb.count()
-    distinct_full = emb.select(F.xxhash64("embedding")).distinct().count()
-    k = min(index_geometry(n)["n_cells"], distinct_full)
+    # ONE aggregation pass for every publish-time statistic (count +
+    # three distinct counts over hashes — multi-countDistinct expands
+    # map-side, the table_profile pattern): four separate jobs would
+    # re-scan the corpus per statistic at lake scale.
+    from .operators.similarity import kmeans_subbooks, pq_bounds
+    halves = pq_bounds(EMBED_DIM)
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64("embedding")).alias("d_full"),
+        *[F.countDistinct(
+            F.xxhash64(F.slice("embedding", lo + 1, hi - lo)))
+          .alias(f"d{m}") for m, (lo, hi) in enumerate(halves)]
+    ).collect()[0]
+    n = int(stats["n"])
+    k = min(index_geometry(n)["n_cells"], int(stats["d_full"])) if n else 0
     if k >= 2:
         centroids = kmeans_centroids(emb, k)
     else:
@@ -197,11 +209,8 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
     # the data-derived books encode exactly. The REQUEST (geometry-stable,
     # see _pq_request) rides in the manifest identity; the fit may sit
     # below it.
-    from .operators.similarity import kmeans_subbooks, pq_bounds
-    pq_k = min(
-        _pq_request(n),
-        *[emb.select(F.xxhash64(F.slice("embedding", lo + 1, hi - lo)))
-          .distinct().count() for lo, hi in pq_bounds(EMBED_DIM)]) \
+    pq_k = min(_pq_request(n),
+               *[int(stats[f"d{m}"]) for m in range(len(halves))]) \
         if n else 0
     subbooks = kmeans_subbooks(emb, pq_k) if pq_k >= 2 else None
     publish_vector_index(emb, out_dir, centroids=centroids,
@@ -253,8 +262,31 @@ def _lsh_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None
     emb = docs.select("doc_id", embed_column("text", EMBED_DIM,
                                              backend="hash")
                       .alias("embedding")).localCheckpoint()
-    publish_lsh_index(emb, out_dir, n_planes=scaled_band_bits(emb.count()),
-                      id_col="doc_id")
+    # DIFFERENCE planes from the LOWEST ids (v_i - v_{i+1}), not raw
+    # document vectors, for two reasons (round-10 review):
+    # 1. publish_lsh_index's data_planes default filters
+    #    `id < n_planes` — zero (or fewer) planes on corpora whose
+    #    doc_ids don't start at 0, every row in one bucket, manifest
+    #    still fresh. orderBy/limit over the lowest ids fixes that.
+    # 2. TEXT-derived embeddings are positively correlated through the
+    #    tokens every document shares, so a RAW document vector as a
+    #    hyperplane puts the whole corpus on its positive side (dot > 0
+    #    everywhere — measured: single-bucket stores on realistic
+    #    fixtures). The difference of two documents cancels the common
+    #    component (the poor man's mean-centering), so signs split on
+    #    which anchor a document is closer to. Deterministic,
+    #    data-derived, sidecar-stored — refresh signs with the SAME
+    #    stored planes, and the manifest records the REQUESTED count
+    #    (a pure function of the corpus count).
+    import numpy as np
+    n_planes = scaled_band_bits(emb.count())
+    rows = (emb.select("doc_id", "embedding")
+            .orderBy(F.asc("doc_id")).limit(n_planes + 1).collect())
+    planes = [(i, (np.asarray(rows[i][1], dtype=float)
+                   - np.asarray(rows[i + 1][1], dtype=float)).tolist())
+              for i in range(max(len(rows) - 1, 0))]
+    publish_lsh_index(emb, out_dir, n_planes=len(planes),
+                      id_col="doc_id", planes=planes)
 
 
 def _lsh_index_delta(spark: SparkSession, table_path: str, out_dir: str,

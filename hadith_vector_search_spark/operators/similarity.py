@@ -260,6 +260,8 @@ def ivf_cell_assignments_blas(emb: DataFrame,
     def assign(batches):
         from ..functions.vector import round6_arr
         for pdf in batches:
+            if len(pdf) == 0:   # empty Arrow batch: (0,) array can't matmul
+                continue
             vecs = np.array(pdf[vec_col].tolist(), dtype=float)
             cd = round6_arr(vecs @ cmat)          # batch x cells
             best = cids[np.argmax(cd, axis=1)]    # first max = lowest id

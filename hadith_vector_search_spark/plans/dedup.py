@@ -257,7 +257,10 @@ def get_window_index(spark: SparkSession, sf_dir: str,
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         token = sf_dir.strip("/").replace("/", "_")
-        idx_dir = _os.path.join(_index_root(), f"{token}_win")
+        # dir keyed by w: two consumers at different widths must not
+        # thrash one artifact (the manifest would flip stale each call
+        # and a cached frame could silently read the other w's rows)
+        idx_dir = _os.path.join(_index_root(), f"{token}_win_w{w}")
         try:
             widx, _ = window_store.ensure_window_index(
                 spark, docs, _os.path.join(sf_dir, "documents.parquet"),

@@ -224,6 +224,11 @@ def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
     lay = read_vlayout(index_dir)
     id_col, vec_col = lay["id_col"], lay["vec_col"]
     stored = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    if not stored.take(1):
+        # empty corpus: no vectors to derive books from or to encode —
+        # degrade to a plain IVF store (no PQ sidecar) instead of dying
+        # mid-publish; `ivfpq_topk` reports the missing codes explicitly
+        return
     centroids = None
     if residual:
         centroids = [(int(r.cent_id), list(r.cvec)) for r in sorted(
@@ -854,8 +859,11 @@ def write_lsh_refresh(spark: SparkSession, index_dir: str,
     staleness rebuild, exactly the codebook rule)."""
     recover(index_dir)
     lidx = open_lsh_index(spark, index_dir)
-    bucket = F.concat(F.lit("b"), similarity.sign_bucket_expr(
-        lidx.planes, lidx.vec_col))
+    # zero-plane store (empty-corpus publish): the same guard
+    # publish_lsh_index carries — F.concat of zero columns is
+    # unconstructible
+    bucket = (F.concat(F.lit("b"), similarity.sign_bucket_expr(
+        lidx.planes, lidx.vec_col)) if lidx.planes else F.lit("b"))
     _partitioned_refresh(
         spark, index_dir, part_col="bucket",
         specs=[{"table": "sigs", "live": lidx.sigs,

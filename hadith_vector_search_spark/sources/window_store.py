@@ -163,7 +163,10 @@ def write_window_refresh(spark: SparkSession, index_dir: str,
     widx = open_window_index(spark, index_dir)
 
     def tag(df: DataFrame) -> DataFrame:
-        return (dedup.window_index(df, widx.w, "text", widx.id_col)
+        # the batch was normalized to (doc_id, text) below — tokenize on
+        # THOSE names, not the store's original id_col (window_index
+        # itself aliases any id_col to doc_id in its output)
+        return (dedup.window_index(df, widx.w, "text", "doc_id")
                 .select("*", _dbucket("doc_id", widx.n_buckets)
                         .alias("dbucket")))
 

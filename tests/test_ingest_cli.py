@@ -257,3 +257,30 @@ def test_ingest_store_carries_consistent_ivfadc_codes(spark, corpus):
                re_enc.select("doc_id", "cell", *code_cols).collect())
     assert {r.doc_id for r in after.codes.select("doc_id").collect()} == \
         {r.doc_id for r in after.vectors.select("doc_id").collect()}
+
+
+def test_ingest_lsh_store_discriminates_on_offset_doc_ids(spark, tmp_path):
+    """Regression: a corpus whose doc_ids don't start at 0 must still get
+    real hyperplanes (the default data_planes filters id < n_planes —
+    zero planes on offset ids — so the build derives planes from the
+    LOWEST ids instead). Degenerate symptom was every row in ONE bucket
+    with the manifest stamped fresh."""
+    data = str(tmp_path / "books")
+    words = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+             "kappa lam mu", "nu xi omicron", "pi rho sigma",
+             "tau upsilon phi", "chi psi omega", "red green blue",
+             "spark plan shuffle", "vector index probe", "token merge scan"]
+    _write_book(os.path.join(data, "book_9.jsonl"),
+                [{"doc_id": 900 + i, "text": f"{w} doc body {i}",
+                  "lang": "en", "source": "b9"}
+                 for i, w in enumerate(words)])
+    table = str(tmp_path / "corpus.parquet")
+    run_ingestion(spark, data, table, do_update_indexes=True,
+                  log=lambda *_: None)
+
+    from hadith_vector_search_spark.sources import vector_store
+    lidx = vector_store.open_lsh_index(
+        spark, os.path.join(f"{table}_indexes", "lsh"))
+    assert lidx.n_planes >= 2
+    buckets = {r.bucket for r in lidx.sigs.select("bucket").collect()}
+    assert len(buckets) >= 2, buckets  # the store actually partitions
