@@ -285,20 +285,30 @@ def _lsh_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None
     planes = [(i, (np.asarray(rows[i][1], dtype=float)
                    - np.asarray(rows[i + 1][1], dtype=float)).tolist())
               for i in range(max(len(rows) - 1, 0))]
+    # the REQUEST rides in the layout sidecar even when the fit is capped
+    # below it (n_rows-1 difference planes on tiny corpora): the delta
+    # path re-stamps the request, keeping the manifest identity a pure
+    # function of the corpus count (round-10 advice — stamping the FITTED
+    # count made every delta flip the identity and full-rebuild forever)
     publish_lsh_index(emb, out_dir, n_planes=len(planes),
-                      id_col="doc_id", planes=planes)
+                      id_col="doc_id", planes=planes,
+                      requested_planes=n_planes)
 
 
 def _lsh_index_delta(spark: SparkSession, table_path: str, out_dir: str,
                      changed: DataFrame, n_rows: int | None = None) -> None:
     """LSH-store delta: re-embed only the changed rows, rewrite only the
     touched bucket dirs (vector_store.write_lsh_refresh — crash-safe,
-    planes untouched). The manifest stamps the STORE's plane count, not
-    the post-merge corpus size's: the stored buckets were signed at
-    publish-time geometry, and stamping anything else would either mask
-    a needed geometry rebuild or force a spurious one — the next
-    update_indexes compares against the corpus-derived model and
-    republishes exactly when the corpus crossed a plane boundary."""
+    planes untouched). The manifest stamps the store's publish-time
+    geometry REQUEST (layout sidecar `requested_planes`), not the fitted
+    plane count and not the post-merge corpus size's: the stored buckets
+    were signed at publish-time geometry, and stamping anything else
+    would either mask a needed geometry rebuild or force a spurious one
+    (the fitted count sits below the request on corpora with fewer rows
+    than planes+1, so stamping IT flips the identity every delta —
+    round-10 advice) — the next update_indexes compares against the
+    corpus-derived model and republishes exactly when the corpus crossed
+    a plane boundary."""
     from .sources.vector_store import open_lsh_index, write_lsh_refresh
 
     fresh = changed.select(
@@ -306,7 +316,7 @@ def _lsh_index_delta(spark: SparkSession, table_path: str, out_dir: str,
         embed_column("text", EMBED_DIM, backend="hash").alias("embedding"))
     if n_rows is None:
         n_rows = spark.read.parquet(table_path).count()
-    model = _lsh_model_p(open_lsh_index(spark, out_dir).n_planes)
+    model = _lsh_model_p(open_lsh_index(spark, out_dir).requested_planes)
     write_lsh_refresh(spark, out_dir, fresh, source_path=table_path,
                       n_rows=n_rows, model_name=model)
 

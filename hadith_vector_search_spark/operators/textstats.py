@@ -187,8 +187,13 @@ def nb_quality_scores(docs: DataFrame, text_col: str = "text",
                             / (F.col("t_neg") + F.col("v")))).alias("llr")))
     per_doc = toks.join(llr, "tok").groupBy(id_col).agg(
         F.sum("llr").alias("sum_llr"))
-    prior = F.log(F.col("d_pos").cast("double")
-                  / (F.col("d_all") - F.col("d_pos")))
+    # add-one-smoothed class prior: an all-positive or all-negative weak
+    # labelling (every doc on one side of the fixed threshold) would
+    # otherwise hit log(0) / division-by-zero and null out every row's
+    # nb_logodds/predicted_pos (round-10 advice); the oracle replays the
+    # same smoothed expression
+    prior = F.log((F.col("d_pos") + 1).cast("double")
+                  / (F.col("d_all") - F.col("d_pos") + 1))
     logodds = F.round(prior + F.coalesce(F.col("sum_llr"), F.lit(0.0)), 6)
     return (labels.join(per_doc, id_col, "left")
             .crossJoin(F.broadcast(dc))

@@ -190,11 +190,11 @@ per_doc AS (
   GROUP BY t.doc_id
 )
 SELECT l.doc_id, l.n_tokens, l.weak_pos,
-       round(ln(CAST(d_pos AS DOUBLE) / (d_all - d_pos))
+       round(ln(CAST(d_pos + 1 AS DOUBLE) / (d_all - d_pos + 1))
              + coalesce(p.sum_llr, 0.0), 6) AS nb_logodds,
        round(coalesce(p.sum_llr, 0.0) / greatest(l.n_tokens, 1), 6)
          AS nb_score,
-       round(ln(CAST(d_pos AS DOUBLE) / (d_all - d_pos))
+       round(ln(CAST(d_pos + 1 AS DOUBLE) / (d_all - d_pos + 1))
              + coalesce(p.sum_llr, 0.0), 6) > 0 AS predicted_pos
 FROM labels l LEFT JOIN per_doc p ON l.doc_id = p.doc_id, dc
 """

@@ -120,6 +120,22 @@ def read_vlayout(index_dir: str) -> dict:
         return json.load(fh)
 
 
+def _remove_pq_sidecar(index_dir: str) -> None:
+    """Drop every PQ artifact (_pqlayout.json, pq_centroids/, codes/).
+    Called whenever a publish will NOT (re)write codes: a republish with
+    pq unset after an identity/geometry change, or publish_pq_codes'
+    empty-corpus degrade — otherwise the reopened store pairs the
+    previous epoch's codes/sub-codebooks with the new vectors and
+    ivfpq_topk silently ADC-ranks stale codes (round-10 advice)."""
+    try:
+        os.remove(os.path.join(index_dir, PQ_LAYOUT_NAME))
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(os.path.join(index_dir, "pq_centroids"),
+                  ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "codes"), ignore_errors=True)
+
+
 def _part_dirs(path: str, part_col: str) -> set[str]:
     """`part_col=V` partition dirs under a store table ({} if absent)."""
     if not os.path.isdir(path):
@@ -148,6 +164,18 @@ def _write_parted(df: DataFrame, path: str, part_col: str,
      .sortWithinPartitions(part_col, id_col)
      .write.mode("overwrite")
      .partitionBy(part_col).parquet(path))
+
+
+def _write_parted_table(df: DataFrame, path: str, part_col: str,
+                        id_col: str) -> None:
+    """`_write_parted` for the PUBLISH paths: an empty input under
+    partitionBy writes no schema-bearing file (the table is unreadable
+    on reopen), so degrade to the empty-but-schema'd placeholder the
+    refresh's all-emptied shape already uses. Detection is a directory
+    listing, not a Spark job."""
+    _write_parted(df, path, part_col, id_col)
+    if not _part_dirs(path, part_col):
+        df.limit(0).write.mode("overwrite").parquet(path)
 
 
 def publish_vector_index(emb: DataFrame, index_dir: str,
@@ -197,11 +225,15 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
     # already-cell-pruned scan (PushedFilters inside PartitionFilters —
     # asserted by tests) instead of paying a join against the corpus.
     tagged = _tag_cells(emb, centroids, id_col, vec_col)
-    _write_parted(tagged, os.path.join(index_dir, "vectors"),
-                  "cell", id_col)
+    _write_parted_table(tagged, os.path.join(index_dir, "vectors"),
+                        "cell", id_col)
     if pq_cents:
         publish_pq_codes(spark, index_dir, pq_cents, emb=emb,
                          subbooks=pq_subbooks, residual=pq_residual)
+    else:
+        # full-overwrite publish with pq unset: a prior epoch's PQ
+        # sidecar must not survive to be paired with the new vectors
+        _remove_pq_sidecar(index_dir)
 
 
 def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
@@ -226,8 +258,11 @@ def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
     stored = spark.read.parquet(os.path.join(index_dir, "vectors"))
     if not stored.take(1):
         # empty corpus: no vectors to derive books from or to encode —
-        # degrade to a plain IVF store (no PQ sidecar) instead of dying
-        # mid-publish; `ivfpq_topk` reports the missing codes explicitly
+        # degrade to a plain IVF store (no PQ sidecar — including any
+        # PRIOR epoch's, which would otherwise pair stale codes with the
+        # empty store on reopen) instead of dying mid-publish;
+        # `ivfpq_topk` reports the missing codes explicitly
+        _remove_pq_sidecar(index_dir)
         return
     centroids = None
     if residual:
@@ -559,12 +594,20 @@ def read_lsh_layout(index_dir: str) -> dict:
 
 def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      planes: list | None = None) -> None:
+                      planes: list | None = None,
+                      requested_planes: int | None = None) -> None:
     """Full overwrite publish of the bucket-partitioned LSH store.
     `planes` (a collected [(plane_id, pvec)] list) overrides the
     deterministic data-derived hyperplanes; every input column rides into
     the bucketed files (the filtered-ANN argument from the IVF store).
-    Settles any crashed refresh first, as `publish_vector_index`."""
+    `requested_planes` records the geometry REQUEST alongside the fitted
+    count (the vector store's `_pq_request` discipline): tiny corpora cap
+    the fit below the request (difference planes need n_rows-1 ≥ request),
+    and a delta refresh must re-stamp the REQUEST so the manifest stays a
+    pure function of the corpus count — stamping the fitted count flips
+    the model identity and forces a full rebuild on every subsequent
+    update (round-10 advice). Settles any crashed refresh first, as
+    `publish_vector_index`."""
     if os.path.isdir(index_dir):
         recover(index_dir)
     if planes is None:
@@ -577,7 +620,10 @@ def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
     dim = len(planes[0][1]) if planes else 0
     _write_json_sidecar(index_dir, LSH_LAYOUT_NAME,
                         {"n_planes": len(planes), "dim": dim,
-                         "id_col": id_col, "vec_col": vec_col})
+                         "id_col": id_col, "vec_col": vec_col,
+                         "requested_planes": int(
+                             requested_planes if requested_planes is not None
+                             else len(planes))})
     spark = emb.sparkSession
     (spark.createDataFrame(planes, "plane_id int, pvec array<double>")
      .coalesce(1).write.mode("overwrite")
@@ -591,7 +637,8 @@ def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
     # otherwise coerce the bit string to an int, dropping leading zeros
     # ('0010' -> 10) — the prefix pins the column to string at any read
     tagged = emb.select("*", F.concat(F.lit("b"), bucket).alias("bucket"))
-    _write_parted(tagged, os.path.join(index_dir, "sigs"), "bucket", id_col)
+    _write_parted_table(tagged, os.path.join(index_dir, "sigs"),
+                        "bucket", id_col)
 
 
 class PublishedLshIndex:
@@ -604,6 +651,11 @@ class PublishedLshIndex:
         self.spark, self.index_dir = spark, index_dir
         lay = read_lsh_layout(index_dir)
         self.n_planes, self.dim = int(lay["n_planes"]), int(lay["dim"])
+        # the geometry REQUEST the store was published under (pre-r11
+        # artifacts lack it — fall back to the fitted count); deltas
+        # re-stamp THIS, never the fitted count (see publish_lsh_index)
+        self.requested_planes = int(lay.get("requested_planes",
+                                            self.n_planes))
         self.id_col, self.vec_col = lay["id_col"], lay["vec_col"]
         self.sigs_path = os.path.join(index_dir, "sigs")
         self.planes = [(int(r.plane_id), list(r.pvec)) for r in sorted(

@@ -691,3 +691,28 @@ def test_nb_classifier_recovers_weak_labels_and_generalizes(spark):
     assert worst_good > best_junk, (worst_good, best_junk)
     agree = sum(1 for r in out.values() if r.predicted_pos == r.weak_pos)
     assert agree >= 18, agree  # >= 90% training-set agreement
+
+
+def test_nb_classifier_single_class_corpus_stays_finite(spark):
+    """Regression (round-10 advice): an all-positive (or all-negative)
+    weak labelling under the fixed threshold must not hit log(0) /
+    division-by-zero in the class prior — the add-one-smoothed prior
+    log((d_pos+1)/(d_all-d_pos+1)) keeps nb_logodds/predicted_pos
+    finite and non-null for every row (the oracle replays the same
+    smoothed expression, so an unsmoothed prior would gate-pass on
+    mixed corpora and null out on degenerate ones)."""
+    import math
+
+    good = ("the model trains on clean prose and the tokens flow in "
+            "sentences that read well for the corpus and the reader")
+    junk = "$$$ 4417 9981 !!! 22 ### 777 %% 13 @@ 55 ^^ 91 && 23"
+    for texts, want_pos in (([good + f" v{i}" for i in range(6)], True),
+                            ([junk + f" {i}" for i in range(6)], False)):
+        docs = spark.createDataFrame(list(enumerate(texts)),
+                                     "doc_id long, text string")
+        rows = textstats.nb_quality_scores(docs).collect()
+        assert len(rows) == 6
+        for r in rows:
+            assert r.weak_pos is want_pos
+            assert r.nb_logodds is not None and math.isfinite(r.nb_logodds)
+            assert r.predicted_pos is not None

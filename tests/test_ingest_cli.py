@@ -284,3 +284,44 @@ def test_ingest_lsh_store_discriminates_on_offset_doc_ids(spark, tmp_path):
     assert lidx.n_planes >= 2
     buckets = {r.bucket for r in lidx.sigs.select("bucket").collect()}
     assert len(buckets) >= 2, buckets  # the store actually partitions
+
+
+def test_ingest_lsh_delta_on_capped_planes_keeps_identity(spark, tmp_path):
+    """Regression (round-10 advice): on a corpus with fewer rows than the
+    requested plane count, the difference-plane fit caps at n_rows-1 —
+    the delta path must re-stamp the REQUEST (layout `requested_planes`),
+    not the fitted count, or every delta flips the model identity and
+    each subsequent update_indexes full-rebuilds the LSH store forever."""
+    from hadith_vector_search_spark.ingest import (_lsh_manifest,
+                                                   update_indexes)
+    from hadith_vector_search_spark.sources import vector_store
+    from hadith_vector_search_spark.sources.manifest import (
+        read_manifest, staleness_reasons)
+
+    data = str(tmp_path / "books")
+    _write_book(os.path.join(data, "book_1.jsonl"),
+                [{"doc_id": i, "text": f"tiny corpus doc {i} alpha beta",
+                  "lang": "en", "source": "b1"} for i in range(3)])
+    table = str(tmp_path / "corpus.parquet")
+    run_ingestion(spark, data, table, do_update_indexes=True,
+                  log=lambda *_: None)
+    lsh_dir = os.path.join(f"{table}_indexes", "lsh")
+    lidx = vector_store.open_lsh_index(spark, lsh_dir)
+    assert lidx.n_planes < lidx.requested_planes  # the capped shape
+
+    # change one doc -> the incremental delta path re-stamps the manifest
+    _write_book(os.path.join(data, "book_1.jsonl"),
+                [{"doc_id": 0, "text": "tiny corpus doc 0 CHANGED text",
+                  "lang": "en", "source": "b1"}]
+                + [{"doc_id": i, "text": f"tiny corpus doc {i} alpha beta",
+                    "lang": "en", "source": "b1"} for i in range(1, 3)])
+    planes_before = _snapshot(os.path.join(lsh_dir, "planes"))
+    run_ingestion(spark, data, table, do_update_indexes=True,
+                  log=lambda *_: None)
+    # the DELTA ran (a full rebuild would rewrite the planes sidecar)
+    assert _snapshot(os.path.join(lsh_dir, "planes")) == planes_before
+    # post-delta, the manifest still equals the corpus-derived identity
+    assert staleness_reasons(read_manifest(lsh_dir),
+                             _lsh_manifest(table, 3)) == []
+    out = update_indexes(spark, table, f"{table}_indexes")
+    assert out["lsh"] == []  # reused, not rebuilt

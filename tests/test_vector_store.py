@@ -715,3 +715,60 @@ def test_ivfpq_residual_store_matches_in_session_and_refreshes(
                                   residual_centroids=cents)
     assert _rows(refreshed.codes.select("vec_id", "code_0", "code_1")) == \
         _rows(re_enc.select("vec_id", "code_0", "code_1"))
+
+
+def test_republish_without_pq_drops_stale_sidecar(spark, tmp_path):
+    """A full-overwrite republish with pq unset removes the prior epoch's
+    PQ sidecar (_pqlayout.json, pq_centroids/, codes/) — otherwise the
+    reopened store pairs OLD codes with NEW vectors and ivfpq_topk
+    silently ADC-ranks stale codes (round-10 advice)."""
+    idx_dir = str(tmp_path / "vecpq")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS,
+                                      pq_cents=PQ_CENTS)
+    assert vector_store.open_vector_index(spark, idx_dir).pq is not None
+
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    assert vidx.pq is None
+    assert not os.path.exists(os.path.join(idx_dir,
+                                           vector_store.PQ_LAYOUT_NAME))
+    assert not os.path.isdir(os.path.join(idx_dir, "pq_centroids"))
+    assert not os.path.isdir(os.path.join(idx_dir, "codes"))
+    with pytest.raises(ValueError):
+        vidx.ivfpq_topk(0)
+
+
+def test_empty_corpus_pq_republish_drops_stale_sidecar(spark, tmp_path):
+    """publish_pq_codes' empty-corpus degrade also drops a prior epoch's
+    sidecar: a store republished empty with pq requested reopens pq-less
+    instead of pairing old codes with the emptied vectors table."""
+    idx_dir = str(tmp_path / "vecpq")
+    vector_store.publish_vector_index(_emb(spark, IDS), idx_dir,
+                                      n_cells=N_CELLS, pq_cents=PQ_CENTS)
+    cents = vector_store.open_vector_index(spark, idx_dir).centroids
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    vector_store.publish_vector_index(empty, idx_dir, centroids=cents,
+                                      pq_cents=PQ_CENTS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    assert vidx.pq is None
+    assert not os.path.isdir(os.path.join(idx_dir, "codes"))
+
+
+def test_lsh_layout_records_requested_planes(spark, tmp_path):
+    """The layout sidecar carries the geometry REQUEST alongside the
+    fitted plane count, and the reopened handle exposes it — the
+    identity-stability contract the ingest delta path stamps manifests
+    from (round-10 advice)."""
+    idx_dir = str(tmp_path / "lshreq")
+    emb = _emb(spark, IDS[:3])
+    planes = [(0, _vec(50)), (1, _vec(51))]  # fit capped below request
+    vector_store.publish_lsh_index(emb, idx_dir, planes=planes,
+                                   requested_planes=4)
+    lidx = vector_store.open_lsh_index(spark, idx_dir)
+    assert lidx.n_planes == 2
+    assert lidx.requested_planes == 4
+    # default: request == fit (back-compat shape for plain publishes)
+    idx2 = str(tmp_path / "lshdef")
+    vector_store.publish_lsh_index(emb, idx2, planes=planes)
+    assert vector_store.open_lsh_index(spark, idx2).requested_planes == 2
