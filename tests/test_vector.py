@@ -273,7 +273,7 @@ def test_recall_report_scaled_equals_full_form_at_covered_sf(spark, sf_dir):
         get_recall_geometry,
     )
 
-    n, bits, bound = get_recall_geometry(spark, sf_dir)
+    n, bits, bands, floor, bound = get_recall_geometry(spark, sf_dir)
     assert n <= RECALL_SAMPLE_TARGET and bound is None and bits == 4, \
         "test SF drifted above the sample target; pick a smaller SF"
     scaled = {r.method: r for r
@@ -286,35 +286,60 @@ def test_recall_report_scaled_equals_full_form_at_covered_sf(spark, sf_dir):
 
 def test_recall_geometry_matches_oracle_params_cte():
     """The Python geometry (`get_recall_geometry` arithmetic) and the
-    oracle's in-SQL `params` CTE must derive identical (bits, bound) from
-    the same count — sweep corpus sizes across both boundaries and the
-    power-of-two FP edges."""
+    oracle's in-SQL `params` CTE must derive identical (bits, bands,
+    floor, bound) from the same count — sweep corpus sizes across both
+    boundaries and the power-of-two FP edges. bands/floor exercise the
+    S-curve inversion (`bands_for_recall`/`banding_floor`) against the
+    same double-precision expressions in DuckDB."""
     import math
 
     import duckdb
 
-    from hadith_vector_search_spark.operators.similarity import \
-        scaled_band_bits
+    from hadith_vector_search_spark.operators.similarity import (
+        DEFAULT_RECALL_TARGET, MAX_LSH_BANDS, banding_floor,
+        bands_for_recall, scaled_band_bits)
     from hadith_vector_search_spark.plans.semantic import (
+        PAIR_THRESHOLD,
         RECALL_BUCKET_TARGET,
         RECALL_SAMPLE_TARGET,
     )
 
     con = duckdb.connect()
+    tgt, maxb = DEFAULT_RECALL_TARGET, MAX_LSH_BANDS
+    from hadith_vector_search_spark.operators.similarity import \
+        RECALL_MISS_FRACTION as frac
     for n in [1, 20, 128, 129, 500, 512, 513, 1024, 2000, 2048, 20000,
               1 << 20, 1 << 31]:
         got = con.execute(f"""
-            SELECT CASE WHEN n <= {RECALL_BUCKET_TARGET} THEN 4
-                        ELSE GREATEST(4, LEAST(16, CAST(CEIL(LOG2(
-                            n / {RECALL_BUCKET_TARGET}.0)) AS INT))) END,
-                   CASE WHEN n <= {RECALL_SAMPLE_TARGET} THEN 65536
-                        ELSE CAST(CEIL(65536.0 * {RECALL_SAMPLE_TARGET} / n)
-                                  AS INT) END
-            FROM (SELECT {n}::BIGINT AS n)""").fetchone()
+            WITH p0 AS (
+              SELECT CASE WHEN n <= {RECALL_BUCKET_TARGET} THEN 4
+                          ELSE GREATEST(4, LEAST(16, CAST(CEIL(LOG2(
+                              n / {RECALL_BUCKET_TARGET}.0)) AS INT))) END
+                       AS bits,
+                     CASE WHEN n <= {RECALL_SAMPLE_TARGET} THEN 65536
+                          ELSE CAST(CEIL(65536.0 * {RECALL_SAMPLE_TARGET}
+                                         / n) AS INT) END AS bound
+              FROM (SELECT {n}::BIGINT AS n)),
+            p1 AS (
+              SELECT bits, bound,
+                     LEAST({maxb}, GREATEST(1, CAST(CEIL(
+                         LN((1.0 - {tgt}) * {frac}) /
+                         LN(1.0 - POW(1.0 - ACOS({PAIR_THRESHOLD}) / PI(),
+                                      bits))) AS INT))) AS bands
+              FROM p0)
+            SELECT bits, bands,
+                   LEAST({tgt}, ROUND(1.0 - POW(
+                       1.0 - POW(1.0 - ACOS({PAIR_THRESHOLD}) / PI(), bits),
+                       bands), 6)) AS floor_,
+                   bound
+            FROM p1""").fetchone()
         bits = scaled_band_bits(n, RECALL_BUCKET_TARGET)
+        bands = bands_for_recall(bits, threshold_sim=PAIR_THRESHOLD)
+        floor = min(tgt, banding_floor(bands, bits, PAIR_THRESHOLD))
         bound = (65536 if n <= RECALL_SAMPLE_TARGET
                  else math.ceil(65536.0 * RECALL_SAMPLE_TARGET / n))
-        assert got == (bits, bound), (n, got, (bits, bound))
+        assert got == (bits, bands, floor, bound), \
+            (n, got, (bits, bands, floor, bound))
 
 
 def test_kmeans_published_store_reopens_without_retraining(
