@@ -470,6 +470,14 @@ LIMIT {ANN_K}
 
 def ann_topk_ivf_batch_published(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
+    """The registered driver-SF form of `ivf_batch_published` (the
+    oracle replays KNN_QUERIES query ids); see that helper for the
+    batched-ANN design."""
+    return ivf_batch_published(spark, sf_dir, KNN_QUERIES)
+
+
+def ivf_batch_published(spark: SparkSession, sf_dir: str,
+                        n_queries: int) -> DataFrame:
     """Batched ANN off the published store — the serving-scale shape for
     N concurrent queries (the vector twin of `bm25_topk_batch` /
     `hybrid_search_batch`): ONE directory-pruned scan of the UNION of
@@ -480,10 +488,14 @@ def ann_topk_ivf_batch_published(spark: SparkSession,
     side), exact JVM dot, per-query window top-k. IO is
     |union of probes| / n_cells of the corpus REGARDLESS of N — at
     1000 executors the batch amortizes planning and scan setup exactly
-    as the lexical batch does. Probe selection per query is driver-side
-    planning arithmetic (`vector_store.select_probes`, the shared
-    three-tier implementation)."""
-    from ..sources.vector_store import select_probes
+    as the lexical batch does. Probe selection for the WHOLE batch is
+    ONE local pass over the driver-resident codebook
+    (`vector_store.select_probes_batch` — round-10 verdict item 2:
+    per-query selection issued N tiny Spark jobs and SCALE.md measured
+    those dominating the batch at test corpus sizes), so the operator's
+    Spark job count is O(1) in N: one query-vector fetch plus the
+    pruned scan itself (asserted by a job-census test)."""
+    from ..sources.vector_store import select_probes_batch
 
     vidx = get_published_vector_index(spark, sf_dir)
     if vidx is not None:
@@ -496,15 +508,13 @@ def ann_topk_ivf_batch_published(spark: SparkSession,
             key=lambda r: r.cent_id)]
         scan = emb.select("vec_id", "embedding",
                           similarity.cell_of(centroids).alias("cell"))
-    qrows = sorted(scan.filter(F.col("vec_id") < KNN_QUERIES)
+    qrows = sorted(scan.filter(F.col("vec_id") < n_queries)
                    .select("vec_id", "embedding").collect(),
                    key=lambda r: r[0])
-    batch = []
-    for r in qrows:
-        qv = [float(x) for x in r[1]]
-        batch.append((int(r[0]), qv,
-                      [int(p) for p in select_probes(spark, centroids, qv,
-                                                     IVF_PROBE)]))
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+    probe_lists = select_probes_batch(centroids, qvecs, IVF_PROBE)
+    batch = [(int(r[0]), qv, ps)
+             for r, qv, ps in zip(qrows, qvecs, probe_lists)]
     union_probes = sorted({p for _, _, ps in batch for p in ps})
     bdf = spark.createDataFrame(
         batch, "query_id long, qvec array<double>, probes array<int>")

@@ -351,6 +351,37 @@ def select_probes(spark: SparkSession,
     return [int(r.cent_id) for r in rows]
 
 
+def select_probes_batch(centroids: list[tuple[int, list[float]]],
+                        qvecs: list[list[float]],
+                        n_probe: int) -> list[list[int]]:
+    """Probe selection for a WHOLE query batch in one pass — zero Spark
+    jobs regardless of N (round-10 verdict item 2: the batched ANN
+    issued one tiny probe-selection job PER query, and SCALE.md measured
+    those N jobs dominating the batch at test corpus sizes). The
+    codebook is already driver-resident (it IS the collected sidecar,
+    config-sized by design at every tier), so scoring N x n_cells dots
+    is one local matmul: `round6_arr(Q @ C.T)` + per-row lexsort — the
+    SAME round(dot,6) / ties-to-lowest-cent-id arithmetic as
+    `select_probes`' three tiers (bit-equality pinned by test). Returns
+    probe lists in input order."""
+    import numpy as np
+
+    from ..functions.vector import round6_arr
+    if not centroids or not qvecs:
+        return [[] for _ in qvecs]
+    order = sorted(centroids, key=lambda c: c[0])
+    cids = np.array([int(c) for c, _ in order])
+    cmat = np.array([v for _, v in order], dtype=np.float64)
+    qmat = np.array([[float(x) for x in q] for q in qvecs],
+                    dtype=np.float64)
+    sims = round6_arr(qmat @ cmat.T)           # N x n_cells
+    out = []
+    for row in sims:
+        top = np.lexsort((cids, -row))[:n_probe]
+        out.append([int(cids[i]) for i in top])
+    return out
+
+
 class PublishedVectorIndex:
     """A reopened vector index: the cell-partitioned vectors frame, the
     collected codebook, and the probe-pruned ANN entry points. Every

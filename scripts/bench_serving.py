@@ -38,6 +38,7 @@ def pctl(xs: list[float], p: float) -> float:
 
 def bench_sf(spark, sf_dir: str, n: int) -> dict:
     from hadith_vector_search_spark.api import HybridEngine
+    from hadith_vector_search_spark.plans import semantic
     from hadith_vector_search_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -102,6 +103,16 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
         "hybrid_batch8_filtered": lambda i: engine.hybrid_search_batch(
             [QUERIES[(i + j) % len(QUERIES)] for j in range(8)],
             n_results=10, filters={"lang": "en"}).collect(),
+        # batched ANN off the published vector store at three batch
+        # sizes: whole-call latency; per-query cost must FALL with N
+        # (round-11 brief item 2 — probe selection is one local matmul
+        # for the whole batch, the scan O(1) jobs regardless of N)
+        "ann_batch1": lambda i: semantic.ivf_batch_published(
+            spark, sf_dir, 1).collect(),
+        "ann_batch8": lambda i: semantic.ivf_batch_published(
+            spark, sf_dir, 8).collect(),
+        "ann_batch32": lambda i: semantic.ivf_batch_published(
+            spark, sf_dir, 32).collect(),
     }
     out = {}
     for name, call in calls.items():

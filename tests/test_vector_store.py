@@ -772,3 +772,40 @@ def test_lsh_layout_records_requested_planes(spark, tmp_path):
     idx2 = str(tmp_path / "lshdef")
     vector_store.publish_lsh_index(emb, idx2, planes=planes)
     assert vector_store.open_lsh_index(spark, idx2).requested_planes == 2
+
+
+def test_batch_probe_selection_zero_jobs_and_tier_parity(spark, tmp_path):
+    """`select_probes_batch` must (a) equal per-query `select_probes` on
+    literal- and relational-tier codebooks (the pinned three-tier
+    arithmetic) and (b) launch ZERO Spark jobs for the whole batch —
+    round-10 verdict item 2: N per-query probe-selection jobs dominated
+    the batched ANN at test corpus sizes; batch selection is one local
+    matmul over the driver-resident codebook sidecar."""
+    idx_dir = str(tmp_path / "vecb")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=N_CELLS)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    qvecs = [vidx.query_vector(i) for i in (0, 3, 7, 11, 19)]
+
+    # literal tier (4 <= LITERAL_CODEBOOK_BOUND)
+    singles = [vector_store.select_probes(spark, vidx.centroids, q, 2)
+               for q in qvecs]
+    batch = vector_store.select_probes_batch(vidx.centroids, qvecs, 2)
+    assert batch == singles
+
+    # relational tier (70 > LITERAL_CODEBOOK_BOUND)
+    emb300 = spark.createDataFrame([(i, _vec(i)) for i in range(300)],
+                                   "vec_id long, embedding array<double>")
+    cents = [(i, _vec(i)) for i in range(70)]
+    singles70 = [vector_store.select_probes(spark, cents, q, 4)
+                 for q in qvecs]
+    assert vector_store.select_probes_batch(cents, qvecs, 4) == singles70
+    del emb300
+
+    # the batch pass is zero Spark jobs, any tier, any N
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    vector_store.select_probes_batch(vidx.centroids, qvecs * 8, 2)
+    vector_store.select_probes_batch(cents, qvecs * 8, 4)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after
