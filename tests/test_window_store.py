@@ -183,3 +183,76 @@ def test_refresh_all_docs_removed_keeps_store_openable(spark, tmp_path):
                           (31, "fresh alpha beta gamma delta body")])
     refreshed = window_store.write_window_refresh(spark, idx_dir, batch)
     assert _rows(refreshed.windows) == _rows(dedup.window_index(batch, W))
+
+
+def test_window_buckets_rule():
+    """Derived bucket count: power-of-two step function of the doc
+    count, clamped — pure integer arithmetic, no flapping."""
+    wb = window_store.window_buckets
+    t = window_store.WINDOW_BUCKET_DOCS
+    assert wb(0) == window_store.DEFAULT_DBUCKETS
+    assert wb(t * 16) == 16              # at the floor boundary
+    assert wb(t * 16 + 1) == 32          # first doc past it doubles
+    assert wb(t * 100) == 128
+    assert wb(10**12) == window_store.MAX_DBUCKETS
+    last = 0
+    for n in [0, 10, t, t * 17, t * 40, t * 1000, 10**9]:
+        assert wb(n) >= last
+        last = wb(n)
+
+
+def test_window_geometry_derives_stamps_and_gates(spark, tmp_path,
+                                                  monkeypatch):
+    """Round-10 verdict item 3: two corpus sizes publish DIFFERENT
+    derived bucket counts, the layout stamps the value (+derived flag),
+    a reopened refresh uses the STORED count (untouched buckets stay
+    byte-invariant under it), and growth across a `window_buckets`
+    boundary flips the manifest stale."""
+    # shrink the target so test-sized corpora cross a boundary
+    monkeypatch.setattr(window_store, "WINDOW_BUCKET_DOCS", 2)
+    monkeypatch.setattr(window_store, "DEFAULT_DBUCKETS", 4)
+
+    small, big = _corpus(spark, 8), _corpus(spark, 40)
+    src_s = str(tmp_path / "small.parquet")
+    src_b = str(tmp_path / "big.parquet")
+    small.write.parquet(src_s)
+    big.write.parquet(src_b)
+
+    got = {}
+    for tag, src, docs in (("s", src_s, small), ("b", src_b, big)):
+        idx = str(tmp_path / f"win_{tag}")
+        widx, reasons = window_store.ensure_window_index(
+            spark, spark.read.parquet(src), src, idx, w=W)
+        assert reasons  # first publish
+        expect = window_store.window_buckets(docs.count())
+        assert widx.n_buckets == expect
+        lay = window_store.read_wlayout(idx)
+        assert lay["n_buckets"] == expect and lay["derived"] is True
+        got[tag] = expect
+        # fresh for the same corpus at derived geometry
+        assert window_store.window_index_is_fresh(idx, src, docs.count(),
+                                                  w=W)
+    assert got["s"] != got["b"]
+
+    # growth across the boundary is STALE at derived geometry
+    assert not window_store.window_index_is_fresh(
+        str(tmp_path / "win_s"), src_s, 40, w=W)
+
+    # reopened refresh uses the STORED bucket count: change one doc,
+    # assert only its bucket rewrote and the result equals a rebuild
+    idx_s = str(tmp_path / "win_s")
+    changed = _docs(spark, [(3, "completely new body text for doc three "
+                                "alpha beta gamma delta")])
+    before = _file_states(os.path.join(idx_s, "windows"))
+    widx2 = window_store.write_window_refresh(spark, idx_s, changed)
+    assert widx2.n_buckets == got["s"]
+    after = _file_states(os.path.join(idx_s, "windows"))
+    merged = small.filter(F.col("doc_id") != 3).unionByName(changed)
+    scratch = str(tmp_path / "win_scratch")
+    window_store.publish_window_index(merged, scratch, w=W,
+                                      n_buckets=got["s"])
+    fresh = window_store.open_window_index(spark, scratch)
+    assert _rows(widx2.windows) == _rows(fresh.windows)
+    # at least one bucket untouched byte-for-byte (8 docs, >=4 buckets)
+    untouched = [k for k in before if k in after and before[k] == after[k]]
+    assert untouched, (before, after)
