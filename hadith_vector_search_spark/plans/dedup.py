@@ -30,56 +30,88 @@ def _cache_key(spark: SparkSession, sf_dir: str, *params) -> tuple:
     return (spark.sparkContext.applicationId, os.path.abspath(sf_dir), *params)
 
 
+def _frame_store_or_pin(spark: SparkSession, sf_dir: str, deriver: str,
+                        params: dict, pin_tag: str, build):
+    """The store-first discipline every derived dedup frame now follows
+    (round-10 verdict item 4; `get_window_index` was the prototype):
+    serve from the PUBLISHED doc-bucket-partitioned frame store
+    (`sources.frame_store` — publish iff the manifest says the corpus or
+    the derivation identity drifted, reopen the bytes otherwise; a
+    second session never repays the text pass), falling back to the
+    round-5 session pin when the index root is unwritable. Both paths
+    stay continuously oracle-checked: every consumer's DuckDB oracle
+    rebuilds the derivation from raw text each gate pass. Store dirs are
+    keyed by deriver+params so two widths never thrash one artifact."""
+    from ..sources import frame_store
+    from .lexical import _index_root
+
+    token = sf_dir.strip("/").replace("/", "_")
+    ptok = "_".join(f"{k}{params[k]}" for k in sorted(params))
+    idx_dir = os.path.join(_index_root(), f"{token}_{deriver}_{ptok}")
+    # record the BUILD plan unconditionally (plan-string capture only,
+    # nothing materializes): the hygiene sweep must see the derivation
+    # that runs at publish/refresh time even when the store is a
+    # byte-for-byte reuse this session
+    pin_audit.record(pin_tag, sf_dir, build())
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        fidx, _ = frame_store.ensure_frame_store(
+            spark, docs, os.path.join(sf_dir, "documents.parquet"),
+            idx_dir, deriver, params)
+        return fidx.rows
+    except OSError:
+        return build().localCheckpoint()
+
+
 def get_shingle_index(spark: SparkSession, sf_dir: str,
                       w: int = dedup.SHINGLE_W) -> DataFrame:
-    """Session-scoped shingle index over `documents`: the eager-checkpointed
-    (doc_id, shingles, gkey) frame every shingle-based dedup query shares."""
+    """Shingle index over `documents` — the (doc_id, shingles, gkey)
+    frame every shingle-based dedup query shares, served from the
+    published frame store (see `_frame_store_or_pin`)."""
     key = _cache_key(spark, sf_dir, "shingles", w)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        # capture the build plan before the checkpoint hides it
-        # (pin-time hygiene, tests/test_plan_hygiene.py)
-        lazy = pin_audit.record(
-            "dedup_shingles", sf_dir,
-            dedup._collapsed_shingles_lazy(docs, "text", "doc_id", w))
-        _INDEX_CACHE[key] = lazy.localCheckpoint()
+        _INDEX_CACHE[key] = _frame_store_or_pin(
+            spark, sf_dir, "shingles", {"w": w}, "dedup_shingles",
+            lambda: dedup._collapsed_shingles_lazy(docs, "text", "doc_id",
+                                                   w))
     return _INDEX_CACHE[key]
 
 
 def get_simhash_index(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
-    """Session-scoped simhash fingerprint index over `documents`:
-    eager-checkpointed (doc_id, fp) at the given width."""
+    """Simhash fingerprint index over `documents` — (doc_id, fp) at the
+    given width, served from the published frame store."""
     key = _cache_key(spark, sf_dir, "simhash", n_bits)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _INDEX_CACHE[key] = pin_audit.record(
-            "dedup_simhash", sf_dir,
-            dedup.simhash_long(docs, n_bits=n_bits)).localCheckpoint()
+        _INDEX_CACHE[key] = _frame_store_or_pin(
+            spark, sf_dir, "simhash", {"n_bits": n_bits}, "dedup_simhash",
+            lambda: dedup.simhash_long(docs, n_bits=n_bits))
     return _INDEX_CACHE[key]
 
 
 def get_winnow_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-scoped winnowing selection over `documents`: the
-    eager-checkpointed DISTINCT (doc_id, n_windows, _sel) triple that
-    both `winnowed_fingerprints` and `winnow_match_pairs` consume — the
-    window-hash sha256 pass plus two per-doc window functions are by far
-    the dominant cost of the winnowing family, so like the shingle/
-    simhash indexes it is computed once per (session, sf_dir).
-    Checkpointing happens AFTER the distinct, when winnowing has already
-    discarded ~(g-1)/(g+1) of window rows — pinning the pre-distinct
-    window frame would materialize ~10× the rows for no reuse. At lake
-    scale this triple is the persisted fingerprint index a MOSS-style
-    service maintains incrementally."""
+    """Winnowing selection over `documents`: the DISTINCT (doc_id,
+    n_windows, _sel) triple that both `winnowed_fingerprints` and
+    `winnow_match_pairs` consume — the window-hash sha256 pass plus two
+    per-doc window functions are by far the dominant cost of the
+    winnowing family, so it is published once per corpus snapshot
+    (`sources.frame_store`; the store persists POST-distinct rows, when
+    winnowing has already discarded ~(g-1)/(g+1) of window rows). At
+    lake scale this IS the persisted fingerprint index a MOSS-style
+    service maintains incrementally — `write_frame_refresh` is that
+    maintenance."""
     key = _cache_key(spark, sf_dir, "winnow",
                      dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        sel = dedup._winnow_selected(
-            docs, dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE, "text", "doc_id")
-        pinned = pin_audit.record(
-            "dedup_winnow", sf_dir,
-            sel.select("doc_id", "n_windows", "_sel")
-            .distinct()).localCheckpoint()
+        pinned = _frame_store_or_pin(
+            spark, sf_dir, "winnow",
+            {"w": dedup.DUPSPAN_W, "guarantee": dedup.WINNOW_GUARANTEE},
+            "dedup_winnow",
+            lambda: dedup._winnow_selected(
+                docs, dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE, "text",
+                "doc_id").select("doc_id", "n_windows", "_sel").distinct())
         # Tag the selection with the constants it was built under so the
         # consumers can refuse a mismatched (w, guarantee) hand-off
         # instead of silently producing wrong pairs.
@@ -612,7 +644,10 @@ LIMIT {TOP_NGRAMS_K}
 """
 
 
-def simhash_oracle(n_bits: int = SIMHASH_BITS) -> str:
+def simhash_oracle(n_bits: int = SIMHASH_BITS,
+                   source: str = "documents") -> str:
+    """`source` lets replays run over a derived corpus CTE (the
+    streaming-refresh oracle merges the change feed first)."""
     sums = ", ".join(
         f"sum(CASE WHEN substr(dg, {i + 1}, 1) < '8' "
         f"THEN 1 ELSE -1 END) AS b{i}"
@@ -624,7 +659,7 @@ WITH tok_rows AS (
   SELECT doc_id, sha256(unnest(list_filter(
            string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
            x -> length(x) >= 2))) AS dg
-  FROM documents
+  FROM {source}
 ),
 sums AS (SELECT doc_id, {sums} FROM tok_rows GROUP BY doc_id)
 SELECT doc_id, {bits} AS simhash FROM sums

@@ -44,6 +44,8 @@ from .streaming import (
     streaming_lsh_refresh_oracle,
     streaming_window_refresh,
     streaming_window_refresh_oracle,
+    streaming_simhash_refresh,
+    streaming_simhash_refresh_oracle,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -192,6 +194,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_vector_refresh": streaming_vector_refresh,
     "streaming_lsh_refresh": streaming_lsh_refresh,
     "streaming_window_refresh": streaming_window_refresh,
+    "streaming_simhash_refresh": streaming_simhash_refresh,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -394,6 +397,7 @@ WHERE abs(date_diff('microsecond', e.ts, c.ts))
 oracle("streaming_vector_refresh", streaming_vector_refresh_oracle())
 oracle("streaming_lsh_refresh", streaming_lsh_refresh_oracle())
 oracle("streaming_window_refresh", streaming_window_refresh_oracle())
+oracle("streaming_simhash_refresh", streaming_simhash_refresh_oracle())
 oracle("streaming_merge_jsonl", lifecycle.incremental_merge_preview_oracle())
 oracle("streaming_embed_merge", lifecycle.streaming_embed_merge_oracle())
 oracle("near_dup_ngram_jaccard", dedup_plans.near_dup_ngram_jaccard_oracle())

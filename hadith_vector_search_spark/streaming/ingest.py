@@ -1013,3 +1013,104 @@ SELECT doc_id, min(pos) AS span_start,
        count(*) AS n_windows
 FROM isl GROUP BY doc_id, gid
 """
+
+
+def streaming_simhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published FRAME-store maintenance AT INGEST — the round-11 member
+    of the streaming x durable-store matrix (postings, IVF cells, LSH
+    buckets, window index, and now the derived dedup frames of
+    `sources.frame_store`). One twin covers the whole frame family:
+    shingles/simhash/winnow share the same store core and the same
+    per-doc delta soundness, so maintaining the simhash store here
+    exercises the shared `write_frame_refresh` path end to end.
+
+    A base doc-bucket-partitioned simhash store is published from the
+    documents table, then the SAME lexical change feed as the window
+    twin (revised %5 docs, new %11 docs above the id offset, deletions
+    of %13) streams in JSON micro-batches, each delta-merged by
+    `sources.frame_store.write_frame_refresh` inside `foreachBatch`:
+    only the `dbucket` dirs the batch's doc ids hash to rewrite, through
+    the crash-safe staged-journal commit, idempotent under micro-batch
+    retry (delete + reinsert by doc id; the derivation comes from the
+    store's layout stamp, never the caller). The drained store must
+    equal a from-scratch simhash of the merged corpus — the oracle
+    recomputes every fingerprint from the merged raw text. Emits the
+    bit-string fingerprint view off the drained store."""
+    import tempfile
+
+    from ..operators import dedup as dedup_ops
+    from ..plans.dedup import SIMHASH_BITS
+    from ..plans.lexical import REFRESH_NEW_ID_OFFSET
+    from ..sources import frame_store, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="stream_simref_")
+    store = os.path.join(work, "store")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        frame_store.publish_frame_store(docs, store, "simhash",
+                                        {"n_bits": SIMHASH_BITS})
+        upd = (docs.filter((F.col("doc_id") % 5 == 0)
+                           & (F.col("doc_id") % 13 != 0))
+               .select("doc_id",
+                       F.concat(F.col("text"), F.lit(" [rev2]"))
+                       .alias("text"),
+                       F.lit("upsert").alias("action")))
+        fresh = (docs.filter(F.col("doc_id") % 11 == 0)
+                 .select((F.col("doc_id") + REFRESH_NEW_ID_OFFSET)
+                         .alias("doc_id"),
+                         "text", F.lit("upsert").alias("action")))
+        dels = (docs.filter(F.col("doc_id") % 13 == 0)
+                .select("doc_id", F.lit(None).cast("string").alias("text"),
+                        F.lit("delete").alias("action")))
+        feed = upd.unionByName(fresh).unionByName(dels)
+        feed.repartition(3).write.mode("overwrite").json(src)
+
+        schema = spark.createDataFrame(
+            [], "doc_id long, text string, action string").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(src))
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            ups = (batch_df.filter(F.col("action") == "upsert")
+                   .select("doc_id", "text"))
+            rms = (batch_df.filter(F.col("action") == "delete")
+                   .select("doc_id"))
+            frame_store.write_frame_refresh(spark, store, ups, rms)
+
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        drained = frame_store.open_frame_store(spark, store)
+        return (dedup_ops.simhash(docs, n_bits=SIMHASH_BITS,
+                                  sigs=drained.rows)
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_simhash_refresh_oracle() -> str:
+    """From-scratch replay: apply the change feed to the raw corpus in
+    SQL, then the standard simhash replay (`plans.dedup.simhash_oracle`)
+    over the MERGED text."""
+    from ..plans.dedup import SIMHASH_BITS, simhash_oracle
+    from ..plans.lexical import REFRESH_NEW_ID_OFFSET
+
+    base = simhash_oracle(SIMHASH_BITS, source="merged").strip()
+    assert base.startswith("WITH")
+    return f"""
+WITH merged AS (
+  SELECT doc_id, text || ' [rev2]' AS text
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + {REFRESH_NEW_ID_OFFSET}, text
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, text
+  FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 13 <> 0
+),
+{base[len("WITH"):].lstrip()}
+"""

@@ -809,3 +809,70 @@ def test_batch_probe_selection_zero_jobs_and_tier_parity(spark, tmp_path):
     vector_store.select_probes_batch(cents, qvecs * 8, 4)
     after = set(tracker.getJobIdsForGroup(None) or [])
     assert before == after
+
+
+def _jitter_vec(base_seed: int, i: int) -> list[float]:
+    """A unit vector near _vec(base_seed): small deterministic jitter."""
+    base = _vec(base_seed)
+    raw = [x + 0.013 * math.sin(i * 3.1 + j) for j, x in enumerate(base)]
+    n = math.sqrt(sum(x * x for x in raw))
+    return [x / n for x in raw]
+
+
+def test_refresh_detects_and_splits_hot_cell(spark, tmp_path):
+    """Round-10 verdict item 6: a deliberately CLUSTERED corpus piles
+    most rows into one cell; a refresh with `hot_cell_bound` set detects
+    the violation and splits the hot cell (k=2 within its members), the
+    balance report is green after, the stored-cell == argmax invariant
+    holds store-wide, and IVFADC codes (residual included) are
+    re-encoded against the new cells in the same publish."""
+    idx_dir = str(tmp_path / "vechot")
+    # ids 0..3: well-separated seeds (the data codebook); ids 10..39:
+    # clustered tightly around seed 0 -> cell 0 goes hot
+    rows = [(i, _vec(i)) for i in range(4)]
+    rows += [(10 + i, _jitter_vec(0, i)) for i in range(30)]
+    rows += [(50 + i, _vec(i + 1)) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vector_store.publish_vector_index(emb, idx_dir, n_cells=4,
+                                      pq_cents=PQ_CENTS, pq_residual=True)
+    vidx = vector_store.open_vector_index(spark, idx_dir)
+    occ = dict(vector_store.cell_occupancy(vidx))
+    total = sum(occ.values())
+    share_before = max(occ.values()) / total
+    assert share_before > 0.5, occ  # the fixture really is skewed
+
+    # a small delta with the bound set: detection + split at refresh time
+    changed = spark.createDataFrame([(10, _jitter_vec(0, 99))],
+                                    "vec_id long, embedding array<double>")
+    out = vector_store.write_vector_refresh(spark, idx_dir, changed,
+                                            hot_cell_bound=0.5)
+    rep = out.last_split_report
+    assert rep and rep["split"] is True
+    assert rep["share_after"] < rep["share_before"]
+    assert out.n_cells == 5 and len(out.centroids) == 5
+
+    # balance green after: no cell above the bound
+    occ2 = dict(vector_store.cell_occupancy(out))
+    assert max(occ2.values()) / total <= 0.5, occ2
+
+    # stored-cell == argmax-nearest against the NEW codebook, store-wide
+    stored = sorted((r.vec_id, r.cell) for r in
+                    out.vectors.select("vec_id", "cell").collect())
+    recomputed = sorted(
+        (r.vec_id, r.cell) for r in out.vectors.drop("cell")
+        .select("vec_id", similarity.cell_of(out.centroids).alias("cell"))
+        .collect())
+    assert stored == recomputed
+
+    # codes live in the SAME cells as their raw rows (re-encoded, not
+    # stale — the residual contract depends on it) and queries answer
+    assert _rows(out.codes.select("vec_id", "cell")) == \
+        _rows(out.vectors.select("vec_id", "cell"))
+    top = out.ivf_topk(10, n_probe=2, k=5).collect()
+    sims = [r.sim for r in top]
+    assert len(top) == 5 and sims == sorted(sims, reverse=True)
+
+    # a balanced store under the same bound is a no-op (None report)
+    out2 = vector_store.write_vector_refresh(spark, idx_dir, changed,
+                                             hot_cell_bound=0.5)
+    assert out2.last_split_report is None
