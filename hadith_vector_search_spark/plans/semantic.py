@@ -576,6 +576,106 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def ann_topk_ivfpq_batch_published(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The registered driver-SF form of `ivfpq_batch_published` (the
+    oracle replays KNN_QUERIES query ids)."""
+    return ivfpq_batch_published(spark, sf_dir, KNN_QUERIES)
+
+
+def ivfpq_batch_published(spark: SparkSession, sf_dir: str,
+                          n_queries: int) -> DataFrame:
+    """Batched IVFADC off the published store — the throughput shape for
+    N concurrent queries over the CODES table (the vector twin of
+    `ivf_batch_published`, with the ADC stage batched too): probe
+    selection for the whole batch is one local matmul
+    (`select_probes_batch`), each query's ADC lookup tables ride in the
+    broadcast batch relation as array columns (m * n_cents doubles per
+    query — config-sized), ONE directory-pruned scan of the union of
+    probe cells over the ~50x-smaller codes table scores every
+    (query, candidate) ADC as `element_at(lut_m, code_m + 1)` sums (pure
+    JVM projection — no per-query literal plans, no Python), a per-query
+    window keeps the ADC top-`PQ_RERANK`, and ONE pruned raw-vector scan
+    exact-reranks all surviving candidates (candidates live in probed
+    cells by construction, so the rerank never widens IO). Spark job
+    count is O(1) in N; the scan volume is |union of probes|/n_cells of
+    the codes table regardless of N."""
+    from pyspark.sql.window import Window
+
+    from ..sources.vector_store import select_probes_batch
+
+    vidx = get_ivfpq_published_index(spark, sf_dir)
+    if vidx is None:
+        # Read-only index root: per-query storeless compose, unioned
+        # with the query id attached — same rows, no store.
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+            similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+            key=lambda r: r.cent_id)]
+        subbooks = similarity.pq_subbooks(emb, PQ_CENTS)
+        out = None
+        for qid in range(n_queries):
+            one = (similarity.ivfpq_topk(emb, qid, cents, subbooks,
+                                         IVF_PROBE, ANN_K, PQ_RERANK)
+                   .select(F.lit(qid).cast("long").alias("query_id"),
+                           "vec_id", "adc_sim", "sim"))
+            out = one if out is None else out.unionByName(one)
+        w0 = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                    F.asc("vec_id"))
+        return (out.withColumn("rank", F.row_number().over(w0))
+                .select("query_id", "vec_id", "adc_sim", "sim",
+                        F.col("rank").cast("int").alias("rank")))
+
+    qrows = sorted(vidx.vectors.filter(F.col("vec_id") < n_queries)
+                   .select("vec_id", "embedding").collect(),
+                   key=lambda r: r[0])
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+    probe_lists = select_probes_batch(vidx.centroids, qvecs, IVF_PROBE)
+    subbooks = vidx.pq_subbooks
+    m = len(subbooks)
+    batch = []
+    for r, qv, ps in zip(qrows, qvecs, probe_lists):
+        luts = similarity.pq_adc_luts(subbooks, qv)
+        batch.append((int(r[0]), qv, ps,
+                      *[[float(x) for x in lut] for lut in luts]))
+    lut_fields = ", ".join(f"lut_{i} array<double>" for i in range(m))
+    bdf = spark.createDataFrame(
+        batch, f"query_id long, qvec array<double>, probes array<int>, "
+               f"{lut_fields}")
+    union_probes = sorted({p for _, _, ps, *_ in batch for p in ps})
+
+    codes = (vidx.codes.filter(F.col("cell").isin(union_probes))
+             .select("vec_id", *[f"code_{i}" for i in range(m)],
+                     F.col("cell").cast("int").alias("cell")))
+    adc_terms = [F.element_at(F.col(f"lut_{i}"), F.col(f"code_{i}") + 1)
+                 for i in range(m)]
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"),
+                                               F.asc("vec_id"))
+    cands = (codes.join(F.broadcast(bdf),
+                        F.array_contains(F.col("probes"), F.col("cell")))
+             .select("query_id", "vec_id", F.round(adc, 6).alias("adc_sim"))
+             .withColumn("arank", F.row_number().over(w))
+             .filter(F.col("arank") <= PQ_RERANK)
+             .drop("arank"))
+
+    raw = (vidx.vectors.filter(F.col("cell").isin(union_probes))
+           .select("vec_id", "embedding"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("vec_id"))
+    return (raw.join(F.broadcast(cands), "vec_id")
+            .join(F.broadcast(bdf.select("query_id", "qvec")), "query_id")
+            .select("query_id", "vec_id", "adc_sim",
+                    F.round(dot(F.col("embedding"), F.col("qvec")), 6)
+                    .alias("sim"))
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= ANN_K)
+            .select("query_id", "vec_id", "adc_sim", "sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def ann_topk_filtered_oracle() -> str:
     return f"""
 WITH {_PAIR_DOT},
@@ -1078,6 +1178,108 @@ def ann_topk_ivfpq_published(spark: SparkSession, sf_dir: str) -> DataFrame:
         return similarity.ivfpq_topk(emb, QUERY_VEC_ID, cents, subbooks,
                                      IVF_PROBE, ANN_K, PQ_RERANK)
     return vidx.ivfpq_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K, PQ_RERANK)
+
+
+def ann_topk_ivfpq_batch_published_oracle() -> str:
+    """Per-query replay of the batched IVFADC form: each query's probes
+    from the shared codebook, codes for every vector in ANY query's
+    probed cells (encode is per-vector, query-independent — exactly what
+    the store's pruned codes scan holds), per-(query, vec) ADC with the
+    pinned t0+t1 association, ADC top-PQ_RERANK per query, exact rerank
+    per query."""
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+qprobes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot WHERE vec_id < {KNN_QUERIES}
+  ) WHERE rn <= {IVF_PROBE}
+),
+qcands AS (
+  SELECT qp.query_id, a.vec_id
+  FROM qprobes qp JOIN assign a ON a.cent_id = qp.cent_id
+),
+union_cands AS (SELECT DISTINCT vec_id FROM qcands),
+halves AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1),
+sub AS (
+  SELECT vec_id, m,
+         CASE WHEN m = 0 THEN embedding[1:h]
+              ELSE embedding[h+1:len(embedding)] END AS sv
+  FROM embeddings, halves, (VALUES (0), (1)) AS mm(m)
+),
+cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {PQ_CENTS}),
+dist AS (
+  SELECT vec_id, m, cid, round(sum((av - bv) * (av - bv)), 6) AS d2
+  FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           CAST(unnest(s.sv) AS DOUBLE) AS av,
+           CAST(unnest(c.cv) AS DOUBLE) AS bv
+    FROM sub s
+    JOIN union_cands uc ON s.vec_id = uc.vec_id
+    JOIN cb c ON s.m = c.m
+  )
+  GROUP BY vec_id, m, cid
+),
+code AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+qsub AS (SELECT vec_id AS query_id, m, sv FROM sub
+         WHERE vec_id < {KNN_QUERIES}),
+adc_terms AS (
+  SELECT k.query_id, k.vec_id, k.m, sum(qv * cv) AS t
+  FROM (
+    SELECT qc.query_id, code.vec_id, code.m,
+           CAST(unnest(q.sv) AS DOUBLE) AS qv,
+           CAST(unnest(c.cv) AS DOUBLE) AS cv
+    FROM qcands qc
+    JOIN code ON code.vec_id = qc.vec_id
+    JOIN cb c ON c.m = code.m AND c.cid = code.cid
+    JOIN qsub q ON q.m = code.m AND q.query_id = qc.query_id
+  ) k
+  GROUP BY k.query_id, k.vec_id, k.m
+),
+adc AS (
+  SELECT query_id, vec_id, round(sum(t), 6) AS adc_sim
+  FROM adc_terms GROUP BY query_id, vec_id
+),
+cands AS (
+  SELECT query_id, vec_id, adc_sim FROM (
+    SELECT query_id, vec_id, adc_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_sim DESC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_RERANK}
+),
+ranked AS (
+  SELECT c.query_id, c.vec_id, c.adc_sim, round(p.d, 6) AS sim,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY round(p.d, 6) DESC, c.vec_id ASC)
+           AS rank
+  FROM cands c
+  JOIN pair_dot p ON p.ia = c.query_id AND p.ib = c.vec_id
+)
+SELECT query_id, vec_id, adc_sim, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
 
 
 def ann_topk_ivfpq_published_oracle() -> str:

@@ -111,6 +111,8 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivfpq_residual_published":
         semantic.ann_topk_ivfpq_residual_published,
     "ann_topk_ivf_batch_published": semantic.ann_topk_ivf_batch_published,
+    "ann_topk_ivfpq_batch_published":
+        semantic.ann_topk_ivfpq_batch_published,
     "ann_recall_report": semantic.ann_recall_report,
     "ann_recall_report_sampled": semantic.ann_recall_report_sampled,
     # iterative algorithm — no SQL oracle (driver rows-only check)
@@ -271,6 +273,8 @@ oracle("ann_topk_ivfpq_residual_published",
        semantic.ann_topk_ivfpq_residual_published_oracle())
 oracle("ann_topk_ivf_batch_published",
        semantic.ann_topk_ivf_batch_published_oracle())
+oracle("ann_topk_ivfpq_batch_published",
+       semantic.ann_topk_ivfpq_batch_published_oracle())
 oracle("ann_recall_report", semantic.ann_recall_report_oracle())
 oracle("ann_recall_report_sampled",
        semantic.ann_recall_report_sampled_oracle())
