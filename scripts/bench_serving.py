@@ -113,6 +113,10 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
             spark, sf_dir, 8).collect(),
         "ann_batch32": lambda i: semantic.ivf_batch_published(
             spark, sf_dir, 32).collect(),
+        # batched IVFADC: same amortization claim over the ~50x-smaller
+        # CODES scan + exact rerank (round 11)
+        "ann_pq_batch32": lambda i: semantic.ivfpq_batch_published(
+            spark, sf_dir, 32).collect(),
     }
     out = {}
     for name, call in calls.items():
