@@ -322,7 +322,8 @@ def _lsh_index_delta(spark: SparkSession, table_path: str, out_dir: str,
 
 
 def _vector_index_delta(spark: SparkSession, table_path: str, out_dir: str,
-                        changed: DataFrame, n_rows: int | None = None) -> None:
+                        changed: DataFrame, n_rows: int | None = None,
+                        hot_cell_bound: float | None = None) -> dict | None:
     """Vector-index delta: re-embed ONLY the changed rows (the expensive
     part tracks the batch), then rewrite only the IVF cell directories
     the batch touches (vector_store.write_vector_refresh — crash-safe
@@ -343,8 +344,12 @@ def _vector_index_delta(spark: SparkSession, table_path: str, out_dir: str,
     # and leave a mis-sized store serving forever
     from .sources.manifest import read_manifest
     model = read_manifest(out_dir).model_name
-    write_vector_refresh(spark, out_dir, fresh, source_path=table_path,
-                         n_rows=n_rows, model_name=model)
+    out = write_vector_refresh(spark, out_dir, fresh, source_path=table_path,
+                               n_rows=n_rows, model_name=model,
+                               hot_cell_bound=hot_cell_bound)
+    # surfaced to the CLI log by the caller; a split republish already
+    # re-stamped the manifest with the +split identity
+    return getattr(out, "last_split_report", None)
 
 
 def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
@@ -391,6 +396,7 @@ def update_indexes(spark: SparkSession, table_path: str, index_dir: str,
 def run_ingestion(spark: SparkSession, data_dir: str, table_path: str,
                   books: list[str] | None = None, index_dir: str | None = None,
                   do_update_indexes: bool = False, force_index: bool = False,
+                  hot_cell_bound: float | None = None,
                   log=print) -> dict[str, int]:
     """The CLI's programmatic core; returns the total A5 stats dict."""
     paths = book_paths(data_dir, books)
@@ -467,9 +473,12 @@ def run_ingestion(spark: SparkSession, data_dir: str, table_path: str,
             write_refresh(spark, os.path.join(idx_root, "fts"),
                           incoming_all.select("doc_id", "text"),
                           corpus_path=table_path, n_rows=new_n)
-            _vector_index_delta(spark, table_path,
-                                os.path.join(idx_root, "vector"),
-                                incoming_all, n_rows=new_n)
+            split_report = _vector_index_delta(
+                spark, table_path, os.path.join(idx_root, "vector"),
+                incoming_all, n_rows=new_n, hot_cell_bound=hot_cell_bound)
+            if split_report:
+                log(f"  vector index -> hot-cell remediation: "
+                    f"{split_report}")
             _lsh_index_delta(spark, table_path,
                              os.path.join(idx_root, "lsh"),
                              incoming_all, n_rows=new_n)
@@ -508,6 +517,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--force-index-refresh", action="store_true",
                         help="rebuild indexes even if manifests are fresh "
                              "(implies --update-indexes)")
+    parser.add_argument("--split-hot-cells", type=float, default=None,
+                        metavar="SHARE",
+                        help="after an incremental vector-index refresh, "
+                             "split any IVF cell holding more than SHARE "
+                             "of the store's rows (k=2 retrain within the "
+                             "cell; see sources.vector_store."
+                             "split_hot_cell)")
     args = parser.parse_args(argv)
 
     from .session import get_spark
@@ -516,6 +532,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         run_ingestion(spark, args.data_dir, args.table, books=args.book,
                       index_dir=args.index_dir,
+                      hot_cell_bound=args.split_hot_cells,
                       do_update_indexes=args.update_indexes,
                       force_index=args.force_index_refresh)
     except (FileNotFoundError, RuntimeError) as exc:

@@ -325,3 +325,27 @@ def test_ingest_lsh_delta_on_capped_planes_keeps_identity(spark, tmp_path):
                              _lsh_manifest(table, 3)) == []
     out = update_indexes(spark, table, f"{table}_indexes")
     assert out["lsh"] == []  # reused, not rebuilt
+
+
+def test_ingest_split_hot_cells_flag_threads_through(spark, corpus):
+    """--split-hot-cells wiring: the bound reaches the vector delta's
+    remediation hook (a 0.999 bound on the balanced fixture is a no-op;
+    the mechanism itself is covered by the clustered-fixture store
+    test). Asserts the delta still runs and the store stays fresh."""
+    from hadith_vector_search_spark.ingest import update_indexes
+
+    data, table = corpus
+    run_ingestion(spark, data, table, do_update_indexes=True,
+                  log=lambda *_: None)
+    _write_book(os.path.join(data, "book_2.jsonl"),
+                [{"doc_id": 100, "text": "gamma delta doc 0 REVISED",
+                  "lang": "en", "source": "b2"}]
+                + [{"doc_id": 100 + i, "text": f"gamma delta doc {i}",
+                    "lang": "en", "source": "b2"} for i in range(1, 3)])
+    logs = []
+    run_ingestion(spark, data, table, books=["2"], do_update_indexes=True,
+                  hot_cell_bound=0.999, log=logs.append)
+    assert any("delta-refreshed" in ln for ln in logs), logs
+    assert not any("hot-cell remediation" in ln for ln in logs), logs
+    out = update_indexes(spark, table, f"{table}_indexes")
+    assert out["vector"] == []
