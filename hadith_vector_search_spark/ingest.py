@@ -213,9 +213,16 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
                *[int(stats[f"d{m}"]) for m in range(len(halves))]) \
         if n else 0
     subbooks = kmeans_subbooks(emb, pq_k) if pq_k >= 2 else None
+    # derived=True marks the geometry corpus-derived, which also GOVERNS
+    # the probe count at publish (vector_store.publish_vector_index
+    # stamps the sample-measured minimal n_probe clearing the recall
+    # target — the product store's queries can then default probes to a
+    # recall contract instead of a constant)
+    geometry = dict(index_geometry(n), n_cells=len(centroids),
+                    derived=True) if n else None
     publish_vector_index(emb, out_dir, centroids=centroids,
-                         id_col="doc_id", pq_cents=pq_k,
-                         pq_subbooks=subbooks)
+                         id_col="doc_id", geometry=geometry,
+                         pq_cents=pq_k, pq_subbooks=subbooks)
 
 
 def _vector_manifest(table_path: str, n_rows: int) -> IndexManifest:

@@ -1035,6 +1035,165 @@ def index_geometry(n_rows: int, min_cells: int = 8, max_cells: int = 65536,
     return geom
 
 
+# IVF probe governance — the n_probe twin of `bands_for_recall`. Bands
+# buy LSH recall in closed form; IVF recall has no data-free closed form
+# (it depends on how neighbor mass spreads across cells), but it has an
+# EXACT empirical one: for a sample of queries, rank every cell by the
+# query's centroid affinity (the probe order `select_probes` uses), find
+# the rank at which each true neighbor's ASSIGNED cell appears, and the
+# smallest n_probe achieving a target recall is precisely the
+# target-quantile ORDER STATISTIC of that rank distribution — one sort,
+# no per-candidate-n_probe re-query loop (what FAISS's autotune measures
+# by grid search, derived here relationally so the DuckDB oracle can
+# replay it, cf. /root/reference/mcp_server/apps/embeddings.py:224-228
+# where the reference leans on hnswlib's ef knob for the same trade).
+DEFAULT_PROBE_TRUTH_K = 5
+DEFAULT_PROBE_SAMPLE = 128
+
+
+def probe_depth_frame(emb: DataFrame,
+                      centroids: list[tuple[int, list[float]]],
+                      sample_n: int = DEFAULT_PROBE_SAMPLE,
+                      truth_k: int = DEFAULT_PROBE_TRUTH_K,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      assigned: DataFrame | None = None) -> DataFrame:
+    """(query_id, nbr_id, depth) for every (sample query, true neighbor)
+    pair: `depth` = 1-based rank of the neighbor's assigned cell in the
+    query's centroid-affinity probe order — i.e. the smallest n_probe at
+    which an IVF scan would have recalled that neighbor. Sample queries
+    are the lowest `sample_n` ids (the `data_codebook` determinism
+    discipline); truth is the exact top-`truth_k` by round(dot,6) desc /
+    id asc, self excluded. `assigned` ((id, cell) rows — e.g. the
+    PUBLISHED store's partition column) overrides the in-pass
+    `cell_of` recompute so governance can audit the artifact itself.
+
+    Scale shape: ONE corpus scan (broadcast sample x corpus, narrow
+    projection — the recall-audit cost class), then everything downstream
+    is sample-sized (sample_n x truth_k rows)."""
+    sample = (emb.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qvec"))
+              .orderBy(F.asc("query_id")).limit(sample_n))
+    if assigned is None:
+        tagged = emb.select(F.col(id_col), F.col(vec_col),
+                            cell_of(centroids, vec_col).alias("cell"))
+    else:
+        tagged = (emb.select(F.col(id_col), F.col(vec_col))
+                  .join(assigned.select(F.col(id_col),
+                                        F.col("cell").cast("int")
+                                        .alias("cell")), id_col))
+    # truth: per sample query, exact top-k over the corpus — the cell is
+    # computed scan-side (narrow literal projection) so the per-query
+    # window shuffles only (query_id, nbr_id, sim, cell), never vectors
+    scored = (tagged.join(F.broadcast(sample),
+                          F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("nbr_id"),
+                      F.round(dot(F.col(vec_col), F.col("qvec")), 6)
+                      .alias("sim"),
+                      "cell"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("nbr_id"))
+    truth = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= truth_k)
+             .select("query_id", "nbr_id", "cell"))
+    # probe order per sample query: rank ALL cells by the same
+    # round(dot,6) desc / lowest-cent-id arithmetic `select_probes` uses
+    cents = sample.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cent_id int, cvec array<double>")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cd"),
+                                                F.asc("cent_id"))
+    cell_rank = (sample.crossJoin(F.broadcast(cents))
+                 .select("query_id", "cent_id",
+                         F.round(dot(F.col("qvec"), F.col("cvec")), 6)
+                         .alias("cd"))
+                 .withColumn("crank", F.row_number().over(wq))
+                 .select(F.col("query_id").alias("cr_qid"),
+                         F.col("cent_id").alias("cr_cell"), "crank"))
+    return (truth.join(cell_rank,
+                       (F.col("query_id") == F.col("cr_qid"))
+                       & (F.col("cell") == F.col("cr_cell")))
+            .select("query_id", "nbr_id",
+                    F.col("crank").alias("depth")))
+
+
+def governed_probe_report(emb: DataFrame,
+                          centroids: list[tuple[int, list[float]]],
+                          sample_n: int = DEFAULT_PROBE_SAMPLE,
+                          truth_k: int = DEFAULT_PROBE_TRUTH_K,
+                          target_recall: float = DEFAULT_RECALL_TARGET,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          assigned: DataFrame | None = None) -> DataFrame:
+    """One-row governance report: the smallest `n_probe` whose sample
+    recall clears `target_recall`, derived as the ceil(target*pairs)-th
+    smallest probe depth (order statistic — recall(p) = P(depth <= p) is
+    the depth distribution's CDF, so its target-quantile IS the minimal
+    p; ties share a value, so the statistic is deterministic under any
+    tie order). Columns: (n_cells, sample_queries, truth_k, pairs,
+    recall_target, nprobe, measured_recall, scan_fraction, meets_floor).
+    `measured_recall >= recall_target` holds by construction — emitted
+    (and oracle-replayed) as a cross-engine arithmetic invariant, the
+    same discipline as the LSH audit's stamped floor. Empty/1-row
+    corpora yield an empty report (no pairs to govern on).
+
+    The single-partition row_number window is over the PAIRS frame
+    (sample_n x truth_k rows, config-sized), never the corpus."""
+    depths = probe_depth_frame(emb, centroids, sample_n, truth_k,
+                               id_col, vec_col, assigned)
+    stats = depths.agg(F.count(F.lit(1)).alias("pairs"),
+                       F.countDistinct("query_id").alias("sample_queries"))
+    ranked = depths.select(
+        "depth", F.row_number().over(Window.orderBy(F.asc("depth")))
+        .alias("rn"))
+    chosen = (ranked.crossJoin(F.broadcast(stats))
+              .filter(F.col("rn")
+                      == F.ceil(F.lit(float(target_recall))
+                                * F.col("pairs")).cast("long"))
+              .select(F.col("depth").alias("nprobe"), "pairs",
+                      "sample_queries"))
+    n_cells = len(centroids)
+    return (depths.crossJoin(F.broadcast(chosen))
+            .groupBy("nprobe", "pairs", "sample_queries")
+            .agg(F.round(F.avg((F.col("depth") <= F.col("nprobe"))
+                               .cast("int")), 6).alias("measured_recall"))
+            .select(F.lit(n_cells).alias("n_cells"),
+                    "sample_queries",
+                    F.lit(truth_k).alias("truth_k"),
+                    "pairs",
+                    F.lit(float(target_recall)).alias("recall_target"),
+                    F.col("nprobe").cast("int").alias("nprobe"),
+                    "measured_recall",
+                    F.round(F.col("nprobe") / F.lit(float(n_cells)), 6)
+                    .alias("scan_fraction"),
+                    (F.col("measured_recall")
+                     >= F.lit(float(target_recall))).alias("meets_floor")))
+
+
+def nprobe_for_recall(emb: DataFrame,
+                      centroids: list[tuple[int, list[float]]],
+                      sample_n: int = DEFAULT_PROBE_SAMPLE,
+                      truth_k: int = DEFAULT_PROBE_TRUTH_K,
+                      target_recall: float = DEFAULT_RECALL_TARGET,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> dict | None:
+    """Collect the governance report into the publish-time stamp payload
+    (None when the corpus has no pairs to govern on). One extra
+    corpus-scan job per publish — the FAISS-autotune cost, paid once per
+    artifact epoch, never at query time."""
+    rows = governed_probe_report(emb, centroids, sample_n, truth_k,
+                                 target_recall, id_col, vec_col).collect()
+    if not rows:
+        return None
+    r = rows[0]
+    return {"n_probe": int(r["nprobe"]),
+            "probe_recall_target": float(r["recall_target"]),
+            "probe_measured_recall": float(r["measured_recall"]),
+            "probe_sample": int(r["sample_queries"]),
+            "probe_truth_k": int(r["truth_k"]),
+            "probe_pairs": int(r["pairs"])}
+
+
 def build_vector_lsh_index(emb: DataFrame, n_bands: int | None = None,
                            band_bits: int | None = None,
                            id_col: str = "vec_id",

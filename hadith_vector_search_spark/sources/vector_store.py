@@ -212,6 +212,21 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
     dim = len(centroids[0][1]) if centroids else 0
     if geometry is None:
         geometry = {"n_cells": len(centroids), "derived": False}
+    if geometry.get("derived") and centroids:
+        # derived-geometry publishes also GOVERN the probe count: the
+        # smallest n_probe whose sample recall clears the stated target
+        # (`similarity.nprobe_for_recall` — the order-statistic twin of
+        # the LSH layout's bands_for_recall stamp), measured against
+        # THESE centroids, stamped so a reopened store can default its
+        # probes to a recall contract instead of a constant. One extra
+        # sample-x-corpus job per artifact epoch; a hot-cell split
+        # republish re-governs against the expanded codebook (probe
+        # ranks shift when a cell divides). Explicit-geometry publishes
+        # (the driver-SF oracle-replayable path) skip it unchanged.
+        gov = similarity.nprobe_for_recall(emb, centroids,
+                                           id_col=id_col, vec_col=vec_col)
+        if gov is not None:
+            geometry = dict(geometry, **gov)
     _write_json_sidecar(index_dir, VLAYOUT_NAME,
                         {"n_cells": len(centroids), "dim": dim,
                          "id_col": id_col, "vec_col": vec_col,
@@ -397,6 +412,10 @@ class PublishedVectorIndex:
         # build-time geometry stamp (absent on pre-r10 artifacts): a
         # reopened index always probes with the values it was built at
         self.geometry = lay.get("geometry")
+        # governed probe default (stamped by derived-geometry publishes:
+        # the smallest n_probe whose sample recall cleared the stated
+        # target) — `ivf_topk(n_probe=None)` resolves to it
+        self.governed_nprobe = (self.geometry or {}).get("n_probe")
         self.vectors_path = os.path.join(index_dir, "vectors")
         self.centroids = [(int(r.cent_id), list(r.cvec)) for r in sorted(
             spark.read.parquet(os.path.join(index_dir, "centroids"))
@@ -446,7 +465,17 @@ class PublishedVectorIndex:
         three-tier implementation)."""
         return select_probes(self.spark, self.centroids, qvec, n_probe)
 
-    def ivf_topk(self, query_id, n_probe: int = 2, k: int = 5,
+    def resolve_probe(self, n_probe: int | None) -> int:
+        """`None` means "the store's recall contract": the governed
+        n_probe a derived-geometry publish stamped (the sample-measured
+        minimum clearing the target — see `similarity.nprobe_for_recall`),
+        falling back to the config default on explicit-geometry
+        artifacts. An int passes through (the oracle-replayable path)."""
+        if n_probe is not None:
+            return int(n_probe)
+        return int(self.governed_nprobe) if self.governed_nprobe else 2
+
+    def ivf_topk(self, query_id, n_probe: int | None = 2, k: int = 5,
                  allowed: DataFrame | None = None,
                  where: dict | None = None) -> DataFrame:
         """IVF ANN off the published artifact — same semantics (and same
@@ -460,7 +489,7 @@ class PublishedVectorIndex:
         PartitionFilters, asserted by tests) — no join against the
         corpus table at query time."""
         qvec = self.query_vector(query_id)
-        probes = self.probes_for(qvec, n_probe)
+        probes = self.probes_for(qvec, self.resolve_probe(n_probe))
         scan = self.probe_scan(probes)
         for col, val in (where or {}).items():
             scan = scan.filter(F.col(col) == F.lit(val))
@@ -474,7 +503,7 @@ class PublishedVectorIndex:
                 .orderBy(F.desc("sim"), F.asc(self.id_col))
                 .limit(k))
 
-    def ivfpq_topk(self, query_id, n_probe: int = 2, k: int = 5,
+    def ivfpq_topk(self, query_id, n_probe: int | None = 2, k: int = 5,
                    rerank: int = 20) -> DataFrame:
         """IVFADC off the published artifact — same semantics as
         `similarity.ivfpq_topk` (and the same DuckDB oracle), but both
@@ -492,7 +521,7 @@ class PublishedVectorIndex:
             raise ValueError(f"store at {self.index_dir} has no PQ codes; "
                              "publish with pq_cents or publish_pq_codes()")
         qvec = self.query_vector(query_id)
-        probes = self.probes_for(qvec, n_probe)
+        probes = self.probes_for(qvec, self.resolve_probe(n_probe))
         luts = similarity.pq_adc_luts(self.pq_subbooks, qvec)
         cell_term = None
         if self.pq.get("residual"):

@@ -218,3 +218,140 @@ def test_blas_assignment_equals_relational_and_literal(spark):
         top = vidx.ivf_topk(7, n_probe=3, k=5).collect()
         sims = [r.sim for r in top]
         assert len(top) == 5 and sims == sorted(sims, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF probe governance (round-11: the n_probe twin of bands_for_recall —
+# recall measured must be recall ACTED on, for the second ANN family too)
+# ---------------------------------------------------------------------------
+
+
+def _rand_emb(spark, n: int, dim: int = 8, seed: int = 7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, dim))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+
+def _brute_governed(emb_rows, cents, sample_n, truth_k, target):
+    """Independent python replay of the order-statistic derivation."""
+    import math
+
+    import numpy as np
+
+    ids = [i for i, _ in emb_rows]
+    X = np.array([v for _, v in emb_rows])
+    cids = np.array([c for c, _ in cents])
+    C = np.array([v for _, v in cents])
+    cd = np.round(X @ C.T, 6)
+    assign = np.array([cids[np.lexsort((cids, -row))[0]] for row in cd])
+    depths = []
+    for qi in sorted(range(len(ids)), key=lambda i: ids[i])[:sample_n]:
+        sims = np.round(X @ X[qi], 6)
+        nbrs = sorted((j for j in range(len(ids)) if j != qi),
+                      key=lambda j: (-sims[j], ids[j]))[:truth_k]
+        qcd = np.round(C @ X[qi], 6)
+        crank = {int(cids[c]): r + 1
+                 for r, c in enumerate(np.lexsort((cids, -qcd)))}
+        depths += [crank[int(assign[j])] for j in nbrs]
+    depths.sort()
+    chosen = depths[math.ceil(target * len(depths)) - 1]
+    recall = sum(1 for d in depths if d <= chosen) / len(depths)
+    return chosen, round(recall, 6), len(depths)
+
+
+def test_governed_probe_report_matches_bruteforce(spark):
+    emb = _rand_emb(spark, 120)
+    cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+        similarity.data_centroids(emb, 10).collect(),
+        key=lambda r: r.cent_id)]
+    rows = sorted((r.vec_id, list(r.embedding)) for r in emb.collect())
+    for target in (0.5, 0.9):
+        rep = similarity.governed_probe_report(
+            emb, cents, sample_n=12, truth_k=4,
+            target_recall=target).collect()[0]
+        chosen, recall, pairs = _brute_governed(rows, cents, 12, 4, target)
+        assert rep["nprobe"] == chosen
+        assert rep["measured_recall"] == pytest.approx(recall)
+        assert rep["pairs"] == pairs
+        assert rep["measured_recall"] >= target  # the invariant
+        assert rep["meets_floor"] is True
+        assert rep["n_cells"] == 10 and rep["sample_queries"] == 12
+    # monotone: a stricter target never probes fewer cells
+    lo = similarity.governed_probe_report(
+        emb, cents, 12, 4, 0.5).collect()[0]["nprobe"]
+    hi = similarity.governed_probe_report(
+        emb, cents, 12, 4, 0.99).collect()[0]["nprobe"]
+    assert hi >= lo
+
+
+def test_governed_report_uses_published_assignments(spark, tmp_path):
+    """`assigned` (the published store's partition column) must override
+    the in-pass recompute — and agree with it, since the writer uses the
+    same arithmetic."""
+    emb = _rand_emb(spark, 80)
+    idx = str(tmp_path / "gov_idx")
+    cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+        similarity.data_centroids(emb, 8).collect(),
+        key=lambda r: r.cent_id)]
+    vector_store.publish_vector_index(emb, idx, centroids=cents)
+    vidx = vector_store.open_vector_index(spark, idx)
+    via_store = similarity.governed_probe_report(
+        emb, cents, 10, 3, 0.9,
+        assigned=vidx.vectors.select("vec_id", "cell")).collect()
+    via_pass = similarity.governed_probe_report(
+        emb, cents, 10, 3, 0.9).collect()
+    assert [r.asDict() for r in via_store] == [r.asDict() for r in via_pass]
+
+
+def test_derived_publish_stamps_governed_nprobe(spark, tmp_path):
+    """A derived-geometry publish stamps the governed n_probe contract in
+    the layout; a reopened store resolves n_probe=None to it, and the
+    stamped sample recall clears the stated target."""
+    emb = _rand_emb(spark, 150)
+    src = str(tmp_path / "gov.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "gov_stamp_idx")
+    vidx, reasons = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx, n_cells=None)
+    assert reasons
+    g = vidx.geometry
+    assert g["derived"] is True
+    assert 1 <= g["n_probe"] <= g["n_cells"]
+    assert g["probe_measured_recall"] >= g["probe_recall_target"]
+    assert g["probe_recall_target"] == similarity.DEFAULT_RECALL_TARGET
+    # the brute replay agrees with the stamp
+    rows = sorted((r.vec_id, list(r.embedding)) for r in emb.collect())
+    chosen, recall, pairs = _brute_governed(
+        rows, vidx.centroids, similarity.DEFAULT_PROBE_SAMPLE,
+        similarity.DEFAULT_PROBE_TRUTH_K, similarity.DEFAULT_RECALL_TARGET)
+    assert g["n_probe"] == chosen
+    assert g["probe_measured_recall"] == pytest.approx(recall)
+    assert g["probe_pairs"] == pairs
+    # reopened handle: None resolves to the stamp, explicit passes through
+    reopened = vector_store.open_vector_index(spark, idx)
+    assert reopened.resolve_probe(None) == chosen
+    assert reopened.resolve_probe(3) == 3
+    top = reopened.ivf_topk(2, n_probe=None, k=4).collect()
+    assert len(top) == 4
+    sims = [r.sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    # an EXPLICIT-geometry publish stamps no probe contract and falls
+    # back to the config default
+    idx2 = str(tmp_path / "gov_explicit_idx")
+    vector_store.publish_vector_index(emb, idx2, n_cells=8)
+    v2 = vector_store.open_vector_index(spark, idx2)
+    assert v2.governed_nprobe is None
+    assert v2.resolve_probe(None) == 2
+
+
+def test_ivf_probe_governance_query_oracle(spark, sf_dir, duck):
+    from hadith_vector_search_spark.plans import semantic
+    from hadith_vector_search_spark.testing import compare_query
+
+    diffs = compare_query(spark, duck, semantic.ivf_probe_governance,
+                          semantic.ivf_probe_governance_oracle(), sf_dir)
+    assert diffs == []
