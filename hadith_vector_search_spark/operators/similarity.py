@@ -1194,6 +1194,160 @@ def nprobe_for_recall(emb: DataFrame,
             "probe_pairs": int(r["pairs"])}
 
 
+def rerank_depth_frame(emb: DataFrame,
+                       centroids: list[tuple[int, list[float]]],
+                       subbooks: list["np.ndarray"],
+                       n_probe: int,
+                       sample_n: int = DEFAULT_PROBE_SAMPLE,
+                       truth_k: int = DEFAULT_PROBE_TRUTH_K,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       codes: DataFrame | None = None,
+                       residual: bool = False) -> DataFrame:
+    """(query_id, nbr_id, arank) for every (sample query, true neighbor)
+    pair at a FIXED probe count: `arank` = the neighbor's 1-based ADC
+    rank among all candidates in the query's probed cells — i.e. the
+    smallest `rerank` depth at which IVFADC's exact-rerank stage would
+    have recovered it. NULL arank = the neighbor's cell wasn't probed
+    (lost to n_probe, which `probe_depth_frame` governs — the two knobs
+    compose: total recall ~= probe recall x rerank recall, each at its
+    own stated target). `codes` (the published store's code table)
+    overrides the in-pass `pq_encode` so governance audits the artifact
+    itself.
+
+    The ADC is computed relationally, never with per-query literal
+    plans: each query's lookup tables ride in a broadcast batch relation
+    as array columns and score as `element_at(lut_m, code_m + 1)` sums —
+    the `ivfpq_batch_published` shape, so governance costs ONE pruned
+    codes scan + one truth scan regardless of sample size."""
+    from ..sources.vector_store import select_probes_batch
+
+    qrows = (emb.select(F.col(id_col), F.col(vec_col))
+             .orderBy(F.asc(id_col)).limit(sample_n).collect())
+    spark = emb.sparkSession
+    m = len(subbooks)
+    if not qrows or not centroids or not m:
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, arank int")
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+    probe_lists = select_probes_batch(centroids, qvecs, n_probe)
+    cmap = {int(c): np.asarray(v, dtype=np.float64)
+            for c, v in centroids} if residual else None
+    batch = []
+    for r, qv, ps in zip(qrows, qvecs, probe_lists):
+        luts = pq_adc_luts(subbooks, qv)
+        row = [int(r[0]), qv, [int(p) for p in ps]]
+        if residual:
+            # residual ADC adds dot(q, centroid_cell) — a per-probe term
+            # aligned with the probes array (ivfpq_topk's cell_term)
+            q = np.asarray(qv, dtype=np.float64)
+            row.append([float(cmap[int(p)] @ q) for p in ps])
+        row += [[float(x) for x in lut] for lut in luts]
+        batch.append(tuple(row))
+    cterm_field = "cterms array<double>, " if residual else ""
+    lut_fields = ", ".join(f"lut_{i} array<double>" for i in range(m))
+    bdf = spark.createDataFrame(
+        batch, f"query_id long, qvec array<double>, probes array<int>, "
+               f"{cterm_field}{lut_fields}")
+    if codes is None:
+        tagged = emb.select(F.col(id_col), F.col(vec_col),
+                            cell_of(centroids, vec_col).alias("cell"))
+        codes = pq_encode(tagged, subbooks, id_col, vec_col,
+                          keep_cols=("cell",),
+                          residual_centroids=centroids if residual
+                          else None)
+    adc = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
+    for i in range(1, m):
+        adc = adc + F.element_at(F.col(f"lut_{i}"), F.col(f"code_{i}") + 1)
+    if residual:
+        adc = adc + F.element_at(
+            "cterms", F.array_position("probes", F.col("cell")).cast("int"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"),
+                                                F.asc("cand_id"))
+    cands = (codes.select(F.col(id_col).alias("cand_id"),
+                          *[f"code_{i}" for i in range(m)],
+                          F.col("cell").cast("int").alias("cell"))
+             .join(F.broadcast(bdf),
+                   F.array_contains(F.col("probes"), F.col("cell")))
+             .select("query_id", "cand_id", F.round(adc, 6).alias("adc_sim"))
+             .withColumn("arank", F.row_number().over(wq))
+             .select("query_id", F.col("cand_id").alias("nbr_id"), "arank"))
+    sample = (bdf.select("query_id", "qvec"))
+    scored = (emb.select(F.col(id_col), F.col(vec_col))
+              .join(F.broadcast(sample),
+                    F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("nbr_id"),
+                      F.round(dot(F.col(vec_col), F.col("qvec")), 6)
+                      .alias("sim")))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("nbr_id"))
+    truth = (scored.withColumn("rn", F.row_number().over(wt))
+             .filter(F.col("rn") <= truth_k)
+             .select("query_id", "nbr_id"))
+    return truth.join(cands, ["query_id", "nbr_id"], "left")
+
+
+def governed_rerank_report(emb: DataFrame,
+                           centroids: list[tuple[int, list[float]]],
+                           subbooks: list["np.ndarray"],
+                           n_probe: int,
+                           sample_n: int = DEFAULT_PROBE_SAMPLE,
+                           truth_k: int = DEFAULT_PROBE_TRUTH_K,
+                           target_recall: float = DEFAULT_RECALL_TARGET,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           codes: DataFrame | None = None,
+                           residual: bool = False) -> DataFrame:
+    """One-row governance report for IVFADC's rerank depth — the third
+    ANN quality knob (bands and n_probe already derive from targets):
+    the smallest `rerank` whose conditional recall over PROBED pairs
+    clears `target_recall`, as the ceil(target*in_pairs)-th smallest ADC
+    rank (the `governed_probe_report` order statistic applied to the
+    ADC-rank distribution). Probe-lost pairs are excluded from the
+    inversion (no rerank depth can recover them — they're n_probe's
+    budget) but reported: `end_to_end_recall` = recovered/all pairs at
+    (n_probe, chosen rerank). Empty in-probe distributions yield an
+    empty report."""
+    depths = rerank_depth_frame(emb, centroids, subbooks, n_probe,
+                                sample_n, truth_k, id_col, vec_col,
+                                codes, residual)
+    stats = depths.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.count("arank").alias("in_probe_pairs"),
+        F.countDistinct("query_id").alias("sample_queries"))
+    ranked = (depths.filter(F.col("arank").isNotNull())
+              .select("arank",
+                      F.row_number().over(Window.orderBy(F.asc("arank")))
+                      .alias("rn")))
+    chosen = (ranked.crossJoin(F.broadcast(stats))
+              .filter(F.col("rn")
+                      == F.ceil(F.lit(float(target_recall))
+                                * F.col("in_probe_pairs")).cast("long"))
+              .select(F.col("arank").alias("rerank"), "pairs",
+                      "in_probe_pairs", "sample_queries"))
+    return (depths.crossJoin(F.broadcast(chosen))
+            .groupBy("rerank", "pairs", "in_probe_pairs", "sample_queries")
+            .agg(F.round(F.avg(F.when(F.col("arank").isNotNull(),
+                                      (F.col("arank") <= F.col("rerank"))
+                                      .cast("int"))), 6)
+                 .alias("measured_rerank_recall"),
+                 F.round(F.sum(F.when(F.col("arank") <= F.col("rerank"),
+                                      1).otherwise(0))
+                         / F.col("pairs"), 6).alias("end_to_end_recall"))
+            .select(F.lit(len(centroids)).alias("n_cells"),
+                    F.lit(int(n_probe)).alias("n_probe"),
+                    "sample_queries",
+                    F.lit(truth_k).alias("truth_k"),
+                    "pairs", "in_probe_pairs",
+                    F.lit(float(target_recall)).alias("rerank_target"),
+                    F.col("rerank").cast("int").alias("rerank"),
+                    "measured_rerank_recall",
+                    "end_to_end_recall",
+                    (F.col("measured_rerank_recall")
+                     >= F.lit(float(target_recall)))
+                    .alias("meets_floor")))
+
+
 def build_vector_lsh_index(emb: DataFrame, n_bands: int | None = None,
                            band_bits: int | None = None,
                            id_col: str = "vec_id",

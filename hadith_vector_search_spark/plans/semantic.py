@@ -1069,6 +1069,162 @@ GROUP BY st.sample_queries, st.pairs, c.nprobe
 """
 
 
+def ivfpq_rerank_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed rerank depth for the published IVFADC store — the THIRD
+    ANN quality knob derived from a stated target (bands via the S-curve
+    inversion, n_probe via the probe-rank order statistic, and now the
+    ADC->exact rerank budget): each true neighbor's ADC rank among the
+    query's probed candidates is the smallest rerank that recovers it,
+    so the minimal rerank at a target CONDITIONAL recall (over pairs the
+    probes reached — probe-lost pairs are n_probe's budget, reported as
+    `end_to_end_recall`) is that distribution's target-quantile. FAISS
+    exposes the same trade as a hand-tuned k_factor; here it derives
+    from the target and is value-hash-checked: the DuckDB oracle replays
+    truth, assignments, probes, PQ encoding, per-(query,candidate) ADC,
+    the rank window AND the order statistic from raw vectors."""
+    vidx = get_ivfpq_published_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if vidx is not None:
+        return similarity.governed_rerank_report(
+            emb, vidx.centroids, vidx.pq_subbooks, n_probe=IVF_PROBE,
+            sample_n=PROBE_GOV_SAMPLE, truth_k=ANN_K,
+            target_recall=PROBE_GOV_TARGET, codes=vidx.codes,
+            residual=bool(vidx.pq.get("residual")))
+    cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+        similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+        key=lambda r: r.cent_id)]
+    subbooks = similarity.pq_subbooks(emb, PQ_CENTS)
+    return similarity.governed_rerank_report(
+        emb, cents, subbooks, n_probe=IVF_PROBE,
+        sample_n=PROBE_GOV_SAMPLE, truth_k=ANN_K,
+        target_recall=PROBE_GOV_TARGET)
+
+
+def ivfpq_rerank_governance_oracle() -> str:
+    """Full relational replay of the rerank inversion (the batch-IVFADC
+    oracle's encode/ADC CTEs + the governance order statistic)."""
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+truth AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT ia AS query_id, ib AS nbr_id,
+           row_number() OVER (PARTITION BY ia
+                              ORDER BY round(d, 6) DESC, ib ASC) AS rn
+    FROM pair_dot WHERE ia < {PROBE_GOV_SAMPLE} AND ia <> ib
+  ) WHERE rn <= {ANN_K}
+),
+qprobes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot WHERE vec_id < {PROBE_GOV_SAMPLE}
+  ) WHERE rn <= {IVF_PROBE}
+),
+qcands AS (
+  SELECT qp.query_id, a.vec_id
+  FROM qprobes qp JOIN assign a ON a.cent_id = qp.cent_id
+),
+union_cands AS (SELECT DISTINCT vec_id FROM qcands),
+halves AS (SELECT len(embedding) // 2 AS h FROM embeddings LIMIT 1),
+sub AS (
+  SELECT vec_id, m,
+         CASE WHEN m = 0 THEN embedding[1:h]
+              ELSE embedding[h+1:len(embedding)] END AS sv
+  FROM embeddings, halves, (VALUES (0), (1)) AS mm(m)
+),
+cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {PQ_CENTS}),
+dist AS (
+  SELECT vec_id, m, cid, round(sum((av - bv) * (av - bv)), 6) AS d2
+  FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           CAST(unnest(s.sv) AS DOUBLE) AS av,
+           CAST(unnest(c.cv) AS DOUBLE) AS bv
+    FROM sub s
+    JOIN union_cands uc ON s.vec_id = uc.vec_id
+    JOIN cb c ON s.m = c.m
+  )
+  GROUP BY vec_id, m, cid
+),
+code AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+qsub AS (SELECT vec_id AS query_id, m, sv FROM sub
+         WHERE vec_id < {PROBE_GOV_SAMPLE}),
+adc_terms AS (
+  SELECT k.query_id, k.vec_id, k.m, sum(qv * cv) AS t
+  FROM (
+    SELECT qc.query_id, code.vec_id, code.m,
+           CAST(unnest(q.sv) AS DOUBLE) AS qv,
+           CAST(unnest(c.cv) AS DOUBLE) AS cv
+    FROM qcands qc
+    JOIN code ON code.vec_id = qc.vec_id
+    JOIN cb c ON c.m = code.m AND c.cid = code.cid
+    JOIN qsub q ON q.m = code.m AND q.query_id = qc.query_id
+  ) k
+  GROUP BY k.query_id, k.vec_id, k.m
+),
+arank AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(sum_t, 6) DESC, vec_id ASC)
+           AS arank
+  FROM (SELECT query_id, vec_id, sum(t) AS sum_t
+        FROM adc_terms GROUP BY query_id, vec_id)
+),
+depths AS (
+  SELECT t.query_id, t.nbr_id, a.arank
+  FROM truth t
+  LEFT JOIN arank a ON a.query_id = t.query_id AND a.vec_id = t.nbr_id
+),
+st AS (SELECT count(*) AS pairs, count(arank) AS in_probe_pairs,
+              count(DISTINCT query_id) AS sample_queries FROM depths),
+chosen AS (
+  SELECT r.arank AS rerank FROM (
+    SELECT arank, row_number() OVER (ORDER BY arank ASC) AS rn
+    FROM depths WHERE arank IS NOT NULL
+  ) r, st
+  WHERE r.rn = CAST(ceil({PROBE_GOV_TARGET} * st.in_probe_pairs)
+                    AS BIGINT)
+)
+SELECT {IVF_CENTROIDS} AS n_cells,
+       {IVF_PROBE} AS n_probe,
+       st.sample_queries,
+       {ANN_K} AS truth_k,
+       st.pairs,
+       st.in_probe_pairs,
+       CAST({PROBE_GOV_TARGET} AS DOUBLE) AS rerank_target,
+       CAST(c.rerank AS INT) AS rerank,
+       round(avg(CASE WHEN d.arank IS NOT NULL THEN
+                   CASE WHEN d.arank <= c.rerank THEN 1 ELSE 0 END
+                 END), 6) AS measured_rerank_recall,
+       round(sum(CASE WHEN d.arank <= c.rerank THEN 1 ELSE 0 END)
+             / CAST(st.pairs AS DOUBLE), 6) AS end_to_end_recall,
+       avg(CASE WHEN d.arank IS NOT NULL THEN
+             CASE WHEN d.arank <= c.rerank THEN 1 ELSE 0 END
+           END) >= CAST({PROBE_GOV_TARGET} AS DOUBLE) AS meets_floor
+FROM depths d, chosen c, st
+GROUP BY st.sample_queries, st.pairs, st.in_probe_pairs, c.rerank
+"""
+
+
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means-IVF ANN as a RECALL-BOUND REPORT with a real SQL oracle.
 

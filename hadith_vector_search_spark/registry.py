@@ -122,6 +122,7 @@ QUERIES: dict[str, QueryFn] = {
         semantic.ann_topk_ivfpq_kmeans_published,
     "vector_index_cells": semantic.vector_index_cells,
     "ivf_probe_governance": semantic.ivf_probe_governance,
+    "ivfpq_rerank_governance": semantic.ivfpq_rerank_governance,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
@@ -294,6 +295,8 @@ oracle("vector_index_cells", semantic.vector_index_cells_oracle())
 # governed n_probe: the oracle recomputes truth, assignments, probe
 # ranks AND the target-quantile order statistic from raw vectors
 oracle("ivf_probe_governance", semantic.ivf_probe_governance_oracle())
+oracle("ivfpq_rerank_governance",
+       semantic.ivfpq_rerank_governance_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())

@@ -314,6 +314,38 @@ def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
                                  keep_cols=("cell",),
                                  residual_centroids=centroids)
     _write_parted(codes, os.path.join(index_dir, "codes"), "cell", id_col)
+    geo = read_vlayout(index_dir).get("geometry") or {}
+    if geo.get("derived"):
+        # derived-geometry IVFADC publishes also GOVERN the rerank depth
+        # (the third knob: bands, n_probe, and the ADC->exact budget all
+        # derive from stated targets): the smallest rerank whose
+        # conditional recall over probed pairs clears the target,
+        # measured AT the store's governed n_probe against the
+        # just-written codes — so the stamp audits the artifact itself.
+        if centroids is None:
+            centroids = [(int(r.cent_id), list(r.cvec)) for r in sorted(
+                spark.read.parquet(os.path.join(index_dir, "centroids"))
+                .collect(), key=lambda r: r.cent_id)]
+        n_probe = int(geo.get("n_probe", 2))
+        rows = similarity.governed_rerank_report(
+            stored.select(id_col, vec_col), centroids, subbooks, n_probe,
+            id_col=id_col, vec_col=vec_col,
+            codes=spark.read.parquet(os.path.join(index_dir, "codes")),
+            residual=bool(residual)).collect()
+        if rows:
+            r = rows[0]
+            _write_json_sidecar(
+                index_dir, PQ_LAYOUT_NAME,
+                {"n_cents": pq_cents, "m": len(subbooks), "dim": dim,
+                 "residual": bool(residual),
+                 "rerank": int(r["rerank"]),
+                 "rerank_target": float(r["rerank_target"]),
+                 "rerank_measured": float(r["measured_rerank_recall"]),
+                 "rerank_end_to_end": float(r["end_to_end_recall"]),
+                 "rerank_n_probe": n_probe,
+                 "rerank_sample": int(r["sample_queries"]),
+                 "rerank_pairs": int(r["pairs"]),
+                 "rerank_in_probe_pairs": int(r["in_probe_pairs"])})
 
 
 def _load_pq_subbooks(spark: SparkSession, index_dir: str, m: int,
@@ -475,6 +507,16 @@ class PublishedVectorIndex:
             return int(n_probe)
         return int(self.governed_nprobe) if self.governed_nprobe else 2
 
+    def resolve_rerank(self, rerank: int | None) -> int:
+        """`None` means the PQ sidecar's governed rerank depth (stamped
+        by derived-geometry IVFADC publishes — the smallest depth whose
+        conditional recall over probed pairs cleared the target), falling
+        back to the config default."""
+        if rerank is not None:
+            return int(rerank)
+        stamped = (self.pq or {}).get("rerank")
+        return int(stamped) if stamped else 20
+
     def ivf_topk(self, query_id, n_probe: int | None = 2, k: int = 5,
                  allowed: DataFrame | None = None,
                  where: dict | None = None) -> DataFrame:
@@ -504,7 +546,7 @@ class PublishedVectorIndex:
                 .limit(k))
 
     def ivfpq_topk(self, query_id, n_probe: int | None = 2, k: int = 5,
-                   rerank: int = 20) -> DataFrame:
+                   rerank: int | None = 20) -> DataFrame:
         """IVFADC off the published artifact — same semantics as
         `similarity.ivfpq_topk` (and the same DuckDB oracle), but both
         stages run off the store's celled tables: ADC ranks the
@@ -543,7 +585,7 @@ class PublishedVectorIndex:
                          similarity.pq_adc_expr(luts, cell_term)
                          .alias("adc_sim"))
                  .orderBy(F.desc("adc_sim"), F.asc(self.id_col))
-                 .limit(rerank))
+                 .limit(self.resolve_rerank(rerank)))
         return (self.probe_scan(probes).join(F.broadcast(cands), self.id_col)
                 .select(F.col(self.id_col), F.col("adc_sim"),
                         F.round(dot(F.col(self.vec_col), vector_lit(qvec)),

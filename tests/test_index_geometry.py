@@ -355,3 +355,111 @@ def test_ivf_probe_governance_query_oracle(spark, sf_dir, duck):
     diffs = compare_query(spark, duck, semantic.ivf_probe_governance,
                           semantic.ivf_probe_governance_oracle(), sf_dir)
     assert diffs == []
+
+
+def _brute_rerank(emb_rows, cents, subbooks, n_probe, sample_n, truth_k,
+                  target):
+    import math
+
+    import numpy as np
+
+    ids = [i for i, _ in emb_rows]
+    X = np.array([v for _, v in emb_rows])
+    cids = np.array([c for c, _ in cents])
+    C = np.array([v for _, v in cents])
+    cd = np.round(X @ C.T, 6)
+    assign = np.array([cids[np.lexsort((cids, -row))[0]] for row in cd])
+    bounds = similarity.pq_bounds(X.shape[1])
+    codes = similarity._pq_codes_np(X, subbooks, bounds)
+    aranks, total = [], 0
+    for qi in sorted(range(len(ids)), key=lambda i: ids[i])[:sample_n]:
+        q = X[qi]
+        sims = np.round(X @ q, 6)
+        nbrs = sorted((j for j in range(len(ids)) if j != qi),
+                      key=lambda j: (-sims[j], ids[j]))[:truth_k]
+        qcd = np.round(C @ q, 6)
+        probes = {int(cids[i]) for i in np.lexsort((cids, -qcd))[:n_probe]}
+        luts = similarity.pq_adc_luts(subbooks, [float(x) for x in q])
+        cand = [j for j in range(len(ids)) if int(assign[j]) in probes]
+        adc = {j: round(sum(float(luts[m][codes[m][j]])
+                            for m in range(len(subbooks))), 6)
+               for j in cand}
+        rank = {j: r + 1 for r, j in enumerate(
+            sorted(cand, key=lambda j: (-adc[j], ids[j])))}
+        for j in nbrs:
+            total += 1
+            if j in rank:
+                aranks.append(rank[j])
+    aranks.sort()
+    chosen = aranks[math.ceil(target * len(aranks)) - 1]
+    rec = sum(1 for a in aranks if a <= chosen) / len(aranks)
+    e2e = sum(1 for a in aranks if a <= chosen) / total
+    return chosen, round(rec, 6), round(e2e, 6), total, len(aranks)
+
+
+def test_governed_rerank_report_matches_bruteforce(spark):
+    emb = _rand_emb(spark, 100)
+    cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+        similarity.data_centroids(emb, 8).collect(),
+        key=lambda r: r.cent_id)]
+    subbooks = similarity.pq_subbooks(emb, 4)
+    rows = sorted((r.vec_id, list(r.embedding)) for r in emb.collect())
+    rep = similarity.governed_rerank_report(
+        emb, cents, subbooks, n_probe=2, sample_n=10, truth_k=4,
+        target_recall=0.9).collect()[0]
+    chosen, rec, e2e, pairs, in_pairs = _brute_rerank(
+        rows, cents, subbooks, 2, 10, 4, 0.9)
+    assert rep["rerank"] == chosen
+    assert rep["measured_rerank_recall"] == pytest.approx(rec)
+    assert rep["end_to_end_recall"] == pytest.approx(e2e)
+    assert (rep["pairs"], rep["in_probe_pairs"]) == (pairs, in_pairs)
+    assert rep["meets_floor"] is True
+    assert rep["measured_rerank_recall"] >= 0.9
+    assert rep["end_to_end_recall"] <= rep["measured_rerank_recall"]
+
+
+def test_derived_ivfadc_publish_stamps_governed_rerank(spark, tmp_path):
+    """A derived-geometry publish WITH pq codes stamps the rerank
+    contract in the PQ sidecar, measured at the store's governed
+    n_probe; a reopened store resolves rerank=None to it."""
+    emb = _rand_emb(spark, 140)
+    src = str(tmp_path / "rr.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "rr_idx")
+    vidx, _ = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx, n_cells=None,
+        pq_cents=4)
+    pq = vidx.pq
+    assert pq["rerank"] >= 1
+    assert pq["rerank_measured"] >= pq["rerank_target"]
+    assert pq["rerank_n_probe"] == vidx.geometry["n_probe"]
+    # brute twin at the stamped n_probe
+    rows = sorted((r.vec_id, list(r.embedding)) for r in emb.collect())
+    chosen, rec, e2e, pairs, in_pairs = _brute_rerank(
+        rows, vidx.centroids, vidx.pq_subbooks, pq["rerank_n_probe"],
+        similarity.DEFAULT_PROBE_SAMPLE, similarity.DEFAULT_PROBE_TRUTH_K,
+        similarity.DEFAULT_RECALL_TARGET)
+    assert pq["rerank"] == chosen
+    assert pq["rerank_measured"] == pytest.approx(rec)
+    assert pq["rerank_end_to_end"] == pytest.approx(e2e)
+    reopened = vector_store.open_vector_index(spark, idx)
+    assert reopened.resolve_rerank(None) == chosen
+    assert reopened.resolve_rerank(7) == 7
+    top = reopened.ivfpq_topk(3, n_probe=None, k=4, rerank=None).collect()
+    assert len(top) == 4
+    # explicit-geometry IVFADC stores stamp no contract
+    idx2 = str(tmp_path / "rr_explicit")
+    vector_store.publish_vector_index(emb, idx2, n_cells=8, pq_cents=4)
+    v2 = vector_store.open_vector_index(spark, idx2)
+    assert "rerank" not in v2.pq
+    assert v2.resolve_rerank(None) == 20
+
+
+def test_ivfpq_rerank_governance_query_oracle(spark, sf_dir, duck):
+    from hadith_vector_search_spark.plans import semantic
+    from hadith_vector_search_spark.testing import compare_query
+
+    diffs = compare_query(spark, duck, semantic.ivfpq_rerank_governance,
+                          semantic.ivfpq_rerank_governance_oracle(),
+                          sf_dir)
+    assert diffs == []
