@@ -1010,15 +1010,22 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str,
             removed_ids.select(F.col(removed_ids.columns[0])
                                .alias(id_col))).distinct()
     # Touched partitions are computed across ALL specs (they agree by
-    # construction — same ids, same assignment — the union is defensive)
-    old_parts: set = set()
-    new_parts: set = set()
+    # construction — same ids, same assignment — the union is defensive),
+    # as ONE probe job per side rather than one per spec: the per-batch
+    # fixed cost of a streaming refresh is its Spark job count (round-10
+    # verdict item 5 — the journal is already a single fsync), so the
+    # old-partition semi-join probes union before the collect, and the
+    # new-partition probe runs over the already-checkpointed assignments
+    # (batch-sized) in one pass.
     staged: list[tuple[dict, list[str], DataFrame]] = []
+    old_probes: DataFrame | None = None
+    new_probes: DataFrame | None = None
     for spec in specs:
         live = spec["live"]
-        old_parts |= {r[0] for r in
-                      live.join(F.broadcast(drop), id_col, "left_semi")
-                      .select(part_col).distinct().collect()}
+        probe = (live.join(F.broadcast(drop), id_col, "left_semi")
+                 .select(part_col))
+        old_probes = probe if old_probes is None \
+            else old_probes.unionByName(probe)
         # Pin each spec's assignments (batch-sized) so upstream work
         # (re-embedding, encoding) isn't recomputed between the
         # touched-partition probe and the staged write. The batch carries
@@ -1026,9 +1033,12 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str,
         cols = [c for c in live.columns if c != part_col]
         new_assign = (spec["tag"](changed).select(*cols, part_col)
                       .localCheckpoint())
-        new_parts |= {r[0] for r in
-                      new_assign.select(part_col).distinct().collect()}
+        new_probes = (new_assign.select(part_col) if new_probes is None
+                      else new_probes.unionByName(
+                          new_assign.select(part_col)))
         staged.append((spec, cols, new_assign))
+    old_parts = {r[0] for r in old_probes.distinct().collect()}
+    new_parts = {r[0] for r in new_probes.distinct().collect()}
     touched_parts = sorted(old_parts | new_parts)
 
     staging = os.path.join(index_dir, STAGING_NAME)
