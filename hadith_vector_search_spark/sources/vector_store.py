@@ -223,6 +223,13 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
         # republish re-governs against the expanded codebook (probe
         # ranks shift when a cell divides). Explicit-geometry publishes
         # (the driver-SF oracle-replayable path) skip it unchanged.
+        # strip any PRIOR epoch's contract first (a split republish
+        # passes the old geometry through): if re-governance yields no
+        # pairs (degenerate corpus), the store must carry NO stamp
+        # rather than one measured against a codebook that no longer
+        # exists — the stale-sidecar rule the PQ path already follows
+        geometry = {k: v for k, v in geometry.items()
+                    if k != "n_probe" and not k.startswith("probe_")}
         gov = similarity.nprobe_for_recall(emb, centroids,
                                            id_col=id_col, vec_col=vec_col)
         if gov is not None:

@@ -463,3 +463,43 @@ def test_ivfpq_rerank_governance_query_oracle(spark, sf_dir, duck):
                           semantic.ivfpq_rerank_governance_oracle(),
                           sf_dir)
     assert diffs == []
+
+
+def test_hot_cell_split_re_governs_probe_stamp(spark, tmp_path):
+    """A hot-cell split republish on a DERIVED-geometry store re-derives
+    the governed n_probe against the expanded codebook — never carries
+    the pre-split contract forward (probe ranks shift when a cell
+    divides)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    seeds = rng.normal(size=(9, 8)) * 4
+    rows = [(i, [float(x) for x in seeds[i]]) for i in range(9)]
+    rows += [(20 + i, [float(x) for x in seeds[0] + rng.normal(scale=.01,
+                                                               size=8)])
+             for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "hot.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "hot_idx")
+    vidx, _ = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx, n_cells=None)
+    before = vidx.geometry
+    assert before["derived"] is True and "n_probe" in before
+    changed = spark.createDataFrame(
+        [(20, [float(x) for x in seeds[0] + 0.02])],
+        "vec_id long, embedding array<double>")
+    out = vector_store.write_vector_refresh(spark, idx, changed,
+                                            hot_cell_bound=0.5)
+    rep = out.last_split_report
+    assert rep and rep["split"] is True
+    after = out.geometry
+    assert after["n_cells"] == before["n_cells"] + 1
+    assert "n_probe" in after and "probe_measured_recall" in after
+    # the stamp matches a fresh derivation against the SPLIT codebook
+    fresh = similarity.governed_probe_report(
+        out.vectors.drop("cell"), out.centroids).collect()[0]
+    assert after["n_probe"] == fresh["nprobe"]
+    assert after["probe_measured_recall"] == pytest.approx(
+        fresh["measured_recall"])
+    assert after["probe_pairs"] == fresh["pairs"]
