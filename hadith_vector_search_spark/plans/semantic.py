@@ -322,6 +322,135 @@ def ann_topk_ivf_published(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vidx.ivf_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K)
 
 
+def get_sq8_published_index(spark: SparkSession, sf_dir: str):
+    """Ensure-and-reopen the published IVF store WITH the SQ8 tier for
+    this SF (own `_vecsq` artifact dir so the plain store's bytes stay
+    reuse-stable; a deployment publishes ONE store with sq8=True). The
+    sq8 marker rides in the manifest identity — a store without the
+    quantized table is STALE for this consumer, never silently reused."""
+    import os as _os
+
+    from ..sources import vector_store
+    from .lexical import _index_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    token = sf_dir.strip("/").replace("/", "_")
+    idx_dir = _os.path.join(_index_root(), f"{token}_vecsq")
+    try:
+        vector_store.ensure_vector_index(
+            spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
+            idx_dir, n_cells=IVF_CENTROIDS, sq8=True)
+        return vector_store.open_vector_index(spark, idx_dir)
+    except OSError:
+        return None
+
+
+def ann_topk_sq8_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned int8 top-k off the published SQ8 tier — the middle
+    storage rung FAISS calls SQ8 (cf. the reference delegating its
+    memory/recall trade to Chroma's HNSW config,
+    /root/reference/mcp_server/apps/embeddings.py:277-321): the probe
+    list partition-prunes the `sq/cell=K/` scan (id + dim int8 codes +
+    one double scale — ~4-8x less IO than raw vectors), dequantization
+    is `code * scale / 127` with the STORED per-row scale (pure JVM
+    projection; the write side materialized the scale once, so the
+    interpreted-HOF O(dim^2) hazard `int8_topk` documents never touches
+    the corpus-sized path), and ranking is `ann_topk_int8`'s
+    both-sides-quantized semantics restricted to probed cells. The
+    oracle replays assignment, probes, the int8 round trip AND the
+    quantized dot from raw vectors."""
+    vidx = get_sq8_published_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if vidx is not None:
+        return vidx.sq_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K)
+    # Read-only index root: same results through the storeless compose —
+    # quantize in-pass over the probed cells (scale materialized as its
+    # own column first, the same one-pass-per-row discipline).
+    import numpy as np
+
+    from ..functions.vector import dot as vdot
+    from ..functions.vector import vector_lit
+
+    cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+        similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+        key=lambda r: r.cent_id)]
+    qvec = [float(x) for x in emb.filter(
+        F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0][0]]
+    qd = [float(x) for x in similarity._int8_roundtrip_np(
+        np.asarray([qvec], dtype=np.float64))[0]]
+    probes = {int(c) for c, _ in sorted(
+        cents, key=lambda cv: (-round(float(
+            np.asarray(cv[1]) @ np.asarray(qvec)), 6), cv[0]))[:IVF_PROBE]}
+    scan = (emb.select("vec_id", "embedding",
+                       similarity.cell_of(cents).alias("cell"))
+            .filter(F.col("cell").isin(sorted(probes)))
+            .withColumn("scale", F.array_max(F.transform(
+                "embedding", lambda x: F.abs(x.cast("double"))))))
+    dequant = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0.0))
+        .otherwise(F.round(x.cast("double") / F.col("scale") * 127.0, 0)
+                   * F.col("scale") / 127.0))
+    return (scan.select("vec_id",
+                        F.round(vdot(dequant, vector_lit(qd)), 6)
+                        .alias("sim_q"))
+            .orderBy(F.desc("sim_q"), F.asc("vec_id"))
+            .limit(ANN_K))
+
+
+def ann_topk_sq8_published_oracle() -> str:
+    """Replays the full SQ8 path from raw vectors: IVF assignment, the
+    query's probe list, the symmetric int8 round trip on both sides, and
+    the quantized dot over probed cells only."""
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cent_id FROM cent_dot WHERE vec_id = {QUERY_VEC_ID}
+  ORDER BY cd DESC, cent_id ASC
+  LIMIT {IVF_PROBE}
+),
+cands AS (
+  SELECT a.vec_id FROM assign a JOIN probes p ON a.cent_id = p.cent_id
+),
+scales AS (
+  SELECT vec_id, embedding,
+         (SELECT max(abs(CAST(x AS DOUBLE))) FROM unnest(embedding) AS u(x)) AS s
+  FROM embeddings
+),
+dq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN s = 0 THEN 0.0
+             ELSE round(CAST(x AS DOUBLE) / s * 127.0) * s / 127.0 END) AS d
+  FROM scales
+),
+qd AS (SELECT d FROM dq WHERE vec_id = {QUERY_VEC_ID}),
+dots AS (
+  SELECT vec_id, sum(av * bv) AS dp
+  FROM (
+    SELECT dq.vec_id, unnest(dq.d) AS av, unnest(qd.d) AS bv
+    FROM dq JOIN cands c ON c.vec_id = dq.vec_id, qd
+  )
+  GROUP BY vec_id
+)
+SELECT vec_id, round(dp, 6) AS sim_q
+FROM dots
+ORDER BY sim_q DESC, vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
 def get_ivfpq_residual_published_index(spark: SparkSession, sf_dir: str):
     """Ensure-and-reopen the RESIDUAL IVFADC store — FAISS's IVFPQ
     proper: codes quantize `v - centroid(cell)` (the residual

@@ -123,6 +123,7 @@ QUERIES: dict[str, QueryFn] = {
     "vector_index_cells": semantic.vector_index_cells,
     "ivf_probe_governance": semantic.ivf_probe_governance,
     "ivfpq_rerank_governance": semantic.ivfpq_rerank_governance,
+    "ann_topk_sq8_published": semantic.ann_topk_sq8_published,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
@@ -297,6 +298,9 @@ oracle("vector_index_cells", semantic.vector_index_cells_oracle())
 oracle("ivf_probe_governance", semantic.ivf_probe_governance_oracle())
 oracle("ivfpq_rerank_governance",
        semantic.ivfpq_rerank_governance_oracle())
+# SQ8 published tier: the oracle replays assignment, probes, the int8
+# round trip on both sides, and the quantized dot from raw vectors
+oracle("ann_topk_sq8_published", semantic.ann_topk_sq8_published_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())

@@ -54,6 +54,7 @@ from .manifest import (MANIFEST_NAME, IndexManifest, ensure_index,
 DEFAULT_CELLS = 8   # sized for the test SFs; a lake uses thousands
 VLAYOUT_NAME = "_vlayout.json"
 PQ_LAYOUT_NAME = "_pqlayout.json"
+SQ_LAYOUT_NAME = "_sqlayout.json"
 VECTOR_MODEL = "ivf-store-v1"
 
 # Codebooks up to this size inline as Catalyst literals (`cell_of` /
@@ -136,6 +137,41 @@ def _remove_pq_sidecar(index_dir: str) -> None:
     shutil.rmtree(os.path.join(index_dir, "codes"), ignore_errors=True)
 
 
+def _remove_sq_sidecar(index_dir: str) -> None:
+    """Drop the SQ8 artifacts (_sqlayout.json, sq/) — same stale-sidecar
+    rule as `_remove_pq_sidecar`: a publish that will not (re)write
+    quantized codes must not leave a prior epoch's behind."""
+    try:
+        os.remove(os.path.join(index_dir, SQ_LAYOUT_NAME))
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(os.path.join(index_dir, "sq"), ignore_errors=True)
+
+
+def sq_quantize(df: DataFrame, id_col: str, vec_col: str,
+                keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Symmetric per-vector int8 quantization as pure column expressions
+    (the write-side twin of `similarity.int8_dequantized`, single source
+    of truth for the stored representation): scale = max |x|,
+    code_i = round(x_i / scale * 127) HALF_UP, stored as
+    (id, keep..., qcodes array<tinyint>, scale double). Materializing
+    the scale as its OWN column before the code transform sidesteps the
+    interpreted-HOF hazard `int8_topk` documents (a lambda that
+    recomputes the scale per element is O(dim^2) per row); here each row
+    computes its scale once. Zero vectors store all-zero codes with
+    scale 0 (dequantized exactly to zero)."""
+    scale = F.array_max(F.transform(
+        F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    out = df.select(F.col(id_col), *keep_cols, F.col(vec_col),
+                    scale.alias("scale"))
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0.0))
+        .otherwise(F.round(x.cast("double") / F.col("scale") * 127.0, 0))
+        .cast("tinyint"))
+    return out.select(id_col, *keep_cols, codes.alias("qcodes"), "scale")
+
+
 def _part_dirs(path: str, part_col: str) -> set[str]:
     """`part_col=V` partition dirs under a store table ({} if absent)."""
     if not os.path.isdir(path):
@@ -187,7 +223,8 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
                          geometry: dict | None = None,
                          pq_cents: int | None = None,
                          pq_subbooks: list | None = None,
-                         pq_residual: bool = False) -> None:
+                         pq_residual: bool = False,
+                         sq8: bool = False) -> None:
     """Full overwrite publish: assign every vector to its nearest-centroid
     cell (`similarity.cell_of` — the exact arithmetic queries probe with)
     and write the cell-partitioned table + the codebook sidecar.
@@ -256,6 +293,10 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
         # full-overwrite publish with pq unset: a prior epoch's PQ
         # sidecar must not survive to be paired with the new vectors
         _remove_pq_sidecar(index_dir)
+    if sq8:
+        publish_sq_codes(spark, index_dir)
+    else:
+        _remove_sq_sidecar(index_dir)
 
 
 def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
@@ -353,6 +394,28 @@ def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
                  "rerank_sample": int(r["sample_queries"]),
                  "rerank_pairs": int(r["pairs"]),
                  "rerank_in_probe_pairs": int(r["in_probe_pairs"])})
+
+
+def publish_sq_codes(spark: SparkSession, index_dir: str) -> None:
+    """Attach the SQ8 (scalar-quantized) table to a published vector
+    store — the middle storage tier between raw vectors and PQ codes
+    (FAISS's SQ8 class: ~4-8x smaller than raw with near-exact ranking,
+    vs PQ's ~50x with coarse ranking): `sq/cell=K/` holds every vector
+    as (id, int8 codes, one double scale), partitioned by the SAME IVF
+    cell as its raw row so a query's probe list prunes the SQ scan
+    exactly as it prunes the others. Quantized from the WRITTEN vectors
+    table (never the publish input) so a code row can never disagree
+    with its stored vector — the `publish_pq_codes` discipline."""
+    lay = read_vlayout(index_dir)
+    id_col, vec_col = lay["id_col"], lay["vec_col"]
+    stored = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    if not stored.take(1):
+        _remove_sq_sidecar(index_dir)
+        return
+    _write_json_sidecar(index_dir, SQ_LAYOUT_NAME,
+                        {"bits": 8, "scheme": "symmetric-per-vector"})
+    sq = sq_quantize(stored, id_col, vec_col, keep_cols=("cell",))
+    _write_parted(sq, os.path.join(index_dir, "sq"), "cell", id_col)
 
 
 def _load_pq_subbooks(spark: SparkSession, index_dir: str, m: int,
@@ -467,6 +530,12 @@ class PublishedVectorIndex:
             else None
         self.codes_path = os.path.join(index_dir, "codes")
         self._pq_subbooks = None
+        # Optional SQ8 sidecar (see `publish_sq_codes`): the celled
+        # scalar-quantized table, lazily scanned.
+        sq_path = os.path.join(index_dir, SQ_LAYOUT_NAME)
+        self.sq = json.load(open(sq_path)) if os.path.exists(sq_path) \
+            else None
+        self.sq_path = os.path.join(index_dir, "sq")
 
     @property
     def pq_subbooks(self) -> list:
@@ -482,6 +551,10 @@ class PublishedVectorIndex:
     @property
     def vectors(self) -> DataFrame:
         return self.spark.read.parquet(self.vectors_path)
+
+    @property
+    def sq_codes(self) -> DataFrame:
+        return self.spark.read.parquet(self.sq_path)
 
     def probe_scan(self, probes: list[int]) -> DataFrame:
         """The probe list as a partition predicate: directory-level
@@ -600,6 +673,39 @@ class PublishedVectorIndex:
                 .orderBy(F.desc("sim"), F.asc(self.id_col))
                 .limit(k))
 
+    def sq_topk(self, query_id, n_probe: int | None = 2,
+                k: int = 5) -> DataFrame:
+        """IVF-pruned int8 top-k off the published SQ8 tier — the
+        `similarity.int8_topk` semantics (both sides quantized, exact
+        brute force on the compressed representation) with the scan cut
+        to the probe list's partition dirs. Dequantization is
+        `code * scale / 127` with the STORED per-row scale — a pure JVM
+        projection per element (the O(dim^2) interpreted-HOF hazard
+        `int8_topk` documents doesn't arise: the scale is a materialized
+        column here, computed once at write time). At lake scale this is
+        the warm serving tier: ~4-8x less IO than raw with near-exact
+        ranking, no codebook to train."""
+        import numpy as np
+
+        if self.sq is None:
+            raise ValueError(f"store at {self.index_dir} has no SQ8 "
+                             "codes; publish with sq8=True or "
+                             "publish_sq_codes()")
+        qvec = self.query_vector(query_id)
+        probes = self.probes_for(qvec, self.resolve_probe(n_probe))
+        qd = [float(x) for x in similarity._int8_roundtrip_np(
+            np.asarray([qvec], dtype=np.float64))[0]]
+        dequant = F.transform(
+            F.col("qcodes"),
+            lambda c: c.cast("double") * F.col("scale") / F.lit(127.0))
+        return (self.sq_codes
+                .filter(F.col("cell").isin([int(p) for p in probes]))
+                .select(F.col(self.id_col),
+                        F.round(dot(dequant, vector_lit(qd)), 6)
+                        .alias("sim_q"))
+                .orderBy(F.desc("sim_q"), F.asc(self.id_col))
+                .limit(k))
+
 
 def open_vector_index(spark: SparkSession,
                       index_dir: str) -> PublishedVectorIndex:
@@ -610,16 +716,19 @@ def vector_manifest(source_path: str, n_rows: int, dim: int,
                     n_cells: int = DEFAULT_CELLS,
                     model_name: str | None = None,
                     pq_cents: int | None = None,
-                    pq_residual: bool = False) -> IndexManifest:
+                    pq_residual: bool = False,
+                    sq8: bool = False) -> IndexManifest:
     """Staleness identity of a published vector index: embedding-model
     name + layout version + cell count (+ PQ sub-codebook size when the
-    IVFADC code table is attached — a store published without codes is
-    STALE for a pq-expecting consumer, never silently reused), the
-    vector geometry, the row count, and the source fingerprint (catches
-    in-place rewrites)."""
+    IVFADC code table is attached, + an sq8 marker when the scalar-
+    quantized tier is — a store published without either is STALE for a
+    consumer expecting it, never silently reused), the vector geometry,
+    the row count, and the source fingerprint (catches in-place
+    rewrites)."""
     tag = "pqr" if pq_residual else "pq"
     model = model_name or (f"{VECTOR_MODEL}-c{n_cells}"
-                           + (f"-{tag}{pq_cents}" if pq_cents else ""))
+                           + (f"-{tag}{pq_cents}" if pq_cents else "")
+                           + ("-sq8" if sq8 else ""))
     return IndexManifest(model_name=model, dim=dim, n_rows=n_rows,
                          source_files=source_fingerprint([source_path]))
 
@@ -634,6 +743,7 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
                         pq_cents: int | None = None,
                         pq_subbooks: list | None = None,
                         pq_residual: bool = False,
+                        sq8: bool = False,
                         ) -> tuple[PublishedVectorIndex, list[str]]:
     """Build-or-reuse entry (the analogue of the reference reopening its
     Chroma dir at startup): publishes iff the manifest says the source
@@ -654,12 +764,12 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
         geometry = dict(similarity.index_geometry(n_rows), derived=True)
         n_cells = geometry["n_cells"]
     current = vector_manifest(source_path, n_rows, dim, n_cells,
-                              model_name, pq_cents, pq_residual)
+                              model_name, pq_cents, pq_residual, sq8)
     reasons = ensure_index(
         index_dir, current,
         lambda: publish_vector_index(emb, index_dir, centroids, n_cells,
                                      id_col, vec_col, geometry, pq_cents,
-                                     pq_subbooks, pq_residual))
+                                     pq_subbooks, pq_residual, sq8))
     return open_vector_index(spark, index_dir), reasons
 
 
@@ -911,7 +1021,8 @@ def split_hot_cell(spark: SparkSession, index_dir: str,
                       split_from=hot_cell),
         pq_cents=(pq or {}).get("n_cents"),
         pq_subbooks=vidx.pq_subbooks if pq else None,
-        pq_residual=bool((pq or {}).get("residual")))
+        pq_residual=bool((pq or {}).get("residual")),
+        sq8=vidx.sq is not None)
     if old_manifest is not None:
         from .manifest import write_manifest
         write_manifest(index_dir, IndexManifest(
@@ -967,6 +1078,15 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
             "tag": lambda df: similarity.pq_encode(
                 cell_tag(df), subbooks, vidx.id_col, vidx.vec_col,
                 keep_cols=("cell",), residual_centroids=res_cents)})
+    if vidx.sq is not None:
+        # SQ8 stores refresh the quantized table in the same commit —
+        # the same never-a-mixed-epoch rule as the PQ codes
+        specs.append({
+            "table": "sq", "live": vidx.sq_codes,
+            "live_path": vidx.sq_path,
+            "tag": lambda df: sq_quantize(cell_tag(df), vidx.id_col,
+                                          vidx.vec_col,
+                                          keep_cols=("cell",))})
     _partitioned_refresh(
         spark, index_dir, part_col="cell", specs=specs,
         id_col=vidx.id_col, changed=changed, removed_ids=removed_ids,
@@ -974,7 +1094,8 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
                   lambda n: vector_manifest(
                       source_path, n, vidx.dim, vidx.n_cells, model_name,
                       pq_cents=(vidx.pq or {}).get("n_cents"),
-                      pq_residual=bool((vidx.pq or {}).get("residual")))),
+                      pq_residual=bool((vidx.pq or {}).get("residual")),
+                      sq8=vidx.sq is not None)),
         n_rows=n_rows)
     # opt-in hot-cell remediation: after the delta lands, check the
     # balance the refresh produced and split a cell that crossed the

@@ -876,3 +876,120 @@ def test_refresh_detects_and_splits_hot_cell(spark, tmp_path):
     out2 = vector_store.write_vector_refresh(spark, idx_dir, changed,
                                              hot_cell_bound=0.5)
     assert out2.last_split_report is None
+
+
+# ---------------------------------------------------------------------------
+# SQ8 tier (round 11): the scalar-quantized middle rung between raw
+# vectors and PQ codes, celled identically, refreshed in the same commit
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_publish_reopen_and_roundtrip(spark, tmp_path):
+    """Publishing with sq8=True writes the celled (qcodes, scale) table;
+    a reopened handle's dequantized codes equal the numpy int8 round
+    trip of the stored vectors, cells agree with the raw table, and
+    sq_topk ranks by the quantized sim."""
+    import numpy as np
+
+    idx = str(tmp_path / "vecsq")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS, sq8=True)
+    vidx = vector_store.open_vector_index(spark, idx)
+    assert vidx.sq == {"bits": 8, "scheme": "symmetric-per-vector"}
+    sq = {r.vec_id: (list(r.qcodes), r.scale, r.cell)
+          for r in vidx.sq_codes.collect()}
+    raw = {r.vec_id: (list(r.embedding), r.cell)
+           for r in vidx.vectors.collect()}
+    assert set(sq) == set(raw)
+    for vid, (codes, scale, cell) in sq.items():
+        vec, rcell = raw[vid]
+        assert cell == rcell  # same partition as the raw row
+        expect = similarity._int8_roundtrip_np(
+            np.asarray([vec], dtype=np.float64))[0]
+        got = np.asarray(codes, dtype=np.float64) * scale / 127.0
+        assert got == pytest.approx(list(expect), abs=1e-12)
+    top = vidx.sq_topk(3, n_probe=2, k=5).collect()
+    sims = [r.sim_q for r in top]
+    assert len(top) == 5 and sims == sorted(sims, reverse=True)
+    # partition pruning: the probe list lands as a partition filter
+    plan = vidx.sq_topk(3, n_probe=2, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_sq8_refresh_same_commit_and_stale_guard(spark, tmp_path):
+    """A delta refresh rewrites the SQ table in the SAME journal as the
+    raw vectors (no mixed epoch); a republish with sq8 unset removes the
+    sidecar entirely (stale-tier rule)."""
+    import numpy as np
+
+    idx = str(tmp_path / "vecsq_r")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS, sq8=True)
+    changed = spark.createDataFrame(
+        [(3, _vec(103)), (21, _vec(104))],
+        "vec_id long, embedding array<double>")
+    removed = spark.createDataFrame([(7,)], "vec_id long")
+    out = vector_store.write_vector_refresh(spark, idx, changed, removed)
+    assert out.sq is not None
+    sq = {r.vec_id: (list(r.qcodes), float(r.scale), r.cell)
+          for r in out.sq_codes.collect()}
+    raw = {r.vec_id: (list(r.embedding), r.cell)
+           for r in out.vectors.collect()}
+    assert set(sq) == set(raw) and 7 not in sq and 21 in sq
+    for vid, (codes, scale, cell) in sq.items():
+        vec, rcell = raw[vid]
+        assert cell == rcell
+        expect = similarity._int8_roundtrip_np(
+            np.asarray([vec], dtype=np.float64))[0]
+        got = np.asarray(codes, dtype=np.float64) * scale / 127.0
+        assert got == pytest.approx(list(expect), abs=1e-12)
+    # stale guard: a republish WITHOUT sq8 drops the tier
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS)
+    v2 = vector_store.open_vector_index(spark, idx)
+    assert v2.sq is None and not os.path.isdir(v2.sq_path)
+    with pytest.raises(ValueError, match="no SQ8"):
+        v2.sq_topk(3)
+
+
+def test_sq8_manifest_identity_and_split_preserves_tier(spark, tmp_path):
+    """sq8 rides in the staleness identity (a plain store is STALE for an
+    sq8 consumer), and a hot-cell split republish keeps the tier."""
+    import numpy as np
+
+    idx = str(tmp_path / "vecsq_m")
+    emb = _emb(spark, IDS)
+    src = str(tmp_path / "sq.parquet")
+    emb.write.parquet(src)
+    plain, reasons = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx, n_cells=N_CELLS)
+    assert reasons and plain.sq is None
+    upgraded, reasons2 = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx, n_cells=N_CELLS,
+        sq8=True)
+    assert reasons2  # model identity changed -> rebuild, never reuse
+    assert upgraded.sq is not None
+    same, reasons3 = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx, n_cells=N_CELLS,
+        sq8=True)
+    assert reasons3 == [] and same.sq is not None
+    # clustered fixture -> split; the republish must keep the sq tier
+    rng = np.random.default_rng(5)
+    seeds = rng.normal(size=(4, DIM)) * 3
+    rows = [(i, [float(x) for x in seeds[i]]) for i in range(4)]
+    rows += [(30 + i, [float(x) for x in
+                       seeds[0] + rng.normal(scale=.01, size=DIM)])
+             for i in range(20)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx2 = str(tmp_path / "vecsq_split")
+    vector_store.publish_vector_index(emb2, idx2, n_cells=4, sq8=True)
+    changed = spark.createDataFrame(
+        [(30, [float(x) for x in seeds[0] + 0.02])],
+        "vec_id long, embedding array<double>")
+    out = vector_store.write_vector_refresh(spark, idx2, changed,
+                                            hot_cell_bound=0.5)
+    assert out.last_split_report and out.last_split_report["split"]
+    assert out.sq is not None
+    sq_cells = _rows(out.sq_codes.select("vec_id", "cell"))
+    raw_cells = _rows(out.vectors.select("vec_id", "cell"))
+    assert sq_cells == raw_cells  # re-quantized against the split cells
