@@ -1124,7 +1124,8 @@ def governed_probe_report(emb: DataFrame,
                           target_recall: float = DEFAULT_RECALL_TARGET,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          assigned: DataFrame | None = None) -> DataFrame:
+                          assigned: DataFrame | None = None,
+                          pin=None) -> DataFrame:
     """One-row governance report: the smallest `n_probe` whose sample
     recall clears `target_recall`, derived as the ceil(target*pairs)-th
     smallest probe depth (order statistic — recall(p) = P(depth <= p) is
@@ -1137,10 +1138,16 @@ def governed_probe_report(emb: DataFrame,
     same discipline as the LSH audit's stamped floor. Empty/1-row
     corpora yield an empty report (no pairs to govern on).
 
-    The single-partition row_number window is over the PAIRS frame
-    (sample_n x truth_k rows, config-sized), never the corpus."""
+    The depth frame is PINNED once (sample_n x truth_k rows) — the
+    report consumes it three times (count stats, the order statistic,
+    the final aggregate) and the frame's upstream is a corpus scan that
+    must not re-execute per consumer. `pin` overrides the plain
+    localCheckpoint so registered-query sites can record the build plan
+    (plans.pin_audit) before pinning. The single-partition row_number
+    window is over the pinned pairs frame, never the corpus."""
     depths = probe_depth_frame(emb, centroids, sample_n, truth_k,
                                id_col, vec_col, assigned)
+    depths = (pin or (lambda df: df.localCheckpoint()))(depths)
     stats = depths.agg(F.count(F.lit(1)).alias("pairs"),
                        F.countDistinct("query_id").alias("sample_queries"))
     ranked = depths.select(
@@ -1297,7 +1304,8 @@ def governed_rerank_report(emb: DataFrame,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            codes: DataFrame | None = None,
-                           residual: bool = False) -> DataFrame:
+                           residual: bool = False,
+                           pin=None) -> DataFrame:
     """One-row governance report for IVFADC's rerank depth — the third
     ANN quality knob (bands and n_probe already derive from targets):
     the smallest `rerank` whose conditional recall over PROBED pairs
@@ -1311,6 +1319,9 @@ def governed_rerank_report(emb: DataFrame,
     depths = rerank_depth_frame(emb, centroids, subbooks, n_probe,
                                 sample_n, truth_k, id_col, vec_col,
                                 codes, residual)
+    # pinned once for the same three-consumer reason as
+    # `governed_probe_report` (truth scan + pruned codes scan upstream)
+    depths = (pin or (lambda df: df.localCheckpoint()))(depths)
     stats = depths.agg(
         F.count(F.lit(1)).alias("pairs"),
         F.count("arank").alias("in_probe_pairs"),

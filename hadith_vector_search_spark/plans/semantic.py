@@ -1118,6 +1118,8 @@ def ivf_probe_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth, assignments, probe ranks, AND the order statistic from raw
     vectors, so the chosen n_probe — and the `measured_recall >=
     recall_target` invariant — is value-hash-checked end to end."""
+    from .pin_audit import record
+
     emb = load_table(spark, sf_dir, "embeddings")
     vidx = get_published_vector_index(spark, sf_dir)
     if vidx is not None:
@@ -1130,7 +1132,9 @@ def ivf_probe_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = None
     return similarity.governed_probe_report(
         emb, cents, sample_n=PROBE_GOV_SAMPLE, truth_k=ANN_K,
-        target_recall=PROBE_GOV_TARGET, assigned=assigned)
+        target_recall=PROBE_GOV_TARGET, assigned=assigned,
+        pin=lambda df: record("probe_gov_depths", sf_dir,
+                              df).localCheckpoint())
 
 
 def ivf_probe_governance_oracle() -> str:
@@ -1211,6 +1215,10 @@ def ivfpq_rerank_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the target and is value-hash-checked: the DuckDB oracle replays
     truth, assignments, probes, PQ encoding, per-(query,candidate) ADC,
     the rank window AND the order statistic from raw vectors."""
+    from .pin_audit import record
+
+    pin = lambda df: record("rerank_gov_depths", sf_dir,  # noqa: E731
+                            df).localCheckpoint()
     vidx = get_ivfpq_published_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     if vidx is not None:
@@ -1218,7 +1226,7 @@ def ivfpq_rerank_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, vidx.centroids, vidx.pq_subbooks, n_probe=IVF_PROBE,
             sample_n=PROBE_GOV_SAMPLE, truth_k=ANN_K,
             target_recall=PROBE_GOV_TARGET, codes=vidx.codes,
-            residual=bool(vidx.pq.get("residual")))
+            residual=bool(vidx.pq.get("residual")), pin=pin)
     cents = [(r.cent_id, list(r.cvec)) for r in sorted(
         similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
         key=lambda r: r.cent_id)]
@@ -1226,7 +1234,7 @@ def ivfpq_rerank_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.governed_rerank_report(
         emb, cents, subbooks, n_probe=IVF_PROBE,
         sample_n=PROBE_GOV_SAMPLE, truth_k=ANN_K,
-        target_recall=PROBE_GOV_TARGET)
+        target_recall=PROBE_GOV_TARGET, pin=pin)
 
 
 def ivfpq_rerank_governance_oracle() -> str:
