@@ -993,3 +993,38 @@ def test_sq8_manifest_identity_and_split_preserves_tier(spark, tmp_path):
     sq_cells = _rows(out.sq_codes.select("vec_id", "cell"))
     raw_cells = _rows(out.vectors.select("vec_id", "cell"))
     assert sq_cells == raw_cells  # re-quantized against the split cells
+
+
+def test_sq8_multi_refresh_equals_from_scratch_publish(spark, tmp_path):
+    """Micro-batch discipline: two sequential delta refreshes on an SQ8
+    (+PQ) store leave ALL THREE tables equal to a from-scratch publish
+    of the merged corpus under the same codebook/books — the drained-
+    artifact rule every streaming maintenance twin relies on, extended
+    to the quantized tier."""
+    idx = str(tmp_path / "vecsq_seq")
+    scratch = str(tmp_path / "vecsq_scratch")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS,
+                                      pq_cents=2, sq8=True)
+    base = vector_store.open_vector_index(spark, idx)
+    books = base.pq_subbooks
+    # batch 1: revise 2, add 1; batch 2: delete 1, add 1
+    b1 = spark.createDataFrame([(2, _vec(52)), (5, _vec(55)), (40, _vec(40))],
+                               "vec_id long, embedding array<double>")
+    vector_store.write_vector_refresh(spark, idx, b1)
+    b2 = spark.createDataFrame([(41, _vec(41))],
+                               "vec_id long, embedding array<double>")
+    rm2 = spark.createDataFrame([(9,)], "vec_id long")
+    out = vector_store.write_vector_refresh(spark, idx, b2, rm2)
+    merged = spark.createDataFrame(
+        [(i, _vec(i)) for i in IDS if i not in (2, 5, 9)]
+        + [(2, _vec(52)), (5, _vec(55)), (40, _vec(40)), (41, _vec(41))],
+        "vec_id long, embedding array<double>")
+    vector_store.publish_vector_index(
+        merged, scratch, centroids=base.centroids, pq_cents=2,
+        pq_subbooks=books, sq8=True)
+    ref = vector_store.open_vector_index(spark, scratch)
+    assert _vec_rows(out.vectors) == _vec_rows(ref.vectors)
+    assert _rows(out.codes) == _rows(ref.codes)
+    assert _rows(out.sq_codes.select("vec_id", "cell", "scale", "qcodes")) \
+        == _rows(ref.sq_codes.select("vec_id", "cell", "scale", "qcodes"))
