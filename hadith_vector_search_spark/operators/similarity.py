@@ -503,6 +503,65 @@ def int8_topk(emb: DataFrame, query_id: int, k: int = 5,
     )
 
 
+def bq_pack_expr(vec_col: Column | str, dim: int) -> Column:
+    """Binary (1-bit) quantization: the sign pattern of a vector packed
+    into ceil(dim/64) BIGINT words — bit (i mod 64) of word (i div 64) is
+    1 iff element i > 0 (exact zeros quantize to 0, matching the SQL
+    replay's `x > 0`). 64x smaller than float64 lists; Hamming distance
+    between two packed vectors is `bit_count(xor)` per word (the SimHash
+    fingerprint machinery, applied to embedding signs — Charikar 2002's
+    observation that sign agreement tracks cosine). Bit 63's shiftleft
+    wraps into the sign bit; xor/bit_count are bit-pattern operations,
+    so the wrap is harmless and identical across engines."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n_words = -(-dim // 64)
+    words = []
+    for w in range(n_words):
+        bits = [
+            F.shiftleft(
+                F.when(F.element_at(v, i + 1).cast("double") > 0.0,
+                       F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                i - 64 * w)
+            for i in range(64 * w, min(dim, 64 * (w + 1)))
+        ]
+        word = bits[0]
+        for b in bits[1:]:
+            word = word.bitwiseOR(b)
+        words.append(word)
+    return F.array(*words)
+
+
+def bq_hamming_expr(bq_col: Column | str, qwords: list[int]) -> Column:
+    """Hamming distance between a stored packed-sign array and a literal
+    query pattern: sum of per-word `bit_count(xor)` — integer-only JVM
+    projection, no floats touched until the rerank."""
+    c = F.col(bq_col) if isinstance(bq_col, str) else bq_col
+    terms = [F.bit_count(F.element_at(c, w + 1)
+                         .bitwiseXOR(F.lit(int(qw))))
+             for w, qw in enumerate(qwords)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def bq_pack_np(vec: "np.ndarray") -> list[int]:
+    """Driver-side twin of `bq_pack_expr` for the query vector (and the
+    brute-force tests): same `> 0` rule, same word layout, signed-64
+    wraparound on bit 63."""
+    dim = len(vec)
+    words = []
+    for w in range(-(-dim // 64)):
+        acc = 0
+        for i in range(64 * w, min(dim, 64 * (w + 1))):
+            if float(vec[i]) > 0.0:
+                acc |= 1 << (i - 64 * w)
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    return words
+
+
 def pq_bounds(dim: int) -> list[tuple[int, int]]:
     """The two half-space subvector slices PQ encodes over (m=2). More
     subspaces are the same arithmetic with more slices; 2 keeps every

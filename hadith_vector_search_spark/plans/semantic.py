@@ -398,6 +398,130 @@ def ann_topk_sq8_published(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(ANN_K))
 
 
+def get_bq_published_index(spark: SparkSession, sf_dir: str):
+    """Ensure-and-reopen the published IVF store WITH the binary (1-bit)
+    tier for this SF (own `_vecbq` artifact dir; bq1 in the manifest
+    identity)."""
+    import os as _os
+
+    from ..sources import vector_store
+    from .lexical import _index_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    token = sf_dir.strip("/").replace("/", "_")
+    idx_dir = _os.path.join(_index_root(), f"{token}_vecbq")
+    try:
+        vector_store.ensure_vector_index(
+            spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
+            idx_dir, n_cells=IVF_CENTROIDS, bq1=True)
+        return vector_store.open_vector_index(spark, idx_dir)
+    except OSError:
+        return None
+
+
+def ann_topk_bq_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization prefilter + exact rerank off the published BQ
+    tier — the 1-bit rung of the quantization ladder (bq / sq8 / PQ /
+    raw, all celled under one store): the probe list partition-prunes
+    the packed-sign scan (one BIGINT per 64 dims — 64x less IO than raw
+    float64), Hamming = per-word `bit_count(xor)` ranks it (integer-only
+    JVM projection, the SimHash machinery applied to embedding signs,
+    Charikar 2002), and only the Hamming top-`PQ_RERANK` survivors touch
+    raw vectors for exact dots. The oracle replays assignment, probes,
+    the per-dimension sign-mismatch count (the SEMANTICS of packed
+    xor+popcount — so a packing bug cannot hide in a shared
+    representation) and the exact rerank from raw vectors."""
+    vidx = get_bq_published_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if vidx is not None:
+        return vidx.bq_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K, PQ_RERANK)
+    # Read-only index root: storeless compose — pack in-pass over the
+    # probed cells, same arithmetic.
+    import numpy as np
+
+    from ..functions.vector import dot as vdot
+    from ..functions.vector import vector_lit
+
+    cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+        similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+        key=lambda r: r.cent_id)]
+    qvec = [float(x) for x in emb.filter(
+        F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0][0]]
+    dim = len(qvec)
+    qwords = similarity.bq_pack_np(np.asarray(qvec, dtype=np.float64))
+    probes = {int(c) for c, _ in sorted(
+        cents, key=lambda cv: (-round(float(
+            np.asarray(cv[1]) @ np.asarray(qvec)), 6), cv[0]))[:IVF_PROBE]}
+    scan = (emb.select("vec_id", "embedding",
+                       similarity.cell_of(cents).alias("cell"))
+            .filter(F.col("cell").isin(sorted(probes))))
+    cands = (scan.select("vec_id",
+                         similarity.bq_hamming_expr(
+                             similarity.bq_pack_expr("embedding", dim),
+                             qwords).cast("int").alias("hamming"))
+             .orderBy(F.asc("hamming"), F.asc("vec_id"))
+             .limit(PQ_RERANK))
+    return (scan.join(F.broadcast(cands), "vec_id")
+            .select("vec_id", "hamming",
+                    F.round(vdot(F.col("embedding"), vector_lit(qvec)), 6)
+                    .alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("vec_id"))
+            .limit(ANN_K))
+
+
+def ann_topk_bq_published_oracle() -> str:
+    """Sign-mismatch-count replay: the oracle never builds the packed
+    representation, so Spark's xor+popcount over packed words is checked
+    against the literal per-dimension semantics."""
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cent_id FROM cent_dot WHERE vec_id = {QUERY_VEC_ID}
+  ORDER BY cd DESC, cent_id ASC
+  LIMIT {IVF_PROBE}
+),
+cands AS (
+  SELECT a.vec_id FROM assign a JOIN probes p ON a.cent_id = p.cent_id
+),
+signs AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CASE WHEN CAST(x AS DOUBLE) > 0
+                             THEN 1 ELSE 0 END) AS s
+  FROM embeddings
+),
+qs AS (SELECT s FROM signs WHERE vec_id = {QUERY_VEC_ID}),
+ham AS (
+  SELECT vec_id, sum(CASE WHEN av <> bv THEN 1 ELSE 0 END) AS h
+  FROM (
+    SELECT signs.vec_id, unnest(signs.s) AS av, unnest(qs.s) AS bv
+    FROM signs JOIN cands c USING (vec_id), qs
+  )
+  GROUP BY vec_id
+),
+top_r AS (
+  SELECT vec_id, h FROM ham
+  ORDER BY h ASC, vec_id ASC LIMIT {PQ_RERANK}
+)
+SELECT t.vec_id, CAST(t.h AS INT) AS hamming, round(p.d, 6) AS sim
+FROM top_r t JOIN pair_dot p ON p.ia = {QUERY_VEC_ID} AND p.ib = t.vec_id
+ORDER BY sim DESC, t.vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
 def ann_topk_sq8_published_oracle() -> str:
     """Replays the full SQ8 path from raw vectors: IVF assignment, the
     query's probe list, the symmetric int8 round trip on both sides, and

@@ -124,6 +124,7 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_probe_governance": semantic.ivf_probe_governance,
     "ivfpq_rerank_governance": semantic.ivfpq_rerank_governance,
     "ann_topk_sq8_published": semantic.ann_topk_sq8_published,
+    "ann_topk_bq_published": semantic.ann_topk_bq_published,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
@@ -301,6 +302,10 @@ oracle("ivfpq_rerank_governance",
 # SQ8 published tier: the oracle replays assignment, probes, the int8
 # round trip on both sides, and the quantized dot from raw vectors
 oracle("ann_topk_sq8_published", semantic.ann_topk_sq8_published_oracle())
+# BQ tier: the oracle counts per-dimension sign mismatches from raw
+# vectors — Spark's packed xor+popcount is checked against the literal
+# semantics, never a shared representation
+oracle("ann_topk_bq_published", semantic.ann_topk_bq_published_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())

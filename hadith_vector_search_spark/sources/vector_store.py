@@ -55,6 +55,7 @@ DEFAULT_CELLS = 8   # sized for the test SFs; a lake uses thousands
 VLAYOUT_NAME = "_vlayout.json"
 PQ_LAYOUT_NAME = "_pqlayout.json"
 SQ_LAYOUT_NAME = "_sqlayout.json"
+BQ_LAYOUT_NAME = "_bqlayout.json"
 VECTOR_MODEL = "ivf-store-v1"
 
 # Codebooks up to this size inline as Catalyst literals (`cell_of` /
@@ -148,6 +149,16 @@ def _remove_sq_sidecar(index_dir: str) -> None:
     shutil.rmtree(os.path.join(index_dir, "sq"), ignore_errors=True)
 
 
+def _remove_bq_sidecar(index_dir: str) -> None:
+    """Drop the binary-quantization artifacts (_bqlayout.json, bq/) —
+    the stale-sidecar rule, third application."""
+    try:
+        os.remove(os.path.join(index_dir, BQ_LAYOUT_NAME))
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(os.path.join(index_dir, "bq"), ignore_errors=True)
+
+
 def sq_quantize(df: DataFrame, id_col: str, vec_col: str,
                 keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Symmetric per-vector int8 quantization as pure column expressions
@@ -224,7 +235,8 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
                          pq_cents: int | None = None,
                          pq_subbooks: list | None = None,
                          pq_residual: bool = False,
-                         sq8: bool = False) -> None:
+                         sq8: bool = False,
+                         bq1: bool = False) -> None:
     """Full overwrite publish: assign every vector to its nearest-centroid
     cell (`similarity.cell_of` — the exact arithmetic queries probe with)
     and write the cell-partitioned table + the codebook sidecar.
@@ -297,6 +309,10 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
         publish_sq_codes(spark, index_dir)
     else:
         _remove_sq_sidecar(index_dir)
+    if bq1:
+        publish_bq_codes(spark, index_dir)
+    else:
+        _remove_bq_sidecar(index_dir)
 
 
 def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
@@ -418,6 +434,36 @@ def publish_sq_codes(spark: SparkSession, index_dir: str) -> None:
     _write_parted(sq, os.path.join(index_dir, "sq"), "cell", id_col)
 
 
+def bq_quantize(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, keep..., bq array<bigint>) — the packed sign pattern
+    (`similarity.bq_pack_expr`, single source of truth with the query
+    side and the driver-side twin)."""
+    return df.select(F.col(id_col), *keep_cols,
+                     similarity.bq_pack_expr(vec_col, dim).alias("bq"))
+
+
+def publish_bq_codes(spark: SparkSession, index_dir: str) -> None:
+    """Attach the binary-quantization table to a published vector store —
+    the 1-bit rung of the quantization ladder (bq 64x smaller than raw
+    float64 / sq8 8x / PQ ~32x-with-codebooks): `bq/cell=K/` holds every
+    vector's packed sign pattern, celled like its raw row so probe lists
+    prune it identically. The serving shape is prefilter-then-rerank:
+    Hamming (integer xor+popcount) ranks the tiny scan, exact dots touch
+    only the survivors — the modern binary-quantization trick. Packed
+    from the WRITTEN vectors table (the publish_pq_codes discipline)."""
+    lay = read_vlayout(index_dir)
+    id_col, vec_col, dim = lay["id_col"], lay["vec_col"], int(lay["dim"])
+    stored = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    if dim <= 0 or not stored.take(1):
+        _remove_bq_sidecar(index_dir)
+        return
+    _write_json_sidecar(index_dir, BQ_LAYOUT_NAME,
+                        {"dim": dim, "words": -(-dim // 64)})
+    bq = bq_quantize(stored, id_col, vec_col, dim, keep_cols=("cell",))
+    _write_parted(bq, os.path.join(index_dir, "bq"), "cell", id_col)
+
+
 def _load_pq_subbooks(spark: SparkSession, index_dir: str, m: int,
                       ) -> list:
     import numpy as np
@@ -536,6 +582,11 @@ class PublishedVectorIndex:
         self.sq = json.load(open(sq_path)) if os.path.exists(sq_path) \
             else None
         self.sq_path = os.path.join(index_dir, "sq")
+        # Optional binary-quantization sidecar (see `publish_bq_codes`).
+        bq_path = os.path.join(index_dir, BQ_LAYOUT_NAME)
+        self.bq = json.load(open(bq_path)) if os.path.exists(bq_path) \
+            else None
+        self.bq_path = os.path.join(index_dir, "bq")
 
     @property
     def pq_subbooks(self) -> list:
@@ -555,6 +606,10 @@ class PublishedVectorIndex:
     @property
     def sq_codes(self) -> DataFrame:
         return self.spark.read.parquet(self.sq_path)
+
+    @property
+    def bq_codes(self) -> DataFrame:
+        return self.spark.read.parquet(self.bq_path)
 
     def probe_scan(self, probes: list[int]) -> DataFrame:
         """The probe list as a partition predicate: directory-level
@@ -673,6 +728,42 @@ class PublishedVectorIndex:
                 .orderBy(F.desc("sim"), F.asc(self.id_col))
                 .limit(k))
 
+    def bq_topk(self, query_id, n_probe: int | None = 2, k: int = 5,
+                rerank: int = 20) -> DataFrame:
+        """Binary-quantization prefilter + exact rerank off the published
+        BQ tier: Hamming distance (per-word `bit_count(xor)` against the
+        query's packed sign pattern — integer-only JVM projection) ranks
+        the probe-pruned `bq/cell=K/` scan, the Hamming top-`rerank`
+        survivors broadcast-join back into the probe-pruned RAW scan for
+        exact dots, and the final top-k orders by true similarity. At
+        lake scale the prefilter reads 64x less than raw vectors — the
+        coarse-rung twin of `ivfpq_topk`, with no codebook at all.
+        Ties in Hamming break to the lowest id (deterministic, replayed
+        by the oracle as a sign-mismatch count over raw vectors)."""
+        import numpy as np
+
+        if self.bq is None:
+            raise ValueError(f"store at {self.index_dir} has no BQ "
+                             "codes; publish with bq1=True or "
+                             "publish_bq_codes()")
+        qvec = self.query_vector(query_id)
+        probes = self.probes_for(qvec, self.resolve_probe(n_probe))
+        qwords = similarity.bq_pack_np(np.asarray(qvec, dtype=np.float64))
+        cands = (self.bq_codes
+                 .filter(F.col("cell").isin([int(p) for p in probes]))
+                 .select(F.col(self.id_col),
+                         similarity.bq_hamming_expr("bq", qwords)
+                         .cast("int").alias("hamming"))
+                 .orderBy(F.asc("hamming"), F.asc(self.id_col))
+                 .limit(rerank))
+        return (self.probe_scan(probes).join(F.broadcast(cands),
+                                             self.id_col)
+                .select(F.col(self.id_col), F.col("hamming"),
+                        F.round(dot(F.col(self.vec_col), vector_lit(qvec)),
+                                6).alias("sim"))
+                .orderBy(F.desc("sim"), F.asc(self.id_col))
+                .limit(k))
+
     def sq_topk(self, query_id, n_probe: int | None = 2,
                 k: int = 5) -> DataFrame:
         """IVF-pruned int8 top-k off the published SQ8 tier — the
@@ -717,7 +808,8 @@ def vector_manifest(source_path: str, n_rows: int, dim: int,
                     model_name: str | None = None,
                     pq_cents: int | None = None,
                     pq_residual: bool = False,
-                    sq8: bool = False) -> IndexManifest:
+                    sq8: bool = False,
+                    bq1: bool = False) -> IndexManifest:
     """Staleness identity of a published vector index: embedding-model
     name + layout version + cell count (+ PQ sub-codebook size when the
     IVFADC code table is attached, + an sq8 marker when the scalar-
@@ -728,7 +820,8 @@ def vector_manifest(source_path: str, n_rows: int, dim: int,
     tag = "pqr" if pq_residual else "pq"
     model = model_name or (f"{VECTOR_MODEL}-c{n_cells}"
                            + (f"-{tag}{pq_cents}" if pq_cents else "")
-                           + ("-sq8" if sq8 else ""))
+                           + ("-sq8" if sq8 else "")
+                           + ("-bq1" if bq1 else ""))
     return IndexManifest(model_name=model, dim=dim, n_rows=n_rows,
                          source_files=source_fingerprint([source_path]))
 
@@ -744,6 +837,7 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
                         pq_subbooks: list | None = None,
                         pq_residual: bool = False,
                         sq8: bool = False,
+                        bq1: bool = False,
                         ) -> tuple[PublishedVectorIndex, list[str]]:
     """Build-or-reuse entry (the analogue of the reference reopening its
     Chroma dir at startup): publishes iff the manifest says the source
@@ -764,12 +858,12 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
         geometry = dict(similarity.index_geometry(n_rows), derived=True)
         n_cells = geometry["n_cells"]
     current = vector_manifest(source_path, n_rows, dim, n_cells,
-                              model_name, pq_cents, pq_residual, sq8)
+                              model_name, pq_cents, pq_residual, sq8, bq1)
     reasons = ensure_index(
         index_dir, current,
         lambda: publish_vector_index(emb, index_dir, centroids, n_cells,
                                      id_col, vec_col, geometry, pq_cents,
-                                     pq_subbooks, pq_residual, sq8))
+                                     pq_subbooks, pq_residual, sq8, bq1))
     return open_vector_index(spark, index_dir), reasons
 
 
@@ -1022,7 +1116,7 @@ def split_hot_cell(spark: SparkSession, index_dir: str,
         pq_cents=(pq or {}).get("n_cents"),
         pq_subbooks=vidx.pq_subbooks if pq else None,
         pq_residual=bool((pq or {}).get("residual")),
-        sq8=vidx.sq is not None)
+        sq8=vidx.sq is not None, bq1=vidx.bq is not None)
     if old_manifest is not None:
         from .manifest import write_manifest
         write_manifest(index_dir, IndexManifest(
@@ -1087,6 +1181,14 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
             "tag": lambda df: sq_quantize(cell_tag(df), vidx.id_col,
                                           vidx.vec_col,
                                           keep_cols=("cell",))})
+    if vidx.bq is not None:
+        specs.append({
+            "table": "bq", "live": vidx.bq_codes,
+            "live_path": vidx.bq_path,
+            "tag": lambda df: bq_quantize(cell_tag(df), vidx.id_col,
+                                          vidx.vec_col,
+                                          int(vidx.bq["dim"]),
+                                          keep_cols=("cell",))})
     _partitioned_refresh(
         spark, index_dir, part_col="cell", specs=specs,
         id_col=vidx.id_col, changed=changed, removed_ids=removed_ids,
@@ -1095,7 +1197,8 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
                       source_path, n, vidx.dim, vidx.n_cells, model_name,
                       pq_cents=(vidx.pq or {}).get("n_cents"),
                       pq_residual=bool((vidx.pq or {}).get("residual")),
-                      sq8=vidx.sq is not None)),
+                      sq8=vidx.sq is not None,
+                      bq1=vidx.bq is not None)),
         n_rows=n_rows)
     # opt-in hot-cell remediation: after the delta lands, check the
     # balance the refresh produced and split a cell that crossed the

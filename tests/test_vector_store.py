@@ -1028,3 +1028,81 @@ def test_sq8_multi_refresh_equals_from_scratch_publish(spark, tmp_path):
     assert _rows(out.codes) == _rows(ref.codes)
     assert _rows(out.sq_codes.select("vec_id", "cell", "scale", "qcodes")) \
         == _rows(ref.sq_codes.select("vec_id", "cell", "scale", "qcodes"))
+
+
+def test_bq_publish_reopen_pack_and_refresh(spark, tmp_path):
+    """BQ tier: packed words equal the driver-side twin bit-for-bit,
+    cells agree with raw rows, bq_topk's hamming equals the literal
+    sign-mismatch count, a delta refresh rewrites the tier in the same
+    commit, and a republish without bq1 drops it."""
+    import numpy as np
+
+    idx = str(tmp_path / "vecbq")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS, bq1=True)
+    vidx = vector_store.open_vector_index(spark, idx)
+    assert vidx.bq == {"dim": DIM, "words": 1}
+    bq = {r.vec_id: (list(r.bq), r.cell) for r in vidx.bq_codes.collect()}
+    raw = {r.vec_id: (list(r.embedding), r.cell)
+           for r in vidx.vectors.collect()}
+    assert set(bq) == set(raw)
+    for vid, (words, cell) in bq.items():
+        vec, rcell = raw[vid]
+        assert cell == rcell
+        assert words == similarity.bq_pack_np(
+            np.asarray(vec, dtype=np.float64))
+    # hamming in the result equals the literal per-dim sign mismatch
+    q = np.asarray(raw[3][0], dtype=np.float64)
+    top = vidx.bq_topk(3, n_probe=N_CELLS, k=5, rerank=50).collect()
+    for r in top:
+        v = np.asarray(raw[r.vec_id][0], dtype=np.float64)
+        assert r.hamming == int(((q > 0) != (v > 0)).sum())
+    sims = [r.sim for r in top]
+    assert len(top) == 5 and sims == sorted(sims, reverse=True)
+    # delta refresh rewrites the tier in the same commit
+    changed = spark.createDataFrame([(4, _vec(94)), (33, _vec(33))],
+                                    "vec_id long, embedding array<double>")
+    rm = spark.createDataFrame([(11,)], "vec_id long")
+    out = vector_store.write_vector_refresh(spark, idx, changed, rm)
+    bq2 = {r.vec_id: list(r.bq) for r in out.bq_codes.collect()}
+    raw2 = {r.vec_id: list(r.embedding) for r in out.vectors.collect()}
+    assert set(bq2) == set(raw2) and 11 not in bq2 and 33 in bq2
+    for vid, words in bq2.items():
+        assert words == similarity.bq_pack_np(
+            np.asarray(raw2[vid], dtype=np.float64))
+    # stale guard
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS)
+    v2 = vector_store.open_vector_index(spark, idx)
+    assert v2.bq is None and not os.path.isdir(v2.bq_path)
+    with pytest.raises(ValueError, match="no BQ"):
+        v2.bq_topk(3)
+
+
+def test_bq_pack_multiword_and_manifest_identity(spark, tmp_path):
+    """dim > 64 packs into multiple words (same rule per word); bq1
+    rides the staleness identity."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(10, 70))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "vecbq_w")
+    vector_store.publish_vector_index(emb, idx, n_cells=2, bq1=True)
+    vidx = vector_store.open_vector_index(spark, idx)
+    assert vidx.bq == {"dim": 70, "words": 2}
+    for r in vidx.bq_codes.collect():
+        assert list(r.bq) == similarity.bq_pack_np(X[r.vec_id])
+    src = str(tmp_path / "bq.parquet")
+    emb.write.parquet(src)
+    idx2 = str(tmp_path / "vecbq_m")
+    plain, r1 = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx2, n_cells=2)
+    assert r1 and plain.bq is None
+    up, r2 = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx2, n_cells=2, bq1=True)
+    assert r2 and up.bq is not None
+    same, r3 = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx2, n_cells=2, bq1=True)
+    assert r3 == [] and same.bq is not None
