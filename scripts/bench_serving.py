@@ -58,6 +58,10 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
                  docs.select("source").distinct().limit(8).collect()
                  if r.source is not None]
     assert narrators
+    # reopened quantized-tier store handles for the point-serving rows
+    sq_idx = semantic.get_sq8_published_index(spark, sf_dir)
+    bq_idx = semantic.get_bq_published_index(spark, sf_dir)
+    assert sq_idx is not None and bq_idx is not None
 
     calls = {
         "hybrid_search": lambda i: engine.hybrid_search(
@@ -117,6 +121,13 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
         # CODES scan + exact rerank (round 11)
         "ann_pq_batch32": lambda i: semantic.ivfpq_batch_published(
             spark, sf_dir, 32).collect(),
+        # quantized point-serving tiers off the reopened store (round
+        # 11): one probe-pruned quantized scan per call — sq8 ranks
+        # dequantized dots, bq Hamming-prefilters then exact-reranks
+        "ann_sq8_point": lambda i: sq_idx.sq_topk(
+            (i * 7) % 100, n_probe=2, k=5).collect(),
+        "ann_bq_point": lambda i: bq_idx.bq_topk(
+            (i * 7) % 100, n_probe=2, k=5, rerank=20).collect(),
     }
     out = {}
     for name, call in calls.items():
