@@ -469,6 +469,201 @@ def ann_topk_bq_published(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(ANN_K))
 
 
+def ann_topk_bq_batch_published(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The registered driver-SF form of `bq_batch_published` (the oracle
+    replays KNN_QUERIES query ids)."""
+    return bq_batch_published(spark, sf_dir, KNN_QUERIES)
+
+
+def bq_batch_published(spark: SparkSession, sf_dir: str,
+                       n_queries: int) -> DataFrame:
+    """Batched binary-quantization ANN off the published store — the
+    1-bit rung of the batched-tier matrix (raw `ivf_batch_published`,
+    IVFADC `ivfpq_batch_published`, now BQ): probe selection for the
+    whole batch is one local matmul, every query's packed sign pattern
+    rides the broadcast batch relation as an array<bigint> column, ONE
+    directory-pruned scan of the 64x-smaller `bq/cell=K/` table scores
+    every (query, candidate) Hamming as per-word
+    `bit_count(element_at(bq,w) xor element_at(qwords,w))` sums (pure
+    integer JVM — no per-query literal plans), a per-query window keeps
+    the Hamming top-`PQ_RERANK`, and ONE pruned raw scan exact-reranks
+    all survivors. Spark job count is O(1) in N; prefilter IO is
+    |union probes|/n_cells of the PACKED table regardless of N."""
+    from pyspark.sql.window import Window
+
+    from ..sources.vector_store import select_probes_batch
+
+    vidx = get_bq_published_index(spark, sf_dir)
+    if vidx is None:
+        # Read-only index root: per-query storeless compose, unioned.
+        out = None
+        for qid in range(n_queries):
+            one = _bq_storeless_one(spark, sf_dir, qid)
+            one = one.select(F.lit(qid).cast("long").alias("query_id"),
+                             "vec_id", "hamming", "sim")
+            out = one if out is None else out.unionByName(one)
+        w0 = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                    F.asc("vec_id"))
+        return (out.withColumn("rank", F.row_number().over(w0))
+                .select("query_id", "vec_id", "hamming", "sim",
+                        F.col("rank").cast("int").alias("rank")))
+    import numpy as np
+
+    from ..functions.vector import dot as vdot
+
+    qrows = sorted(vidx.vectors.filter(F.col("vec_id") < n_queries)
+                   .select("vec_id", "embedding").collect(),
+                   key=lambda r: r[0])
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+    probe_lists = select_probes_batch(vidx.centroids, qvecs, IVF_PROBE)
+    n_words = int(vidx.bq["words"])
+    batch = [(int(r[0]), qv, [int(p) for p in ps],
+              similarity.bq_pack_np(np.asarray(qv, dtype=np.float64)))
+             for r, qv, ps in zip(qrows, qvecs, probe_lists)]
+    bdf = spark.createDataFrame(
+        batch, "query_id long, qvec array<double>, probes array<int>, "
+               "qwords array<bigint>")
+    union_probes = sorted({p for _, _, ps, _ in batch for p in ps})
+    ham = F.bit_count(F.element_at("bq", 1)
+                      .bitwiseXOR(F.element_at("qwords", 1)))
+    for w in range(1, n_words):
+        ham = ham + F.bit_count(F.element_at("bq", w + 1)
+                                .bitwiseXOR(F.element_at("qwords", w + 1)))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("hamming"),
+                                                F.asc("vec_id"))
+    cands = (vidx.bq_codes.filter(F.col("cell").isin(union_probes))
+             .select("vec_id", "bq", F.col("cell").cast("int").alias("cell"))
+             .join(F.broadcast(bdf),
+                   F.array_contains(F.col("probes"), F.col("cell")))
+             .select("query_id", "vec_id", ham.cast("int").alias("hamming"))
+             .withColumn("hrank", F.row_number().over(wq))
+             .filter(F.col("hrank") <= PQ_RERANK)
+             .drop("hrank"))
+    raw = (vidx.vectors.filter(F.col("cell").isin(union_probes))
+           .select("vec_id", "embedding"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("vec_id"))
+    return (raw.join(F.broadcast(cands), "vec_id")
+            .join(F.broadcast(bdf.select("query_id", "qvec")), "query_id")
+            .select("query_id", "vec_id", "hamming",
+                    F.round(vdot(F.col("embedding"), F.col("qvec")), 6)
+                    .alias("sim"))
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= ANN_K)
+            .select("query_id", "vec_id", "hamming", "sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _bq_storeless_one(spark: SparkSession, sf_dir: str,
+                      qid: int) -> DataFrame:
+    """One query of the storeless BQ compose (shared by the point and
+    batch fallbacks on read-only index roots)."""
+    import numpy as np
+
+    from ..functions.vector import dot as vdot
+    from ..functions.vector import vector_lit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+        similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+        key=lambda r: r.cent_id)]
+    qvec = [float(x) for x in emb.filter(
+        F.col("vec_id") == qid).select("embedding").collect()[0][0]]
+    dim = len(qvec)
+    qwords = similarity.bq_pack_np(np.asarray(qvec, dtype=np.float64))
+    probes = {int(c) for c, _ in sorted(
+        cents, key=lambda cv: (-round(float(
+            np.asarray(cv[1]) @ np.asarray(qvec)), 6), cv[0]))[:IVF_PROBE]}
+    scan = (emb.select("vec_id", "embedding",
+                       similarity.cell_of(cents).alias("cell"))
+            .filter(F.col("cell").isin(sorted(probes))))
+    cands = (scan.select("vec_id",
+                         similarity.bq_hamming_expr(
+                             similarity.bq_pack_expr("embedding", dim),
+                             qwords).cast("int").alias("hamming"))
+             .orderBy(F.asc("hamming"), F.asc("vec_id"))
+             .limit(PQ_RERANK))
+    return (scan.join(F.broadcast(cands), "vec_id")
+            .select("vec_id", "hamming",
+                    F.round(vdot(F.col("embedding"), vector_lit(qvec)), 6)
+                    .alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("vec_id"))
+            .limit(ANN_K))
+
+
+def ann_topk_bq_batch_published_oracle() -> str:
+    """Per-query replay of the batched BQ form: probes per query from
+    the shared codebook, per-(query, candidate) sign-mismatch counts
+    over probed cells, Hamming top-PQ_RERANK per query, exact rerank per
+    query — the packed xor+popcount checked against literal semantics,
+    batched."""
+    return f"""
+WITH {_PAIR_DOT},
+cent_dot AS (
+  SELECT ia AS vec_id, ib AS cent_id, round(d, 6) AS cd
+  FROM pair_dot WHERE ib < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot
+  ) WHERE rn = 1
+),
+qprobes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cent_id ASC) AS rn
+    FROM cent_dot WHERE vec_id < {KNN_QUERIES}
+  ) WHERE rn <= {IVF_PROBE}
+),
+qcands AS (
+  SELECT qp.query_id, a.vec_id
+  FROM qprobes qp JOIN assign a ON a.cent_id = qp.cent_id
+),
+signs AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CASE WHEN CAST(x AS DOUBLE) > 0
+                             THEN 1 ELSE 0 END) AS s
+  FROM embeddings
+),
+ham AS (
+  SELECT query_id, vec_id, sum(CASE WHEN av <> bv THEN 1 ELSE 0 END) AS h
+  FROM (
+    SELECT qc.query_id, qc.vec_id,
+           unnest(sv.s) AS av, unnest(sq.s) AS bv
+    FROM qcands qc
+    JOIN signs sv ON sv.vec_id = qc.vec_id
+    JOIN signs sq ON sq.vec_id = qc.query_id
+  )
+  GROUP BY query_id, vec_id
+),
+top_r AS (
+  SELECT query_id, vec_id, h FROM (
+    SELECT query_id, vec_id, h,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY h ASC, vec_id ASC) AS rn
+    FROM ham
+  ) WHERE rn <= {PQ_RERANK}
+),
+ranked AS (
+  SELECT t.query_id, t.vec_id, t.h, round(p.d, 6) AS sim,
+         row_number() OVER (PARTITION BY t.query_id
+                            ORDER BY round(p.d, 6) DESC, t.vec_id ASC)
+           AS rank
+  FROM top_r t
+  JOIN pair_dot p ON p.ia = t.query_id AND p.ib = t.vec_id
+)
+SELECT query_id, vec_id, CAST(h AS INT) AS hamming, sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def ann_topk_bq_published_oracle() -> str:
     """Sign-mismatch-count replay: the oracle never builds the packed
     representation, so Spark's xor+popcount over packed words is checked

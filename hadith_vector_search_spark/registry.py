@@ -125,6 +125,7 @@ QUERIES: dict[str, QueryFn] = {
     "ivfpq_rerank_governance": semantic.ivfpq_rerank_governance,
     "ann_topk_sq8_published": semantic.ann_topk_sq8_published,
     "ann_topk_bq_published": semantic.ann_topk_bq_published,
+    "ann_topk_bq_batch_published": semantic.ann_topk_bq_batch_published,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
@@ -306,6 +307,8 @@ oracle("ann_topk_sq8_published", semantic.ann_topk_sq8_published_oracle())
 # vectors — Spark's packed xor+popcount is checked against the literal
 # semantics, never a shared representation
 oracle("ann_topk_bq_published", semantic.ann_topk_bq_published_oracle())
+oracle("ann_topk_bq_batch_published",
+       semantic.ann_topk_bq_batch_published_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())

@@ -1106,3 +1106,22 @@ def test_bq_pack_multiword_and_manifest_identity(spark, tmp_path):
     same, r3 = vector_store.ensure_vector_index(
         spark, spark.read.parquet(src), src, idx2, n_cells=2, bq1=True)
     assert r3 == [] and same.bq is not None
+
+
+def test_bq_batch_parity_with_point_path(spark, tmp_path, sf_dir):
+    """The batched BQ form returns exactly the per-query `bq_topk` rows
+    (same probes, same Hamming prefilter depth, same rerank), for every
+    query in the batch."""
+    from hadith_vector_search_spark.plans import semantic
+
+    batch = semantic.bq_batch_published(spark, sf_dir, 4).collect()
+    vidx = semantic.get_bq_published_index(spark, sf_dir)
+    assert vidx is not None
+    for qid in range(4):
+        got = sorted((r.vec_id, r.hamming, r.sim)
+                     for r in batch if r.query_id == qid)
+        want = sorted((r.vec_id, r.hamming, r.sim)
+                      for r in vidx.bq_topk(
+                          qid, semantic.IVF_PROBE, semantic.ANN_K,
+                          semantic.PQ_RERANK).collect())
+        assert got == want, qid
