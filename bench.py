@@ -120,6 +120,11 @@ def main() -> None:
         sem_plans.get_kmeans_published_vector_index(spark, sf_dir)
         sem_plans.get_ivfpq_kmeans_published_index(spark, sf_dir)
         sem_plans.get_published_lsh_index(spark, sf_dir)
+        # the quantized tiers and the CLI-built full-ladder store are the
+        # same per-corpus-snapshot artifacts (manifest-gated publish)
+        sem_plans.get_sq8_published_index(spark, sf_dir)
+        sem_plans.get_bq_published_index(spark, sf_dir)
+        sem_plans.get_cli_vector_index(spark, sf_dir)
         print(f"bench: derived index build {time.time() - t0:.1f}s",
               file=sys.stderr)
     except Exception as e:  # noqa: BLE001
@@ -186,10 +191,38 @@ def main() -> None:
     print(f"bench: sentinels pre {json.dumps(sentinels_pre)}",
           file=sys.stderr)
 
+    # Interleaved sentinels (round-11 verdict item 8): BENCH_r11's
+    # post-sentinels were 2-9x elevated mid-run with no way to tell WHICH
+    # queries ran inside the noisy window — so every ~20 timed queries,
+    # record the two cheap probes (driver round-trip + raw host CPU; the
+    # 100M-row codegen probe stays pre/post-only) keyed by how many
+    # queries had been timed. A noisy host window is now attributable
+    # per-query-range instead of per-run.
+    sentinels_mid: dict[str, dict[str, float]] = {}
+
+    def mid_sentinel(n_done: int) -> None:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((1024, 1024))
+        t0 = time.time()
+        spark.range(1).collect()
+        s1 = time.time() - t0
+        t0 = time.time()
+        a @ a
+        mm = time.time() - t0
+        # compact keys: the mid map rides the 2000-char stdout line the
+        # driver keeps (s1 = select_1 driver round-trip, mm = local
+        # numpy matmul), one entry per ~20 timed queries
+        sentinels_mid[str(n_done)] = {"s1": round(s1, 4),
+                                      "mm": round(mm, 4)}
+
     timings: dict[str, float] = {}
     for name, fn in sorted(get_queries().items()):
         if only and name not in only:
             continue
+        if len(timings) % 20 == 0:
+            mid_sentinel(len(timings))
         # Checkpoint blocks from prior queries are only unpersisted after
         # Python GC drops the DataFrame refs; collect eagerly so later
         # queries aren't taxed by dead blocks + GC pressure.
@@ -221,7 +254,8 @@ def main() -> None:
                 if t.name.startswith("stream_") and tok in t.name:
                     spark.catalog.dropTempView(t.name)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    sentinel_map = {"pre": sentinels_pre, "post": sentinels()}
+    sentinel_map = {"pre": sentinels_pre, "post": sentinels(),
+                    "mid": sentinels_mid}
     # The driver's per-round BENCH artifact keeps only the last 2000
     # chars of stdout and tries to parse them as JSON — a full registry-wide
     # map runs ~5 KB, which left BENCH_rNN.json's `parsed` null since r5.

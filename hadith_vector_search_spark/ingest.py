@@ -132,7 +132,12 @@ def _pq_request(n_rows: int) -> str | int:
 
 
 def _vec_model_k(n_cells: int, pq_req: int) -> str:
-    return f"hash-embedder-{EMBED_DIM}-ivfkm{n_cells}-pq{pq_req}"
+    # -sq8-bq1: the product store ships the FULL quantization ladder
+    # (raw + IVFADC + SQ8 + BQ — round-11 verdict item 2); the markers
+    # are part of the staleness identity, so a pre-ladder store is
+    # REBUILT with the missing tiers on the next update, never silently
+    # served without them.
+    return f"hash-embedder-{EMBED_DIM}-ivfkm{n_cells}-pq{pq_req}-sq8-bq1"
 
 
 def _vec_model_n(n_rows: int) -> str:
@@ -220,9 +225,14 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
     # recall contract instead of a constant)
     geometry = dict(index_geometry(n), n_cells=len(centroids),
                     derived=True) if n else None
+    # the FULL quantization ladder: raw celled vectors + trained IVFADC
+    # codes + SQ8 int8 + BQ packed signs, all under one publish (and all
+    # delta-maintained atomically by write_vector_refresh / re-tagged by
+    # split_hot_cell — the refresh core already handles every tier)
     publish_vector_index(emb, out_dir, centroids=centroids,
                          id_col="doc_id", geometry=geometry,
-                         pq_cents=pq_k, pq_subbooks=subbooks)
+                         pq_cents=pq_k, pq_subbooks=subbooks,
+                         sq8=True, bq1=True)
 
 
 def _vector_manifest(table_path: str, n_rows: int) -> IndexManifest:

@@ -513,6 +513,9 @@ def bq_pack_expr(vec_col: Column | str, dim: int) -> Column:
     observation that sign agreement tracks cosine). Bit 63's shiftleft
     wraps into the sign bit; xor/bit_count are bit-pattern operations,
     so the wrap is harmless and identical across engines."""
+    if dim <= 0:
+        raise ValueError(f"bq_pack_expr needs dim >= 1, got {dim} — "
+                         "an empty vector has no sign pattern to pack")
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     n_words = -(-dim // 64)
     words = []
@@ -535,6 +538,9 @@ def bq_hamming_expr(bq_col: Column | str, qwords: list[int]) -> Column:
     """Hamming distance between a stored packed-sign array and a literal
     query pattern: sum of per-word `bit_count(xor)` — integer-only JVM
     projection, no floats touched until the rerank."""
+    if not qwords:
+        raise ValueError("bq_hamming_expr needs a non-empty packed query "
+                         "pattern (qwords == [] means a 0-dim vector)")
     c = F.col(bq_col) if isinstance(bq_col, str) else bq_col
     terms = [F.bit_count(F.element_at(c, w + 1)
                          .bitwiseXOR(F.lit(int(qw))))
@@ -1381,6 +1387,20 @@ def governed_rerank_report(emb: DataFrame,
     # pinned once for the same three-consumer reason as
     # `governed_probe_report` (truth scan + pruned codes scan upstream)
     depths = (pin or (lambda df: df.localCheckpoint()))(depths)
+    return _rerank_report_from_depths(depths, len(centroids), n_probe,
+                                      truth_k, target_recall)
+
+
+def _rerank_report_from_depths(depths: DataFrame, n_cells: int,
+                               n_probe: int, truth_k: int,
+                               target_recall: float) -> DataFrame:
+    """The rerank-inversion tail shared by the IVFADC (`arank` = ADC
+    rank) and BQ (`arank` = Hamming rank) governance reports: the
+    ceil(target * in_probe_pairs)-th smallest rank is the minimal depth
+    clearing the target conditional recall; probe-lost pairs (NULL
+    arank) are excluded from the inversion but kept in
+    `end_to_end_recall`'s denominator. `depths` must already be pinned
+    (three consumers below)."""
     stats = depths.agg(
         F.count(F.lit(1)).alias("pairs"),
         F.count("arank").alias("in_probe_pairs"),
@@ -1404,7 +1424,7 @@ def governed_rerank_report(emb: DataFrame,
                  F.round(F.sum(F.when(F.col("arank") <= F.col("rerank"),
                                       1).otherwise(0))
                          / F.col("pairs"), 6).alias("end_to_end_recall"))
-            .select(F.lit(len(centroids)).alias("n_cells"),
+            .select(F.lit(int(n_cells)).alias("n_cells"),
                     F.lit(int(n_probe)).alias("n_probe"),
                     "sample_queries",
                     F.lit(truth_k).alias("truth_k"),
@@ -1416,6 +1436,109 @@ def governed_rerank_report(emb: DataFrame,
                     (F.col("measured_rerank_recall")
                      >= F.lit(float(target_recall)))
                     .alias("meets_floor")))
+
+
+def bq_rerank_depth_frame(emb: DataFrame,
+                          centroids: list[tuple[int, list[float]]],
+                          n_probe: int,
+                          sample_n: int = DEFAULT_PROBE_SAMPLE,
+                          truth_k: int = DEFAULT_PROBE_TRUTH_K,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          bq_codes: DataFrame | None = None,
+                          dim: int | None = None) -> DataFrame:
+    """(query_id, nbr_id, arank) for every (sample query, true neighbor)
+    pair at a FIXED probe count, where `arank` is the neighbor's 1-based
+    HAMMING rank among all candidates in the query's probed cells (ties
+    break hamming-asc then id-asc — exactly `bq_topk`'s prefilter
+    order): the smallest `rerank` at which the BQ tier's exact-rerank
+    stage would have recovered it. NULL arank = cell not probed
+    (n_probe's budget, not rerank's). `bq_codes` (the published store's
+    packed-sign table, (id, cell, bq)) makes governance audit the
+    artifact itself; left None, signs pack in-pass from raw vectors with
+    the same `bq_pack_expr`.
+
+    Relational like `rerank_depth_frame`: every query's packed pattern
+    rides a broadcast batch relation as array<bigint>, Hamming scores as
+    per-word `bit_count(xor)` sums over ONE probe-filtered scan of the
+    64x-smaller table — one scan regardless of sample size."""
+    from ..sources.vector_store import select_probes_batch
+
+    qrows = (emb.select(F.col(id_col), F.col(vec_col))
+             .orderBy(F.asc(id_col)).limit(sample_n).collect())
+    spark = emb.sparkSession
+    if not qrows or not centroids:
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, arank int")
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+    if dim is None:
+        dim = len(qvecs[0])
+    n_words = -(-dim // 64)
+    probe_lists = select_probes_batch(centroids, qvecs, n_probe)
+    batch = [(int(r[0]), qv, [int(p) for p in ps],
+              bq_pack_np(np.asarray(qv, dtype=np.float64)))
+             for r, qv, ps in zip(qrows, qvecs, probe_lists)]
+    bdf = spark.createDataFrame(
+        batch, "query_id long, qvec array<double>, probes array<int>, "
+               "qwords array<bigint>")
+    if bq_codes is None:
+        bq_codes = (emb.select(F.col(id_col),
+                               cell_of(centroids, vec_col).alias("cell"),
+                               bq_pack_expr(vec_col, dim).alias("bq")))
+    ham = F.bit_count(F.element_at("bq", 1)
+                      .bitwiseXOR(F.element_at("qwords", 1)))
+    for w in range(1, n_words):
+        ham = ham + F.bit_count(F.element_at("bq", w + 1)
+                                .bitwiseXOR(F.element_at("qwords", w + 1)))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("hamming"),
+                                                F.asc("cand_id"))
+    cands = (bq_codes.select(F.col(id_col).alias("cand_id"),
+                             F.col("cell").cast("int").alias("cell"), "bq")
+             .join(F.broadcast(bdf),
+                   F.array_contains(F.col("probes"), F.col("cell")))
+             .select("query_id", "cand_id", ham.cast("int").alias("hamming"))
+             .withColumn("arank", F.row_number().over(wq))
+             .select("query_id", F.col("cand_id").alias("nbr_id"), "arank"))
+    sample = bdf.select("query_id", "qvec")
+    scored = (emb.select(F.col(id_col), F.col(vec_col))
+              .join(F.broadcast(sample),
+                    F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("nbr_id"),
+                      F.round(dot(F.col(vec_col), F.col("qvec")), 6)
+                      .alias("sim")))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("nbr_id"))
+    truth = (scored.withColumn("rn", F.row_number().over(wt))
+             .filter(F.col("rn") <= truth_k)
+             .select("query_id", "nbr_id"))
+    return truth.join(cands, ["query_id", "nbr_id"], "left")
+
+
+def governed_bq_rerank_report(emb: DataFrame,
+                              centroids: list[tuple[int, list[float]]],
+                              n_probe: int,
+                              sample_n: int = DEFAULT_PROBE_SAMPLE,
+                              truth_k: int = DEFAULT_PROBE_TRUTH_K,
+                              target_recall: float = DEFAULT_RECALL_TARGET,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              bq_codes: DataFrame | None = None,
+                              dim: int | None = None,
+                              pin=None) -> DataFrame:
+    """One-row governance report for the BQ tier's Hamming-prefilter
+    depth — the last hand-set ANN quality knob (bands, n_probe, and the
+    IVFADC rerank already derive from targets; round-11 verdict item 3):
+    the smallest `rerank` whose conditional recall over PROBED pairs
+    clears `target_recall`, as the ceil(target*in_pairs)-th smallest
+    HAMMING rank (`_rerank_report_from_depths`, the exact inversion the
+    ADC knob uses — one order statistic, no grid search). Same report
+    schema as `governed_rerank_report`, so the publish-time stamp and
+    the consumers are symmetric across tiers."""
+    depths = bq_rerank_depth_frame(emb, centroids, n_probe, sample_n,
+                                   truth_k, id_col, vec_col, bq_codes, dim)
+    depths = (pin or (lambda df: df.localCheckpoint()))(depths)
+    return _rerank_report_from_depths(depths, len(centroids), n_probe,
+                                      truth_k, target_recall)
 
 
 def build_vector_lsh_index(emb: DataFrame, n_bands: int | None = None,

@@ -51,6 +51,82 @@ from .streaming import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
+    # ------------------------------------------------------------------
+    # DRIVER GATE PREFIX (first 50 entries). The external correctness
+    # gate hash-checks exactly the first 50 entries of this dict's
+    # insertion order (round-11 verdict item 1), so the prefix leads
+    # with the engine's SIGNATURE surfaces — the flagship hybrid
+    # pipeline, one representative per published ANN tier, the
+    # recall-governance reports, the dedup families, and streaming
+    # maintenance — instead of the relational head. The local gate
+    # (scripts/check_correctness.py) still checks ALL entries at both
+    # SFs; this ordering only decides what the driver's budget covers.
+    # ------------------------------------------------------------------
+    # flagship hybrid pipeline + router (SURVEY §2.9, §3.1)
+    "hybrid_search": hybrid.hybrid_search,
+    "hybrid_search_batch": hybrid.hybrid_search_batch,
+    "hybrid_search_explained": hybrid.hybrid_search_explained,
+    "hybrid_search_degraded": hybrid.hybrid_search_degraded,
+    "hybrid_search_rrf": hybrid.hybrid_search_rrf,
+    "routed_search_batch": routed.routed_search_batch,
+    "golden_intent_router": routing.golden_intent_router,
+    # one representative per published-store ANN tier (point + batch)
+    "ann_topk_ivf_published": semantic.ann_topk_ivf_published,
+    "ann_topk_ivfpq_published": semantic.ann_topk_ivfpq_published,
+    "ann_topk_ivfpq_residual_published":
+        semantic.ann_topk_ivfpq_residual_published,
+    "ann_topk_sq8_published": semantic.ann_topk_sq8_published,
+    "ann_topk_bq_published": semantic.ann_topk_bq_published,
+    "ann_topk_lsh_published": semantic.ann_topk_lsh_published,
+    "ann_topk_lsh_multiprobe_published":
+        semantic.ann_topk_lsh_multiprobe_published,
+    "ann_topk_ivf_batch_published": semantic.ann_topk_ivf_batch_published,
+    "ann_topk_ivfpq_batch_published":
+        semantic.ann_topk_ivfpq_batch_published,
+    "ann_topk_bq_batch_published": semantic.ann_topk_bq_batch_published,
+    # recall-governance reports (derived quality knobs, oracle-replayed)
+    "ivf_probe_governance": semantic.ivf_probe_governance,
+    "ivfpq_rerank_governance": semantic.ivfpq_rerank_governance,
+    "bq_rerank_governance": semantic.bq_rerank_governance,
+    "vector_index_cells": semantic.vector_index_cells,
+    "ann_recall_report": semantic.ann_recall_report,
+    # core semantic operators
+    "cosine_topk": semantic.cosine_topk,
+    "knn_join": semantic.knn_join,
+    "similar_pairs_lsh": semantic.similar_pairs_lsh,
+    "semantic_dedup_list": semantic.semantic_dedup_list,
+    "mmr_rerank": semantic.mmr_rerank,
+    # lexical signature surfaces (published index + batch + positional)
+    "bm25_topk": lexical.bm25_topk,
+    "published_index_reopened": lexical.published_index_reopened,
+    "bm25_topk_batch": lexical.bm25_topk_batch,
+    "incremental_postings_refresh": lexical.incremental_postings_refresh,
+    "snippet_positional": lexical.snippet_positional_preview,
+    "graded_search": lexical.graded_search,
+    # dedup family (LLM-pipeline operators)
+    "near_dup_minhash": dedup_plans.near_dup_minhash,
+    "near_dup_simhash": dedup_plans.near_dup_simhash,
+    "duplicated_span_report": dedup_plans.duplicated_span_report,
+    "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
+    "near_dup_containment": dedup_plans.near_dup_containment,
+    "near_dup_clusters": dedup_plans.near_dup_clusters,
+    "near_dup_incremental": dedup_plans.near_dup_incremental,
+    "dedup_removal_list": dedup_plans.dedup_removal_list,
+    # streaming maintenance representatives
+    "streaming_vector_refresh": streaming_vector_refresh,
+    "streaming_simhash_refresh": streaming_simhash_refresh,
+    "streaming_neardup_ingest": streaming_neardup_ingest,
+    "streaming_postings_refresh": streaming_postings_refresh,
+    # pipeline / text-analysis representatives
+    "contamination_check": pipeline_plans.contamination_check,
+    "quality_filter_funnel": pipeline_plans.quality_filter_funnel,
+    "lang_id_counts": textstats_plans.lang_id_counts,
+    "nb_quality_classifier": textstats_plans.nb_quality_classifier,
+    "table_profile": profile_plans.table_profile,
+    # ------------------------------------------------------------------
+    # END DRIVER GATE PREFIX — everything below is covered by the local
+    # 100%-coverage gate at sf0.01 and sf0.1.
+    # ------------------------------------------------------------------
     "pricing_summary": relational.pricing_summary,
     "top_orders": relational.top_orders,
     "revenue_by_region": relational.revenue_by_region,
@@ -71,18 +147,10 @@ QUERIES: dict[str, QueryFn] = {
     "sliding_event_rate": relational.sliding_event_rate,
     # lexical leg (SURVEY §2.7/§4.2)
     "term_doc_frequency": lexical.term_doc_frequency,
-    "incremental_postings_refresh": lexical.incremental_postings_refresh,
-    "published_index_reopened": lexical.published_index_reopened,
-    "bm25_topk": lexical.bm25_topk,
     "bm25_disjunctive": lexical.bm25_disjunctive,
-    "bm25_topk_batch": lexical.bm25_topk_batch,
     "tfidf_topk": lexical.tfidf_topk,
     "phrase_match": lexical.phrase_match,
-    "snippet_positional": lexical.snippet_positional_preview,
     "bm25_prf_topk": lexical.bm25_prf_topk,
-    "graded_search": lexical.graded_search,
-    "hybrid_search_explained": hybrid.hybrid_search_explained,
-    "golden_intent_router": routing.golden_intent_router,
     "cross_encoder_rerank": lexical.cross_encoder_rerank,
     "more_like_this": lexical.more_like_this,
     "percolate_matches": lexical.percolate_matches,
@@ -94,53 +162,27 @@ QUERIES: dict[str, QueryFn] = {
     "proximity_pairs": lexical.proximity_pairs,
     "fts_match_compiled": lexical.fts_match_compiled,
     # semantic leg (SURVEY §2.8)
-    "cosine_topk": semantic.cosine_topk,
-    "knn_join": semantic.knn_join,
     "label_centroids": semantic.label_centroids,
     "embedding_stats": semantic.embedding_stats,
     "similar_pairs": semantic.similar_pairs,
-    "similar_pairs_lsh": semantic.similar_pairs_lsh,
     "ann_topk_lsh": semantic.ann_topk_lsh,
-    "ann_topk_lsh_published": semantic.ann_topk_lsh_published,
     "ann_topk_lsh_multiprobe": semantic.ann_topk_lsh_multiprobe,
-    "ann_topk_lsh_multiprobe_published":
-        semantic.ann_topk_lsh_multiprobe_published,
     "ann_topk_ivf": semantic.ann_topk_ivf,
-    "ann_topk_ivf_published": semantic.ann_topk_ivf_published,
-    "ann_topk_ivfpq_published": semantic.ann_topk_ivfpq_published,
-    "ann_topk_ivfpq_residual_published":
-        semantic.ann_topk_ivfpq_residual_published,
-    "ann_topk_ivf_batch_published": semantic.ann_topk_ivf_batch_published,
-    "ann_topk_ivfpq_batch_published":
-        semantic.ann_topk_ivfpq_batch_published,
-    "ann_recall_report": semantic.ann_recall_report,
     "ann_recall_report_sampled": semantic.ann_recall_report_sampled,
     # iterative algorithm — no SQL oracle (driver rows-only check)
     "ann_topk_ivf_kmeans": semantic.ann_topk_ivf_kmeans,
     "ann_topk_ivf_kmeans_published": semantic.ann_topk_ivf_kmeans_published,
     "ann_topk_ivfpq_kmeans_published":
         semantic.ann_topk_ivfpq_kmeans_published,
-    "vector_index_cells": semantic.vector_index_cells,
-    "ivf_probe_governance": semantic.ivf_probe_governance,
-    "ivfpq_rerank_governance": semantic.ivfpq_rerank_governance,
-    "ann_topk_sq8_published": semantic.ann_topk_sq8_published,
-    "ann_topk_bq_published": semantic.ann_topk_bq_published,
-    "ann_topk_bq_batch_published": semantic.ann_topk_bq_batch_published,
+    "ann_topk_bq_cli_store": semantic.ann_topk_bq_cli_store,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
-    "semantic_dedup_list": semantic.semantic_dedup_list,
-    "mmr_rerank": semantic.mmr_rerank,
     # router + hybrid pipeline (SURVEY §2.9, §3.1)
     "intent_router": routing.intent_router,
-    "routed_search_batch": routed.routed_search_batch,
-    "hybrid_search": hybrid.hybrid_search,
     "hybrid_search_term_priority": hybrid.hybrid_search_term_priority,
     "hybrid_search_semantic": hybrid.hybrid_search_semantic,
     "hybrid_search_fts": hybrid.hybrid_search_fts,
-    "hybrid_search_batch": hybrid.hybrid_search_batch,
-    "hybrid_search_degraded": hybrid.hybrid_search_degraded,
-    "hybrid_search_rrf": hybrid.hybrid_search_rrf,
     "ltr_features": hybrid.ltr_features,
     # scalar normalization sweep (F1/F8/F19-F23)
     "normalization_preview": normalization.normalization_preview,
@@ -148,24 +190,15 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact_preview": dedup_plans.dedup_exact_preview,
     "dedup_window_preview": dedup_plans.dedup_window_preview,
     "minhash_signatures": dedup_plans.minhash_sigs,
-    "near_dup_minhash": dedup_plans.near_dup_minhash,
     "simhash_fingerprints": dedup_plans.simhash_fingerprints,
-    "near_dup_simhash": dedup_plans.near_dup_simhash,
     "near_dup_boilerplate": dedup_plans.near_dup_boilerplate,
-    "near_dup_ngram_jaccard": dedup_plans.near_dup_ngram_jaccard,
-    "near_dup_clusters": dedup_plans.near_dup_clusters,
-    "near_dup_incremental": dedup_plans.near_dup_incremental,
-    "near_dup_containment": dedup_plans.near_dup_containment,
-    "dedup_removal_list": dedup_plans.dedup_removal_list,
     "source_overlap_matrix": dedup_plans.source_overlap_matrix,
     "doc_dup_fraction": dedup_plans.doc_dup_fraction,
     "phrase_match_positional": dedup_plans.phrase_match_positional,
-    "duplicated_span_report": dedup_plans.duplicated_span_report,
     "boilerplate_ngrams": dedup_plans.boilerplate_ngrams,
     "winnowed_fingerprints": dedup_plans.winnowed_fingerprints,
     "winnow_match_pairs": dedup_plans.winnow_match_pairs,
     # text analysis + multimodal plumbing
-    "lang_id_counts": textstats_plans.lang_id_counts,
     "quality_scores": textstats_plans.quality_scores,
     "token_count_stats": textstats_plans.token_count_stats,
     "doc_fingerprints": textstats_plans.doc_fingerprints,
@@ -174,7 +207,6 @@ QUERIES: dict[str, QueryFn] = {
     "length_quantile_profile": textstats_plans.length_quantile_profile,
     "chunk_preview": textstats_plans.chunk_preview,
     "lm_perplexity_scores": textstats_plans.lm_perplexity_scores,
-    "nb_quality_classifier": textstats_plans.nb_quality_classifier,
     "token_frequency_spectrum": textstats_plans.token_frequency_spectrum,
     "domain_kl_divergence": textstats_plans.domain_kl_divergence,
     "binary_metadata": textstats_plans.binary_metadata,
@@ -195,21 +227,15 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_merge_jsonl": streaming_merge_jsonl,
     "streaming_dedup_docs": streaming_dedup_docs,
     "streaming_embed_merge": streaming_embed_merge,
-    "streaming_neardup_ingest": streaming_neardup_ingest,
     "streaming_percolate": streaming_percolate,
-    "streaming_postings_refresh": streaming_postings_refresh,
-    "streaming_vector_refresh": streaming_vector_refresh,
     "streaming_lsh_refresh": streaming_lsh_refresh,
     "streaming_window_refresh": streaming_window_refresh,
-    "streaming_simhash_refresh": streaming_simhash_refresh,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
     "multimodal_frame_features": multimodal_plans.multimodal_frame_features,
     # corpus-preparation pipeline: splits, decontamination, cleaning funnel
     "corpus_split_summary": pipeline_plans.corpus_split_summary,
-    "contamination_check": pipeline_plans.contamination_check,
-    "quality_filter_funnel": pipeline_plans.quality_filter_funnel,
     "domain_mix_plan": pipeline_plans.domain_mix_plan,
     "mix_sample_realization": pipeline_plans.mix_sample_realization,
     "sequence_packing_estimate": pipeline_plans.sequence_packing_estimate,
@@ -218,7 +244,6 @@ QUERIES: dict[str, QueryFn] = {
     "curriculum_sample_plan": pipeline_plans.curriculum_sample_plan,
     "decontamination_spans": pipeline_plans.decontamination_spans,
     # profiling, sketch-bound checks, sampling, window ops, packing
-    "table_profile": profile_plans.table_profile,
     "approx_distinct_bounds": profile_plans.approx_distinct_bounds,
     "approx_quantile_bounds": profile_plans.approx_quantile_bounds,
     "stratified_sample": profile_plans.stratified_sample,
@@ -300,6 +325,10 @@ oracle("vector_index_cells", semantic.vector_index_cells_oracle())
 oracle("ivf_probe_governance", semantic.ivf_probe_governance_oracle())
 oracle("ivfpq_rerank_governance",
        semantic.ivfpq_rerank_governance_oracle())
+# governed BQ rerank: the oracle replays truth, assignments, probes,
+# per-(query, candidate) sign-mismatch counts, the Hamming rank window
+# AND the target-quantile order statistic from raw vectors
+oracle("bq_rerank_governance", semantic.bq_rerank_governance_oracle())
 # SQ8 published tier: the oracle replays assignment, probes, the int8
 # round trip on both sides, and the quantized dot from raw vectors
 oracle("ann_topk_sq8_published", semantic.ann_topk_sq8_published_oracle())
@@ -309,6 +338,10 @@ oracle("ann_topk_sq8_published", semantic.ann_topk_sq8_published_oracle())
 oracle("ann_topk_bq_published", semantic.ann_topk_bq_published_oracle())
 oracle("ann_topk_bq_batch_published",
        semantic.ann_topk_bq_batch_published_oracle())
+# the CLI-built full-ladder store's BQ tier at its governed defaults:
+# the oracle recomputes the exact top-k from RAW TEXT (md5 sign replay)
+# and asserts the recall floor
+oracle("ann_topk_bq_cli_store", semantic.ann_topk_bq_cli_store_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())

@@ -462,6 +462,37 @@ def publish_bq_codes(spark: SparkSession, index_dir: str) -> None:
                         {"dim": dim, "words": -(-dim // 64)})
     bq = bq_quantize(stored, id_col, vec_col, dim, keep_cols=("cell",))
     _write_parted(bq, os.path.join(index_dir, "bq"), "cell", id_col)
+    geo = lay.get("geometry") or {}
+    if geo.get("derived"):
+        # derived-geometry publishes also GOVERN the Hamming-prefilter
+        # depth (the BQ twin of the IVFADC rerank stamp): the smallest
+        # rerank whose conditional recall over probed pairs clears the
+        # target, measured AT the store's governed n_probe against the
+        # just-written packed signs — the stamp audits the artifact. A
+        # degenerate corpus (no pairs) carries NO stamp (the
+        # stale-sidecar rule every tier follows).
+        centroids = [(int(r.cent_id), list(r.cvec)) for r in sorted(
+            spark.read.parquet(os.path.join(index_dir, "centroids"))
+            .collect(), key=lambda r: r.cent_id)]
+        n_probe = int(geo.get("n_probe", 2))
+        rows = similarity.governed_bq_rerank_report(
+            stored.select(id_col, vec_col), centroids, n_probe,
+            id_col=id_col, vec_col=vec_col,
+            bq_codes=spark.read.parquet(os.path.join(index_dir, "bq")),
+            dim=dim).collect()
+        if rows:
+            r = rows[0]
+            _write_json_sidecar(
+                index_dir, BQ_LAYOUT_NAME,
+                {"dim": dim, "words": -(-dim // 64),
+                 "rerank": int(r["rerank"]),
+                 "rerank_target": float(r["rerank_target"]),
+                 "rerank_measured": float(r["measured_rerank_recall"]),
+                 "rerank_end_to_end": float(r["end_to_end_recall"]),
+                 "rerank_n_probe": n_probe,
+                 "rerank_sample": int(r["sample_queries"]),
+                 "rerank_pairs": int(r["pairs"]),
+                 "rerank_in_probe_pairs": int(r["in_probe_pairs"])})
 
 
 def _load_pq_subbooks(spark: SparkSession, index_dir: str, m: int,
@@ -587,6 +618,7 @@ class PublishedVectorIndex:
         self.bq = json.load(open(bq_path)) if os.path.exists(bq_path) \
             else None
         self.bq_path = os.path.join(index_dir, "bq")
+        self._resident = None  # set by enable_interactive
 
     @property
     def pq_subbooks(self) -> list:
@@ -651,6 +683,118 @@ class PublishedVectorIndex:
             return int(rerank)
         stamped = (self.pq or {}).get("rerank")
         return int(stamped) if stamped else 20
+
+    def resolve_bq_rerank(self, rerank: int | None) -> int:
+        """`None` means the BQ sidecar's governed Hamming-prefilter
+        depth (stamped by derived-geometry publishes — the smallest
+        depth whose conditional recall over probed pairs cleared the
+        target), falling back to the config default. The BQ twin of
+        `resolve_rerank`, so the quantized tier APIs stay symmetric."""
+        if rerank is not None:
+            return int(rerank)
+        stamped = (self.bq or {}).get("rerank")
+        return int(stamped) if stamped else 20
+
+    def enable_interactive(self, max_driver_rows: int = 500_000) -> bool:
+        """Opt-in RESIDENT point tier for the quantized rungs (round-11
+        verdict item 4: `ann_bq_point` sat at the ~1 s two-Spark-job
+        floor while the hybrid interactive tier served at ~40 ms — the
+        floor is job dispatch, not work): pull the packed signs, cells,
+        and raw vectors into driver numpy arrays so `bq_topk_point`
+        serves xor+popcount prefilter + exact rerank with ZERO Spark
+        jobs. The api.Engine discipline applies verbatim — bounded
+        (refuses above `max_driver_rows`, leaving the store unchanged so
+        every call falls back to the Spark path), opt-in only, and the
+        oracle-checked plans never read this state. Size argument: the
+        packed table is n x words x 8 B (64x under raw); the raw matrix
+        (the rerank side) is the same bytes the api tier already
+        residents at corpus scale. At lake scale this tier is a separate
+        service over the published store — exactly the api.Engine
+        story."""
+        import numpy as np
+
+        if self.bq is None:
+            self.disable_interactive()
+            return False
+        n = self.vectors.count()
+        if n > max_driver_rows:
+            self.disable_interactive()
+            return False
+        brows = sorted(self.bq_codes.select(self.id_col, "cell", "bq")
+                       .collect(), key=lambda r: r[0])
+        vrows = sorted(self.vectors.select(self.id_col, self.vec_col)
+                       .collect(), key=lambda r: r[0])
+        if [r[0] for r in brows] != [r[0] for r in vrows]:
+            # mid-refresh torn read can't happen (journal), but a
+            # partially-published store must not serve a mixed tier
+            self.disable_interactive()
+            return False
+        order = sorted(self.centroids, key=lambda c: c[0])
+        self._resident = {
+            "ids": np.array([r[0] for r in brows]),
+            "cells": np.array([int(r[1]) for r in brows], dtype=np.int64),
+            "bqw": np.array([[int(w) for w in r[2]] for r in brows],
+                            dtype=np.int64),
+            "mat": np.array([[float(x) for x in r[1]] for r in vrows],
+                            dtype=np.float64),
+            "cids": np.array([int(c) for c, _ in order], dtype=np.int64),
+            "cmat": np.array([v for _, v in order], dtype=np.float64),
+            # 8-bit popcount LUT: numpy<2 has no bitwise_count; a byte
+            # view + LUT gather is exact and O(n*words*8) tiny
+            "pop8": np.array([bin(i).count("1") for i in range(256)],
+                             dtype=np.uint16),
+        }
+        return True
+
+    def disable_interactive(self) -> None:
+        self._resident = None
+
+    @property
+    def interactive_enabled(self) -> bool:
+        return self._resident is not None
+
+    def bq_topk_point(self, query_id, n_probe: int | None = None,
+                      k: int = 5, rerank: int | None = None) -> list[tuple]:
+        """`bq_topk` served from the resident tier — the SAME arithmetic
+        (round6 HALF_UP probe dots / lowest-cent-id ties; Hamming asc /
+        lowest-id ties; exact round6 dots desc / lowest-id ties), zero
+        Spark jobs, returning (id, hamming, sim) tuples row-identical to
+        the store path (pinned by test). Falls back to collecting the
+        Spark plan when the tier is not resident — graceful, never
+        wrong."""
+        if self._resident is None:
+            return [tuple(r) for r in
+                    self.bq_topk(query_id, n_probe, k, rerank).collect()]
+        import numpy as np
+
+        from ..functions.vector import round6_arr
+
+        r = self._resident
+        qpos = np.nonzero(r["ids"] == query_id)[0]
+        if not len(qpos):
+            raise KeyError(f"no vector for id {query_id!r}")
+        q = r["mat"][int(qpos[0])]
+        n_probe = self.resolve_probe(n_probe)
+        rerank = self.resolve_bq_rerank(rerank)
+        cd = round6_arr(r["cmat"] @ q)
+        probes = r["cids"][np.lexsort((r["cids"], -cd))[:n_probe]]
+        mask = np.isin(r["cells"], probes)
+        cand = np.nonzero(mask)[0]
+        if not len(cand):
+            return []
+        qwords = np.array(similarity.bq_pack_np(q), dtype=np.int64)
+        xor = np.bitwise_xor(r["bqw"][cand], qwords)
+        ham = r["pop8"][xor.view(np.uint8)].reshape(len(cand), -1) \
+            .sum(axis=1).astype(np.int64)
+        keep = cand[np.lexsort((r["ids"][cand], ham))[:rerank]]
+        ham_by_pos = dict(zip(cand.tolist(), ham.tolist()))
+        sims = round6_arr(r["mat"][keep] @ q)
+        top = keep[np.lexsort((r["ids"][keep], -sims))[:k]]
+        sim_by_pos = dict(zip(keep.tolist(), sims.tolist()))
+        return [(r["ids"][p].item() if hasattr(r["ids"][p], "item")
+                 else r["ids"][p],
+                 int(ham_by_pos[int(p)]), float(sim_by_pos[int(p)]))
+                for p in top.tolist()]
 
     def ivf_topk(self, query_id, n_probe: int | None = 2, k: int = 5,
                  allowed: DataFrame | None = None,
@@ -729,7 +873,7 @@ class PublishedVectorIndex:
                 .limit(k))
 
     def bq_topk(self, query_id, n_probe: int | None = 2, k: int = 5,
-                rerank: int = 20) -> DataFrame:
+                rerank: int | None = 20) -> DataFrame:
         """Binary-quantization prefilter + exact rerank off the published
         BQ tier: Hamming distance (per-word `bit_count(xor)` against the
         query's packed sign pattern — integer-only JVM projection) ranks
@@ -755,7 +899,7 @@ class PublishedVectorIndex:
                          similarity.bq_hamming_expr("bq", qwords)
                          .cast("int").alias("hamming"))
                  .orderBy(F.asc("hamming"), F.asc(self.id_col))
-                 .limit(rerank))
+                 .limit(self.resolve_bq_rerank(rerank)))
         return (self.probe_scan(probes).join(F.broadcast(cands),
                                              self.id_col)
                 .select(F.col(self.id_col), F.col("hamming"),
@@ -1068,19 +1212,42 @@ def split_hot_cell(spark: SparkSession, index_dir: str,
     real-corpus failure mode isotropic synthetic data can't show): when
     one cell holds more than `share_bound` of the store's rows, re-train
     k=2 WITHIN the hot cell's members (MLlib k-means, fixed seed — no
-    encoder pass, vectors are already stored) and republish with the hot
-    centroid replaced by its two children (child A keeps the hot cell's
-    id, child B takes max_id+1, minimizing churn). The republish re-tags
-    EVERY row against the expanded codebook, preserving the exact
-    stored-cell == argmax-nearest invariant queries and oracles rely on
-    (a hot-cell-only rewrite would leave neighbor cells' rows stale
-    whenever a child centroid moves closer to them). IVFADC sidecars
-    re-encode in the same publish — residual codes depend on the cell
-    centroid, so they can never outlive a split. The manifest is
-    re-stamped with a `+split` suffix: a split store is intentionally a
-    DISTINCT identity, so the next geometry-derived ensure rebuilds at
-    derived geometry (the verdict's 're-publish at larger n_cells'
-    alternative, deferred to the next natural rebuild).
+    encoder pass, vectors are already stored) and install the expanded
+    codebook with the hot centroid replaced by its two children (child A
+    keeps the hot cell's id, child B takes max_id+1, minimizing churn).
+
+    PARTITION-LOCAL (round-11 verdict item 5 — the prior implementation
+    republished the ENTIRE store per split, a full rewrite at 100 TB for
+    one hot cell): the stored-cell == argmax-nearest invariant bounds
+    which rows can move. A row OUTSIDE the hot cell was argmax at its
+    stored centroid over the old codebook, and the new codebook differs
+    only in the hot slot — so it either stays put or moves to a CHILD;
+    it can never migrate between untouched cells. One full-scan argmax
+    COMPARE (compute only — `_tag_cells` at the new codebook vs the
+    stored cell, no shuffle) finds the movers; the rewrite set is the
+    hot cell's dir, child B's dir, and exactly the dirs that lose a row
+    to a child (plus any dir a hot-cell row re-assigns into) — the
+    `_partitioned_refresh` core rewrites those and ONLY those, with
+    every untouched cell dir byte-invariant (pinned by test). For
+    residual-IVFADC stores all old hot-cell rows join the batch even
+    when their cell id is unchanged: child A's centroid moved, so their
+    residual codes must re-encode. The expanded codebook, the layout,
+    and the `+split` manifest identity swap in the SAME journal as the
+    partition dirs — a reopen sees wholly-old or wholly-new, never a
+    mixed codebook.
+
+    Governance stamps are handled by the stale-sidecar rule: the
+    journaled layout/PQ/BQ sidecars carry the old contracts STRIPPED
+    (they were measured against the pre-split codebook), and fresh
+    contracts are re-derived against the post-split artifact right after
+    the commit (derived-geometry stores only — the same condition as
+    publish). A crash between commit and re-stamp leaves a stamp-less
+    store falling back to config defaults — honest, never stale.
+
+    The `+split` manifest suffix keeps the split store a DISTINCT
+    identity, so the next geometry-derived ensure rebuilds at derived
+    geometry (the 're-publish at larger n_cells' alternative, deferred
+    to the next natural rebuild).
 
     Returns None when no cell crosses the bound; a report dict when a
     split ran (or was refused as degenerate — all members identical)."""
@@ -1106,23 +1273,150 @@ def split_hot_cell(spark: SparkSession, index_dir: str,
                      for c, v in vidx.centroids]
     new_centroids.append((new_id, children[1][1]))
     old_manifest = read_manifest(index_dir)
-    emb = vidx.vectors.drop("cell").localCheckpoint()
+    id_col, vec_col = vidx.id_col, vidx.vec_col
     pq = vidx.pq
-    publish_vector_index(
-        emb, index_dir, centroids=new_centroids,
-        id_col=vidx.id_col, vec_col=vidx.vec_col,
-        geometry=dict(vidx.geometry or {}, n_cells=len(new_centroids),
-                      split_from=hot_cell),
-        pq_cents=(pq or {}).get("n_cents"),
-        pq_subbooks=vidx.pq_subbooks if pq else None,
-        pq_residual=bool((pq or {}).get("residual")),
-        sq8=vidx.sq is not None, bq1=vidx.bq is not None)
+
+    # Movers: stored cell != argmax over the NEW codebook — plus every
+    # old hot-cell row when residual codes are attached (their centroid
+    # moved even if their cell id did not). Compute-only full scan; the
+    # REWRITE stays bounded to the dirs these rows leave or enter.
+    retagged = _tag_cells(vidx.vectors.withColumnRenamed("cell", "old_cell"),
+                          new_centroids, id_col, vec_col)
+    mover_pred = F.col("cell") != F.col("old_cell")
+    if pq is not None and pq.get("residual"):
+        mover_pred = mover_pred | (F.col("old_cell") == hot_cell)
+    changed = (retagged.filter(mover_pred)
+               .drop("cell", "old_cell").localCheckpoint())
+
+    def cell_tag(df: DataFrame) -> DataFrame:
+        return _tag_cells(df, new_centroids, id_col, vec_col)
+
+    specs = [{"table": "vectors", "live": vidx.vectors,
+              "live_path": vidx.vectors_path, "tag": cell_tag}]
+    if pq is not None:
+        subbooks = vidx.pq_subbooks
+        res_cents = new_centroids if pq.get("residual") else None
+        specs.append({
+            "table": "codes", "live": vidx.codes,
+            "live_path": vidx.codes_path,
+            "tag": lambda df: similarity.pq_encode(
+                cell_tag(df), subbooks, id_col, vec_col,
+                keep_cols=("cell",), residual_centroids=res_cents)})
+    if vidx.sq is not None:
+        specs.append({
+            "table": "sq", "live": vidx.sq_codes,
+            "live_path": vidx.sq_path,
+            "tag": lambda df: sq_quantize(cell_tag(df), id_col, vec_col,
+                                          keep_cols=("cell",))})
+    if vidx.bq is not None:
+        specs.append({
+            "table": "bq", "live": vidx.bq_codes,
+            "live_path": vidx.bq_path,
+            "tag": lambda df: bq_quantize(cell_tag(df), id_col, vec_col,
+                                          int(vidx.bq["dim"]),
+                                          keep_cols=("cell",))})
+
+    geometry = dict(vidx.geometry or {}, n_cells=len(new_centroids),
+                    split_from=hot_cell)
+    # strip pre-split governance (measured against the dead codebook)
+    geometry = {k: v for k, v in geometry.items()
+                if k != "n_probe" and not k.startswith("probe_")}
+
+    def stage_sidecars(staging: str) -> list[dict]:
+        ops: list[dict] = []
+        _cent_df(spark, new_centroids).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(staging, "centroids"))
+        ops.append({"op": "swap_dir",
+                    "src": f"{STAGING_NAME}/centroids", "dst": "centroids"})
+        with open(os.path.join(staging, VLAYOUT_NAME), "w") as fh:
+            json.dump({"n_cells": len(new_centroids), "dim": vidx.dim,
+                       "id_col": id_col, "vec_col": vec_col,
+                       "geometry": geometry}, fh)
+        ops.append({"op": "swap_file",
+                    "src": f"{STAGING_NAME}/{VLAYOUT_NAME}",
+                    "dst": VLAYOUT_NAME})
+        for name, payload in (
+                (PQ_LAYOUT_NAME,
+                 {k: v for k, v in (pq or {}).items()
+                  if not k.startswith("rerank")} if pq else None),
+                (BQ_LAYOUT_NAME,
+                 {k: v for k, v in vidx.bq.items()
+                  if not k.startswith("rerank")} if vidx.bq else None)):
+            if payload is not None:
+                with open(os.path.join(staging, name), "w") as fh:
+                    json.dump(payload, fh)
+                ops.append({"op": "swap_file",
+                            "src": f"{STAGING_NAME}/{name}", "dst": name})
+        return ops
+
+    manifest_fn = None
     if old_manifest is not None:
-        from .manifest import write_manifest
-        write_manifest(index_dir, IndexManifest(
+        split_manifest = IndexManifest(
             model_name=f"{old_manifest.model_name}+split{len(new_centroids)}",
             dim=old_manifest.dim, n_rows=old_manifest.n_rows,
-            source_files=old_manifest.source_files))
+            source_files=old_manifest.source_files)
+        manifest_fn = lambda n: split_manifest  # noqa: E731
+
+    _partitioned_refresh(
+        spark, index_dir, part_col="cell", specs=specs, id_col=id_col,
+        changed=changed, removed_ids=None, manifest=manifest_fn,
+        n_rows=total, extra_stage=stage_sidecars)
+
+    # re-derive the recall contracts against the POST-split artifact
+    # (derived-geometry stores only — the publish condition)
+    if geometry.get("derived"):
+        out = open_vector_index(spark, index_dir)
+        stored = out.vectors
+        gov = similarity.nprobe_for_recall(
+            stored.select(id_col, vec_col), new_centroids,
+            id_col=id_col, vec_col=vec_col)
+        if gov is not None:
+            _write_json_sidecar(index_dir, VLAYOUT_NAME,
+                                {"n_cells": len(new_centroids),
+                                 "dim": vidx.dim, "id_col": id_col,
+                                 "vec_col": vec_col,
+                                 "geometry": dict(geometry, **gov)})
+        n_probe = int((gov or {}).get("n_probe", 2))
+        if pq is not None:
+            rows = similarity.governed_rerank_report(
+                stored.select(id_col, vec_col), new_centroids,
+                vidx.pq_subbooks, n_probe, id_col=id_col, vec_col=vec_col,
+                codes=out.codes, residual=bool(pq.get("residual"))
+            ).collect()
+            if rows:
+                r = rows[0]
+                _write_json_sidecar(
+                    index_dir, PQ_LAYOUT_NAME,
+                    dict({k: v for k, v in pq.items()
+                          if not k.startswith("rerank")},
+                         rerank=int(r["rerank"]),
+                         rerank_target=float(r["rerank_target"]),
+                         rerank_measured=float(r["measured_rerank_recall"]),
+                         rerank_end_to_end=float(r["end_to_end_recall"]),
+                         rerank_n_probe=n_probe,
+                         rerank_sample=int(r["sample_queries"]),
+                         rerank_pairs=int(r["pairs"]),
+                         rerank_in_probe_pairs=int(r["in_probe_pairs"])))
+        if vidx.bq is not None:
+            rows = similarity.governed_bq_rerank_report(
+                stored.select(id_col, vec_col), new_centroids, n_probe,
+                id_col=id_col, vec_col=vec_col, bq_codes=out.bq_codes,
+                dim=vidx.dim).collect()
+            if rows:
+                r = rows[0]
+                _write_json_sidecar(
+                    index_dir, BQ_LAYOUT_NAME,
+                    dict({k: v for k, v in vidx.bq.items()
+                          if not k.startswith("rerank")},
+                         rerank=int(r["rerank"]),
+                         rerank_target=float(r["rerank_target"]),
+                         rerank_measured=float(r["measured_rerank_recall"]),
+                         rerank_end_to_end=float(r["end_to_end_recall"]),
+                         rerank_n_probe=n_probe,
+                         rerank_sample=int(r["sample_queries"]),
+                         rerank_pairs=int(r["pairs"]),
+                         rerank_in_probe_pairs=int(r["in_probe_pairs"])))
+
     after = cell_occupancy(open_vector_index(spark, index_dir))
     return {"split": True, "cell": hot_cell, "new_cell": new_id,
             "share_before": round(share, 6),
@@ -1214,7 +1508,8 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str,
                          part_col: str, specs: list[dict], id_col: str,
                          changed: DataFrame,
                          removed_ids: DataFrame | None,
-                         manifest, n_rows: int | None) -> None:
+                         manifest, n_rows: int | None,
+                         extra_stage=None) -> None:
     """The partition-level delta-refresh core the published stores share
     (IVF `vectors/cell=K/` [+ IVFADC `codes/cell=K/`], LSH
     `sigs/bucket=B/`): rewrite ONLY the partition directories the batch
@@ -1320,6 +1615,14 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str,
         ops.append({"op": "swap_file",
                     "src": f"{STAGING_NAME}/{MANIFEST_NAME}",
                     "dst": MANIFEST_NAME})
+
+    if extra_stage is not None:
+        # Caller-staged sidecar state that must move in the SAME journal
+        # as the partition swaps (the incremental split's expanded
+        # codebook + re-stamped layouts): extra_stage(staging_dir)
+        # writes under staging and returns the ops to append.
+        os.makedirs(staging, exist_ok=True)
+        ops += extra_stage(staging)
 
     commit(index_dir, ops)
 

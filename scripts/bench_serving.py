@@ -62,6 +62,10 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
     sq_idx = semantic.get_sq8_published_index(spark, sf_dir)
     bq_idx = semantic.get_bq_published_index(spark, sf_dir)
     assert sq_idx is not None and bq_idx is not None
+    # resident quantized point tier (round-11 verdict item 4): the same
+    # opt-in bounded discipline as the engine tiers; assert it actually
+    # enabled so the committed row never silently measures the fallback
+    assert bq_idx.enable_interactive(), "resident BQ row needs the tier"
 
     calls = {
         "hybrid_search": lambda i: engine.hybrid_search(
@@ -128,6 +132,10 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
             (i * 7) % 100, n_probe=2, k=5).collect(),
         "ann_bq_point": lambda i: bq_idx.bq_topk(
             (i * 7) % 100, n_probe=2, k=5, rerank=20).collect(),
+        # the RESIDENT twin: same rows (identity pinned by test), zero
+        # Spark jobs — xor+popcount prefilter + exact rerank in numpy
+        "ann_bq_point_resident": lambda i: bq_idx.bq_topk_point(
+            (i * 7) % 100, n_probe=2, k=5, rerank=20),
     }
     out = {}
     for name, call in calls.items():

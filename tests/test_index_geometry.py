@@ -503,3 +503,118 @@ def test_hot_cell_split_re_governs_probe_stamp(spark, tmp_path):
     assert after["probe_measured_recall"] == pytest.approx(
         fresh["measured_recall"])
     assert after["probe_pairs"] == fresh["pairs"]
+
+
+def _brute_bq_rerank(emb_rows, cents, n_probe, sample_n, truth_k, target):
+    """Per-dimension sign-mismatch twin of the BQ governance report —
+    never touches the packed representation."""
+    import math
+
+    import numpy as np
+
+    ids = [i for i, _ in emb_rows]
+    X = np.array([v for _, v in emb_rows])
+    cids = np.array([c for c, _ in cents])
+    C = np.array([v for _, v in cents])
+    cd = np.round(X @ C.T, 6)
+    assign = np.array([cids[np.lexsort((cids, -row))[0]] for row in cd])
+    S = (X > 0).astype(int)
+    aranks, total = [], 0
+    for qi in sorted(range(len(ids)), key=lambda i: ids[i])[:sample_n]:
+        q = X[qi]
+        sims = np.round(X @ q, 6)
+        nbrs = sorted((j for j in range(len(ids)) if j != qi),
+                      key=lambda j: (-sims[j], ids[j]))[:truth_k]
+        qcd = np.round(C @ q, 6)
+        probes = {int(cids[i]) for i in np.lexsort((cids, -qcd))[:n_probe]}
+        cand = [j for j in range(len(ids)) if int(assign[j]) in probes]
+        ham = {j: int((S[j] != S[qi]).sum()) for j in cand}
+        rank = {j: r + 1 for r, j in enumerate(
+            sorted(cand, key=lambda j: (ham[j], ids[j])))}
+        for j in nbrs:
+            total += 1
+            if j in rank:
+                aranks.append(rank[j])
+    aranks.sort()
+    chosen = aranks[math.ceil(target * len(aranks)) - 1]
+    from hadith_vector_search_spark.functions.vector import round6_arr
+    rec = float(round6_arr(np.array(
+        [sum(1 for a in aranks if a <= chosen) / len(aranks)]))[0])
+    e2e = float(round6_arr(np.array(
+        [sum(1 for a in aranks if a <= chosen) / total]))[0])
+    return chosen, rec, e2e, total, len(aranks)
+
+
+def test_governed_bq_rerank_report_matches_bruteforce(spark):
+    emb = _rand_emb(spark, 100)
+    cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+        similarity.data_centroids(emb, 8).collect(),
+        key=lambda r: r.cent_id)]
+    rows = sorted((r.vec_id, list(r.embedding)) for r in emb.collect())
+    rep = similarity.governed_bq_rerank_report(
+        emb, cents, n_probe=2, sample_n=10, truth_k=4,
+        target_recall=0.9).collect()[0]
+    chosen, rec, e2e, pairs, in_pairs = _brute_bq_rerank(
+        rows, cents, 2, 10, 4, 0.9)
+    assert rep["rerank"] == chosen
+    assert rep["measured_rerank_recall"] == pytest.approx(rec)
+    assert rep["end_to_end_recall"] == pytest.approx(e2e)
+    assert (rep["pairs"], rep["in_probe_pairs"]) == (pairs, in_pairs)
+    assert rep["meets_floor"] is True
+    assert rep["end_to_end_recall"] <= rep["measured_rerank_recall"]
+
+
+def test_derived_bq_publish_stamps_governed_rerank(spark, tmp_path):
+    """A derived-geometry publish WITH the BQ tier stamps the Hamming
+    rerank contract in the BQ sidecar, measured at the store's governed
+    n_probe; a reopened store resolves bq_topk(rerank=None) to it."""
+    emb = _rand_emb(spark, 140)
+    src = str(tmp_path / "bqrr.parquet")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "bqrr_idx")
+    vidx, _ = vector_store.ensure_vector_index(
+        spark, spark.read.parquet(src), src, idx, n_cells=None,
+        bq1=True)
+    bq = vidx.bq
+    assert bq["rerank"] >= 1
+    assert bq["rerank_measured"] >= bq["rerank_target"]
+    assert bq["rerank_n_probe"] == vidx.geometry["n_probe"]
+    rows = sorted((r.vec_id, list(r.embedding)) for r in emb.collect())
+    chosen, rec, e2e, pairs, in_pairs = _brute_bq_rerank(
+        rows, vidx.centroids, bq["rerank_n_probe"],
+        similarity.DEFAULT_PROBE_SAMPLE, similarity.DEFAULT_PROBE_TRUTH_K,
+        similarity.DEFAULT_RECALL_TARGET)
+    assert bq["rerank"] == chosen
+    assert bq["rerank_measured"] == pytest.approx(rec)
+    assert bq["rerank_end_to_end"] == pytest.approx(e2e)
+    assert (bq["rerank_pairs"], bq["rerank_in_probe_pairs"]) == (pairs,
+                                                                 in_pairs)
+    reopened = vector_store.open_vector_index(spark, idx)
+    assert reopened.resolve_bq_rerank(None) == chosen
+    assert reopened.resolve_bq_rerank(7) == 7
+    top = reopened.bq_topk(3, n_probe=None, k=4, rerank=None).collect()
+    assert len(top) == 4
+    sims = [r.sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    # explicit-geometry BQ stores stamp no contract -> config default
+    idx2 = str(tmp_path / "bqrr_explicit")
+    vector_store.publish_vector_index(emb, idx2, n_cells=8, bq1=True)
+    v2 = vector_store.open_vector_index(spark, idx2)
+    assert "rerank" not in v2.bq
+    assert v2.resolve_bq_rerank(None) == 20
+
+
+def test_bq_rerank_governance_query_oracle(spark, sf_dir, duck):
+    from hadith_vector_search_spark.plans import semantic
+    from hadith_vector_search_spark.testing import compare_query
+
+    diffs = compare_query(spark, duck, semantic.bq_rerank_governance,
+                          semantic.bq_rerank_governance_oracle(), sf_dir)
+    assert diffs == []
+
+
+def test_bq_pack_and_hamming_exprs_reject_empty():
+    with pytest.raises(ValueError, match="dim >= 1"):
+        similarity.bq_pack_expr("embedding", 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        similarity.bq_hamming_expr("bq", [])

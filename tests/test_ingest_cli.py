@@ -349,3 +349,106 @@ def test_ingest_split_hot_cells_flag_threads_through(spark, corpus):
     assert not any("hot-cell remediation" in ln for ln in logs), logs
     out = update_indexes(spark, table, f"{table}_indexes")
     assert out["vector"] == []
+
+
+def _tier_parity(spark, vidx):
+    """Every quantized row must equal quantizing its own stored vector
+    (per-row self-consistency of the ladder: a delta or a split can
+    never leave a code row disagreeing with its raw twin)."""
+    from hadith_vector_search_spark.sources import vector_store as vs
+
+    vecs = vidx.vectors
+    exp_bq = sorted(
+        (r[0], int(r[1]), tuple(r[2])) for r in vs.bq_quantize(
+            vecs, vidx.id_col, vidx.vec_col, vidx.dim,
+            keep_cols=("cell",)).select(
+                vidx.id_col, "cell", "bq").collect())
+    got_bq = sorted(
+        (r[0], int(r[1]), tuple(r[2])) for r in vidx.bq_codes.select(
+            vidx.id_col, "cell", "bq").collect())
+    assert got_bq == exp_bq
+    exp_sq = sorted(
+        (r[0], int(r[1]), tuple(r[2]), r[3]) for r in vs.sq_quantize(
+            vecs, vidx.id_col, vidx.vec_col, keep_cols=("cell",)).select(
+                vidx.id_col, "cell", "qcodes", "scale").collect())
+    got_sq = sorted(
+        (r[0], int(r[1]), tuple(r[2]), r[3]) for r in vidx.sq_codes.select(
+            vidx.id_col, "cell", "qcodes", "scale").collect())
+    assert got_sq == exp_sq
+
+
+def _fresh_publish_parity(spark, vidx, tmp_dir):
+    """The store's sq/bq tables must equal a FROM-SCRATCH publish of the
+    same vectors at the same codebook — the rebuild-equivalence rule
+    every delta path owes."""
+    from hadith_vector_search_spark.sources import vector_store as vs
+
+    emb = vidx.vectors.drop("cell")
+    vs.publish_vector_index(emb, tmp_dir, centroids=vidx.centroids,
+                            id_col=vidx.id_col, vec_col=vidx.vec_col,
+                            sq8=True, bq1=True)
+    fresh = vs.open_vector_index(vidx.spark, tmp_dir)
+    for table in ("bq_codes", "sq_codes", "vectors"):
+        got = sorted(map(repr, getattr(vidx, table).collect()))
+        exp = sorted(map(repr, getattr(fresh, table).collect()))
+        assert got == exp, f"{table} diverged from a from-scratch publish"
+
+
+def test_cli_store_ships_full_quantization_ladder(spark, corpus, tmp_path):
+    """Round-11 verdict item 2: the ingest CLI's durable vector store
+    carries the FULL quantization ladder (IVFADC + SQ8 + BQ) with the
+    governed-knob stamps, and a delta refresh plus a hot-cell split
+    preserve per-row and rebuild-equivalence parity on every tier."""
+    import json as _json
+
+    from hadith_vector_search_spark.sources import vector_store as vs
+
+    data, table = corpus
+    run_ingestion(spark, data, table, do_update_indexes=True,
+                  log=lambda *_: None)
+    vdir = os.path.join(f"{table}_indexes", "vector")
+    vidx = vs.open_vector_index(spark, vdir)
+    # all four tiers present, under a derived-geometry governed publish
+    assert vidx.pq is not None and vidx.sq is not None \
+        and vidx.bq is not None
+    assert "n_probe" in (vidx.geometry or {})
+    assert "rerank" in vidx.pq and "rerank" in vidx.bq
+    # the tier markers ride the staleness identity
+    mf = _json.load(open(os.path.join(vdir, "_index_manifest.json")))
+    assert "-sq8-bq1" in mf["model_name"]
+    _tier_parity(spark, vidx)
+
+    # delta refresh: change one doc, add one — the CLI's incremental path
+    _write_book(os.path.join(data, "book_2.jsonl"),
+                [{"doc_id": 100, "text": "gamma delta doc 0", "lang": "en",
+                  "source": "b2"},
+                 {"doc_id": 101, "text": "CHANGED for the ladder",
+                  "lang": "en", "source": "b2"},
+                 {"doc_id": 103, "text": "brand new ladder row",
+                  "lang": "en", "source": "b2"}])
+    run_ingestion(spark, data, table, books=["2"], do_update_indexes=True,
+                  log=lambda *_: None)
+    vidx = vs.open_vector_index(spark, vdir)
+    assert vidx.vectors.count() == 9
+    assert vidx.bq_codes.count() == 9 and vidx.sq_codes.count() == 9
+    _tier_parity(spark, vidx)
+    _fresh_publish_parity(spark, vidx, str(tmp_path / "fresh_after_delta"))
+
+    # hot-cell split: any nonempty cell crosses a 1% bound; the split
+    # republish must re-tag EVERY tier against the expanded codebook
+    report = vs.split_hot_cell(spark, vdir, share_bound=0.01)
+    assert report is not None and report.get("split") is True
+    vidx = vs.open_vector_index(spark, vdir)
+    assert vidx.bq_codes.count() == 9 and vidx.sq_codes.count() == 9
+    _tier_parity(spark, vidx)
+    _fresh_publish_parity(spark, vidx, str(tmp_path / "fresh_after_split"))
+    # served off the split store's BQ tier end to end
+    top = vidx.bq_topk(0, n_probe=1, k=3, rerank=5).collect()
+    assert len(top) >= 1 and top[0][0] == 0
+
+
+def test_cli_embed_dim_matches_semantic_constant():
+    from hadith_vector_search_spark.ingest import EMBED_DIM
+    from hadith_vector_search_spark.plans.semantic import CLI_EMBED_DIM
+
+    assert CLI_EMBED_DIM == EMBED_DIM
