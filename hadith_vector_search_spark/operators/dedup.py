@@ -307,7 +307,8 @@ def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc
                      n_hashes: int = 8, band_size: int = 2,
                      threshold: float = 0.8,
                      max_bucket: int | None = None,
-                     sharr: DataFrame | None = None) -> DataFrame:
+                     sharr: DataFrame | None = None,
+                     sigs: DataFrame | None = None) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: shingle arrays (narrow) →
     exact-set collapse (`_collapsed_shingles` — duplicate boilerplate can't
     flood band buckets) → signatures over representatives (narrow) →
@@ -325,7 +326,13 @@ def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     `sharr` accepts a prebuilt (doc_id, shingles, gkey) index frame
     (`_collapsed_shingles` output) — the persisted-shingle-index path a
     deployment uses so N dedup jobs over one corpus shingle it once
-    (see plans.dedup.get_shingle_index)."""
+    (see plans.dedup.get_shingle_index). `sigs` accepts the prebuilt
+    per-doc SIGNATURE frame on top (doc_id, h0..h{>=n-1} — the persisted
+    minhash index, plans.dedup.get_minhash_index): the pipeline then
+    semi-joins the store to the representative set instead of
+    re-hashing, and projects the first n_hashes columns (per-slice
+    minimums are independent, so a wider stored signature contains every
+    narrower one)."""
     per_doc = sharr if sharr is not None else _collapsed_shingles(
         docs, text_col, id_col)
     groups = _dup_groups(per_doc)
@@ -335,7 +342,13 @@ def near_dup_minhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         rep_sharr = (per_doc.join(groups.select(F.col("rep_id").alias("doc_id")),
                                   "doc_id", "left_semi")
                      .select("doc_id", "shingles"))
-    sigs = minhash_signatures(rep_sharr, n_hashes).localCheckpoint(eager=False)
+    if sigs is None:
+        sigs = minhash_signatures(rep_sharr, n_hashes).localCheckpoint(
+            eager=False)
+    else:
+        sigs = (sigs.select("doc_id",
+                            *[f"h{j}" for j in range(n_hashes)])
+                .join(rep_sharr.select("doc_id"), "doc_id", "left_semi"))
     cands = lsh_band_pairs(sigs, n_hashes, band_size, max_bucket)
     rep_pairs = jaccard_verify(cands, rep_sharr, threshold)
     if groups is None:

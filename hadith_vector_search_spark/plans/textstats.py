@@ -12,29 +12,51 @@ from ..operators.textstats import STOPWORDS
 from ..sources import load_table
 
 
+def get_textsignals_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-analysis signal index over `documents` — predicted
+    language + quality metrics + token-count estimators + the dedup
+    fingerprint in one wide frame, served from the published frame store
+    (round-11 verdict item 7: these per-doc derivations were recomputed
+    every session; they satisfy the store's per-doc-independence
+    contract, frame_store.py `_derive_textsignals`). The consumers below
+    aggregate over the store; their DuckDB oracles rebuild every signal
+    from raw text each gate pass, so the durable path stays
+    hash-checked. Falls back to the in-session plan when the index root
+    is unwritable (the `_frame_store_or_pin` discipline)."""
+    from ..sources import frame_store
+    from .dedup import _INDEX_CACHE, _cache_key, _frame_store_or_pin
+
+    key = _cache_key(spark, sf_dir, "textsignals")
+    if key not in _INDEX_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _INDEX_CACHE[key] = _frame_store_or_pin(
+            spark, sf_dir, "textsignals", {"v": 1}, "textsignals",
+            lambda: frame_store._derive_textsignals(docs, {}))
+    return _INDEX_CACHE[key]
+
+
 def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confusion matrix of labeled vs heuristic-predicted language."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        textstats.with_predicted_lang(docs.select("lang", "text"))
-        .groupBy("lang", "predicted")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    """Confusion matrix of labeled vs heuristic-predicted language —
+    one grouped count over the published signal store."""
+    sig = get_textsignals_index(spark, sf_dir)
+    return (sig.groupBy("lang", "predicted")
+            .agg(F.count(F.lit(1)).alias("n")))
 
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return textstats.quality_metrics(docs)
+    sig = get_textsignals_index(spark, sf_dir)
+    return sig.select("doc_id", "n_chars_computed", "n_tokens",
+                      "mean_token_len", "punct_ratio", "digit_ratio",
+                      "stopword_ratio", "quality")
 
 
 def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source token-count roll-up: counts and `source` come out of ONE
-    projection over the scan (no self-join), then a single partial-agg
-    shuffle on source."""
-    docs = load_table(spark, sf_dir, "documents")
-    per_doc = textstats.token_counts(docs, keep=("source",))
+    """Per-source token-count roll-up: one partial-agg shuffle on source
+    over the published signal store (the tokenize pass was paid once at
+    publish)."""
+    sig = get_textsignals_index(spark, sf_dir)
     return (
-        per_doc.groupBy("source")
+        sig.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("ws_tokens").alias("ws_tokens"),
@@ -45,8 +67,8 @@ def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return textstats.fingerprint(docs)
+    sig = get_textsignals_index(spark, sf_dir)
+    return sig.select("doc_id", "fingerprint")
 
 
 def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

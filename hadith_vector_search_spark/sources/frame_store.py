@@ -69,6 +69,39 @@ def _derive_winnow(docs: DataFrame, params: dict) -> DataFrame:
     return sel.select("doc_id", "n_windows", "_sel").distinct()
 
 
+def _derive_minhash(docs: DataFrame, params: dict) -> DataFrame:
+    """Per-doc minhash SIGNATURES (round-11 verdict item 7: the shingle
+    frame was durable but the signature table on top was recomputed per
+    session): h0..h{n-1} minimums over the doc's own shingle digests —
+    per-doc independent because the signature is a pure function of the
+    doc's text. One store at the widest consumer's n_hashes serves
+    narrower consumers too: per-slice minimums are independent, so
+    h0..h{k-1} of an n-hash signature IS the k-hash signature."""
+    sharr = dedup._collapsed_shingles_lazy(docs, "text", "doc_id",
+                                           int(params["w"]))
+    return dedup.minhash_signatures(sharr.select("doc_id", "shingles"),
+                                    int(params["n_hashes"]))
+
+
+def _derive_textsignals(docs: DataFrame, params: dict) -> DataFrame:
+    """Per-doc text-analysis signals (round-11 verdict item 7's second
+    family): predicted language, quality metrics, token-count
+    estimators, and the exact-dedup fingerprint in ONE wide per-doc
+    frame — every column a pure function of the doc's own text (the
+    corpus-global layers on top — NB training, KL/PSI drift — stay
+    in-plan, exactly the registry's per-doc-independence contract). The
+    cleaning/funnel/profile consumers aggregate over this store instead
+    of re-paying the tokenize/regex pass per session."""
+    from ..operators import textstats
+
+    pred = textstats.with_predicted_lang(docs)
+    qm = textstats.quality_metrics(pred, keep=("lang", "source",
+                                               "predicted"))
+    tc = textstats.token_counts(docs)
+    fp = textstats.fingerprint(docs)
+    return qm.join(tc, "doc_id").join(fp, "doc_id")
+
+
 # name -> (docs, params) -> per-doc derived rows (must include doc_id).
 # Every deriver here is per-doc independent — the property that makes
 # the shared delta refresh exact; a corpus-global derivation (df counts,
@@ -77,7 +110,17 @@ DERIVERS = {
     "shingles": _derive_shingles,
     "simhash": _derive_simhash,
     "winnow": _derive_winnow,
+    "minhash": _derive_minhash,
+    "textsignals": _derive_textsignals,
 }
+
+# Input columns each deriver reads from the corpus (the refresh core
+# projects the changed batch down to these before re-deriving); text-only
+# derivers stay on the default.
+DERIVER_INPUT_COLS = {
+    "textsignals": ("doc_id", "text", "lang", "source"),
+}
+DEFAULT_INPUT_COLS = ("doc_id", "text")
 
 
 def read_flayout(index_dir: str) -> dict:
@@ -215,7 +258,8 @@ def write_frame_refresh(spark: SparkSession, index_dir: str,
                 "live": spark.read.parquet(fidx.rows_path),
                 "live_path": fidx.rows_path, "tag": tag}],
         id_col="doc_id",
-        changed=changed_docs.select("doc_id", "text"),
+        changed=changed_docs.select(
+            *DERIVER_INPUT_COLS.get(fidx.deriver, DEFAULT_INPUT_COLS)),
         removed_ids=removed_ids,
         manifest=(None if source_path is None else
                   lambda n: frame_manifest(source_path, n_docs, fidx.deriver,

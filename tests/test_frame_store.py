@@ -153,3 +153,100 @@ def test_getters_serve_from_store_and_reuse(spark, tmp_path, monkeypatch,
     monkeypatch.setattr(dplans, "_INDEX_CACHE", {})
     sel = dplans.get_winnow_selection(spark, sf_dir)
     assert sel._winnow_params == (dedup.DUPSPAN_W, dedup.WINNOW_GUARANTEE)
+
+
+@pytest.mark.parametrize("deriver,params,build", [
+    ("minhash", {"w": 3, "n_hashes": 8},
+     lambda d: dedup.minhash_signatures(
+         dedup._collapsed_shingles_lazy(d, "text", "doc_id", 3)
+         .select("doc_id", "shingles"), 8)),
+])
+def test_minhash_store_matches_in_session(spark, tmp_path, deriver,
+                                          params, build):
+    idx_dir = str(tmp_path / "fs_mh")
+    docs = _corpus(spark)
+    frame_store.publish_frame_store(docs, idx_dir, deriver, params,
+                                    n_buckets=4)
+    fidx = frame_store.open_frame_store(spark, idx_dir)
+    assert _rows(fidx.rows) == _rows(build(docs))
+    # a delta refresh equals a from-scratch publish of the merged corpus
+    changed = _docs(spark, [(2, "totally different replacement body "
+                                "with many new tokens to shingle")])
+    src = str(tmp_path / "mh_src.parquet")
+    merged = docs.filter(F.col("doc_id") != 2).unionByName(changed)
+    merged.write.parquet(src)
+    fidx = frame_store.write_frame_refresh(spark, idx_dir, changed,
+                                           source_path=src, n_docs=10)
+    scratch = str(tmp_path / "fs_mh_scratch")
+    frame_store.publish_frame_store(merged, scratch, deriver, params,
+                                    n_buckets=4)
+    assert _rows(fidx.rows) == _rows(
+        frame_store.open_frame_store(spark, scratch).rows)
+
+
+def test_textsignals_store_matches_in_session(spark, tmp_path):
+    from hadith_vector_search_spark.operators import textstats
+
+    idx_dir = str(tmp_path / "fs_ts")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta the and word{i} body text", "en", "s1")
+         for i in range(6)] +
+        [(10 + i, f"la el de palabra{i} cuerpo", "es", "s2")
+         for i in range(4)],
+        "doc_id long, text string, lang string, source string")
+    frame_store.publish_frame_store(docs, idx_dir, "textsignals",
+                                    {"v": 1}, n_buckets=4)
+    fidx = frame_store.open_frame_store(spark, idx_dir)
+    assert _rows(fidx.rows) == _rows(
+        frame_store._derive_textsignals(docs, {}))
+    # wide-frame columns present for every consumer
+    cols = set(fidx.rows.columns)
+    assert {"doc_id", "lang", "source", "predicted", "quality",
+            "ws_tokens", "word_tokens", "bpe_est_tokens",
+            "fingerprint"} <= cols
+    # delta refresh == from-scratch publish of the merged corpus
+    changed = spark.createDataFrame(
+        [(1, "zzz qqq 1234 !!!", "en", "s1")],
+        "doc_id long, text string, lang string, source string")
+    src = str(tmp_path / "ts_src.parquet")
+    merged = docs.filter(F.col("doc_id") != 1).unionByName(changed)
+    merged.write.parquet(src)
+    fidx = frame_store.write_frame_refresh(
+        spark, idx_dir,
+        changed.select("doc_id", "text", "lang", "source"),
+        source_path=src, n_docs=10)
+    scratch = str(tmp_path / "fs_ts_scratch")
+    frame_store.publish_frame_store(merged, scratch, "textsignals",
+                                    {"v": 1}, n_buckets=4)
+    assert _rows(fidx.rows) == _rows(
+        frame_store.open_frame_store(spark, scratch).rows)
+
+
+def test_minhash_and_textsignal_getters_serve_from_store(
+        spark, tmp_path, monkeypatch, sf_dir):
+    from hadith_vector_search_spark.plans import dedup as dplans
+    from hadith_vector_search_spark.plans import textstats as tplans
+    from hadith_vector_search_spark.sources import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(tmp_path / "root"))
+    monkeypatch.setattr(dplans, "_INDEX_CACHE", {})
+    docs = load_table(spark, sf_dir, "documents")
+    got = dplans.get_minhash_index(spark, sf_dir)
+    want = dedup.minhash_signatures(
+        dedup._collapsed_shingles_lazy(docs, "text", "doc_id",
+                                       dedup.SHINGLE_W)
+        .select("doc_id", "shingles"), dplans.N_HASHES)
+    assert _rows(got) == _rows(want)
+    # reuse in a fresh cache epoch: rows files untouched
+    token = sf_dir.strip("/").replace("/", "_")
+    store_dir = os.path.join(
+        str(tmp_path / "root"),
+        f"{token}_minhash_n_hashes{dplans.N_HASHES}_w{dedup.SHINGLE_W}")
+    before = _file_states(os.path.join(store_dir, "rows"))
+    monkeypatch.setattr(dplans, "_INDEX_CACHE", {})
+    assert _rows(dplans.get_minhash_index(spark, sf_dir)) == _rows(want)
+    assert _file_states(os.path.join(store_dir, "rows")) == before
+
+    monkeypatch.setattr(dplans, "_INDEX_CACHE", {})
+    sig = tplans.get_textsignals_index(spark, sf_dir)
+    assert _rows(sig) == _rows(frame_store._derive_textsignals(docs, {}))
