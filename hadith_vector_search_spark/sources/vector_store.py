@@ -713,28 +713,18 @@ class PublishedVectorIndex:
         story."""
         import numpy as np
 
-        if self.bq is None:
+        if self.bq is None and self.sq is None:
             self.disable_interactive()
             return False
         n = self.vectors.count()
         if n > max_driver_rows:
             self.disable_interactive()
             return False
-        brows = sorted(self.bq_codes.select(self.id_col, "cell", "bq")
-                       .collect(), key=lambda r: r[0])
         vrows = sorted(self.vectors.select(self.id_col, self.vec_col)
                        .collect(), key=lambda r: r[0])
-        if [r[0] for r in brows] != [r[0] for r in vrows]:
-            # mid-refresh torn read can't happen (journal), but a
-            # partially-published store must not serve a mixed tier
-            self.disable_interactive()
-            return False
         order = sorted(self.centroids, key=lambda c: c[0])
-        self._resident = {
-            "ids": np.array([r[0] for r in brows]),
-            "cells": np.array([int(r[1]) for r in brows], dtype=np.int64),
-            "bqw": np.array([[int(w) for w in r[2]] for r in brows],
-                            dtype=np.int64),
+        resident = {
+            "ids": np.array([r[0] for r in vrows]),
             "mat": np.array([[float(x) for x in r[1]] for r in vrows],
                             dtype=np.float64),
             "cids": np.array([int(c) for c, _ in order], dtype=np.int64),
@@ -744,6 +734,34 @@ class PublishedVectorIndex:
             "pop8": np.array([bin(i).count("1") for i in range(256)],
                              dtype=np.uint16),
         }
+        want_ids = [r[0] for r in vrows]
+        if self.bq is not None:
+            brows = sorted(self.bq_codes.select(self.id_col, "cell", "bq")
+                           .collect(), key=lambda r: r[0])
+            if [r[0] for r in brows] != want_ids:
+                # mid-refresh torn read can't happen (journal), but a
+                # partially-published store must not serve a mixed tier
+                self.disable_interactive()
+                return False
+            resident["cells"] = np.array([int(r[1]) for r in brows],
+                                         dtype=np.int64)
+            resident["bqw"] = np.array([[int(w) for w in r[2]]
+                                        for r in brows], dtype=np.int64)
+        if self.sq is not None:
+            srows = sorted(self.sq_codes.select(self.id_col, "cell",
+                                                "qcodes", "scale")
+                           .collect(), key=lambda r: r[0])
+            if [r[0] for r in srows] != want_ids:
+                self.disable_interactive()
+                return False
+            if "cells" not in resident:
+                resident["cells"] = np.array([int(r[1]) for r in srows],
+                                             dtype=np.int64)
+            resident["sqc"] = np.array([[int(c) for c in r[2]]
+                                        for r in srows], dtype=np.float64)
+            resident["sqs"] = np.array([float(r[3]) for r in srows],
+                                       dtype=np.float64)
+        self._resident = resident
         return True
 
     def disable_interactive(self) -> None:
@@ -762,7 +780,7 @@ class PublishedVectorIndex:
         the store path (pinned by test). Falls back to collecting the
         Spark plan when the tier is not resident — graceful, never
         wrong."""
-        if self._resident is None:
+        if self._resident is None or "bqw" not in self._resident:
             return [tuple(r) for r in
                     self.bq_topk(query_id, n_probe, k, rerank).collect()]
         import numpy as np
@@ -794,6 +812,43 @@ class PublishedVectorIndex:
         return [(r["ids"][p].item() if hasattr(r["ids"][p], "item")
                  else r["ids"][p],
                  int(ham_by_pos[int(p)]), float(sim_by_pos[int(p)]))
+                for p in top.tolist()]
+
+    def sq_topk_point(self, query_id, n_probe: int | None = None,
+                      k: int = 5) -> list[tuple]:
+        """`sq_topk` served from the resident tier — the same
+        both-sides-quantized arithmetic (query int8 round-trip,
+        `code * scale / 127` dequantization, round6 dots desc /
+        lowest-id ties) with zero Spark jobs, returning (id, sim_q)
+        tuples row-identical to the store path (pinned by test). Falls
+        back to collecting the Spark plan when the tier is not
+        resident."""
+        if self._resident is None or "sqc" not in self._resident:
+            return [tuple(r) for r in
+                    self.sq_topk(query_id, n_probe, k).collect()]
+        import numpy as np
+
+        from ..functions.vector import round6_arr
+
+        r = self._resident
+        qpos = np.nonzero(r["ids"] == query_id)[0]
+        if not len(qpos):
+            raise KeyError(f"no vector for id {query_id!r}")
+        q = r["mat"][int(qpos[0])]
+        n_probe = self.resolve_probe(n_probe)
+        cd = round6_arr(r["cmat"] @ q)
+        probes = r["cids"][np.lexsort((r["cids"], -cd))[:n_probe]]
+        cand = np.nonzero(np.isin(r["cells"], probes))[0]
+        if not len(cand):
+            return []
+        qd = similarity._int8_roundtrip_np(
+            np.asarray([q], dtype=np.float64))[0]
+        deq = r["sqc"][cand] * (r["sqs"][cand, None] / 127.0)
+        sims = round6_arr(deq @ qd)
+        top = cand[np.lexsort((r["ids"][cand], -sims))[:k]]
+        sim_by_pos = dict(zip(cand.tolist(), sims.tolist()))
+        return [(r["ids"][p].item() if hasattr(r["ids"][p], "item")
+                 else r["ids"][p], float(sim_by_pos[int(p)]))
                 for p in top.tolist()]
 
     def ivf_topk(self, query_id, n_probe: int | None = 2, k: int = 5,

@@ -66,6 +66,7 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
     # opt-in bounded discipline as the engine tiers; assert it actually
     # enabled so the committed row never silently measures the fallback
     assert bq_idx.enable_interactive(), "resident BQ row needs the tier"
+    assert sq_idx.enable_interactive(), "resident SQ8 row needs the tier"
 
     calls = {
         "hybrid_search": lambda i: engine.hybrid_search(
@@ -136,6 +137,8 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
         # Spark jobs — xor+popcount prefilter + exact rerank in numpy
         "ann_bq_point_resident": lambda i: bq_idx.bq_topk_point(
             (i * 7) % 100, n_probe=2, k=5, rerank=20),
+        "ann_sq8_point_resident": lambda i: sq_idx.sq_topk_point(
+            (i * 7) % 100, n_probe=2, k=5),
     }
     out = {}
     for name, call in calls.items():

@@ -1271,3 +1271,36 @@ def test_incremental_split_byte_invariance_and_republish_parity(
     # store here: both sidecars must carry no rerank stamp)
     assert "rerank" not in (out.pq or {})
     assert "rerank" not in (out.bq or {})
+
+
+def test_sq8_resident_point_tier_row_identity(spark, tmp_path):
+    """The SQ8 resident twin (enable_interactive on a store carrying the
+    int8 tier) returns ROW-IDENTICAL results to sq_topk at every
+    geometry, and a BQ-less SQ8-only store can still enable the tier."""
+    idx = str(tmp_path / "vecsq_res")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS, sq8=True)
+    vidx = vector_store.open_vector_index(spark, idx)
+    # fallback BEFORE enabling collects the Spark plan
+    assert vidx.sq_topk_point(3, 2, 4) == [
+        tuple(r) for r in vidx.sq_topk(3, 2, 4).collect()]
+    assert vidx.enable_interactive()  # SQ8-only store: tier still enables
+    for qid in (0, 3, 7, 19):
+        for n_probe, k in ((1, 3), (2, 4), (N_CELLS, 5), (None, 5)):
+            got = vidx.sq_topk_point(qid, n_probe, k)
+            want = [tuple(r) for r in
+                    vidx.sq_topk(qid, n_probe, k).collect()]
+            assert got == want, (qid, n_probe, k)
+    # the BQ point call on an SQ8-only resident store falls back cleanly
+    with pytest.raises(ValueError, match="no BQ"):
+        vidx.bq_topk_point(3, 2, 4, 8)
+    # full-ladder store: both resident tiers serve side by side
+    idx2 = str(tmp_path / "vecboth_res")
+    vector_store.publish_vector_index(emb, idx2, n_cells=N_CELLS,
+                                      sq8=True, bq1=True)
+    v2 = vector_store.open_vector_index(spark, idx2)
+    assert v2.enable_interactive()
+    assert v2.sq_topk_point(5, 2, 4) == [
+        tuple(r) for r in v2.sq_topk(5, 2, 4).collect()]
+    assert v2.bq_topk_point(5, 2, 4, 8) == [
+        tuple(r) for r in v2.bq_topk(5, 2, 4, 8).collect()]
