@@ -105,6 +105,12 @@ def main() -> None:
         dedup_plans.get_simhash_index(spark, sf_dir, dedup_plans.SIMHASH_BITS)
         dedup_plans.get_window_index(spark, sf_dir)
         dedup_plans.get_winnow_selection(spark, sf_dir)
+        # round-12 frame stores: the minhash signature table and the
+        # per-doc text-signal frame are the same once-per-snapshot
+        # artifacts (manifest-gated publish)
+        dedup_plans.get_minhash_index(spark, sf_dir)
+        from hadith_vector_search_spark.plans import textstats as ts_plans
+        ts_plans.get_textsignals_index(spark, sf_dir)
         from hadith_vector_search_spark.plans import semantic as sem_plans
         sem_plans.get_vector_lsh_index(spark, sf_dir)
         # the trained IVF codebook is likewise persisted next to the
