@@ -173,7 +173,9 @@ def _vector_index_build(spark: SparkSession, table_path: str, out_dir: str) -> N
     from .operators.similarity import index_geometry, kmeans_centroids
     from .sources.vector_store import publish_vector_index
 
-    docs = spark.read.parquet(table_path)
+    from .operators.embedder import spread_for_encode
+
+    docs = spread_for_encode(spark.read.parquet(table_path))
     emb = docs.select("doc_id", embed_column("text", EMBED_DIM,
                                              backend="hash")
                       .alias("embedding")).localCheckpoint()
@@ -275,7 +277,9 @@ def _lsh_index_build(spark: SparkSession, table_path: str, out_dir: str) -> None
     from .operators.similarity import scaled_band_bits
     from .sources.vector_store import publish_lsh_index
 
-    docs = spark.read.parquet(table_path)
+    from .operators.embedder import spread_for_encode
+
+    docs = spread_for_encode(spark.read.parquet(table_path))
     emb = docs.select("doc_id", embed_column("text", EMBED_DIM,
                                              backend="hash")
                       .alias("embedding")).localCheckpoint()

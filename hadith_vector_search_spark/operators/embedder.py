@@ -210,6 +210,24 @@ def embed_column(text_col: Column | str, dim: int = DEFAULT_DIM,
     return make_embedder(dim, backend, normalize)(c)
 
 
+def spread_for_encode(df):
+    """Repartition a frame about to flow into `embed_column` so the
+    encoder saturates the executor threads REGARDLESS of the input file
+    layout: a single-file parquet scan yields ONE input partition, and
+    an Arrow UDF over one partition is a single-core pass (measured
+    round 12: the sf1 CLI publish spent minutes embedding 50k docs on 1
+    of 32 threads while 31 idled). The shuffle moves only the (id,
+    text) bytes — the encode dominates it by orders of magnitude; on a
+    lake the same spread comes free from `maxPartitionBytes` over many
+    files, so this is a small-input guard, skipped (no shuffle) when
+    the scan already carries enough partitions. Embedding is per-row
+    deterministic, so partitioning cannot change any value."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def encode_query(text: str, dim: int = DEFAULT_DIM, backend: str = "auto",
                  normalize: bool = True) -> list[float]:
     """V2: driver-side single-query embedding with the same model — becomes

@@ -206,9 +206,13 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum-driven incremental ingest (mcp_server/apps/ingestion.py's
     changed-docs flow) extended to NEAR-duplicate semantics."""
     sharr = get_shingle_index(spark, sf_dir)
+    # both sides slice the PUBLISHED signature store (round-12: the
+    # corpus side of the incremental check is exactly the persisted
+    # band-index table a deployment probes — no per-session re-hash)
+    sigs = get_minhash_index(spark, sf_dir)
     is_new = (F.col("doc_id") % INCR_MOD) == INCR_REM
-    sigs_new = dedup.minhash_signatures(sharr.filter(is_new), N_HASHES)
-    sigs_old = dedup.minhash_signatures(sharr.filter(~is_new), N_HASHES)
+    sigs_new = sigs.filter(is_new)
+    sigs_old = sigs.filter(~is_new)
     cands = (dedup.lsh_band_join(sigs_new, sigs_old, N_HASHES, BAND_SIZE)
              .select(F.col("new_id").alias("id_a"),
                      F.col("old_id").alias("id_b")))

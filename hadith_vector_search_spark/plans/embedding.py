@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_SPLIT_RE
 from ..functions.vector import dot, norm, vector_lit
-from ..operators.embedder import _HEX_PER_DIGEST, embed_column, encode_query
+from ..operators.embedder import (_HEX_PER_DIGEST, embed_column,
+                                  encode_query, spread_for_encode)
 from ..sources import load_table
 
 DIM = 384
@@ -38,7 +39,7 @@ def embed_documents_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emitted exploded as (doc_id, dim, value) rather than a raw
     array<double> column: the correctness harness canonicalizes results
     through pandas, which cannot sort/hash list cells."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_encode(load_table(spark, sf_dir, "documents"))
     emb = embed_column("text", DIM, backend="hash")
     return docs.select(
         "doc_id",
@@ -57,7 +58,7 @@ def embed_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     one divide — bit-identical between Spark's fold and DuckDB's SUM at
     384 dims, where a normalized-vector dot would depend on summation
     order at the last ulp."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_encode(load_table(spark, sf_dir, "documents"))
     q_raw = encode_query(QUERY_TEXT, DIM, backend="hash", normalize=False)
     qn = math.sqrt(sum(t * t for t in q_raw))
     raw = embed_column("text", DIM, backend="hash", normalize=False)
@@ -170,7 +171,7 @@ def embed_chunks_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < CHUNK_EMBED_MAX_DOC))
-    chunks = chunk_documents(docs)
+    chunks = spread_for_encode(chunk_documents(docs))
     emb = embed_column("chunk_text", DIM, backend="hash")
     return chunks.select(
         "doc_id", "chunk_id",

@@ -1838,10 +1838,12 @@ def ann_topk_bq_cli_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot as vdot
     from ..functions.vector import norm as vnorm
     from ..functions.vector import vector_lit
-    from ..operators.embedder import embed_column, encode_query
+    from ..operators.embedder import (embed_column, encode_query,
+                                      spread_for_encode)
 
     docs = load_table(spark, sf_dir, "documents")
     q_text = docs.filter(F.col("doc_id") == 0).select("text").collect()[0][0]
+    docs = spread_for_encode(docs)
     q_raw = encode_query(q_text, CLI_EMBED_DIM, backend="hash",
                          normalize=False)
     qn = _math.sqrt(sum(t * t for t in q_raw))

@@ -336,3 +336,18 @@ def test_real_model_publish_reopen_search_rehearsal(spark, tmp_path):
     hits = engine.hybrid_search("restraining rage and anger", 3).collect()
     assert hits, "real-model hybrid search returned nothing"
     assert hits[0].doc_id == 2  # semantic match, partial token overlap
+
+
+def test_spread_for_encode_guards_single_file_scans(spark):
+    from hadith_vector_search_spark.operators.embedder import \
+        spread_for_encode
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.createDataFrame([(i, f"t{i}") for i in range(40)],
+                                "doc_id long, text string").coalesce(1)
+    spread = spread_for_encode(one)
+    assert spread.rdd.getNumPartitions() == par
+    assert sorted(tuple(r) for r in spread.collect()) == \
+        sorted(tuple(r) for r in one.collect())
+    wide = one.repartition(par)
+    assert spread_for_encode(wide) is wide  # already parallel: no shuffle

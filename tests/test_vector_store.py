@@ -1304,3 +1304,56 @@ def test_sq8_resident_point_tier_row_identity(spark, tmp_path):
         tuple(r) for r in v2.sq_topk(5, 2, 4).collect()]
     assert v2.bq_topk_point(5, 2, 4, 8) == [
         tuple(r) for r in v2.bq_topk(5, 2, 4, 8).collect()]
+
+
+def test_split_crash_mid_commit_recovers_whole_epoch(spark, tmp_path,
+                                                     monkeypatch):
+    """Kill during the incremental split's journal replay: the next open
+    rolls FORWARD to the WHOLE post-split epoch — re-tagged partition
+    dirs, the EXPANDED codebook, the layout, and the +split manifest all
+    land together (one journal), so a reopen can never pair old
+    centroids with split cells or vice versa."""
+    idx = str(tmp_path / "vecsplit_kill")
+    rows = [(i, _vec(i)) for i in range(4)]
+    rows += [(10 + i, _jitter_vec(0, i)) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vector_store.publish_vector_index(emb, idx, n_cells=4, bq1=True)
+    from hadith_vector_search_spark.sources.manifest import (IndexManifest,
+                                                             write_manifest)
+    write_manifest(idx, IndexManifest(model_name="kill-v1", dim=DIM,
+                                      n_rows=34, source_files={}))
+
+    def partial(store_dir, ops):
+        assert ops
+        commitlog._apply_op(store_dir, ops[0])
+        raise RuntimeError("killed mid-commit")
+
+    monkeypatch.setattr(commitlog, "_apply_ops", partial)
+    with pytest.raises(RuntimeError):
+        vector_store.split_hot_cell(spark, idx, share_bound=0.5)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(idx, vector_store.JOURNAL_NAME))
+
+    out = vector_store.open_vector_index(spark, idx)  # rolls forward
+    assert not os.path.exists(os.path.join(idx, vector_store.JOURNAL_NAME))
+    assert out.n_cells == 5 and len(out.centroids) == 5
+    # argmax invariant against the EXPANDED codebook, store-wide
+    stored = sorted((r.vec_id, r.cell) for r in
+                    out.vectors.select("vec_id", "cell").collect())
+    recomputed = sorted(
+        (r.vec_id, r.cell) for r in out.vectors.drop("cell")
+        .select("vec_id", similarity.cell_of(out.centroids).alias("cell"))
+        .collect())
+    assert stored == recomputed
+    # BQ tier moved in the same epoch: every code row matches its vector
+    bq = {r.vec_id: (list(r.bq), r.cell) for r in out.bq_codes.collect()}
+    raw = {r.vec_id: (list(r.embedding), r.cell)
+           for r in out.vectors.collect()}
+    assert set(bq) == set(raw)
+    import numpy as np
+    for vid, (words, cell) in bq.items():
+        assert cell == raw[vid][1]
+        assert words == similarity.bq_pack_np(
+            np.asarray(raw[vid][0], dtype=np.float64))
+    from hadith_vector_search_spark.sources.manifest import read_manifest
+    assert read_manifest(idx).model_name == "kill-v1+split5"
