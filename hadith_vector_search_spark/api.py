@@ -1087,8 +1087,13 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
     @property
     def emb(self) -> DataFrame:
         if self._emb is None:
+            from .operators.embedder import spread_for_encode
+
+            # spread before the encode: a single-file corpus scan would
+            # otherwise serialize the Arrow encoder onto one core
+            # (operators.embedder.spread_for_encode)
             self._emb = (
-                self.docs.select(
+                spread_for_encode(self.docs).select(
                     F.col(self.id_col),
                     embed_column(F.col(self.text_col), self.dim).alias("embedding"))
                 .localCheckpoint())
