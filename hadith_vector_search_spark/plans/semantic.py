@@ -469,30 +469,45 @@ def bq_batch_published(spark: SparkSession, sf_dir: str,
 
     from ..sources.vector_store import select_probes_batch
 
-    vidx = get_bq_published_index(spark, sf_dir)
-    if vidx is None:
-        # Read-only index root: per-query storeless compose, unioned.
-        out = None
-        for qid in range(n_queries):
-            one = _bq_storeless_one(spark, sf_dir, qid)
-            one = one.select(F.lit(qid).cast("long").alias("query_id"),
-                             "vec_id", "hamming", "sim")
-            out = one if out is None else out.unionByName(one)
-        w0 = Window.partitionBy("query_id").orderBy(F.desc("sim"),
-                                                    F.asc("vec_id"))
-        return (out.withColumn("rank", F.row_number().over(w0))
-                .select("query_id", "vec_id", "hamming", "sim",
-                        F.col("rank").cast("int").alias("rank")))
     import numpy as np
 
     from ..functions.vector import dot as vdot
 
-    qrows = sorted(vidx.vectors.filter(F.col("vec_id") < n_queries)
-                   .select("vec_id", "embedding").collect(),
-                   key=lambda r: r[0])
-    qvecs = [[float(x) for x in r[1]] for r in qrows]
-    probe_lists = select_probes_batch(vidx.centroids, qvecs, IVF_PROBE)
-    n_words = int(vidx.bq["words"])
+    vidx = get_bq_published_index(spark, sf_dir)
+    if vidx is None:
+        # Read-only index root: the SAME single broadcast-batch plan as
+        # the store path (round-11 review's last borderline shape — the
+        # previous fallback unioned one plan per query), with the cell
+        # tags and packed signs computed in-pass instead of scanned from
+        # the celled tables: one tagged scan, one window, one rerank —
+        # O(1) jobs in N either way.
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = [(r.cent_id, list(r.cvec)) for r in sorted(
+            similarity.data_centroids(emb, IVF_CENTROIDS).collect(),
+            key=lambda r: r.cent_id)]
+        dim = len(cents[0][1])
+        qrows = sorted(emb.filter(F.col("vec_id") < n_queries)
+                       .select("vec_id", "embedding").collect(),
+                       key=lambda r: r[0])
+        qvecs = [[float(x) for x in r[1]] for r in qrows]
+        probe_lists = select_probes_batch(cents, qvecs, IVF_PROBE)
+        n_words = -(-dim // 64)
+        tagged = (emb.select("vec_id", "embedding",
+                             similarity.cell_of(cents).alias("cell"),
+                             similarity.bq_pack_expr("embedding", dim)
+                             .alias("bq"))
+                  .localCheckpoint(eager=False))
+        bq_codes = tagged.select("vec_id", "cell", "bq")
+        raw_src = tagged.select("vec_id", "embedding", "cell")
+    else:
+        qrows = sorted(vidx.vectors.filter(F.col("vec_id") < n_queries)
+                       .select("vec_id", "embedding").collect(),
+                       key=lambda r: r[0])
+        qvecs = [[float(x) for x in r[1]] for r in qrows]
+        probe_lists = select_probes_batch(vidx.centroids, qvecs, IVF_PROBE)
+        n_words = int(vidx.bq["words"])
+        bq_codes = vidx.bq_codes
+        raw_src = vidx.vectors
     batch = [(int(r[0]), qv, [int(p) for p in ps],
               similarity.bq_pack_np(np.asarray(qv, dtype=np.float64)))
              for r, qv, ps in zip(qrows, qvecs, probe_lists)]
@@ -507,7 +522,7 @@ def bq_batch_published(spark: SparkSession, sf_dir: str,
                                 .bitwiseXOR(F.element_at("qwords", w + 1)))
     wq = Window.partitionBy("query_id").orderBy(F.asc("hamming"),
                                                 F.asc("vec_id"))
-    cands = (vidx.bq_codes.filter(F.col("cell").isin(union_probes))
+    cands = (bq_codes.filter(F.col("cell").isin(union_probes))
              .select("vec_id", "bq", F.col("cell").cast("int").alias("cell"))
              .join(F.broadcast(bdf),
                    F.array_contains(F.col("probes"), F.col("cell")))
@@ -515,7 +530,7 @@ def bq_batch_published(spark: SparkSession, sf_dir: str,
              .withColumn("hrank", F.row_number().over(wq))
              .filter(F.col("hrank") <= PQ_RERANK)
              .drop("hrank"))
-    raw = (vidx.vectors.filter(F.col("cell").isin(union_probes))
+    raw = (raw_src.filter(F.col("cell").isin(union_probes))
            .select("vec_id", "embedding"))
     w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"),
                                                 F.asc("vec_id"))

@@ -1357,3 +1357,19 @@ def test_split_crash_mid_commit_recovers_whole_epoch(spark, tmp_path,
             np.asarray(raw[vid][0], dtype=np.float64))
     from hadith_vector_search_spark.sources.manifest import read_manifest
     assert read_manifest(idx).model_name == "kill-v1+split5"
+
+
+def test_bq_batch_storeless_fallback_matches_store_path(
+        spark, sf_dir, monkeypatch):
+    """Read-only index root: the storeless BQ batch compose (in-pass
+    cell tags + packed signs, ONE broadcast-batch plan — no per-query
+    unions) returns exactly the store path's rows."""
+    from hadith_vector_search_spark.plans import semantic
+
+    want = sorted(map(tuple, semantic.bq_batch_published(
+        spark, sf_dir, 4).collect()))
+    monkeypatch.setattr(semantic, "get_bq_published_index",
+                        lambda *_: None)
+    got = sorted(map(tuple, semantic.bq_batch_published(
+        spark, sf_dir, 4).collect()))
+    assert got == want
