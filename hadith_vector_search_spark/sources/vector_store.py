@@ -713,7 +713,7 @@ class PublishedVectorIndex:
         story."""
         import numpy as np
 
-        if self.bq is None and self.sq is None:
+        if self.bq is None and self.sq is None and self.pq is None:
             self.disable_interactive()
             return False
         n = self.vectors.count()
@@ -761,6 +761,20 @@ class PublishedVectorIndex:
                                         for r in srows], dtype=np.float64)
             resident["sqs"] = np.array([float(r[3]) for r in srows],
                                        dtype=np.float64)
+        if self.pq is not None:
+            m = int(self.pq["m"])
+            crows = sorted(self.codes.select(
+                self.id_col, "cell",
+                *[f"code_{i}" for i in range(m)]).collect(),
+                key=lambda r: r[0])
+            if [r[0] for r in crows] != want_ids:
+                self.disable_interactive()
+                return False
+            if "cells" not in resident:
+                resident["cells"] = np.array([int(r[1]) for r in crows],
+                                             dtype=np.int64)
+            resident["pqc"] = np.array([[int(r[2 + i]) for i in range(m)]
+                                        for r in crows], dtype=np.int64)
         self._resident = resident
         return True
 
@@ -849,6 +863,58 @@ class PublishedVectorIndex:
         sim_by_pos = dict(zip(cand.tolist(), sims.tolist()))
         return [(r["ids"][p].item() if hasattr(r["ids"][p], "item")
                  else r["ids"][p], float(sim_by_pos[int(p)]))
+                for p in top.tolist()]
+
+    def ivfpq_topk_point(self, query_id, n_probe: int | None = None,
+                         k: int = 5,
+                         rerank: int | None = None) -> list[tuple]:
+        """`ivfpq_topk` served from the resident tier — same ADC
+        arithmetic (per-subspace LUT gathers summed left-to-right,
+        residual cell dot added OUTSIDE the subspace sum, round6; ADC
+        desc / lowest-id prefilter at the GOVERNED rerank depth; exact
+        round6 rerank) with zero Spark jobs, returning
+        (id, adc_sim, sim) tuples row-identical to the store path
+        (pinned by test). Falls back to collecting the Spark plan when
+        the tier is not resident."""
+        if self._resident is None or "pqc" not in self._resident:
+            return [tuple(r) for r in
+                    self.ivfpq_topk(query_id, n_probe, k,
+                                    rerank).collect()]
+        import numpy as np
+
+        from ..functions.vector import round6_arr
+
+        r = self._resident
+        qpos = np.nonzero(r["ids"] == query_id)[0]
+        if not len(qpos):
+            raise KeyError(f"no vector for id {query_id!r}")
+        q = r["mat"][int(qpos[0])]
+        n_probe = self.resolve_probe(n_probe)
+        rerank = self.resolve_rerank(rerank)
+        cd = round6_arr(r["cmat"] @ q)
+        probes = r["cids"][np.lexsort((r["cids"], -cd))[:n_probe]]
+        cand = np.nonzero(np.isin(r["cells"], probes))[0]
+        if not len(cand):
+            return []
+        luts = similarity.pq_adc_luts(self.pq_subbooks,
+                                      [float(x) for x in q])
+        t = luts[0][r["pqc"][cand, 0]]
+        for m in range(1, len(luts)):
+            t = t + luts[m][r["pqc"][cand, m]]
+        if self.pq.get("residual"):
+            # residual ADC = dot(q, centroid_cell) + (t0 + t1) — the
+            # same association as pq_adc_expr's cell_term + total
+            cell_dots = r["cmat"] @ q
+            t = cell_dots[np.searchsorted(r["cids"], r["cells"][cand])] + t
+        adc = round6_arr(t)
+        keep = cand[np.lexsort((r["ids"][cand], -adc))[:rerank]]
+        adc_by_pos = dict(zip(cand.tolist(), adc.tolist()))
+        sims = round6_arr(r["mat"][keep] @ q)
+        top = keep[np.lexsort((r["ids"][keep], -sims))[:k]]
+        sim_by_pos = dict(zip(keep.tolist(), sims.tolist()))
+        return [(r["ids"][p].item() if hasattr(r["ids"][p], "item")
+                 else r["ids"][p],
+                 float(adc_by_pos[int(p)]), float(sim_by_pos[int(p)]))
                 for p in top.tolist()]
 
     def ivf_topk(self, query_id, n_probe: int | None = 2, k: int = 5,

@@ -61,7 +61,10 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
     # reopened quantized-tier store handles for the point-serving rows
     sq_idx = semantic.get_sq8_published_index(spark, sf_dir)
     bq_idx = semantic.get_bq_published_index(spark, sf_dir)
+    pq_idx = semantic.get_ivfpq_published_index(spark, sf_dir)
     assert sq_idx is not None and bq_idx is not None
+    assert pq_idx is not None
+    assert pq_idx.enable_interactive(), "resident PQ row needs the tier"
     # resident quantized point tier (round-11 verdict item 4): the same
     # opt-in bounded discipline as the engine tiers; assert it actually
     # enabled so the committed row never silently measures the fallback
@@ -139,6 +142,8 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
             (i * 7) % 100, n_probe=2, k=5, rerank=20),
         "ann_sq8_point_resident": lambda i: sq_idx.sq_topk_point(
             (i * 7) % 100, n_probe=2, k=5),
+        "ann_pq_point_resident": lambda i: pq_idx.ivfpq_topk_point(
+            (i * 7) % 100, n_probe=2, k=5, rerank=20),
     }
     out = {}
     for name, call in calls.items():

@@ -1373,3 +1373,27 @@ def test_bq_batch_storeless_fallback_matches_store_path(
     got = sorted(map(tuple, semantic.bq_batch_published(
         spark, sf_dir, 4).collect()))
     assert got == want
+
+
+def test_ivfpq_resident_point_tier_row_identity(spark, tmp_path):
+    """The IVFADC resident twin returns ROW-IDENTICAL results to
+    ivfpq_topk at every geometry, for both plain and RESIDUAL code
+    tables (the cell-dot association is part of the contract)."""
+    emb = _emb(spark, IDS)
+    for residual in (False, True):
+        idx = str(tmp_path / f"vecpq_res_{int(residual)}")
+        vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS,
+                                          pq_cents=PQ_CENTS,
+                                          pq_residual=residual)
+        vidx = vector_store.open_vector_index(spark, idx)
+        assert vidx.ivfpq_topk_point(3, 2, 4, 8) == [
+            tuple(r) for r in vidx.ivfpq_topk(3, 2, 4, 8).collect()]
+        assert vidx.enable_interactive()  # PQ-only store qualifies
+        for qid in (0, 3, 19):
+            for n_probe, k, rerank in ((1, 3, 5), (2, 4, 8),
+                                       (N_CELLS, 5, 50), (None, 4, None)):
+                got = vidx.ivfpq_topk_point(qid, n_probe, k, rerank)
+                want = [tuple(r) for r in
+                        vidx.ivfpq_topk(qid, n_probe, k,
+                                        rerank).collect()]
+                assert got == want, (residual, qid, n_probe, k, rerank)
