@@ -444,6 +444,29 @@ def ann_topk_bq_published(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bq_storeless_one(spark, sf_dir, QUERY_VEC_ID)
 
 
+def ann_topk_bq_resident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIDENT BQ point tier under the external hash gate: enable
+    the driver-resident tier on the published store and serve
+    `bq_topk_point` — numpy xor+popcount prefilter + exact rerank, zero
+    Spark jobs (SERVING_LATENCY.md round 12: p50 0.3 ms vs the ~0.9 s
+    two-job store path) — then re-enter the rows as a local relation so
+    the SAME DuckDB oracle that replays the store path from raw vectors
+    (per-dimension sign mismatches, never the packed representation)
+    value-hash-checks the resident arithmetic too. Falls back to the
+    store/storeless plan when the tier cannot enable (unwritable root,
+    bounds) — same rows either way, which is exactly the contract."""
+    vidx = get_bq_published_index(spark, sf_dir)
+    if vidx is None:
+        return _bq_storeless_one(spark, sf_dir, QUERY_VEC_ID)
+    if vidx.enable_interactive():
+        rows = vidx.bq_topk_point(QUERY_VEC_ID, IVF_PROBE, ANN_K,
+                                  PQ_RERANK)
+        return spark.createDataFrame(
+            [(int(i), int(h), float(s)) for i, h, s in rows],
+            "vec_id long, hamming int, sim double")
+    return vidx.bq_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K, PQ_RERANK)
+
+
 def ann_topk_bq_batch_published(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """The registered driver-SF form of `bq_batch_published` (the oracle

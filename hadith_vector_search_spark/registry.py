@@ -175,6 +175,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivfpq_kmeans_published":
         semantic.ann_topk_ivfpq_kmeans_published,
     "ann_topk_bq_cli_store": semantic.ann_topk_bq_cli_store,
+    "ann_topk_bq_resident": semantic.ann_topk_bq_resident,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
@@ -338,6 +339,9 @@ oracle("ann_topk_sq8_published", semantic.ann_topk_sq8_published_oracle())
 oracle("ann_topk_bq_published", semantic.ann_topk_bq_published_oracle())
 oracle("ann_topk_bq_batch_published",
        semantic.ann_topk_bq_batch_published_oracle())
+# the driver-resident point tier lands on the SAME raw-vector replay as
+# the store path — the numpy xor+popcount arithmetic is hash-checked
+oracle("ann_topk_bq_resident", semantic.ann_topk_bq_published_oracle())
 # the CLI-built full-ladder store's BQ tier at its governed defaults:
 # the oracle recomputes the exact top-k from RAW TEXT (md5 sign replay)
 # and asserts the recall floor
