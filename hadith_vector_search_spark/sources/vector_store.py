@@ -1326,6 +1326,64 @@ def cell_occupancy(vidx: PublishedVectorIndex) -> list[tuple[int, int]]:
                   .agg(F.count(F.lit(1)).alias("n")).collect())
 
 
+def export_vectors_binary(spark: SparkSession, index_dir: str,
+                          out_dir: str,
+                          batch_rows: int = 65536) -> dict:
+    """Export a published store's raw vectors as the flat binary layout
+    a graph-ANN point-serving service (hnswlib et al. — the reference
+    serves from hnswlib, /root/reference/mcp_server/apps/embeddings.py:
+    224-228) bulk-loads: `vectors.f32` (row-major float32, id-ascending),
+    `ids.bin` (int64 LE, same order), `export_manifest.json` (count,
+    dim, dtypes, and the source store's model identity so the serving
+    side can gate staleness exactly as this engine does). Streams
+    through `toLocalIterator` in bounded batches — driver memory is
+    O(batch_rows x dim), never corpus-sized. This is deliberately an
+    EXPORT, not an in-engine graph index: IVF-family partition-pruned
+    stores are the Spark-native answer at lake scale, and real-time
+    graph serving belongs to external infrastructure — at that scale
+    the service bulk-loads from the parquet store directly and this
+    utility is the single-node convenience. Returns the manifest
+    payload."""
+    import struct
+
+    import numpy as np
+
+    vidx = open_vector_index(spark, index_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    rows = (vidx.vectors.select(vidx.id_col, vidx.vec_col)
+            .orderBy(F.asc(vidx.id_col)))
+    with open(os.path.join(out_dir, "vectors.f32"), "wb") as vf, \
+            open(os.path.join(out_dir, "ids.bin"), "wb") as idf:
+        ids_buf, vec_buf = [], []
+
+        def flush():
+            nonlocal ids_buf, vec_buf
+            if not ids_buf:
+                return
+            idf.write(struct.pack(f"<{len(ids_buf)}q", *ids_buf))
+            vf.write(np.asarray(vec_buf, dtype="<f4").tobytes())
+            ids_buf, vec_buf = [], []
+
+        for r in rows.toLocalIterator():
+            ids_buf.append(int(r[0]))
+            vec_buf.append([float(x) for x in r[1]])
+            n += 1
+            if len(ids_buf) >= batch_rows:
+                flush()
+        flush()
+    mf = read_manifest(index_dir)
+    payload = {"count": n, "dim": vidx.dim,
+               "vectors_dtype": "float32_le_rowmajor",
+               "ids_dtype": "int64_le",
+               "source_index": os.path.abspath(index_dir),
+               "model_name": mf.model_name if mf else None,
+               "space_hint": "ip"}
+    with open(os.path.join(out_dir, "export_manifest.json"), "w") as fh:
+        json.dump(payload, fh)
+    return payload
+
+
 def split_hot_cell(spark: SparkSession, index_dir: str,
                    share_bound: float) -> dict | None:
     """Hot-cell remediation (round-10 verdict item 6: the engine

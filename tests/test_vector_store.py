@@ -1397,3 +1397,40 @@ def test_ivfpq_resident_point_tier_row_identity(spark, tmp_path):
                         vidx.ivfpq_topk(qid, n_probe, k,
                                         rerank).collect()]
                 assert got == want, (residual, qid, n_probe, k, rerank)
+
+
+def test_export_vectors_binary_roundtrip(spark, tmp_path):
+    """The hnsw-shaped export round-trips: float32 row-major vectors in
+    id order + int64 ids + a manifest carrying the store identity,
+    streamed in bounded batches (batch_rows smaller than the corpus)."""
+    import json as _json
+    import struct
+
+    import numpy as np
+
+    idx = str(tmp_path / "vec_export")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS)
+    from hadith_vector_search_spark.sources.manifest import (IndexManifest,
+                                                             write_manifest)
+    write_manifest(idx, IndexManifest(model_name="exp-v1", dim=DIM,
+                                      n_rows=len(IDS), source_files={}))
+    out = str(tmp_path / "hnsw_out")
+    payload = vector_store.export_vectors_binary(spark, idx, out,
+                                                 batch_rows=7)
+    assert payload["count"] == len(IDS) and payload["dim"] == DIM
+    assert payload["model_name"] == "exp-v1"
+    mf = _json.load(open(os.path.join(out, "export_manifest.json")))
+    assert mf == payload
+    raw_ids = open(os.path.join(out, "ids.bin"), "rb").read()
+    ids = list(struct.unpack(f"<{len(IDS)}q", raw_ids))
+    assert ids == sorted(IDS)
+    vecs = np.frombuffer(open(os.path.join(out, "vectors.f32"),
+                              "rb").read(),
+                         dtype="<f4").reshape(len(IDS), DIM)
+    want = {r.vec_id: [float(x) for x in r.embedding]
+            for r in vector_store.open_vector_index(spark, idx)
+            .vectors.collect()}
+    for row_i, vid in enumerate(ids):
+        assert np.allclose(vecs[row_i],
+                           np.asarray(want[vid], dtype=np.float32))
