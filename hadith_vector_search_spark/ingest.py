@@ -545,6 +545,13 @@ def main(argv: list[str] | None = None) -> int:
                              "of the store's rows (k=2 retrain within the "
                              "cell; see sources.vector_store."
                              "split_hot_cell)")
+    parser.add_argument("--export-vectors", default=None, metavar="DIR",
+                        help="after the refresh, export the vector "
+                             "store's raw vectors as the flat binary an "
+                             "external graph-ANN serving layer "
+                             "bulk-loads (float32 + int64 ids + "
+                             "manifest; sources.vector_store."
+                             "export_vectors_binary)")
     args = parser.parse_args(argv)
 
     from .session import get_spark
@@ -556,6 +563,14 @@ def main(argv: list[str] | None = None) -> int:
                       hot_cell_bound=args.split_hot_cells,
                       do_update_indexes=args.update_indexes,
                       force_index=args.force_index_refresh)
+        if args.export_vectors:
+            from .sources.vector_store import export_vectors_binary
+            vec_dir = os.path.join(
+                args.index_dir or f"{args.table}_indexes", "vector")
+            payload = export_vectors_binary(spark, vec_dir,
+                                            args.export_vectors)
+            print(f"exported {payload['count']} vectors "
+                  f"(dim {payload['dim']}) to {args.export_vectors}")
     except (FileNotFoundError, RuntimeError) as exc:
         print(str(exc), file=sys.stderr)
         return 1

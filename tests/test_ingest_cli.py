@@ -452,3 +452,24 @@ def test_cli_embed_dim_matches_semantic_constant():
     from hadith_vector_search_spark.plans.semantic import CLI_EMBED_DIM
 
     assert CLI_EMBED_DIM == EMBED_DIM
+
+
+def test_cli_export_vectors_binary(spark, corpus, tmp_path, capsys):
+    """--export-vectors on the product command: after the refresh, the
+    CLI-built store's vectors land in the hnsw-shaped binary layout."""
+    import json as _json
+    import struct
+
+    data, table = corpus
+    out = str(tmp_path / "hnsw_export")
+    rc = main(["--data-dir", data, "--table", table, "--update-indexes",
+               "--export-vectors", out])
+    assert rc == 0
+    assert "exported 8 vectors (dim 384)" in capsys.readouterr().out
+    mf = _json.load(open(os.path.join(out, "export_manifest.json")))
+    assert mf["count"] == 8 and mf["dim"] == 384
+    assert "-sq8-bq1" in mf["model_name"]  # the full-ladder identity
+    ids = struct.unpack("<8q", open(os.path.join(out, "ids.bin"),
+                                    "rb").read())
+    assert list(ids) == sorted(ids)
+    assert os.path.getsize(os.path.join(out, "vectors.f32")) == 8 * 384 * 4
