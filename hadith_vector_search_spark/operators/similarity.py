@@ -1541,6 +1541,172 @@ def governed_bq_rerank_report(emb: DataFrame,
                                       truth_k, target_recall)
 
 
+def flip_depth_frame(emb: DataFrame,
+                     planes: list[tuple[int, list[float]]],
+                     sample_n: int = DEFAULT_PROBE_SAMPLE,
+                     truth_k: int = DEFAULT_PROBE_TRUTH_K,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(query_id, nbr_id, depth) for every (sample query, true neighbor)
+    pair under single-bucket sign-LSH with multiprobe: `depth` = the
+    smallest `n_flip` at which `ann_topk_lsh_multiprobe`'s probe set
+    reaches the neighbor's bucket — 0 when the buckets already match,
+    the 1-based rank of the single differing plane in the query's flip
+    order (lowest |round6 margin| first, ties on plane id — EXACTLY the
+    operator's order) when the buckets differ in one bit, and NULL
+    (unreachable) when they differ in two or more: multiprobe probes the
+    base bucket plus single-bit flips only, so those pairs are the
+    plane-geometry's recall budget (bands/bits), never n_flip's.
+
+    Relational like `probe_depth_frame`: ONE corpus scan (broadcast
+    sample x corpus, bucket strings as narrow sign projections),
+    everything downstream sample-sized."""
+    spark = emb.sparkSession
+    if not planes:
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, depth int")
+    n_planes = len(planes)
+    bucket = sign_bucket_expr(planes, vec_col)
+    src = emb.select(F.col(id_col), F.col(vec_col),
+                     bucket.alias("bucket"))
+    sample = (src.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qvec"),
+                         F.col("bucket").alias("qbucket"))
+              .orderBy(F.asc("query_id")).limit(sample_n))
+    # per-query flip ranks: |round6(margin)| asc, plane_id asc — the
+    # multiprobe operator's probe order, as a sample x planes relation
+    pl = spark.createDataFrame(
+        [(int(p), [float(x) for x in v]) for p, v in planes],
+        "plane_id int, pvec array<double>")
+    wf = Window.partitionBy("query_id").orderBy(F.asc("am"),
+                                                F.asc("plane_id"))
+    franks = (sample.select("query_id", "qvec")
+              .crossJoin(F.broadcast(pl))
+              .select("query_id", "plane_id",
+                      F.abs(F.round(dot(F.col("qvec"), F.col("pvec")), 6))
+                      .alias("am"))
+              .withColumn("frank", F.row_number().over(wf))
+              .select(F.col("query_id").alias("fr_qid"),
+                      F.col("plane_id").alias("fr_pid"), "frank"))
+    scored = (src.join(F.broadcast(sample),
+                       F.col(id_col) != F.col("query_id"))
+              .select("query_id", "qbucket",
+                      F.col(id_col).alias("nbr_id"),
+                      F.col("bucket").alias("nbucket"),
+                      F.round(dot(F.col(vec_col), F.col("qvec")), 6)
+                      .alias("sim")))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                F.asc("nbr_id"))
+    diffs = F.filter(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda i: F.col("qbucket").substr(i + 1, F.lit(1))
+        != F.col("nbucket").substr(i + 1, F.lit(1)))
+    pairs = (scored.withColumn("rn", F.row_number().over(wt))
+             .filter(F.col("rn") <= truth_k)
+             .select("query_id", "nbr_id", diffs.alias("diffs"))
+             .select("query_id", "nbr_id",
+                     F.size("diffs").alias("ham"),
+                     # try_: ham=0 pairs have an empty diff array (ANSI
+                     # element_at throws); dpid is only consumed at ham=1
+                     F.try_element_at("diffs", F.lit(1)).alias("dpid")))
+    return (pairs.join(franks,
+                       (F.col("query_id") == F.col("fr_qid"))
+                       & (F.col("dpid") == F.col("fr_pid"))
+                       & (F.col("ham") == 1), "left")
+            .select("query_id", "nbr_id",
+                    F.when(F.col("ham") == 0, F.lit(0))
+                    .when(F.col("ham") == 1, F.col("frank"))
+                    .otherwise(F.lit(None)).cast("int").alias("depth")))
+
+
+def governed_multiprobe_report(emb: DataFrame,
+                               planes: list[tuple[int, list[float]]],
+                               sample_n: int = DEFAULT_PROBE_SAMPLE,
+                               truth_k: int = DEFAULT_PROBE_TRUTH_K,
+                               target_recall: float = DEFAULT_RECALL_TARGET,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               pin=None) -> DataFrame:
+    """One-row governance report for the LSH multiprobe flip count — the
+    last hand-set ANN quality knob (round-12 verdict item 5; bands,
+    n_probe, and both rerank depths already derive from targets): the
+    smallest `n_flip` whose conditional recall over REACHABLE pairs
+    clears `target_recall`, as the ceil(target*reachable)-th smallest
+    flip depth (the shared order-statistic inversion — recall(f) =
+    P(depth <= f | reachable) is the depth CDF, so its target quantile
+    IS the minimal flip count). Unreachable pairs (buckets differing in
+    >= 2 planes — no single-bit probe ever recovers them) are excluded
+    from the inversion but kept in `end_to_end_recall`'s denominator.
+    Columns: (n_planes, sample_queries, truth_k, pairs, reachable_pairs,
+    flip_target, n_flip, measured_flip_recall, end_to_end_recall,
+    meets_floor). Empty reachable distributions yield an empty report."""
+    depths = flip_depth_frame(emb, planes, sample_n, truth_k,
+                              id_col, vec_col)
+    depths = (pin or (lambda df: df.localCheckpoint()))(depths)
+    stats = depths.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.count("depth").alias("reachable_pairs"),
+        F.countDistinct("query_id").alias("sample_queries"))
+    ranked = (depths.filter(F.col("depth").isNotNull())
+              .select("depth",
+                      F.row_number().over(Window.orderBy(F.asc("depth")))
+                      .alias("rn")))
+    chosen = (ranked.crossJoin(F.broadcast(stats))
+              .filter(F.col("rn")
+                      == F.ceil(F.lit(float(target_recall))
+                                * F.col("reachable_pairs")).cast("long"))
+              .select(F.col("depth").alias("n_flip"), "pairs",
+                      "reachable_pairs", "sample_queries"))
+    return (depths.crossJoin(F.broadcast(chosen))
+            .groupBy("n_flip", "pairs", "reachable_pairs",
+                     "sample_queries")
+            .agg(F.round(F.avg(F.when(F.col("depth").isNotNull(),
+                                      (F.col("depth") <= F.col("n_flip"))
+                                      .cast("int"))), 6)
+                 .alias("measured_flip_recall"),
+                 F.round(F.sum(F.when(F.col("depth") <= F.col("n_flip"),
+                                      1).otherwise(0))
+                         / F.col("pairs"), 6).alias("end_to_end_recall"))
+            .select(F.lit(len(planes)).alias("n_planes"),
+                    "sample_queries",
+                    F.lit(truth_k).alias("truth_k"),
+                    "pairs", "reachable_pairs",
+                    F.lit(float(target_recall)).alias("flip_target"),
+                    F.col("n_flip").cast("int").alias("n_flip"),
+                    "measured_flip_recall",
+                    "end_to_end_recall",
+                    (F.col("measured_flip_recall")
+                     >= F.lit(float(target_recall)))
+                    .alias("meets_floor")))
+
+
+def nflip_for_recall(emb: DataFrame,
+                     planes: list[tuple[int, list[float]]],
+                     sample_n: int = DEFAULT_PROBE_SAMPLE,
+                     truth_k: int = DEFAULT_PROBE_TRUTH_K,
+                     target_recall: float = DEFAULT_RECALL_TARGET,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict | None:
+    """Collect the multiprobe governance report into the publish-time
+    stamp payload (None when no pairs are reachable — nothing to govern
+    on). One sample-bounded corpus scan per publish, the
+    `nprobe_for_recall` cost class."""
+    rows = governed_multiprobe_report(emb, planes, sample_n, truth_k,
+                                      target_recall, id_col,
+                                      vec_col).collect()
+    if not rows:
+        return None
+    r = rows[0]
+    return {"n_flip": int(r["n_flip"]),
+            "flip_recall_target": float(r["flip_target"]),
+            "flip_measured_recall": float(r["measured_flip_recall"]),
+            "flip_end_to_end_recall": float(r["end_to_end_recall"]),
+            "flip_sample": int(r["sample_queries"]),
+            "flip_truth_k": int(r["truth_k"]),
+            "flip_pairs": int(r["pairs"]),
+            "flip_reachable_pairs": int(r["reachable_pairs"])}
+
+
 def build_vector_lsh_index(emb: DataFrame, n_bands: int | None = None,
                            band_bits: int | None = None,
                            id_col: str = "vec_id",

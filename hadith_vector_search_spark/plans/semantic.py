@@ -55,6 +55,32 @@ def _pinned(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
     return _PIN_CACHE[key]
 
 
+_VIDX_CACHE: dict[tuple, object] = {}
+
+
+def _cached_open_vidx(spark: SparkSession, idx_dir: str):
+    """Session-scoped PublishedVectorIndex handle cache, keyed on the
+    artifact's manifest stamp: within a session the get_* ensure/open
+    helpers are called once per registered query, and an open collects
+    the codebook + sidecars each time — worse, a RESIDENT point tier
+    (enable_interactive) lives on the handle, so a fresh open per call
+    re-collected every quantized table per gate/bench pass (round-12
+    ADVICE). The manifest mtime in the key means a republish (stale
+    manifest -> rebuild) still reopens fresh."""
+    import os as _os
+
+    from ..sources import vector_store
+    from ..sources.manifest import MANIFEST_NAME
+
+    man = _os.path.join(idx_dir, MANIFEST_NAME)
+    stamp = _os.stat(man).st_mtime_ns if _os.path.exists(man) else None
+    key = (spark.sparkContext.applicationId, _os.path.abspath(idx_dir),
+           stamp)
+    if key not in _VIDX_CACHE:
+        _VIDX_CACHE[key] = vector_store.open_vector_index(spark, idx_dir)
+    return _VIDX_CACHE[key]
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return _pinned(spark, sf_dir, "cosine_topk10",
@@ -298,7 +324,7 @@ def get_published_vector_index(spark: SparkSession, sf_dir: str):
         vector_store.ensure_vector_index(
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
             idx_dir, n_cells=IVF_CENTROIDS)
-        return vector_store.open_vector_index(spark, idx_dir)  # reopen
+        return _cached_open_vidx(spark, idx_dir)  # reopen
     except OSError:
         return None
 
@@ -344,7 +370,7 @@ def get_sq8_published_index(spark: SparkSession, sf_dir: str):
         vector_store.ensure_vector_index(
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
             idx_dir, n_cells=IVF_CENTROIDS, sq8=True)
-        return vector_store.open_vector_index(spark, idx_dir)
+        return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
 
@@ -418,7 +444,7 @@ def get_bq_published_index(spark: SparkSession, sf_dir: str):
         vector_store.ensure_vector_index(
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
             idx_dir, n_cells=IVF_CENTROIDS, bq1=True)
-        return vector_store.open_vector_index(spark, idx_dir)
+        return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
 
@@ -458,7 +484,10 @@ def ann_topk_bq_resident(spark: SparkSession, sf_dir: str) -> DataFrame:
     vidx = get_bq_published_index(spark, sf_dir)
     if vidx is None:
         return _bq_storeless_one(spark, sf_dir, QUERY_VEC_ID)
-    if vidx.enable_interactive():
+    # the store handle is session-cached and the artifact manifest-gated,
+    # so an already-resident tier needs no re-collect (enable_interactive
+    # unconditionally re-pulls every tier's table otherwise)
+    if vidx.interactive_enabled or vidx.enable_interactive():
         rows = vidx.bq_topk_point(QUERY_VEC_ID, IVF_PROBE, ANN_K,
                                   PQ_RERANK)
         return spark.createDataFrame(
@@ -806,7 +835,7 @@ def get_ivfpq_residual_published_index(spark: SparkSession, sf_dir: str):
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
             idx_dir, n_cells=IVF_CENTROIDS, pq_cents=PQ_CENTS,
             pq_residual=True)
-        return vector_store.open_vector_index(spark, idx_dir)
+        return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
 
@@ -1258,7 +1287,7 @@ def get_kmeans_published_vector_index(spark: SparkSession, sf_dir: str):
                 spark, emb, src, idx_dir, IVF_CENTROIDS,
                 centroids=get_kmeans_codebook(spark, sf_dir),
                 model_name=model)
-        return vector_store.open_vector_index(spark, idx_dir)
+        return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
 
@@ -1328,7 +1357,7 @@ def get_ivfpq_kmeans_published_index(spark: SparkSession, sf_dir: str):
                 centroids=get_kmeans_codebook(spark, sf_dir),
                 model_name=model, pq_cents=PQ_CENTS,
                 pq_subbooks=similarity.kmeans_subbooks(emb, PQ_CENTS))
-        return vector_store.open_vector_index(spark, idx_dir)
+        return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
 
@@ -1830,6 +1859,119 @@ GROUP BY st.sample_queries, st.pairs, st.in_probe_pairs, c.rerank
 """
 
 
+def lsh_multiprobe_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed multiprobe flip count for the sign-LSH family — the LAST
+    hand-set ANN quality knob (round-12 verdict item 5; bands, n_probe,
+    and both rerank depths already derive from stated targets): each
+    true neighbor is reached by multiprobe at a computable flip depth —
+    0 in the query's own bucket, the differing plane's rank in the
+    query's lowest-|margin| flip order when the buckets differ by one
+    bit, never when they differ by more (single-bit probes only; those
+    pairs are the plane geometry's budget, reported via
+    `end_to_end_recall`) — so the minimal `n_flip` at a target
+    CONDITIONAL recall is the ceil(target*reachable)-th smallest depth,
+    the same order-statistic inversion every governed knob uses. The
+    DuckDB oracle recomputes buckets, margins, flip ranks, depths, AND
+    the inversion from raw vectors, value-hash-checking the chosen knob
+    end to end. Publish stamps the same payload into the LSH layout
+    (`publish_lsh_index` -> `lsh_topk(n_flip=None)`)."""
+    from .pin_audit import record
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = [(int(r.plane_id), list(r.pvec)) for r in sorted(
+        similarity.data_planes(emb, LSH_PLANES).collect(),
+        key=lambda r: r.plane_id)]
+    return similarity.governed_multiprobe_report(
+        emb, planes, sample_n=PROBE_GOV_SAMPLE, truth_k=ANN_K,
+        target_recall=PROBE_GOV_TARGET,
+        pin=lambda df: record("flip_gov_depths", sf_dir,
+                              df).localCheckpoint())
+
+
+def lsh_multiprobe_governance_oracle() -> str:
+    """Full relational replay: bucket strings from plane-dot signs, the
+    per-query flip order over |round6 margin|, per-pair bucket Hamming +
+    the single differing plane, the depth distribution, and the
+    ceil(target*reachable)-th smallest depth as the chosen n_flip."""
+    return f"""
+WITH {_PAIR_DOT},
+plane_dot AS (
+  SELECT ia AS vec_id, ib AS plane_id, d
+  FROM pair_dot WHERE ib < {LSH_PLANES}
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane_id) AS bucket
+  FROM plane_dot GROUP BY vec_id
+),
+franks AS (
+  SELECT vec_id AS query_id, plane_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY abs(round(d, 6)) ASC, plane_id ASC)
+             AS frank
+  FROM plane_dot WHERE vec_id < {PROBE_GOV_SAMPLE}
+),
+truth AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT ia AS query_id, ib AS nbr_id,
+           row_number() OVER (PARTITION BY ia
+                              ORDER BY round(d, 6) DESC, ib ASC) AS rn
+    FROM pair_dot WHERE ia < {PROBE_GOV_SAMPLE} AND ia <> ib
+  ) WHERE rn <= {ANN_K}
+),
+pairdiff AS (
+  SELECT t.query_id, t.nbr_id,
+         sum(CASE WHEN substr(qb.bucket, g.j + 1, 1)
+                       <> substr(nb.bucket, g.j + 1, 1)
+                  THEN 1 ELSE 0 END) AS ham,
+         min(CASE WHEN substr(qb.bucket, g.j + 1, 1)
+                       <> substr(nb.bucket, g.j + 1, 1)
+                  THEN g.j END) AS dpid
+  FROM truth t
+  JOIN buckets qb ON qb.vec_id = t.query_id
+  JOIN buckets nb ON nb.vec_id = t.nbr_id
+  CROSS JOIN generate_series(0, {LSH_PLANES - 1}) AS g(j)
+  GROUP BY t.query_id, t.nbr_id
+),
+depths AS (
+  SELECT p.query_id, p.nbr_id,
+         CASE WHEN p.ham = 0 THEN 0
+              WHEN p.ham = 1 THEN f.frank END AS depth
+  FROM pairdiff p
+  LEFT JOIN franks f ON f.query_id = p.query_id
+                    AND f.plane_id = p.dpid AND p.ham = 1
+),
+st AS (SELECT count(*) AS pairs, count(depth) AS reachable_pairs,
+              count(DISTINCT query_id) AS sample_queries FROM depths),
+chosen AS (
+  SELECT r.depth AS n_flip FROM (
+    SELECT depth, row_number() OVER (ORDER BY depth ASC) AS rn
+    FROM depths WHERE depth IS NOT NULL
+  ) r, st
+  WHERE r.rn = CAST(ceil({PROBE_GOV_TARGET} * st.reachable_pairs)
+                    AS BIGINT)
+)
+SELECT {LSH_PLANES} AS n_planes,
+       st.sample_queries,
+       {ANN_K} AS truth_k,
+       st.pairs,
+       st.reachable_pairs,
+       CAST({PROBE_GOV_TARGET} AS DOUBLE) AS flip_target,
+       CAST(c.n_flip AS INT) AS n_flip,
+       round(avg(CASE WHEN d.depth IS NOT NULL THEN
+                   CASE WHEN d.depth <= c.n_flip THEN 1 ELSE 0 END
+                 END), 6) AS measured_flip_recall,
+       round(sum(CASE WHEN d.depth <= c.n_flip THEN 1 ELSE 0 END)
+             / CAST(st.pairs AS DOUBLE), 6) AS end_to_end_recall,
+       avg(CASE WHEN d.depth IS NOT NULL THEN
+             CASE WHEN d.depth <= c.n_flip THEN 1 ELSE 0 END
+           END) >= CAST({PROBE_GOV_TARGET} AS DOUBLE) AS meets_floor
+FROM depths d, chosen c, st
+GROUP BY st.sample_queries, st.pairs, st.reachable_pairs, c.n_flip
+"""
+
+
 def get_cli_vector_index(spark: SparkSession, sf_dir: str):
     """Ensure-and-reopen the vector store EXACTLY as the ingest CLI
     publishes it (`ingest._vector_index_build` over the documents table:
@@ -1853,7 +1995,7 @@ def get_cli_vector_index(spark: SparkSession, sf_dir: str):
         n_rows = spark.read.parquet(src).count()
         ensure_index(idx_dir, _vector_manifest(src, n_rows),
                      lambda: _vector_index_build(spark, src, idx_dir))
-        return vector_store.open_vector_index(spark, idx_dir)
+        return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
 
@@ -1870,7 +2012,52 @@ def ann_topk_bq_cli_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k over the hash embeddings IS — the oracle recomputes it
     from raw text via the md5 sign replay — and the floor turns a
     missing tier, a broken stamp, or a recall regression into a red
-    driver row instead of a rows-only pass)."""
+    driver row instead of a rows-only pass).
+
+    The exact-truth leg reads the store's OWN published vectors — they
+    ARE the corpus embeddings the CLI build materialized (round-12
+    verdict item 1: the previous per-call corpus re-encode was the
+    round's only non-flat slope, 3.9x at 10x rows; a flat-in-corpus
+    probe now pairs with a flat exact leg reading the same artifact).
+    Stored vectors are the L2-normalized encoder output, so
+    round6(dot(v, q_store)) equals the oracle's integer replay
+    round6(num / (sqrt(ssq) * qn)) — same quotient, the store's single
+    normalize division folded in; the raw-integer re-encode remains
+    only as the unwritable-root fallback where no artifact exists."""
+    from ..functions.vector import dot as vdot
+    from ..functions.vector import norm as vnorm
+    from ..functions.vector import vector_lit
+
+    vidx = get_cli_vector_index(spark, sf_dir)
+    if vidx is None:
+        # unwritable index root: no artifact to serve or regress — the
+        # raw-integer exact leg (the embed_and_search discipline)
+        # doubles as the ANN leg and the report stays green
+        exact = _cli_exact_topk_reencode(spark, sf_dir)
+        return _kmeans_recall_report("ann_topk_bq_cli_store", exact, exact)
+    q_store = vidx.query_vector(0)
+    exact = (vidx.vectors
+             .filter(F.col(vidx.id_col) != 0)
+             .filter(vnorm(vidx.vec_col) > 0)
+             .select(F.col(vidx.id_col).alias("vec_id"),
+                     F.round(vdot(vidx.vec_col, vector_lit(q_store)), 6)
+                     .alias("sim"))
+             .orderBy(F.desc("sim"), F.asc("vec_id")).limit(ANN_K)
+             .select("vec_id"))
+    # k+1 then self-exclude then re-limit: doc 0 may legitimately miss
+    # its own top-(k+1) (zero vector, ties), so the ANN leg is ALWAYS
+    # exactly k candidates either way
+    ann = (vidx.bq_topk(0, n_probe=None, k=ANN_K + 1, rerank=None)
+           .filter(F.col("doc_id") != 0)
+           .limit(ANN_K)
+           .select(F.col("doc_id").alias("vec_id")))
+    return _kmeans_recall_report("ann_topk_bq_cli_store", ann, exact)
+
+
+def _cli_exact_topk_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fallback exact top-k when no CLI store artifact can exist
+    (unwritable index root): re-encode the corpus with the raw-integer
+    hash embedder and rank by the bit-stable integer cosine."""
     import math as _math
 
     from ..functions.vector import dot as vdot
@@ -1885,32 +2072,20 @@ def ann_topk_bq_cli_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_raw = encode_query(q_text, CLI_EMBED_DIM, backend="hash",
                          normalize=False)
     qn = _math.sqrt(sum(t * t for t in q_raw))
-    # exact leg: raw-integer cosine (bit-stable across engines — the
-    # embed_and_search discipline), self excluded
     raw = embed_column("text", CLI_EMBED_DIM, backend="hash",
                        normalize=False)
     raw_emb = (docs.filter(F.col("doc_id") != 0)
                .select("doc_id", raw.alias("emb"))
                .localCheckpoint(eager=False))
-    exact = (raw_emb
-             .select("doc_id", "emb", vnorm("emb").alias("emb_norm"))
-             .filter(F.col("emb_norm") > 0)
-             .select(F.col("doc_id").alias("vec_id"),
-                     F.round(vdot("emb", vector_lit(q_raw))
-                             / (F.col("emb_norm") * F.lit(qn)), 6)
-                     .alias("sim"))
-             .orderBy(F.desc("sim"), F.asc("vec_id")).limit(ANN_K)
-             .select("vec_id"))
-    vidx = get_cli_vector_index(spark, sf_dir)
-    if vidx is not None:
-        ann = (vidx.bq_topk(0, n_probe=None, k=ANN_K + 1, rerank=None)
-               .filter(F.col("doc_id") != 0)
-               .select(F.col("doc_id").alias("vec_id")))
-    else:
-        # unwritable index root: the exact leg doubles as the ANN leg
-        # (report stays green — there is no artifact to regress)
-        ann = exact
-    return _kmeans_recall_report("ann_topk_bq_cli_store", ann, exact)
+    return (raw_emb
+            .select("doc_id", "emb", vnorm("emb").alias("emb_norm"))
+            .filter(F.col("emb_norm") > 0)
+            .select(F.col("doc_id").alias("vec_id"),
+                    F.round(vdot("emb", vector_lit(q_raw))
+                            / (F.col("emb_norm") * F.lit(qn)), 6)
+                    .alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("vec_id")).limit(ANN_K)
+            .select("vec_id"))
 
 
 def ann_topk_bq_cli_store_oracle() -> str:
@@ -2137,7 +2312,7 @@ def get_ivfpq_published_index(spark: SparkSession, sf_dir: str):
         vector_store.ensure_vector_index(
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
             idx_dir, n_cells=IVF_CENTROIDS, pq_cents=PQ_CENTS)
-        return vector_store.open_vector_index(spark, idx_dir)
+        return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
 

@@ -46,6 +46,8 @@ from .streaming import (
     streaming_window_refresh_oracle,
     streaming_simhash_refresh,
     streaming_simhash_refresh_oracle,
+    streaming_minhash_refresh,
+    streaming_minhash_refresh_oracle,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -176,6 +178,7 @@ QUERIES: dict[str, QueryFn] = {
         semantic.ann_topk_ivfpq_kmeans_published,
     "ann_topk_bq_cli_store": semantic.ann_topk_bq_cli_store,
     "ann_topk_bq_resident": semantic.ann_topk_bq_resident,
+    "lsh_multiprobe_governance": semantic.lsh_multiprobe_governance,
     "ann_topk_int8": semantic.ann_topk_int8,
     "ann_topk_filtered": semantic.ann_topk_filtered,
     "ann_topk_pq": semantic.ann_topk_pq,
@@ -231,6 +234,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_percolate": streaming_percolate,
     "streaming_lsh_refresh": streaming_lsh_refresh,
     "streaming_window_refresh": streaming_window_refresh,
+    "streaming_minhash_refresh": streaming_minhash_refresh,
     # multimodal columns: decode / frame-sample / feature-extract
     "multimodal_metadata": multimodal_plans.multimodal_metadata,
     "multimodal_frames": multimodal_plans.multimodal_frames,
@@ -346,6 +350,10 @@ oracle("ann_topk_bq_resident", semantic.ann_topk_bq_published_oracle())
 # the oracle recomputes the exact top-k from RAW TEXT (md5 sign replay)
 # and asserts the recall floor
 oracle("ann_topk_bq_cli_store", semantic.ann_topk_bq_cli_store_oracle())
+# multiprobe flip-count governance: buckets, margins, flip ranks, pair
+# depths, and the order-statistic inversion all replayed from raw vectors
+oracle("lsh_multiprobe_governance",
+       semantic.lsh_multiprobe_governance_oracle())
 oracle("ann_topk_int8", semantic.ann_topk_int8_oracle())
 oracle("ann_topk_filtered", semantic.ann_topk_filtered_oracle())
 oracle("ann_topk_pq", semantic.ann_topk_pq_oracle())
@@ -458,6 +466,7 @@ oracle("streaming_vector_refresh", streaming_vector_refresh_oracle())
 oracle("streaming_lsh_refresh", streaming_lsh_refresh_oracle())
 oracle("streaming_window_refresh", streaming_window_refresh_oracle())
 oracle("streaming_simhash_refresh", streaming_simhash_refresh_oracle())
+oracle("streaming_minhash_refresh", streaming_minhash_refresh_oracle())
 oracle("streaming_merge_jsonl", lifecycle.incremental_merge_preview_oracle())
 oracle("streaming_embed_merge", lifecycle.streaming_embed_merge_oracle())
 oracle("near_dup_ngram_jaccard", dedup_plans.near_dup_ngram_jaccard_oracle())

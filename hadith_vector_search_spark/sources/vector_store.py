@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import dot, vector_lit
 from ..operators import similarity
+from . import resident
 from .commit import (JOURNAL_NAME, STAGING_NAME,  # noqa: F401
                      commit, recover)
 from .manifest import (MANIFEST_NAME, IndexManifest, ensure_index,
@@ -695,7 +696,24 @@ class PublishedVectorIndex:
         stamped = (self.bq or {}).get("rerank")
         return int(stamped) if stamped else 20
 
-    def enable_interactive(self, max_driver_rows: int = 500_000) -> bool:
+    def estimated_resident_bytes(self, n_rows: int) -> int:
+        """Driver bytes the resident tier would hold for `n_rows`
+        vectors at this store's dim and published tiers: raw float64
+        matrix + ids, packed BQ words, the SQ8 codes (float64 in the
+        resident representation) + scales, and the PQ code matrix. The
+        row-count bound alone does not cap bytes for wider-dim stores
+        (round-12 ADVICE: 500k rows at dim 384 is ~1.5-2 GB)."""
+        per_row = self.dim * 8 + 8  # raw matrix + id
+        if self.bq is not None:
+            per_row += int(self.bq["words"]) * 8 + 8  # packed words + cell
+        if self.sq is not None:
+            per_row += self.dim * 8 + 8  # float64 codes + scale
+        if self.pq is not None:
+            per_row += int(self.pq["m"]) * 8
+        return n_rows * per_row
+
+    def enable_interactive(self, max_driver_rows: int = 500_000,
+                           max_driver_bytes: int = 2 << 30) -> bool:
         """Opt-in RESIDENT point tier for the quantized rungs (round-11
         verdict item 4: `ann_bq_point` sat at the ~1 s two-Spark-job
         floor while the hybrid interactive tier served at ~40 ms — the
@@ -713,70 +731,146 @@ class PublishedVectorIndex:
         story."""
         import numpy as np
 
+        from . import resident as resident_pool
+
         if self.bq is None and self.sq is None and self.pq is None:
             self.disable_interactive()
             return False
+        key = resident_pool.store_key(self.index_dir)
+        pooled = resident_pool.peek(key)
+        if pooled is not None:
+            # Another handle (or an earlier enable on this one) already
+            # loaded this artifact GENERATION — borrow the same buffers
+            # instead of re-collecting, after re-checking THIS caller's
+            # bounds against the pooled size.
+            n = len(pooled["ids"])
+            if n > max_driver_rows \
+                    or self.estimated_resident_bytes(n) > max_driver_bytes:
+                self.disable_interactive()
+                return False
+            self._resident = pooled
+            return True
         n = self.vectors.count()
-        if n > max_driver_rows:
+        # Two bounds, both required: row count (the api.Engine contract)
+        # AND estimated bytes (dim-aware — a wide-dim store can blow the
+        # driver well under the row cap; round-12 ADVICE).
+        if n > max_driver_rows \
+                or self.estimated_resident_bytes(n) > max_driver_bytes:
             self.disable_interactive()
             return False
-        vrows = sorted(self.vectors.select(self.id_col, self.vec_col)
-                       .collect(), key=lambda r: r[0])
-        order = sorted(self.centroids, key=lambda c: c[0])
-        resident = {
-            "ids": np.array([r[0] for r in vrows]),
-            "mat": np.array([[float(x) for x in r[1]] for r in vrows],
-                            dtype=np.float64),
-            "cids": np.array([int(c) for c, _ in order], dtype=np.int64),
-            "cmat": np.array([v for _, v in order], dtype=np.float64),
-            # 8-bit popcount LUT: numpy<2 has no bitwise_count; a byte
-            # view + LUT gather is exact and O(n*words*8) tiny
-            "pop8": np.array([bin(i).count("1") for i in range(256)],
-                             dtype=np.uint16),
-        }
-        want_ids = [r[0] for r in vrows]
-        if self.bq is not None:
-            brows = sorted(self.bq_codes.select(self.id_col, "cell", "bq")
+
+        def load():
+            vrows = sorted(self.vectors.select(self.id_col, self.vec_col)
                            .collect(), key=lambda r: r[0])
-            if [r[0] for r in brows] != want_ids:
-                # mid-refresh torn read can't happen (journal), but a
-                # partially-published store must not serve a mixed tier
-                self.disable_interactive()
-                return False
-            resident["cells"] = np.array([int(r[1]) for r in brows],
-                                         dtype=np.int64)
-            resident["bqw"] = np.array([[int(w) for w in r[2]]
-                                        for r in brows], dtype=np.int64)
-        if self.sq is not None:
-            srows = sorted(self.sq_codes.select(self.id_col, "cell",
-                                                "qcodes", "scale")
-                           .collect(), key=lambda r: r[0])
-            if [r[0] for r in srows] != want_ids:
-                self.disable_interactive()
-                return False
-            if "cells" not in resident:
-                resident["cells"] = np.array([int(r[1]) for r in srows],
+            order = sorted(self.centroids, key=lambda c: c[0])
+            resident = {
+                "ids": np.array([r[0] for r in vrows]),
+                "mat": np.array([[float(x) for x in r[1]] for r in vrows],
+                                dtype=np.float64),
+                "cids": np.array([int(c) for c, _ in order],
+                                 dtype=np.int64),
+                "cmat": np.array([v for _, v in order], dtype=np.float64),
+                # 8-bit popcount LUT: numpy<2 has no bitwise_count; a
+                # byte view + LUT gather is exact and O(n*words*8) tiny
+                "pop8": np.array([bin(i).count("1") for i in range(256)],
+                                 dtype=np.uint16),
+            }
+            want_ids = [r[0] for r in vrows]
+            if self.bq is not None:
+                brows = sorted(self.bq_codes
+                               .select(self.id_col, "cell", "bq")
+                               .collect(), key=lambda r: r[0])
+                if [r[0] for r in brows] != want_ids:
+                    # mid-refresh torn read can't happen (journal), but a
+                    # partially-published store must not serve a mixed
+                    # tier (None = not pooled; next borrow retries)
+                    return None
+                resident["cells"] = np.array([int(r[1]) for r in brows],
                                              dtype=np.int64)
-            resident["sqc"] = np.array([[int(c) for c in r[2]]
-                                        for r in srows], dtype=np.float64)
-            resident["sqs"] = np.array([float(r[3]) for r in srows],
-                                       dtype=np.float64)
-        if self.pq is not None:
-            m = int(self.pq["m"])
-            crows = sorted(self.codes.select(
-                self.id_col, "cell",
-                *[f"code_{i}" for i in range(m)]).collect(),
-                key=lambda r: r[0])
-            if [r[0] for r in crows] != want_ids:
-                self.disable_interactive()
-                return False
-            if "cells" not in resident:
-                resident["cells"] = np.array([int(r[1]) for r in crows],
-                                             dtype=np.int64)
-            resident["pqc"] = np.array([[int(r[2 + i]) for i in range(m)]
-                                        for r in crows], dtype=np.int64)
-        self._resident = resident
+                resident["bqw"] = np.array([[int(w) for w in r[2]]
+                                            for r in brows],
+                                           dtype=np.int64)
+            if self.sq is not None:
+                srows = sorted(self.sq_codes.select(self.id_col, "cell",
+                                                    "qcodes", "scale")
+                               .collect(), key=lambda r: r[0])
+                if [r[0] for r in srows] != want_ids:
+                    return None
+                if "cells" not in resident:
+                    resident["cells"] = np.array(
+                        [int(r[1]) for r in srows], dtype=np.int64)
+                resident["sqc"] = np.array([[int(c) for c in r[2]]
+                                            for r in srows],
+                                           dtype=np.float64)
+                resident["sqs"] = np.array([float(r[3]) for r in srows],
+                                           dtype=np.float64)
+            if self.pq is not None:
+                m = int(self.pq["m"])
+                crows = sorted(self.codes.select(
+                    self.id_col, "cell",
+                    *[f"code_{i}" for i in range(m)]).collect(),
+                    key=lambda r: r[0])
+                if [r[0] for r in crows] != want_ids:
+                    return None
+                if "cells" not in resident:
+                    resident["cells"] = np.array(
+                        [int(r[1]) for r in crows], dtype=np.int64)
+                resident["pqc"] = np.array(
+                    [[int(r[2 + i]) for i in range(m)] for r in crows],
+                    dtype=np.int64)
+            return resident
+
+        loaded = resident_pool.borrow(key, load)
+        if loaded is None:
+            self.disable_interactive()
+            return False
+        self._resident = loaded
         return True
+
+    def resident_vectors(self):
+        """(ids, mat) of the resident tier, or None — the borrowable
+        raw-matrix handle `api.HybridEngine.enable_interactive` shares
+        instead of collecting its own copy (round-12 verdict item 2)."""
+        if self._resident is None:
+            return None
+        return self._resident["ids"], self._resident["mat"]
+
+    def _cand_positions(self, probes):
+        """Row positions whose cell is in `probes`, ascending — served
+        from a lazily-built sorted cell index cached on the resident
+        payload. Replaces the per-call `np.isin` O(n) scan with
+        O(log n + |candidates|) slice gathers: the same candidate SET
+        (isin-mask nonzero = ascending positions with cell in probes),
+        so every downstream tie-break is unchanged. The cache rides the
+        POOLED payload, so all handles sharing the buffer share the
+        index too."""
+        import numpy as np
+
+        r = self._resident
+        if "cell_order" not in r:
+            order = np.argsort(r["cells"], kind="stable")
+            r["cell_order"] = order
+            r["cells_sorted"] = r["cells"][order]
+        parts = []
+        for c in probes:
+            lo = np.searchsorted(r["cells_sorted"], c, "left")
+            hi = np.searchsorted(r["cells_sorted"], c, "right")
+            parts.append(r["cell_order"][lo:hi])
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(parts))
+
+    def _resident_qpos(self, query_id) -> int:
+        """Position of `query_id` in the resident id vector (which is
+        id-ascending by construction) via binary search; KeyError when
+        absent — same contract as the nonzero scan it replaces."""
+        import numpy as np
+
+        ids = self._resident["ids"]
+        pos = int(np.searchsorted(ids, query_id))
+        if pos >= len(ids) or ids[pos] != query_id:
+            raise KeyError(f"no vector for id {query_id!r}")
+        return pos
 
     def disable_interactive(self) -> None:
         self._resident = None
@@ -802,16 +896,12 @@ class PublishedVectorIndex:
         from ..functions.vector import round6_arr
 
         r = self._resident
-        qpos = np.nonzero(r["ids"] == query_id)[0]
-        if not len(qpos):
-            raise KeyError(f"no vector for id {query_id!r}")
-        q = r["mat"][int(qpos[0])]
+        q = r["mat"][self._resident_qpos(query_id)]
         n_probe = self.resolve_probe(n_probe)
         rerank = self.resolve_bq_rerank(rerank)
         cd = round6_arr(r["cmat"] @ q)
         probes = r["cids"][np.lexsort((r["cids"], -cd))[:n_probe]]
-        mask = np.isin(r["cells"], probes)
-        cand = np.nonzero(mask)[0]
+        cand = self._cand_positions(probes)
         if not len(cand):
             return []
         qwords = np.array(similarity.bq_pack_np(q), dtype=np.int64)
@@ -845,14 +935,11 @@ class PublishedVectorIndex:
         from ..functions.vector import round6_arr
 
         r = self._resident
-        qpos = np.nonzero(r["ids"] == query_id)[0]
-        if not len(qpos):
-            raise KeyError(f"no vector for id {query_id!r}")
-        q = r["mat"][int(qpos[0])]
+        q = r["mat"][self._resident_qpos(query_id)]
         n_probe = self.resolve_probe(n_probe)
         cd = round6_arr(r["cmat"] @ q)
         probes = r["cids"][np.lexsort((r["cids"], -cd))[:n_probe]]
-        cand = np.nonzero(np.isin(r["cells"], probes))[0]
+        cand = self._cand_positions(probes)
         if not len(cand):
             return []
         qd = similarity._int8_roundtrip_np(
@@ -885,15 +972,12 @@ class PublishedVectorIndex:
         from ..functions.vector import round6_arr
 
         r = self._resident
-        qpos = np.nonzero(r["ids"] == query_id)[0]
-        if not len(qpos):
-            raise KeyError(f"no vector for id {query_id!r}")
-        q = r["mat"][int(qpos[0])]
+        q = r["mat"][self._resident_qpos(query_id)]
         n_probe = self.resolve_probe(n_probe)
         rerank = self.resolve_rerank(rerank)
         cd = round6_arr(r["cmat"] @ q)
         probes = r["cids"][np.lexsort((r["cids"], -cd))[:n_probe]]
-        cand = np.nonzero(np.isin(r["cells"], probes))[0]
+        cand = self._cand_positions(probes)
         if not len(cand):
             return []
         luts = similarity.pq_adc_luts(self.pq_subbooks,
@@ -916,6 +1000,118 @@ class PublishedVectorIndex:
                  else r["ids"][p],
                  float(adc_by_pos[int(p)]), float(sim_by_pos[int(p)]))
                 for p in top.tolist()]
+
+    def bq_topk_point_batch(self, query_ids, n_probe: int | None = None,
+                            k: int = 5,
+                            rerank: int | None = None) -> list[list[tuple]]:
+        """Batched resident BQ point serving (round-12 verdict item 3:
+        the serving path looped `bq_topk_point` per query) — the
+        resident twin of `select_probes_batch`: knob resolution, id
+        lookups, and the cell index are paid once for the batch, and the
+        Hamming stage (the O(candidates) work) runs as ONE numpy pass —
+        all queries' candidate gathers concatenated into a single
+        xor + popcount-LUT sweep. Hamming is integer arithmetic, so the
+        batched sweep is bit-identical to the per-query loops; the two
+        FLOAT stages (probe dots, exact rerank) stay per-query with the
+        exact ops the single call uses, so the result is ROW-IDENTICAL
+        to N single calls (pinned by test). Returns one (id, hamming,
+        sim) tuple list per query id, input order. Falls back to the
+        per-query path when the tier is not resident."""
+        if self._resident is None or "bqw" not in self._resident:
+            return [self.bq_topk_point(qid, n_probe, k, rerank)
+                    for qid in query_ids]
+        import numpy as np
+
+        from ..functions.vector import round6_arr
+
+        r = self._resident
+        n_probe = self.resolve_probe(n_probe)
+        rerank = self.resolve_bq_rerank(rerank)
+        qids = list(query_ids)
+        qvecs, qwords, cands = [], [], []
+        for qid in qids:
+            q = r["mat"][self._resident_qpos(qid)]
+            cd = round6_arr(r["cmat"] @ q)
+            probes = r["cids"][np.lexsort((r["cids"], -cd))[:n_probe]]
+            qvecs.append(q)
+            qwords.append(similarity.bq_pack_np(q))
+            cands.append(self._cand_positions(probes))
+        counts = [len(c) for c in cands]
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        out: list[list[tuple]] = [[] for _ in qids]
+        if sum(counts):
+            big = np.concatenate([c for c in cands if len(c)])
+            qw = np.asarray(qwords, dtype=np.int64)
+            rep = np.repeat(np.arange(len(qids)), counts)
+            xor = np.bitwise_xor(r["bqw"][big], qw[rep])
+            ham_all = r["pop8"][xor.view(np.uint8)] \
+                .reshape(len(big), -1).sum(axis=1).astype(np.int64)
+            for i, qid in enumerate(qids):
+                cand, q = cands[i], qvecs[i]
+                if not len(cand):
+                    continue
+                ham = ham_all[offs[i]:offs[i + 1]]
+                keep = cand[np.lexsort((r["ids"][cand], ham))[:rerank]]
+                ham_by_pos = dict(zip(cand.tolist(), ham.tolist()))
+                sims = round6_arr(r["mat"][keep] @ q)
+                top = keep[np.lexsort((r["ids"][keep], -sims))[:k]]
+                sim_by_pos = dict(zip(keep.tolist(), sims.tolist()))
+                out[i] = [(r["ids"][p].item()
+                           if hasattr(r["ids"][p], "item") else r["ids"][p],
+                           int(ham_by_pos[int(p)]),
+                           float(sim_by_pos[int(p)]))
+                          for p in top.tolist()]
+        return out
+
+    def sq_topk_point_batch(self, query_ids, n_probe: int | None = None,
+                            k: int = 5) -> list[list[tuple]]:
+        """Batched resident SQ8 point serving: shared knob resolution +
+        cell index across the batch; the dequantized dot stays the exact
+        per-query op the single call performs (float summation order is
+        part of the row-identity contract). Row-identical to N single
+        calls (pinned by test)."""
+        if self._resident is None or "sqc" not in self._resident:
+            return [self.sq_topk_point(qid, n_probe, k)
+                    for qid in query_ids]
+        import numpy as np
+
+        from ..functions.vector import round6_arr
+
+        r = self._resident
+        n_probe = self.resolve_probe(n_probe)
+        out = []
+        for qid in query_ids:
+            q = r["mat"][self._resident_qpos(qid)]
+            cd = round6_arr(r["cmat"] @ q)
+            probes = r["cids"][np.lexsort((r["cids"], -cd))[:n_probe]]
+            cand = self._cand_positions(probes)
+            if not len(cand):
+                out.append([])
+                continue
+            qd = similarity._int8_roundtrip_np(
+                np.asarray([q], dtype=np.float64))[0]
+            deq = r["sqc"][cand] * (r["sqs"][cand, None] / 127.0)
+            sims = round6_arr(deq @ qd)
+            top = cand[np.lexsort((r["ids"][cand], -sims))[:k]]
+            sim_by_pos = dict(zip(cand.tolist(), sims.tolist()))
+            out.append([(r["ids"][p].item()
+                         if hasattr(r["ids"][p], "item") else r["ids"][p],
+                         float(sim_by_pos[int(p)]))
+                        for p in top.tolist()])
+        return out
+
+    def ivfpq_topk_point_batch(self, query_ids,
+                               n_probe: int | None = None, k: int = 5,
+                               rerank: int | None = None
+                               ) -> list[list[tuple]]:
+        """Batched resident IVFADC point serving — per-query delegation
+        (trivially row-identical): the ADC LUT build and gather/sum are
+        query-dependent floats, so beyond the cached cell index the
+        single call already shares there is no batch-amortizable stage
+        that would not change float summation order. Provided for API
+        symmetry with the BQ/SQ8 batch twins."""
+        return [self.ivfpq_topk_point(qid, n_probe, k, rerank)
+                for qid in query_ids]
 
     def ivf_topk(self, query_id, n_probe: int | None = 2, k: int = 5,
                  allowed: DataFrame | None = None,
@@ -1196,12 +1392,22 @@ def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
     else:
         planes = [(int(p), [float(x) for x in v]) for p, v in planes]
     dim = len(planes[0][1]) if planes else 0
-    _write_json_sidecar(index_dir, LSH_LAYOUT_NAME,
-                        {"n_planes": len(planes), "dim": dim,
-                         "id_col": id_col, "vec_col": vec_col,
-                         "requested_planes": int(
-                             requested_planes if requested_planes is not None
-                             else len(planes))})
+    layout = {"n_planes": len(planes), "dim": dim,
+              "id_col": id_col, "vec_col": vec_col,
+              "requested_planes": int(
+                  requested_planes if requested_planes is not None
+                  else len(planes))}
+    # Multiprobe flip-count governance (round-12 verdict item 5 — the
+    # last hand-set ANN quality knob): stamp the smallest n_flip whose
+    # sample conditional recall clears the target, derived by the same
+    # order-statistic inversion every other knob uses, so
+    # `lsh_topk(n_flip=None)` serves the store's recall contract instead
+    # of a constant. Sample-bounded cost, paid once per artifact epoch.
+    gov = similarity.nflip_for_recall(emb, planes, id_col=id_col,
+                                      vec_col=vec_col) if planes else None
+    if gov is not None:
+        layout.update(gov)
+    _write_json_sidecar(index_dir, LSH_LAYOUT_NAME, layout)
     spark = emb.sparkSession
     (spark.createDataFrame(planes, "plane_id int, pvec array<double>")
      .coalesce(1).write.mode("overwrite")
@@ -1234,6 +1440,10 @@ class PublishedLshIndex:
         # re-stamp THIS, never the fitted count (see publish_lsh_index)
         self.requested_planes = int(lay.get("requested_planes",
                                             self.n_planes))
+        # governed multiprobe flip count (stamped at publish by
+        # `similarity.nflip_for_recall`; absent on pre-r13 artifacts) —
+        # `lsh_topk(n_flip=None)` resolves to it
+        self.governed_nflip = lay.get("n_flip")
         self.id_col, self.vec_col = lay["id_col"], lay["vec_col"]
         self.sigs_path = os.path.join(index_dir, "sigs")
         self.planes = [(int(r.plane_id), list(r.pvec)) for r in sorted(
@@ -1263,14 +1473,29 @@ class PublishedLshIndex:
         margins = [q[f"m{p}"] for p, _ in self.planes]
         return list(q["qvec"]), bucket, margins
 
-    def lsh_topk(self, query_id, k: int = 5, n_flip: int = 0) -> DataFrame:
+    def resolve_nflip(self, n_flip: int | None) -> int:
+        """`None` means the layout's governed multiprobe flip count
+        (stamped at publish — the smallest n_flip whose sample
+        conditional recall cleared the target), falling back to the
+        config default on pre-governance artifacts. An int passes
+        through (the oracle-replayable path). The `resolve_probe`
+        discipline applied to the LSH knob."""
+        if n_flip is not None:
+            return int(n_flip)
+        return int(self.governed_nflip) \
+            if self.governed_nflip is not None else 2
+
+    def lsh_topk(self, query_id, k: int = 5,
+                 n_flip: int | None = 0) -> DataFrame:
         """Single-bucket (n_flip=0) or multiprobe ANN off the published
         store — same semantics (and same DuckDB oracles) as
         `similarity.ann_topk_lsh`/`ann_topk_lsh_multiprobe`, but the
         bucket scan is directory-pruned parquet (PartitionFilters on
         `bucket`, asserted by tests) instead of a full-corpus bucket
         recompute. Flip order: lowest |margin| first, ties on plane id —
-        identical to the in-session operator."""
+        identical to the in-session operator. `n_flip=None` resolves to
+        the publish-time governed flip count (`resolve_nflip`)."""
+        n_flip = self.resolve_nflip(n_flip)
         qvec, base, margins = self._query_state(query_id)
         probes = [base]
         flip_order = sorted((abs(m), i) for i, m in enumerate(margins))
@@ -1349,6 +1574,15 @@ def export_vectors_binary(spark: SparkSession, index_dir: str,
     import numpy as np
 
     vidx = open_vector_index(spark, index_dir)
+    # Fail BEFORE any file opens: a non-integral id column would crash
+    # mid-stream on int(r[0]) and leave a torn vectors.f32/ids.bin pair
+    # behind (round-12 ADVICE) — the export contract is int64 ids.
+    id_type = vidx.vectors.schema[vidx.id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"export_vectors_binary requires an integral id column for "
+            f"the int64 ids.bin layout; store at {index_dir} has "
+            f"{vidx.id_col!r}: {id_type}")
     os.makedirs(out_dir, exist_ok=True)
     n = 0
     rows = (vidx.vectors.select(vidx.id_col, vidx.vec_col)
@@ -1540,6 +1774,8 @@ def split_hot_cell(spark: SparkSession, index_dir: str,
         spark, index_dir, part_col="cell", specs=specs, id_col=id_col,
         changed=changed, removed_ids=None, manifest=manifest_fn,
         n_rows=total, extra_stage=stage_sidecars)
+    # cell geometry changed: drop any pooled resident generation
+    resident.invalidate_dir(index_dir)
 
     # re-derive the recall contracts against the POST-split artifact
     # (derived-geometry stores only — the publish condition)
@@ -1673,6 +1909,11 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
                       sq8=vidx.sq is not None,
                       bq1=vidx.bq is not None)),
         n_rows=n_rows)
+    # the delta changed the store's contents: any pooled resident
+    # matrix for this dir is now a stale generation (a manifest-less
+    # refresh leaves sidecar stamps untouched, so eager invalidation is
+    # load-bearing here, not belt-and-braces)
+    resident.invalidate_dir(index_dir)
     # opt-in hot-cell remediation: after the delta lands, check the
     # balance the refresh produced and split a cell that crossed the
     # bound (see `split_hot_cell`); the report rides on the handle

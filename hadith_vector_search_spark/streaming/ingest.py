@@ -1092,6 +1092,115 @@ def streaming_simhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def streaming_minhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance for the MINHASH signature frame store —
+    round-12 verdict item 6: round 12 made the signatures durable
+    (`sources.frame_store._derive_minhash`) but only batch ingest
+    maintained them; postings, vector, LSH, simhash, and window stores
+    all have `foreachBatch` twins, so the signature store gets the same
+    one. Identical harness to `streaming_simhash_refresh` (the shared
+    `write_frame_refresh` core makes the twins one code path): a base
+    doc-bucket-partitioned store of h0..h{N_HASHES-1} signature columns
+    is published from the documents table, the standard change feed
+    (revised %5, new %11 above the id offset, deleted %13) streams in
+    JSON micro-batches, each delta-merged under the crash-safe staged
+    journal — only the touched `dbucket` dirs rewrite, idempotent under
+    retry. The drained store must equal a from-scratch signature build
+    of the merged corpus; the oracle re-shingles and re-hashes the
+    MERGED raw text. Emits the drained signature table."""
+    import tempfile
+
+    from ..operators.dedup import SHINGLE_W
+    from ..plans.dedup import N_HASHES
+    from ..plans.lexical import REFRESH_NEW_ID_OFFSET
+    from ..sources import frame_store, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="stream_mhref_")
+    store = os.path.join(work, "store")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        frame_store.publish_frame_store(docs, store, "minhash",
+                                        {"w": SHINGLE_W,
+                                         "n_hashes": N_HASHES})
+        upd = (docs.filter((F.col("doc_id") % 5 == 0)
+                           & (F.col("doc_id") % 13 != 0))
+               .select("doc_id",
+                       F.concat(F.col("text"), F.lit(" [rev2]"))
+                       .alias("text"),
+                       F.lit("upsert").alias("action")))
+        fresh = (docs.filter(F.col("doc_id") % 11 == 0)
+                 .select((F.col("doc_id") + REFRESH_NEW_ID_OFFSET)
+                         .alias("doc_id"),
+                         "text", F.lit("upsert").alias("action")))
+        dels = (docs.filter(F.col("doc_id") % 13 == 0)
+                .select("doc_id", F.lit(None).cast("string").alias("text"),
+                        F.lit("delete").alias("action")))
+        feed = upd.unionByName(fresh).unionByName(dels)
+        feed.repartition(3).write.mode("overwrite").json(src)
+
+        schema = spark.createDataFrame(
+            [], "doc_id long, text string, action string").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(src))
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            ups = (batch_df.filter(F.col("action") == "upsert")
+                   .select("doc_id", "text"))
+            rms = (batch_df.filter(F.col("action") == "delete")
+                   .select("doc_id"))
+            frame_store.write_frame_refresh(spark, store, ups, rms)
+
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        drained = frame_store.open_frame_store(spark, store)
+        return (drained.rows
+                .select("doc_id", *[f"h{j}" for j in range(N_HASHES)])
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_minhash_refresh_oracle() -> str:
+    """From-scratch replay: apply the change feed in SQL, then shingle
+    and hash the MERGED text exactly as `minhash_sigs`' oracle does
+    (sha256 slice minimums per doc, `plans.dedup._sig_cols`). Docs with
+    fewer than SHINGLE_W tokens produce no shingles — absent from the
+    store and from the replay alike."""
+    from ..plans.dedup import N_HASHES, _sig_cols
+    from ..plans.lexical import REFRESH_NEW_ID_OFFSET
+
+    return f"""
+WITH merged AS (
+  SELECT doc_id, text || ' [rev2]' AS text
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + {REFRESH_NEW_ID_OFFSET}, text
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, text
+  FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 13 <> 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_؀-ۿ]+'),
+                     x -> length(x) >= 2) AS ts
+  FROM merged
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+)
+SELECT doc_id, {_sig_cols(N_HASHES)}
+FROM sh GROUP BY doc_id
+"""
+
+
 def streaming_simhash_refresh_oracle() -> str:
     """From-scratch replay: apply the change feed to the raw corpus in
     SQL, then the standard simhash replay (`plans.dedup.simhash_oracle`)

@@ -144,6 +144,15 @@ def bench_sf(spark, sf_dir: str, n: int) -> dict:
             (i * 7) % 100, n_probe=2, k=5),
         "ann_pq_point_resident": lambda i: pq_idx.ivfpq_topk_point(
             (i * 7) % 100, n_probe=2, k=5, rerank=20),
+        # BATCHED resident point serving (round-12 verdict item 3): 32
+        # queries per call through ONE numpy Hamming sweep. The row is
+        # the WHOLE-CALL latency; divide by 32 for per-query cost, which
+        # must sit well under the single-call resident row above.
+        "ann_bq_point_resident_batch32": lambda i: bq_idx.bq_topk_point_batch(
+            [(i * 7 + j) % 100 for j in range(32)],
+            n_probe=2, k=5, rerank=20),
+        "ann_sq8_point_resident_batch32": lambda i: sq_idx.sq_topk_point_batch(
+            [(i * 7 + j) % 100 for j in range(32)], n_probe=2, k=5),
     }
     out = {}
     for name, call in calls.items():

@@ -112,3 +112,24 @@ def test_mmr_pair_build_is_broadcast_and_bounded(spark):
     emb = load_table(spark, SF, "embeddings")
     n_cands = topk_by_query_id(emb, sp.QUERY_VEC_ID, sp.MMR_CANDS).count()
     assert n_cands <= sp.MMR_CANDS
+
+
+def test_plan_audit_table_covers_registry():
+    """round-12 verdict item 4: PLAN_AUDIT.md's main table must track
+    the registry MECHANICALLY — a new registration cannot ship without
+    its plan-audit row (and a de-registration cannot leave a stale one).
+    Parses the committed audit table (query name + three integer
+    columns) and asserts exact set equality with get_queries()."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLAN_AUDIT.md")
+    main = open(path).read().split("# pin-time build plans")[0]
+    rows = set(re.findall(r"^([a-z0-9_]+)\s+\d+\s+\d+\s+\d+", main, re.M))
+    registered = set(get_queries())
+    assert rows == registered, (
+        f"PLAN_AUDIT.md table out of sync with registry: "
+        f"missing={sorted(registered - rows)} "
+        f"stale={sorted(rows - registered)} — re-run "
+        f"scripts/audit_plans.py and re-stamp PLAN_AUDIT.md")

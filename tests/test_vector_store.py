@@ -1434,3 +1434,124 @@ def test_export_vectors_binary_roundtrip(spark, tmp_path):
     for row_i, vid in enumerate(ids):
         assert np.allclose(vecs[row_i],
                            np.asarray(want[vid], dtype=np.float32))
+
+
+def test_export_rejects_non_integral_ids_before_writing(spark, tmp_path):
+    """A store published with a string id column must fail the binary
+    export UP FRONT (the int64 ids.bin contract) — never mid-stream with
+    a torn vectors.f32/ids.bin pair left behind."""
+    idx = str(tmp_path / "vec_export_str")
+    emb = spark.createDataFrame(
+        [(f"doc-{i}", _vec(i)) for i in IDS],
+        "vec_id string, embedding array<double>")
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS)
+    out = str(tmp_path / "hnsw_out_str")
+    with pytest.raises(ValueError, match="integral id column"):
+        vector_store.export_vectors_binary(spark, idx, out)
+    assert not os.path.exists(os.path.join(out, "vectors.f32"))
+    assert not os.path.exists(os.path.join(out, "ids.bin"))
+
+
+def test_resident_pool_shares_one_buffer_across_handles(spark, tmp_path):
+    """Two handles on the same published artifact share ONE resident
+    buffer (round-12 verdict item 2): the second enable borrows the
+    pooled arrays instead of re-collecting, and a refresh invalidates
+    the pooled generation so the next enable serves the new corpus."""
+    import numpy as np
+
+    from hadith_vector_search_spark.sources import resident
+
+    idx = str(tmp_path / "vec_pool")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS, bq1=True)
+    v1 = vector_store.open_vector_index(spark, idx)
+    v2 = vector_store.open_vector_index(spark, idx)
+    assert v1.enable_interactive()
+    assert v2.enable_interactive()
+    assert v1._resident is v2._resident  # one pooled payload, borrowed
+    assert np.shares_memory(v1._resident["mat"], v2._resident["mat"])
+    # row-identity still holds through the shared buffer
+    assert v1.bq_topk_point(3, 2, 4, 8) == v2.bq_topk_point(3, 2, 4, 8)
+    # refresh drops the pooled generation: a fresh enable sees new rows
+    new_id = max(IDS) + 1
+    vector_store.write_vector_refresh(
+        spark, idx, _emb(spark, [new_id]))
+    v3 = vector_store.open_vector_index(spark, idx)
+    assert v3.enable_interactive()
+    assert v3._resident is not v1._resident
+    assert new_id in set(v3._resident["ids"].tolist())
+    # the stale handle still holds its old (pre-refresh) snapshot —
+    # same semantics as the unpooled tier (re-enable to refresh)
+    assert new_id not in set(v1._resident["ids"].tolist())
+
+
+def test_resident_byte_bound_refuses_wide_stores(spark, tmp_path):
+    """enable_interactive bounds BYTES, not just rows (round-12 ADVICE:
+    at dim 384 the row cap alone admits ~1.5-2 GB of driver arrays)."""
+    idx = str(tmp_path / "vec_bytes")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS, bq1=True)
+    vidx = vector_store.open_vector_index(spark, idx)
+    est = vidx.estimated_resident_bytes(len(IDS))
+    # the estimate covers at least the raw matrix + ids + packed words
+    assert est >= len(IDS) * (DIM * 8 + 8 + 8 + 8)
+    assert vidx.enable_interactive(max_driver_bytes=est - 1) is False
+    assert not vidx.interactive_enabled
+    assert vidx.enable_interactive(max_driver_bytes=est)
+    assert vidx.interactive_enabled
+
+
+def test_point_batch_row_identical_to_singles(spark, tmp_path):
+    """`*_topk_point_batch` returns exactly N single calls' rows (the
+    batched Hamming sweep is integer-exact; the float stages reuse the
+    single call's ops), including empty-result and fallback paths."""
+    idx = str(tmp_path / "vec_batch_point")
+    emb = _emb(spark, IDS)
+    vector_store.publish_vector_index(emb, idx, n_cells=N_CELLS,
+                                      sq8=True, bq1=True, pq_cents=4)
+    vidx = vector_store.open_vector_index(spark, idx)
+    qids = [0, 3, 7, 19, 11]
+    # fallback BEFORE enabling: still row-identical (delegates)
+    assert vidx.bq_topk_point_batch(qids[:2], 2, 4, 8) == [
+        vidx.bq_topk_point(q, 2, 4, 8) for q in qids[:2]]
+    assert vidx.enable_interactive()
+    for n_probe, k, rerank in ((1, 3, 5), (2, 4, 8), (None, 5, None)):
+        assert vidx.bq_topk_point_batch(qids, n_probe, k, rerank) == [
+            vidx.bq_topk_point(q, n_probe, k, rerank) for q in qids], \
+            (n_probe, k, rerank)
+        assert vidx.sq_topk_point_batch(qids, n_probe, k) == [
+            vidx.sq_topk_point(q, n_probe, k) for q in qids]
+        assert vidx.ivfpq_topk_point_batch(qids, n_probe, k, rerank) == [
+            vidx.ivfpq_topk_point(q, n_probe, k, rerank) for q in qids]
+    with pytest.raises(KeyError):
+        vidx.bq_topk_point_batch([0, 999])
+
+
+def test_lsh_publish_stamps_governed_nflip(spark, tmp_path):
+    """round-12 verdict item 5: the publish stamps the governed
+    multiprobe flip count (order-statistic inversion over sample flip
+    depths) into the LSH layout, and `lsh_topk(n_flip=None)` resolves to
+    it — row-identical to passing the stamped value explicitly."""
+    import json as _json
+
+    idx = str(tmp_path / "lsh_gov")
+    emb = _emb(spark, IDS)
+    vector_store.publish_lsh_index(emb, idx, n_planes=4)
+    lay = _json.load(open(os.path.join(idx, "_lshlayout.json")))
+    assert "n_flip" in lay and lay["n_flip"] >= 0
+    assert lay["flip_measured_recall"] >= lay["flip_recall_target"]
+    assert lay["flip_reachable_pairs"] <= lay["flip_pairs"]
+    lidx = vector_store.open_lsh_index(spark, idx)
+    assert lidx.resolve_nflip(None) == lay["n_flip"]
+    assert lidx.resolve_nflip(3) == 3  # explicit passes through
+    got = _rows(lidx.lsh_topk(5, k=4, n_flip=None))
+    want = _rows(lidx.lsh_topk(5, k=4, n_flip=lay["n_flip"]))
+    assert got == want
+    # pre-governance artifacts (no stamp) fall back to the config default
+    import os as _os
+    lay2 = {k: v for k, v in lay.items() if not k.startswith(("n_flip",
+                                                             "flip_"))}
+    with open(_os.path.join(idx, "_lshlayout.json"), "w") as fh:
+        _json.dump(lay2, fh)
+    old = vector_store.open_lsh_index(spark, idx)
+    assert old.resolve_nflip(None) == 2
