@@ -31,6 +31,7 @@ from .operators import bm25, fusion, proximity, similarity
 from .operators import dedup as dedup_ops
 from .operators.embedder import DEFAULT_DIM, embed_column, encode_query
 from .operators.router import INTENT_EXACT, INTENT_NARRATOR, route_one
+from .localrel import local_df
 
 OVERFETCH_FLOOR = 50   # max(50, 5*n) per the reference (tools.py:87,93)
 
@@ -2016,8 +2017,8 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             row = self._emb.select(F.size("embedding").alias("d")).first()
             if row is not None:
                 dim = row.d
-        return self.spark.createDataFrame(
-            [(n_vectors, dim, built)],
+        return local_df(
+            self.spark, [(n_vectors, dim, built)],
             "n_vectors long, embedding_dim int, built boolean")
 
     def fts_status(self) -> DataFrame:
@@ -2026,17 +2027,17 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
         distinct terms, postings rows, average doc length."""
         built = self._index is not None
         if not built:
-            return self.spark.createDataFrame(
-                [(0, 0, 0, 0.0, False)],
+            return local_df(
+                self.spark, [(0, 0, 0, 0.0, False)],
                 "n_docs long, n_terms long, n_postings long, "
                 "avgdl double, built boolean")
         idx = self._index
         st = idx.stats.first()
         n_terms = idx.term_df.count()
         n_postings = idx.postings.count()
-        return self.spark.createDataFrame(
-            [(int(st.n_docs), n_terms, n_postings,
-              round(float(st.avgdl), 4), True)],
+        return local_df(
+            self.spark, [(int(st.n_docs), n_terms, n_postings,
+                          round(float(st.avgdl), 4), True)],
             "n_docs long, n_terms long, n_postings long, "
             "avgdl double, built boolean")
 
@@ -2051,6 +2052,6 @@ ORDER BY score DESC, {idc} ASC LIMIT {int(n_results)}"""
             row = self._emb.select(F.size("embedding").alias("d")).first()
             if row is not None:
                 dim = row.d
-        return self.spark.createDataFrame(
-            [(n_docs, dim, self.text_col, self.id_col)],
+        return local_df(
+            self.spark, [(n_docs, dim, self.text_col, self.id_col)],
             "n_docs long, embedding_dim int, text_col string, id_col string")

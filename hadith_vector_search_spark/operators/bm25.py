@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import MIN_TOKEN_LEN, py_tokenize, tokenize
+from ..localrel import local_df
 
 K1 = 1.2
 B = 0.75
@@ -391,7 +392,7 @@ def percolator_qterms(spark: SparkSession, stored_queries: list) -> DataFrame:
     table itself (millions of rows); here it is a literal frame."""
     rows = sorted({(qid, t) for qid, q in stored_queries
                    for t in py_tokenize(q)})
-    return spark.createDataFrame(rows, "query_id int, term string")
+    return local_df(spark, rows, "query_id int, term string")
 
 
 def rarest_terms(qterms: DataFrame, term_df: DataFrame) -> DataFrame:
@@ -538,7 +539,7 @@ def bm25_topk_batch(spark: SparkSession, docs: DataFrame,
     from pyspark.sql.window import Window
 
     rows = [(qid, t) for qid, q in queries for t in sorted(set(py_tokenize(q)))]
-    qterms = spark.createDataFrame(rows, "query_id int, term string")
+    qterms = local_df(spark, rows, "query_id int, term string")
     if index is None:
         index = build_index(docs, text_col, id_col)
     scored = score_terms_batch(index, qterms, conjunctive)

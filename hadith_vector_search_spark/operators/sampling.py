@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import py_tokenize
 from .dedup import SHINGLE_W, shingles
+from ..localrel import local_df
 
 # Split-fraction thresholds on the first two hex chars of sha256(id):
 # 0x00-0xcc -> train (205/256 ~ 80.1%), 0xcd-0xe6 -> val (26/256 ~ 10.2%),
@@ -98,9 +99,9 @@ def contamination(docs: DataFrame, bench: list[tuple[int, str]],
     bsh_rows = [(bid, s) for bid, btext in bench for s in py_shingles(btext, w)]
     if not bsh_rows:
         raise ValueError("benchmark suite produced no shingles")
-    bsh = spark.createDataFrame(bsh_rows, "bench_id int, shingle string")
-    bsizes = spark.createDataFrame(
-        [(bid, len(py_shingles(btext, w))) for bid, btext in bench],
+    bsh = local_df(spark, bsh_rows, "bench_id int, shingle string")
+    bsizes = local_df(
+        spark, [(bid, len(py_shingles(btext, w))) for bid, btext in bench],
         "bench_id int, bench_size int")
     corpus_sh = shingles(docs, text_col, id_col, w)
     overlap = (

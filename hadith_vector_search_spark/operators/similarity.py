@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import dot
+from ..localrel import local_df
 
 
 def cosine_scores(emb: DataFrame, query_vec, id_col: str = "vec_id",
@@ -1163,7 +1164,8 @@ def probe_depth_frame(emb: DataFrame,
              .select("query_id", "nbr_id", "cell"))
     # probe order per sample query: rank ALL cells by the same
     # round(dot,6) desc / lowest-cent-id arithmetic `select_probes` uses
-    cents = sample.sparkSession.createDataFrame(
+    cents = local_df(
+        sample.sparkSession,
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cent_id int, cvec array<double>")
     wq = Window.partitionBy("query_id").orderBy(F.desc("cd"),
@@ -1299,8 +1301,8 @@ def rerank_depth_frame(emb: DataFrame,
     spark = emb.sparkSession
     m = len(subbooks)
     if not qrows or not centroids or not m:
-        return spark.createDataFrame(
-            [], "query_id long, nbr_id long, arank int")
+        return local_df(
+            spark, [], "query_id long, nbr_id long, arank int")
     qvecs = [[float(x) for x in r[1]] for r in qrows]
     probe_lists = select_probes_batch(centroids, qvecs, n_probe)
     cmap = {int(c): np.asarray(v, dtype=np.float64)
@@ -1318,9 +1320,10 @@ def rerank_depth_frame(emb: DataFrame,
         batch.append(tuple(row))
     cterm_field = "cterms array<double>, " if residual else ""
     lut_fields = ", ".join(f"lut_{i} array<double>" for i in range(m))
-    bdf = spark.createDataFrame(
-        batch, f"query_id long, qvec array<double>, probes array<int>, "
-               f"{cterm_field}{lut_fields}")
+    bdf = local_df(
+        spark, batch,
+        f"query_id long, qvec array<double>, probes array<int>, "
+        f"{cterm_field}{lut_fields}")
     if codes is None:
         tagged = emb.select(F.col(id_col), F.col(vec_col),
                             cell_of(centroids, vec_col).alias("cell"))
@@ -1468,8 +1471,8 @@ def bq_rerank_depth_frame(emb: DataFrame,
              .orderBy(F.asc(id_col)).limit(sample_n).collect())
     spark = emb.sparkSession
     if not qrows or not centroids:
-        return spark.createDataFrame(
-            [], "query_id long, nbr_id long, arank int")
+        return local_df(
+            spark, [], "query_id long, nbr_id long, arank int")
     qvecs = [[float(x) for x in r[1]] for r in qrows]
     if dim is None:
         dim = len(qvecs[0])
@@ -1478,9 +1481,10 @@ def bq_rerank_depth_frame(emb: DataFrame,
     batch = [(int(r[0]), qv, [int(p) for p in ps],
               bq_pack_np(np.asarray(qv, dtype=np.float64)))
              for r, qv, ps in zip(qrows, qvecs, probe_lists)]
-    bdf = spark.createDataFrame(
-        batch, "query_id long, qvec array<double>, probes array<int>, "
-               "qwords array<bigint>")
+    bdf = local_df(
+        spark, batch,
+        "query_id long, qvec array<double>, probes array<int>, "
+        "qwords array<bigint>")
     if bq_codes is None:
         bq_codes = (emb.select(F.col(id_col),
                                cell_of(centroids, vec_col).alias("cell"),
@@ -1563,8 +1567,8 @@ def flip_depth_frame(emb: DataFrame,
     everything downstream sample-sized."""
     spark = emb.sparkSession
     if not planes:
-        return spark.createDataFrame(
-            [], "query_id long, nbr_id long, depth int")
+        return local_df(
+            spark, [], "query_id long, nbr_id long, depth int")
     n_planes = len(planes)
     bucket = sign_bucket_expr(planes, vec_col)
     src = emb.select(F.col(id_col), F.col(vec_col),
@@ -1575,8 +1579,8 @@ def flip_depth_frame(emb: DataFrame,
               .orderBy(F.asc("query_id")).limit(sample_n))
     # per-query flip ranks: |round6(margin)| asc, plane_id asc — the
     # multiprobe operator's probe order, as a sample x planes relation
-    pl = spark.createDataFrame(
-        [(int(p), [float(x) for x in v]) for p, v in planes],
+    pl = local_df(
+        spark, [(int(p), [float(x) for x in v]) for p, v in planes],
         "plane_id int, pvec array<double>")
     wf = Window.partitionBy("query_id").orderBy(F.asc("am"),
                                                 F.asc("plane_id"))

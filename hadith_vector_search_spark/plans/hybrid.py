@@ -30,6 +30,7 @@ from ..operators import dedup, fusion, proximity, similarity
 from ..plans.lexical import _sql_tokens_cte, get_index
 from ..plans.semantic import _PAIR_DOT
 from ..sources import load_table
+from ..localrel import local_df
 
 # The fixed hybrid query carries a quoted phrase so the router-shaped
 # phrase/proximity bonuses (ref scoring.py:52-54,72-93) are live paths:
@@ -163,7 +164,7 @@ def hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (inner join = the reference's skip-missing semantics; see _hybrid).
     with_text = F.broadcast(fused).join(docs.select("doc_id", "text"), "doc_id")
     tok_rows = [(qid, sorted(set(py_tokenize(q)))) for qid, q in BATCH_QUERIES]
-    tokens_df = spark.createDataFrame(tok_rows, "query_id int, toks array<string>")
+    tokens_df = local_df(spark, tok_rows, "query_id int, toks array<string>")
     with_toks = with_text.join(F.broadcast(tokens_df), "query_id")
     cov = term_coverage(F.col("toks"), F.lower(F.col("text")))
     scored = fusion.score(with_toks, w, coverage_col=cov)
@@ -434,8 +435,8 @@ def ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(docs.select("doc_id", "text", "n_chars"), "doc_id"))
     with_dl = F.broadcast(with_doc).join(idx.doc_len, "doc_id")
     tok_rows = [(qid, sorted(set(py_tokenize(q)))) for qid, q in BATCH_QUERIES]
-    tokens_df = spark.createDataFrame(tok_rows,
-                                      "query_id int, toks array<string>")
+    tokens_df = local_df(spark, tok_rows,
+                         "query_id int, toks array<string>")
     cov = term_coverage(F.col("toks"), F.lower(F.col("text")))
     return (with_dl.join(F.broadcast(tokens_df), "query_id")
             .select("query_id", "doc_id",

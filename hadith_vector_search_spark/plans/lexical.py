@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.text import py_tokenize, snippet, term_coverage, tokenize
 from ..operators import bm25, fusion, proximity
 from ..sources import load_table
+from ..localrel import local_df
 
 # Shared fixed parameters (the oracle SQL embeds the same constants).
 BM25_QUERY = "data stream window"
@@ -186,7 +187,7 @@ def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("w"))
                  .orderBy(F.desc("w"), F.asc("term")).limit(PRF_EXP_TERMS)
                  .select("term"))
-    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    qterms = local_df(spark, [(t,) for t in terms], "term string")
     expanded = qterms.unionByName(exp_terms)
     return (sc.join(F.broadcast(expanded), "term")
             .groupBy("doc_id")
@@ -418,8 +419,7 @@ def spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     idx = get_index(spark, sf_dir)
-    inputs = spark.createDataFrame([(t,) for t in SPELL_INPUTS],
-                                   "input string")
+    inputs = local_df(spark, [(t,) for t in SPELL_INPUTS], "input string")
     cand = (idx.term_df.crossJoin(F.broadcast(inputs))
             .filter(F.abs(F.length("term") - F.length("input"))
                     <= SPELL_MAX_DIST)
@@ -1039,7 +1039,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query; top-k fuses to TakeOrderedAndProject."""
     idx = get_index(spark, sf_dir)
     terms = sorted(set(py_tokenize(BM25_QUERY)))
-    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    qterms = local_df(spark, [(t,) for t in terms], "term string")
     n_docs, _ = idx.stats_literals()
     w = (idx.scoring_view()
          .select("doc_id", "term",

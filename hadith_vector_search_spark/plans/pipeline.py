@@ -31,6 +31,7 @@ from ..operators.textstats import STOPWORDS
 from ..plans.dedup import _SHINGLES_CTE, PREVIEW_LEN
 from ..plans.textstats import _TOKS, _hits
 from ..sources import load_table
+from ..localrel import local_df
 
 # ---------------------------------------------------------------------------
 # corpus_split_summary
@@ -358,8 +359,13 @@ def cleaning_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry). One corpus scan per signal family, all map-side-combined."""
     docs = load_table(spark, sf_dir, "documents")
     from ..plans.dedup import doc_dup_fraction as _ddf
+    from .textstats import get_textsignals_index
 
-    qm = textstats.quality_metrics(docs).select(
+    # n_tokens/quality come from the published per-doc signal store (the
+    # same quality_metrics arithmetic, paid once at publish) instead of a
+    # fresh tokenize pass — the store-read discipline lang_id_counts et
+    # al. already follow; the oracle still rebuilds from raw text.
+    qm = get_textsignals_index(spark, sf_dir).select(
         "doc_id", "n_tokens", "quality")
     rep = textstats.repetition_metrics(docs).select(
         "doc_id", "dup_bigram_frac")
@@ -496,7 +502,7 @@ def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = dedup_ops.window_index(docs, w=w)
     bench_grams = sorted({s for _, btext in CONTAM_BENCH
                           for s in sampling.py_shingles(btext, w)})
-    bench_df = spark.createDataFrame([(g,) for g in bench_grams], "g string")
+    bench_df = local_df(spark, [(g,) for g in bench_grams], "g string")
     bench_keys = bench_df.select(F.xxhash64("g").alias("_h1"),
                                  F.crc32("g").alias("_h2"))
     marked = wins.join(F.broadcast(bench_keys), ["_h1", "_h2"], "left_semi")
@@ -727,8 +733,12 @@ def curriculum_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     are per-TIER constants, the thresholds fold into one CASE (no join,
     no hex->int arithmetic anywhere). Reports per tier what the
     curriculum realizes: docs kept and the tokens they carry."""
-    docs = load_table(spark, sf_dir, "documents")
-    qm = textstats.quality_metrics(docs)
+    from .textstats import get_textsignals_index
+
+    # quality + n_tokens served from the published per-doc signal store
+    # (same arithmetic, no per-query tokenize pass; oracle replays from
+    # raw text)
+    qm = get_textsignals_index(spark, sf_dir)
     q = F.col("quality")
     tier = (F.when(q >= CURRICULUM_Q_HIGH, F.lit("high"))
             .when(q >= CURRICULUM_Q_MID, F.lit("mid"))

@@ -36,6 +36,7 @@ from ..plans.lexical import _sql_tokens_cte, get_index
 from ..plans.routing import intent_feat_cte
 from ..plans.semantic import _PAIR_DOT
 from ..sources import load_table
+from ..localrel import local_df
 
 # A routed batch whose queries are built from corpus vocabulary so every
 # intent path produces rows (the golden-category batch in plans/routing.py
@@ -60,7 +61,7 @@ def routed_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = get_index(spark, sf_dir)
     w = fusion.resolve_weights("balanced")
 
-    queries = spark.createDataFrame(ROUTED_BATCH, "query_id int, query_text string")
+    queries = local_df(spark, ROUTED_BATCH, "query_id int, query_text string")
     # Pin the routed batch: eight downstream consumers would otherwise each
     # re-plan and re-run the routing subtree (7 rows, but the duplicated
     # subtrees inflate analysis and scheduling far beyond their data size).

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.router import route
+from ..localrel import local_df
 
 # (query_id, query_text) — fixed corpus, embedded in the oracle too.
 QUERY_BATCH: list[tuple[int, str]] = [
@@ -40,7 +41,7 @@ QUERY_BATCH: list[tuple[int, str]] = [
 
 
 def intent_router(spark: SparkSession, sf_dir: str) -> DataFrame:
-    queries = spark.createDataFrame(QUERY_BATCH, "query_id int, query_text string")
+    queries = local_df(spark, QUERY_BATCH, "query_id int, query_text string")
     routed = route(queries)
     return routed.select("query_id", "intent", "phrase", "narrator_query",
                          "n_tokens", "arabic_ratio")
@@ -112,8 +113,8 @@ def golden_intent_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The per-id pinned-intent assertions and the end-to-end engine runs
     live in tests/test_golden_corpus.py.)"""
     from ..golden import GOLDEN
-    queries = spark.createDataFrame(
-        [(i, q) for i, (_qid, q, _want) in enumerate(GOLDEN)],
+    queries = local_df(
+        spark, [(i, q) for i, (_qid, q, _want) in enumerate(GOLDEN)],
         "query_id int, query_text string")
     return (route(queries)
             .select("query_id", "intent", "phrase", "narrator_query",

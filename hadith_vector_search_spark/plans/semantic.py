@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import dot, norm
 from ..operators import similarity
 from ..sources import load_table
+from ..localrel import local_df
 
 # Fixed parameters shared by Spark plans and oracles.
 QUERY_VEC_ID = 0
@@ -490,8 +491,8 @@ def ann_topk_bq_resident(spark: SparkSession, sf_dir: str) -> DataFrame:
     if vidx.interactive_enabled or vidx.enable_interactive():
         rows = vidx.bq_topk_point(QUERY_VEC_ID, IVF_PROBE, ANN_K,
                                   PQ_RERANK)
-        return spark.createDataFrame(
-            [(int(i), int(h), float(s)) for i, h, s in rows],
+        return local_df(
+            spark, [(int(i), int(h), float(s)) for i, h, s in rows],
             "vec_id long, hamming int, sim double")
     return vidx.bq_topk(QUERY_VEC_ID, IVF_PROBE, ANN_K, PQ_RERANK)
 
@@ -563,9 +564,10 @@ def bq_batch_published(spark: SparkSession, sf_dir: str,
     batch = [(int(r[0]), qv, [int(p) for p in ps],
               similarity.bq_pack_np(np.asarray(qv, dtype=np.float64)))
              for r, qv, ps in zip(qrows, qvecs, probe_lists)]
-    bdf = spark.createDataFrame(
-        batch, "query_id long, qvec array<double>, probes array<int>, "
-               "qwords array<bigint>")
+    bdf = local_df(
+        spark, batch,
+        "query_id long, qvec array<double>, probes array<int>, "
+        "qwords array<bigint>")
     union_probes = sorted({p for _, _, ps, _ in batch for p in ps})
     ham = F.bit_count(F.element_at("bq", 1)
                       .bitwiseXOR(F.element_at("qwords", 1)))
@@ -1006,8 +1008,9 @@ def ivf_batch_published(spark: SparkSession, sf_dir: str,
     batch = [(int(r[0]), qv, ps)
              for r, qv, ps in zip(qrows, qvecs, probe_lists)]
     union_probes = sorted({p for _, _, ps in batch for p in ps})
-    bdf = spark.createDataFrame(
-        batch, "query_id long, qvec array<double>, probes array<int>")
+    bdf = local_df(
+        spark, batch,
+        "query_id long, qvec array<double>, probes array<int>")
     pruned = (scan.filter(F.col("cell").isin(union_probes))
               .select("vec_id", "embedding",
                       F.col("cell").cast("int").alias("cell")))
@@ -1129,9 +1132,10 @@ def ivfpq_batch_published(spark: SparkSession, sf_dir: str,
         batch.append((int(r[0]), qv, ps,
                       *[[float(x) for x in lut] for lut in luts]))
     lut_fields = ", ".join(f"lut_{i} array<double>" for i in range(m))
-    bdf = spark.createDataFrame(
-        batch, f"query_id long, qvec array<double>, probes array<int>, "
-               f"{lut_fields}")
+    bdf = local_df(
+        spark, batch,
+        f"query_id long, qvec array<double>, probes array<int>, "
+        f"{lut_fields}")
     union_probes = sorted({p for _, _, ps, *_ in batch for p in ps})
 
     codes = (vidx.codes.filter(F.col("cell").isin(union_probes))

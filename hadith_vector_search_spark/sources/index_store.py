@@ -112,8 +112,15 @@ def _write_bucketed(df: DataFrame, path: str, n_buckets: int,
     in-file (row-group min/max pruning). Refresh deltas also come through
     here — into the STAGING dir, whose bucket dirs the commit journal
     then swaps/deletes one-by-one (the crash-safe replacement for dynamic
-    partition overwrite)."""
-    (df.repartition("term_bucket")
+    partition overwrite).
+
+    REBALANCE, not `repartition("term_bucket")`: writer-task count must
+    track the data, not the core count — a delta batch staged at
+    shuffle.partitions width pays dozens of near-empty writer tasks'
+    serialized commit round trips, while AQE sizes the rebalance to
+    advisory bytes at scale and splits hot buckets across writers (the
+    `vector_store._write_parted` rationale; guide §2.5/§6)."""
+    (df.hint("rebalance", "term_bucket")
      .sortWithinPartitions("term_bucket", sort_col)
      .write.mode("overwrite")
      .partitionBy("term_bucket").parquet(path))

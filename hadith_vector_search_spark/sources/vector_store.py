@@ -49,6 +49,7 @@ from ..operators import similarity
 from . import resident
 from .commit import (JOURNAL_NAME, STAGING_NAME,  # noqa: F401
                      commit, recover)
+from ..localrel import local_df
 from .manifest import (MANIFEST_NAME, IndexManifest, ensure_index,
                        read_manifest, source_fingerprint, staleness_reasons)
 
@@ -78,7 +79,8 @@ RELATIONAL_CODEBOOK_BOUND = 1024
 
 
 def _cent_df(spark: SparkSession, centroids) -> DataFrame:
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cent_id int, cvec array<double>")
 
@@ -207,8 +209,19 @@ def data_codebook(emb: DataFrame, n_cells: int,
 def _write_parted(df: DataFrame, path: str, part_col: str,
                   id_col: str) -> None:
     """One directory per partition value, id-sorted in-file (row-group
-    min/max stats on the id for point-lookup skipping)."""
-    (df.repartition(part_col)
+    min/max stats on the id for point-lookup skipping).
+
+    REBALANCE instead of `repartition(part_col)`: the writer-task count
+    must track the DATA, not the core count. A plain repartition pins
+    the stage at spark.sql.shuffle.partitions tasks — for a small delta
+    batch that is dozens of near-empty writer tasks each paying the
+    serialized task-commit round trip (measured 3-4x the write cost of
+    the whole staged table at bench scale), while at lake scale AQE
+    sizes the same hint to advisoryPartitionSizeInBytes-sized tasks and
+    splits a skewed partition value across writers instead of wedging
+    it into one task (guide §2.5/§6). In-file id ordering is preserved
+    by the explicit sortWithinPartitions either way."""
+    (df.hint("rebalance", part_col)
      .sortWithinPartitions(part_col, id_col)
      .write.mode("overwrite")
      .partitionBy(part_col).parquet(path))
@@ -369,7 +382,8 @@ def publish_pq_codes(spark: SparkSession, index_dir: str, pq_cents: int,
     _write_json_sidecar(index_dir, PQ_LAYOUT_NAME,
                         {"n_cents": pq_cents, "m": len(subbooks),
                          "dim": dim, "residual": bool(residual)})
-    (spark.createDataFrame(
+    (local_df(
+        spark,
         [(m, c, [float(x) for x in Bm[c]])
          for m, Bm in enumerate(subbooks) for c in range(Bm.shape[0])],
         "m int, cent_id int, cvec array<double>")
@@ -1369,7 +1383,8 @@ def read_lsh_layout(index_dir: str) -> dict:
 def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       planes: list | None = None,
-                      requested_planes: int | None = None) -> None:
+                      requested_planes: int | None = None,
+                      govern: bool = True) -> None:
     """Full overwrite publish of the bucket-partitioned LSH store.
     `planes` (a collected [(plane_id, pvec)] list) overrides the
     deterministic data-derived hyperplanes; every input column rides into
@@ -1381,7 +1396,12 @@ def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
     pure function of the corpus count — stamping the fitted count flips
     the model identity and forces a full rebuild on every subsequent
     update (round-10 advice). Settles any crashed refresh first, as
-    `publish_vector_index`."""
+    `publish_vector_index`. `govern=False` skips the publish-time
+    multiprobe flip-count stamp (a sample-x-corpus measurement pass) —
+    for DURABLE stores the stamp is the serving contract and must stay;
+    a store published only to be drained and compared (the streaming
+    maintenance twin's workdir) never resolves `n_flip=None`, so paying
+    several Spark jobs to stamp it is pure overhead there."""
     if os.path.isdir(index_dir):
         recover(index_dir)
     if planes is None:
@@ -1403,13 +1423,14 @@ def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
     # order-statistic inversion every other knob uses, so
     # `lsh_topk(n_flip=None)` serves the store's recall contract instead
     # of a constant. Sample-bounded cost, paid once per artifact epoch.
-    gov = similarity.nflip_for_recall(emb, planes, id_col=id_col,
-                                      vec_col=vec_col) if planes else None
+    gov = (similarity.nflip_for_recall(emb, planes, id_col=id_col,
+                                       vec_col=vec_col)
+           if planes and govern else None)
     if gov is not None:
         layout.update(gov)
     _write_json_sidecar(index_dir, LSH_LAYOUT_NAME, layout)
     spark = emb.sparkSession
-    (spark.createDataFrame(planes, "plane_id int, pvec array<double>")
+    (local_df(spark, planes, "plane_id int, pvec array<double>")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_dir, "planes")))
 
@@ -1846,7 +1867,9 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
                          n_rows: int | None = None,
                          model_name: str | None = None,
                          hot_cell_bound: float | None = None,
-                         ) -> PublishedVectorIndex:
+                         vidx: PublishedVectorIndex | None = None,
+                         reopen: bool = True,
+                         ) -> PublishedVectorIndex | None:
     """Incremental write-back: `changed` carries (id, embedding) rows
     already re-embedded (the expensive part tracks the batch). Rewrites
     ONLY the cell directories the batch touches — the stored cells of
@@ -1858,9 +1881,19 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
     whole-table swaps with an empty-but-schema'd placeholder, exactly as
     the lexical store does. Commits through the shared staged-journal
     protocol — kill-safe at any point. Re-stamps the manifest when
-    `source_path` (+ `n_rows`) is given."""
+    `source_path` (+ `n_rows`) is given.
+
+    `vidx` (optional) is an already-open handle on THIS dir: the
+    codebook and quantizer sidecars are immutable under refresh and the
+    table properties re-read their paths lazily, so a caller applying
+    many consecutive deltas (a streaming foreachBatch loop) can open
+    once instead of paying the per-batch sidecar collect. `reopen=False`
+    skips the post-commit reopen (and returns None) for callers that
+    discard the returned handle — one less fixed-cost driver job per
+    batch."""
     recover(index_dir)
-    vidx = open_vector_index(spark, index_dir)
+    if vidx is None:
+        vidx = open_vector_index(spark, index_dir)
 
     def cell_tag(df: DataFrame) -> DataFrame:
         return _tag_cells(df, vidx.centroids, vidx.id_col, vidx.vec_col)
@@ -1919,6 +1952,8 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
     # bound (see `split_hot_cell`); the report rides on the handle
     report = (split_hot_cell(spark, index_dir, hot_cell_bound)
               if hot_cell_bound is not None else None)
+    if not reopen:
+        return None
     out = open_vector_index(spark, index_dir)
     out.last_split_report = report
     return out
@@ -1983,9 +2018,14 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str,
                       else new_probes.unionByName(
                           new_assign.select(part_col)))
         staged.append((spec, cols, new_assign))
-    old_parts = {r[0] for r in old_probes.distinct().collect()}
-    new_parts = {r[0] for r in new_probes.distinct().collect()}
-    touched_parts = sorted(old_parts | new_parts)
+    # ONE collect for both probe sides: the old-partition semi-joins and
+    # the new-assignment projections union into a single distinct before
+    # the driver round-trip — per-batch fixed cost is the Spark JOB
+    # count, and the two sides were two identical-shaped jobs (guide
+    # §1.2 / round-10 verdict item 5, taken one step further).
+    touched_parts = sorted(
+        {r[0] for r in
+         old_probes.unionByName(new_probes).distinct().collect()})
 
     staging = os.path.join(index_dir, STAGING_NAME)
     shutil.rmtree(staging, ignore_errors=True)
@@ -2052,15 +2092,21 @@ def write_lsh_refresh(spark: SparkSession, index_dir: str,
                       removed_ids: DataFrame | None = None,
                       source_path: str | None = None,
                       n_rows: int | None = None,
-                      model_name: str | None = None) -> PublishedLshIndex:
+                      model_name: str | None = None,
+                      lidx: PublishedLshIndex | None = None,
+                      reopen: bool = True) -> PublishedLshIndex | None:
     """Incremental write-back for the published LSH store — the bucket
     twin of `write_vector_refresh` (same `_partitioned_refresh` core,
     same staged-journal kill-safety): rewrites ONLY the `bucket=B` dirs
     the batch touches; the hyperplane sidecar never moves under a
     refresh (every stored bucket depends on it — a plane change is a
-    staleness rebuild, exactly the codebook rule)."""
+    staleness rebuild, exactly the codebook rule). `lidx`/`reopen`
+    follow `write_vector_refresh`: the planes sidecar is immutable under
+    refresh, so a foreachBatch loop may open once and skip the
+    per-batch reopen it discards anyway."""
     recover(index_dir)
-    lidx = open_lsh_index(spark, index_dir)
+    if lidx is None:
+        lidx = open_lsh_index(spark, index_dir)
     # zero-plane store (empty-corpus publish): the same guard
     # publish_lsh_index carries — F.concat of zero columns is
     # unconstructible
@@ -2076,4 +2122,4 @@ def write_lsh_refresh(spark: SparkSession, index_dir: str,
                   lambda n: lsh_manifest(source_path, n, lidx.dim,
                                          lidx.n_planes, model_name)),
         n_rows=n_rows)
-    return open_lsh_index(spark, index_dir)
+    return open_lsh_index(spark, index_dir) if reopen else None

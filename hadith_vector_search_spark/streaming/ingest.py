@@ -394,7 +394,12 @@ def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
             existing = (sess.read.parquet(target_dir)
                         .filter(F.col(MERGE_PART_COL).isin(touched)))
             merged = merge_upsert(existing, incoming, key=key)
-            (merged.write.mode("overwrite")
+            # rebalance: writer-task count tracks the staged bytes (AQE)
+            # instead of shuffle.partitions — a small batch's staged
+            # write was paying ~32 near-empty writer commits per pass
+            # (vector_store._write_parted rationale)
+            (merged.hint("rebalance", MERGE_PART_COL)
+             .write.mode("overwrite")
              .partitionBy(MERGE_PART_COL).parquet(staging))
             # Commit point: manifest lands atomically (write + os.replace).
             fd, tmp = tempfile.mkstemp(dir=target_dir, prefix=".commit-")
@@ -404,7 +409,8 @@ def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
             _apply_publish(target_dir, staging, touched)
         else:
             # Initial load: stage the whole table, publish with ONE rename.
-            (incoming.write.mode("overwrite")
+            (incoming.hint("rebalance", MERGE_PART_COL)
+             .write.mode("overwrite")
              .partitionBy(MERGE_PART_COL).parquet(staging))
             _os.rename(staging, target_dir)
 
@@ -708,13 +714,19 @@ def streaming_vector_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         stream = (spark.readStream.schema(_vector_change_feed(emb).schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
+        # One handle for the whole drain: the codebook sidecar is
+        # immutable under refresh and the table reads are lazy, so the
+        # per-batch open (a centroid collect job) and the post-commit
+        # reopen this loop discards are pure fixed cost (guide §1.2).
+        base = vector_store.open_vector_index(spark, store)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             ups = (batch_df.filter(F.col("action") == "upsert")
                    .select("vec_id", "embedding", "label"))
             rms = (batch_df.filter(F.col("action") == "delete")
                    .select("vec_id"))
-            vector_store.write_vector_refresh(spark, store, ups, rms)
+            vector_store.write_vector_refresh(spark, store, ups, rms,
+                                              vidx=base, reopen=False)
 
         q = (stream.writeStream.foreachBatch(process)
              .option("checkpointLocation", ckpt)
@@ -811,20 +823,31 @@ def streaming_lsh_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     try:
-        vector_store.publish_lsh_index(emb, store, n_planes=LSH_PLANES)
+        # govern=False: the twin's base store exists only to be drained
+        # and compared against the from-scratch oracle — nothing resolves
+        # its n_flip stamp, and the governance pass (sample x corpus,
+        # several jobs) would be paid INSIDE the maintenance query's
+        # timed window on every invocation (guide §1.2: don't compute
+        # things you throw away).
+        vector_store.publish_lsh_index(emb, store, n_planes=LSH_PLANES,
+                                       govern=False)
         _vector_change_feed(emb).repartition(3).write.mode(
             "overwrite").parquet(src)
 
         schema = _vector_change_feed(emb).schema
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
+        # One handle for the whole drain (the vector twin's argument:
+        # planes are immutable under refresh, reopens were discarded).
+        base = vector_store.open_lsh_index(spark, store)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             ups = (batch_df.filter(F.col("action") == "upsert")
                    .select("vec_id", "embedding", "label"))
             rms = (batch_df.filter(F.col("action") == "delete")
                    .select("vec_id"))
-            vector_store.write_lsh_refresh(spark, store, ups, rms)
+            vector_store.write_lsh_refresh(spark, store, ups, rms,
+                                           lidx=base, reopen=False)
 
         q = (stream.writeStream.foreachBatch(process)
              .option("checkpointLocation", ckpt)
