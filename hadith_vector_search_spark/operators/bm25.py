@@ -250,7 +250,9 @@ def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
                   .groupBy("doc_id", "term")
                   .agg(F.count(F.lit(1)).cast("double").alias("tf")))
     if pin:
-        fresh_post = fresh_post.localCheckpoint()
+        # lazy: pins at first evaluation (the delta pin's job), same
+        # exactly-once semantics, one less driver job per refresh (§1.2)
+        fresh_post = fresh_post.localCheckpoint(eager=False)
     fresh_dl = fresh_post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
     # Delete + reinsert on the doc-keyed frames.
@@ -272,7 +274,7 @@ def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
                       - F.coalesce(F.col("_rm"), F.lit(0.0))).alias("_net"))
              .filter(F.col("_net") != 0.0))
     if pin:
-        delta = delta.localCheckpoint()
+        delta = delta.localCheckpoint(eager=False)
     # Existing vocabulary: left join the broadcast delta (full outer can't
     # broadcast); brand-new terms arrive via the anti-join leg.
     updated_df = (index.term_df.join(F.broadcast(delta), "term", "left")
@@ -291,8 +293,9 @@ def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
         # unpinned result would make the next refresh's base a lazy
         # anti-join/union tower replaying every earlier batch. Lazy
         # checkpoints (eager=False) pin at first evaluation — a refresh
-        # whose output is never read costs nothing extra, and the eager
-        # scoring-view checkpoint below pins all three as a side effect.
+        # whose output is never read costs nothing extra; the next
+        # batch's (or the final consumer's) first action materializes
+        # and pins all three.
         new_post = new_post.localCheckpoint(eager=False)
         new_dl = new_dl.localCheckpoint(eager=False)
         new_term_df = new_term_df.localCheckpoint(eager=False)
@@ -324,7 +327,12 @@ def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
                       .join(new_term_df, "term")
                       .select("doc_id", "term", "tf", "dl", "df"))
         sc = kept_sc.unionByName(rebuilt_sc)
-        out._scoring = sc.localCheckpoint() if pin else sc
+        # lazy, like the three base frames above: a CHAINED refresh
+        # (streaming per-micro-batch maintenance) materializes batch N's
+        # view inside batch N+1's delta job instead of as its own —
+        # identical total work, strictly fewer driver jobs; the final
+        # consumer's scoring_view() call materializes the last snapshot.
+        out._scoring = sc.localCheckpoint(eager=False) if pin else sc
 
     if index._doc_norm is not None:
         # Hand doc_norm maintenance inputs to the new snapshot WITHOUT

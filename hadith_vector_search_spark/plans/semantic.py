@@ -2705,7 +2705,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `ann_recall_report_sampled` argument, at scaled band geometry).
     epairs = _pinned(
         spark, sf_dir, "exact_pairs_audit",
-        lambda: similarity.similar_pairs(sample, PAIR_THRESHOLD)
+        # n_blocks=2: the audit sample is FIXED-SIZE (~RECALL_SAMPLE_
+        # TARGET ids at any corpus size), so the default 8-block harness
+        # pays 36 tiny applyInPandas groups for a matmul 3 blocks cover;
+        # blocking never changes the pair set (full coverage by
+        # construction), only task granularity (§1.2).
+        lambda: similarity.similar_pairs(sample, PAIR_THRESHOLD,
+                                         n_blocks=2)
         .select("id_a", "id_b"))
     lpairs = _pinned(
         spark, sf_dir, "lsh_pairs_audit",
@@ -2767,7 +2773,11 @@ def ann_recall_report_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = hash_sample(emb, PAIR_SAMPLE_BOUND, id_col="vec_id")
     epairs = _pinned(
         spark, sf_dir, "exact_pairs_sampled",
-        lambda: similarity.similar_pairs(sample, PAIR_THRESHOLD)
+        # n_blocks=2 — fixed-size sample leg, the exact_pairs_audit
+        # argument (the lake shrinks PAIR_SAMPLE_BOUND so this sample
+        # stays bounded too)
+        lambda: similarity.similar_pairs(sample, PAIR_THRESHOLD,
+                                         n_blocks=2)
         .select("id_a", "id_b"))
     # Band the SAMPLE directly — with the FULL corpus's hyperplanes, so
     # band keys match the full index's. Bucket membership is per-vector,

@@ -1984,12 +1984,21 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str,
     # Pin the batch ONCE so every spec's tag derives from the same rows —
     # a non-deterministic upstream (a live encoder projection) must not
     # give the vectors table one evaluation and the codes table another.
-    changed = changed.localCheckpoint()
-    drop = changed.select(F.col(id_col)).distinct()
+    # LAZY checkpoint: the pin semantics are identical (first evaluation
+    # persists the blocks; every later consumer reads them), but the
+    # materialization folds into the first consuming job instead of
+    # being its own — per-batch fixed cost is the JOB count (§1.2).
+    changed = changed.localCheckpoint(eager=False)
+    # No .distinct() on the drop set: it is only ever the BROADCAST side
+    # of left_semi/left_anti joins (set semantics regardless of
+    # duplicates) and stays batch-sized either way — the distinct was a
+    # whole extra exchange stage inside every broadcast build (§1.2; the
+    # manifest row count below keeps its own exact distinct).
+    drop = changed.select(F.col(id_col))
     if removed_ids is not None:
         drop = drop.unionByName(
             removed_ids.select(F.col(removed_ids.columns[0])
-                               .alias(id_col))).distinct()
+                               .alias(id_col)))
     # Touched partitions are computed across ALL specs (they agree by
     # construction — same ids, same assignment — the union is defensive),
     # as ONE probe job per side rather than one per spec: the per-batch
@@ -2011,21 +2020,24 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str,
         # (re-embedding, encoding) isn't recomputed between the
         # touched-partition probe and the staged write. The batch carries
         # the VECTOR shape; `tag` maps it to the spec's columns+part_col.
+        # Lazy, like the batch pin above: the probes collect materializes
+        # it; the staged write reads the pinned blocks.
         cols = [c for c in live.columns if c != part_col]
         new_assign = (spec["tag"](changed).select(*cols, part_col)
-                      .localCheckpoint())
+                      .localCheckpoint(eager=False))
         new_probes = (new_assign.select(part_col) if new_probes is None
                       else new_probes.unionByName(
                           new_assign.select(part_col)))
         staged.append((spec, cols, new_assign))
     # ONE collect for both probe sides: the old-partition semi-joins and
-    # the new-assignment projections union into a single distinct before
-    # the driver round-trip — per-batch fixed cost is the Spark JOB
-    # count, and the two sides were two identical-shaped jobs (guide
-    # §1.2 / round-10 verdict item 5, taken one step further).
+    # the new-assignment projections union into a single driver
+    # round-trip — per-batch fixed cost is the Spark JOB count, and the
+    # two sides were two identical-shaped jobs (guide §1.2 / round-10
+    # verdict item 5, taken one step further). No distinct exchange
+    # before the collect either: the probe rows are batch-sized, so the
+    # set() here dedupes them cheaper than a shuffle stage would.
     touched_parts = sorted(
-        {r[0] for r in
-         old_probes.unionByName(new_probes).distinct().collect()})
+        {r[0] for r in old_probes.unionByName(new_probes).collect()})
 
     staging = os.path.join(index_dir, STAGING_NAME)
     shutil.rmtree(staging, ignore_errors=True)

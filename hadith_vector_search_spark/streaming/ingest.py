@@ -388,9 +388,11 @@ def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
         staging = f"{target_dir}.staging-{batch_id}-{_os.getpid()}"
         if os.path.exists(target_dir):
             _recover_pending_publish(target_dir)
-            # Touched-partition list is bounded by n_parts — a tiny collect.
-            touched = [r[0] for r in
-                       incoming.select(MERGE_PART_COL).distinct().collect()]
+            # Touched-partition list is bounded by n_parts — a tiny
+            # collect; dedupe driver-side instead of paying a distinct
+            # exchange stage on batch-sized rows (§1.2).
+            touched = sorted({r[0] for r in
+                              incoming.select(MERGE_PART_COL).collect()})
             existing = (sess.read.parquet(target_dir)
                         .filter(F.col(MERGE_PART_COL).isin(touched)))
             merged = merge_upsert(existing, incoming, key=key)
@@ -531,8 +533,13 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         sharr = dedup_plans.get_shingle_index(spark, sf_dir)
         is_new = (F.col("doc_id") % dedup_plans.INCR_MOD) == dedup_plans.INCR_REM
-        sigs_old = dedup_ops.minhash_signatures(
-            sharr.filter(~is_new), dedup_plans.N_HASHES).localCheckpoint()
+        # Old-side signatures come from the published minhash frame store
+        # (same sha-slice minimums, paid once per corpus snapshot) instead
+        # of re-hashing the whole old corpus per invocation — the
+        # store-read discipline near_dup_minhash already follows; the
+        # shared oracle still replays signatures from raw text.
+        sigs_old = (dedup_plans.get_minhash_index(spark, sf_dir)
+                    .filter(~is_new).localCheckpoint())
 
         (docs.filter(is_new).select("doc_id", "text")
          .repartition(3).write.mode("overwrite").json(src))
@@ -543,8 +550,11 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         def process(batch_df: DataFrame, batch_id: int) -> None:
             batch_sharr = dedup_ops._collapsed_shingles(
                 batch_df, "text", "doc_id")
+            # pinned lazily: consumed twice (band probe + the index
+            # sink), so the shingle+hash pass runs once per batch
             sigs_new = dedup_ops.minhash_signatures(
-                batch_sharr, dedup_plans.N_HASHES)
+                batch_sharr, dedup_plans.N_HASHES).localCheckpoint(
+                eager=False)
             cands = (dedup_ops.lsh_band_join(
                 sigs_new, sigs_old,
                 dedup_plans.N_HASHES, dedup_plans.BAND_SIZE)
