@@ -17,7 +17,16 @@ out of the query path).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
+
+try:
+    import pyarrow as pa
+except ImportError:  # pragma: no cover — pyspark ships pyarrow
+    pa = None
+
+_log = logging.getLogger(__name__)
 
 
 def local_df(spark: SparkSession, rows: list, ddl: str) -> DataFrame:
@@ -25,11 +34,15 @@ def local_df(spark: SparkSession, rows: list, ddl: str) -> DataFrame:
 
     Rows are positional tuples (or anything indexable) matching the DDL
     field order, exactly like the classic call. Falls back to the classic
-    pickled-RDD path on any Arrow conversion gap (exotic types, values a
-    pa.array refuses) — the fallback produces the same values, just
-    slower, so callers never need to care."""
+    pickled-RDD path on a NAMED set of Arrow conversion gaps (exotic
+    types, values a pa.array refuses) — the fallback produces the same
+    values, just slower. The except is deliberately narrow and the
+    fallback logged (round-13 ADVICE): a broad silent except would mask
+    caller bugs behind a slow path and make an ExistingRDD reappearing in
+    plans undetectable."""
+    if pa is None:
+        return spark.createDataFrame(rows, ddl)
     try:
-        import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType
 
@@ -39,5 +52,9 @@ def local_df(spark: SparkSession, rows: list, ddl: str) -> DataFrame:
                 for i, f in enumerate(arrow_schema)]
         return spark.createDataFrame(
             pa.Table.from_arrays(cols, schema=arrow_schema))
-    except Exception:  # noqa: BLE001 — fidelity over speed on any gap
+    except (ImportError, ValueError, TypeError, KeyError, IndexError,
+            OverflowError, pa.lib.ArrowInvalid, pa.lib.ArrowTypeError,
+            pa.lib.ArrowNotImplementedError) as e:
+        _log.debug("local_df: Arrow path fell back to pickled-RDD "
+                   "(%s: %s)", type(e).__name__, e)
         return spark.createDataFrame(rows, ddl)

@@ -236,7 +236,16 @@ def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
     reference pays a per-doc b-tree delete instead. Rebuild-equivalence
     with `build_index` over the merged corpus is pinned by the
     `incremental_postings_refresh` oracle query and
-    `test_refresh_index_equals_rebuild`."""
+    `test_refresh_index_equals_rebuild`.
+
+    `pin=True` pins LAZILY (`localCheckpoint(eager=False)`): the
+    snapshot is taken at the FIRST downstream action, not at this call
+    (round-13 ADVICE) — evaluate the returned index (any action over it)
+    BEFORE mutating or deleting the `changed_docs` source; an eager pin
+    captured the batch immediately, the lazy pin reads whatever the
+    source holds at first evaluation. Every in-repo caller (streaming
+    foreachBatch loops, the CLI delta) evaluates within the batch's
+    validity window."""
     changed_ids = (changed_docs.select(F.col(id_col).alias("doc_id"))
                    .distinct())
     drop = changed_ids

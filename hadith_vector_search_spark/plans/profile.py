@@ -72,38 +72,65 @@ _PROFILE_COLS: tuple[tuple[str, bool], ...] = (
 
 
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column profile of `orders` in ONE aggregation pass: row count,
-    null count, exact distinct count, min/max. The wide agg computes every
-    metric simultaneously (Catalyst plans the multi-count-distinct via
-    Expand with map-side partial aggs); the per-column rows are then
-    unpivoted driver-free with `stack`."""
+    """Per-column profile of `orders`: row count, null count, exact
+    distinct count, min/max — one independent single-column aggregation
+    branch per profiled column, unioned.
+
+    Why branches and not one wide agg (the round-5..13 form): a single
+    agg carrying five count(DISTINCT)s PLUS string min/max plans as an
+    interpreted SortAggregate over a 6-way Expand — (#cols+1) x row
+    multiplication through a row-at-a-time, non-codegen operator with a
+    ~31-function buffer (measured 3.4 s at sf0.1 vs 0.5 s for the
+    branches; the string aggregates make the buffer non-mutable, which
+    is what knocks the plan off the hash path). Each branch is a
+    column-pruned scan of ONE column into a codegen'd two-phase hash
+    aggregate (single distinct -> no Expand at all), and AQE runs the
+    independent branches concurrently inside the one action. Total scan
+    bytes are unchanged — five one-column scans read exactly the same
+    columnar pages as one five-column scan."""
     orders = load_table(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    outs = []
     for col, numeric in _PROFILE_COLS:
-        aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"))
-        aggs.append(F.countDistinct(col).alias(f"{col}__distinct"))
         if numeric:
-            aggs.append(F.round(F.min(col).cast("double"), 2).alias(f"{col}__min_num"))
-            aggs.append(F.round(F.max(col).cast("double"), 2).alias(f"{col}__max_num"))
-        else:
-            aggs.append(F.min(col).alias(f"{col}__min_str"))
-            aggs.append(F.max(col).alias(f"{col}__max_str"))
-    wide = orders.agg(*aggs)
-    stack_args = []
-    for col, numeric in _PROFILE_COLS:
-        mn = f"`{col}__min_num`" if numeric else "CAST(NULL AS DOUBLE)"
-        mx = f"`{col}__max_num`" if numeric else "CAST(NULL AS DOUBLE)"
-        ms = "CAST(NULL AS STRING)" if numeric else f"`{col}__min_str`"
-        xs = "CAST(NULL AS STRING)" if numeric else f"`{col}__max_str`"
-        stack_args.append(
-            f"'{col}', `{col}__nulls`, `{col}__distinct`, {mn}, {mx}, {ms}, {xs}")
-    n = len(_PROFILE_COLS)
-    return wide.selectExpr(
-        "_n AS n_rows",
-        f"stack({n}, {', '.join(stack_args)}) AS "
-        "(column_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)",
-    ).select("column_name", "n_rows", "n_nulls", "n_distinct",
-             "min_num", "max_num", "min_str", "max_str")
+            outs.append(orders.select(col).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.round(F.min(col).cast("double"), 2).alias("min_num"),
+                F.round(F.max(col).cast("double"), 2).alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            ).select(
+                F.lit(col).alias("column_name"), "n_rows", "n_nulls",
+                "n_distinct", "min_num", "max_num", "min_str", "max_str"))
+            continue
+        # String columns take a further step: a STRING min/max inside a
+        # global agg buffer is non-mutable, which knocks the whole branch
+        # onto interpreted SortAggregate (a local sort of every row per
+        # partition). Two-level instead: group by the value first (a
+        # codegen'd hash agg — buffer is one long), then profile the
+        # tiny (value, count) frame, where the object aggregate touches
+        # ~n_distinct rows instead of the table.
+        g = (orders.select(col).groupBy(col)
+             .agg(F.count(F.lit(1)).alias("_c")))
+        outs.append(g.agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col(col).isNull(), F.col("_c"))
+                             .otherwise(F.lit(0))), F.lit(0))
+            .cast("long").alias("n_nulls"),
+            F.count(F.when(F.col(col).isNotNull(), F.lit(1)))
+            .alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_num"),
+            F.lit(None).cast("double").alias("max_num"),
+            F.min(col).alias("min_str"),
+            F.max(col).alias("max_str"),
+        ).select(
+            F.lit(col).alias("column_name"), "n_rows", "n_nulls",
+            "n_distinct", "min_num", "max_num", "min_str", "max_str"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def table_profile_oracle() -> str:

@@ -58,6 +58,32 @@ def _pinned(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
 
 _VIDX_CACHE: dict[tuple, object] = {}
 
+_STATS_CACHE: dict[tuple, tuple[int, int]] = {}
+
+
+def _emb_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Session-scoped (n_rows, dim) of the embeddings table, keyed on its
+    file FINGERPRINT (mtime+size — pure driver stat calls, no Spark job):
+    every published-store `ensure_*` needs these two numbers to build the
+    manifest it compares, and recomputing them was a count + take job per
+    getter call (~10 published-index queries x several ensures per bench
+    pass). The fingerprint in the key keeps staleness semantics exact — a
+    rewritten table changes the fingerprint and recounts."""
+    import os as _os
+
+    from ..sources.manifest import source_fingerprint
+
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    fp = source_fingerprint([src])
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+           tuple(sorted((k, tuple(v)) for k, v in fp.items())))
+    if key not in _STATS_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        sample = emb.select("embedding").take(1)
+        _STATS_CACHE[key] = (emb.count(),
+                             len(sample[0][0]) if sample else 0)
+    return _STATS_CACHE[key]
+
 
 def _cached_open_vidx(spark: SparkSession, idx_dir: str):
     """Session-scoped PublishedVectorIndex handle cache, keyed on the
@@ -79,6 +105,24 @@ def _cached_open_vidx(spark: SparkSession, idx_dir: str):
            stamp)
     if key not in _VIDX_CACHE:
         _VIDX_CACHE[key] = vector_store.open_vector_index(spark, idx_dir)
+    return _VIDX_CACHE[key]
+
+
+def _cached_open_lidx(spark: SparkSession, idx_dir: str):
+    """`_cached_open_vidx` for the LSH store: an open collects the
+    hyperplane sidecar (a job) per call; the manifest-mtime key keeps a
+    republish reopening fresh."""
+    import os as _os
+
+    from ..sources import vector_store
+    from ..sources.manifest import MANIFEST_NAME
+
+    man = _os.path.join(idx_dir, MANIFEST_NAME)
+    stamp = _os.stat(man).st_mtime_ns if _os.path.exists(man) else None
+    key = (spark.sparkContext.applicationId, _os.path.abspath(idx_dir),
+           "lsh", stamp)
+    if key not in _VIDX_CACHE:
+        _VIDX_CACHE[key] = vector_store.open_lsh_index(spark, idx_dir)
     return _VIDX_CACHE[key]
 
 
@@ -237,10 +281,11 @@ def get_published_lsh_index(spark: SparkSession, sf_dir: str):
     token = sf_dir.strip("/").replace("/", "_")
     idx_dir = _os.path.join(_index_root(), f"{token}_lsh")
     try:
+        n_rows, dim = _emb_stats(spark, sf_dir)
         vector_store.ensure_lsh_index(
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
-            idx_dir, n_planes=LSH_PLANES)
-        return vector_store.open_lsh_index(spark, idx_dir)  # reopen
+            idx_dir, n_planes=LSH_PLANES, n_rows=n_rows, dim=dim)
+        return _cached_open_lidx(spark, idx_dir)  # reopen
     except OSError:
         return None
 
@@ -322,9 +367,10 @@ def get_published_vector_index(spark: SparkSession, sf_dir: str):
     token = sf_dir.strip("/").replace("/", "_")
     idx_dir = _os.path.join(_index_root(), f"{token}_vec")
     try:
+        n_rows, dim = _emb_stats(spark, sf_dir)
         vector_store.ensure_vector_index(
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
-            idx_dir, n_cells=IVF_CENTROIDS)
+            idx_dir, n_cells=IVF_CENTROIDS, n_rows=n_rows, dim=dim)
         return _cached_open_vidx(spark, idx_dir)  # reopen
     except OSError:
         return None
@@ -368,9 +414,11 @@ def get_sq8_published_index(spark: SparkSession, sf_dir: str):
     token = sf_dir.strip("/").replace("/", "_")
     idx_dir = _os.path.join(_index_root(), f"{token}_vecsq")
     try:
+        n_rows, dim = _emb_stats(spark, sf_dir)
         vector_store.ensure_vector_index(
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
-            idx_dir, n_cells=IVF_CENTROIDS, sq8=True)
+            idx_dir, n_cells=IVF_CENTROIDS, sq8=True,
+            n_rows=n_rows, dim=dim)
         return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
@@ -442,9 +490,11 @@ def get_bq_published_index(spark: SparkSession, sf_dir: str):
     token = sf_dir.strip("/").replace("/", "_")
     idx_dir = _os.path.join(_index_root(), f"{token}_vecbq")
     try:
+        n_rows, dim = _emb_stats(spark, sf_dir)
         vector_store.ensure_vector_index(
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
-            idx_dir, n_cells=IVF_CENTROIDS, bq1=True)
+            idx_dir, n_cells=IVF_CENTROIDS, bq1=True,
+            n_rows=n_rows, dim=dim)
         return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
@@ -833,10 +883,11 @@ def get_ivfpq_residual_published_index(spark: SparkSession, sf_dir: str):
     token = sf_dir.strip("/").replace("/", "_")
     idx_dir = _os.path.join(_index_root(), f"{token}_vecpqr")
     try:
+        n_rows, dim = _emb_stats(spark, sf_dir)
         vector_store.ensure_vector_index(
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
             idx_dir, n_cells=IVF_CENTROIDS, pq_cents=PQ_CENTS,
-            pq_residual=True)
+            pq_residual=True, n_rows=n_rows, dim=dim)
         return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
@@ -1283,10 +1334,9 @@ def get_kmeans_published_vector_index(spark: SparkSession, sf_dir: str):
     idx_dir = _os.path.join(_index_root(), f"{token}_veck")
     model = f"ivf-kmeans-v1-c{IVF_CENTROIDS}"
     try:
-        sample = emb.select("embedding").take(1)
-        dim = len(sample[0][0]) if sample else 0
+        n_rows, dim = _emb_stats(spark, sf_dir)
         if not vector_store.vector_index_is_fresh(
-                idx_dir, src, emb.count(), dim, IVF_CENTROIDS, model):
+                idx_dir, src, n_rows, dim, IVF_CENTROIDS, model):
             vector_store.ensure_vector_index(
                 spark, emb, src, idx_dir, IVF_CENTROIDS,
                 centroids=get_kmeans_codebook(spark, sf_dir),
@@ -1352,10 +1402,9 @@ def get_ivfpq_kmeans_published_index(spark: SparkSession, sf_dir: str):
     idx_dir = _os.path.join(_index_root(), f"{token}_vecpqk")
     model = f"ivfpq-kmeans-v1-c{IVF_CENTROIDS}-pq{PQ_CENTS}"
     try:
-        sample = emb.select("embedding").take(1)
-        dim = len(sample[0][0]) if sample else 0
+        n_rows, dim = _emb_stats(spark, sf_dir)
         if not vector_store.vector_index_is_fresh(
-                idx_dir, src, emb.count(), dim, IVF_CENTROIDS, model):
+                idx_dir, src, n_rows, dim, IVF_CENTROIDS, model):
             vector_store.ensure_vector_index(
                 spark, emb, src, idx_dir, IVF_CENTROIDS,
                 centroids=get_kmeans_codebook(spark, sf_dir),
@@ -2313,9 +2362,11 @@ def get_ivfpq_published_index(spark: SparkSession, sf_dir: str):
     token = sf_dir.strip("/").replace("/", "_")
     idx_dir = _os.path.join(_index_root(), f"{token}_vecpq")
     try:
+        n_rows, dim = _emb_stats(spark, sf_dir)
         vector_store.ensure_vector_index(
             spark, emb, _os.path.join(sf_dir, "embeddings.parquet"),
-            idx_dir, n_cells=IVF_CENTROIDS, pq_cents=PQ_CENTS)
+            idx_dir, n_cells=IVF_CENTROIDS, pq_cents=PQ_CENTS,
+            n_rows=n_rows, dim=dim)
         return _cached_open_vidx(spark, idx_dir)
     except OSError:
         return None
@@ -2612,6 +2663,41 @@ def _recall_row(method: str, approx: DataFrame, exact: DataFrame,
                     meets.alias("meets_floor")))
 
 
+def _ivfpq5_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit's IVFADC leg as a pinned 5-row id set — the other five
+    top-k legs were already pins; leaving this one live re-ran the whole
+    two-stage ADC plan inside the report's final action (and serially).
+    Same derived-output discipline, same oracle coverage through the
+    registered `ann_topk_ivfpq_published` query."""
+    return _pinned(spark, sf_dir, "ivfpq_topk5_published",
+                   lambda: ann_topk_ivfpq_published(spark, sf_dir)
+                   .select("vec_id"))
+
+
+def _prebuild_pins(builders) -> None:
+    """Overlap INDEPENDENT pin builds from a small driver thread pool
+    (guide §2.6: actions are only sequential because the driver calls
+    them sequentially; later jobs back-fill executors freed by earlier
+    jobs' straggler tails). Each builder populates a session pin cache
+    (`_pinned` / the index caches) as a side effect; errors are swallowed
+    here because the serial consumer that follows re-runs the same
+    builder against the same cache and surfaces the same error
+    deterministically. Wall cost of the audit's 8-9 leg builds drops
+    from sum(legs) to ~max(legs); total cluster work is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def run(b) -> None:
+        try:
+            b()
+        except Exception:  # noqa: BLE001 — serial path re-raises
+            pass
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(inheritable_thread_target(run), builders))
+
+
 def _topk_recall_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The six top-k recall legs (LSH/IVF/int8/PQ/IVFADC/filtered vs
     exact) —
@@ -2623,16 +2709,6 @@ def _topk_recall_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-flat at 10x data (SCALE.md). exact5 is the top-5 prefix of the
     pinned top-10 (same ordering; re-sorted explicitly so the prefix
     does not depend on checkpoint row order)."""
-    exact5 = (cosine_topk(spark, sf_dir)
-              .orderBy(F.desc("sim"), F.asc("vec_id")).limit(ANN_K)
-              .select("vec_id"))
-    lsh5 = ann_topk_lsh(spark, sf_dir).select("vec_id")
-    ivf5 = ann_topk_ivf(spark, sf_dir).select("vec_id")
-    int85 = ann_topk_int8(spark, sf_dir).select("vec_id")
-    pq5 = ann_topk_pq(spark, sf_dir).select("vec_id")
-    ivfpq5 = ann_topk_ivfpq_published(spark, sf_dir).select("vec_id")
-    filt5 = ann_topk_filtered(spark, sf_dir).select("vec_id")
-
     def _exact_filtered():
         # the honest baseline for the filtered variant: brute-force cosine
         # over the SAME metadata-filtered corpus (query vector still read
@@ -2651,6 +2727,31 @@ def _topk_recall_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy(F.desc("sim"), F.asc("vec_id"))
                 .limit(ANN_K)
                 .select("vec_id"))
+
+    # Build the independent leg pins CONCURRENTLY (guide §2.6) — first
+    # consumer in a session pays them, and serially they were the
+    # audit's dominant cost (each leg 1.2-3.2 s of mostly-idle small
+    # jobs). The serial reads below hit the populated caches.
+    _prebuild_pins([
+        lambda: cosine_topk(spark, sf_dir),
+        lambda: ann_topk_lsh(spark, sf_dir),
+        lambda: ann_topk_ivf(spark, sf_dir),
+        lambda: ann_topk_int8(spark, sf_dir),
+        lambda: ann_topk_pq(spark, sf_dir),
+        lambda: _ivfpq5_pin(spark, sf_dir),
+        lambda: ann_topk_filtered(spark, sf_dir),
+        lambda: _pinned(spark, sf_dir, "exact_filtered_topk5",
+                        _exact_filtered),
+    ])
+    exact5 = (cosine_topk(spark, sf_dir)
+              .orderBy(F.desc("sim"), F.asc("vec_id")).limit(ANN_K)
+              .select("vec_id"))
+    lsh5 = ann_topk_lsh(spark, sf_dir).select("vec_id")
+    ivf5 = ann_topk_ivf(spark, sf_dir).select("vec_id")
+    int85 = ann_topk_int8(spark, sf_dir).select("vec_id")
+    pq5 = ann_topk_pq(spark, sf_dir).select("vec_id")
+    ivfpq5 = _ivfpq5_pin(spark, sf_dir)
+    filt5 = ann_topk_filtered(spark, sf_dir).select("vec_id")
 
     exactf5 = _pinned(spark, sf_dir, "exact_filtered_topk5", _exact_filtered)
 
@@ -2699,28 +2800,48 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, bits, bands, floor, bound = get_recall_geometry(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     sample = _audit_sample(emb, bound)
+
     # Band the SAMPLE with FULL-corpus hyperplanes (bucket membership is
     # per-vector, so candidate pairs with both ends in the sample are
     # EXACTLY the full run's pairs filtered to the sample — the
     # `ann_recall_report_sampled` argument, at scaled band geometry).
-    epairs = _pinned(
-        spark, sf_dir, "exact_pairs_audit",
-        # n_blocks=2: the audit sample is FIXED-SIZE (~RECALL_SAMPLE_
-        # TARGET ids at any corpus size), so the default 8-block harness
-        # pays 36 tiny applyInPandas groups for a matmul 3 blocks cover;
-        # blocking never changes the pair set (full coverage by
-        # construction), only task granularity (§1.2).
-        lambda: similarity.similar_pairs(sample, PAIR_THRESHOLD,
-                                         n_blocks=2)
-        .select("id_a", "id_b"))
-    lpairs = _pinned(
-        spark, sf_dir, "lsh_pairs_audit",
-        lambda: similarity.similar_pairs_lsh(
-            sample, PAIR_THRESHOLD, bands, bits,
-            index=similarity.build_vector_lsh_index(
-                sample, bands, bits,
-                planes=similarity.data_planes(emb, bands * bits)))
-        .select("id_a", "id_b"))
+    def build_epairs() -> DataFrame:
+        return _pinned(
+            spark, sf_dir, "exact_pairs_audit",
+            # n_blocks=2: the audit sample is FIXED-SIZE (~RECALL_SAMPLE_
+            # TARGET ids at any corpus size), so the default 8-block
+            # harness pays 36 tiny applyInPandas groups for a matmul 3
+            # blocks cover; blocking never changes the pair set (full
+            # coverage by construction), only task granularity (§1.2).
+            lambda: similarity.similar_pairs(sample, PAIR_THRESHOLD,
+                                             n_blocks=2)
+            .select("id_a", "id_b"))
+
+    def build_lpairs() -> DataFrame:
+        return _pinned(
+            spark, sf_dir, "lsh_pairs_audit",
+            lambda: similarity.similar_pairs_lsh(
+                sample, PAIR_THRESHOLD, bands, bits,
+                index=similarity.build_vector_lsh_index(
+                    sample, bands, bits,
+                    planes=similarity.data_planes(emb, bands * bits)))
+            .select("id_a", "id_b"))
+
+    # One pool over ALL nine independent legs (the two pair legs + the
+    # seven top-k legs — _topk_recall_rows' own prebuild then no-ops on
+    # the warm caches): §2.6 overlap, wall ~max(leg) instead of the sum.
+    _prebuild_pins([
+        build_epairs, build_lpairs,
+        lambda: cosine_topk(spark, sf_dir),
+        lambda: ann_topk_lsh(spark, sf_dir),
+        lambda: ann_topk_ivf(spark, sf_dir),
+        lambda: ann_topk_int8(spark, sf_dir),
+        lambda: ann_topk_pq(spark, sf_dir),
+        lambda: _ivfpq5_pin(spark, sf_dir),
+        lambda: ann_topk_filtered(spark, sf_dir),
+    ])
+    epairs = build_epairs()
+    lpairs = build_lpairs()
     return (_topk_recall_rows(spark, sf_dir)
             .unionByName(_recall_row("similar_pairs_lsh_scaled", lpairs,
                                      epairs, ["id_a", "id_b"],
@@ -2771,14 +2892,17 @@ def ann_recall_report_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     sample = hash_sample(emb, PAIR_SAMPLE_BOUND, id_col="vec_id")
-    epairs = _pinned(
-        spark, sf_dir, "exact_pairs_sampled",
-        # n_blocks=2 — fixed-size sample leg, the exact_pairs_audit
-        # argument (the lake shrinks PAIR_SAMPLE_BOUND so this sample
-        # stays bounded too)
-        lambda: similarity.similar_pairs(sample, PAIR_THRESHOLD,
-                                         n_blocks=2)
-        .select("id_a", "id_b"))
+
+    def build_epairs() -> DataFrame:
+        return _pinned(
+            spark, sf_dir, "exact_pairs_sampled",
+            # n_blocks=2 — fixed-size sample leg, the exact_pairs_audit
+            # argument (the lake shrinks PAIR_SAMPLE_BOUND so this sample
+            # stays bounded too)
+            lambda: similarity.similar_pairs(sample, PAIR_THRESHOLD,
+                                             n_blocks=2)
+            .select("id_a", "id_b"))
+
     # Band the SAMPLE directly — with the FULL corpus's hyperplanes, so
     # band keys match the full index's. Bucket membership is per-vector,
     # so the candidate pairs with both ends in the sample are EXACTLY the
@@ -2786,13 +2910,21 @@ def ann_recall_report_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disappears; the oracle replays the full-banding-then-filter form) —
     # but the join cost is sample-sized, never corpus-sized.
     planes = similarity.data_planes(emb, NEARDUP_BANDS * NEARDUP_BAND_BITS)
-    lpairs = _pinned(
-        spark, sf_dir, "lsh_pairs_sampled",
-        lambda: similarity.similar_pairs_lsh(
-            sample, PAIR_THRESHOLD, NEARDUP_BANDS, NEARDUP_BAND_BITS,
-            index=similarity.build_vector_lsh_index(
-                sample, NEARDUP_BANDS, NEARDUP_BAND_BITS, planes=planes))
-        .select("id_a", "id_b"))
+
+    def build_lpairs() -> DataFrame:
+        return _pinned(
+            spark, sf_dir, "lsh_pairs_sampled",
+            lambda: similarity.similar_pairs_lsh(
+                sample, PAIR_THRESHOLD, NEARDUP_BANDS, NEARDUP_BAND_BITS,
+                index=similarity.build_vector_lsh_index(
+                    sample, NEARDUP_BANDS, NEARDUP_BAND_BITS,
+                    planes=planes))
+            .select("id_a", "id_b"))
+
+    # two independent pair legs — overlap their builds (§2.6)
+    _prebuild_pins([build_epairs, build_lpairs])
+    epairs = build_epairs()
+    lpairs = build_lpairs()
     hits = (lpairs.join(epairs, ["id_a", "id_b"], "left_semi")
             .agg(F.count(F.lit(1)).alias("hits")))
     expected = epairs.agg(F.count(F.lit(1)).alias("expected"))

@@ -144,11 +144,22 @@ def frame_manifest(source_path: str, n_docs: int, deriver: str,
 
 def publish_frame_store(docs: DataFrame, index_dir: str, deriver: str,
                         params: dict, n_buckets: int | None = None,
-                        ) -> None:
+                        rows: DataFrame | None = None) -> None:
     """Full overwrite publish: run the named derivation once and write
     it doc-bucket-partitioned. `n_buckets=None` derives the bucket count
     from the doc count (`window_buckets`, stamped as derived). Settles
-    any crashed refresh first."""
+    any crashed refresh first.
+
+    `rows` (optional) seeds the publish with an ALREADY-DERIVED frame —
+    it must equal `DERIVERS[deriver](docs, params)` (same corpus, same
+    derivation identity). The intended caller is a maintenance twin
+    forking a working store off the per-corpus-snapshot published frame
+    store (plans.dedup.get_*_index): the text pass was already paid at
+    that store's publish, so re-deriving it here is pure waste (guide
+    §6 — don't recompute what a published index already holds). The
+    layout stamp still records the DERIVER + params, so every subsequent
+    `write_frame_refresh` re-derives its batches exactly as a live
+    publish would; consumers' oracles rebuild from raw text either way."""
     if deriver not in DERIVERS:
         raise KeyError(f"unknown frame deriver {deriver!r}; "
                        f"registry has {sorted(DERIVERS)}")
@@ -161,8 +172,9 @@ def publish_frame_store(docs: DataFrame, index_dir: str, deriver: str,
                         {"deriver": deriver, "params": params,
                          "n_buckets": n_buckets, "id_col": "doc_id",
                          "derived": derived})
-    rows = (DERIVERS[deriver](docs, params)
-            .select("*", _dbucket("doc_id", n_buckets).alias("dbucket")))
+    if rows is None:
+        rows = DERIVERS[deriver](docs, params)
+    rows = rows.select("*", _dbucket("doc_id", n_buckets).alias("dbucket"))
     _write_parted_table(rows, os.path.join(index_dir, "rows"), "dbucket",
                         "doc_id")
 
@@ -264,5 +276,7 @@ def write_frame_refresh(spark: SparkSession, index_dir: str,
         manifest=(None if source_path is None else
                   lambda n: frame_manifest(source_path, n_docs, fidx.deriver,
                                            fidx.params, fidx.n_buckets)),
-        n_rows=n_docs)
+        n_rows=n_docs,
+        # dbucket is a pure function of doc_id — no live-store probe scan
+        part_of=lambda c: _dbucket(c, fidx.n_buckets))
     return open_frame_store(spark, index_dir)

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -206,6 +207,34 @@ def data_codebook(emb: DataFrame, n_cells: int,
     return [(i, list(r[1])) for i, r in enumerate(rows)]
 
 
+@contextmanager
+def _bytes_sized_writers(spark: SparkSession):
+    """Scope AQE to size WRITER tasks by bytes, not core count, for the
+    duration of one staged store write. `coalescePartitions.
+    parallelismFirst` defaults to true, which makes AQE coalesce only
+    down to minPartitionSize (1 MB) "to maximize parallelism" — so a
+    small delta batch still fans out to ~core-count near-empty writer
+    tasks, each paying the serialized task-commit round trip (measured:
+    a 16-dir frame-store staged write ran 17-18 write tasks for ~2 MB).
+    parallelismFirst=false restores the documented at-scale behaviour:
+    partitions track advisoryPartitionSizeInBytes (64 MB default), so a
+    tiny delta writes with 1-2 tasks while a lake-scale batch still gets
+    one writer per ~64 MB (guide §2.2/§6). Scoped to the write action —
+    a session-wide flip would also serialize small-byte compute-heavy
+    stages (a 4096-dim matmul over 2000 rows is ~65 MB but wants the
+    full core count)."""
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _write_parted(df: DataFrame, path: str, part_col: str,
                   id_col: str) -> None:
     """One directory per partition value, id-sorted in-file (row-group
@@ -220,11 +249,14 @@ def _write_parted(df: DataFrame, path: str, part_col: str,
     sizes the same hint to advisoryPartitionSizeInBytes-sized tasks and
     splits a skewed partition value across writers instead of wedging
     it into one task (guide §2.5/§6). In-file id ordering is preserved
-    by the explicit sortWithinPartitions either way."""
-    (df.hint("rebalance", part_col)
-     .sortWithinPartitions(part_col, id_col)
-     .write.mode("overwrite")
-     .partitionBy(part_col).parquet(path))
+    by the explicit sortWithinPartitions either way. The scoped
+    `_bytes_sized_writers` conf makes the rebalance actually honor the
+    advisory byte size (see its docstring)."""
+    with _bytes_sized_writers(df.sparkSession):
+        (df.hint("rebalance", part_col)
+         .sortWithinPartitions(part_col, id_col)
+         .write.mode("overwrite")
+         .partitionBy(part_col).parquet(path))
 
 
 def _write_parted_table(df: DataFrame, path: str, part_col: str,
@@ -250,10 +282,19 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
                          pq_subbooks: list | None = None,
                          pq_residual: bool = False,
                          sq8: bool = False,
-                         bq1: bool = False) -> None:
+                         bq1: bool = False,
+                         vectors: DataFrame | None = None) -> None:
     """Full overwrite publish: assign every vector to its nearest-centroid
     cell (`similarity.cell_of` — the exact arithmetic queries probe with)
     and write the cell-partitioned table + the codebook sidecar.
+    `vectors` (optional) seeds the publish with ALREADY-ASSIGNED rows
+    (emb columns + `cell`) — they must equal `_tag_cells(emb, centroids)`
+    under the SAME codebook (pass that store's `centroids` alongside).
+    Intended for a maintenance twin forking a working store off the
+    published per-corpus-snapshot index (guide §6: the assignment was
+    paid at that store's publish); the layout/codebook stamps are
+    written identically, so refreshes assign exactly as after a live
+    publish.
     `n_cells=None` derives the cell count from corpus stats at publish
     time (`similarity.index_geometry`, the ~sqrt(N) rule) and stamps the
     full geometry into `_vlayout.json` so a reopened index queries with
@@ -309,7 +350,8 @@ def publish_vector_index(emb: DataFrame, index_dir: str,
     # column IN the index files, so a metadata predicate pushes into the
     # already-cell-pruned scan (PushedFilters inside PartitionFilters —
     # asserted by tests) instead of paying a join against the corpus.
-    tagged = _tag_cells(emb, centroids, id_col, vec_col)
+    tagged = (vectors if vectors is not None
+              else _tag_cells(emb, centroids, id_col, vec_col))
     _write_parted_table(tagged, os.path.join(index_dir, "vectors"),
                         "cell", id_col)
     if pq_cents:
@@ -1313,6 +1355,8 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
                         pq_residual: bool = False,
                         sq8: bool = False,
                         bq1: bool = False,
+                        n_rows: int | None = None,
+                        dim: int | None = None,
                         ) -> tuple[PublishedVectorIndex, list[str]]:
     """Build-or-reuse entry (the analogue of the reference reopening its
     Chroma dir at startup): publishes iff the manifest says the source
@@ -1322,12 +1366,17 @@ def ensure_vector_index(spark: SparkSession, emb: DataFrame,
     the corpus count (`similarity.index_geometry`); the derived value is
     part of the manifest's model identity, so a corpus growing across a
     sqrt(N) geometry boundary is a STALENESS REBUILD at the new
-    geometry, never a silently mis-sized reuse."""
+    geometry, never a silently mis-sized reuse. `n_rows`/`dim` accept
+    caller-known table stats (a fingerprint-keyed session cache — see
+    plans.semantic._emb_stats) so repeated ensures don't re-pay the
+    count/take jobs; the manifest COMPARISON is unchanged."""
     if os.path.isdir(index_dir):
         recover(index_dir)
-    sample = emb.select(vec_col).take(1)
-    dim = len(sample[0][0]) if sample else 0
-    n_rows = emb.count()
+    if dim is None:
+        sample = emb.select(vec_col).take(1)
+        dim = len(sample[0][0]) if sample else 0
+    if n_rows is None:
+        n_rows = emb.count()
     geometry = None
     if n_cells is None and centroids is None:
         geometry = dict(similarity.index_geometry(n_rows), derived=True)
@@ -1384,7 +1433,8 @@ def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       planes: list | None = None,
                       requested_planes: int | None = None,
-                      govern: bool = True) -> None:
+                      govern: bool = True,
+                      sigs: DataFrame | None = None) -> None:
     """Full overwrite publish of the bucket-partitioned LSH store.
     `planes` (a collected [(plane_id, pvec)] list) overrides the
     deterministic data-derived hyperplanes; every input column rides into
@@ -1401,7 +1451,13 @@ def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
     for DURABLE stores the stamp is the serving contract and must stay;
     a store published only to be drained and compared (the streaming
     maintenance twin's workdir) never resolves `n_flip=None`, so paying
-    several Spark jobs to stamp it is pure overhead there."""
+    several Spark jobs to stamp it is pure overhead there.
+    `sigs` (optional) seeds the publish with ALREADY-BUCKETED rows (emb
+    columns + the 'b'+bits `bucket` string) — they must equal this
+    publish's own tagging under the SAME `planes` (pass that store's
+    collected planes alongside). Intended for a maintenance twin forking
+    a working store off the published per-corpus-snapshot LSH index
+    (guide §6: the sign pass was paid at that store's publish)."""
     if os.path.isdir(index_dir):
         recover(index_dir)
     if planes is None:
@@ -1436,13 +1492,15 @@ def publish_lsh_index(emb: DataFrame, index_dir: str, n_planes: int = 6,
 
     # empty-corpus publish: no planes to sign (F.concat of zero columns
     # is unconstructible); the store is 0 rows either way
-    bucket = (similarity.sign_bucket_expr(planes, vec_col) if planes
-              else F.lit(""))
-    # partition VALUE is 'b'+bits: Hive partition-type inference would
-    # otherwise coerce the bit string to an int, dropping leading zeros
-    # ('0010' -> 10) — the prefix pins the column to string at any read
-    tagged = emb.select("*", F.concat(F.lit("b"), bucket).alias("bucket"))
-    _write_parted_table(tagged, os.path.join(index_dir, "sigs"),
+    if sigs is None:
+        bucket = (similarity.sign_bucket_expr(planes, vec_col) if planes
+                  else F.lit(""))
+        # partition VALUE is 'b'+bits: Hive partition-type inference would
+        # otherwise coerce the bit string to an int, dropping leading
+        # zeros ('0010' -> 10) — the prefix pins the column to string at
+        # any read
+        sigs = emb.select("*", F.concat(F.lit("b"), bucket).alias("bucket"))
+    _write_parted_table(sigs, os.path.join(index_dir, "sigs"),
                         "bucket", id_col)
 
 
@@ -1547,15 +1605,22 @@ def ensure_lsh_index(spark: SparkSession, emb: DataFrame, source_path: str,
                      index_dir: str, n_planes: int = 6,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      model_name: str | None = None,
+                     n_rows: int | None = None,
+                     dim: int | None = None,
                      ) -> tuple[PublishedLshIndex, list[str]]:
     """Build-or-reuse for the LSH store (the `ensure_vector_index`
     discipline): publishes iff the manifest says the source drifted,
-    opens the artifact either way."""
+    opens the artifact either way. `n_rows`/`dim` as
+    `ensure_vector_index`: caller-known stats skip the count/take jobs,
+    the manifest comparison is unchanged."""
     if os.path.isdir(index_dir):
         recover(index_dir)
-    sample = emb.select(vec_col).take(1)
-    dim = len(sample[0][0]) if sample else 0
-    current = lsh_manifest(source_path, emb.count(), dim, n_planes,
+    if dim is None:
+        sample = emb.select(vec_col).take(1)
+        dim = len(sample[0][0]) if sample else 0
+    if n_rows is None:
+        n_rows = emb.count()
+    current = lsh_manifest(source_path, n_rows, dim, n_planes,
                            model_name)
     reasons = ensure_index(
         index_dir, current,
@@ -1887,10 +1952,20 @@ def write_vector_refresh(spark: SparkSession, index_dir: str,
     codebook and quantizer sidecars are immutable under refresh and the
     table properties re-read their paths lazily, so a caller applying
     many consecutive deltas (a streaming foreachBatch loop) can open
-    once instead of paying the per-batch sidecar collect. `reopen=False`
-    skips the post-commit reopen (and returns None) for callers that
-    discard the returned handle — one less fixed-cost driver job per
-    batch."""
+    once instead of paying the per-batch sidecar collect. INCOMPATIBLE
+    with `hot_cell_bound`: a triggered `split_hot_cell` EXPANDS the
+    codebook, so a reused handle would tag later batches against a stale
+    centroid list (round-13 ADVICE) — raise instead of silently
+    mis-assigning; callers that want splits must reopen per batch.
+    `reopen=False` skips the post-commit reopen (and returns None) for
+    callers that discard the returned handle — one less fixed-cost
+    driver job per batch."""
+    if vidx is not None and hot_cell_bound is not None:
+        raise ValueError(
+            "write_vector_refresh: vidx= (handle reuse) cannot be "
+            "combined with hot_cell_bound= — a hot-cell split expands "
+            "the codebook and the reused handle's centroids go stale; "
+            "reopen per batch when splits are enabled")
     recover(index_dir)
     if vidx is None:
         vidx = open_vector_index(spark, index_dir)
@@ -1964,7 +2039,7 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str,
                          changed: DataFrame,
                          removed_ids: DataFrame | None,
                          manifest, n_rows: int | None,
-                         extra_stage=None) -> None:
+                         extra_stage=None, part_of=None) -> None:
     """The partition-level delta-refresh core the published stores share
     (IVF `vectors/cell=K/` [+ IVFADC `codes/cell=K/`], LSH
     `sigs/bucket=B/`): rewrite ONLY the partition directories the batch
@@ -2012,10 +2087,11 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str,
     new_probes: DataFrame | None = None
     for spec in specs:
         live = spec["live"]
-        probe = (live.join(F.broadcast(drop), id_col, "left_semi")
-                 .select(part_col))
-        old_probes = probe if old_probes is None \
-            else old_probes.unionByName(probe)
+        if part_of is None:
+            probe = (live.join(F.broadcast(drop), id_col, "left_semi")
+                     .select(part_col))
+            old_probes = probe if old_probes is None \
+                else old_probes.unionByName(probe)
         # Pin each spec's assignments (batch-sized) so upstream work
         # (re-embedding, encoding) isn't recomputed between the
         # touched-partition probe and the staged write. The batch carries
@@ -2029,15 +2105,39 @@ def _partitioned_refresh(spark: SparkSession, index_dir: str,
                       else new_probes.unionByName(
                           new_assign.select(part_col)))
         staged.append((spec, cols, new_assign))
-    # ONE collect for both probe sides: the old-partition semi-joins and
-    # the new-assignment projections union into a single driver
-    # round-trip — per-batch fixed cost is the Spark JOB count, and the
-    # two sides were two identical-shaped jobs (guide §1.2 / round-10
-    # verdict item 5, taken one step further). No distinct exchange
-    # before the collect either: the probe rows are batch-sized, so the
-    # set() here dedupes them cheaper than a shuffle stage would.
-    touched_parts = sorted(
-        {r[0] for r in old_probes.unionByName(new_probes).collect()})
+    if part_of is not None:
+        # Pure-function probe (doc-hash partitioned stores): the
+        # partition of ANY id — stored or not — is part_of(id), so the
+        # touched set is computable from the batch ids alone: no live
+        # scan, no broadcast semi-join build, and the derivation (`tag`)
+        # is not forced before the staged write evaluates it once (§1.2).
+        # A removed-but-absent id contributes a partition that is then
+        # rewritten with identical content — same degenerate shape the
+        # semi-join path already tolerates via the new-side union.
+        ids = changed.select(F.col(id_col))
+        if removed_ids is not None:
+            ids = ids.unionByName(
+                removed_ids.select(F.col(removed_ids.columns[0])
+                                   .alias(id_col)))
+        # collect_set: each task ships its own <= n_buckets-value set,
+        # so the driver round-trip is bounded by the bucket count, not
+        # the micro-batch's row count (round-13 ADVICE).
+        touched_parts = sorted(
+            ids.select(part_of(id_col).alias("_p"))
+            .agg(F.collect_set("_p")).collect()[0][0] or [])
+    else:
+        # ONE collect for both probe sides: the old-partition semi-joins
+        # and the new-assignment projections union into a single driver
+        # round-trip — per-batch fixed cost is the Spark JOB count, and
+        # the two sides were two identical-shaped jobs (guide §1.2 /
+        # round-10 verdict item 5, taken one step further). collect_set
+        # instead of a bare collect: each task ships its own bounded
+        # distinct set, so the driver round-trip is bounded by the
+        # partition count, not (n_specs+1) x batch rows (round-13
+        # ADVICE), without paying a full distinct exchange.
+        touched_parts = sorted(
+            old_probes.unionByName(new_probes)
+            .agg(F.collect_set(part_col)).collect()[0][0] or [])
 
     staging = os.path.join(index_dir, STAGING_NAME)
     shutil.rmtree(staging, ignore_errors=True)

@@ -85,14 +85,24 @@ def publish_window_index(docs: DataFrame, index_dir: str,
                          w: int = dedup.DUPSPAN_W,
                          n_buckets: int | None = None,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> None:
+                         text_col: str = "text",
+                         windows: DataFrame | None = None) -> None:
     """Full overwrite publish: derive the positional window index once
     (`dedup.window_index` — the narrow zip-with accumulation) and write
     it doc-bucket-partitioned. `n_buckets=None` derives the bucket count
     from the doc count (`window_buckets`) and stamps it as derived; an
     explicit value is stamped as an override (the vector store's
     geometry discipline). Settles any crashed refresh first (the
-    stale-journal guard every store publish carries)."""
+    stale-journal guard every store publish carries).
+
+    `windows` (optional) seeds the publish with an ALREADY-DERIVED
+    (doc_id, pos, _h1, _h2) frame — it must equal
+    `dedup.window_index(docs, w)` for the same corpus. Intended for a
+    maintenance twin forking a working store off the per-corpus-snapshot
+    published window index (plans.dedup.get_window_index): the tokenize
+    + window pass was paid once at that store's publish (guide §6). The
+    layout stamp is unchanged, so `write_window_refresh` batches derive
+    exactly as after a live publish."""
     if os.path.isdir(index_dir):
         recover(index_dir)
     derived = n_buckets is None
@@ -101,8 +111,10 @@ def publish_window_index(docs: DataFrame, index_dir: str,
     _write_json_sidecar(index_dir, WLAYOUT_NAME,
                         {"w": w, "n_buckets": n_buckets, "id_col": id_col,
                          "derived": derived})
-    wins = (dedup.window_index(docs, w, text_col, id_col)
-            .select("*", _dbucket("doc_id", n_buckets).alias("dbucket")))
+    if windows is None:
+        windows = dedup.window_index(docs, w, text_col, id_col)
+    wins = windows.select("*", _dbucket("doc_id", n_buckets)
+                          .alias("dbucket"))
     _write_parted(wins, os.path.join(index_dir, "windows"), "dbucket",
                   "doc_id")
 
@@ -226,5 +238,9 @@ def write_window_refresh(spark: SparkSession, index_dir: str,
                                             n_docs if n_docs is not None
                                             else n, widx.w,
                                             widx.n_buckets)),
-        n_rows=n_docs)
+        n_rows=n_docs,
+        # dbucket is a pure function of doc_id — the touched-partition
+        # probe needs no live-store scan (vs the vector/LSH stores,
+        # whose assignment is data-dependent)
+        part_of=lambda c: _dbucket(c, widx.n_buckets))
     return open_window_index(spark, index_dir)

@@ -384,15 +384,23 @@ def stream_merge_jsonl(spark: SparkSession, src_dir: str, schema: StructType,
             # pass tracks the ARRIVING rows only — the streaming twin of
             # the checksum-driven re-embed path.
             incoming = transform(incoming)
-        incoming = incoming.withColumn(MERGE_PART_COL, part_of)
+        # Lazy pin: the batch derivation (e.g. the embed transform) was
+        # evaluated TWICE — once under the touched-partition probe, once
+        # under the staged write; the checkpoint folds it into the first
+        # consuming job and the write reads the pinned blocks (§1.2).
+        incoming = (incoming.withColumn(MERGE_PART_COL, part_of)
+                    .localCheckpoint(eager=False))
         staging = f"{target_dir}.staging-{batch_id}-{_os.getpid()}"
         if os.path.exists(target_dir):
             _recover_pending_publish(target_dir)
-            # Touched-partition list is bounded by n_parts — a tiny
-            # collect; dedupe driver-side instead of paying a distinct
-            # exchange stage on batch-sized rows (§1.2).
-            touched = sorted({r[0] for r in
-                              incoming.select(MERGE_PART_COL).collect()})
+            # Touched-partition list via a global collect_set aggregate:
+            # each task ships its own <= n_parts-value set, so the
+            # driver round-trip is bounded by n_parts regardless of the
+            # micro-batch's ROW count (round-13 ADVICE — a bare collect
+            # scaled with batch rows; a .distinct() paid a full exchange
+            # of batch-sized rows).
+            touched = sorted(incoming.agg(
+                F.collect_set(MERGE_PART_COL)).collect()[0][0] or [])
             existing = (sess.read.parquet(target_dir)
                         .filter(F.col(MERGE_PART_COL).isin(touched)))
             merged = merge_upsert(existing, incoming, key=key)
@@ -708,6 +716,7 @@ def streaming_vector_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     store content exploded as (vec_id, cell, dim, value)."""
     import tempfile
 
+    from ..plans import semantic as sem_plans
     from ..plans.semantic import IVF_CENTROIDS
     from ..sources import load_table, vector_store
 
@@ -717,8 +726,21 @@ def streaming_vector_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     try:
-        vector_store.publish_vector_index(emb, store,
-                                          n_cells=IVF_CENTROIDS)
+        # Fork the working store off the published per-corpus-snapshot
+        # IVF index when it is available (same first-IVF_CENTROIDS-ids
+        # codebook, same assignment arithmetic): the cell-assignment
+        # pass was paid at that store's publish (guide §6). Unwritable
+        # index root (pub is None) falls back to the live publish; the
+        # oracle recomputes every assignment from raw vectors either
+        # way.
+        pub = sem_plans.get_published_vector_index(spark, sf_dir)
+        if pub is not None:
+            vector_store.publish_vector_index(emb, store,
+                                              centroids=pub.centroids,
+                                              vectors=pub.vectors)
+        else:
+            vector_store.publish_vector_index(emb, store,
+                                              n_cells=IVF_CENTROIDS)
         _vector_change_feed(emb).repartition(3).write.mode(
             "overwrite").parquet(src)
 
@@ -824,6 +846,7 @@ def streaming_lsh_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     as (vec_id, bucket, dim, value)."""
     import tempfile
 
+    from ..plans import semantic as sem_plans
     from ..plans.semantic import LSH_PLANES
     from ..sources import load_table, vector_store
 
@@ -839,8 +862,20 @@ def streaming_lsh_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # several jobs) would be paid INSIDE the maintenance query's
         # timed window on every invocation (guide §1.2: don't compute
         # things you throw away).
-        vector_store.publish_lsh_index(emb, store, n_planes=LSH_PLANES,
-                                       govern=False)
+        # Fork the working store off the published per-corpus-snapshot
+        # LSH index when available (same first-LSH_PLANES-ids planes,
+        # same sign arithmetic — guide §6, as the vector twin);
+        # unwritable index root falls back to the live publish.
+        pub = sem_plans.get_published_lsh_index(spark, sf_dir)
+        if pub is not None:
+            vector_store.publish_lsh_index(
+                emb, store, n_planes=LSH_PLANES, govern=False,
+                planes=pub.planes, requested_planes=pub.requested_planes,
+                sigs=pub.sigs)
+        else:
+            vector_store.publish_lsh_index(emb, store,
+                                           n_planes=LSH_PLANES,
+                                           govern=False)
         _vector_change_feed(emb).repartition(3).write.mode(
             "overwrite").parquet(src)
 
@@ -944,6 +979,7 @@ def streaming_window_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators import dedup as dedup_ops
+    from ..plans import dedup as dedup_plans
     from ..plans.lexical import REFRESH_NEW_ID_OFFSET
     from ..sources import load_table, window_store
 
@@ -953,7 +989,14 @@ def streaming_window_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     try:
-        window_store.publish_window_index(docs, store)
+        # Fork the working store off the per-corpus-snapshot published
+        # window index instead of re-tokenizing the corpus per
+        # invocation (guide §6 — the streaming_neardup_ingest store-read
+        # discipline applied to the old side); the batch side stays
+        # live, and the oracle replays windowing from raw text.
+        window_store.publish_window_index(
+            docs, store,
+            windows=dedup_plans.get_window_index(spark, sf_dir))
         upd = (docs.filter((F.col("doc_id") % 5 == 0)
                            & (F.col("doc_id") % 13 != 0))
                .select("doc_id",
@@ -1072,6 +1115,7 @@ def streaming_simhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators import dedup as dedup_ops
+    from ..plans import dedup as dedup_plans
     from ..plans.dedup import SIMHASH_BITS
     from ..plans.lexical import REFRESH_NEW_ID_OFFSET
     from ..sources import frame_store, load_table
@@ -1082,8 +1126,14 @@ def streaming_simhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     try:
-        frame_store.publish_frame_store(docs, store, "simhash",
-                                        {"n_bits": SIMHASH_BITS})
+        # Seed from the published simhash frame store (same derivation
+        # identity) instead of re-fingerprinting the corpus per
+        # invocation — guide §6, the neardup-twin store-read discipline;
+        # the oracle recomputes every fingerprint from merged raw text.
+        frame_store.publish_frame_store(
+            docs, store, "simhash", {"n_bits": SIMHASH_BITS},
+            rows=dedup_plans.get_simhash_index(spark, sf_dir,
+                                               SIMHASH_BITS))
         upd = (docs.filter((F.col("doc_id") % 5 == 0)
                            & (F.col("doc_id") % 13 != 0))
                .select("doc_id",
@@ -1144,6 +1194,7 @@ def streaming_minhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators.dedup import SHINGLE_W
+    from ..plans import dedup as dedup_plans
     from ..plans.dedup import N_HASHES
     from ..plans.lexical import REFRESH_NEW_ID_OFFSET
     from ..sources import frame_store, load_table
@@ -1154,9 +1205,13 @@ def streaming_minhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     try:
-        frame_store.publish_frame_store(docs, store, "minhash",
-                                        {"w": SHINGLE_W,
-                                         "n_hashes": N_HASHES})
+        # Seed from the published minhash signature store (guide §6, as
+        # the simhash twin): the shingle+sha pass was paid once at that
+        # store's publish; the oracle re-shingles merged raw text.
+        frame_store.publish_frame_store(
+            docs, store, "minhash",
+            {"w": SHINGLE_W, "n_hashes": N_HASHES},
+            rows=dedup_plans.get_minhash_index(spark, sf_dir))
         upd = (docs.filter((F.col("doc_id") % 5 == 0)
                            & (F.col("doc_id") % 13 != 0))
                .select("doc_id",
