@@ -355,6 +355,29 @@ def main() -> None:
         print(json.dumps(full))
         return
     print("bench-full: " + json.dumps(full), file=sys.stderr)
+    # The retried map must ride the same 2000-char line — and a contended
+    # run can retry 50+ queries (r14: 53 entries, ~2.9 KB, which tripped
+    # the old `assert len <= 2000` and killed stdout ENTIRELY — the one
+    # failure mode the driver cannot recover from). Budget it like the
+    # queries map: evidence-heaviest entries first (largest contended/quiet
+    # gap), the rest summarized by `retried_omitted` (full map always on
+    # stderr above).
+    retried_compact: dict[str, dict[str, float]] = {}
+    retried_omitted = 0
+    RETRIED_BUDGET = 600
+    used = 0
+    for name in sorted(retried,
+                       key=lambda n: -abs(retried[n]["first"]
+                                          - retried[n]["retry"])):
+        v = {"first": round(retried[name]["first"], 2),
+             "retry": round(retried[name]["retry"], 2),
+             "mm": round(retried[name]["mm"], 3)}
+        entry = len(name) + len(json.dumps(v)) + 4
+        if used + entry <= RETRIED_BUDGET:
+            retried_compact[name] = v
+            used += entry
+        else:
+            retried_omitted += 1
     compact: dict[str, float] = {}
     omitted, omitted_sec = 0, 0.0
     base = {
@@ -364,7 +387,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "sentinels": sentinel_map,
-        "retried": retried,
+        "retried": retried_compact,
+        "retried_omitted": retried_omitted,
     }
     budget = 1900 - len(json.dumps(
         {"queries": {}, "queries_omitted": len(timings),
@@ -380,7 +404,15 @@ def main() -> None:
             omitted_sec += max(t, 0.0)
     line = json.dumps({"queries": compact, "queries_omitted": omitted,
                        "omitted_sec": round(omitted_sec, 2), **base})
-    assert len(line) <= 2000, len(line)
+    if len(line) > 2000:
+        # Never crash the one-line contract: drop to headline fields only
+        # (counts preserved; per-query detail lives on stderr).
+        line = json.dumps({
+            "queries": {}, "queries_omitted": len(timings),
+            "omitted_sec": total, "n_queries": len(timings),
+            "metric": "total_query_wall_seconds", "value": total,
+            "unit": "sec", "sf": sf,
+            "retried": {}, "retried_omitted": len(retried)})
     print(line)
 
 
