@@ -304,8 +304,11 @@ def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
         # checkpoints (eager=False) pin at first evaluation — a refresh
         # whose output is never read costs nothing extra; the next
         # batch's (or the final consumer's) first action materializes
-        # and pins all three.
-        new_post = new_post.localCheckpoint(eager=False)
+        # and pins all three. When the base carries a scoring view, the
+        # postings pin is skipped here and derived from the scoring pin
+        # below instead (same rows, one materialization).
+        if index._scoring is None:
+            new_post = new_post.localCheckpoint(eager=False)
         new_dl = new_dl.localCheckpoint(eager=False)
         new_term_df = new_term_df.localCheckpoint(eager=False)
 
@@ -342,6 +345,18 @@ def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
         # identical total work, strictly fewer driver jobs; the final
         # consumer's scoring_view() call materializes the last snapshot.
         out._scoring = sc.localCheckpoint(eager=False) if pin else sc
+        if pin:
+            # The scoring view holds EXACTLY the postings rows with dl/df
+            # denormalized on (kept_sc covers unchanged-doc/unchanged-term
+            # rows, the rebuild legs cover the rest, disjointly — the same
+            # partition of new_post's rows), so the postings snapshot can
+            # be a projection of the scoring pin instead of its own
+            # checkpoint: one materialization pass and one set of pinned
+            # blocks per refresh where there were two (§1.2). new_post
+            # stays the unpinned expression feeding the rebuild leg above
+            # (evaluated once, inside the scoring pin's materialization —
+            # its inputs are the PREVIOUS snapshot's pinned blocks).
+            out.postings = out._scoring.select("doc_id", "term", "tf")
 
     if index._doc_norm is not None:
         # Hand doc_norm maintenance inputs to the new snapshot WITHOUT
@@ -351,8 +366,8 @@ def refresh_index(index: LexicalIndex, changed_docs: DataFrame,
         # path is valid (n_docs preserved) is decided lazily at first
         # doc_norm() call — see LexicalIndex.doc_norm.
         affected = (drop.unionByName(
-            new_post.join(F.broadcast(delta.select("term")),
-                          "term", "left_semi")
+            out.postings.join(F.broadcast(delta.select("term")),
+                              "term", "left_semi")
             .select("doc_id"))
             .distinct())
         out._norm_base = (index._doc_norm, index.stats_literals()[0],

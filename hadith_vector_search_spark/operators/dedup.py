@@ -545,7 +545,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "set_size", "rn", "shingle")
-        .localCheckpoint()
+        # lazy: both self-join sides read the one pinned evaluation, but
+        # the materialization folds into the verify action instead of
+        # being its own driver job (§1.2); pin semantics unchanged
+        .localCheckpoint(eager=False)
     )
     a = prefix.select(F.col("doc_id").alias("id_a"),
                       F.col("set_size").alias("sz_a"),
