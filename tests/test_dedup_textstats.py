@@ -580,7 +580,10 @@ def test_containment_prefix_filter_is_lossless_randomized(spark):
     seeded corpora with heavy shingle sharing."""
     import random
 
-    for seed in (13, 31):
+    # (seed, threshold) combos: t=0.9 exercises the count-based filter's
+    # extended k = min(2p-1, |A|) probe at its tightest (p is tiny), t=0.8
+    # exercises exact-threshold pairs under the epsilon guard.
+    for seed, t in ((13, 0.8), (31, 0.8), (13, 0.9), (47, 0.9)):
         rng = random.Random(seed)
         pool = [f"wd{i:02d}" for i in range(14)]
         rows = []
@@ -588,7 +591,7 @@ def test_containment_prefix_filter_is_lossless_randomized(spark):
             n = rng.randint(7, 16)
             rows.append((f"d{d}", " ".join(rng.choice(pool) for _ in range(n))))
         docs = _docs(spark, rows)
-        t, ms = 0.8, 5
+        ms = 5
         got = {(r.contained_id, r.container_id) for r in
                dedup.containment_pairs(docs, threshold=t,
                                        min_size=ms).collect()}
