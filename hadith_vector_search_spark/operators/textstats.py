@@ -165,10 +165,18 @@ def nb_quality_scores(docs: DataFrame, text_col: str = "text",
     across lengths, the ranking/filter signal), and `predicted_pos`
     (decided on the ROUNDED log-odds in both engines)."""
     qm = quality_metrics(docs, text_col, id_col)
-    labels = qm.select(F.col(id_col), F.col("n_tokens"),
-                       (F.col("quality") >= thresh).alias("weak_pos"))
-    toks = docs.select(F.col(id_col),
-                       F.explode(tokenize(F.col(text_col))).alias("tok"))
+    # Lazy pins (§1.2): `labels` is consumed THREE ways (the token-label
+    # join, the class-prior agg, the output join) and `toks` twice (the
+    # training counts and the scoring join) — unpinned, the full
+    # text-metrics pass and the corpus tokenize re-ran once per
+    # consumer. One evaluation each, pinned blocks for the rest;
+    # semantics unchanged.
+    labels = (qm.select(F.col(id_col), F.col("n_tokens"),
+                        (F.col("quality") >= thresh).alias("weak_pos"))
+              .localCheckpoint(eager=False))
+    toks = (docs.select(F.col(id_col),
+                        F.explode(tokenize(F.col(text_col))).alias("tok"))
+            .localCheckpoint(eager=False))
     tl = toks.join(labels.select(id_col, "weak_pos"), id_col)
     counts = tl.groupBy("tok").agg(
         F.sum(F.when(F.col("weak_pos"), 1).otherwise(0)).alias("c_pos"),
@@ -351,15 +359,25 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
     KenLM models offline. Docs with fewer than 2 tokens emit no row."""
     from ..functions.text import tokenize
 
-    toks_df = docs.select(F.col(id_col).alias("doc_id"),
-                          F.explode(F.array(tokenize(F.col(text_col))))
-                          .alias("_toks"))
+    # Lazy pin on the (doc_id, token-array) frame: consumed by the bigram
+    # stream below AND the vocab count — unpinned, the corpus tokenize
+    # ran once per consumer (§1.2). One row per doc, so the pinned blocks
+    # are corpus-text-sized, not exploded-token-sized.
+    toks_df = (docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode(F.array(tokenize(F.col(text_col))))
+                           .alias("_toks"))
+               .localCheckpoint(eager=False))
     t = F.col("_toks")
     bg_arr = F.slice(
         F.zip_with(t, F.slice(t, 2, F.size(t)),
                    lambda a, b: F.concat_ws(" ", a, b)),
         1, F.greatest(F.size(t) - 1, F.lit(0)))
-    bigrams = toks_df.select("doc_id", F.explode(bg_arr).alias("bg"))
+    # Lazy pin: the bigram stream is consumed THREE ways (the model agg,
+    # the scoring join, and — via toks_df — the vocab count); unpinned,
+    # the tokenize+zip+explode subtree re-ran once per consumer. One
+    # evaluation, pinned blocks for the rest (§1.2); semantics unchanged.
+    bigrams = (toks_df.select("doc_id", F.explode(bg_arr).alias("bg"))
+               .localCheckpoint(eager=False))
     # The (bg, c2, c1) table IS the trained model, vocab²-bounded: prefix
     # counts derive from the bigram counts by a window over the SMALL
     # count table (occurrence count grouped by w1 == sum of per-bigram
