@@ -30,6 +30,35 @@ def _cache_key(spark: SparkSession, sf_dir: str, *params) -> tuple:
     return (spark.sparkContext.applicationId, os.path.abspath(sf_dir), *params)
 
 
+def get_published_frame_store(spark: SparkSession, sf_dir: str,
+                              deriver: str, params: dict):
+    """Ensure-and-open the published frame store HANDLE for this
+    (deriver, params) — None when the index root is unwritable (the
+    `get_index` fallback discipline). The dir-level view of
+    `_frame_store_or_pin`, for callers that fork the whole artifact
+    rather than read its rows (the streaming maintenance twins'
+    `commit.clone_store`); handle cached per session so the ensure's
+    count + manifest check run once, not per twin invocation."""
+    from ..sources import frame_store
+    from .lexical import _index_root
+
+    key = _cache_key(spark, sf_dir, "frame_handle", deriver,
+                     tuple(sorted(params.items())))
+    if key not in _INDEX_CACHE:
+        token = sf_dir.strip("/").replace("/", "_")
+        ptok = "_".join(f"{k}{params[k]}" for k in sorted(params))
+        idx_dir = os.path.join(_index_root(), f"{token}_{deriver}_{ptok}")
+        try:
+            docs = load_table(spark, sf_dir, "documents")
+            fidx, _ = frame_store.ensure_frame_store(
+                spark, docs, os.path.join(sf_dir, "documents.parquet"),
+                idx_dir, deriver, params)
+        except OSError:
+            return None
+        _INDEX_CACHE[key] = fidx
+    return _INDEX_CACHE[key]
+
+
 def _frame_store_or_pin(spark: SparkSession, sf_dir: str, deriver: str,
                         params: dict, pin_tag: str, build):
     """The store-first discipline every derived dedup frame now follows
@@ -42,25 +71,15 @@ def _frame_store_or_pin(spark: SparkSession, sf_dir: str, deriver: str,
     stay continuously oracle-checked: every consumer's DuckDB oracle
     rebuilds the derivation from raw text each gate pass. Store dirs are
     keyed by deriver+params so two widths never thrash one artifact."""
-    from ..sources import frame_store
-    from .lexical import _index_root
-
-    token = sf_dir.strip("/").replace("/", "_")
-    ptok = "_".join(f"{k}{params[k]}" for k in sorted(params))
-    idx_dir = os.path.join(_index_root(), f"{token}_{deriver}_{ptok}")
     # record the BUILD plan unconditionally (plan-string capture only,
     # nothing materializes): the hygiene sweep must see the derivation
     # that runs at publish/refresh time even when the store is a
     # byte-for-byte reuse this session
     pin_audit.record(pin_tag, sf_dir, build())
-    try:
-        docs = load_table(spark, sf_dir, "documents")
-        fidx, _ = frame_store.ensure_frame_store(
-            spark, docs, os.path.join(sf_dir, "documents.parquet"),
-            idx_dir, deriver, params)
+    fidx = get_published_frame_store(spark, sf_dir, deriver, params)
+    if fidx is not None:
         return fidx.rows
-    except OSError:
-        return build().localCheckpoint()
+    return build().localCheckpoint()
 
 
 def get_shingle_index(spark: SparkSession, sf_dir: str,
@@ -307,12 +326,33 @@ def get_window_index(spark: SparkSession, sf_dir: str,
     unwritable (the `get_index` discipline), and both paths stay
     continuously oracle-checked: every consumer's DuckDB oracle rebuilds
     from raw text each gate pass."""
+    key = _cache_key(spark, sf_dir, "windows", w)
+    if key not in _INDEX_CACHE:
+        widx = get_published_window_store(spark, sf_dir, w)
+        if widx is not None:
+            _INDEX_CACHE[key] = widx.windows
+        else:
+            docs = load_table(spark, sf_dir, "documents")
+            _INDEX_CACHE[key] = pin_audit.record(
+                "dedup_window_index", sf_dir,
+                dedup.window_index(docs, w)).localCheckpoint()
+    return _INDEX_CACHE[key]
+
+
+def get_published_window_store(spark: SparkSession, sf_dir: str,
+                               w: int = dedup.DUPSPAN_W):
+    """Ensure-and-open the published window store HANDLE (None when the
+    index root is unwritable) — the dir-level view of
+    `get_window_index`, for callers that fork the whole artifact rather
+    than read its rows (the streaming window twin's
+    `commit.clone_store`); handle cached per session so the ensure's
+    count + manifest check run once, not per twin invocation."""
     import os as _os
 
     from ..sources import window_store
     from .lexical import _index_root
 
-    key = _cache_key(spark, sf_dir, "windows", w)
+    key = _cache_key(spark, sf_dir, "window_handle", w)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         token = sf_dir.strip("/").replace("/", "_")
@@ -324,11 +364,9 @@ def get_window_index(spark: SparkSession, sf_dir: str,
             widx, _ = window_store.ensure_window_index(
                 spark, docs, _os.path.join(sf_dir, "documents.parquet"),
                 idx_dir, w)
-            _INDEX_CACHE[key] = widx.windows
         except OSError:
-            _INDEX_CACHE[key] = pin_audit.record(
-                "dedup_window_index", sf_dir,
-                dedup.window_index(docs, w)).localCheckpoint()
+            return None
+        _INDEX_CACHE[key] = widx
     return _INDEX_CACHE[key]
 
 

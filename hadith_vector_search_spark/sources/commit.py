@@ -85,3 +85,40 @@ def commit(store_dir: str, ops: list[dict]) -> None:
     _apply_ops(store_dir, ops)
     os.remove(os.path.join(store_dir, JOURNAL_NAME))
     shutil.rmtree(os.path.join(store_dir, STAGING_NAME), ignore_errors=True)
+
+
+def clone_store(src_dir: str, dst_dir: str) -> None:
+    """File-level fork of a settled store directory: hardlink every file
+    into `dst_dir` (copying when the link fails, e.g. across devices),
+    skipping any journal/staging leftovers. Store files are IMMUTABLE
+    once written — every mutation in this protocol is a staged-dir swap
+    (rename in, rmtree out) — so the two trees cannot interfere: a
+    refresh on the clone unlinks only ITS directory entries and renames
+    fresh staged dirs in, while the source keeps its own links; a
+    republish of the source likewise replaces the source's entries
+    without touching the clone's. Intended caller: a maintenance twin
+    forking a throwaway working store off a published per-corpus-snapshot
+    index — the fork is pure filesystem metadata, where a seeded Spark
+    re-publish of the same rows pays a full read + exchange + write +
+    per-partition-dir task commits for bytes that already exist in
+    exactly the target layout (on a lake this is a table-format shallow
+    clone / snapshot branch, the same metadata-only operation)."""
+    recover(src_dir)
+    os.makedirs(dst_dir, exist_ok=True)
+    skip = {JOURNAL_NAME, f".{JOURNAL_NAME}.tmp", STAGING_NAME}
+
+    def _link_or_copy(src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+    for name in os.listdir(src_dir):
+        if name in skip:
+            continue
+        src = os.path.join(src_dir, name)
+        dst = os.path.join(dst_dir, name)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, copy_function=_link_or_copy)
+        else:
+            _link_or_copy(src, dst)

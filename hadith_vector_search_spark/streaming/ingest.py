@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..sources import commit as commit_store
 from ..sources.ingest import merge_upsert
 
 _MEMSINK_IDS = itertools.count()
@@ -727,17 +728,18 @@ def streaming_vector_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(work, "ckpt")
     try:
         # Fork the working store off the published per-corpus-snapshot
-        # IVF index when it is available (same first-IVF_CENTROIDS-ids
-        # codebook, same assignment arithmetic): the cell-assignment
-        # pass was paid at that store's publish (guide §6). Unwritable
-        # index root (pub is None) falls back to the live publish; the
-        # oracle recomputes every assignment from raw vectors either
-        # way.
+        # IVF index when it is available — a FILE-LEVEL clone
+        # (`commit.clone_store`: hardlink/copy of the settled dirs), not
+        # a Spark re-publish of rows the published store already holds
+        # in exactly this layout (guide §6; the seeded publish paid a
+        # read + rebalance exchange + per-cell-dir write per
+        # invocation). Same codebook, same assignment arithmetic, same
+        # layout stamps. Unwritable index root (pub is None) falls back
+        # to the live publish; the oracle recomputes every assignment
+        # from raw vectors either way.
         pub = sem_plans.get_published_vector_index(spark, sf_dir)
         if pub is not None:
-            vector_store.publish_vector_index(emb, store,
-                                              centroids=pub.centroids,
-                                              vectors=pub.vectors)
+            commit_store.clone_store(pub.index_dir, store)
         else:
             vector_store.publish_vector_index(emb, store,
                                               n_cells=IVF_CENTROIDS)
@@ -856,22 +858,22 @@ def streaming_lsh_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")
     try:
-        # govern=False: the twin's base store exists only to be drained
-        # and compared against the from-scratch oracle — nothing resolves
-        # its n_flip stamp, and the governance pass (sample x corpus,
-        # several jobs) would be paid INSIDE the maintenance query's
-        # timed window on every invocation (guide §1.2: don't compute
-        # things you throw away).
         # Fork the working store off the published per-corpus-snapshot
-        # LSH index when available (same first-LSH_PLANES-ids planes,
-        # same sign arithmetic — guide §6, as the vector twin);
-        # unwritable index root falls back to the live publish.
+        # LSH index when available — a FILE-LEVEL clone
+        # (`commit.clone_store`), not a Spark re-publish of the sigs
+        # rows the published store already holds bucket-partitioned
+        # (guide §6, as the vector twin; the seeded publish paid a read
+        # + rebalance exchange + ~2^n_planes per-bucket-dir writes per
+        # invocation). Same planes, same sign arithmetic, same layout
+        # stamps (the published n_flip governance stamp rides along
+        # inert — nothing in the twin resolves it, which is what
+        # govern=False skipped on the old seeded path). Unwritable index
+        # root falls back to the live publish (govern=False: the twin's
+        # throwaway store never serves, so the publish-time flip-count
+        # measurement pass is pure overhead there).
         pub = sem_plans.get_published_lsh_index(spark, sf_dir)
         if pub is not None:
-            vector_store.publish_lsh_index(
-                emb, store, n_planes=LSH_PLANES, govern=False,
-                planes=pub.planes, requested_planes=pub.requested_planes,
-                sigs=pub.sigs)
+            commit_store.clone_store(pub.index_dir, store)
         else:
             vector_store.publish_lsh_index(emb, store,
                                            n_planes=LSH_PLANES,
@@ -993,10 +995,20 @@ def streaming_window_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # window index instead of re-tokenizing the corpus per
         # invocation (guide §6 — the streaming_neardup_ingest store-read
         # discipline applied to the old side); the batch side stays
-        # live, and the oracle replays windowing from raw text.
-        window_store.publish_window_index(
-            docs, store,
-            windows=dedup_plans.get_window_index(spark, sf_dir))
+        # live, and the oracle replays windowing from raw text. The fork
+        # is a FILE-LEVEL clone (`commit.clone_store`) when the
+        # published store exists — the seeded Spark re-publish paid a
+        # docs.count() (bucket derivation) + read + rebalance exchange +
+        # per-dbucket-dir writes per invocation for rows already on disk
+        # in exactly this layout; the session-pin fallback keeps the
+        # seeded publish when the index root is unwritable.
+        widx_pub = dedup_plans.get_published_window_store(spark, sf_dir)
+        if widx_pub is not None:
+            commit_store.clone_store(widx_pub.index_dir, store)
+        else:
+            window_store.publish_window_index(
+                docs, store,
+                windows=dedup_plans.get_window_index(spark, sf_dir))
         upd = (docs.filter((F.col("doc_id") % 5 == 0)
                            & (F.col("doc_id") % 13 != 0))
                .select("doc_id",
@@ -1130,10 +1142,20 @@ def streaming_simhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # identity) instead of re-fingerprinting the corpus per
         # invocation — guide §6, the neardup-twin store-read discipline;
         # the oracle recomputes every fingerprint from merged raw text.
-        frame_store.publish_frame_store(
-            docs, store, "simhash", {"n_bits": SIMHASH_BITS},
-            rows=dedup_plans.get_simhash_index(spark, sf_dir,
-                                               SIMHASH_BITS))
+        # The seed is a FILE-LEVEL clone (`commit.clone_store`) when the
+        # store exists — the seeded Spark re-publish paid a docs.count()
+        # + read + rebalance exchange + per-dbucket-dir writes per
+        # invocation for rows already on disk in this exact layout; the
+        # session-pin fallback keeps the seeded publish.
+        fidx_pub = dedup_plans.get_published_frame_store(
+            spark, sf_dir, "simhash", {"n_bits": SIMHASH_BITS})
+        if fidx_pub is not None:
+            commit_store.clone_store(fidx_pub.index_dir, store)
+        else:
+            frame_store.publish_frame_store(
+                docs, store, "simhash", {"n_bits": SIMHASH_BITS},
+                rows=dedup_plans.get_simhash_index(spark, sf_dir,
+                                                   SIMHASH_BITS))
         upd = (docs.filter((F.col("doc_id") % 5 == 0)
                            & (F.col("doc_id") % 13 != 0))
                .select("doc_id",
@@ -1207,11 +1229,20 @@ def streaming_minhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # Seed from the published minhash signature store (guide §6, as
         # the simhash twin): the shingle+sha pass was paid once at that
-        # store's publish; the oracle re-shingles merged raw text.
-        frame_store.publish_frame_store(
-            docs, store, "minhash",
-            {"w": SHINGLE_W, "n_hashes": N_HASHES},
-            rows=dedup_plans.get_minhash_index(spark, sf_dir))
+        # store's publish; the oracle re-shingles merged raw text. The
+        # seed is a FILE-LEVEL clone (`commit.clone_store`) when the
+        # store exists, the seeded Spark publish only the unwritable-
+        # index-root fallback (see the simhash twin).
+        fidx_pub = dedup_plans.get_published_frame_store(
+            spark, sf_dir, "minhash",
+            {"w": SHINGLE_W, "n_hashes": N_HASHES})
+        if fidx_pub is not None:
+            commit_store.clone_store(fidx_pub.index_dir, store)
+        else:
+            frame_store.publish_frame_store(
+                docs, store, "minhash",
+                {"w": SHINGLE_W, "n_hashes": N_HASHES},
+                rows=dedup_plans.get_minhash_index(spark, sf_dir))
         upd = (docs.filter((F.col("doc_id") % 5 == 0)
                            & (F.col("doc_id") % 13 != 0))
                .select("doc_id",
